@@ -1,0 +1,194 @@
+"""Canonical changelog schema + snapshot compaction.
+
+The reference models all data as a changelog of upserts/deletes over an
+entity-attribute model (reference: core/.../storage/StreamElement.java:232-248,
+docs/src/content/book/datamodel.md:110-149). A *snapshot* ("table") at time T
+is the max-stamp element per (entity, key, attribute) with delete and
+wildcard-delete tombstones resolved
+(reference: beam/core/.../PCollectionTools.java:42-66,
+direct/core/.../view/LocalCachedPartitionedView.java:99-121,268-286).
+
+Spark-first design notes
+------------------------
+* ``compact`` is a single hash aggregation: ``groupBy(entity, key, attribute)
+  .agg(max_by(struct(*), (stamp, seq_id)))``. Catalyst plans this as
+  partial+final hash agg (map-side combine), so at 100 TB it shuffles only
+  one pre-combined row per (entity, key, attribute) per input partition.
+* wildcard-tombstone resolution is a join of compacted instances against
+  compacted tombstones on (entity, key, attribute_base). Tombstone cardinality
+  is bounded by live (key, wildcard-attribute) pairs — usually tiny relative
+  to instances — so we broadcast-hint it; AQE falls back to shuffle join if
+  the estimate is wrong.
+* equal-stamp ties break by seq_id
+  (reference: direct/core/.../view/TimeBoundedVersionedCache.java:214).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: canonical changelog schema — the moral equivalent of StreamElement
+#: (reference: core/.../storage/StreamElement.java:232-248; serialized form
+#: beam/core/.../io/StreamElementCoder.java).
+CHANGELOG_SCHEMA = StructType(
+    [
+        StructField("entity", StringType(), False),
+        StructField("key", StringType(), False),
+        # full attribute name incl. wildcard suffix, e.g. "category.books"
+        StructField("attribute", StringType(), False),
+        # descriptor name, e.g. "category.*" for wildcard, == attribute otherwise
+        StructField("attribute_base", StringType(), False),
+        StructField("seq_id", LongType(), True),
+        StructField("uuid", StringType(), True),
+        StructField("stamp", TimestampType(), False),
+        StructField("delete", BooleanType(), False),
+        StructField("delete_wildcard", BooleanType(), False),
+        StructField("value", BinaryType(), True),
+    ]
+)
+
+_CANONICAL_COLS = [f.name for f in CHANGELOG_SCHEMA.fields]
+
+
+def _attribute_base(attribute: Column) -> Column:
+    """Descriptor name of an attribute: ``a.x`` → ``a.*``, scalar unchanged.
+
+    Mirrors AttributeDescriptor.toAttributePrefix
+    (reference: core/.../repository/AttributeDescriptor.java:157-168).
+    """
+    return F.when(
+        attribute.contains("."),
+        F.concat(F.substring_index(attribute, ".", 1), F.lit(".*")),
+    ).otherwise(attribute)
+
+
+def to_changelog(
+    df: DataFrame,
+    *,
+    entity: str | Column,
+    key: str | Column,
+    attribute: str | Column,
+    stamp: str | Column,
+    value: str | Column | None = None,
+    seq_id: str | Column | None = None,
+    uuid: str | Column | None = None,
+    delete: str | Column | None = None,
+    delete_wildcard: str | Column | None = None,
+) -> DataFrame:
+    """Map an arbitrary DataFrame into the canonical changelog schema.
+
+    The analog of ``asStreamElements`` (reference: tools/.../Stream.java:210-217
+    → beam/tools/.../BeamStream.java:692): callers supply column expressions
+    for key / attribute / value / stamp.
+    """
+
+    def c(x: str | Column | None, default: Column | None = None) -> Column:
+        if x is None:
+            assert default is not None
+            return default
+        return F.col(x) if isinstance(x, str) else x
+
+    attr = c(attribute)
+    return df.select(
+        (F.lit(entity) if isinstance(entity, str) else entity).alias("entity"),
+        c(key).cast("string").alias("key"),
+        attr.cast("string").alias("attribute"),
+        _attribute_base(attr.cast("string")).alias("attribute_base"),
+        c(seq_id, F.lit(None).cast("long")).cast("long").alias("seq_id"),
+        c(uuid, F.lit(None).cast("string")).cast("string").alias("uuid"),
+        c(stamp).alias("stamp"),
+        c(delete, F.lit(False)).cast("boolean").alias("delete"),
+        c(delete_wildcard, F.lit(False)).cast("boolean").alias("delete_wildcard"),
+        c(value, F.lit(None).cast("binary")).alias("value"),
+    )
+
+
+def compact(changelog: DataFrame) -> DataFrame:
+    """Max-stamp compaction per (entity, key, attribute); keeps tombstones.
+
+    Mirrors PCollectionTools.reduceAsSnapshot (reference:
+    beam/core/.../PCollectionTools.java:42-66): latest element wins by
+    (stamp, seq_id); deletes *survive* this reduction and are resolved by
+    :func:`snapshot` at read time (SURVEY §2.10.1).
+
+    One shuffle on the compaction key with map-side partial aggregation.
+    """
+    payload = [c for c in changelog.columns if c not in ("entity", "key", "attribute")]
+    ordering = F.struct(F.col("stamp"), F.coalesce(F.col("seq_id"), F.lit(0)))
+    aggs = [
+        F.max_by(F.col(c), ordering).alias(c) for c in payload
+    ]
+    return changelog.groupBy("entity", "key", "attribute").agg(*aggs).select(
+        *[F.col(c) for c in changelog.columns]
+    )
+
+
+def snapshot(changelog: DataFrame, *, at: Column | str | None = None) -> DataFrame:
+    """Snapshot (table view) of a changelog at time ``at`` (default: now).
+
+    Semantics (SURVEY §2.10; reference
+    direct/core/.../view/LocalCachedPartitionedView.java:99-121,268-286):
+
+    1. restrict to elements with ``stamp <= at``;
+    2. compact to the latest element per (entity, key, attribute),
+       ties broken by seq_id;
+    3. drop rows whose winner is a delete / wildcard-delete tombstone;
+    4. drop instances older than a live wildcard tombstone on their
+       attribute *prefix*: keep iff ``stamp >= tombstone_stamp`` (the
+       reference filter is ``e.getFirst() >= filterStamp``, i.e. an
+       instance written at exactly the tombstone stamp survives).
+    """
+    if at is not None:
+        bound = F.col(at) if isinstance(at, str) else at
+        changelog = changelog.where(F.col("stamp") <= bound)
+
+    latest = compact(changelog)
+
+    # live wildcard tombstones, compacted to the newest per prefix
+    tombstones = (
+        changelog.where(F.col("delete_wildcard"))
+        .groupBy("entity", "key", F.col("attribute_base").alias("tomb_base"))
+        .agg(F.max("stamp").alias("tombstone_stamp"))
+    )
+
+    live = latest.where(~F.col("delete") & ~F.col("delete_wildcard"))
+
+    # tombstone table is bounded by live wildcard prefixes → broadcast
+    resolved = live.join(
+        F.broadcast(tombstones),
+        on=[
+            live["entity"] == tombstones["entity"],
+            live["key"] == tombstones["key"],
+            live["attribute_base"] == tombstones["tomb_base"],
+        ],
+        how="left",
+    ).where(
+        F.col("tombstone_stamp").isNull()
+        | (live["stamp"] >= F.col("tombstone_stamp"))
+    )
+    return resolved.select(*[live[c] for c in live.columns])
+
+
+def snapshot_wide(
+    snapshot_df: DataFrame, *, attributes: list[str] | None = None
+) -> DataFrame:
+    """Pivot a snapshot into one row per (entity, key) with attribute columns.
+
+    The "table" view of the datamodel docs (reference:
+    docs/src/content/book/datamodel.md:127-149). Wildcard attributes stay in
+    changelog form; scalars pivot. ``attributes`` fixes the pivot values so
+    the plan needs no extra distinct-scan job at scale.
+    """
+    pivoted = snapshot_df.groupBy("entity", "key").pivot(
+        "attribute", values=attributes
+    )
+    return pivoted.agg(F.first("value"))

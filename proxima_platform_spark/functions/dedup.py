@@ -1,0 +1,180 @@
+"""Deduplication primitives: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extensions beyond the reference surface (north star). All primitives are
+engine-portable by construction: hashes are md5-based (identical hex output
+in Spark and any ANSI/DuckDB oracle), so correctness is checkable end-to-end.
+
+Scale design (the point of these ops is the 100 TB corpus):
+  * exact dedup — one hash-groupBy on a 16-byte key; map-side partial agg
+    collapses most duplicates before the shuffle;
+  * MinHash — explode(shingles) → groupBy(doc) min per hash seed: shuffle
+    volume is ~#shingles rows but combiner reduces to one row per (doc,seed)
+    per partition; LSH banding turns all-pairs O(n²) into a self-join on
+    band keys (hash-partitioned, broadcast never needed);
+  * SimHash — explode(tokens) → per-bit vote aggregation, same shuffle shape;
+  * n-gram Jaccard — only ever computed on LSH candidate pairs, never n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dup_key(text: Column) -> Column:
+    """Exact-duplicate grouping key: md5 of normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalize_text(text), " ", -1)
+
+
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct not applied here)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash hash function: lexicographic md5 of seed-salted shingle.
+
+    min() over these is a valid MinHash permutation surrogate: md5 is a
+    uniform pseudo-permutation of the shingle space for each salt, and the
+    lexicographic order on the fixed-width hex string is a total order, so
+    P[min collides] = Jaccard similarity (standard MinHash argument).
+    """
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 8) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    Expression-only form (array_min over the shingle array per seed) — for
+    very long documents prefer the exploded aggregation in
+    :func:`minhash_signatures_df`, which keeps per-row work bounded.
+    """
+    sh = ngram_shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: minhash_value(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures_df(
+    docs: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, minhash) via explode + groupBy — the scale path: shingle
+    arrays never materialize per-row signatures on skewed/huge docs; the
+    combiner collapses to one row per (doc, seed) per partition."""
+    sh = docs.select(
+        F.col(id_col), F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = sh.select(id_col, seeds, "shingle")
+    return exploded.groupBy(id_col, "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_band_keys(
+    signature: Column, *, bands: int, rows_per_band: int
+) -> Column:
+    """LSH banding: array of ``bands`` bucket keys; docs sharing any key are
+    candidate near-duplicates (standard MinHash-LSH banding)."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band.
+
+    Self-join on band key — the distributed LSH shape: shuffle on bucket,
+    pairs generated only within buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)).alias("band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity between two texts (use on LSH
+    candidates, never all pairs)."""
+    sa = F.array_distinct(ngram_shingles(text_a, n))
+    sb = F.array_distinct(ngram_shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token set, as a bigint.
+
+    Per token: 60-bit hash from the md5 hex prefix; each bit votes ±1;
+    simhash bit = majority. Expression-only (aggregate over the token
+    array); for the exploded aggregation shape use a groupBy on token hash
+    — same result, bounded per-row work.
+    """
+    tok = F.array_distinct(tokens(text))
+    hashes = F.transform(tok, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    bits = []
+    for b in range(60):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, bb=b: acc
+            + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    total = bits[0]
+    for bit in bits[1:]:
+        total = total + bit
+    return total
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))

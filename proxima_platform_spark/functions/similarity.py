@@ -1,0 +1,129 @@
+"""Vector similarity / ANN over embedding columns (array<float>).
+
+Extensions beyond the reference surface (north star). Two tiers:
+
+  * brute-force cosine top-k — one projection + one top-k; fine up to ~10⁷
+    vectors per query batch. Expression-only (zip_with/aggregate), JVM-side.
+  * LSH-bucketed ANN (random hyperplane / sign-LSH) — the scale path:
+    vectors hash to ``num_planes``-bit buckets; candidates come from one
+    bucket-equi-join instead of a full cross product. Deterministic planes
+    derived from md5 of (plane, dim) so results are reproducible without a
+    shared RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_top_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    The broadcast-side is a literal array; the scan is a single projection +
+    TakeOrderedAndProject (no shuffle of the full table).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _plane_component(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-gaussian plane component in [-0.5, 0.5): derived
+    from md5(plane, dim) — reproducible across engines and runs."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(",", F.lit(str(plane)), dim.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(16**8)) - 0.5
+
+
+def sign_lsh_bucket(vec: Column, *, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (bigint in [0, 2^num_planes))."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                dims,
+                lambda x, i, pp=p: x.cast("double") * _plane_component(pp, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_top_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k for a *set* of query vectors: bucket-equi-join on the
+    sign-LSH bucket, exact cosine within the bucket, per-query top-k.
+
+    At 100 TB this is the right shape: both sides hash-partition on bucket,
+    no cross product, and the per-query top-k is a windowed rank over the
+    joined (small) candidate set. Recall is tunable via num_planes (and by
+    probing neighbor buckets — not implemented; documented knob).
+    """
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), num_planes=num_planes).alias("bucket"),
+    )
+    qs = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("__qvec"),
+        sign_lsh_bucket(F.col(query_vec_col), num_planes=num_planes).alias("bucket"),
+    )
+    joined = base.join(qs, on="bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1,0 +1,88 @@
+"""Text-analysis expressions for LLM training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star): language
+ID, quality scoring, token counting, document fingerprinting — all as pure
+Column expressions (JVM-side, whole-stage codegen; no Python in the path),
+designed to run over a 100 TB `documents` table as a single projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic;
+# enough to separate the fixture languages deterministically
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " los ", " las ", " es ", " una "],
+    "cs": [" je ", " se ", " na ", " že ", " pro "],
+}
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    padded = _padded(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            # literal (non-regex) occurrence count via replace-length delta
+            removed = F.length(padded) - F.length(F.replace(padded, F.lit(m)))
+            occurrences = (removed / F.length(F.lit(m))).cast("int")
+            score = occurrences if score is None else score + occurrences
+        out[lang] = score
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language ID with deterministic tiebreak (alphabetical
+    language code order; 'und' when no marker hits at all)."""
+    scores = language_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores, reverse=True):  # earlier codes win ties
+        s = scores[lang]
+        cond = s >= best_score
+        # strictly-greater for the reversed scan = ties go to alphabetical min
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+", -1))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: blend of alphabetic ratio, word-length
+    sanity and length saturation — the classic cheap pre-filter stack for
+    LLM corpus cleaning (Gopher/C4-style rules, public recipes)."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    toks = token_count(text).cast("double")
+    mean_word = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    word_sanity = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    length_sat = F.least(n / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        0.5 * alpha_ratio + 0.25 * word_sanity + 0.25 * length_sat, 6
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the
+    lowercased/whitespace-collapsed text. (The rolling-hash fingerprint for
+    shingle windows lives in functions.dedup.)"""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,139 @@
+"""Changelog → snapshot semantics (FIXTURES.md §B1-B3; reference:
+docs/.../book/datamodel.md:100-149, LocalCachedPartitionedView.java:268-286,
+TimeBoundedVersionedCache.java:214)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from proxima_platform_spark.changelog import (
+    CHANGELOG_SCHEMA,
+    compact,
+    snapshot,
+    to_changelog,
+)
+
+
+def ts(ms: int) -> datetime:
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+
+
+def element(
+    entity, key, attribute, stamp_ms, value=None, delete=False, delete_wildcard=False, seq_id=None
+):
+    base = (
+        attribute.split(".", 1)[0] + ".*" if "." in attribute else attribute
+    )
+    return Row(
+        entity=entity,
+        key=key,
+        attribute=attribute,
+        attribute_base=base,
+        seq_id=seq_id,
+        uuid=None,
+        stamp=ts(stamp_ms),
+        delete=delete or delete_wildcard,
+        delete_wildcard=delete_wildcard,
+        value=value.encode() if isinstance(value, str) else value,
+    )
+
+
+def make_changelog(spark, rows):
+    return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+
+def snap_keys(df):
+    return {
+        (r.entity, r.key, r.attribute, r.value and bytes(r.value).decode())
+        for r in df.collect()
+    }
+
+
+class TestDatamodelCompaction:
+    """B1 — the datamodel doc's worked example (datamodel.md:100-149)."""
+
+    def fixture(self, spark):
+        rows = [
+            element("user", "other", "details", 1234567890000, "v0"),
+            element("product", "car", "details", 1234567880100, "v1"),
+            element("product", "book", "category.books", 1234567870000, "v2"),
+            element("user", "me", "details", 1234567890500, "v3"),
+            element("user", "you", "preferences", 1234567890400, "v4"),
+            element("event", "uuid-1", "data", 1234567890900, "v5"),
+            element("user", "other", "details", 1234567890300, None, delete=True),
+            element(
+                "product", "book", "category.*", 1234567890900, None, delete_wildcard=True
+            ),
+        ]
+        return make_changelog(spark, rows)
+
+    def test_snapshot_matches_reference_doc(self, spark):
+        result = snap_keys(snapshot(self.fixture(spark)))
+        assert result == {
+            ("product", "car", "details", "v1"),
+            ("user", "me", "details", "v3"),
+            ("user", "you", "preferences", "v4"),
+            ("event", "uuid-1", "data", "v5"),
+        }
+
+    def test_snapshot_before_delete_keeps_row(self, spark):
+        """Time travel: snapshot at T before the delete sees the old value."""
+        result = snap_keys(snapshot(self.fixture(spark), at=F.lit(ts(1234567890200))))
+        assert ("user", "other", "details", "v0") in result
+        assert ("product", "book", "category.books", "v2") in result
+
+    def test_compact_keeps_tombstones(self, spark):
+        compacted = compact(self.fixture(spark))
+        deletes = compacted.where("delete").count()
+        assert deletes == 2  # delete + deleteWildcard survive compaction
+
+
+class TestWildcardTombstone:
+    """B2 — stamp >= tombstone survives (LocalCachedPartitionedView:268-286)."""
+
+    def test_equal_stamp_survives(self, spark):
+        rows = [
+            element("e", "k", "a.x", 100, "x"),
+            element("e", "k", "a.*", 200, None, delete_wildcard=True),
+            element("e", "k", "a.y", 200, "y"),
+            element("e", "k", "a.z", 300, "z"),
+        ]
+        result = snap_keys(snapshot(make_changelog(spark, rows)))
+        assert result == {("e", "k", "a.y", "y"), ("e", "k", "a.z", "z")}
+
+
+class TestEqualStampTiebreak:
+    """B3 — equal stamp resolves by seq_id (TimeBoundedVersionedCache:214)."""
+
+    def test_higher_seq_id_wins(self, spark):
+        rows = [
+            element("e", "k", "a", 100, "first", seq_id=1),
+            element("e", "k", "a", 100, "second", seq_id=2),
+        ]
+        result = snap_keys(snapshot(make_changelog(spark, rows)))
+        assert result == {("e", "k", "a", "second")}
+
+
+class TestToChangelog:
+    def test_maps_arbitrary_df(self, spark):
+        df = spark.createDataFrame(
+            [(7, "click", 1.5, ts(1000))], "user_id long, et string, v double, t timestamp"
+        )
+        out = to_changelog(
+            df,
+            entity="user",
+            key="user_id",
+            attribute="et",
+            stamp="t",
+            value=F.to_binary(F.col("v").cast("string"), F.lit("utf-8")),
+        )
+        row = out.collect()[0]
+        assert row.entity == "user" and row.key == "7" and row.attribute == "click"
+        assert row.attribute_base == "click" and not row.delete
+
+    def test_wildcard_attribute_base(self, spark):
+        df = spark.createDataFrame([("k1", "device.mobile", ts(1))], "k string, a string, t timestamp")
+        out = to_changelog(df, entity="user", key="k", attribute="a", stamp="t")
+        assert out.collect()[0].attribute_base == "device.*"

@@ -1,0 +1,79 @@
+"""Stateful operators (FIXTURES.md §B5; reference Stream.java:496-550,
+BeamStream.java:932-974,997-1070,1498-1739)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.operators import Stream
+
+
+def keyed_events(spark):
+    rows = [("a", 1.0, 1000), ("a", 2.0, 2000), ("b", 5.0, 1000)]
+    df = spark.createDataFrame(rows, "k string, v double, ms long")
+    return Stream(df.withColumn("ts", F.timestamp_millis("ms")), "ts")
+
+
+class TestIntegratePerKey:
+    def test_running_sum_literals(self, spark):
+        """(a,1,t1),(a,2,t2),(b,5,t1) → (a,1),(a,3),(b,5) — one output per
+        input, event-time order (Stream.java:520-534, IntegrateDoFn:1498)."""
+        out = keyed_events(spark).integrate_per_key("k", "v")
+        got = {(r.key, r.integrated) for r in out.collect()}
+        assert got == {("a", 1.0), ("a", 3.0), ("b", 5.0)}
+
+    def test_out_of_order_input_integrates_in_event_time(self, spark):
+        rows = [("a", 2.0, 2000), ("a", 1.0, 1000)]  # arrival order reversed
+        df = spark.createDataFrame(rows, "k string, v double, ms long")
+        s = Stream(df.withColumn("ts", F.timestamp_millis("ms")), "ts")
+        got = {(r.key, r.ms, r.integrated) for r in s.integrate_per_key("k", "v").collect()}
+        assert got == {("a", 1000, 1.0), ("a", 2000, 3.0)}
+
+    def test_initial_value(self, spark):
+        out = keyed_events(spark).integrate_per_key("k", "v", initial=100.0)
+        assert {(r.key, r.integrated) for r in out.collect()} == {
+            ("a", 101.0),
+            ("a", 103.0),
+            ("b", 105.0),
+        }
+
+
+class TestReduceValueStateByKey:
+    def test_state_machine_sorted(self, spark):
+        """Per-key state machine applied in event-time order even when input
+        arrives out of order (BeamStream.java:1633-1677)."""
+        rows = [("u1", "logout", 3000), ("u1", "login", 1000), ("u1", "login", 2000),
+                ("u2", "login", 1000)]
+        df = spark.createDataFrame(rows, "user string, et string, ms long")
+        s = Stream(df.withColumn("ts", F.timestamp_millis("ms")), "ts")
+
+        def sessions(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # state: logged_in; output a row per transition *into* login
+            state, outs = False, []
+            for _, row in pdf.iterrows():
+                if row["et"] == "login" and not state:
+                    state = True
+                    outs.append({"user": key, "ms": row["ms"]})
+                elif row["et"] == "logout":
+                    state = False
+            return pd.DataFrame(outs, columns=["user", "ms"])
+
+        out = s.reduce_value_state_by_key(
+            "user", ["et", "ms"], sessions, "user string, ms long"
+        )
+        got = {(r.user, r.ms) for r in out.collect()}
+        # u1: login@1000 starts a session; login@2000 ignored (already in);
+        # logout@3000 closes. u2: login@1000.
+        assert got == {("u1", 1000), ("u2", 1000)}
+
+    def test_null_output_drops(self, spark):
+        rows = [("a", "x", 1)]
+        df = spark.createDataFrame(rows, "k string, et string, ms long")
+        s = Stream(df.withColumn("ts", F.timestamp_millis("ms")), "ts")
+
+        def drop_all(key, pdf):
+            return pd.DataFrame({"k": [], "n": []})
+
+        out = s.reduce_value_state_by_key("k", ["et"], drop_all, "k string, n long")
+        assert out.df.count() == 0
