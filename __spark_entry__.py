@@ -1,38 +1,1336 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship changelog→snapshot→windowed-agg pipeline at sf0.001.
+`queries()` — one entry per implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline extension operators), each a callable (spark, sf_dir) → DataFrame.
+`oracle_sql()` — DuckDB-runnable ANSI SQL equivalents, column-name aligned.
+
+Engine-portability conventions (see FIXTURES.md):
+  * `events.ts` is parquet timestamp[ns] — Spark needs runtime conf
+    spark.sql.legacy.parquet.nanosAsLong=true and then sees **long nanos**;
+    DuckDB sees TIMESTAMP_NS. Queries output epoch integers (exact in both
+    engines) instead of raw timestamps.
+  * ns→µs/ms conversions use exact integer arithmetic (`x DIV n`), never
+    double division (1e18-scale longs lose precision as doubles).
+  * double aggregates are round()ed identically on both sides.
+  * every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from proxima_platform_spark import snapshot, to_changelog
+from proxima_platform_spark.functions.dedup import (
+    exact_dup_key,
+    jaccard_ngram,
+    minhash_candidate_pairs,
+    normalize_text,
+    simhash64,
+)
+from proxima_platform_spark.functions.multimodal import image_features
+from proxima_platform_spark.functions.similarity import brute_force_top_k, lsh_top_k
+from proxima_platform_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from proxima_platform_spark.operators import Stream
+from proxima_platform_spark.sources import batch as batch_src
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ns timestamps: read as long (runtime-settable; the driver owns the session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts (long ns), ts_ms (long), and tstamp (timestamp, µs)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.withColumn("ts_ms", F.expr("ts DIV 1000000")).withColumn(
+        "tstamp", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str, delete: Column | None = None) -> DataFrame:
+    """events as canonical changelog: key=user_id, attribute=event_type,
+    stamp=ts (µs), value=string(value), seq_id=event_id."""
+    ev = _events(spark, sf_dir)
+    return to_changelog(
+        ev,
+        entity="user",
+        key="user_id",
+        attribute="event_type",
+        stamp="tstamp",
+        value=F.encode(F.col("value").cast("string"), "UTF-8"),
+        seq_id="event_id",
+        delete=delete,
+    )
+
+
+def _dsum(expr: Column, scale: int = 4) -> Column:
+    """Engine-portable sum of fixed-decimal data: accumulate exactly in
+    DECIMAL (order-independent, no float noise), return as double. Per-row
+    double products are bit-identical across engines (IEEE); only the
+    aggregation order isn't — decimal accumulation removes that."""
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _stamp_ms(col: str = "stamp") -> Column:
+    """timestamp → epoch ms, exact: subtract pmod before dividing so the
+    numerator is a multiple of 1000 (double division is then exact; naive
+    unix_micros/1000 loses ulp-precision at 1e15 scale and flips boundaries)."""
+    us = F.unix_micros(F.col(col))
+    return ((us - F.pmod(us, F.lit(1000))) / F.lit(1000)).cast("long")
+
+
+# ===========================================================================
+# §2.1 sources / scans
+# ===========================================================================
+
+T0 = 1704844800000  # 2024-01-10 00:00 UTC, epoch ms
+T1 = 1705708800000  # 2024-01-20 00:00 UTC
+
+
+def q_batch_updates_range(spark, sf):
+    """Bounded scan of raw updates in a time range
+    (ref beam/core/.../BeamDataOperator.java:281-318)."""
+    ev = _events(spark, sf)
+    return ev.where((F.col("ts_ms") >= T0) & (F.col("ts_ms") < T1)).select(
+        "event_id", "user_id", "event_type", "value", "ts_ms"
+    )
+
+
+SQL_BATCH_UPDATES = f"""
+SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+FROM events WHERE epoch_ms(ts) >= {T0} AND epoch_ms(ts) < {T1}
+"""
+
+
+def q_batch_snapshot(spark, sf):
+    """Snapshot: latest element per (key, attribute) — the reduce-fallback
+    path (ref BeamDataOperator.java:394-397, PCollectionTools.java:42-66)."""
+    snap = snapshot(_events_changelog(spark, sf))
+    return snap.select(
+        "key",
+        "attribute",
+        _stamp_ms().alias("stamp_ms"),
+        F.decode("value", "UTF-8").alias("val"),
+    )
+
+
+SQL_BATCH_SNAPSHOT = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       epoch_us(ts) // 1000 AS stamp_ms, value::VARCHAR AS val
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+def q_snapshot_with_deletes(spark, sf):
+    """Delete-tombstone resolution: rows with value<10 are deletes; a
+    (key, attribute) whose *latest* element is a delete disappears
+    (ref SURVEY §2.10.1, datamodel.md:100-149)."""
+    clog = _events_changelog(spark, sf, delete=F.col("value") < 10)
+    snap = snapshot(clog)
+    return snap.select(
+        "key",
+        "attribute",
+        _stamp_ms().alias("stamp_ms"),
+        F.decode("value", "UTF-8").cast("double").alias("val"),
+    )
+
+
+SQL_SNAPSHOT_WITH_DELETES = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       epoch_us(ts) // 1000 AS stamp_ms, value AS val
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    AND NOT (value < 10)
+"""
+
+
+def _device_changelog(spark, sf):
+    """Wildcard-attribute changelog derived from events: instances
+    device.<event_id%5> from non-error rows; each user's error rows emit a
+    deleteWildcard tombstone on device.* (exercises SURVEY §2.10.2)."""
+    ev = _events(spark, sf)
+    inst = to_changelog(
+        ev.where(F.col("event_type") != "error"),
+        entity="user",
+        key="user_id",
+        attribute=F.concat(F.lit("device."), (F.col("event_id") % 5).cast("string")),
+        stamp="tstamp",
+        value=F.encode(F.col("value").cast("string"), "UTF-8"),
+        seq_id="event_id",
+    )
+    tomb = to_changelog(
+        ev.where(F.col("event_type") == "error"),
+        entity="user",
+        key="user_id",
+        attribute=F.lit("device.*"),
+        stamp="tstamp",
+        seq_id="event_id",
+        delete=F.lit(True),
+        delete_wildcard=F.lit(True),
+    )
+    return inst.unionByName(tomb)
+
+
+def q_wildcard_tombstone_snapshot(spark, sf):
+    """deleteWildcard semantics: instances older than the latest device.*
+    tombstone drop; stamp >= tombstone survives
+    (ref LocalCachedPartitionedView.java:99-121,268-286)."""
+    snap = snapshot(_device_changelog(spark, sf))
+    return snap.select("key", "attribute", _stamp_ms().alias("stamp_ms"))
+
+
+SQL_WILDCARD_TOMBSTONE = """
+WITH inst AS (
+    SELECT user_id::VARCHAR AS key,
+           'device.' || (event_id % 5)::VARCHAR AS attribute,
+           epoch_us(ts) // 1000 AS stamp_ms, epoch_us(ts) AS stamp_us
+    FROM events WHERE event_type <> 'error'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_id % 5 ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+), tomb AS (
+    SELECT user_id::VARCHAR AS key, max(epoch_us(ts)) AS tomb_us
+    FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT i.key, i.attribute, i.stamp_ms
+FROM inst i LEFT JOIN tomb t ON i.key = t.key
+WHERE t.tomb_us IS NULL OR i.stamp_us >= t.tomb_us
+"""
+
+
+def q_random_access_get(spark, sf):
+    """Point lookup on the snapshot (ref RandomAccessReader.get:172)."""
+    snap = snapshot(_events_changelog(spark, sf))
+    return batch_src.get(snap, "42", "click").select(
+        "key", "attribute", _stamp_ms().alias("stamp_ms"),
+        F.decode("value", "UTF-8").alias("val"),
+    )
+
+
+SQL_RANDOM_ACCESS_GET = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       epoch_us(ts) // 1000 AS stamp_ms, value::VARCHAR AS val
+FROM events WHERE user_id = 42 AND event_type = 'click'
+QUALIFY row_number() OVER (ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+def q_scan_wildcard(spark, sf):
+    """Prefix scan of wildcard instances of one key, keyset-paged
+    (ref RandomAccessReader.java:245-312)."""
+    snap = snapshot(_device_changelog(spark, sf))
+    return batch_src.scan_wildcard(snap, "7", "device.", limit=3).select(
+        "key", "attribute", _stamp_ms().alias("stamp_ms")
+    )
+
+
+SQL_SCAN_WILDCARD = """
+WITH inst AS (
+    SELECT user_id::VARCHAR AS key,
+           'device.' || (event_id % 5)::VARCHAR AS attribute,
+           epoch_us(ts) // 1000 AS stamp_ms, epoch_us(ts) AS stamp_us
+    FROM events WHERE event_type <> 'error'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_id % 5 ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+), tomb AS (
+    SELECT user_id::VARCHAR AS key, max(epoch_us(ts)) AS tomb_us
+    FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT i.key, i.attribute, i.stamp_ms
+FROM inst i LEFT JOIN tomb t ON i.key = t.key
+WHERE (t.tomb_us IS NULL OR i.stamp_us >= t.tomb_us) AND i.key = '7'
+ORDER BY i.attribute LIMIT 3
+"""
+
+
+def q_list_entities(spark, sf):
+    """Keyset-paged key listing (ref RandomAccessReader.java:325-340)."""
+    snap = snapshot(_events_changelog(spark, sf))
+    return batch_src.list_entities(snap, offset="42", limit=20)
+
+
+SQL_LIST_ENTITIES = """
+SELECT DISTINCT user_id::VARCHAR AS key FROM events
+WHERE user_id::VARCHAR > '42' ORDER BY key LIMIT 20
+"""
+
+
+def q_union_attributes(spark, sf):
+    """Union of two attribute changelogs (ref BeamStream.union:886-930,
+    unionStream console env)."""
+    clog = _events_changelog(spark, sf)
+    clicks = clog.where(F.col("attribute") == "click")
+    views = clog.where(F.col("attribute") == "view")
+    u = Stream(clicks).union(Stream(views)).df
+    return u.groupBy("attribute").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION_ATTRIBUTES = """
+SELECT event_type AS attribute, count(*) AS n FROM events
+WHERE event_type IN ('click', 'view') GROUP BY 1
+"""
+
+
+# ===========================================================================
+# §2.3 element-wise
+# ===========================================================================
+
+
+def q_map_project(spark, sf):
+    """map (ref Stream.java:82 → BeamStream.map:388)."""
+    li = _load(spark, sf, "lineitem")
+    return Stream(li).map(
+        l_orderkey="l_orderkey",
+        l_linenumber="l_linenumber",
+        revenue=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+    ).df
+
+
+SQL_MAP_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+"""
+
+
+def q_filter_where(spark, sf):
+    """filter (ref Stream.java:105 → Filter.by)."""
+    li = _load(spark, sf, "lineitem")
+    return Stream(li).filter(
+        (F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")
+    ).df.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+SQL_FILTER_WHERE = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+def q_flatmap_tokens(spark, sf):
+    """flatMap (ref Stream.java:57 → FlatMapElements; explode keeps the
+    1→N expansion inside codegen, no Python)."""
+    docs = _load(spark, sf, "documents").where(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ", -1)).alias("token"),
+    )
+
+
+SQL_FLATMAP_TOKENS = r"""
+SELECT doc_id,
+       unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+FROM documents WHERE doc_id < 20
+"""
+
+
+# ===========================================================================
+# §2.4 windows  +  §2.5 aggregations
+# ===========================================================================
+
+
+def q_tumbling_window_sum(spark, sf):
+    """Tumbling event-time window + sumByKey (ref BeamStream.timeWindow:831,
+    WindowedStream.sumByKey:480)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.time_window(3600_000).aggregate(
+        F.col("event_type"), _dsum(F.col("value"), 2).alias("total")
+    )
+    return agg.select(
+        (F.unix_micros(F.col("window.start")) / 1000).cast("long").alias("ws_ms"),
+        F.col("key"),
+        F.col("total"),
+    )
+
+
+SQL_TUMBLING_WINDOW_SUM = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws_ms,
+       event_type AS key, sum(value::DECIMAL(18,2))::DOUBLE AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_count(spark, sf):
+    """Sliding window + global count (ref BeamStream:836 SlidingWindows)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.time_sliding_window(3600_000, 1800_000).count(alias="n")
+    return agg.select(
+        (F.unix_micros(F.col("window.start")) / 1000).cast("long").alias("ws_ms"),
+        F.col("n"),
+    )
+
+
+SQL_SLIDING_WINDOW_COUNT = """
+SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) - 1800000 * i AS ws_ms,
+       count(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1)) t(i)
+GROUP BY 1
+"""
+
+
+def q_session_window_stats(spark, sf):
+    """Per-key session windows, 30-minute gap (ref BeamStream:843 Sessions).
+    Computed on ms-truncated event time in both engines; Spark merges
+    sessions when next <= prev+gap, mirrored by `diff > gap` starting a new
+    session in the oracle."""
+    ev = _events(spark, sf).withColumn("tsm", F.timestamp_millis(F.col("ts_ms")))
+    s = Stream(ev, "tsm")
+    agg = s.session_window("user_id", 1800_000).count_by_key(F.col("__key"))
+    return agg.select(
+        F.col("key").alias("user_id"),
+        (F.unix_micros(F.col("window.start")) / 1000).cast("long").alias("sess_start_ms"),
+        F.col("count").alias("n"),
+    )
+
+
+SQL_SESSION_WINDOW_STATS = """
+WITH t AS (SELECT user_id, epoch_ms(ts) AS tm FROM events),
+m AS (
+    SELECT user_id, tm,
+           CASE WHEN tm - lag(tm) OVER w > 1800000 OR lag(tm) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tm)
+),
+s AS (SELECT user_id, tm, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tm) AS sid FROM m)
+SELECT user_id, min(tm) AS sess_start_ms, count(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_calendar_window_month(spark, sf):
+    """Calendar window (months, UTC) (ref CalendarWindows.java:95-291)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.calendar_window("month").aggregate(
+        None, F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), 2).alias("total")
+    )
+    return agg.select(
+        (F.unix_micros(F.col("window")) / 1000).cast("long").alias("month_ms"),
+        "n",
+        "total",
+    )
+
+
+SQL_CALENDAR_WINDOW_MONTH = """
+SELECT epoch_ms(date_trunc('month', ts)) AS month_ms, count(*) AS n,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total
+FROM events GROUP BY 1
+"""
+
+
+def q_global_window_agg(spark, sf):
+    """Global window + count/sum/average (ref windowAll
+    BeamWindowedStream.java:642, :489-541)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    return s.window_all().aggregate(
+        None,
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_GLOBAL_WINDOW_AGG = """
+SELECT count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS total, round(avg(value), 6) AS mean,
+       min(value) AS vmin, max(value) AS vmax
+FROM events
+"""
+
+
+def q_count_by_key(spark, sf):
+    """countByKey (ref WindowedStream.java:250 → Count.perKey)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    return s.window_all().count_by_key("user_id", alias="n").select(
+        F.col("key").alias("user_id"), "n"
+    )
+
+
+SQL_COUNT_BY_KEY = "SELECT user_id, count(*) AS n FROM events GROUP BY 1"
+
+
+def q_sum_by_key(spark, sf):
+    """sumByKey (ref WindowedStream.java:480)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.window_all().aggregate(
+        F.col("event_type"), _dsum(F.col("value"), 2).alias("total")
+    )
+    return agg.select(F.col("key").alias("event_type"), F.col("total"))
+
+
+SQL_SUM_BY_KEY = """
+SELECT event_type, sum(value::DECIMAL(18,2))::DOUBLE AS total FROM events GROUP BY 1
+"""
+
+
+def q_average_by_key(spark, sf):
+    """averageByKey (ref WindowedStream.java:301)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.window_all().average_by_key("event_type", "value")
+    return agg.select(F.col("key").alias("event_type"), F.round("avg", 6).alias("mean"))
+
+
+SQL_AVERAGE_BY_KEY = """
+SELECT event_type, round(avg(value), 6) AS mean FROM events GROUP BY 1
+"""
+
+
+def q_combine_min_max(spark, sf):
+    """combine with arbitrary algebraic combiners
+    (ref WindowedStream.java:189 → Combine.perKey)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    return s.window_all().aggregate(
+        F.col("user_id"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).select(F.col("key").alias("user_id"), "vmin", "vmax")
+
+
+SQL_COMBINE_MIN_MAX = """
+SELECT user_id, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1
+"""
+
+
+def q_reduce_fold(spark, sf):
+    """reduce: arbitrary fold per key (ref WindowedStream.java:61 →
+    BeamWindowedStream.reduce:93-165) — sum of squares via F.aggregate."""
+    s = Stream(_events(spark, sf), "tstamp")
+    folded = s.window_all().reduce(
+        F.col("event_type"), F.col("value").cast("double"), 0.0,
+        lambda acc, x: acc + x * x, alias="sumsq",
+    )
+    return folded.select(
+        F.col("key").alias("event_type"), F.round("sumsq", 4).alias("sumsq")
+    )
+
+
+SQL_REDUCE_FOLD = """
+SELECT event_type, round(sum(value * value), 4) AS sumsq FROM events GROUP BY 1
+"""
+
+
+def q_group_reduce_median(spark, sf):
+    """groupReduce: non-algebraic per-key reduce (ref WindowedStream.java:149)
+    — median via Arrow-batched applyInPandas."""
+    s = Stream(_events(spark, sf).select("event_type", "value"), None)
+
+    def median(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [key[0]], "med": [round(float(pdf["value"].median()), 6)]}
+        )
+
+    return s.window_all().group_reduce(
+        F.col("event_type"), median, "event_type string, med double"
+    )
+
+
+SQL_GROUP_REDUCE_MEDIAN = """
+SELECT event_type, round(median(value), 6) AS med FROM events GROUP BY 1
+"""
+
+
+def q_distinct_pairs(spark, sf):
+    """distinct (ref WindowedStream.java:500 → Beam Distinct)."""
+    ev = _events(spark, sf).select("user_id", "event_type")
+    return Stream(ev).window_all().distinct()
+
+
+SQL_DISTINCT_PAIRS = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_distinct_mapper(spark, sf):
+    """distinct with representative mapper (ref WindowedStream.java:521) —
+    deterministic minimal representative per first letter."""
+    ev = _events(spark, sf).select("event_type")
+    return Stream(ev).window_all().distinct(mapper=F.substring("event_type", 1, 1))
+
+
+SQL_DISTINCT_MAPPER = """
+SELECT min(event_type) AS event_type FROM events GROUP BY substr(event_type, 1, 1)
+"""
+
+
+def q_reduce_to_latest(spark, sf):
+    """reduceToLatest (ref WindowedStream.java:118 →
+    PCollectionTools.reduceAsSnapshot) — compaction keeping tombstones."""
+    clog = _events_changelog(spark, sf)
+    latest = Stream(clog).window_all().reduce_to_latest()
+    return latest.select("key", "attribute", _stamp_ms().alias("stamp_ms"))
+
+
+SQL_REDUCE_TO_LATEST = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute, epoch_us(ts) // 1000 AS stamp_ms
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+# ===========================================================================
+# §2.6 joins
+# ===========================================================================
+
+
+def q_join_inner(spark, sf):
+    """Equi inner join (ref WindowedStream.join:335 → Join.innerJoin).
+    customer is the small side — Catalyst broadcasts it."""
+    orders = _load(spark, sf, "orders")
+    customer = _load(spark, sf, "customer")
+    j = orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+SQL_JOIN_INNER = """
+SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_join_left(spark, sf):
+    """Left outer join, nulls right (ref WindowedStream.leftJoin:370,
+    JoinFn :657-692)."""
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    j = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_outer")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(_dsum(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total"),
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       coalesce(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 0.0) AS total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_windowed_join(spark, sf):
+    """Per-window join: purchase⋈click of the same user in the same tumbling
+    hour (ref BeamWindowedStream.join:371-404 — join key includes the
+    window)."""
+    ev = _events(spark, sf)
+    purchases = Stream(ev.where(F.col("event_type") == "purchase"), "tstamp")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = purchases.time_window(3600_000).join(clicks, "user_id", "user_id")
+    return joined.groupBy("window").agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        (F.unix_micros(F.col("window.start")) / 1000).cast("long").alias("ws_ms"),
+        "n_pairs",
+    )
+
+
+SQL_WINDOWED_JOIN = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', a.ts)) AS ws_ms, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+GROUP BY 1
+"""
+
+
+def q_join_three_way(spark, sf):
+    """Multi-join with two broadcastable dims (part, supplier)."""
+    li = _load(spark, sf, "lineitem")
+    part = _load(spark, sf, "part")
+    supp = _load(spark, sf, "supplier")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+SQL_JOIN_THREE_WAY = """
+SELECT p_brand, count(*) AS n,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
+def q_semi_join(spark, sf):
+    """left_semi (Spark extension; absent in reference — SURVEY §2.6)."""
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf):
+    """left_anti (Spark extension)."""
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ===========================================================================
+# §2.7 set ops / ordering / limits
+# ===========================================================================
+
+
+def q_union_names(spark, sf):
+    """union + distinct (ref Stream.java:337-369)."""
+    region = _load(spark, sf, "region").select(F.col("r_name").alias("name"))
+    nation = _load(spark, sf, "nation").select(F.col("n_name").alias("name"))
+    return Stream(region).union(Stream(nation)).df.distinct()
+
+
+SQL_UNION_NAMES = """
+SELECT r_name AS name FROM region UNION SELECT n_name FROM nation
+"""
+
+
+def q_sorted_topk(spark, sf):
+    """sorted + limit (ref BeamWindowedStream.sorted:442-488; top-k =
+    orderBy().limit(), TakeOrderedAndProject in the physical plan)."""
+    orders = _load(spark, sf, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SORTED_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_keyset_pagination(spark, sf):
+    """keyset pagination (ref RandomAccessReader.java:230-312)."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.select("l_orderkey").distinct()
+        .where(F.col("l_orderkey") > 1000)
+        .orderBy("l_orderkey")
+        .limit(20)
+    )
+
+
+SQL_KEYSET_PAGINATION = """
+SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey > 1000
+ORDER BY l_orderkey LIMIT 20
+"""
+
+
+def q_rollup_revenue(spark, sf):
+    """rollup (Spark extension; reference has no grouping sets —
+    SURVEY §2.5)."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ===========================================================================
+# §2.8 stateful
+# ===========================================================================
+
+
+def q_integrate_per_key(spark, sf):
+    """integratePerKey: running per-key prefix sum in event-time order, one
+    output per input (ref Stream.java:545-550, IntegrateDoFn:1498-1542).
+    Window-function mapping — ORDER BY raw ns stamp (exact in both engines).
+    """
+    ev = _events(spark, sf).withColumn("vdec", F.col("value").cast("decimal(18,2)"))
+    out = Stream(ev, "ts").integrate_per_key("user_id", "vdec")
+    return out.df.select(
+        "event_id",
+        F.col("key").cast("long").alias("user_id"),
+        F.col("integrated").cast("double").alias("run_total"),
+    )
+
+
+SQL_INTEGRATE_PER_KEY = """
+SELECT event_id, user_id,
+       sum(value::DECIMAL(18,2)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS run_total
+FROM events
+"""
+
+
+def q_reduce_value_state(spark, sf):
+    """reduceValueStateByKey (sorted): per-user state machine emitting rows
+    only when event_type changes (consecutive-dedup; ref Stream.java:496-503,
+    BeamStream.java:1633-1677 — input applied in event-time order)."""
+    ev = _events(spark, sf)
+
+    def transitions(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        prev, rows = None, []
+        for _, r in pdf.iterrows():
+            if r["event_type"] != prev:
+                # output µs (DuckDB truncates parquet ns timestamps to µs)
+                rows.append(
+                    {"user_id": int(key), "tn": int(r["ts"]) // 1000,
+                     "event_type": r["event_type"]}
+                )
+            prev = r["event_type"]
+        return pd.DataFrame(rows, columns=["user_id", "tn", "event_type"])
+
+    out = Stream(ev, "ts").reduce_value_state_by_key(
+        F.col("user_id"), ["event_type", "ts"], transitions,
+        "user_id long, tn long, event_type string",
+    )
+    return out.df
+
+
+SQL_REDUCE_VALUE_STATE = """
+SELECT user_id, epoch_us(ts) AS tn, event_type FROM (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+    FROM events
+) WHERE prev IS NULL OR prev <> event_type
+"""
+
+
+# ===========================================================================
+# TPC-H-ish headline queries (bench + correctness)
+# ===========================================================================
+
+
+def q_tpch_q1(spark, sf):
+    """Pricing summary (TPC-H Q1 shape) — partial+final hash agg over the
+    fact table; the scan prunes to 7 columns."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            _dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+       sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    """Shipping-priority shape (TPC-H Q3): 3-way join + top-k revenue."""
+    cust = _load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderpriority,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf):
+    """Regional revenue by supplier nation (TPC-H Q5 shape): 6-table join
+    with a broadcast dim chain (region→nation→customer)."""
+    region = _load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf, "nation")
+    cust = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    supp = _load(spark, sf, "supplier")
+    nation_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    dims = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return j.groupBy("nation").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT n2.n_name AS nation,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# ===========================================================================
+# LLM-pipeline extensions (north star): dedup / similarity / text
+# ===========================================================================
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: md5-of-normalized-text grouping (hash-groupBy)."""
+    docs = _load(spark, sf, "documents")
+    return docs.groupBy(exact_dup_key(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup candidate pairs: 3-gram shingles, 8 md5-salted
+    hash functions, 4 bands × 2 rows (shingle→minhash→band→bucket-join)."""
+    docs = _load(spark, sf, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4
+    ).select(F.col("id_a"), F.col("id_b"))
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash document fingerprints (60-bit; md5-derived token hashes)."""
+    docs = _load(spark, sf, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def _sql_dedup_simhash() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    total = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           )) AS t
+    FROM documents
+), h AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+), v AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({total})::BIGINT AS simhash FROM v
+"""
+
+
+def q_jaccard_adjacent(spark, sf):
+    """Exact n-gram Jaccard on candidate pairs (here: adjacent doc ids)."""
+    docs = _load(spark, sf, "documents").where(F.col("doc_id") < 100)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, a["id_a"] + 1 == b["id_b"])
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(jaccard_ngram(F.col("ta"), F.col("tb"), 3), 6).alias("jaccard"),
+    )
+
+
+SQL_JACCARD_ADJACENT = r"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+    FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE doc_id < 100
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+             THEN len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+             ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k against the vec_id=0 embedding (exact ANN
+    baseline; TakeOrderedAndProject — no shuffle of the table)."""
+    emb = _load(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_top_k(emb.where(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Sign-LSH bucketed ANN (scale path; deterministic md5-derived planes).
+    No SQL oracle — rows-only check (plane hashing is engine-specific)."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_top_k(
+        emb, queries, k=5, num_planes=6
+    )
+
+
+def q_text_stats(spark, sf):
+    """Token counting + fingerprinting over documents (single projection)."""
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring + language-ID heuristic over documents."""
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def _sql_text_quality() -> str:
+    score_exprs, names = [], []
+    for lang in sorted(LANG_MARKERS):
+        parts = [
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+            for m in LANG_MARKERS[lang]
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+        names.append(f"s_{lang}")
+    greatest = f"greatest({', '.join(names)})"
+    case = " ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), scores AS (
+    SELECT doc_id, text, {', '.join(score_exprs)} FROM base
+), g AS (
+    SELECT doc_id, text, {greatest} AS g, * FROM scores
+)
+SELECT doc_id,
+       round(
+         0.5 * (CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                ELSE 0.0 END)
+       + 0.25 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                  AND length(text)::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 1
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * least(length(text) / 200.0, 1.0), 6) AS quality,
+       CASE WHEN g = 0 THEN 'und' {case} ELSE 'und' END AS lang_guess
+FROM g
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction (decode kernel is a deterministic fake — see
+    functions/multimodal.py). No SQL oracle — rows-only check."""
+    docs = _load(spark, sf, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return image_features(media).select("doc_id", "width", "height")
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: changelog → snapshot → per-attribute stats at sf0.001
+    (source→compaction→agg, the platform's defining path —
+    ref BeamDataOperator.java:394-397)."""
+    sf = "/root/testdata/sf0.001"
+    snap = snapshot(_events_changelog(spark, sf))
+    return (
+        snap.groupBy("attribute")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max(_stamp_ms()).alias("latest_ms"),
+        )
+        .orderBy("attribute")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.1 sources / scans
+        "batch_updates_range": q_batch_updates_range,
+        "batch_snapshot": q_batch_snapshot,
+        "snapshot_with_deletes": q_snapshot_with_deletes,
+        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
+        "random_access_get": q_random_access_get,
+        "scan_wildcard": q_scan_wildcard,
+        "list_entities": q_list_entities,
+        "union_attributes": q_union_attributes,
+        # §2.3 element-wise
+        "map_project": q_map_project,
+        "filter_where": q_filter_where,
+        "flatmap_tokens": q_flatmap_tokens,
+        # §2.4 windows
+        "tumbling_window_sum": q_tumbling_window_sum,
+        "sliding_window_count": q_sliding_window_count,
+        "session_window_stats": q_session_window_stats,
+        "calendar_window_month": q_calendar_window_month,
+        "global_window_agg": q_global_window_agg,
+        # §2.5 aggregations
+        "count_by_key": q_count_by_key,
+        "sum_by_key": q_sum_by_key,
+        "average_by_key": q_average_by_key,
+        "combine_min_max": q_combine_min_max,
+        "reduce_fold": q_reduce_fold,
+        "group_reduce_median": q_group_reduce_median,
+        "distinct_pairs": q_distinct_pairs,
+        "distinct_mapper": q_distinct_mapper,
+        "reduce_to_latest": q_reduce_to_latest,
+        # §2.6 joins
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "windowed_join": q_windowed_join,
+        "join_three_way": q_join_three_way,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        # §2.7 set ops / ordering
+        "union_names": q_union_names,
+        "sorted_topk": q_sorted_topk,
+        "keyset_pagination": q_keyset_pagination,
+        "rollup_revenue": q_rollup_revenue,
+        # §2.8 stateful
+        "integrate_per_key": q_integrate_per_key,
+        "reduce_value_state": q_reduce_value_state,
+        # headline analytics
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        # LLM-pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_dedup_minhash() -> str:
+    """MinHash+LSH candidate pairs in DuckDB, mirroring
+    functions/dedup.py: sig[i] = min(md5(i || '|' || shingle)) for i in 0..7;
+    band key b = md5(b || '|' || sig[2b] || '|' || sig[2b+1]); pairs share a band."""
+    sig_items = ",\n               ".join(
+        f"list_min([md5('{i}|' || s) for s in shingles]) " for i in range(8)
+    )
+    band_items = ",\n               ".join(
+        f"md5('{b}|' || sg[{2*b+1}] || '|' || sg[{2*b+2}])" for b in range(4)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                ELSE [] END AS shingles
+    FROM toks
+), sig AS (
+    SELECT doc_id,
+           [{sig_items}] AS sg
+    FROM sh WHERE len(shingles) > 0
+), banded AS (
+    SELECT doc_id, unnest([{band_items}]) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "batch_updates_range": SQL_BATCH_UPDATES,
+        "batch_snapshot": SQL_BATCH_SNAPSHOT,
+        "snapshot_with_deletes": SQL_SNAPSHOT_WITH_DELETES,
+        "wildcard_tombstone_snapshot": SQL_WILDCARD_TOMBSTONE,
+        "random_access_get": SQL_RANDOM_ACCESS_GET,
+        "scan_wildcard": SQL_SCAN_WILDCARD,
+        "list_entities": SQL_LIST_ENTITIES,
+        "union_attributes": SQL_UNION_ATTRIBUTES,
+        "map_project": SQL_MAP_PROJECT,
+        "filter_where": SQL_FILTER_WHERE,
+        "flatmap_tokens": SQL_FLATMAP_TOKENS,
+        "tumbling_window_sum": SQL_TUMBLING_WINDOW_SUM,
+        "sliding_window_count": SQL_SLIDING_WINDOW_COUNT,
+        "session_window_stats": SQL_SESSION_WINDOW_STATS,
+        "calendar_window_month": SQL_CALENDAR_WINDOW_MONTH,
+        "global_window_agg": SQL_GLOBAL_WINDOW_AGG,
+        "count_by_key": SQL_COUNT_BY_KEY,
+        "sum_by_key": SQL_SUM_BY_KEY,
+        "average_by_key": SQL_AVERAGE_BY_KEY,
+        "combine_min_max": SQL_COMBINE_MIN_MAX,
+        "reduce_fold": SQL_REDUCE_FOLD,
+        "group_reduce_median": SQL_GROUP_REDUCE_MEDIAN,
+        "distinct_pairs": SQL_DISTINCT_PAIRS,
+        "distinct_mapper": SQL_DISTINCT_MAPPER,
+        "reduce_to_latest": SQL_REDUCE_TO_LATEST,
+        "join_inner": SQL_JOIN_INNER,
+        "join_left": SQL_JOIN_LEFT,
+        "windowed_join": SQL_WINDOWED_JOIN,
+        "join_three_way": SQL_JOIN_THREE_WAY,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "union_names": SQL_UNION_NAMES,
+        "sorted_topk": SQL_SORTED_TOPK,
+        "keyset_pagination": SQL_KEYSET_PAGINATION,
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "integrate_per_key": SQL_INTEGRATE_PER_KEY,
+        "reduce_value_state": SQL_REDUCE_VALUE_STATE,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
+        "jaccard_adjacent": SQL_JACCARD_ADJACENT,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "text_stats": SQL_TEXT_STATS,
+        "text_quality": _sql_text_quality(),
+        # ann_lsh_topk, multimodal_features: no SQL oracle (rows-only check)
+    }

@@ -34,11 +34,18 @@ def tokens(text: Column) -> Column:
 
 
 def ngram_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct not applied here)."""
+    """Word n-gram shingles as array<string> (distinct not applied here).
+
+    Guarded for short texts: F.sequence(1, 0) would generate a *descending*
+    [1, 0] sequence, so texts with < n tokens explicitly yield an empty array.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -61,11 +68,14 @@ def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 8) -> Colum
     :func:`minhash_signatures_df`, which keeps per-row work bounded.
     """
     sh = ngram_shingles(text, n)
+
+    def hash_fn(seed: int):
+        # closure factory: `lambda s, i=i:` would read as a 2-param
+        # (element, index) lambda to F.transform and clobber the seed
+        return lambda s: minhash_value(s, seed)
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: minhash_value(s, i)))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)]
     )
 
 
@@ -160,14 +170,17 @@ def simhash64(text: Column) -> Column:
     """
     tok = F.array_distinct(tokens(text))
     hashes = F.transform(tok, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+
+    def vote_fn(b: int):
+        # closure factory: a `bb=b` default would make the lambda look
+        # 3-parameter to F.aggregate's arity check
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bits = []
     for b in range(60):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, bb=b: acc
-            + F.when(F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(b))
         bits.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
     total = bits[0]
     for bit in bits[1:]:

@@ -72,14 +72,15 @@ def _plane_component(plane: int, dim: Column) -> Column:
 def sign_lsh_bucket(vec: Column, *, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (bigint in [0, 2^num_planes))."""
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def component_fn(p: int):
+        # closure factory (a `pp=p` default would break zip_with's arity check)
+        return lambda x, i: x.cast("double") * _plane_component(p, i)
+
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                dims,
-                lambda x, i, pp=p: x.cast("double") * _plane_component(pp, i),
-            ),
+            F.zip_with(vec, dims, component_fn(p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -239,6 +239,13 @@ class WindowedStream:
         by = ["key"] + (["window"] if w is not None else [])
         return projected.groupBy(*by).applyInPandas(fn, schema=output_schema)
 
+    def aggregate(self, key: Column | str | None, *aggs: Column) -> DataFrame:
+        """Multi-aggregate per key per window — the general ``Combine.perKey``
+        form with several outputs at once (same execution shape as
+        :meth:`combine`; pre-aliased aggregate Columns)."""
+        keys = [_col(key).alias("key")] if key is not None else []
+        return self._agg(keys, *aggs)
+
     def count_by_key(self, key: Column | str, alias: str = "count") -> DataFrame:
         """(WindowedStream.java:250 → Count.perKey)"""
         return self._agg([_col(key).alias("key")], F.count(F.lit(1)).alias(alias))
