@@ -814,16 +814,16 @@ def q_reduce_value_state(spark, sf):
 
     def transitions(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts", kind="mergesort")
-        prev, rows = None, []
-        for _, r in pdf.iterrows():
-            if r["event_type"] != prev:
+        changed = pdf["event_type"].ne(pdf["event_type"].shift())
+        out = pdf.loc[changed]
+        return pd.DataFrame(
+            {
+                "user_id": int(key),
                 # output µs (DuckDB truncates parquet ns timestamps to µs)
-                rows.append(
-                    {"user_id": int(key), "tn": int(r["ts"]) // 1000,
-                     "event_type": r["event_type"]}
-                )
-            prev = r["event_type"]
-        return pd.DataFrame(rows, columns=["user_id", "tn", "event_type"])
+                "tn": out["ts"] // 1000,
+                "event_type": out["event_type"],
+            }
+        )
 
     out = Stream(ev, "ts").reduce_value_state_by_key(
         F.col("user_id"), ["event_type", "ts"], transitions,
@@ -1251,14 +1251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _sql_dedup_minhash() -> str:
-    """MinHash+LSH candidate pairs in DuckDB, mirroring
-    functions/dedup.py: sig[i] = min(md5(i || '|' || shingle)) for i in 0..7;
+    """MinHash+LSH candidate pairs in DuckDB, mirroring functions/dedup.py:
+    sig[i] = min(60-bit int of md5(i || '|' || shingle)) for i in 0..7;
     band key b = md5(b || '|' || sig[2b] || '|' || sig[2b+1]); pairs share a band."""
     sig_items = ",\n               ".join(
-        f"list_min([md5('{i}|' || s) for s in shingles]) " for i in range(8)
+        f"list_min([('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT for s in shingles])"
+        for i in range(8)
     )
     band_items = ",\n               ".join(
-        f"md5('{b}|' || sg[{2*b+1}] || '|' || sg[{2*b+2}])" for b in range(4)
+        f"md5('{b}|' || sg[{2*b+1}]::VARCHAR || '|' || sg[{2*b+2}]::VARCHAR)"
+        for b in range(4)
     )
     return rf"""
 WITH toks AS (

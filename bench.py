@@ -1,0 +1,100 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full pipeline runs, no driver
+collect). Per-query time excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline subset: the platform's defining path (changelog→snapshot),
+# windowed/stateful streaming semantics in batch form, multi-join analytics,
+# and the LLM-pipeline extensions
+BENCH_QUERIES = [
+    "batch_snapshot",
+    "wildcard_tombstone_snapshot",
+    "tumbling_window_sum",
+    "session_window_stats",
+    "integrate_per_key",
+    "reduce_value_state",
+    "join_left",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("proxima-platform-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # warmup: trigger codegen/classloading + parquet footer reads once so the
+    # first timed query doesn't absorb JVM startup costs
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("events", "lineitem", "documents"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    spark.range(1_000_000).groupBy(F.pmod("id", F.lit(7))).count()
+    # spin up the Python/Arrow worker pool (first applyInPandas pays ~2-3s)
+    import pandas as pd
+
+    spark.range(100).groupBy(F.pmod("id", F.lit(4)).alias("g")).applyInPandas(
+        lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline-suite wall time (changelog snapshot + windows + "
+        "stateful + joins + TPC-H-ish + LLM dedup/ANN) at sf%s" % sf,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

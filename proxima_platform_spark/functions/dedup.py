@@ -33,13 +33,12 @@ def tokens(text: Column) -> Column:
     return F.split(normalize_text(text), " ", -1)
 
 
-def ngram_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct not applied here).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-tokenized array.
 
     Guarded for short texts: F.sequence(1, 0) would generate a *descending*
-    [1, 0] sequence, so texts with < n tokens explicitly yield an empty array.
+    [1, 0] sequence, so arrays with < n tokens explicitly yield an empty array.
     """
-    toks = tokens(text)
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -49,19 +48,35 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct not applied here).
+
+    Note for hot paths: tokenization (regexp + split) is re-evaluated for
+    every reference to the array inside one expression tree — project
+    ``tokens(text)`` into its own column first and use
+    :func:`shingles_from_tokens` (Catalyst does not CSE inside Generate).
+    """
+    return shingles_from_tokens(tokens(text), n)
+
+
 def minhash_value(shingle: Column, seed: int) -> Column:
-    """One MinHash hash function: lexicographic md5 of seed-salted shingle.
+    """One MinHash hash function: 60-bit integer from the md5 of the
+    seed-salted shingle.
 
     min() over these is a valid MinHash permutation surrogate: md5 is a
-    uniform pseudo-permutation of the shingle space for each salt, and the
-    lexicographic order on the fixed-width hex string is a total order, so
-    P[min collides] = Jaccard similarity (standard MinHash argument).
+    uniform pseudo-permutation of the shingle space for each salt (standard
+    MinHash argument). The *integer* form matters for scale: Spark can only
+    HashAggregate fixed-width agg buffers — min(string) degrades to
+    SortAggregate (sorts every shingle row) — and 8 longs shuffle far
+    smaller than 8 hex strings.
     """
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), shingle)), 1, 15), 16, 10
+    ).cast("long")
 
 
 def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 8) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``.
+    """MinHash signature as array<long> of length ``num_hashes``.
 
     Expression-only form (array_min over the shingle array per seed) — for
     very long documents prefer the exploded aggregation in
@@ -92,7 +107,19 @@ def minhash_signatures_df(
     exploded = sh.select(id_col, seeds, "shingle")
     return exploded.groupBy(id_col, "seed").agg(
         F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
         ).alias("minhash")
     )
 
@@ -130,17 +157,53 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band.
 
-    Self-join on band key — the distributed LSH shape: shuffle on bucket,
-    pairs generated only within buckets.
+    Scale shape (explode → aggregate → bucket-join):
+      1. explode shingles (1 row per (doc, shingle); no per-row array
+         re-traversals — the expression-form signature recomputes 8 md5
+         passes over the array per row and blows the codegen budget);
+      2. one hash aggregation computing all ``num_hashes`` mins at once —
+         map-side partial agg collapses the shuffle to ~1 row per doc per
+         partition;
+      3. band keys from the aggregated columns, self-join on band key:
+         pairs generated only within buckets, hash-partitioned.
+    Docs with fewer than ``n`` tokens have no shingles and drop out.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n=n, num_hashes=num_hashes).alias("sig"),
+    # materialize tokens once (Catalyst re-evaluates the regexp+split per
+    # reference inside Generate otherwise), then explode shingles
+    tokenized = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    banded = sig.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)).alias("band")
+    # a single small file scans as one partition — spread the md5 work
+    spark = docs.sparkSession
+    if tokenized.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
+    sh = tokenized.select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
     )
+    # integer min-hashes → HashAggregate (fixed-width buffer) + small shuffle
+    sig = sh.groupBy("id").agg(
+        *[F.min(minhash_value(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_keys).alias("band"))
+    # the self-join would recompute the whole signature pipeline on both
+    # sides — persist the (tiny: one row per doc per band) banded signatures
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")
