@@ -153,10 +153,15 @@ def snapshot(changelog: DataFrame, *, at: Column | str | None = None) -> DataFra
 
     latest = compact(changelog)
 
-    # live wildcard tombstones, compacted to the newest per prefix
+    # live wildcard tombstones, compacted to the newest per prefix; columns
+    # renamed so the (self-)join below has unambiguous attribute references
     tombstones = (
         changelog.where(F.col("delete_wildcard"))
-        .groupBy("entity", "key", F.col("attribute_base").alias("tomb_base"))
+        .groupBy(
+            F.col("entity").alias("tomb_entity"),
+            F.col("key").alias("tomb_key"),
+            F.col("attribute_base").alias("tomb_base"),
+        )
         .agg(F.max("stamp").alias("tombstone_stamp"))
     )
 
@@ -166,16 +171,15 @@ def snapshot(changelog: DataFrame, *, at: Column | str | None = None) -> DataFra
     resolved = live.join(
         F.broadcast(tombstones),
         on=[
-            live["entity"] == tombstones["entity"],
-            live["key"] == tombstones["key"],
-            live["attribute_base"] == tombstones["tomb_base"],
+            F.col("entity") == F.col("tomb_entity"),
+            F.col("key") == F.col("tomb_key"),
+            F.col("attribute_base") == F.col("tomb_base"),
         ],
         how="left",
     ).where(
-        F.col("tombstone_stamp").isNull()
-        | (live["stamp"] >= F.col("tombstone_stamp"))
+        F.col("tombstone_stamp").isNull() | (F.col("stamp") >= F.col("tombstone_stamp"))
     )
-    return resolved.select(*[live[c] for c in live.columns])
+    return resolved.select(*[F.col(c) for c in live.columns])
 
 
 def snapshot_wide(

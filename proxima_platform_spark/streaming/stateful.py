@@ -1,0 +1,151 @@
+"""Streaming stateful operators.
+
+Reference mapping (SURVEY §2.8):
+  * reduceValueStateByKey (sorted) — BeamStream.java:997-1070; the sorted
+    variant buffers elements in state and applies them in event-time order
+    when the watermark passes (ReduceValueStateByKey:1633-1677). Spark:
+    ``applyInPandasWithState`` with a list-state buffer + watermark-driven
+    flush — the same timer design as the reference's own DoFn.
+  * unsorted variant — apply on arrival (ReduceValueStateByKeyUnsorted:1679).
+  * integratePerKey (streaming) — running value carried in state, one output
+    per input (IntegrateDoFn:1498-1542).
+  * streaming distinct — dropDuplicatesWithinWatermark.
+  * late-data split — FilterLatecomers.java:42-63 → dead-letter branch.
+
+State-store scale: one state entry per key; the sorted variant additionally
+buffers not-yet-flushed elements (bounded by watermark delay × arrival rate
+per key). At 1000 executors the state store hash-partitions on the grouping
+key like any shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def reduce_value_state_by_key_stream(
+    stream_df: DataFrame,
+    *,
+    key: str,
+    stamp: str,
+    state_fn: Callable[[Any, Any, pd.Series], tuple[Any, Any]],
+    initial_state: Any,
+    output_schema: str,
+    state_schema: str = "state string",
+    sorted: bool = True,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming keyed state machine, event-time sorted.
+
+    ``state_fn(state, key, row) -> (new_state, output_or_None)`` mirrors the
+    reference's (stateUpdate, outputFn) pair collapsed into one callable.
+
+    sorted=True semantics (ReduceValueStateByKey:1633-1677): buffer arriving
+    rows in state; when the event-time watermark advances past a buffered
+    row's stamp, apply rows in (stamp) order and emit outputs. Rows older
+    than the watermark at arrival are dropped (MAX_ACCEPTABLE_STAMP analog,
+    BeamStream.java:1547).
+    """
+    wm = stream_df.withWatermark(stamp, watermark_delay)
+
+    def process(
+        key_tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        buffered, st = ([], initial_state)
+        if state.exists:
+            packed = state.get
+            st = json.loads(packed[0]) if packed[0] is not None else initial_state
+            buffered = json.loads(packed[1]) if packed[1] is not None else []
+
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                stamp_ms = int(pd.Timestamp(row[stamp]).value // 1_000_000)
+                if sorted and wm_ms > 0 and stamp_ms < wm_ms:
+                    continue  # latecomer beyond bound: drop
+                buffered.append((stamp_ms, row))
+
+        outputs = []
+        if sorted:
+            buffered.sort(key=lambda t: t[0])
+            flush, hold = [], []
+            for stamp_ms, row in buffered:
+                (flush if stamp_ms <= wm_ms else hold).append((stamp_ms, row))
+            for _, row in flush:
+                st, out = state_fn(st, key_tuple[0], row)
+                if out is not None:
+                    outputs.append(out)
+            buffered = hold
+        else:
+            for _, row in buffered:
+                st, out = state_fn(st, key_tuple[0], row)
+                if out is not None:
+                    outputs.append(out)
+            buffered = []
+
+        state.update(
+            (json.dumps(st), json.dumps(buffered, default=str) if buffered else None)
+        )
+        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+        if outputs:
+            yield pd.DataFrame(outputs)
+
+    return wm.groupBy(key).applyInPandasWithState(
+        process,
+        outputStructType=output_schema,
+        stateStructType="state string, buffered string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def integrate_per_key_stream(
+    stream_df: DataFrame,
+    *,
+    key: str,
+    value: str,
+    stamp: str,
+    initial: float = 0.0,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming integratePerKey: running per-key sum, one output per input,
+    applied in event-time order within each flush (IntegrateDoFn:1498-1542)."""
+
+    def integrate(state, k, row):
+        new_total = state + float(row[value])
+        return new_total, {"key": k, stamp: row[stamp], "integrated": new_total}
+
+    return reduce_value_state_by_key_stream(
+        stream_df,
+        key=key,
+        stamp=stamp,
+        state_fn=integrate,
+        initial_state=initial,
+        output_schema=f"key string, {stamp} string, integrated double",
+        watermark_delay=watermark_delay,
+    )
+
+
+def distinct_within_watermark(
+    stream_df: DataFrame, *, stamp: str, delay: str, subset: list[str] | None = None
+) -> DataFrame:
+    """Streaming distinct (WindowedStream.distinct on unbounded input):
+    duplicates arriving within the watermark window are dropped."""
+    return stream_df.withWatermark(stamp, delay).dropDuplicatesWithinWatermark(subset)
+
+
+def split_latecomers(batch: DataFrame, *, stamp: str, watermark) -> tuple[DataFrame, DataFrame]:
+    """Late-data side output for foreachBatch flows
+    (FilterLatecomers.java:42-63): (on_time, late)."""
+    on_time = batch.where(F.col(stamp) >= F.lit(watermark))
+    late = batch.where(F.col(stamp) < F.lit(watermark))
+    return on_time, late
