@@ -42,6 +42,7 @@ from proxima_platform_spark.functions.text import (
     token_count,
 )
 from proxima_platform_spark.operators import Stream
+from proxima_platform_spark.operators.retract import retract_join_batch
 from proxima_platform_spark.sources import batch as batch_src
 
 # ---------------------------------------------------------------------------
@@ -783,6 +784,74 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 # ===========================================================================
 
 
+def q_retract_join(spark, sf):
+    """Retract join (ref beam/core/.../transforms/retract/RetractJoin.java:57-363):
+    click (L) ⋈ view (R) changelogs keyed by user; value<5 rows are deletes.
+    Emits additions and retractions in (stamp, seq_id) order. Values carried
+    as exact cents strings so both engines stringify identically."""
+    ev = _events(spark, sf).where(F.col("event_type").isin("click", "view"))
+    ev = ev.withColumn(
+        "v", F.round(F.col("value") * 100, 0).cast("long").cast("string")
+    )
+    left = ev.where(F.col("event_type") == "click")
+    right = ev.where(F.col("event_type") == "view")
+    kw = dict(
+        left_key="user_id", right_key="user_id",
+        left_value="v", right_value="v",
+        left_stamp="tstamp", right_stamp="tstamp",
+        left_delete=F.col("value") < 5, right_delete=F.col("value") < 5,
+        left_seq="event_id", right_seq="event_id",
+    )
+    out = retract_join_batch(left, right, **kw)
+    return out.select(
+        "key", "left_value", "right_value",
+        _stamp_ms().alias("stamp_ms"), "is_addition",
+    )
+
+
+# Replay as SQL: per (key, side) the previous live value is lag(v) (NULL when
+# the previous element was a delete); the counterpart state is the last
+# other-side value strictly before this row (last_value IGNORE NULLS over
+# UNBOUNDED PRECEDING..1 PRECEDING, deletes encoded as a chr(1) sentinel so
+# they overwrite instead of being skipped).
+SQL_RETRACT_JOIN = """
+WITH merged AS (
+    SELECT user_id::VARCHAR AS key,
+           CASE WHEN event_type = 'click' THEN 'L' ELSE 'R' END AS side,
+           CASE WHEN value < 5 THEN NULL
+                ELSE round(value * 100)::BIGINT::VARCHAR END AS v,
+           epoch_us(ts) AS st, event_id AS seq
+    FROM events WHERE event_type IN ('click', 'view')
+), w AS (
+    SELECT *,
+        lag(v) OVER (PARTITION BY key, side ORDER BY st, seq) AS old_v,
+        last_value(CASE WHEN side = 'L' THEN coalesce(v, chr(1)) END IGNORE NULLS)
+            OVER (PARTITION BY key ORDER BY st, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lraw,
+        last_value(CASE WHEN side = 'R' THEN coalesce(v, chr(1)) END IGNORE NULLS)
+            OVER (PARTITION BY key ORDER BY st, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rraw
+    FROM merged
+), x AS (
+    SELECT key, side, v, old_v, st,
+           CASE WHEN side = 'L' THEN nullif(rraw, chr(1))
+                ELSE nullif(lraw, chr(1)) END AS counterpart
+    FROM w
+)
+SELECT key,
+       CASE WHEN side = 'L' THEN old_v ELSE counterpart END AS left_value,
+       CASE WHEN side = 'L' THEN counterpart ELSE old_v END AS right_value,
+       st // 1000 AS stamp_ms, FALSE AS is_addition
+FROM x WHERE counterpart IS NOT NULL AND old_v IS NOT NULL
+UNION ALL
+SELECT key,
+       CASE WHEN side = 'L' THEN v ELSE counterpart END AS left_value,
+       CASE WHEN side = 'L' THEN counterpart ELSE v END AS right_value,
+       st // 1000 AS stamp_ms, TRUE AS is_addition
+FROM x WHERE counterpart IS NOT NULL AND v IS NOT NULL
+"""
+
+
 def q_integrate_per_key(spark, sf):
     """integratePerKey: running per-key prefix sum in event-time order, one
     output per input (ref Stream.java:545-550, IntegrateDoFn:1498-1542).
@@ -1233,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.8 stateful
         "integrate_per_key": q_integrate_per_key,
         "reduce_value_state": q_reduce_value_state,
+        "retract_join": q_retract_join,
         # headline analytics
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1324,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "integrate_per_key": SQL_INTEGRATE_PER_KEY,
         "reduce_value_state": SQL_REDUCE_VALUE_STATE,
+        "retract_join": SQL_RETRACT_JOIN,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
