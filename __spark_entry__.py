@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from proxima_platform_spark import snapshot, to_changelog
+from proxima_platform_spark.catalog.proxy import AttributeProxyDescriptor
 from proxima_platform_spark.functions.dedup import (
+    embedding_near_dup_pairs,
     exact_dup_key,
     jaccard_ngram,
     minhash_candidate_pairs,
@@ -280,6 +282,82 @@ WHERE user_id::VARCHAR > '42' ORDER BY key LIMIT 20
 """
 
 
+def q_impulse_source(spark, sf):
+    """Periodic impulse: synthetic bounded tick source
+    (ref BeamStream.impulse:254, periodicImpulse:275-310)."""
+    s = Stream.periodic_impulse(spark, count=12, interval_ms=3600_000, start_ms=T0)
+    return s.df.select("tick", _stamp_ms().alias("stamp_ms"))
+
+
+SQL_IMPULSE_SOURCE = f"""
+SELECT i AS tick, {T0} + i * 3600000 AS stamp_ms FROM range(12) t(i)
+"""
+
+
+def q_proxy_attribute_read(spark, sf):
+    """Proxy attribute: device.* viewed as dev.* through a read-side rename
+    proxy, then snapshot (ref AttributeProxyDescriptor.java,
+    ElementWiseProxyTransform.java:23-70, RenameTransformation.java)."""
+    proxy = AttributeProxyDescriptor(name="dev.*", target="device.*")
+    clog = proxy.apply_read(_device_changelog(spark, sf))
+    snap = snapshot(clog)
+    return snap.select("key", "attribute", _stamp_ms().alias("stamp_ms"))
+
+
+SQL_PROXY_ATTRIBUTE_READ = """
+WITH inst AS (
+    SELECT user_id::VARCHAR AS key,
+           'dev.' || (event_id % 5)::VARCHAR AS attribute,
+           epoch_us(ts) // 1000 AS stamp_ms, epoch_us(ts) AS stamp_us
+    FROM events WHERE event_type <> 'error'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_id % 5 ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+), tomb AS (
+    SELECT user_id::VARCHAR AS key, max(epoch_us(ts)) AS tomb_us
+    FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT i.key, i.attribute, i.stamp_ms
+FROM inst i LEFT JOIN tomb t ON i.key = t.key
+WHERE t.tomb_us IS NULL OR i.stamp_us >= t.tomb_us
+"""
+
+
+def q_elementwise_transform(spark, sf):
+    """Declarative element-wise transformation: each upsert fans out to two
+    derived attributes (1→N on the changelog; ref
+    core/.../transform/ElementWiseTransformation.java:29-58, wiring
+    ConfigRepository.readTransformations:394). Batch application of the same
+    function the replication controller runs per micro-batch."""
+    clog = _events_changelog(spark, sf)
+
+    def derive(batch: DataFrame) -> DataFrame:
+        v = F.decode("value", "UTF-8").cast("double")
+        doubled = batch.withColumn(
+            "attribute", F.concat(F.lit("derived.2x_"), F.col("attribute"))
+        ).withColumn("value", F.encode((v * 2).cast("string"), "UTF-8"))
+        negated = batch.withColumn(
+            "attribute", F.concat(F.lit("derived.neg_"), F.col("attribute"))
+        ).withColumn("value", F.encode((-v).cast("string"), "UTF-8"))
+        return doubled.unionByName(negated)
+
+    derived = derive(clog)
+    return derived.groupBy("attribute").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.decode("value", "UTF-8").cast("double"), 2).alias("total"),
+    )
+
+
+SQL_ELEMENTWISE_TRANSFORM = """
+SELECT 'derived.2x_' || event_type AS attribute, count(*) AS n,
+       sum((value * 2)::DECIMAL(18,2))::DOUBLE AS total
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'derived.neg_' || event_type AS attribute, count(*) AS n,
+       sum((-value)::DECIMAL(18,2))::DOUBLE AS total
+FROM events GROUP BY 1
+"""
+
+
 def q_union_attributes(spark, sf):
     """Union of two attribute changelogs (ref BeamStream.union:886-930,
     unionStream console env)."""
@@ -438,6 +516,30 @@ def q_calendar_window_month(spark, sf):
 SQL_CALENDAR_WINDOW_MONTH = """
 SELECT epoch_ms(date_trunc('month', ts)) AS month_ms, count(*) AS n,
        sum(value::DECIMAL(18,2))::DOUBLE AS total
+FROM events GROUP BY 1
+"""
+
+
+def q_calendar_window_week(spark, sf):
+    """2-week calendar windows (ref CalendarWindows.java weeks variant —
+    N-unit bucketing beyond plain date_trunc; weeks anchored to Monday
+    1970-01-05)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    agg = s.calendar_window("week", count=2).aggregate(
+        None, F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), 2).alias("total")
+    )
+    return agg.select(
+        (F.unix_micros(F.col("window")) / 1000).cast("long").alias("week_ms"),
+        "n",
+        "total",
+    )
+
+
+SQL_CALENDAR_WINDOW_WEEK = """
+SELECT epoch_ms((DATE '1970-01-05' + INTERVAL (
+           (datediff('day', DATE '1970-01-05', date_trunc('week', ts)) // 14) * 14
+       ) DAY)::TIMESTAMP) AS week_ms,
+       count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS total
 FROM events GROUP BY 1
 """
 
@@ -1092,6 +1194,28 @@ SELECT doc_id, ({total})::BIGINT AS simhash FROM v
 """
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the LSH
+    bucket-join variant is the scale path — functions/dedup.py)."""
+    emb = _load(spark, sf, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.40)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6
+       ) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.40
+"""
+
+
 def q_jaccard_adjacent(spark, sf):
     """Exact n-gram Jaccard on candidate pairs (here: adjacent doc ids)."""
     docs = _load(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -1267,15 +1391,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_wildcard": q_scan_wildcard,
         "list_entities": q_list_entities,
         "union_attributes": q_union_attributes,
+        "impulse_source": q_impulse_source,
+        "proxy_attribute_read": q_proxy_attribute_read,
         # §2.3 element-wise
         "map_project": q_map_project,
         "filter_where": q_filter_where,
         "flatmap_tokens": q_flatmap_tokens,
+        "elementwise_transform": q_elementwise_transform,
         # §2.4 windows
         "tumbling_window_sum": q_tumbling_window_sum,
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
+        "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
         # §2.5 aggregations
         "count_by_key": q_count_by_key,
@@ -1311,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "jaccard_adjacent": q_jaccard_adjacent,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1365,13 +1494,17 @@ def oracle_sql() -> dict[str, str]:
         "scan_wildcard": SQL_SCAN_WILDCARD,
         "list_entities": SQL_LIST_ENTITIES,
         "union_attributes": SQL_UNION_ATTRIBUTES,
+        "impulse_source": SQL_IMPULSE_SOURCE,
+        "proxy_attribute_read": SQL_PROXY_ATTRIBUTE_READ,
         "map_project": SQL_MAP_PROJECT,
         "filter_where": SQL_FILTER_WHERE,
         "flatmap_tokens": SQL_FLATMAP_TOKENS,
+        "elementwise_transform": SQL_ELEMENTWISE_TRANSFORM,
         "tumbling_window_sum": SQL_TUMBLING_WINDOW_SUM,
         "sliding_window_count": SQL_SLIDING_WINDOW_COUNT,
         "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "calendar_window_month": SQL_CALENDAR_WINDOW_MONTH,
+        "calendar_window_week": SQL_CALENDAR_WINDOW_WEEK,
         "global_window_agg": SQL_GLOBAL_WINDOW_AGG,
         "count_by_key": SQL_COUNT_BY_KEY,
         "sum_by_key": SQL_SUM_BY_KEY,
@@ -1401,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "jaccard_adjacent": SQL_JACCARD_ADJACENT,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "text_stats": SQL_TEXT_STATS,

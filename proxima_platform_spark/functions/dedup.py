@@ -254,3 +254,44 @@ def simhash64(text: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dup_pairs(
+    embeddings,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for all
+    pairs with cosine similarity above `threshold`.
+
+    Exact form (num_planes=None): self-join on id_a < id_b — O(n²) pairs,
+    correct baseline for correctness checks and modest n. Scale path
+    (num_planes set): candidates restricted to equal sign-LSH buckets first
+    (one hash-partitioned equi-join instead of a cross product — the same
+    band-join shape as minhash_candidate_pairs); near-dups at high cosine
+    collide with high probability.
+    """
+    from proxima_platform_spark.functions.similarity import (
+        cosine_similarity,
+        sign_lsh_bucket,
+    )
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    if num_planes is not None:
+        a = a.withColumn("__bucket", sign_lsh_bucket(F.col("__va"), num_planes=num_planes))
+        b = b.withColumn("__bucket", sign_lsh_bucket(F.col("__vb"), num_planes=num_planes))
+        pairs = a.join(b, ["__bucket"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+    ).where(F.col("cosine") > threshold)

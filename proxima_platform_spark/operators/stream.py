@@ -43,6 +43,35 @@ class Stream:
         (reference: tools/src/test/.../StreamTest.java:43-94)."""
         return cls(spark.createDataFrame([(v,) for v in values], [column]))
 
+    @classmethod
+    def impulse(cls, spark: SparkSession, stamp_ms: int = 0) -> "Stream":
+        """Synthetic one-shot source (BeamStream.impulse:254): a single
+        element at `stamp_ms`. Batch analog of Beam's Impulse."""
+        df = spark.range(1).select(
+            F.col("id").alias("tick"),
+            F.timestamp_millis(F.lit(stamp_ms)).alias("stamp"),
+        )
+        return cls(df, "stamp")
+
+    @classmethod
+    def periodic_impulse(
+        cls,
+        spark: SparkSession,
+        *,
+        count: int,
+        interval_ms: int,
+        start_ms: int = 0,
+    ) -> "Stream":
+        """Periodic synthetic source (BeamStream.periodicImpulse:275-310):
+        `count` ticks `interval_ms` apart starting at `start_ms`. Bounded
+        form is `spark.range` (parallelized, no driver loop); the unbounded
+        analog is `readStream.format("rate")` — see streaming.source."""
+        df = spark.range(count).select(
+            F.col("id").alias("tick"),
+            F.timestamp_millis(F.lit(start_ms) + F.col("id") * interval_ms).alias("stamp"),
+        )
+        return cls(df, "stamp")
+
     def _with(self, df: DataFrame) -> "Stream":
         return Stream(df, self.time_column)
 
