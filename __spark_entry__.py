@@ -1013,6 +1013,55 @@ SELECT user_id, epoch_us(ts) AS tn, event_type FROM (
 
 
 # ===========================================================================
+# §2.9 transactions
+# ===========================================================================
+
+
+def q_transactions(spark, sf):
+    """Serializable transactions over the changelog (ref
+    TransactionLogObserver.java:81-694, transactions.md:100-187): seed ten
+    balances, commit a transfer, abort a stale conflicting transfer, retry
+    it against fresh state; return the final snapshot. The expected end
+    state is hand-derived from the isolation semantics (not circular)."""
+    from proxima_platform_spark.transactions import (
+        KeyAttribute, TransactionManager, TransactionState, Upsert,
+    )
+
+    mgr = TransactionManager(spark)
+    for i in range(10):
+        mgr.commit(
+            mgr.begin([]),
+            [Upsert("user", str(i), "balance", b"100", stamp_ms=1000)],
+        )
+    bal = lambda k: KeyAttribute("user", k, "balance")
+    # transfer 10 from key 0 to key 1
+    t_ok = mgr.begin([bal("0"), bal("1")])
+    # stale transaction that also read balance 0 before t_ok commits
+    t_stale = mgr.begin([bal("0")])
+    assert mgr.commit(t_ok, [
+        Upsert("user", "0", "balance", b"90", stamp_ms=2000),
+        Upsert("user", "1", "balance", b"110", stamp_ms=2000),
+    ]) is TransactionState.COMMITTED
+    assert mgr.commit(t_stale, [
+        Upsert("user", "0", "balance", b"50", stamp_ms=2000),
+    ]) is TransactionState.ABORTED
+    # retried against fresh state: deduct 5 from the *current* 90
+    mgr.run([bal("0")], lambda: [
+        Upsert("user", "0", "balance", b"85", stamp_ms=3000),
+    ])
+    snap = snapshot(mgr.changelog())
+    return snap.select("key", F.decode("value", "UTF-8").alias("balance"))
+
+
+SQL_TRANSACTIONS = """
+SELECT key, balance FROM (VALUES
+    ('0', '85'), ('1', '110'), ('2', '100'), ('3', '100'), ('4', '100'),
+    ('5', '100'), ('6', '100'), ('7', '100'), ('8', '100'), ('9', '100')
+) AS t(key, balance)
+"""
+
+
+# ===========================================================================
 # TPC-H-ish headline queries (bench + correctness)
 # ===========================================================================
 
@@ -1431,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrate_per_key": q_integrate_per_key,
         "reduce_value_state": q_reduce_value_state,
         "retract_join": q_retract_join,
+        # §2.9 transactions
+        "transactions": q_transactions,
         # headline analytics
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1528,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "integrate_per_key": SQL_INTEGRATE_PER_KEY,
         "reduce_value_state": SQL_REDUCE_VALUE_STATE,
         "retract_join": SQL_RETRACT_JOIN,
+        "transactions": SQL_TRANSACTIONS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5ish": SQL_TPCH_Q5ISH,

@@ -167,9 +167,13 @@ def snapshot(changelog: DataFrame, *, at: Column | str | None = None) -> DataFra
 
     live = latest.where(~F.col("delete") & ~F.col("delete_wildcard"))
 
-    # tombstone table is bounded by live wildcard prefixes → broadcast
+    # No broadcast hint: the tombstone table scales with the number of keys
+    # carrying wildcard deletes — tiny in most datasets (AQE will broadcast
+    # it at runtime when it is), but potentially huge at 100 TB, where a
+    # forced broadcast would OOM the driver; the shuffle join keys align
+    # with the compaction shuffle's (entity, key) prefix.
     resolved = live.join(
-        F.broadcast(tombstones),
+        tombstones,
         on=[
             F.col("entity") == F.col("tomb_entity"),
             F.col("key") == F.col("tomb_key"),

@@ -41,17 +41,23 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 def language_id(text: Column) -> Column:
     """Stopword-marker language ID with deterministic tiebreak (alphabetical
-    language code order; 'und' when no marker hits at all)."""
+    language code order; 'und' when no marker hits at all).
+
+    Implemented as array_max over (score, -lang_rank) structs so each score
+    sub-expression appears exactly once — a chained when() accumulator would
+    inline the running best repeatedly and grow the expression tree
+    exponentially, breaking whole-stage codegen (janino 64KB method limit)."""
     scores = language_scores(text)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores, reverse=True):  # earlier codes win ties
-        s = scores[lang]
-        cond = s >= best_score
-        # strictly-greater for the reversed scan = ties go to alphabetical min
-        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
-        best_score = F.when(s >= best_score, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    langs = sorted(scores)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("s"), F.lit(-i).alias("nr"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)  # max score; tie → max(-rank) = alphabetical min
+    lang = F.element_at(F.array(*[F.lit(l) for l in langs]), -best["nr"] + 1)
+    return F.when(best["s"] > 0, lang).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:

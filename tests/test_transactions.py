@@ -1,0 +1,103 @@
+"""Transaction-manager semantics (ref
+direct/transaction-manager/.../TransactionLogObserver.java:81-694 conflict
+detection, core/.../transaction/State.java states,
+docs/.../book/transactions.md isolation scenarios)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark import snapshot
+from proxima_platform_spark.transactions import (
+    KeyAttribute,
+    TransactionManager,
+    TransactionState,
+    Upsert,
+)
+
+
+def ka(key, attribute, entity="user"):
+    return KeyAttribute(entity=entity, key=key, attribute=attribute)
+
+
+def up(key, attribute, value=b"v", stamp_ms=1000, **kw):
+    return Upsert(
+        entity="user", key=key, attribute=attribute, value=value,
+        stamp_ms=stamp_ms, **kw,
+    )
+
+
+class TestConflictDetection:
+    def test_write_write_conflict_aborts_second(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "balance")])
+        t2 = mgr.begin([ka("k1", "balance")])
+        assert mgr.commit(t1, [up("k1", "balance", b"10")]) is TransactionState.COMMITTED
+        # t2 read balance before t1's commit → stale read set → abort
+        assert mgr.commit(t2, [up("k1", "balance", b"20")]) is TransactionState.ABORTED
+
+    def test_disjoint_sets_both_commit(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "balance")])
+        t2 = mgr.begin([ka("k2", "balance")])
+        assert mgr.commit(t1, [up("k1", "balance")]) is TransactionState.COMMITTED
+        assert mgr.commit(t2, [up("k2", "balance")]) is TransactionState.COMMITTED
+
+    def test_wildcard_query_conflict(self, spark):
+        """Reading device.* conflicts with any later write under the prefix
+        (TransactionLogObserver.updatesToWildcard:179)."""
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "device.*")])
+        t2 = mgr.begin([])
+        assert mgr.commit(t2, [up("k1", "device.a")]) is TransactionState.COMMITTED
+        assert mgr.commit(t1, [up("k1", "summary")]) is TransactionState.ABORTED
+
+    def test_wildcard_query_no_conflict_other_key(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "device.*")])
+        t2 = mgr.begin([])
+        assert mgr.commit(t2, [up("k2", "device.a")]) is TransactionState.COMMITTED
+        assert mgr.commit(t1, [up("k1", "summary")]) is TransactionState.COMMITTED
+
+    def test_duplicate_commit(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "balance")])
+        assert mgr.commit(t1, [up("k1", "balance")]) is TransactionState.COMMITTED
+        assert mgr.commit(t1, [up("k1", "balance")]) is TransactionState.DUPLICATE
+
+    def test_update_extends_read_set(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "a")])
+        t1.update([ka("k1", "b")])
+        t2 = mgr.begin([])
+        assert mgr.commit(t2, [up("k1", "b")]) is TransactionState.COMMITTED
+        assert mgr.commit(t1, [up("k1", "a")]) is TransactionState.ABORTED
+
+    def test_retry_loop_commits(self, spark):
+        mgr = TransactionManager(spark)
+        stale = mgr.begin([ka("k1", "x")])
+        mgr.commit(mgr.begin([]), [up("k1", "x")])
+        assert mgr.commit(stale, [up("k1", "x")]) is TransactionState.ABORTED
+        txn = mgr.run([ka("k1", "x")], lambda: [up("k1", "x", b"new")])
+        assert txn.state is TransactionState.COMMITTED
+
+
+class TestTransactionLog:
+    def test_changelog_snapshot_seq_tiebreak(self, spark):
+        """Equal stamps: the later-committed transaction wins via seq_id
+        (SURVEY §2.10.3 upsert-overwrite-on-equal-stamp)."""
+        mgr = TransactionManager(spark)
+        mgr.commit(mgr.begin([]), [up("k1", "balance", b"first", stamp_ms=5000)])
+        mgr.commit(mgr.begin([]), [up("k1", "balance", b"second", stamp_ms=5000)])
+        snap = snapshot(mgr.changelog())
+        rows = snap.select(F.decode("value", "UTF-8").alias("v")).collect()
+        assert [r.v for r in rows] == ["second"]
+
+    def test_delete_in_transaction(self, spark):
+        mgr = TransactionManager(spark)
+        mgr.commit(mgr.begin([]), [up("k1", "balance", b"x", stamp_ms=1000)])
+        mgr.commit(
+            mgr.begin([]),
+            [up("k1", "balance", None, stamp_ms=2000, delete=True)],
+        )
+        assert snapshot(mgr.changelog()).count() == 0
