@@ -1502,10 +1502,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sql_dedup_minhash() -> str:
     """MinHash+LSH candidate pairs in DuckDB, mirroring functions/dedup.py:
-    sig[i] = min(60-bit int of md5(i || '|' || shingle)) for i in 0..7;
-    band key b = md5(b || '|' || sig[2b] || '|' || sig[2b+1]); pairs share a band."""
+    base hash h = (60-bit int of md5(shingle)) % 2^30; sig[i] =
+    min((A[i]*h + B[i]) % P); band key b = md5(b || '|' || sig[2b] || '|' ||
+    sig[2b+1]); pairs share a band."""
+    from proxima_platform_spark.functions.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME,
+    )
+
+    base = "(('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)"
     sig_items = ",\n               ".join(
-        f"list_min([('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT for s in shingles])"
+        f"list_min([({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_PRIME}"
+        " for s in shingles])"
         for i in range(8)
     )
     band_items = ",\n               ".join(

@@ -59,20 +59,42 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
-def minhash_value(shingle: Column, seed: int) -> Column:
-    """One MinHash hash function: 60-bit integer from the md5 of the
-    seed-salted shingle.
+# MinHash permutation family: ONE md5 per shingle → 30-bit base hash h,
+# then hash_i(h) = (A[i]·h + B[i]) mod P (affine universal hashing). The
+# single-digest form is 8× less hashing than per-seed salted md5 — the
+# dominant per-row cost at corpus scale — and all arithmetic stays in
+# BIGINT without overflow (A < 2³², h < 2³⁰ ⇒ product < 2⁶²).
+MINHASH_PRIME = 1_000_000_007
+MINHASH_A = [
+    2654435761, 2246822519, 3266489917, 668265263,
+    374761393, 2654435789, 2246822551, 3266489979,
+]
+MINHASH_B = [97, 1013, 10007, 100003, 1000033, 333667, 7368787, 95189]
 
-    min() over these is a valid MinHash permutation surrogate: md5 is a
-    uniform pseudo-permutation of the shingle space for each salt (standard
-    MinHash argument). The *integer* form matters for scale: Spark can only
-    HashAggregate fixed-width agg buffers — min(string) degrades to
-    SortAggregate (sorts every shingle row) — and 8 longs shuffle far
-    smaller than 8 hex strings.
-    """
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), shingle)), 1, 15), 16, 10
-    ).cast("long")
+
+def shingle_hash(shingle: Column) -> Column:
+    """30-bit integer base hash of a shingle (md5 prefix). The *integer*
+    form matters for scale: Spark can only HashAggregate fixed-width agg
+    buffers — min(string) degrades to SortAggregate (sorts every shingle
+    row) — and longs shuffle far smaller than hex strings."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % F.lit(
+        2**30
+    )
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash hash function applied to a shingle. min() over these is a
+    valid MinHash permutation surrogate (uniform base hash + pairwise-
+    independent affine family — standard MinHash argument). Prefer computing
+    :func:`shingle_hash` once and applying :func:`affine_hash` per seed when
+    evaluating several seeds over the same shingle."""
+    return affine_hash(shingle_hash(shingle), seed)
+
+
+def affine_hash(base_hash: Column, seed: int) -> Column:
+    return (
+        F.lit(MINHASH_A[seed]) * base_hash + F.lit(MINHASH_B[seed])
+    ) % F.lit(MINHASH_PRIME)
 
 
 def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 8) -> Column:
@@ -82,15 +104,15 @@ def minhash_signature(text: Column, *, n: int = 3, num_hashes: int = 8) -> Colum
     very long documents prefer the exploded aggregation in
     :func:`minhash_signatures_df`, which keeps per-row work bounded.
     """
-    sh = ngram_shingles(text, n)
+    hs = F.transform(ngram_shingles(text, n), shingle_hash)
 
     def hash_fn(seed: int):
         # closure factory: `lambda s, i=i:` would read as a 2-param
         # (element, index) lambda to F.transform and clobber the seed
-        return lambda s: minhash_value(s, seed)
+        return lambda h: affine_hash(h, seed)
 
     return F.array(
-        *[F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(hs, hash_fn(i))) for i in range(num_hashes)]
     )
 
 
@@ -102,26 +124,16 @@ def minhash_signatures_df(
     combiner collapses to one row per (doc, seed) per partition."""
     sh = docs.select(
         F.col(id_col), F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
-    )
+    ).select(F.col(id_col), shingle_hash(F.col("shingle")).alias("h"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = sh.select(id_col, seeds, "shingle")
-    return exploded.groupBy(id_col, "seed").agg(
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias("minhash")
-    )
+    exploded = sh.select(id_col, seeds, "h")
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:num_hashes]])
+    hashed = (
+        F.element_at(a_arr, F.col("seed") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("seed") + 1)
+    ) % F.lit(MINHASH_PRIME)
+    return exploded.groupBy(id_col, "seed").agg(F.min(hashed).alias("minhash"))
 
 
 def lsh_band_keys(
@@ -180,10 +192,11 @@ def minhash_candidate_pairs(
         tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
     sh = tokenized.select(
         "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
-    )
-    # integer min-hashes → HashAggregate (fixed-width buffer) + small shuffle
+    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
+    # one md5 per shingle row, 8 affine derivations; integer min-hashes →
+    # HashAggregate (fixed-width buffer) + small shuffle
     sig = sh.groupBy("id").agg(
-        *[F.min(minhash_value(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(affine_hash(F.col("h"), i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     band_keys = F.array(
         *[

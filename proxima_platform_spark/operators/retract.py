@@ -122,7 +122,14 @@ def retract_join_batch(
             out, columns=["key", "left_value", "right_value", "stamp", "is_addition"]
         )
 
-    return merged.groupBy("key").applyInPandas(replay, schema=RETRACT_SCHEMA)
+    # explicit numbered repartition: AQE would coalesce a small shuffle to 1
+    # partition and serialize every key's replay through one Python worker
+    n = merged.sparkSession.sparkContext.defaultParallelism
+    return (
+        merged.repartition(n, F.col("key"))
+        .groupBy("key")
+        .applyInPandas(replay, schema=RETRACT_SCHEMA)
+    )
 
 
 class RetractJoinMaintainer:

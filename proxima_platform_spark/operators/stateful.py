@@ -82,5 +82,14 @@ def reduce_value_state_by_key(
             pdf = pdf.sort_values(stamp, kind="mergesort")  # stable = seq order tiebreak
         return state_fn(key_tuple[0], pdf)
 
-    projected = df.select(key.alias("__key"), *[F.col(c) for c in df.columns])
+    # ship only the columns the state machine reads (plus the sort stamp)
+    # through the Arrow boundary — the shuffle and serialization cost of
+    # applyInPandas is per-byte, and callers' frames are often much wider
+    needed = list(dict.fromkeys(value_cols + ([stamp] if stamp else [])))
+    projected = df.select(key.alias("__key"), *[F.col(c) for c in needed])
+    # explicit numbered repartition: AQE would coalesce a small shuffle to 1
+    # partition and serialize every key's replay through one Python worker;
+    # at scale this is the same key-hash shuffle the groupBy needs anyway
+    n = projected.sparkSession.sparkContext.defaultParallelism
+    projected = projected.repartition(n, F.col("__key"))
     return projected.groupBy("__key").applyInPandas(apply, schema=output_schema)
