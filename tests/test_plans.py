@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the plans we designed for are the plans
+Catalyst actually produces (pushdown reaches the scan, dims broadcast,
+no redundant shuffles). The reference has no optimizer (SURVEY §4) —
+these guard the *Spark-side* execution story of each operator."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from proxima_platform_spark.plans import count_exchanges, physical_plan
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_parquet_scan(self, spark, sf_dir):
+        plan = physical_plan(entry.q_filter_where(spark, sf_dir))
+        # (the PushedFilters list renders truncated — assert on the prefix)
+        assert "PushedFilters: [IsNotNull" in plan
+        assert "GreaterThan(l_quantity" in plan
+
+    def test_projection_prunes_scan_columns(self, spark, sf_dir):
+        plan = physical_plan(entry.q_map_project(spark, sf_dir))
+        # 4 columns of 16 read: the projection reached the scan
+        assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber" in plan
+        assert "l_shipdate" not in plan.split("ReadSchema:")[1]
+
+    def test_snapshot_prunes_to_used_columns(self, spark, sf_dir):
+        plan = physical_plan(entry.q_batch_snapshot(spark, sf_dir))
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "props" not in read  # unused wide column never scanned
+
+
+class TestBroadcastJoins:
+    def test_tpch_q5ish_broadcasts_dims(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q5ish(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_inner_join_autobroadcasts_small_dim(self, spark, sf_dir):
+        # customer at test SF is far below the broadcast threshold; Catalyst
+        # must pick BroadcastHashJoin without a hint
+        plan = physical_plan(entry.q_join_inner(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+
+class TestShuffleCounts:
+    def test_integrate_per_key_single_shuffle(self, spark, sf_dir):
+        df = entry.q_integrate_per_key(spark, sf_dir)
+        assert count_exchanges(df) == 1  # one partition-by-key, nothing else
+
+    def test_tumbling_window_sum_single_shuffle(self, spark, sf_dir):
+        df = entry.q_tumbling_window_sum(spark, sf_dir)
+        assert count_exchanges(df) == 1  # partial+final agg over one exchange
+
+    def test_snapshot_bounded_shuffles(self, spark, sf_dir):
+        # compaction (1) + tombstone aggregation (1) + tombstone join (≤2);
+        # anything above means a redundant exchange crept in
+        df = entry.q_batch_snapshot(spark, sf_dir)
+        assert count_exchanges(df) <= 4
+
+    def test_count_by_key_partial_aggregation(self, spark, sf_dir):
+        # partial_count on the map side keeps the shuffle at ~1 row per key
+        # per partition — the HashAggregate pair must surround the exchange
+        plan = physical_plan(entry.q_count_by_key(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_count" in plan
+
+
+class TestCodegen:
+    def test_text_quality_stays_in_codegen(self, spark, sf_dir):
+        # regression guard: language_id once grew an exponential expression
+        # tree that broke janino compilation and fell back to interpreted
+        plan = physical_plan(entry.q_text_quality(spark, sf_dir))
+        # executedPlan().toString() marks codegen stages with a "*(n)" prefix
+        assert plan.lstrip().startswith("*(")
+
+    def test_minhash_signature_hash_aggregates(self, spark, sf_dir):
+        # integer min-hash buffers must hash-aggregate; SortAggregate here
+        # would re-sort every shingle row
+        plan = physical_plan(entry.q_dedup_minhash(spark, sf_dir))
+        assert "SortAggregate" not in plan
