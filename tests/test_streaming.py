@@ -212,3 +212,45 @@ class TestStreamingIntegrate:
         got = {(r.key, r.integrated) for r in rows}
         # a: 1.0 then 3.0 (event-time order despite arrival order); b: 5.0
         assert {("a", 1.0), ("a", 3.0), ("b", 5.0)} <= got
+
+
+class TestStreamStreamJoin:
+    def test_windowed_stream_stream_join(self, spark, tmp_path):
+        """Per-window equi join of two streams: window column in the join key
+        + watermarks on both sides (SURVEY §2.6 — the streaming mapping of
+        BeamWindowedStream.join:371-404)."""
+        left_src, right_src = str(tmp_path / "l"), str(tmp_path / "r")
+        schema = "k string, ts timestamp, v double"
+        spark.createDataFrame(
+            [("a", ts(500), 1.0), ("b", ts(700), 2.0), ("a", ts(1500), 3.0)],
+            schema,
+        ).coalesce(1).write.parquet(left_src)
+        spark.createDataFrame(
+            [("a", ts(600), 10.0), ("a", ts(1600), 30.0), ("c", ts(800), 99.0)],
+            schema,
+        ).coalesce(1).write.parquet(right_src)
+
+        def windowed(path):
+            s = spark.readStream.schema(schema).parquet(path)
+            return s.withWatermark("ts", "0 seconds").select(
+                "k", "v", F.window("ts", "1 second").alias("w")
+            )
+
+        l = windowed(left_src).withColumnRenamed("v", "lv")
+        r = windowed(right_src).withColumnRenamed("v", "rv")
+        joined = l.join(r, on=["k", "w"], how="inner")
+
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.k, r.lv, r.rv)
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        # same key AND same tumbling window only; 'b'/'c' have no partner
+        assert got == {("a", 1.0, 10.0), ("a", 3.0, 30.0)}
