@@ -57,7 +57,15 @@ def commit_log_stream(
     elif fmt in ("parquet", "json", "csv", "delta"):
         if max_per_trigger:
             opts["maxFilesPerTrigger"] = str(max_per_trigger)
-        df = spark.readStream.options(**opts).format(fmt).load(family.path)
+        reader = spark.readStream.options(**opts).format(fmt)
+        if fmt != "delta":
+            # streaming file sources require an explicit schema; a changelog
+            # family's schema IS the canonical element schema (delta carries
+            # its own)
+            from proxima_platform_spark.changelog import CHANGELOG_SCHEMA
+
+            reader = reader.schema(CHANGELOG_SCHEMA)
+        df = reader.load(family.path)
     elif fmt == "rate":
         # synthetic source — the analog of periodicImpulse
         # (BeamStream.periodicImpulse:275-310)

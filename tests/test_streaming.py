@@ -254,3 +254,145 @@ class TestStreamStreamJoin:
         }
         # same key AND same tumbling window only; 'b'/'c' have no partner
         assert got == {("a", 1.0, 10.0), ("a", 3.0, 30.0)}
+
+
+class TestEarlyEmitting:
+    def test_update_mode_emits_partials(self, spark, tmp_path):
+        """withEarlyEmitting → update mode: a window emits partial results
+        per micro-batch instead of once at close (BeamWindowedStream:598;
+        documented per-query-trigger delta)."""
+        from proxima_platform_spark.operators.windowed import Windowing
+        from proxima_platform_spark.streaming.windows import (
+            windowed_streaming_aggregation,
+        )
+
+        src = str(tmp_path / "early_src")
+        schema = "k string, ts timestamp, v double"
+        for i, rows in enumerate(
+            [[("a", ts(100), 1.0)], [("a", ts(300), 2.0)]]
+        ):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+            time.sleep(0.05)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        from dataclasses import replace
+
+        w = replace(Windowing.tumbling("ts", 1000), early_emitting_ms=500)
+        agg, kwargs = windowed_streaming_aggregation(
+            stream, w, "k", F.sum("v").alias("total")
+        )
+        assert kwargs["outputMode"] == "update"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("early_agg")
+            .outputMode(kwargs["outputMode"])
+            .trigger(availableNow=True)  # test override of the PT trigger
+            .start()
+        )
+        q.awaitTermination(120)
+        totals = [
+            r.total
+            for r in spark.sql(
+                "SELECT total FROM early_agg ORDER BY total"
+            ).collect()
+        ]
+        # partial emission (1.0) then the updated window (3.0)
+        assert totals == [1.0, 3.0]
+
+    def test_append_mode_emits_once(self, spark, tmp_path):
+        from proxima_platform_spark.operators.windowed import Windowing
+        from proxima_platform_spark.streaming.windows import (
+            windowed_streaming_aggregation,
+        )
+
+        w = Windowing.tumbling("ts", 1000)
+        src = str(tmp_path / "append_src")
+        schema = "k string, ts timestamp, v double"
+        spark.createDataFrame(
+            [("a", ts(100), 1.0), ("a", ts(5000), 9.0)], schema
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg, kwargs = windowed_streaming_aggregation(
+            stream, w, "k", F.sum("v").alias("total")
+        )
+        assert kwargs["outputMode"] == "append"
+
+
+class TestCommitLogSources:
+    def test_parquet_commit_log_stream_with_limit(self, spark, tmp_path):
+        """File-family commit log: OLDEST replay with the throughput limiter
+        (maxFilesPerTrigger — ThroughputLimiter analog)."""
+        from proxima_platform_spark.streaming.source import commit_log_stream
+
+        path = str(tmp_path / "families" / "clog")
+        rows = [element("user", f"k{i}", "status", 1000 + i, "v") for i in range(4)]
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).write.parquet(path)
+        fam = AttributeFamilyDescriptor(
+            name="clog", entity="user", attributes=["status"],
+            storage_uri=f"parquet://{path}",
+            access={AccessType.COMMIT_LOG}, storage_type=StorageType.PRIMARY,
+        )
+        stream = commit_log_stream(
+            spark, fam, position="OLDEST", max_per_trigger=1
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("clog_replay")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT count(*) n FROM clog_replay").first().n == 4
+        assert q.lastProgress is not None
+
+    def test_bad_position_rejected(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.source import commit_log_stream
+
+        fam = AttributeFamilyDescriptor(
+            name="x", entity="user", attributes=["a"],
+            storage_uri="parquet:///nope",
+            access={AccessType.COMMIT_LOG}, storage_type=StorageType.PRIMARY,
+        )
+        with pytest.raises(ValueError):
+            commit_log_stream(spark, fam, position="MIDDLE")
+
+
+class TestBulkWriter:
+    def test_time_bucketed_directories(self, spark, tmp_path):
+        """Bulk writer lands files in stamp-bucketed partitions
+        (AbstractBulkFileSystemAttributeWriter / NamingConvention)."""
+        from proxima_platform_spark.streaming.sink import write_bulk
+
+        src = str(tmp_path / "bulk_src")
+        out = str(tmp_path / "bulk_out")
+        rows = [
+            element("user", "k1", "status", 0, "a"),
+            element("user", "k2", "status", 11 * 60_000, "b"),  # next 10-min bucket
+        ]
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).write.parquet(src)
+        stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(src)
+        fam = AttributeFamilyDescriptor(
+            name="bulk", entity="user", attributes=["status"],
+            storage_uri=f"parquet://{out}",
+            access={AccessType.BATCH_UPDATES}, storage_type=StorageType.REPLICA,
+        )
+        q = write_bulk(stream, fam, checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        buckets = {
+            d for d in os.listdir(out) if d.startswith("stamp_bucket=")
+        }
+        assert len(buckets) == 2  # two distinct 10-minute buckets
+        assert spark.read.parquet(out).count() == 2
+
+
+class TestLatecomerSplit:
+    def test_split(self, spark):
+        from proxima_platform_spark.streaming.stateful import split_latecomers
+
+        df = spark.createDataFrame(
+            [("a", ts(1000)), ("b", ts(5000))], "k string, stamp timestamp"
+        )
+        on_time, late = split_latecomers(df, stamp="stamp", watermark=ts(2000))
+        assert [r.k for r in on_time.collect()] == ["b"]
+        assert [r.k for r in late.collect()] == ["a"]
