@@ -270,6 +270,40 @@ ORDER BY i.attribute LIMIT 3
 """
 
 
+def q_multi_get(spark, sf):
+    """multiFetch: batched point lookups (ref RandomAccessReader.java:181-196)."""
+    snap = snapshot(_events_changelog(spark, sf))
+    return batch_src.multi_get(snap, ["7", "21", "42"], "click").select(
+        "key", "attribute", _stamp_ms().alias("stamp_ms"),
+        F.decode("value", "UTF-8").alias("val"),
+    )
+
+
+SQL_MULTI_GET = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       epoch_us(ts) // 1000 AS stamp_ms, value::VARCHAR AS val
+FROM events WHERE user_id IN (7, 21, 42) AND event_type = 'click'
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+def q_with_window(spark, sf):
+    """withWindow: pair each element with its window (ref Stream.java:147 →
+    BeamStream.withWindow:427 — in Spark the window is just a column)."""
+    s = Stream(_events(spark, sf), "tstamp")
+    win = s.with_window(3600_000)
+    return win.df.select(
+        "event_id",
+        (F.unix_micros(F.col("__window.start")) / 1000).cast("long").alias("ws_ms"),
+    )
+
+
+SQL_WITH_WINDOW = """
+SELECT event_id, epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ws_ms FROM events
+"""
+
+
 def q_list_entities(spark, sf):
     """Keyset-paged key listing (ref RandomAccessReader.java:325-340)."""
     snap = snapshot(_events_changelog(spark, sf))
@@ -1437,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_with_deletes": q_snapshot_with_deletes,
         "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
         "random_access_get": q_random_access_get,
+        "multi_get": q_multi_get,
         "scan_wildcard": q_scan_wildcard,
         "list_entities": q_list_entities,
         "union_attributes": q_union_attributes,
@@ -1447,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_where": q_filter_where,
         "flatmap_tokens": q_flatmap_tokens,
         "elementwise_transform": q_elementwise_transform,
+        "with_window": q_with_window,
         # §2.4 windows
         "tumbling_window_sum": q_tumbling_window_sum,
         "sliding_window_count": q_sliding_window_count,
@@ -1549,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_with_deletes": SQL_SNAPSHOT_WITH_DELETES,
         "wildcard_tombstone_snapshot": SQL_WILDCARD_TOMBSTONE,
         "random_access_get": SQL_RANDOM_ACCESS_GET,
+        "multi_get": SQL_MULTI_GET,
         "scan_wildcard": SQL_SCAN_WILDCARD,
         "list_entities": SQL_LIST_ENTITIES,
         "union_attributes": SQL_UNION_ATTRIBUTES,
@@ -1558,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_where": SQL_FILTER_WHERE,
         "flatmap_tokens": SQL_FLATMAP_TOKENS,
         "elementwise_transform": SQL_ELEMENTWISE_TRANSFORM,
+        "with_window": SQL_WITH_WINDOW,
         "tumbling_window_sum": SQL_TUMBLING_WINDOW_SUM,
         "sliding_window_count": SQL_SLIDING_WINDOW_COUNT,
         "session_window_stats": SQL_SESSION_WINDOW_STATS,

@@ -114,6 +114,17 @@ class Stream:
         assert self.time_column
         return self._with(self.df.withColumn(alias, F.col(self.time_column)))
 
+    def with_window(self, duration_ms: int, alias: str = "__window") -> "Stream":
+        """Pair each element with its tumbling window (Stream.java:147 →
+        BeamStream.withWindow:427, applyExtractWindow:436 — in Spark the
+        window assignment is an ordinary column, no re-grouping)."""
+        assert self.time_column
+        return self._with(
+            self.df.withColumn(
+                alias, F.window(F.col(self.time_column), f"{duration_ms} milliseconds")
+            )
+        )
+
     def reshuffle(self, num_partitions: int | None = None) -> "Stream":
         """Random redistribution (Stream.java:563 → BeamStream.reshuffle:1072)."""
         df = (
