@@ -37,11 +37,16 @@ from proxima_platform_spark.functions.dedup import (
 from proxima_platform_spark.functions.multimodal import image_features
 from proxima_platform_spark.functions.similarity import brute_force_top_k, lsh_top_k
 from proxima_platform_spark.functions.text import (
+    BPE_PATTERN,
+    EN_STOPWORDS,
     LANG_MARKERS,
     doc_fingerprint,
     language_id,
     quality_score,
+    quality_signals,
+    rolling_hash_fingerprint,
     token_count,
+    token_count_bpe,
 )
 from proxima_platform_spark.operators import Stream
 from proxima_platform_spark.operators.retract import retract_join_batch
@@ -1431,6 +1436,99 @@ FROM g
 """
 
 
+def q_text_tokens_bpe(spark, sf):
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex) vs whitespace —
+    the cheap LLM-token-budget proxy."""
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+
+
+def _sql_text_tokens_bpe() -> str:
+    pattern = BPE_PATTERN.replace("'", "''")
+    return rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pattern}')) AS n_bpe,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+FROM documents
+"""
+
+
+def q_doc_rolling_fingerprint(spark, sf):
+    """Winnowing-style rolling-hash fingerprint: min Rabin-Karp hash over
+    token 3-grams (robust to local edits; NULL for <3-token docs)."""
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _sql_doc_rolling_fingerprint() -> str:
+    from proxima_platform_spark.functions.text import (
+        ROLLING_B, ROLLING_B2, ROLLING_P,
+    )
+
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           [(('0x' || substr(md5(x), 1, 15))::BIGINT % 1073741824) for x in tk] AS th
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(th) >= 3 THEN list_min(
+            [(th[i] * {ROLLING_B2} + th[i+1] * {ROLLING_B} + th[i+2]) % {ROLLING_P}
+             for i in range(1, len(th) - 1)])
+       ELSE NULL END AS fp
+FROM h
+"""
+
+
+def q_text_quality_signals(spark, sf):
+    """Individual quality ratios (alpha/punct/stopword/mean-word-length) —
+    the Gopher/C4-style threshold signals exposed separately."""
+    docs = _load(spark, sf, "documents")
+    sig = quality_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[F.round(expr, 6).alias(name) for name, expr in sig.items()],
+    )
+
+
+def _sql_text_quality_signals() -> str:
+    stop_parts = " + ".join(
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+        for m in EN_STOPWORDS
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+           length(text)::DOUBLE AS n,
+           (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS toks
+    FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n
+             ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN n > 0
+             THEN length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) / n
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN toks > 0 THEN ({stop_parts}) / toks ELSE 0.0 END, 6)
+           AS stopword_ratio,
+       round(CASE WHEN toks > 0 THEN n / toks ELSE 0.0 END, 6) AS mean_word_len
+FROM base
+"""
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary payload column → mapInPandas feature
     extraction (decode kernel is a deterministic fake — see
@@ -1532,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1636,5 +1737,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": _sql_text_quality(),
+        "text_tokens_bpe": _sql_text_tokens_bpe(),
+        "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
+        "text_quality_signals": _sql_text_quality_signals(),
         # ann_lsh_topk, multimodal_features: no SQL oracle (rows-only check)
     }

@@ -92,3 +92,78 @@ def doc_fingerprint(text: Column) -> Column:
     shingle windows lives in functions.dedup.)"""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# GPT-2-style pre-tokenizer pattern (public BPE recipes): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. RE2-compatible
+# (no lookarounds) so Spark and DuckDB evaluate it identically.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer regex —
+    the standard cheap proxy for LLM token budgets (whitespace counting
+    under-counts punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+# polynomial rolling-hash constants (Rabin–Karp): token k-grams hash as
+# sum(tokhash_i · B^(k-1-i)) mod P. All BIGINT-safe: tokhash < 2^30 and
+# B, B² < P < 2^31 keep every product under 2^62.
+ROLLING_P = 1_000_000_007
+ROLLING_B = 1_000_003
+ROLLING_B2 = (ROLLING_B * ROLLING_B) % ROLLING_P
+
+
+def rolling_hash_fingerprint(text: Column, *, k: int = 3) -> Column:
+    """Winnowing-style document fingerprint: the minimum Rabin–Karp rolling
+    hash over token k-grams (k=3). The rolling form (O(1) per shift) is an
+    imperative-engine detail; columnar engines express the same k-gram
+    hashes directly — min-sampling keeps the fingerprint robust to local
+    edits, the property rolling-hash winnowing is used for.
+    """
+    assert k == 3, "polynomial constants are precomputed for k=3"
+    from proxima_platform_spark.functions.dedup import shingle_hash, tokens
+
+    th = F.transform(tokens(text), shingle_hash)  # 30-bit token hashes
+    n = F.size(th)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: (
+            F.element_at(th, i) * F.lit(ROLLING_B2)
+            + F.element_at(th, i + 1) * F.lit(ROLLING_B)
+            + F.element_at(th, i + 2)
+        )
+        % F.lit(ROLLING_P),
+    )
+    return F.when(n >= 3, F.array_min(grams)).otherwise(F.lit(None).cast("long"))
+
+
+EN_STOPWORDS = [" the ", " and ", " of ", " to ", " is ", " in ", " a ", " that "]
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """The individual cheap-quality ratios (Gopher/C4-style public recipes):
+    alphabetic ratio, punctuation ratio, stopword ratio, mean word length.
+    ``quality_score`` blends a subset; pipelines usually threshold these
+    separately."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(
+        F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    ).cast("double")
+    toks = token_count(text).cast("double")
+    padded = _padded(text)
+    stop_hits = None
+    for m in EN_STOPWORDS:
+        hits = (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m))))
+            / F.length(F.lit(m))
+        ).cast("int")
+        stop_hits = hits if stop_hits is None else stop_hits + hits
+    return {
+        "alpha_ratio": F.when(n > 0, alpha / n).otherwise(0.0),
+        "punct_ratio": F.when(n > 0, punct / n).otherwise(0.0),
+        "stopword_ratio": F.when(toks > 0, stop_hits / toks).otherwise(0.0),
+        "mean_word_len": F.when(toks > 0, n / toks).otherwise(0.0),
+    }
