@@ -126,3 +126,90 @@ def frame_sample(
             yield pd.DataFrame(out, columns=["doc_id", "frame_ts_ms", "frame"])
 
     return media.mapInPandas(sample, schema=schema)
+
+
+def image_resize(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize stub: re-encodes each payload as a (width, height)
+    pseudo-image. Real implementation needs PIL/cv2 (not installed); the
+    fake nearest-neighbor-samples the decoded fake grid so output shape and
+    determinism are real."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = _decode_image(row[payload_col])
+                ys = (np.arange(height) * img.shape[0] // height) % img.shape[0]
+                xs = (np.arange(width) * img.shape[1] // width) % img.shape[1]
+                resized = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "doc_id": row[id_col],
+                        "width": width,
+                        "height": height,
+                        "payload": resized.astype(np.uint8).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return media.mapInPandas(resize, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_windows", IntegerType(), False),
+        StructField("energy", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame,
+    *,
+    window_ms: int = 1000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio feature stub: per-window energy over the declared duration.
+    Real decoding requires an audio library (soundfile/librosa — not
+    installed); the fake derives deterministic energies from payload bytes
+    so the Arrow plumbing and window arithmetic are testable."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                duration = int(row.get("duration_ms") or 0)
+                payload = row[payload_col] or b"\0"
+                n = max(1, duration // window_ms)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                energy = [
+                    float(buf[i::n].astype(np.float64).mean()) if len(buf[i::n]) else 0.0
+                    for i in range(n)
+                ]
+                rows.append(
+                    {
+                        "doc_id": row[id_col],
+                        "n_windows": n,
+                        "energy": np.asarray(energy, dtype=np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_windows", "energy"])
+
+    return media.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
