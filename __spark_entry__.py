@@ -35,7 +35,11 @@ from proxima_platform_spark.functions.dedup import (
     simhash64,
 )
 from proxima_platform_spark.functions.multimodal import image_features
-from proxima_platform_spark.functions.similarity import brute_force_top_k, lsh_top_k
+from proxima_platform_spark.functions.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_top_k,
+)
 from proxima_platform_spark.functions.text import (
     BPE_PATTERN,
     EN_STOPWORDS,
@@ -1368,6 +1372,18 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-flat ANN (second scale path next to sign-LSH): deterministic
+    sampled centroids, inverted-list equi-join, exact cosine in probed
+    cells. No SQL oracle — rows-only check (centroid assignment is
+    plan-internal)."""
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_top_k(emb, queries, k=5, n_centroids=8, n_probe=2)
+
+
 def q_text_stats(spark, sf):
     """Token counting + fingerprinting over documents (single projection)."""
     docs = _load(spark, sf, "documents")
@@ -1628,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_adjacent": q_jaccard_adjacent,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_tokens_bpe": q_text_tokens_bpe,

@@ -1,0 +1,76 @@
+"""ANN correctness: brute-force exactness, IVF recall on separable data,
+LSH candidate soundness."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.similarity import (
+    brute_force_top_k,
+    ivf_top_k,
+    lsh_top_k,
+)
+
+
+def clustered(spark):
+    """Three well-separated clusters along distinct axes."""
+    rows = []
+    for c, axis in enumerate([(50.0, 0.0, 0.0), (0.0, 50.0, 0.0), (0.0, 0.0, 50.0)]):
+        for i in range(10):
+            vec = [axis[0] + (i * 0.01), axis[1] + ((i * 7) % 3) * 0.01, axis[2] + 0.01 * ((i * 3) % 5)]
+            rows.append((c * 10 + i, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestBruteForce:
+    def test_exact_self_top1(self, spark):
+        df = clustered(spark)
+        q = [float(x) for x in df.where(F.col("vec_id") == 5).first()["embedding"]]
+        top = brute_force_top_k(df, q, k=1).collect()
+        # intra-cluster vectors are near-parallel: top-1 is in-cluster with
+        # cosine ≈ 1 (rounded ties break by id, so the exact id may differ)
+        assert top[0].vec_id // 10 == 0 and top[0].cosine == pytest.approx(1.0)
+
+
+class TestIVF:
+    def test_recall_on_separable_clusters(self, spark):
+        """With clusters far apart and n_probe covering the right cell, IVF
+        == brute force for every query."""
+        df = clustered(spark)
+        queries = df.where(F.col("vec_id").isin(0, 11, 22)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ivf_top_k(
+            df, queries, k=3, n_centroids=6, n_probe=2
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        for qid, ids in by_q.items():
+            # every neighbor comes from the query's own cluster
+            assert all(v // 10 == qid // 10 for v in ids), (qid, ids)
+            assert qid in ids  # self is the top hit
+
+    def test_candidate_counts_bounded(self, spark):
+        df = clustered(spark)
+        queries = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+        got = ivf_top_k(df, queries, k=100, n_centroids=3, n_probe=1)
+        # one probed cell of ~10 vectors → far fewer than the 30-row corpus
+        assert got.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 15
+
+
+class TestLSH:
+    def test_lsh_results_subset_of_bruteforce_scores(self, spark):
+        df = clustered(spark)
+        queries = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+        got = lsh_top_k(df, queries, k=5, num_planes=4).collect()
+        assert 0 < len(got) <= 5
+        # cosine values are exact (LSH only prunes candidates)
+        q = [float(x) for x in df.limit(1).first()["embedding"]]
+        exact = {
+            r.vec_id: r.cosine for r in brute_force_top_k(df, q, k=30).collect()
+        }
+        for r in got:
+            assert exact[r.vec_id] == pytest.approx(r.cosine, abs=1e-6)
