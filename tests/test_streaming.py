@@ -396,3 +396,54 @@ class TestLatecomerSplit:
         on_time, late = split_latecomers(df, stamp="stamp", watermark=ts(2000))
         assert [r.k for r in on_time.collect()] == ["b"]
         assert [r.k for r in late.collect()] == ["a"]
+
+
+class TestStreamingReduceValueState:
+    def test_event_time_sorted_state_machine(self, spark, tmp_path):
+        """Streaming reduceValueStateByKey (sorted): buffered rows apply in
+        event-time order once the watermark passes (BeamStream.java:1633-1677
+        timer design → applyInPandasWithState)."""
+        from proxima_platform_spark.streaming.stateful import (
+            reduce_value_state_by_key_stream,
+        )
+
+        src = str(tmp_path / "rvs_src")
+        schema = "k string, ts timestamp, v long"
+        # batch 1 delivers out of order; batch 2's sentinel advances the
+        # watermark far enough to flush everything buffered
+        spark.createDataFrame(
+            [("a", ts(3000), 3), ("a", ts(1000), 1), ("a", ts(2000), 2)], schema
+        ).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [("a", ts(60_000), 99)], schema
+        ).coalesce(1).write.parquet(f"{src}/f1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+
+        def running_sum(state, key, row):
+            total = state + row["v"]
+            return total, {"k": key, "v": row["v"], "total": total}
+
+        out = reduce_value_state_by_key_stream(
+            stream,
+            key="k",
+            stamp="ts",
+            state_fn=running_sum,
+            initial_state=0,
+            output_schema="k string, v long, total long",
+            watermark_delay="0 seconds",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("rvs_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT v, total FROM rvs_out ORDER BY total").collect()
+        got = [(r.v, r.total) for r in rows]
+        # applied in event-time order (1, 2, 3) despite arrival (3, 1, 2)
+        assert got[:3] == [(1, 1), (2, 3), (3, 6)]
