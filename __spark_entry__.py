@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from proxima_platform_spark import snapshot, to_changelog
+from proxima_platform_spark import snapshot, snapshot_wide, to_changelog
 from proxima_platform_spark.catalog.proxy import AttributeProxyDescriptor
 from proxima_platform_spark.functions.dedup import (
     embedding_near_dup_pairs,
@@ -231,6 +231,37 @@ WITH inst AS (
 SELECT i.key, i.attribute, i.stamp_ms
 FROM inst i LEFT JOIN tomb t ON i.key = t.key
 WHERE t.tomb_us IS NULL OR i.stamp_us >= t.tomb_us
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_snapshot_wide(spark, sf):
+    """Pivoted table view: one row per key, latest value per attribute as a
+    column (datamodel.md:127-149 'table' form; snapshot_wide fixes the pivot
+    values so no extra distinct-scan job runs)."""
+    snap = snapshot(_events_changelog(spark, sf))
+    wide = snapshot_wide(snap, attributes=EVENT_TYPES)
+    return wide.select(
+        "key", *[F.decode(F.col(t), "UTF-8").alias(t) for t in EVENT_TYPES]
+    )
+
+
+SQL_SNAPSHOT_WIDE = """
+WITH latest AS (
+    SELECT user_id::VARCHAR AS key, event_type, value::VARCHAR AS v
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+)
+SELECT key,
+       max(v) FILTER (event_type = 'click') AS click,
+       max(v) FILTER (event_type = 'error') AS error,
+       max(v) FILTER (event_type = 'purchase') AS purchase,
+       max(v) FILTER (event_type = 'signup') AS signup,
+       max(v) FILTER (event_type = 'view') AS view
+FROM latest GROUP BY key
 """
 
 
@@ -1151,6 +1182,27 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark, sf):
+    """Forecasting-revenue-change shape (TPC-H Q6): fully-pushed selective
+    scan + single global agg — the pushdown showcase."""
+    li = _load(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+
+
+SQL_TPCH_Q6 = """
+SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 def q_tpch_q3(spark, sf):
     """Shipping-priority shape (TPC-H Q3): 3-way join + top-k revenue."""
     cust = _load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -1582,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.1 sources / scans
         "batch_updates_range": q_batch_updates_range,
         "batch_snapshot": q_batch_snapshot,
+        "snapshot_wide": q_snapshot_wide,
         "snapshot_with_deletes": q_snapshot_with_deletes,
         "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
         "random_access_get": q_random_access_get,
@@ -1634,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transactions": q_transactions,
         # headline analytics
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
         # LLM-pipeline extensions
@@ -1700,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "batch_updates_range": SQL_BATCH_UPDATES,
         "batch_snapshot": SQL_BATCH_SNAPSHOT,
+        "snapshot_wide": SQL_SNAPSHOT_WIDE,
         "snapshot_with_deletes": SQL_SNAPSHOT_WITH_DELETES,
         "wildcard_tombstone_snapshot": SQL_WILDCARD_TOMBSTONE,
         "random_access_get": SQL_RANDOM_ACCESS_GET,
@@ -1744,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "retract_join": SQL_RETRACT_JOIN,
         "transactions": SQL_TRANSACTIONS,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q6": SQL_TPCH_Q6,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -32,8 +32,10 @@ BENCH_QUERIES = [
     "session_window_stats",
     "integrate_per_key",
     "reduce_value_state",
+    "retract_join",
     "join_left",
     "tpch_q1",
+    "tpch_q6",
     "tpch_q3",
     "tpch_q5ish",
     "dedup_exact",

@@ -29,6 +29,7 @@ from proxima_platform_spark.changelog import (
     CHANGELOG_SCHEMA,
     compact,
     snapshot,
+    snapshot_wide,
     to_changelog,
 )
 from proxima_platform_spark.catalog.repository import Repository
@@ -40,6 +41,7 @@ __all__ = [
     "Stream",
     "compact",
     "snapshot",
+    "snapshot_wide",
     "to_changelog",
 ]
 
