@@ -1,0 +1,150 @@
+"""Property-based changelog-semantics tests: the Spark snapshot compaction
+must agree with a direct Python model of the reference semantics
+(SURVEY §2.10 items 1-3 — compaction key, wildcard tombstones, seq
+tiebreak; ref PCollectionTools.java:42-66,
+LocalCachedPartitionedView.java:99-121,268-286,
+TimeBoundedVersionedCache.java:214) on arbitrary interleavings."""
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark import snapshot, to_changelog
+
+
+def ts(ms):
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+
+
+def base_of(attr: str) -> str:
+    return attr.split(".", 1)[0] + ".*" if "." in attr else attr
+
+
+def model_snapshot(elements, at_ms=None):
+    """Pure-python reference model of snapshot() semantics."""
+    if at_ms is not None:
+        elements = [e for e in elements if e["stamp"] <= at_ms]
+    winners = {}
+    for e in elements:
+        k = (e["key"], e["attribute"])
+        cur = winners.get(k)
+        if cur is None or (e["stamp"], e["seq"]) > (cur["stamp"], cur["seq"]):
+            winners[k] = e
+    tombs = {}
+    for e in elements:
+        if e["delete_wildcard"]:
+            k = (e["key"], base_of(e["attribute"]))
+            tombs[k] = max(tombs.get(k, -1), e["stamp"])
+    out = {}
+    for (key, attr), w in winners.items():
+        if w["delete"] or w["delete_wildcard"]:
+            continue
+        t = tombs.get((key, base_of(attr)))
+        if t is not None and w["stamp"] < t:
+            continue
+        out[(key, attr)] = (w["stamp"], w["value"])
+    return out
+
+
+# element generator: few keys/attributes so collisions/overwrites are common
+KEYS = ["k1", "k2"]
+ATTRS = ["status", "device.a", "device.b"]
+
+element_st = st.tuples(
+    st.sampled_from(KEYS),
+    st.sampled_from(ATTRS + ["device.*"]),  # device.* rows become tombstones
+    st.integers(min_value=0, max_value=5),  # stamp ms — ties are likely
+    st.sampled_from(["upsert", "delete"]),
+)
+
+
+def to_elements(raw):
+    out = []
+    for i, (key, attr, stamp, kind) in enumerate(raw):
+        is_tomb = attr == "device.*"
+        out.append(
+            {
+                "key": key,
+                "attribute": attr,
+                "stamp": stamp,
+                "seq": i,  # arrival order = unique tiebreak
+                "delete": kind == "delete" or is_tomb,
+                "delete_wildcard": is_tomb,
+                "value": None if kind == "delete" or is_tomb else f"v{i}",
+            }
+        )
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(element_st, min_size=1, max_size=25))
+def test_snapshot_matches_model(spark, raw):
+    elements = to_elements(raw)
+    df = spark.createDataFrame(
+        [
+            (
+                e["key"], e["attribute"], ts(e["stamp"]), e["seq"],
+                e["delete"], e["delete_wildcard"],
+                e["value"].encode() if e["value"] else None,
+            )
+            for e in elements
+        ],
+        "key string, attr string, stamp timestamp, seq long, "
+        "del boolean, delw boolean, val binary",
+    )
+    clog = to_changelog(
+        df, entity="e", key="key", attribute="attr", stamp="stamp",
+        seq_id="seq", delete="del", delete_wildcard="delw", value="val",
+    )
+    got = {
+        (r.key, r.attribute): (
+            int(r.stamp.timestamp() * 1000),
+            bytes(r.value).decode() if r.value is not None else None,
+        )
+        for r in snapshot(clog).collect()
+    }
+    assert got == model_snapshot(elements)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(element_st, min_size=1, max_size=15),
+    at_ms=st.integers(min_value=0, max_value=5),
+)
+def test_snapshot_time_travel_matches_model(spark, raw, at_ms):
+    elements = to_elements(raw)
+    df = spark.createDataFrame(
+        [
+            (
+                e["key"], e["attribute"], ts(e["stamp"]), e["seq"],
+                e["delete"], e["delete_wildcard"],
+                e["value"].encode() if e["value"] else None,
+            )
+            for e in elements
+        ],
+        "key string, attr string, stamp timestamp, seq long, "
+        "del boolean, delw boolean, val binary",
+    )
+    clog = to_changelog(
+        df, entity="e", key="key", attribute="attr", stamp="stamp",
+        seq_id="seq", delete="del", delete_wildcard="delw", value="val",
+    )
+    got = {
+        (r.key, r.attribute): (
+            int(r.stamp.timestamp() * 1000),
+            bytes(r.value).decode() if r.value is not None else None,
+        )
+        for r in snapshot(clog, at=F.lit(ts(at_ms))).collect()
+    }
+    assert got == model_snapshot(elements, at_ms=at_ms)
