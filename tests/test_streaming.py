@@ -447,3 +447,45 @@ class TestStreamingReduceValueState:
         got = [(r.v, r.total) for r in rows]
         # applied in event-time order (1, 2, 3) despite arrival (3, 1, 2)
         assert got[:3] == [(1, 1), (2, 3), (3, 6)]
+
+
+class TestWatermarkEstimators:
+    def test_bounded_out_of_orderness_drops_late(self, spark, tmp_path):
+        """0ms out-of-orderness (the reference default): rows older than the
+        max seen stamp drop from windowed aggregation state."""
+        from proxima_platform_spark.streaming.watermarks import BoundedOutOfOrderness
+
+        src = str(tmp_path / "wm_src")
+        ckpt = str(tmp_path / "wm_ckpt")
+        schema = "k string, ts timestamp, v double"
+
+        out = str(tmp_path / "wm_out")
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
+            wm = BoundedOutOfOrderness(0).apply(stream, "ts")
+            agg = wm.groupBy(F.window("ts", "1 second")).agg(F.sum("v").alias("total"))
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        # run 1 advances the checkpointed watermark to 10s
+        spark.createDataFrame([("a", ts(10_000), 1.0)], schema).coalesce(1).write.parquet(f"{src}/f0")
+        run()
+        # run 2 delivers a row 9.5s older than the watermark → dropped; the
+        # sentinel closes nothing new
+        spark.createDataFrame([("a", ts(500), 99.0)], schema).coalesce(1).write.parquet(f"{src}/f1")
+        run()
+        totals = {r.total for r in spark.read.parquet(out).collect()}
+        assert 99.0 not in totals  # the late row was dropped
+
+    def test_processing_time_stamps_arrival(self, spark):
+        from proxima_platform_spark.streaming.watermarks import ProcessingTime
+
+        df = spark.createDataFrame([("a",)], "k string")
+        out = ProcessingTime(stamp_arrival_as="arrived").apply(df)
+        assert "arrived" in out.columns
