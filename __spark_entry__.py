@@ -53,6 +53,7 @@ from proxima_platform_spark.functions.text import (
     token_count_bpe,
 )
 from proxima_platform_spark.operators import Stream
+from proxima_platform_spark.operators.asof import asof_join
 from proxima_platform_spark.operators.retract import retract_join_batch
 from proxima_platform_spark.sources import batch as batch_src
 
@@ -888,6 +889,56 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_asof_join_enrich(spark, sf):
+    """As-of join (extension; absent in reference — SURVEY §2.6): each
+    purchase enriched with the user's latest click value at-or-before it.
+    One shuffle + carry-forward window, no range cross-product; DuckDB's
+    native ASOF JOIN is the oracle."""
+    ev = _events(spark, sf)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("tstamp").alias("stamp"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("tstamp").alias("stamp"),
+        F.round("value", 2).alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, key="user_id", right_values=["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        _stamp_ms().alias("stamp_ms"),
+        F.col("right_click_value").alias("last_click_value"),
+    )
+
+
+SQL_ASOF_JOIN_ENRICH = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000 AS stamp_ms,
+       round(c.value, 2) AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_json_props_extract(spark, sf):
+    """JSON scheme surface (ref JsonSerializer.java:35-36 → schema-less
+    string + get_json_object): extract and aggregate a JSON field."""
+    ev = _events(spark, sf)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_total"))
+    )
+
+
+SQL_JSON_PROPS_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total
+FROM events GROUP BY 1
+"""
+
+
 # ===========================================================================
 # §2.7 set ops / ordering / limits
 # ===========================================================================
@@ -1674,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_three_way": q_join_three_way,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "asof_join_enrich": q_asof_join_enrich,
+        "json_props_extract": q_json_props_extract,
         # §2.7 set ops / ordering
         "union_names": q_union_names,
         "sorted_topk": q_sorted_topk,
@@ -1790,6 +1843,8 @@ def oracle_sql() -> dict[str, str]:
         "join_three_way": SQL_JOIN_THREE_WAY,
         "semi_join": SQL_SEMI_JOIN,
         "anti_join": SQL_ANTI_JOIN,
+        "asof_join_enrich": SQL_ASOF_JOIN_ENRICH,
+        "json_props_extract": SQL_JSON_PROPS_EXTRACT,
         "union_names": SQL_UNION_NAMES,
         "sorted_topk": SQL_SORTED_TOPK,
         "keyset_pagination": SQL_KEYSET_PAGINATION,
