@@ -1518,7 +1518,10 @@ def q_text_quality(spark, sf):
     )
 
 
-def _sql_text_quality() -> str:
+def _sql_scored_ctes() -> str:
+    """CTE chain ``base → scores → g → scored`` computing per-doc quality
+    (round 6) and lang_guess, mirroring functions/text.py. Shared by the
+    text_quality oracle and the composed training_pipeline oracle."""
     score_exprs, names = [], []
     for lang in sorted(LANG_MARKERS):
         parts = [
@@ -1531,15 +1534,14 @@ def _sql_text_quality() -> str:
     case = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
     )
-    return rf"""
-WITH base AS (
-    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+    return rf"""base AS (
+    SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p FROM documents
 ), scores AS (
-    SELECT doc_id, text, {', '.join(score_exprs)} FROM base
+    SELECT doc_id, source, text, {', '.join(score_exprs)} FROM base
 ), g AS (
-    SELECT doc_id, text, {greatest} AS g, * FROM scores
-)
-SELECT doc_id,
+    SELECT doc_id, source, text, {greatest} AS g, * FROM scores
+), scored AS (
+    SELECT doc_id, source, text,
        round(
          0.5 * (CASE WHEN length(text) > 0
                 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
@@ -1551,8 +1553,12 @@ SELECT doc_id,
                  THEN 1.0 ELSE 0.0 END)
        + 0.25 * least(length(text) / 200.0, 1.0), 6) AS quality,
        CASE WHEN g = 0 THEN 'und' {case} ELSE 'und' END AS lang_guess
-FROM g
-"""
+    FROM g
+)"""
+
+
+def _sql_text_quality() -> str:
+    return f"WITH {_sql_scored_ctes()}\nSELECT doc_id, quality, lang_guess FROM scored"
 
 
 def q_text_tokens_bpe(spark, sf):
@@ -1659,6 +1665,56 @@ def q_multimodal_features(spark, sf):
     return image_features(media).select("doc_id", "width", "height")
 
 
+def q_training_pipeline(spark, sf):
+    """End-to-end LLM training-data pipeline — the extension operators
+    composed the way a corpus-cleaning job chains them: quality + language
+    gate → exact dedup (keep lowest doc_id per normalized-text fingerprint)
+    → MinHash+LSH near-dup removal (drop the higher id of every candidate
+    pair) → per-source corpus stats.
+
+    Scale shape: the gate is a pure projection+filter (whole-stage codegen,
+    column-pruned scan); exact dedup is one hash aggregation (min_by);
+    near-dup candidates come from the explode→agg→bucket-join in
+    functions/dedup.py; the drop set is candidate ids only (tiny), so AQE
+    broadcasts the anti-join at any scale."""
+    docs = _load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_guess"),
+    )
+    gated = scored.where((F.col("quality") >= 0.8) & (F.col("lang_guess") == "en"))
+    kept = (
+        gated.withColumn("fp", exact_dup_key(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "text", "quality"), F.col("doc_id")
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    # kept feeds both the minhash candidate generation and the final
+    # anti-join; persist so the gate+dedup stages run once (the production
+    # shape at 100 TB checkpoints this intermediate corpus to storage)
+    kept = kept.persist()
+    drop_ids = (
+        minhash_candidate_pairs(kept, "doc_id", "text", n=3, num_hashes=8, bands=4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(drop_ids, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_bpe(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1758,14 +1814,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_quality_signals": q_text_quality_signals,
         "multimodal_features": q_multimodal_features,
+        "training_pipeline": q_training_pipeline,
     }
 
 
-def _sql_dedup_minhash() -> str:
-    """MinHash+LSH candidate pairs in DuckDB, mirroring functions/dedup.py:
-    base hash h = (60-bit int of md5(shingle)) % 2^30; sig[i] =
-    min((A[i]*h + B[i]) % P); band key b = md5(b || '|' || sig[2b] || '|' ||
-    sig[2b+1]); pairs share a band."""
+def _sql_minhash_ctes(src: str = "documents") -> str:
+    """CTE chain ``toks → sh → sig → banded`` computing MinHash+LSH band
+    keys over ``src``, mirroring functions/dedup.py: base hash h = (60-bit
+    int of md5(shingle)) % 2^30; sig[i] = min((A[i]*h + B[i]) % P); band key
+    b = md5(b || '|' || sig[2b] || '|' || sig[2b+1])."""
     from proxima_platform_spark.functions.dedup import (
         MINHASH_A, MINHASH_B, MINHASH_PRIME,
     )
@@ -1780,11 +1837,10 @@ def _sql_dedup_minhash() -> str:
         f"md5('{b}|' || sg[{2*b+1}]::VARCHAR || '|' || sg[{2*b+2}]::VARCHAR)"
         for b in range(4)
     )
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
     SELECT doc_id,
            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-    FROM documents
+    FROM {src}
 ), sh AS (
     SELECT doc_id,
            CASE WHEN len(t) >= 3
@@ -1797,9 +1853,42 @@ WITH toks AS (
     FROM sh WHERE len(shingles) > 0
 ), banded AS (
     SELECT doc_id, unnest([{band_items}]) AS band FROM sig
-)
+)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"""
+WITH {_sql_minhash_ctes("documents")}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_training_pipeline() -> str:
+    """Composed corpus-cleaning oracle: scored gate → exact-dedup keeper →
+    MinHash band join over the kept set → anti-join → per-source stats."""
+    pattern = BPE_PATTERN.replace("'", "''")
+    return rf"""
+WITH {_sql_scored_ctes()},
+gated AS (
+    SELECT * FROM scored WHERE quality >= 0.8 AND lang_guess = 'en'
+), exact AS (
+    SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM gated
+), kept AS (
+    SELECT doc_id, source, text, quality FROM exact
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), {_sql_minhash_ctes("kept")},
+drop_ids AS (
+    SELECT DISTINCT b.doc_id
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), survivors AS (
+    SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+)
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '{pattern}')))::BIGINT AS total_tokens,
+       round(sum(quality::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_quality
+FROM survivors GROUP BY source
 """
 
 
@@ -1868,5 +1957,6 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": _sql_text_tokens_bpe(),
         "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
         "text_quality_signals": _sql_text_quality_signals(),
+        "training_pipeline": _sql_training_pipeline(),
         # ann_lsh_topk, multimodal_features: no SQL oracle (rows-only check)
     }

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "ann_cosine_topk",
     "text_stats",
+    "training_pipeline",
 ]
 
 
