@@ -186,9 +186,17 @@ def minhash_candidate_pairs(
     tokenized = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    # a single small file scans as one partition — spread the md5 work
+    # a small file-backed input scans as fewer partitions than cores — spread
+    # the md5 work. inputFiles() is a plan-time no-op (vs .rdd conversion,
+    # ~1s of driver analysis); non-scan inputs ([], e.g. post-aggregation)
+    # are already spread by their shuffle, and repartitioning them would be
+    # a wasted full shuffle at scale.
     spark = docs.sparkSession
-    if tokenized.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    try:
+        n_src = len(tokenized.inputFiles())
+    except Exception:
+        n_src = 0
+    if 0 < n_src < spark.sparkContext.defaultParallelism:
         tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
     sh = tokenized.select(
         "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
