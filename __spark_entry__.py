@@ -1665,6 +1665,34 @@ def q_multimodal_features(spark, sf):
     return image_features(media).select("doc_id", "width", "height")
 
 
+def q_multimodal_frames(spark, sf):
+    """Video frame-sampling plumbing: binary payload + duration metadata →
+    mapInPandas frame rows (stubbed decode — functions/multimodal.py) →
+    per-doc frame stats. The Arrow batch pipeline is real; the frame count
+    is derivable from metadata, so this one IS oracle-checkable."""
+    from proxima_platform_spark.functions.multimodal import frame_sample
+
+    docs = _load(spark, sf, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample(media, every_ms=100)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id,
+       CAST(ceil(greatest(n_chars, 1) / 100.0) AS BIGINT) AS n_frames,
+       (CAST(ceil(greatest(n_chars, 1) / 100.0) AS BIGINT) - 1) * 100 AS last_frame_ms
+FROM documents
+"""
+
+
 def q_training_pipeline(spark, sf):
     """End-to-end LLM training-data pipeline — the extension operators
     composed the way a corpus-cleaning job chains them: quality + language
@@ -1814,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_quality_signals": q_text_quality_signals,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "training_pipeline": q_training_pipeline,
     }
 
@@ -1958,5 +1987,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
         "text_quality_signals": _sql_text_quality_signals(),
         "training_pipeline": _sql_training_pipeline(),
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         # ann_lsh_topk, multimodal_features: no SQL oracle (rows-only check)
     }

@@ -79,17 +79,25 @@ def main() -> None:
         lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long"
     ).count()
 
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # steady-state throughput: 1 untimed warmup (codegen + shuffle-file
+    # reuse), then median of 3 timed runs — single cold runs on this host
+    # vary ±40% from scheduling/JIT noise and measure constants, not the
+    # engine
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        run_once(name)
+        timings[name] = round(sorted(run_once(name) for _ in range(3))[1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline-suite wall time (changelog snapshot + windows + "
-        "stateful + joins + TPC-H-ish + LLM dedup/ANN) at sf%s" % sf,
+        "metric": "headline-suite wall time, median-of-3 warm runs per query "
+        "(changelog snapshot + windows + stateful + joins + TPC-H-ish + "
+        "LLM dedup/ANN) at sf%s" % sf,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
