@@ -115,3 +115,58 @@ def list_entities(
         df = df.where(F.col("key") > offset)
     df = df.orderBy("key")
     return df.limit(limit) if limit else df
+
+
+# -- time-partitioned bulk families -----------------------------------------
+
+
+def _bucket_of(t, roll_minutes: int) -> str:
+    """stamp_bucket value ("yyyyMMdd-HHmm", UTC) of the roll window
+    containing ``t`` — the string sorts lexicographically in time order, so
+    bucket bounds are valid partition predicates."""
+    from datetime import datetime, timezone
+
+    if isinstance(t, (int, float)):
+        t = datetime.fromtimestamp(t / 1000, tz=timezone.utc)
+    elif t.tzinfo is None:
+        t = t.replace(tzinfo=timezone.utc)
+    epoch_min = int(t.timestamp()) // 60
+    floored = (epoch_min // roll_minutes) * roll_minutes
+    return datetime.fromtimestamp(floored * 60, tz=timezone.utc).strftime(
+        "%Y%m%d-%H%M"
+    )
+
+
+def read_time_partitioned(
+    spark: SparkSession,
+    path: str,
+    *,
+    start=None,
+    end=None,
+    roll_minutes: int = 10,
+) -> DataFrame:
+    """Read a bulk time-partitioned family (the layout streaming.sink
+    ``write_bulk`` produces) with **directory-level pruning**.
+
+    The analog of ``BatchLogReader.getPartitions(startStamp, endStamp)``
+    (direct/core/.../batch/BatchLogReader.java:65) and the blob-store naming
+    convention listing (direct/io-bulkfs/.../NamingConvention.java): time
+    buckets outside [start, end) are pruned at the partition-directory level
+    (``PartitionFilters`` in the scan — at 100 TB this skips whole
+    directories, not rows), while the exact row bound still applies on
+    ``stamp``. ``roll_minutes`` must match the writer's ``roll_interval``.
+    """
+    df = spark.read.parquet(path)
+    if start is not None:
+        df = df.where(
+            (F.col("stamp_bucket") >= _bucket_of(start, roll_minutes))
+            & (F.col("stamp") >= F.lit(start))
+        )
+    if end is not None:
+        # end is exclusive on stamp, but its enclosing bucket may still hold
+        # earlier in-range rows — keep that bucket
+        df = df.where(
+            (F.col("stamp_bucket") <= _bucket_of(end, roll_minutes))
+            & (F.col("stamp") < F.lit(end))
+        )
+    return df

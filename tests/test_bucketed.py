@@ -114,6 +114,51 @@ class TestColocatedJoin:
             spark.sql(f"DROP TABLE IF EXISTS {right_name}")
 
 
+class TestTimePartitionedRead:
+    def test_partition_pruning_and_rows(self, spark, tmp_path):
+        """Time-range reads of a bulk family prune whole stamp_bucket
+        directories (BatchLogReader.getPartitions:65 analog) and still apply
+        the exact row bound on stamp."""
+        from proxima_platform_spark.sources.batch import read_time_partitioned
+
+        out = str(tmp_path / "bulk")
+        rows = [
+            element("k1", "status", 1 * 60_000, "a"),        # bucket 00:00
+            element("k2", "status", 12 * 60_000, "b"),       # bucket 00:10
+            element("k3", "status", 14 * 60_000, "c"),       # bucket 00:10
+            element("k4", "status", 25 * 60_000, "d"),       # bucket 00:20
+        ]
+        df = spark.createDataFrame(rows, CHANGELOG_SCHEMA).withColumn(
+            "stamp_bucket",
+            F.date_format(
+                F.window("stamp", "10 minutes").getField("start"), "yyyyMMdd-HHmm"
+            ),
+        )
+        df.write.partitionBy("stamp_bucket").parquet(out)
+
+        got = read_time_partitioned(
+            spark, out, start=ts(12 * 60_000), end=ts(25 * 60_000)
+        )
+        plan = physical_plan(got)
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and "stamp_bucket" in pf[0], plan
+        assert {r.key for r in got.collect()} == {"k2", "k3"}
+
+    def test_open_range_reads_all(self, spark, tmp_path):
+        from proxima_platform_spark.sources.batch import read_time_partitioned
+
+        out = str(tmp_path / "bulk2")
+        rows = [element("k1", "status", 0, "a"), element("k2", "status", 60_000, "b")]
+        df = spark.createDataFrame(rows, CHANGELOG_SCHEMA).withColumn(
+            "stamp_bucket",
+            F.date_format(
+                F.window("stamp", "10 minutes").getField("start"), "yyyyMMdd-HHmm"
+            ),
+        )
+        df.write.partitionBy("stamp_bucket").parquet(out)
+        assert read_time_partitioned(spark, out).count() == 2
+
+
 class TestWriterPartitioners:
     def _partition_map(self, df, expr, n):
         out = (
