@@ -1335,6 +1335,71 @@ GROUP BY 1
 # ===========================================================================
 
 
+def q_tpch_q4ish(spark, sf):
+    """Order-priority checking (TPC-H Q4 shape): EXISTS semi-join of orders
+    against late-shipped lineitems. The semi-join never materializes the
+    probe side — one shuffle, build side reduced to the join keys."""
+    orders = _load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _load(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_TPCH_Q4ISH = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14ish(spark, sf):
+    """Promotion effect (TPC-H Q14 shape): broadcast part dim, conditional
+    revenue ratio over one shipdate year."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    part = _load(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14ISH = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+                     ELSE 0 END)::DOUBLE
+         / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE,
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+"""
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup: md5-of-normalized-text grouping (hash-groupBy)."""
     docs = _load(spark, sf, "documents")
@@ -1827,6 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
         # LLM-pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1975,6 +2042,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "tpch_q4ish": SQL_TPCH_Q4ISH,
+        "tpch_q14ish": SQL_TPCH_Q14ISH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
