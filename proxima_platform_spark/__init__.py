@@ -29,6 +29,7 @@ from proxima_platform_spark.changelog import (
     CHANGELOG_SCHEMA,
     compact,
     snapshot,
+    snapshot_map,
     snapshot_wide,
     to_changelog,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "Stream",
     "compact",
     "snapshot",
+    "snapshot_map",
     "snapshot_wide",
     "to_changelog",
 ]

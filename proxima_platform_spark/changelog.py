@@ -200,3 +200,32 @@ def snapshot_wide(
         "attribute", values=attributes
     )
     return pivoted.agg(F.first("value"))
+
+
+def snapshot_map(snapshot_df: DataFrame, attribute_base: str) -> DataFrame:
+    """Snapshot of one wildcard attribute as ``key → map<suffix, value>``.
+
+    The MapType form of a wildcard attribute (SURVEY §1.1; reference models
+    it as an unbounded key→value map per entity key,
+    docs/src/content/book/datamodel.md:92-99). One hash aggregation per key;
+    suffixes sort within each map build for deterministic output. Map
+    cardinality is per-entity-key instance count — the same bound the
+    reference's random-access ``scanWildcard`` pages through.
+    """
+    prefix_len = len(attribute_base) - 1  # "a.*" → strip "a."
+    inst = snapshot_df.where(
+        (F.col("attribute_base") == attribute_base)
+        & (F.col("attribute") != attribute_base)
+    ).select(
+        "entity",
+        "key",
+        F.substring(F.col("attribute"), prefix_len + 1, 2_147_483_647).alias(
+            "suffix"
+        ),
+        "value",
+    )
+    return inst.groupBy("entity", "key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("suffix", "value")))
+        ).alias(attribute_base[:-2])
+    )

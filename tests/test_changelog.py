@@ -137,3 +137,39 @@ class TestToChangelog:
         df = spark.createDataFrame([("k1", "device.mobile", ts(1))], "k string, a string, t timestamp")
         out = to_changelog(df, entity="user", key="k", attribute="a", stamp="t")
         assert out.collect()[0].attribute_base == "device.*"
+
+
+class TestSnapshotMap:
+    """Wildcard attribute in MapType snapshot form (SURVEY §1.1:
+    datamodel.md:92-99 models a wildcard as an unbounded key→value map)."""
+
+    def fixture(self, spark):
+        rows = [
+            element("product", "book", "category.fiction", 1000, "f"),
+            element("product", "book", "category.scifi", 2000, "s"),
+            element("product", "book", "category.scifi", 3000, "s2"),  # upsert
+            element("product", "car", "category.auto", 1000, "a"),
+            element("product", "car", "category.auto", 2000, None, delete=True),
+            element("product", "car", "details", 1000, "ignored-scalar"),
+        ]
+        return make_changelog(spark, rows)
+
+    def test_map_form(self, spark):
+        from proxima_platform_spark.changelog import snapshot_map
+
+        snap = snapshot(self.fixture(spark))
+        got = {
+            r.key: {k: bytes(v).decode() for k, v in r.category.items()}
+            for r in snapshot_map(snap, "category.*").collect()
+        }
+        # book: latest per suffix; car: its only instance was deleted, and
+        # the scalar "details" attribute never leaks into the map
+        assert got == {"book": {"fiction": "f", "scifi": "s2"}}
+
+    def test_deterministic_entry_order(self, spark):
+        from proxima_platform_spark.changelog import snapshot_map
+
+        snap = snapshot(self.fixture(spark))
+        rows = snapshot_map(snap, "category.*").collect()
+        keys = [list(r.category.keys()) for r in rows]
+        assert all(k == sorted(k) for k in keys)
