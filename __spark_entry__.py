@@ -1730,6 +1730,9 @@ def q_multimodal_features(spark, sf):
     return image_features(media).select("doc_id", "width", "height")
 
 
+_PIPELINE_CACHE: list = []
+
+
 def q_multimodal_frames(spark, sf):
     """Video frame-sampling plumbing: binary payload + duration metadata →
     mapInPandas frame rows (stubbed decode — functions/multimodal.py) →
@@ -1789,8 +1792,13 @@ def q_training_pipeline(spark, sf):
     )
     # kept feeds both the minhash candidate generation and the final
     # anti-join; persist so the gate+dedup stages run once (the production
-    # shape at 100 TB checkpoints this intermediate corpus to storage)
+    # shape at 100 TB checkpoints this intermediate corpus to storage).
+    # Unpersist the previous invocation's cache — repeated builds (bench
+    # warmup+timed runs, oracle sweeps) must not pin storage memory
     kept = kept.persist()
+    while _PIPELINE_CACHE:
+        _PIPELINE_CACHE.pop().unpersist()
+    _PIPELINE_CACHE.append(kept)
     drop_ids = (
         minhash_candidate_pairs(kept, "doc_id", "text", n=3, num_hashes=8, bands=4)
         .select(F.col("id_b").alias("doc_id"))

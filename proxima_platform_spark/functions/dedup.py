@@ -166,6 +166,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    spread: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing ≥1 LSH band.
 
@@ -186,18 +187,25 @@ def minhash_candidate_pairs(
     tokenized = docs.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    # a small file-backed input scans as fewer partitions than cores — spread
-    # the md5 work. inputFiles() is a plan-time no-op (vs .rdd conversion,
-    # ~1s of driver analysis); non-scan inputs ([], e.g. post-aggregation)
-    # are already spread by their shuffle, and repartitioning them would be
-    # a wasted full shuffle at scale.
+    # ``spread`` controls pre-hash parallelism: None = auto (repartition when
+    # the input is file-backed with fewer files than cores), 0 = never, N =
+    # force repartition(N). The auto probe uses inputFiles() — a plan-time
+    # no-op (vs .rdd conversion, ~1s of driver analysis) — and leaves
+    # non-scan inputs alone (already spread by their shuffle; repartitioning
+    # them is a wasted full shuffle at scale). File *count* is only a proxy
+    # for scan partitions: a single splittable multi-GB file or many tiny
+    # coalesced files misdetect — pass ``spread`` explicitly in those
+    # layouts.
     spark = docs.sparkSession
-    try:
-        n_src = len(tokenized.inputFiles())
-    except Exception:
-        n_src = 0
-    if 0 < n_src < spark.sparkContext.defaultParallelism:
-        tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
+    if spread is None:
+        try:
+            n_src = len(tokenized.inputFiles())
+        except Exception:
+            n_src = 0
+        if 0 < n_src < spark.sparkContext.defaultParallelism:
+            tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
+    elif spread:
+        tokenized = tokenized.repartition(spread)
     sh = tokenized.select(
         "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
     ).select("id", shingle_hash(F.col("shingle")).alias("h"))

@@ -120,21 +120,35 @@ def list_entities(
 # -- time-partitioned bulk families -----------------------------------------
 
 
-def _bucket_of(t, roll_minutes: int) -> str:
-    """stamp_bucket value ("yyyyMMdd-HHmm", UTC) of the roll window
-    containing ``t`` — the string sorts lexicographically in time order, so
-    bucket bounds are valid partition predicates."""
+def _as_datetime(t):
+    """Accept datetime (naive = UTC) or epoch **milliseconds**."""
     from datetime import datetime, timezone
 
     if isinstance(t, (int, float)):
-        t = datetime.fromtimestamp(t / 1000, tz=timezone.utc)
-    elif t.tzinfo is None:
-        t = t.replace(tzinfo=timezone.utc)
+        return datetime.fromtimestamp(t / 1000, tz=timezone.utc)
+    if t.tzinfo is None:
+        return t.replace(tzinfo=timezone.utc)
+    return t
+
+
+def _bucket_of(t, roll_minutes: int, tz_name: str) -> str:
+    """stamp_bucket value ("yyyyMMdd-HHmm") of the roll window containing
+    ``t``, rendered in the same timezone the writer's ``date_format`` used
+    (the Spark session timezone) so bounds compare against the directory
+    names the writer actually produced."""
+    from datetime import datetime, timezone
+
+    t = _as_datetime(t)
     epoch_min = int(t.timestamp()) // 60
     floored = (epoch_min // roll_minutes) * roll_minutes
-    return datetime.fromtimestamp(floored * 60, tz=timezone.utc).strftime(
-        "%Y%m%d-%H%M"
-    )
+    floored_dt = datetime.fromtimestamp(floored * 60, tz=timezone.utc)
+    try:
+        from zoneinfo import ZoneInfo
+
+        floored_dt = floored_dt.astimezone(ZoneInfo(tz_name))
+    except Exception:
+        pass  # unknown tz spelling: fall back to UTC rendering
+    return floored_dt.strftime("%Y%m%d-%H%M")
 
 
 def read_time_partitioned(
@@ -155,18 +169,28 @@ def read_time_partitioned(
     (``PartitionFilters`` in the scan — at 100 TB this skips whole
     directories, not rows), while the exact row bound still applies on
     ``stamp``. ``roll_minutes`` must match the writer's ``roll_interval``.
+
+    ``start``/``end`` accept datetimes (naive = UTC) or epoch milliseconds.
+    Bucket strings are rendered in the session timezone — the same one the
+    writer's ``date_format`` used. Caveat: in a DST-observing session
+    timezone the local-time bucket names are not strictly monotonic across
+    a fall-back transition; run bulk families under a UTC session (the
+    default everywhere in this engine) for exact pruning year-round.
     """
     df = spark.read.parquet(path)
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
     if start is not None:
+        start = _as_datetime(start)
         df = df.where(
-            (F.col("stamp_bucket") >= _bucket_of(start, roll_minutes))
+            (F.col("stamp_bucket") >= _bucket_of(start, roll_minutes, tz_name))
             & (F.col("stamp") >= F.lit(start))
         )
     if end is not None:
         # end is exclusive on stamp, but its enclosing bucket may still hold
         # earlier in-range rows — keep that bucket
+        end = _as_datetime(end)
         df = df.where(
-            (F.col("stamp_bucket") <= _bucket_of(end, roll_minutes))
+            (F.col("stamp_bucket") <= _bucket_of(end, roll_minutes, tz_name))
             & (F.col("stamp") < F.lit(end))
         )
     return df

@@ -60,18 +60,26 @@ def key_attribute_partitioner() -> Column:
     return F.struct(F.col("key"), F.col("attribute"))
 
 
-def first_partition_partitioner() -> Column:
-    """Single-partition routing
+#: sentinel for first-partition routing — ``repartition(n, lit(0))`` would
+#: land everything in partition ``pmod(hash(0), n)``, an arbitrary index;
+#: the reference contract is literally partition 0
+FIRST_PARTITION = object()
+
+
+def first_partition_partitioner():
+    """Single-partition routing: everything to partition index 0
     (reference: FirstPartitionPartitioner.java)."""
-    return F.lit(0)
+    return FIRST_PARTITION
 
 
 def apply_partitioner(
-    df: DataFrame, partitioner: Column, num_partitions: int
+    df: DataFrame, partitioner, num_partitions: int
 ) -> DataFrame:
     """Redistribute a changelog the way the reference's writer would
     (reference: Partitioner.java:30-36 — same partition id ⇒ same physical
     partition). In-flight analog of the durable bucketing below."""
+    if partitioner is FIRST_PARTITION:
+        return df.repartition(1)  # exactly one partition, index 0
     return df.repartition(num_partitions, partitioner)
 
 

@@ -31,3 +31,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+# -- shared changelog fixture builders (canonical copies; older test files
+# still carry local variants — migrate opportunistically) --------------------
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Row
+
+
+def changelog_ts(ms: int) -> datetime:
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+
+
+def changelog_element(
+    entity, key, attribute, stamp_ms,
+    value=None, delete=False, delete_wildcard=False, seq_id=None,
+):
+    """One canonical-changelog Row (the StreamElement analog)."""
+    base = attribute.split(".", 1)[0] + ".*" if "." in attribute else attribute
+    return Row(
+        entity=entity,
+        key=key,
+        attribute=attribute,
+        attribute_base=base,
+        seq_id=seq_id,
+        uuid=None,
+        stamp=changelog_ts(stamp_ms),
+        delete=delete or delete_wildcard,
+        delete_wildcard=delete_wildcard,
+        value=value.encode() if isinstance(value, str) else value,
+    )

@@ -7,11 +7,11 @@ core/.../storage/commitlog/Partitioner.java:30-36)."""
 
 import uuid as uuidlib
 
-from datetime import datetime, timezone
-
 import pytest
 
-from pyspark.sql import Row, functions as F
+from conftest import changelog_element, changelog_ts as ts
+
+from pyspark.sql import functions as F
 
 from proxima_platform_spark.changelog import CHANGELOG_SCHEMA, compact
 from proxima_platform_spark.plans import count_exchanges, physical_plan
@@ -27,24 +27,8 @@ from proxima_platform_spark.sources.bucketed import (
 )
 
 
-def ts(ms: int) -> datetime:
-    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
-
-
-def element(key, attribute, stamp_ms, value=None, delete=False, delete_wildcard=False, seq_id=None):
-    base = attribute.split(".", 1)[0] + ".*" if "." in attribute else attribute
-    return Row(
-        entity="device",
-        key=key,
-        attribute=attribute,
-        attribute_base=base,
-        seq_id=seq_id,
-        uuid=None,
-        stamp=ts(stamp_ms),
-        delete=delete or delete_wildcard,
-        delete_wildcard=delete_wildcard,
-        value=value.encode() if isinstance(value, str) else value,
-    )
+def element(key, attribute, stamp_ms, value=None, **kw):
+    return changelog_element("device", key, attribute, stamp_ms, value=value, **kw)
 
 
 @pytest.fixture()
