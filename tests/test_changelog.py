@@ -20,24 +20,7 @@ def ts(ms: int) -> datetime:
     return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
 
 
-def element(
-    entity, key, attribute, stamp_ms, value=None, delete=False, delete_wildcard=False, seq_id=None
-):
-    base = (
-        attribute.split(".", 1)[0] + ".*" if "." in attribute else attribute
-    )
-    return Row(
-        entity=entity,
-        key=key,
-        attribute=attribute,
-        attribute_base=base,
-        seq_id=seq_id,
-        uuid=None,
-        stamp=ts(stamp_ms),
-        delete=delete or delete_wildcard,
-        delete_wildcard=delete_wildcard,
-        value=value.encode() if isinstance(value, str) else value,
-    )
+from conftest import changelog_element as element
 
 
 def make_changelog(spark, rows):
