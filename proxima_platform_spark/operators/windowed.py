@@ -316,6 +316,25 @@ class WindowedStream:
         right_key: Column | str,
         how: str,
     ) -> DataFrame:
+        if isinstance(other, WindowedStream):
+            # the reference refuses to join streams with different windowing
+            # (BeamWindowedStream.java:512-526); compare the window *function*
+            # (kind/duration/slide/gap/resolution), not per-stream columns
+            def fn(wd: Windowing):
+                return replace(
+                    wd,
+                    time_column=None,
+                    key_column=None,
+                    early_emitting_ms=None,
+                    allowed_lateness_ms=None,
+                )
+
+            if fn(other.windowing) != fn(self.windowing):
+                raise ValueError(
+                    "cannot join streams with incompatible windowing: "
+                    f"{self.windowing.kind} vs {other.windowing.kind} "
+                    "(BeamWindowedStream.java:512-526 parity)"
+                )
         right_df = other.df if isinstance(other, WindowedStream) else other
         w = self.windowing.window_expr()
         lcols = [F.col(c).alias(f"l_{c}") for c in self.df.columns]

@@ -102,10 +102,12 @@ class DataOperator:
             else ("updates", None)
         )
         if path == "snapshot":
-            df = self._read_family(fams[0])
-            for fam in fams[1:]:
-                if fam.name != fams[0].name:
-                    df = df.unionByName(self._read_family(fam))
+            # dedupe the whole plan (snapshot_plan may map several attributes
+            # onto the same family anywhere in the list, not just fams[0])
+            uniq = list({fam.name: fam for fam in fams}.values())
+            df = self._read_family(uniq[0])
+            for fam in uniq[1:]:
+                df = df.unionByName(self._read_family(fam))
             if attrs is not None:
                 df = df.where(F.col("attribute_base").isin(attrs))
             return df

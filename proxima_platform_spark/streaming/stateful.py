@@ -36,7 +36,6 @@ def reduce_value_state_by_key_stream(
     state_fn: Callable[[Any, Any, pd.Series], tuple[Any, Any]],
     initial_state: Any,
     output_schema: str,
-    state_schema: str = "state string",
     sorted: bool = True,
     watermark_delay: str = "10 seconds",
 ) -> DataFrame:
@@ -72,7 +71,15 @@ def reduce_value_state_by_key_stream(
                 stamp_ms = int(pd.Timestamp(row[stamp]).value // 1_000_000)
                 if sorted and wm_ms > 0 and stamp_ms < wm_ms:
                     continue  # latecomer beyond bound: drop
-                buffered.append((stamp_ms, row))
+                # normalize before buffering so a row flushed from persisted
+                # state is byte-identical to one flushed in its arrival batch
+                # (stamp carried as epoch ms, reconstructed below)
+                buffered.append((stamp_ms, {**row, stamp: stamp_ms}))
+
+        def apply(st, row):
+            return state_fn(
+                st, key_tuple[0], {**row, stamp: pd.Timestamp(row[stamp], unit="ms")}
+            )
 
         outputs = []
         if sorted:
@@ -81,13 +88,13 @@ def reduce_value_state_by_key_stream(
             for stamp_ms, row in buffered:
                 (flush if stamp_ms <= wm_ms else hold).append((stamp_ms, row))
             for _, row in flush:
-                st, out = state_fn(st, key_tuple[0], row)
+                st, out = apply(st, row)
                 if out is not None:
                     outputs.append(out)
             buffered = hold
         else:
             for _, row in buffered:
-                st, out = state_fn(st, key_tuple[0], row)
+                st, out = apply(st, row)
                 if out is not None:
                     outputs.append(out)
             buffered = []
@@ -130,7 +137,7 @@ def integrate_per_key_stream(
         stamp=stamp,
         state_fn=integrate,
         initial_state=initial,
-        output_schema=f"key string, {stamp} string, integrated double",
+        output_schema=f"key string, {stamp} timestamp, integrated double",
         watermark_delay=watermark_delay,
     )
 

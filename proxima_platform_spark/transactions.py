@@ -121,6 +121,12 @@ class TransactionManager:
         self._ledger_seq = 0  # seq of the newest committed txn
         # last committed seq per exact (entity, key, attribute)
         self._last_committed: dict[tuple[str, str, str], int] = {}
+        # last committed seq per wildcard write prefix (entity, key, "prefix.")
+        # — the reference's updatesToWildcard bookkeeping
+        # (TransactionLogObserver.java:179): a wildcard write (delete_wildcard
+        # or an output on "prefix.*") conflicts with later exact reads of any
+        # attribute under that prefix
+        self._wildcard_committed: dict[tuple[str, str, str], int] = {}
         self._transactions: dict[str, Transaction] = {}
         self._log: list[tuple] = []  # committed changelog rows (driver-side log)
 
@@ -165,6 +171,13 @@ class TransactionManager:
                 )
             )
             self._last_committed[(out.entity, out.key, out.attribute)] = seq
+            if out.attribute.endswith(".*") or out.delete_wildcard:
+                prefix = (
+                    out.attribute[:-1]
+                    if out.attribute.endswith(".*")
+                    else out.attribute
+                )
+                self._wildcard_committed[(out.entity, out.key, prefix)] = seq
         self._ledger_seq = seq
         txn.state = TransactionState.COMMITTED
         txn.commit_seq = seq
@@ -189,7 +202,15 @@ class TransactionManager:
                 for (e, k, a), seq in self._last_committed.items()
             )
         last = self._last_committed.get((ka.entity, ka.key, ka.attribute))
-        return last is not None and last > after_seq
+        if last is not None and last > after_seq:
+            return True
+        # an exact read also conflicts with a later *wildcard* write whose
+        # prefix covers it (updatesToWildcard mirror)
+        return any(
+            seq > after_seq
+            for (e, k, p), seq in self._wildcard_committed.items()
+            if (e, k) == (ka.entity, ka.key) and ka.attribute.startswith(p)
+        )
 
     # -- log access ---------------------------------------------------------
 

@@ -64,6 +64,68 @@ class TestRepository:
         path, fams = repo.snapshot_plan("user", ["status"])
         assert path == "updates" and fams[0].name == "user-log"
 
+    def test_snapshot_plan_dedupes_repeated_family(self, spark):
+        """Two attributes served by the same non-first snapshot family must
+        not union that family's rows twice (BeamDataOperator caches identical
+        reads, getOrCreatePCollection:74-116)."""
+        from proxima_platform_spark.changelog import CHANGELOG_SCHEMA
+
+        cfg = {
+            "entities": {
+                "user": {
+                    "attributes": {
+                        "a": {"scheme": "string"},
+                        "b": {"scheme": "string"},
+                        "c": {"scheme": "string"},
+                    }
+                }
+            },
+            "attributeFamilies": {
+                "snap-a": {
+                    "entity": "user",
+                    "attributes": ["a"],
+                    "storage": "inmem://snap-a",
+                    "type": "replica",
+                    "access": ["batch-snapshot", "batch-updates"],
+                },
+                "snap-bc": {
+                    "entity": "user",
+                    "attributes": ["b", "c"],
+                    "storage": "inmem://snap-bc",
+                    "type": "replica",
+                    "access": ["batch-snapshot", "batch-updates"],
+                },
+            },
+        }
+        repo = Repository.of(cfg)
+        path, fams = repo.snapshot_plan("user", ["a", "b", "c"])
+        assert path == "snapshot" and [f.name for f in fams] == [
+            "snap-a",
+            "snap-bc",
+            "snap-bc",
+        ]
+        op = DataOperator(repo, spark)
+
+        import datetime
+
+        def elem(key, attribute, value):
+            return (
+                "user", key, attribute, attribute, 1, f"u-{key}-{attribute}",
+                datetime.datetime(2024, 1, 1), False, False, value,
+            )
+
+        op.register_inmem(
+            "snap-a", spark.createDataFrame([elem("k1", "a", b"x")], CHANGELOG_SCHEMA)
+        )
+        op.register_inmem(
+            "snap-bc",
+            spark.createDataFrame(
+                [elem("k1", "b", b"y"), elem("k1", "c", b"z")], CHANGELOG_SCHEMA
+            ),
+        )
+        snap = op.batch_snapshot("user", ["a", "b", "c"])
+        assert snap.count() == 3  # was 5 before dedupe (snap-bc unioned twice)
+
     def test_missing_access_raises(self):
         repo = Repository.of(config())
         with pytest.raises(LookupError):

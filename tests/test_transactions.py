@@ -59,6 +59,29 @@ class TestConflictDetection:
         assert mgr.commit(t2, [up("k2", "device.a")]) is TransactionState.COMMITTED
         assert mgr.commit(t1, [up("k1", "summary")]) is TransactionState.COMMITTED
 
+    def test_wildcard_write_conflicts_exact_read(self, spark):
+        """A wildcard *write* (delete_wildcard on device.*) conflicts with a
+        concurrent exact read of device.x under the prefix — the other
+        direction of updatesToWildcard (TransactionLogObserver.java:179)."""
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "device.x")])
+        t2 = mgr.begin([])
+        assert (
+            mgr.commit(t2, [up("k1", "device.*", value=None, delete_wildcard=True)])
+            is TransactionState.COMMITTED
+        )
+        assert mgr.commit(t1, [up("k1", "summary")]) is TransactionState.ABORTED
+
+    def test_wildcard_write_other_prefix_no_conflict(self, spark):
+        mgr = TransactionManager(spark)
+        t1 = mgr.begin([ka("k1", "gps.x")])
+        t2 = mgr.begin([])
+        assert (
+            mgr.commit(t2, [up("k1", "device.*", value=None, delete_wildcard=True)])
+            is TransactionState.COMMITTED
+        )
+        assert mgr.commit(t1, [up("k1", "summary")]) is TransactionState.COMMITTED
+
     def test_duplicate_commit(self, spark):
         mgr = TransactionManager(spark)
         t1 = mgr.begin([ka("k1", "balance")])

@@ -41,6 +41,36 @@ class TestJoin:
         assert pairs == {(2, None)}
 
 
+class TestJoinWindowingCompatibility:
+    def test_mismatched_windowing_raises(self, spark):
+        """The reference throws on joining differently-windowed streams
+        (BeamWindowedStream.java:512-526); we must not silently equi-join
+        unequal window values."""
+        from proxima_platform_spark.operators.windowed import WindowedStream, Windowing
+
+        df = scalar_stream(spark, [1, 2]).df.withColumn(
+            "ts", F.timestamp_millis(F.col("value") * 1000)
+        )
+        tumbling = WindowedStream(df, Windowing.tumbling("ts", 1000), "ts")
+        sliding = WindowedStream(df, Windowing.sliding("ts", 2000, 1000), "ts")
+        glob = WindowedStream(df, Windowing.global_(), None)
+        with pytest.raises(ValueError, match="incompatible windowing"):
+            tumbling.join(sliding, F.col("value"), F.col("value"))
+        with pytest.raises(ValueError, match="incompatible windowing"):
+            glob.join(tumbling, F.col("value"), F.col("value"))
+
+    def test_same_windowing_different_column_joins(self, spark):
+        from proxima_platform_spark.operators.windowed import WindowedStream, Windowing
+
+        df = scalar_stream(spark, [1, 2]).df.withColumn(
+            "ts", F.timestamp_millis(F.col("value") * 1000)
+        )
+        a = WindowedStream(df, Windowing.tumbling("ts", 60_000), "ts")
+        b = WindowedStream(df, Windowing.tumbling("ts", 60_000), "ts")
+        out = a.join(b, F.col("value"), F.col("value"))
+        assert out.count() == 2
+
+
 class TestAggregations:
     def test_sum_by_key(self, spark):
         """sumByKey x%2 over [4,3,2,1] → {(0,6.0),(1,4.0)} (:246-258)."""
