@@ -15,12 +15,13 @@ Two Spark forms, per SURVEY §4 item 2:
     history replays through an Arrow-batched ``applyInPandas`` state machine
     emitting +/− rows. Per-key history must fit a worker — the same bound the
     reference's per-key state imposes on Beam.
-  * ``RetractJoinMaintainer`` — micro-batch incremental form for streams:
-    maintains latest-value tables for both sides in ``foreachBatch`` and
-    emits the diff (adds + retracts) of the materialized join between
-    consecutive batches — the Delta-CDF recompute strategy, dependency-free.
+  * ``retract_join_stream`` — the streaming form: the same replay state
+    machine, but the per-key (left-latest, right-latest) pair lives in the
+    Spark state store via ``applyInPandasWithState`` — state is partitioned
+    across executors exactly like the reference keeps keyed state on Beam
+    workers (RetractJoin.java:57-363); nothing accumulates on the driver.
 
-Output schema (both forms):
+Output schema (both forms — unionByName-compatible):
   key string, left_value string, right_value string,
   stamp timestamp, is_addition boolean
 """
@@ -32,6 +33,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RETRACT_SCHEMA = (
     "key string, left_value string, right_value string, "
@@ -57,6 +59,43 @@ def _normalize_side(df: DataFrame, key, value, stamp, delete, seq, side: str) ->
         F.lit(side).alias("side"),
     ]
     return df.select(*cols)
+
+
+def _replay_rows(state: dict, key: str, rows: list[dict]) -> list[dict]:
+    """Advance the per-key join state machine over ``rows`` (already in
+    (stamp, seq) order), mutating ``state`` ({"L": latest, "R": latest}) and
+    returning emitted retract-stream rows — the exact step semantics of
+    RetractJoin.java:57-363: an update retracts the previously-joined output
+    and adds the new one; a delete retracts without adding."""
+    out: list[dict] = []
+
+    def emit(lv, rv, stamp, add):
+        out.append(
+            {
+                "key": key,
+                "left_value": lv,
+                "right_value": rv,
+                "stamp": stamp,
+                "is_addition": add,
+            }
+        )
+
+    for row in rows:
+        side, other = row["side"], ("R" if row["side"] == "L" else "L")
+        old, counterpart = state[side], state[other]
+        new = None if row["delete"] else row["value"]
+        if counterpart is not None:
+            pair = lambda mine: (
+                (mine, counterpart) if side == "L" else (counterpart, mine)
+            )
+            if old is not None:
+                lv, rv = pair(old)
+                emit(lv, rv, row["stamp"], False)  # retract previous join
+            if new is not None:
+                lv, rv = pair(new)
+                emit(lv, rv, row["stamp"], True)
+        state[side] = new
+    return out
 
 
 def retract_join_batch(
@@ -89,35 +128,9 @@ def retract_join_batch(
 
     def replay(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["stamp", "seq"], kind="mergesort")
-        state = {"L": None, "R": None}
-        out: list[dict] = []
-
-        def emit(lv, rv, stamp, add):
-            out.append(
-                {
-                    "key": key_tuple[0],
-                    "left_value": lv,
-                    "right_value": rv,
-                    "stamp": stamp,
-                    "is_addition": add,
-                }
-            )
-
-        for row in pdf.to_dict("records"):
-            side, other = row["side"], ("R" if row["side"] == "L" else "L")
-            old, counterpart = state[side], state[other]
-            new = None if row["delete"] else row["value"]
-            if counterpart is not None:
-                pair = lambda mine: (
-                    (mine, counterpart) if side == "L" else (counterpart, mine)
-                )
-                if old is not None:
-                    lv, rv = pair(old)
-                    emit(lv, rv, row["stamp"], False)  # retract previous join
-                if new is not None:
-                    lv, rv = pair(new)
-                    emit(lv, rv, row["stamp"], True)
-            state[side] = new
+        out = _replay_rows(
+            {"L": None, "R": None}, key_tuple[0], pdf.to_dict("records")
+        )
         return pd.DataFrame(
             out, columns=["key", "left_value", "right_value", "stamp", "is_addition"]
         )
@@ -132,86 +145,72 @@ def retract_join_batch(
     )
 
 
-class RetractJoinMaintainer:
-    """Micro-batch incremental retract join for streams (foreachBatch form).
+def retract_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str | Column,
+    right_key: str | Column,
+    left_value: str | Column,
+    right_value: str | Column,
+    left_stamp: str | Column = "stamp",
+    right_stamp: str | Column = "stamp",
+    left_delete: str | Column | None = None,
+    right_delete: str | Column | None = None,
+    left_seq: str | Column | None = None,
+    right_seq: str | Column | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming retract join with *distributed* keyed state.
 
-    Keeps the latest live value per key for both sides; after applying each
-    micro-batch, the change in the materialized inner join is emitted as
-    adds/retracts. Coarser timing than the per-element replay (retraction
-    stamps collapse to the batch watermark) — the documented semantic delta
-    of the micro-batch strategy; the per-element form is
-    :func:`retract_join_batch`.
+    The same replay state machine as :func:`retract_join_batch`, but the
+    per-key (left-latest, right-latest) pair lives in Spark's state store
+    (``applyInPandasWithState``), hash-partitioned on the join key across
+    executors — the reference keeps this state on Beam workers
+    (RetractJoin.java:57-363); at 100 TB of keyed state nothing accumulates
+    on the driver, and micro-batch work scales with batch size.
+
+    Within a micro-batch, rows apply in (stamp, seq) order; across batches
+    the state carries over, so feeding time-ordered batches reproduces the
+    batch replay exactly (asserted in tests). Rows older than the event-time
+    watermark are dropped by the engine before reaching the state function.
     """
+    merged = _normalize_side(
+        left, left_key, left_value, left_stamp, left_delete, left_seq, "L"
+    ).unionByName(
+        _normalize_side(
+            right, right_key, right_value, right_stamp, right_delete, right_seq, "R"
+        )
+    ).withWatermark("stamp", watermark_delay)
 
-    def __init__(self, spark) -> None:
-        self.spark = spark
-        self._left: pd.DataFrame | None = None  # driver-side latest tables
-        self._right: pd.DataFrame | None = None
-        self._joined: pd.DataFrame | None = None
-        self.emitted: list[pd.DataFrame] = []
+    def process(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
 
-    @staticmethod
-    def _apply(cur: pd.DataFrame | None, batch: pd.DataFrame) -> pd.DataFrame:
-        if cur is not None:
-            batch = pd.concat([cur.assign(delete=False), batch], ignore_index=True)
-        allrows = batch.sort_values("stamp", kind="mergesort")
-        allrows["delete"] = allrows["delete"].fillna(False).astype(bool)
-        latest = allrows.groupby("key", as_index=False).last()
-        return latest[~latest["delete"]][["key", "value", "stamp"]]
+        st = {"L": None, "R": None}
+        if state.exists:
+            packed = state.get
+            if packed[0] is not None:
+                st = json.loads(packed[0])
 
-    def update(
-        self, left_batch: pd.DataFrame | None, right_batch: pd.DataFrame | None
-    ) -> pd.DataFrame:
-        """Apply one micro-batch per side (either may be None/empty); returns
-        the emitted retract-stream rows."""
-        if left_batch is not None and len(left_batch):
-            self._left = self._apply(self._left, left_batch)
-        if right_batch is not None and len(right_batch):
-            self._right = self._apply(self._right, right_batch)
-
-        if self._left is None or self._right is None:
-            new_join = pd.DataFrame(columns=["key", "left_value", "right_value", "stamp"])
-        else:
-            j = self._left.merge(self._right, on="key", suffixes=("_l", "_r"))
-            new_join = pd.DataFrame(
-                {
-                    "key": j["key"],
-                    "left_value": j["value_l"],
-                    "right_value": j["value_r"],
-                    "stamp": j[["stamp_l", "stamp_r"]].max(axis=1),
-                }
+        rows: list[dict] = []
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                rows.append({**row, "stamp": pd.Timestamp(row["stamp"])})
+        rows.sort(key=lambda r: (r["stamp"].value, r["seq"]))
+        out = _replay_rows(st, key_tuple[0], rows)
+        state.update((json.dumps(st),))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "left_value", "right_value", "stamp", "is_addition"],
             )
 
-        old = (
-            self._joined
-            if self._joined is not None
-            else pd.DataFrame(columns=["key", "left_value", "right_value", "stamp"])
-        )
-        on = ["key", "left_value", "right_value"]
-        merged = old.merge(new_join, on=on, how="outer", indicator=True, suffixes=("_old", "_new"))
-        retracts = merged[merged["_merge"] == "left_only"]
-        adds = merged[merged["_merge"] == "right_only"]
-        out = pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        "key": retracts["key"],
-                        "left_value": retracts["left_value"],
-                        "right_value": retracts["right_value"],
-                        "is_addition": False,
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "key": adds["key"],
-                        "left_value": adds["left_value"],
-                        "right_value": adds["right_value"],
-                        "is_addition": True,
-                    }
-                ),
-            ],
-            ignore_index=True,
-        )
-        self._joined = new_join
-        self.emitted.append(out)
-        return out
+    return merged.groupBy("key").applyInPandasWithState(
+        process,
+        outputStructType=RETRACT_SCHEMA,
+        stateStructType="state string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -8,8 +8,8 @@ import pandas as pd
 import pytest
 
 from proxima_platform_spark.operators.retract import (
-    RetractJoinMaintainer,
     retract_join_batch,
+    retract_join_stream,
 )
 
 
@@ -88,24 +88,93 @@ class TestRetractJoinBatch:
         ]
 
 
-class TestRetractJoinMaintainer:
-    def pdf(self, rows):
-        return pd.DataFrame(rows, columns=["key", "value", "stamp", "delete"])
+class TestRetractJoinStream:
+    """Distributed streaming form: per-key (L, R) latest state lives in the
+    Spark state store (applyInPandasWithState), not on the driver — parity
+    with the reference's worker-kept keyed state (RetractJoin.java:57-363)."""
 
-    def test_incremental_diffs(self, spark):
-        m = RetractJoinMaintainer(spark)
-        out1 = m.update(self.pdf([("a", "v1", 1000, False)]), self.pdf([("a", "w1", 1000, False)]))
-        assert [(r.key, r.left_value, r.right_value, r.is_addition) for r in out1.itertuples()] == [
-            ("a", "v1", "w1", True)
-        ]
-        # left updates → retract old pair, add new
-        out2 = m.update(self.pdf([("a", "v2", 2000, False)]), None)
-        got = sorted(
-            (r.left_value, r.right_value, r.is_addition) for r in out2.itertuples()
+    SCHEMA = "key string, value string, stamp timestamp, delete boolean"
+
+    def test_stream_matches_batch_replay(self, spark, tmp_path):
+        """≥2 time-ordered micro-batches through the streaming form produce
+        exactly the adds/retracts of the batch per-element replay."""
+        l_rows_b1 = [("a", "v1", ts(1000), False)]
+        r_rows_b1 = [("a", "w1", ts(2000), False)]
+        l_rows_b2 = [("a", "v2", ts(3000), False), ("a", None, ts(5000), True)]
+        r_rows_b2 = [("a", "w2", ts(4000), False)]
+
+        l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+        for src, batches in ((l_src, (l_rows_b1, l_rows_b2)), (r_src, (r_rows_b1, r_rows_b2))):
+            for i, rows in enumerate(batches):
+                spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.parquet(
+                    f"{src}/f{i}"
+                )
+
+        def file_stream(src):
+            return (
+                spark.readStream.schema(self.SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/f*")
+            )
+
+        out = retract_join_stream(
+            file_stream(l_src), file_stream(r_src),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
         )
-        assert got == [("v1", "w1", False), ("v2", "w1", True)]
-        # right deletes → retract only
-        out3 = m.update(None, self.pdf([("a", None, 3000, True)]))
-        assert [(r.left_value, r.right_value, r.is_addition) for r in out3.itertuples()] == [
-            ("v2", "w1", False)
+        q = (
+            out.writeStream.format("memory").queryName("retract_stream_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        batches_with_rows = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        assert batches_with_rows >= 2, "must exercise cross-batch state carry-over"
+
+        got = spark.sql(
+            "SELECT key, left_value, right_value, stamp, is_addition "
+            "FROM retract_stream_out"
+        )
+        expect = retract_join_batch(
+            changelog(spark, l_rows_b1 + l_rows_b2),
+            changelog(spark, r_rows_b1 + r_rows_b2),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
+        )
+
+        def canon(df):
+            return sorted(
+                (r.key, r.left_value, r.right_value, r.stamp, r.is_addition)
+                for r in df.collect()
+            )
+
+        assert canon(got) == canon(expect)
+        assert got.count() == 6
+
+    def test_schemas_union_compatible(self, spark, tmp_path):
+        """Both forms share RETRACT_SCHEMA (incl. stamp) — unionByName works."""
+        batch_out = retract_join_batch(
+            changelog(spark, [("a", "v1", ts(1000), False)]),
+            changelog(spark, [("a", "w1", ts(2000), False)]),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+        )
+        src = str(tmp_path / "u")
+        spark.createDataFrame(
+            [("a", "v1", ts(1000), False)], self.SCHEMA
+        ).write.parquet(f"{src}/f0")
+        stream_out = retract_join_stream(
+            spark.readStream.schema(self.SCHEMA).parquet(f"{src}/f*"),
+            spark.readStream.schema(self.SCHEMA).parquet(f"{src}/f*"),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+        )
+        assert [f.name for f in stream_out.schema.fields] == [
+            f.name for f in batch_out.schema.fields
+        ]
+        assert [f.dataType for f in stream_out.schema.fields] == [
+            f.dataType for f in batch_out.schema.fields
         ]
