@@ -5,17 +5,28 @@ implementation LocalCachedPartitionedView.java:59 / TimeBoundedVersionedCache:
 a continuously-updated (key, attribute) → latest-element table fed by the
 changelog, supporting point reads at a timestamp (time travel).
 
-Spark design: a foreachBatch-maintained compacted table. Each micro-batch
-unions with the current snapshot and re-compacts (max_by stamp/seq_id with
-tombstone resolution at read). On a lakehouse deployment the merge step is a
-Delta/Iceberg MERGE keyed on (entity, key, attribute) — strictly incremental;
-the parquet overwrite used here is the dependency-free equivalent with the
-same semantics (documented scale path: Delta MERGE + time travel).
+Spark design — *incremental*, LSM-style:
 
-Versioned reads: every refresh writes a new version directory and keeps the
-last ``keep_versions`` — get(key, attr, stamp) picks the newest version whose
-high-watermark covers the stamp, mirroring the reference's MVCC cache reads
-(get():268-286).
+  * every micro-batch appends one delta file set (``delta/d{v}``) — per-batch
+    write volume is O(batch), never O(total state);
+  * reads union the compacted base with the live deltas; snapshot semantics
+    (max (stamp, seq_id) per (entity, key, attribute), tombstone resolution)
+    come from :func:`proxima_platform_spark.changelog.snapshot`, so a delta
+    row shadows the base row at read time without rewriting it;
+  * every ``compact_every`` batches the base+deltas fold into a new base
+    generation (``base/g{v}``), pruning history beyond ``ttl_ms`` while
+    always keeping the newest element per (entity, key, attribute) —
+    TimeBoundedVersionedCache's retention rule. Compaction cost is
+    O(state) but amortized 1/compact_every, the standard LSM trade.
+
+Time travel: the retained history *is* the version store — ``snapshot(at=T)``
+compacts only elements with stamp ≤ T, so any T within the TTL window reads
+consistently (reference get():268-286). No per-version directory copies. On a
+lakehouse deployment base+delta+manifest maps 1:1 onto a Delta/Iceberg table
+(MERGE + time travel); this layout is the dependency-free equivalent.
+
+The manifest (``manifest.json``, atomically replaced) pins the exact file
+sets a reader sees, so concurrent readers never observe a half-written batch.
 """
 
 from __future__ import annotations
@@ -31,12 +42,13 @@ from proxima_platform_spark.changelog import snapshot as snapshot_read
 
 
 class CachedView:
-    """Versioned materialization of a changelog, history kept within a TTL.
+    """Incrementally-maintained materialization of a changelog.
 
     ``ttl_ms`` mirrors TimeBoundedVersionedCache: the newest element per
     (entity, key, attribute) is always retained; older versions are retained
     while within ``ttl_ms`` of the table's high-watermark, enabling
-    time-travel reads inside that window.
+    time-travel reads inside that window. ``compact_every`` bounds the number
+    of live delta file sets a read must union.
     """
 
     def __init__(
@@ -44,52 +56,76 @@ class CachedView:
         spark: SparkSession,
         path: str,
         *,
-        keep_versions: int = 3,
+        compact_every: int = 8,
         ttl_ms: int = 3_600_000,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
-        self.keep_versions = keep_versions
+        self.compact_every = compact_every
         self.ttl_ms = ttl_ms
         os.makedirs(self.path, exist_ok=True)
 
-    # -- maintenance (assign(partitions) analog) ----------------------------
+    # -- manifest ----------------------------------------------------------
 
-    def _versions(self) -> list[int]:
-        return sorted(
-            int(d[1:]) for d in os.listdir(self.path) if d.startswith("v")
-        )
+    def _manifest(self) -> dict:
+        mf = f"{self.path}/manifest.json"
+        if not os.path.exists(mf):
+            return {"version": 0, "base": None, "deltas": [], "high_watermark": None}
+        with open(mf) as f:
+            return json.load(f)
 
-    def _version_path(self, v: int) -> str:
-        return f"{self.path}/v{v}"
+    def _write_manifest(self, m: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{self.path}/manifest.json")  # atomic swap for readers
 
     def current_version(self) -> int | None:
-        vs = self._versions()
-        return vs[-1] if vs else None
+        v = self._manifest()["version"]
+        return v if v > 0 else None
 
     def current(self) -> DataFrame | None:
-        v = self.current_version()
-        return (
-            self.spark.read.parquet(f"{self._version_path(v)}/data") if v is not None else None
-        )
+        m = self._manifest()
+        paths = ([m["base"]] if m["base"] else []) + m["deltas"]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+
+    # -- maintenance (assign(partitions) analog) ----------------------------
 
     def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        """Apply a changelog micro-batch: union, prune history beyond TTL
-        (keeping the newest element per (entity, key, attribute)
-        unconditionally — TimeBoundedVersionedCache semantics), write a new
-        version. Usable directly as a foreachBatch callback."""
+        """Apply a changelog micro-batch: append one delta file set (O(batch)
+        I/O), advance the manifest, compact every ``compact_every`` batches.
+        Usable directly as a foreachBatch callback."""
+        m = self._manifest()
+        v = m["version"] + 1
+        delta = f"delta/d{v}"
+        batch.write.parquet(f"{self.path}/{delta}")
+        hwm = batch.agg(F.max("stamp")).first()[0]
+        if m["high_watermark"] is None or (hwm is not None and str(hwm) > m["high_watermark"]):
+            m["high_watermark"] = str(hwm)
+        m["version"] = v
+        m["deltas"] = m["deltas"] + [delta]
+        self._write_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Fold base + deltas into a new base generation, pruning history
+        beyond the TTL (keeping the newest element per (entity, key,
+        attribute) unconditionally — TimeBoundedVersionedCache semantics)."""
         from pyspark.sql import Window
 
-        cur = self.current()
-        merged = batch if cur is None else cur.unionByName(batch)
+        m = self._manifest()
+        merged = self.current()
+        if merged is None:
+            return
         w = Window.partitionBy("entity", "key", "attribute").orderBy(
             F.col("stamp").desc(), F.col("seq_id").desc_nulls_last()
         )
-        hwm_ms = merged.agg(
-            F.max(F.unix_micros("stamp"))
-        ).first()[0]
-        cutoff_us = (hwm_ms or 0) - self.ttl_ms * 1000
-        merged = (
+        hwm_us = merged.agg(F.max(F.unix_micros("stamp"))).first()[0]
+        cutoff_us = (hwm_us or 0) - self.ttl_ms * 1000
+        pruned = (
             merged.withColumn("__rank", F.row_number().over(w))
             .where(
                 (F.col("__rank") == 1)
@@ -97,24 +133,20 @@ class CachedView:
             )
             .drop("__rank")
         )
-        new_v = (self.current_version() or 0) + 1
-        vp = self._version_path(new_v)
-        merged.write.mode("overwrite").parquet(f"{vp}/data")
-        hwm = merged.agg(F.max("stamp")).first()[0]
-        with open(f"{vp}/meta.json", "w") as f:
-            json.dump(
-                {"version": new_v, "high_watermark": str(hwm), "wall": time.time()},
-                f,
-            )
-        for old in self._versions()[: -self.keep_versions]:
-            shutil.rmtree(self._version_path(old), ignore_errors=True)
+        new_base = f"base/g{m['version']}"
+        pruned.write.parquet(f"{self.path}/{new_base}")
+        old_paths = ([m["base"]] if m["base"] else []) + m["deltas"]
+        m["base"], m["deltas"] = new_base, []
+        self._write_manifest(m)
+        for p in old_paths:
+            shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
 
     # -- reads (CachedView.get / time travel) -------------------------------
 
     def snapshot(self, at=None) -> DataFrame:
         """Live snapshot (tombstones resolved), optionally time-traveled to
-        ``at`` — the compacted table keeps tombstones, so historical reads
-        within the retained window resolve correctly."""
+        ``at`` — the retained history keeps tombstones, so historical reads
+        within the TTL window resolve correctly."""
         cur = self.current()
         if cur is None:
             raise LookupError("cached view is empty")

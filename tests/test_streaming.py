@@ -152,6 +152,65 @@ class TestCachedView:
         # versions retained
         assert view.current_version() == 2
 
+    def test_per_batch_write_volume_scales_with_batch(self, spark, tmp_path):
+        """Incremental maintenance: a micro-batch writes O(batch) rows, not
+        O(total state) — no full-snapshot rewrite per batch (the reference's
+        TimeBoundedVersionedCache is incremental)."""
+        import glob
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "view-inc")
+        view = CachedView(spark, root, compact_every=100)
+        big = spark.createDataFrame(
+            [element("user", f"u{i}", "score", 1000, str(i)) for i in range(500)],
+            CHANGELOG_SCHEMA,
+        )
+        view.update(big, 0)
+
+        def parquet_rows():
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+            )
+
+        before = parquet_rows()
+        small = spark.createDataFrame(
+            [element("user", "u1", "score", 2000, "new")], CHANGELOG_SCHEMA
+        )
+        view.update(small, 1)
+        written = parquet_rows() - before
+        assert written == 1  # only the delta, never the 500-row state
+        # and the delta shadows the base at read time
+        assert bytes(view.get("u1", "score").value).decode() == "new"
+        assert view.snapshot().count() == 500
+
+    def test_compaction_folds_deltas_and_prunes(self, spark, tmp_path):
+        """Every compact_every batches the deltas fold into one base
+        generation; reads stay identical and old file sets are removed."""
+        import os
+
+        root = str(tmp_path / "view-compact")
+        view = CachedView(spark, root, compact_every=2)
+        view.update(
+            spark.createDataFrame(
+                [element("user", "u1", "score", 1000, "10")], CHANGELOG_SCHEMA
+            ),
+            0,
+        )
+        view.update(
+            spark.createDataFrame(
+                [element("user", "u1", "score", 2000, "20")], CHANGELOG_SCHEMA
+            ),
+            1,
+        )
+        # compaction ran: no live deltas, one base generation
+        assert view._manifest()["deltas"] == []
+        assert view._manifest()["base"] == "base/g2"
+        assert os.listdir(f"{root}/delta") == []
+        # history within TTL retained → time travel still works post-compact
+        assert bytes(view.get("u1", "score").value).decode() == "20"
+        assert bytes(view.get("u1", "score", stamp=ts(1500)).value).decode() == "10"
+
 
 class TestStreamingDedup:
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
