@@ -1147,12 +1147,16 @@ def q_transactions(spark, sf):
     TransactionLogObserver.java:81-694, transactions.md:100-187): seed ten
     balances, commit a transfer, abort a stale conflicting transfer, retry
     it against fresh state; return the final snapshot. The expected end
-    state is hand-derived from the isolation semantics (not circular)."""
+    state is hand-derived from the isolation semantics (not circular).
+    Runs on the durable file-backed ledger (optimistic slot claim) so the
+    correctness gate exercises the production form, not the test double."""
+    import tempfile
+
     from proxima_platform_spark.transactions import (
-        KeyAttribute, TransactionManager, TransactionState, Upsert,
+        KeyAttribute, PersistentTransactionManager, TransactionState, Upsert,
     )
 
-    mgr = TransactionManager(spark)
+    mgr = PersistentTransactionManager(spark, tempfile.mkdtemp(prefix="txn-ledger-"))
     for i in range(10):
         mgr.commit(
             mgr.begin([]),

@@ -27,7 +27,10 @@ concurrency) instead of driver memory; the conflict rule is identical.
 
 from __future__ import annotations
 
+import base64
 import itertools
+import json
+import os
 import uuid as _uuid
 from dataclasses import dataclass, field
 from enum import Enum
@@ -102,6 +105,45 @@ class Upsert:
     stamp_ms: int = 0
     delete: bool = False
     delete_wildcard: bool = False
+
+
+def output_conflicts_read(ka: KeyAttribute, outputs: Iterable[Upsert]) -> bool:
+    """Does one committed transaction's output set clash with read-set entry
+    ``ka``? Covers all four directions (TransactionLogObserver.java:175-179):
+    exact↔exact, wildcard-read↔exact-write, exact-read↔wildcard-write,
+    wildcard↔wildcard."""
+    for out in outputs:
+        if ka.covers(out.entity, out.key, out.attribute):
+            return True
+        if out.attribute.endswith(".*") or out.delete_wildcard:
+            prefix = (
+                out.attribute[:-1] if out.attribute.endswith(".*") else out.attribute
+            )
+            if (out.entity, out.key) == (ka.entity, ka.key) and (
+                ka.attribute.startswith(prefix) or ka.attribute == out.attribute
+            ):
+                return True
+    return False
+
+
+def _log_to_changelog(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    df = spark.createDataFrame(
+        rows,
+        "entity string, key string, attribute string, seq long, txn string, "
+        "stamp_ms long, del boolean, del_wildcard boolean, val binary",
+    )
+    return to_changelog(
+        df,
+        entity=F.col("entity"),
+        key="key",
+        attribute="attribute",
+        stamp=F.timestamp_millis(F.col("stamp_ms")),
+        value="val",
+        seq_id="seq",
+        uuid="txn",
+        delete="del",
+        delete_wildcard="del_wildcard",
+    )
 
 
 class TransactionManager:
@@ -217,20 +259,151 @@ class TransactionManager:
     def changelog(self) -> DataFrame:
         """The committed transaction log as a canonical changelog DataFrame
         (stamp ties across transactions resolve by seq_id — SURVEY §2.10.3)."""
-        df = self.spark.createDataFrame(
-            self._log,
-            "entity string, key string, attribute string, seq long, txn string, "
-            "stamp_ms long, del boolean, del_wildcard boolean, val binary",
+        return _log_to_changelog(self.spark, self._log)
+
+
+class PersistentTransactionManager:
+    """Table-backed transaction manager with *optimistic concurrency*.
+
+    The ledger is a directory of immutable commit files
+    ``commits/{seq:020d}.json`` — the same protocol a Delta/Iceberg
+    transaction log uses: a commit is claimed by atomically linking a fully-
+    written file into the next sequence slot (``os.link`` fails if the slot
+    is taken), so concurrent writers — other threads, other *processes*, or
+    other Spark drivers sharing the storage — serialize without any lock
+    server. Losing a claim re-validates the read set against the commits
+    that won (TransactionLogObserver.java:81-694 replay semantics) and
+    retries or aborts.
+
+    The in-memory :class:`TransactionManager` is the unit-test double with
+    identical semantics; this is the durable form the docs previously only
+    described in prose (DELTAS.md #7).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *, max_claim_retries: int = 50) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.max_claim_retries = max_claim_retries
+        os.makedirs(f"{self.path}/commits", exist_ok=True)
+
+    # -- ledger access ------------------------------------------------------
+
+    def _commit_seqs(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(f"{self.path}/commits")
+            if f.endswith(".json") and not f.startswith(".")
         )
-        return to_changelog(
-            df,
-            entity=F.col("entity"),
-            key="key",
-            attribute="attribute",
-            stamp=F.timestamp_millis(F.col("stamp_ms")),
-            value="val",
-            seq_id="seq",
-            uuid="txn",
-            delete="del",
-            delete_wildcard="del_wildcard",
+
+    def ledger_seq(self) -> int:
+        seqs = self._commit_seqs()
+        return seqs[-1] if seqs else 0
+
+    def _load_commit(self, seq: int) -> dict:
+        with open(f"{self.path}/commits/{seq:020d}.json") as f:
+            return json.load(f)
+
+    @staticmethod
+    def _decode_outputs(commit: dict) -> list[Upsert]:
+        return [
+            Upsert(
+                entity=o["entity"],
+                key=o["key"],
+                attribute=o["attribute"],
+                value=base64.b64decode(o["value"]) if o["value"] is not None else None,
+                stamp_ms=o["stamp_ms"],
+                delete=o["delete"],
+                delete_wildcard=o["delete_wildcard"],
+            )
+            for o in commit["outputs"]
+        ]
+
+    # -- client API ---------------------------------------------------------
+
+    def begin(self, read_set: Iterable[KeyAttribute] = ()) -> Transaction:
+        return Transaction(
+            txn_id=str(_uuid.uuid4()),
+            read_seq=self.ledger_seq(),
+            read_set=list(read_set),
         )
+
+    def commit(self, txn: Transaction, outputs: Iterable[Upsert]) -> TransactionState:
+        """Validate the read set against every commit newer than ``read_seq``
+        and atomically claim the next ledger slot. Losing a claim race
+        re-validates against the interleaved commits and retries."""
+        if txn.state is not TransactionState.OPEN:
+            return TransactionState.DUPLICATE
+        outputs = list(outputs)
+
+        validated_through = txn.read_seq
+        for _ in range(self.max_claim_retries):
+            for seq in self._commit_seqs():
+                if seq <= validated_through:
+                    continue
+                committed = self._decode_outputs(self._load_commit(seq))
+                if any(output_conflicts_read(ka, committed) for ka in txn.read_set):
+                    txn.state = TransactionState.ABORTED
+                    return txn.state
+                validated_through = seq
+
+            next_seq = validated_through + 1
+            payload = {
+                "seq": next_seq,
+                "txn_id": txn.txn_id,
+                "outputs": [
+                    {
+                        "entity": o.entity,
+                        "key": o.key,
+                        "attribute": o.attribute,
+                        "value": (
+                            base64.b64encode(o.value).decode()
+                            if o.value is not None
+                            else None
+                        ),
+                        "stamp_ms": o.stamp_ms,
+                        "delete": o.delete,
+                        "delete_wildcard": o.delete_wildcard,
+                    }
+                    for o in outputs
+                ],
+            }
+            # write the full content aside, then atomically link it into the
+            # slot — readers can never observe a half-written commit
+            tmp = f"{self.path}/commits/.tmp-{txn.txn_id}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            try:
+                os.link(tmp, f"{self.path}/commits/{next_seq:020d}.json")
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race — re-validate against the winner(s)
+            os.unlink(tmp)
+            txn.state = TransactionState.COMMITTED
+            txn.commit_seq = next_seq
+            return txn.state
+        raise RuntimeError(
+            f"could not claim a ledger slot after {self.max_claim_retries} races"
+        )
+
+    def run(self, read_set, build_outputs, *, max_retries: int = 10) -> Transaction:
+        """Reference client retry loop (transactions.md:100-175)."""
+        for _ in range(max_retries):
+            txn = self.begin(read_set)
+            if self.commit(txn, build_outputs()) is TransactionState.COMMITTED:
+                return txn
+        raise RuntimeError(f"transaction aborted {max_retries} times")
+
+    # -- log access ---------------------------------------------------------
+
+    def changelog(self) -> DataFrame:
+        rows = []
+        for seq in self._commit_seqs():
+            commit = self._load_commit(seq)
+            for o in self._decode_outputs(commit):
+                rows.append(
+                    (
+                        o.entity, o.key, o.attribute, seq, commit["txn_id"],
+                        o.stamp_ms, o.delete, o.delete_wildcard, o.value,
+                    )
+                )
+        return _log_to_changelog(self.spark, rows)
