@@ -1533,8 +1533,11 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh_topk(spark, sf):
-    """Sign-LSH bucketed ANN (scale path; deterministic md5-derived planes).
-    No SQL oracle — rows-only check (plane hashing is engine-specific)."""
+    """Sign-LSH bucketed ANN (scale path). The hyperplanes are md5-derived
+    (similarity._plane_component), so the FULL algorithm — bucket hash,
+    bucket equi-join, exact in-bucket cosine, per-query top-k — is mirrored
+    verbatim in the DuckDB oracle: a hash-green check of the actual LSH,
+    not a weaker recall bound."""
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1544,16 +1547,73 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+SQL_ANN_LSH_TOPK = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    (list_sum(list_transform(range(6), p ->
+      CASE WHEN list_sum(list_transform(range(len(v)), d ->
+        v[d+1] * (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5)
+      )) > 0 THEN 2**p ELSE 0 END)))::BIGINT AS bucket
+  FROM base),
+qs AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT qs.query_id, b.vec_id,
+         round(CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(qs.qv, qs.qv)) > 0
+               THEN list_dot_product(b.v, qs.qv)
+                    / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))
+               ELSE 0.0 END, 6) AS cosine
+  FROM b JOIN qs USING (bucket))
+SELECT query_id, vec_id, cosine FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 5
+"""
+
+
 def q_ann_ivf_topk(spark, sf):
-    """IVF-flat ANN (second scale path next to sign-LSH): deterministic
-    sampled centroids, inverted-list equi-join, exact cosine in probed
-    cells. No SQL oracle — rows-only check (centroid assignment is
-    plan-internal)."""
+    """IVF-flat ANN (second scale path next to sign-LSH): centroids are a
+    deterministic md5-ordered sample, so centroid selection, cell
+    assignment (argmin squared-L2), n_probe cell probing, and the in-cell
+    exact cosine top-k are all mirrored verbatim in the DuckDB oracle —
+    hash-green on the actual IVF algorithm."""
     emb = _load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_top_k(emb, queries, k=5, n_centroids=8, n_probe=2)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INT - 1 AS c, v AS cvec
+  FROM base QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= 8),
+assign AS (
+  SELECT vec_id, v, c AS cell FROM (
+    SELECT e.vec_id, e.v, cc.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(len(e.v)),
+               i -> (e.v[i+1]-cc.cvec[i+1])*(e.v[i+1]-cc.cvec[i+1]))), cc.c) AS rn
+    FROM base e CROSS JOIN cents cc)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, c AS cell FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, cc.c,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(len(e.v)),
+               i -> (e.v[i+1]-cc.cvec[i+1])*(e.v[i+1]-cc.cvec[i+1]))), cc.c) AS rn
+    FROM base e CROSS JOIN cents cc WHERE e.vec_id < 5)
+  WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)) > 0
+               THEN list_dot_product(a.v, p.qv)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+               ELSE 0.0 END, 6) AS cosine
+  FROM assign a JOIN probes p USING (cell))
+SELECT query_id, vec_id, cosine FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 5
+"""
 
 
 def q_text_stats(spark, sf):
@@ -2069,5 +2129,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_signals": _sql_text_quality_signals(),
         "training_pipeline": _sql_training_pipeline(),
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
-        # ann_lsh_topk, multimodal_features: no SQL oracle (rows-only check)
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     }
