@@ -1784,14 +1784,64 @@ FROM base
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal plumbing: binary payload column → mapInPandas feature
-    extraction (decode kernel is a deterministic fake — see
-    functions/multimodal.py). No SQL oracle — rows-only check."""
+    """Multimodal pipeline with a REAL decode: each document's text bytes are
+    packed into a spec-compliant binary PPM (P6) image whose dimensions derive
+    from doc_id, then image_features decodes the PPM (pure-numpy codec —
+    functions/multimodal.py) and emits per-channel means. Channel sums are
+    exact int64, so the means are bit-reproducible and the closed-form SQL
+    oracle below hash-matches."""
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import encode_ppm
+
     docs = _load(spark, sf, "documents")
-    media = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w = 4 + int(row.doc_id) % 5
+                h = 3 + int(row.doc_id) % 4
+                raw = row.text.encode("utf-8")[: w * h * 3].ljust(w * h * 3, b"\0")
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                rows.append({"doc_id": row.doc_id, "payload": encode_ppm(img)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        encode, "doc_id long, payload binary"
     )
-    return image_features(media).select("doc_id", "width", "height")
+    feats = image_features(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("features")[0], 6).alias("mean_r"),
+        F.round(F.col("features")[1], 6).alias("mean_g"),
+        F.round(F.col("features")[2], 6).alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH dims AS (
+    SELECT doc_id, text,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h, t.i AS i,
+           CASE WHEN t.i <= length(text)
+                THEN ascii(substr(text, CAST(t.i AS INT), 1))
+                ELSE 0 END AS b
+    FROM dims, LATERAL (SELECT unnest(range(1, CAST(w * h * 3 + 1 AS BIGINT))) AS i) t
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round(sum(CASE WHEN (i - 1) % 3 = 0 THEN b ELSE 0 END) / (w * h * 1.0), 6) AS mean_r,
+       round(sum(CASE WHEN (i - 1) % 3 = 1 THEN b ELSE 0 END) / (w * h * 1.0), 6) AS mean_g,
+       round(sum(CASE WHEN (i - 1) % 3 = 2 THEN b ELSE 0 END) / (w * h * 1.0), 6) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+"""
 
 
 _PIPELINE_CACHE: list = []
@@ -2128,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
         "text_quality_signals": _sql_text_quality_signals(),
         "training_pipeline": _sql_training_pipeline(),
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -2,10 +2,19 @@
 
 Extensions beyond the reference surface (north star). Images/audio/video are
 ``binary`` columns with a metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode kernels
-themselves are STUBBED (no image/audio libraries in this container — clearly
-marked below); the Spark-side plumbing — schema, batch iteration, partition
-sizing — is real and tested with a deterministic fake decoder.
+frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+Decode support is tiered:
+
+* **Real codecs (pure numpy, no external library)**: binary PPM (``P6``) and
+  uncompressed 24-bit BMP (``BM``) are decoded for real — header parse,
+  stride/padding handling, ``(height, width, channels)`` uint8 array out.
+  ``encode_ppm`` produces spec-compliant P6 payloads so pipelines can
+  round-trip (and so correctness oracles can recompute features closed-form
+  from the source bytes).
+* **Stubbed codecs**: JPEG/PNG/video/audio containers need PIL/cv2/ffmpeg
+  (absent in this container). Unrecognized payloads fall back to a clearly
+  marked deterministic fake so the distributed plumbing stays testable.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-task; keep ``spark.sql.files.maxPartitionBytes`` at
@@ -23,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -48,19 +58,95 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
-        StructField("features", ArrayType(FloatType()), True),
+        StructField("features", ArrayType(DoubleType()), True),
     ]
 )
 
 
+def encode_ppm(img: "np.ndarray") -> bytes:
+    """Encode an ``(h, w, 3)`` or ``(h, w)`` uint8 array as binary PPM (P6).
+
+    Pure numpy/bytes — no image library. Grayscale input is broadcast to RGB
+    (PPM has no grayscale binary form with maxval 255 other than PGM; we keep
+    a single container format for the pipeline)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w[, 3]) array, got shape {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Decode binary PPM (P6) → ``(h, w, 3)`` uint8. Handles the spec's
+    whitespace/comment-tolerant header and truncated payloads (zero-padded,
+    mirroring how lenient decoders recover partial scanlines)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # Header = magic + 3 decimal fields (w, h, maxval), '#' comments allowed.
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
+    need = w * h * 3
+    raster = payload[pos : pos + need].ljust(need, b"\0")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode an uncompressed 24-bit BMP → ``(h, w, 3)`` uint8 RGB.
+
+    Pure numpy: parses BITMAPFILEHEADER/BITMAPINFOHEADER, honors the 4-byte
+    row stride and bottom-up row order, converts BGR → RGB."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = payload[data_offset : data_offset + stride * h].ljust(stride * h, b"\0")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
 def _decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — real implementation needs an image library (PIL/cv2), absent in
-    this container. The deterministic fake below hashes the payload into a
-    4×4 grayscale 'image' so the distributed plumbing is testable."""
+    """Decode a binary image payload to ``(h, w, channels)`` uint8.
+
+    PPM (P6) and uncompressed 24-bit BMP decode for real (pure numpy above).
+    Anything else would need PIL/cv2 (absent in this container) — those
+    payloads fall back to a deterministic 4×4 single-channel fake derived
+    from the payload bytes, so distributed plumbing stays testable. A None
+    payload raises, matching a hard decoder error."""
     if payload is None:
-        raise NotImplementedError("image decode requires PIL/cv2 (not installed)")
+        raise NotImplementedError("cannot decode null payload")
+    payload = bytes(payload)
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    # STUB fallback — real JPEG/PNG decode requires PIL/cv2 (not installed).
     rng = np.frombuffer(payload[:16].ljust(16, b"\0"), dtype=np.uint8)
-    return np.tile(rng.reshape(4, 4).astype(np.float32), (1, 1))
+    return rng.reshape(4, 4, 1).copy()
 
 
 def image_features(
@@ -68,9 +154,10 @@ def image_features(
 ) -> DataFrame:
     """Decode + feature-extract images as a mapInPandas stage.
 
-    Feature = flattened mean-pooled grid of the (fake-)decoded image. Swap
-    ``_decode_image`` for a real decoder in a container with PIL/cv2; the
-    Spark-side shape (Arrow batches, schema, partitioning) is unchanged.
+    Feature vector = per-channel means (RGB → 3 doubles; fake grayscale → 1).
+    Channel sums accumulate as exact int64 before one float64 divide, so the
+    values are bit-reproducible across engines — that's what lets the driver
+    hash-compare this query against a closed-form SQL oracle.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,12 +165,14 @@ def image_features(
             rows = []
             for _, row in pdf.iterrows():
                 img = _decode_image(row[payload_col])
+                h, w, c = img.shape
+                sums = img.reshape(-1, c).sum(axis=0, dtype=np.int64)
                 rows.append(
                     {
                         "doc_id": row[id_col],
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "features": img.mean(axis=0).astype(np.float32).tolist(),
+                        "width": w,
+                        "height": h,
+                        "features": (sums / float(h * w)).tolist(),
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "features"])
@@ -136,10 +225,12 @@ def image_resize(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Image resize stub: re-encodes each payload as a (width, height)
-    pseudo-image. Real implementation needs PIL/cv2 (not installed); the
-    fake nearest-neighbor-samples the decoded fake grid so output shape and
-    determinism are real."""
+    """Nearest-neighbor image resize as a mapInPandas stage.
+
+    Real PPM/BMP payloads decode for real and re-encode as P6 PPM; the
+    fake-decoded fallback (unrecognized formats — see ``_decode_image``)
+    emits raw grayscale bytes. Nearest-neighbor keeps the kernel pure numpy
+    and deterministic; swap in PIL/cv2 interpolation where available."""
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -153,16 +244,20 @@ def image_resize(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                img = _decode_image(row[payload_col])
+                src = bytes(row[payload_col]) if row[payload_col] is not None else None
+                img = _decode_image(src)
                 ys = (np.arange(height) * img.shape[0] // height) % img.shape[0]
                 xs = (np.arange(width) * img.shape[1] // width) % img.shape[1]
-                resized = img[np.ix_(ys, xs)]
+                resized = img[np.ix_(ys, xs)].astype(np.uint8)
+                real_codec = src is not None and src[:2] in (b"P6", b"BM")
                 rows.append(
                     {
                         "doc_id": row[id_col],
                         "width": width,
                         "height": height,
-                        "payload": resized.astype(np.uint8).tobytes(),
+                        "payload": encode_ppm(resized)
+                        if real_codec
+                        else resized.tobytes(),
                     }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])

@@ -1,11 +1,19 @@
-"""Multimodal plumbing: binary payload columns through mapInPandas stages
-(decode kernels are deterministic fakes — functions/multimodal.py; the
-schema/batching/partitioning is the real contract)."""
+"""Multimodal plumbing: binary payload columns through mapInPandas stages.
+
+PPM (P6) and uncompressed 24-bit BMP decode for real (pure-numpy codecs in
+functions/multimodal.py); unrecognized formats fall back to a deterministic
+fake so the schema/batching/partitioning contract stays testable."""
+
+import numpy as np
 
 from pyspark.sql import functions as F
 
 from proxima_platform_spark.functions.multimodal import (
+    _decode_image,
     audio_features,
+    decode_bmp,
+    decode_ppm,
+    encode_ppm,
     frame_sample,
     image_features,
     image_resize,
@@ -17,6 +25,70 @@ def media_df(spark, n=5, duration_ms=3000):
     return spark.createDataFrame(
         rows, "doc_id long, payload binary, duration_ms long"
     )
+
+
+class TestCodecs:
+    def test_ppm_round_trip(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    def test_ppm_header_comments_and_truncation(self):
+        img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        payload = b"P6\n# c1\n2 2\n# c2\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(payload), img)
+        truncated = encode_ppm(img)[:-4]  # lenient decode zero-pads
+        assert decode_ppm(truncated).shape == (2, 2, 3)
+
+    def test_bmp_decode_stride_and_bottom_up(self):
+        w, h = 3, 2
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            bytes(px[y, x, ::-1]) + (b"" if x < w - 1 else b"\0" * (stride - w * 3))
+            for y in range(h - 1, -1, -1)
+            for x in range(w)
+        )
+        bmp = (
+            b"BM"
+            + (54 + len(raster)).to_bytes(4, "little")
+            + b"\0\0\0\0"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + b"\0" * 24
+            + raster
+        )
+        assert np.array_equal(decode_bmp(bmp), px)
+
+    def test_real_payloads_extract_real_features(self, spark):
+        img = np.full((2, 2, 3), 10, dtype=np.uint8)
+        img[:, :, 1] = 20  # G channel
+        df = spark.createDataFrame(
+            [(1, encode_ppm(img))], "doc_id long, payload binary"
+        )
+        row = image_features(df).collect()[0]
+        assert (row.width, row.height) == (2, 2)
+        assert row.features == [10.0, 20.0, 10.0]
+
+    def test_resize_reencodes_ppm(self, spark):
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        df = spark.createDataFrame(
+            [(1, encode_ppm(img))], "doc_id long, payload binary"
+        )
+        row = image_resize(df, width=2, height=2).collect()[0]
+        out = decode_ppm(bytes(row.payload))
+        assert out.shape == (2, 2, 3)
+        assert np.array_equal(out, img[::2, ::2])  # nearest-neighbor picks
+
+    def test_fallback_fake_is_deterministic(self):
+        a = _decode_image(b"not-an-image-payload")
+        b = _decode_image(b"not-an-image-payload")
+        assert a.shape == (4, 4, 1) and np.array_equal(a, b)
 
 
 class TestImagePipeline:
