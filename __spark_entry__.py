@@ -939,6 +939,87 @@ FROM events GROUP BY 1
 """
 
 
+def q_avro_scheme_roundtrip(spark, sf):
+    """Avro scheme surface (ref AvroSerializerFactory.java:44): customer rows
+    → Avro binary (pure-python spec codec as Arrow-batched pandas UDF —
+    catalog/avro.py; spark-avro jar absent here) → decode → project. The
+    oracle is a plain SELECT: if the codec corrupted any value the hash
+    diverges."""
+    import json as _json
+
+    from proxima_platform_spark.catalog.schemes import resolve_scheme
+
+    schema = {
+        "type": "record",
+        "name": "Customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_acctbal", "type": "double"},
+        ],
+    }
+    scheme = resolve_scheme("avro:" + _json.dumps(schema))
+    cust = _load(spark, sf, "customer")
+    packed = cust.select(
+        scheme.encode(F.struct("c_custkey", "c_name", "c_acctbal")).alias("bin")
+    )
+    return (
+        packed.select(scheme.decode(F.col("bin")).alias("c"))
+        .select("c.c_custkey", "c.c_name", F.round("c.c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_AVRO_SCHEME_ROUNDTRIP = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+"""
+
+
+def q_schema_registry_roundtrip(spark, sf):
+    """Confluent schema-registry scheme (ref
+    SchemaRegistryValueSerializer.java:47-140): nation rows → magic byte +
+    schema id + Avro body under the subject's latest schema, then decode by
+    the embedded id. Registry is an injected in-memory stub (the scheme's
+    fetcher seam); framing and codec are the real wire format."""
+    import json as _json
+
+    from proxima_platform_spark.catalog.schemes import resolve_scheme
+
+    schema_str = _json.dumps(
+        {
+            "type": "record",
+            "name": "Nation",
+            "fields": [
+                {"name": "n_nationkey", "type": "long"},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "long"},
+            ],
+        }
+    )
+
+    def fetch(url):  # nested → cloudpickle serializes by value for executors
+        if url.endswith("/versions/latest"):
+            return _json.dumps({"id": 7, "version": 1, "schema": schema_str})
+        if url.endswith("/schemas/ids/7"):
+            return _json.dumps({"schema": schema_str})
+        raise AssertionError(url)
+
+    scheme = resolve_scheme(
+        "schema-registry:http://registry:8081/nations", registry_fetcher=fetch
+    )
+    nation = _load(spark, sf, "nation")
+    packed = nation.select(
+        scheme.encode(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("bin")
+    )
+    return packed.select(scheme.decode(F.col("bin")).alias("n")).select(
+        "n.n_nationkey", "n.n_name", "n.n_regionkey"
+    )
+
+
+SQL_SCHEMA_REGISTRY_ROUNDTRIP = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 # ===========================================================================
 # §2.7 set ops / ordering / limits
 # ===========================================================================
@@ -1998,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "asof_join_enrich": q_asof_join_enrich,
         "json_props_extract": q_json_props_extract,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
         # §2.7 set ops / ordering
         "union_names": q_union_names,
         "sorted_topk": q_sorted_topk,
@@ -2152,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": SQL_ANTI_JOIN,
         "asof_join_enrich": SQL_ASOF_JOIN_ENRICH,
         "json_props_extract": SQL_JSON_PROPS_EXTRACT,
+        "avro_scheme_roundtrip": SQL_AVRO_SCHEME_ROUNDTRIP,
+        "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "union_names": SQL_UNION_NAMES,
         "sorted_topk": SQL_SORTED_TOPK,
         "keyset_pagination": SQL_KEYSET_PAGINATION,

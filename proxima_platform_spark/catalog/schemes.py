@@ -92,20 +92,29 @@ _BUILTIN: dict[str, Scheme] = {
 }
 
 
-def resolve_scheme(uri: str) -> Scheme:
+def resolve_scheme(uri: str, registry_fetcher=None) -> Scheme:
     """Resolve a scheme URI. ``proto:``/``avro:`` resolve lazily so the
-    engine works without the optional spark-protobuf/avro packages."""
+    engine works without the optional spark-protobuf/avro packages;
+    ``schema-registry:`` takes an optional injectable ``registry_fetcher``
+    (url → response body) so tests run against a stub registry."""
     base = uri.split(":", 1)[0]
     if base in _BUILTIN:
         return _BUILTIN[base]
     if base == "proto":
+        # The python shim module always imports — the spark-protobuf JAR is
+        # what's usually missing, and without it the expressions fail at
+        # analysis time deep inside the JVM. Probe the classpath up front so
+        # the error is actionable (AvroSerializerFactory's proto sibling,
+        # ProtoSerializerFactory.java:78).
         message = uri.split(":", 1)[1]
-        try:
-            from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf
-        except ImportError as e:  # pragma: no cover
+        from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf
+
+        if not _jvm_class_available(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        ):
             raise NotImplementedError(
-                "proto scheme needs spark-protobuf on the classpath"
-            ) from e
+                "proto scheme needs the spark-protobuf jar on the classpath"
+            )
         return Scheme(
             uri=uri,
             spark_type=BinaryType(),  # struct type comes from the descriptor set
@@ -113,20 +122,73 @@ def resolve_scheme(uri: str) -> Scheme:
             decode=lambda c: from_protobuf(c, message),
         )
     if base == "avro":
-        schema_json = uri.split(":", 1)[1]
-        try:
+        # avro:<schema-json | primitive name>. With the spark-avro jar on the
+        # classpath, from_avro/to_avro are the JVM fast path; without it (this
+        # container) the pure-python codec runs as an Arrow-batched pandas UDF
+        # (catalog/avro.py). Delta vs the reference: the URI carries the
+        # schema itself, not a SpecificRecord class name (no Java classpath
+        # to load generated classes from). Ref: AvroSerializerFactory.java:44.
+        from proxima_platform_spark.catalog import avro as avro_codec
+
+        schema_src = uri.split(":", 1)[1]
+        schema = avro_codec.parse_schema(schema_src)
+        if _spark_avro_jar_available():
             from pyspark.sql.avro.functions import from_avro, to_avro
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "avro scheme needs spark-avro on the classpath"
-            ) from e
+
+            return Scheme(
+                uri=uri,
+                spark_type=avro_codec.avro_to_spark_type(schema),
+                encode=lambda c: to_avro(c),
+                decode=lambda c: from_avro(
+                    c, schema_src if schema_src.lstrip().startswith("{")
+                    else f'"{schema_src}"'
+                ),
+            )
         return Scheme(
             uri=uri,
-            spark_type=BinaryType(),
-            encode=lambda c: to_avro(c),
-            decode=lambda c: from_avro(c, schema_json),
+            spark_type=avro_codec.avro_to_spark_type(schema),
+            encode=avro_codec.avro_encode_column(schema),
+            decode=avro_codec.avro_decode_column(schema),
+        )
+    if base == "schema-registry":
+        # schema-registry:<registry-url>/<subject> — subject is the last path
+        # segment, everything before it the registry base URL, mirroring
+        # SchemaRegistryValueSerializer.getSchemaRegistrySubject
+        # (SchemaRegistryValueSerializer.java:223-227). Wire format: magic
+        # 0x00 + 4-byte BE schema id + avro body (ibid:47-48).
+        from proxima_platform_spark.catalog import avro as avro_codec
+
+        registry_url = uri.split(":", 1)[1]
+        base_url, _, subject = registry_url.rstrip("/").rpartition("/")
+        if not subject:
+            raise ValueError(f"schema-registry URI needs a subject path: {uri!r}")
+        client = avro_codec.SchemaRegistryClient(base_url, fetcher=registry_fetcher)
+        _, schema = client.latest_version(subject)
+        return Scheme(
+            uri=uri,
+            spark_type=avro_codec.avro_to_spark_type(schema),
+            encode=avro_codec.confluent_encode_column(client, subject),
+            decode=avro_codec.confluent_decode_column(client, subject),
         )
     raise KeyError(f"unknown scheme {uri!r}")
+
+
+def _jvm_class_available(class_name: str) -> bool:
+    """True when ``class_name`` is loadable in the active session's JVM."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(class_name)
+        return True
+    except Exception:
+        return False
+
+
+def _spark_avro_jar_available() -> bool:
+    return _jvm_class_available("org.apache.spark.sql.avro.AvroDataToCatalyst")
 
 
 def register_scheme(scheme: Scheme) -> None:
