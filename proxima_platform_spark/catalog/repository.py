@@ -72,21 +72,45 @@ class Repository:
             entity = fspec["entity"]
             if entity not in entities:
                 raise ValueError(f"family {fname!r}: unknown entity {entity!r}")
+            # HOCON configs write single-element lists as scalars
+            # (`access: commit-log`) — promote to a list, as Typesafe
+            # Config's getStringList does for the reference.
+            attrs_spec = fspec.get("attributes", ("*",))
+            if isinstance(attrs_spec, str):
+                attrs_spec = (attrs_spec,)
+            access_spec = fspec.get("access", ["commit-log"])
+            if isinstance(access_spec, str):
+                access_spec = [access_spec]
             families[fname] = AttributeFamilyDescriptor(
                 name=fname,
                 entity=entity,
-                attributes=tuple(fspec.get("attributes", ("*",))),
+                attributes=tuple(attrs_spec),
                 storage_uri=fspec["storage"],
                 storage_type=StorageType(fspec.get("type", "primary")),
-                access=frozenset(
-                    AccessType(a) for a in fspec.get("access", ["commit-log"])
-                ),
+                access=frozenset(AccessType(a) for a in access_spec),
                 format_options=tuple(
                     (str(k), str(v)) for k, v in (fspec.get("options") or {}).items()
                 ),
                 replication_filter=fspec.get("filter"),
             )
         return cls(entities, families)
+
+    @classmethod
+    def from_hocon(cls, text: str) -> "Repository":
+        """Parse a HOCON repository config (the reference's native format —
+        ConfigRepository.java:372-401) into the same catalog ``of`` builds
+        from a dict. Uses the built-in minimal HOCON parser
+        (catalog/hocon.py); unknown per-family keys (cqlFactory, converter…)
+        are tolerated exactly as the dict form tolerates them."""
+        from proxima_platform_spark.catalog import hocon
+
+        return cls.of(hocon.loads(text))
+
+    @classmethod
+    def from_hocon_file(cls, path: str) -> "Repository":
+        from proxima_platform_spark.catalog import hocon
+
+        return cls.of(hocon.load(path))
 
     # -- lookups -----------------------------------------------------------
 
