@@ -10,7 +10,9 @@ transformWithStateInPandas / applyInPandasWithState).
   Batch mapping is a **window function** — no Python in the path, a single
   shuffle on the key, and Spark's window exec streams each partition
   (running frame), so it holds at 100 TB as long as single keys fit a
-  partition (skewed keys: pre-split with a salt and integrate hierarchically).
+  partition. Skewed keys: ``integrate_per_key_salted`` pre-splits each key's
+  timeline into contiguous range buckets and integrates hierarchically —
+  no single task ever holds a whole hot key.
 
 * ``reduce_value_state_by_key`` — general keyed state machine (reference:
   Stream.java:496-503, BeamStream.java:997-1070; sorted variant buffers by
@@ -56,6 +58,99 @@ def integrate_per_key(
         key.alias("key"),
         *[F.col(c) for c in df.columns],
         running.alias(alias),
+    )
+
+
+def integrate_per_key_salted(
+    df: DataFrame,
+    *,
+    key: Column,
+    value: Column,
+    stamp: Column,
+    initial: float = 0.0,
+    alias: str = "integrated",
+    num_buckets: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Hot-key-safe ``integrate_per_key``: hierarchical two-phase prefix sum.
+
+    ``integrate_per_key``'s window puts ALL rows of one key into a single
+    window partition — one task, however big the key. This form splits each
+    key's timeline into ``num_buckets`` contiguous stamp ranges (global
+    range cutpoints from approxQuantile — a bounded, (num_buckets-1)-double
+    driver collect, same legitimacy class as IVF centroid sampling):
+
+      phase 1: running sum within (key, bucket) — parallel across buckets,
+               so a key holding 50% of all rows spreads over ~num_buckets
+               tasks instead of one;
+      phase 2: per-(key, bucket) totals (tiny: #keys × #buckets rows) get an
+               exclusive per-key prefix over bucket order, joined back as the
+               bucket's starting offset. AQE broadcasts the totals side at
+               any realistic scale.
+
+    Results are identical to the unsalted form whenever ``stamp`` is a total
+    order per key (ties across rows are resolved identically because equal
+    stamps always share a bucket). Null keys are dropped (the offset join is
+    an equi-join); the plain window form keeps them as their own partition.
+    Use for skewed keys; the plain window form is one shuffle cheaper for
+    uniform data.
+
+    Plan shape (verified with .explain): phase-1 Window partitioned by
+    (key, bucket); offsets side is #keys×#buckets rows so AQE broadcasts it
+    at runtime; the big side arrives at the join already sorted by
+    (key, bucket) from its own window — no extra sort.
+    """
+    s = stamp.cast("double")
+    probe = df.select(s.alias("__s"))
+    cuts = probe.approxQuantile(
+        "__s", [i / num_buckets for i in range(1, num_buckets)], rel_err
+    )
+    # strictly increasing cutpoints only (duplicates collapse empty buckets)
+    uniq: list[float] = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    if uniq:
+        cut_arr = F.array(*[F.lit(c) for c in uniq])
+        bucket = F.aggregate(
+            cut_arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(s >= c, 1).otherwise(0),
+        )
+    else:  # constant stamp — single bucket, degenerates to the plain form
+        bucket = F.lit(0)
+
+    base = df.select(
+        key.alias("__key"),
+        bucket.alias("__bucket"),
+        value.alias("__value"),
+        stamp.alias("__stamp"),
+        *[F.col(c) for c in df.columns],
+    )
+    w_local = (
+        Window.partitionBy("__key", "__bucket")
+        .orderBy("__stamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__local_run", F.sum("__value").over(w_local))
+
+    totals = base.groupBy("__key", "__bucket").agg(F.sum("__value").alias("__tot"))
+    w_offset = (
+        Window.partitionBy("__key")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__key",
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(w_offset), F.lit(0.0)).alias("__offset"),
+    )
+
+    joined = local.join(offsets, ["__key", "__bucket"])
+    return joined.select(
+        F.col("__key").alias("key"),
+        *[F.col(c) for c in df.columns],
+        (F.col("__local_run") + F.col("__offset") + F.lit(initial)).alias(alias),
     )
 
 

@@ -216,6 +216,33 @@ class Stream:
             )
         )
 
+    def integrate_per_key_salted(
+        self,
+        key: Column | str,
+        value: Column | str,
+        initial: float = 0.0,
+        num_buckets: int = 32,
+    ) -> "Stream":
+        """Hot-key-safe ``integrate_per_key``: hierarchical two-phase prefix
+        sum over contiguous stamp-range buckets, so a key holding half the
+        input spreads over ~num_buckets tasks (operators/stateful.py)."""
+        from proxima_platform_spark.operators.stateful import (
+            integrate_per_key_salted,
+        )
+
+        if self.time_column is None:
+            raise ValueError("integrate_per_key_salted needs an event-time column")
+        return self._with(
+            integrate_per_key_salted(
+                self.df,
+                key=_col(key),
+                value=_col(value),
+                stamp=F.col(self.time_column),
+                initial=initial,
+                num_buckets=num_buckets,
+            )
+        )
+
     def reduce_value_state_by_key(
         self,
         key: Column | str,
