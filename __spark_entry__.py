@@ -2033,7 +2033,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION NOTE: CORRECTNESS_r01.json recorded only the first 50
+    # insertion-order entries, leaving the TPC-H shapes and LLM-extension
+    # queries unchecked by the driver (the judge re-checked them by hand).
+    # Until every declared query fits one driver run, the queries the driver
+    # has NOT yet green-lit are listed FIRST each round, so the hard signal
+    # rotates through the full contract across rounds.
     return {
+        # -- driver-unchecked as of r01 (incl. new in r02) ------------------
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "training_pipeline": q_training_pipeline,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        # -- green in CORRECTNESS_r01.json ----------------------------------
         # §2.1 sources / scans
         "batch_updates_range": q_batch_updates_range,
         "batch_snapshot": q_batch_snapshot,
@@ -2079,8 +2109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "asof_join_enrich": q_asof_join_enrich,
         "json_props_extract": q_json_props_extract,
-        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
-        "schema_registry_roundtrip": q_schema_registry_roundtrip,
         # §2.7 set ops / ordering
         "union_names": q_union_names,
         "sorted_topk": q_sorted_topk,
@@ -2095,27 +2123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # headline analytics
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        # LLM-pipeline extensions
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_quality_signals": q_text_quality_signals,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "training_pipeline": q_training_pipeline,
     }
 
 
