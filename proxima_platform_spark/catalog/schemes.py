@@ -101,20 +101,34 @@ def resolve_scheme(uri: str, registry_fetcher=None) -> Scheme:
     if base in _BUILTIN:
         return _BUILTIN[base]
     if base == "proto":
-        # The python shim module always imports — the spark-protobuf JAR is
-        # what's usually missing, and without it the expressions fail at
-        # analysis time deep inside the JVM. Probe the classpath up front so
-        # the error is actionable (AvroSerializerFactory's proto sibling,
-        # ProtoSerializerFactory.java:78).
+        # Tiered like avro: JVM from_protobuf/to_protobuf when the
+        # spark-protobuf jar is loadable; otherwise the pure-python wire
+        # codec (catalog/proto.py) for messages registered via
+        # register_message — the python analog of the reference's classpath
+        # lookup (ProtoSerializerFactory.java:78,124). The python shim module
+        # always imports, so the jar is probed explicitly.
         message = uri.split(":", 1)[1]
-        from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf
-
         if not _jvm_class_available(
             "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
         ):
-            raise NotImplementedError(
-                "proto scheme needs the spark-protobuf jar on the classpath"
+            from proxima_platform_spark.catalog import proto as proto_codec
+
+            try:
+                descriptor = proto_codec.resolve_message(message)
+            except KeyError as e:
+                raise NotImplementedError(
+                    "proto scheme needs the spark-protobuf jar on the "
+                    f"classpath, or a descriptor registered for {message!r} "
+                    "via catalog.proto.register_message"
+                ) from e
+            return Scheme(
+                uri=uri,
+                spark_type=proto_codec.proto_to_spark_type(descriptor),
+                encode=proto_codec.proto_encode_column(descriptor),
+                decode=proto_codec.proto_decode_column(descriptor),
             )
+        from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf
+
         return Scheme(
             uri=uri,
             spark_type=BinaryType(),  # struct type comes from the descriptor set
