@@ -1925,6 +1925,42 @@ GROUP BY doc_id, w, h
 """
 
 
+def q_corpus_sample(spark, sf):
+    """Deterministic stratified corpus sampling (functions/sampling.py):
+    rebalance the mixture — keep all of src0, half of src1, a quarter of
+    src2, 10% of everything else — as ONE pure codegen filter (no shuffle,
+    no rand(); md5-keyed so the DuckDB oracle mirrors the sample exactly)."""
+    from proxima_platform_spark.functions.sampling import stratified_sample
+
+    docs = _load(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs,
+        key=F.col("doc_id"),
+        strata=F.col("source"),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        salt="corpus-v1",
+    )
+    return sampled.select("doc_id", "source")
+
+
+SQL_CORPUS_SAMPLE = """
+WITH keyed AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS sk
+    FROM documents
+)
+SELECT doc_id, source
+FROM keyed
+WHERE sk < CASE source
+           WHEN 'src0' THEN 1000000
+           WHEN 'src1' THEN 500000
+           WHEN 'src2' THEN 250000
+           ELSE 100000 END
+"""
+
+
 _PIPELINE_CACHE: list = []
 
 
@@ -2063,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
         "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        "corpus_sample": q_corpus_sample,
         # -- green in CORRECTNESS_r01.json ----------------------------------
         # §2.1 sources / scans
         "batch_updates_range": q_batch_updates_range,
@@ -2244,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_extract": SQL_JSON_PROPS_EXTRACT,
         "avro_scheme_roundtrip": SQL_AVRO_SCHEME_ROUNDTRIP,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
+        "corpus_sample": SQL_CORPUS_SAMPLE,
         "union_names": SQL_UNION_NAMES,
         "sorted_topk": SQL_SORTED_TOPK,
         "keyset_pagination": SQL_KEYSET_PAGINATION,

@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Extension beyond the reference surface (north star operators). Sampling a
+100 TB corpus must be (a) shuffle-free — a pure filter, so it composes with
+scan pruning and never materializes the population, (b) deterministic and
+versionable — re-running the pipeline yields the same sample, and (c)
+stratifiable — per-source/per-language rates to rebalance a mixture.
+
+The sampling key is an md5-derived integer in [0, 1e6) (the same
+engine-portable hash family the dedup/LSH operators use — md5 is
+bit-identical in Spark and DuckDB, so the driver oracle can mirror the
+sample exactly; Spark's native ``hash()`` is Murmur3 with engine-specific
+seeds and would not cross-check).
+
+``F.rand()``-based sampling is rejected on purpose: nondeterministic across
+retries/partition re-reads, which silently breaks exactly-once pipeline
+semantics at scale (a retried task would sample different rows).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: granularity of the sampling key space; rates quantize to 1/BUCKETS
+BUCKETS = 1_000_000
+
+
+def sample_key(key: Column, salt: str = "") -> Column:
+    """Uniform deterministic key in [0, BUCKETS): md5 of (salt || key),
+    first 60 bits as integer, mod BUCKETS. Pure codegen expression."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, *, key: Column, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by ``key``.
+
+    A pure filter — predicate-pushdown-friendly, zero shuffle, stable under
+    retries. Different ``salt`` values draw independent samples (e.g.
+    train/validation splits from disjoint salts)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(sample_key(key, salt) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key: Column,
+    strata: Column,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing primitive
+    (e.g. downsample crawl data to 10% while keeping 100% of books).
+
+    Still a single pure filter: the stratum column selects the rate via a
+    literal map lookup, so the plan is one codegen stage, no shuffle, and
+    the scan only reads rows it keeps."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    rate_map = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(int(r * BUCKETS)))]
+    )
+    threshold = F.coalesce(
+        rate_map[strata], F.lit(int(default_rate * BUCKETS))
+    )
+    return df.where(sample_key(key, salt) < threshold)

@@ -1,0 +1,93 @@
+"""Deterministic corpus sampling (functions/sampling.py): stable under
+re-execution, salt-independent draws, stratified rates, pure-filter plan."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.sampling import (
+    BUCKETS,
+    hash_sample,
+    sample_key,
+    stratified_sample,
+)
+
+
+def corpus(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+class TestHashSample:
+    def test_deterministic_across_runs(self, spark):
+        df = corpus(spark)
+        a = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.3).collect()}
+        b = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.3).collect()}
+        assert a == b and 0 < len(a) < 2000
+
+    def test_rate_approximation(self, spark):
+        df = corpus(spark, n=5000)
+        kept = hash_sample(df, key=F.col("doc_id"), rate=0.5).count()
+        assert 0.45 * 5000 < kept < 0.55 * 5000
+
+    def test_salts_draw_independent_samples(self, spark):
+        df = corpus(spark)
+        a = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.5, salt="A").collect()}
+        b = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.5, salt="B").collect()}
+        assert a != b
+        overlap = len(a & b) / max(len(a), 1)
+        assert 0.3 < overlap < 0.7  # ~rate for independent draws
+
+    def test_nested_samples_monotone(self, spark):
+        """Lower rate with the same salt must be a subset of a higher rate —
+        the property that makes samples versionable (growing a 1% sample to
+        10% keeps the original rows)."""
+        df = corpus(spark)
+        small = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.1).collect()}
+        big = {r.doc_id for r in hash_sample(df, key=F.col("doc_id"), rate=0.4).collect()}
+        assert small <= big
+
+    def test_invalid_rate_raises(self, spark):
+        with pytest.raises(ValueError):
+            hash_sample(corpus(spark), key=F.col("doc_id"), rate=1.5)
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, spark):
+        df = corpus(spark, n=4000)  # 1000 per source
+        out = stratified_sample(
+            df,
+            key=F.col("doc_id"),
+            strata=F.col("source"),
+            rates={"src0": 1.0, "src1": 0.5},
+            default_rate=0.0,
+        )
+        counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+        assert counts.get("src0") == 1000
+        assert 400 < counts.get("src1", 0) < 600
+        assert "src2" not in counts and "src3" not in counts
+
+    def test_plan_is_pure_filter(self, spark):
+        """The scale property: one filter over the scan — no shuffle, no
+        join, no aggregation before sampling."""
+        df = corpus(spark)
+        out = stratified_sample(
+            df,
+            key=F.col("doc_id"),
+            strata=F.col("source"),
+            rates={"src0": 0.5},
+            default_rate=0.1,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+    def test_sample_key_range(self, spark):
+        df = corpus(spark, n=500)
+        mm = df.select(
+            F.min(sample_key(F.col("doc_id"))).alias("lo"),
+            F.max(sample_key(F.col("doc_id"))).alias("hi"),
+        ).collect()[0]
+        assert 0 <= mm.lo and mm.hi < BUCKETS
