@@ -85,17 +85,18 @@ def main() -> None:
         return time.time() - t0
 
     # steady-state throughput: 1 untimed warmup (codegen + shuffle-file
-    # reuse), then median of 3 timed runs — single cold runs on this host
+    # reuse), then median of 5 timed runs — single cold runs on this host
     # vary ±40% from scheduling/JIT noise and measure constants, not the
-    # engine
+    # engine (median-of-3 still produced >1.5x false regression flags in
+    # round-2 spot checks; 5 runs cost ~30s more and cut the tail)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run_once(name)
-        timings[name] = round(sorted(run_once(name) for _ in range(3))[1], 3)
+        timings[name] = round(sorted(run_once(name) for _ in range(5))[2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline-suite wall time, median-of-3 warm runs per query "
+        "metric": "headline-suite wall time, median-of-5 warm runs per query "
         "(changelog snapshot + windows + stateful + joins + TPC-H-ish + "
         "LLM dedup/ANN) at sf%s" % sf,
         "value": round(sum(timings.values()), 3),
