@@ -158,6 +158,9 @@ def lsh_band_keys(
     )
 
 
+_BANDED_CACHE: list = []
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -231,8 +234,13 @@ def minhash_candidate_pairs(
     )
     banded = sig.select("id", F.explode(band_keys).alias("band"))
     # the self-join would recompute the whole signature pipeline on both
-    # sides — persist the (tiny: one row per doc per band) banded signatures
+    # sides — persist the (tiny: one row per doc per band) banded signatures.
+    # Previous invocations' caches are released here: repeated builds (bench
+    # loops, oracle sweeps) must not pin storage memory indefinitely
     banded = banded.persist()
+    while _BANDED_CACHE:
+        _BANDED_CACHE.pop().unpersist()
+    _BANDED_CACHE.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")
