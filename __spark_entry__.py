@@ -1882,8 +1882,14 @@ def q_multimodal_features(spark, sf):
             for _, row in pdf.iterrows():
                 w = 4 + int(row.doc_id) % 5
                 h = 3 + int(row.doc_id) % 4
-                raw = row.text.encode("utf-8")[: w * h * 3].ljust(w * h * 3, b"\0")
-                img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                n = w * h * 3
+                # pixels from CODEPOINTS (mod 256), not UTF-8 bytes: the
+                # DuckDB oracle indexes characters (ascii(substr(...))), and
+                # a multi-byte character would shift every subsequent byte —
+                # codepoint%256 keeps both engines aligned on any text
+                pix = [ord(c) % 256 for c in row.text[:n]]
+                pix += [0] * (n - len(pix))
+                img = np.asarray(pix, dtype=np.uint8).reshape(h, w, 3)
                 rows.append({"doc_id": row.doc_id, "payload": encode_ppm(img)})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1910,7 +1916,7 @@ WITH dims AS (
 ), px AS (
     SELECT doc_id, w, h, t.i AS i,
            CASE WHEN t.i <= length(text)
-                THEN ascii(substr(text, CAST(t.i AS INT), 1))
+                THEN ascii(substr(text, CAST(t.i AS INT), 1)) % 256
                 ELSE 0 END AS b
     FROM dims, LATERAL (SELECT unnest(range(1, CAST(w * h * 3 + 1 AS BIGINT))) AS i) t
 )

@@ -219,7 +219,8 @@ def _matches(branch, value) -> bool:
     if t in ("int", "long"):
         return isinstance(value, int) and not isinstance(value, bool)
     if t in ("float", "double"):
-        return isinstance(value, float)
+        # int → double promotion, as standard Avro writers do
+        return isinstance(value, (float, int)) and not isinstance(value, bool)
     if t in ("string", "enum"):
         return isinstance(value, str)
     if t in ("bytes", "fixed"):
@@ -322,7 +323,7 @@ class SchemaRegistryClient:
     def _http_fetch(url: str) -> str:  # pragma: no cover — network
         from urllib.request import urlopen
 
-        with urlopen(url) as resp:
+        with urlopen(url, timeout=10) as resp:
             return resp.read().decode("utf-8")
 
     def schema_by_id(self, schema_id: int):

@@ -124,11 +124,11 @@ class _Parser:
             c = self._peek()
             if c == "{":
                 value: Any = self._parse_object()
+            elif c == "+" and self.s.startswith("+=", self.i):
+                raise self._error("'+=' is not supported")
             elif c in (":", "="):
                 self.i += 1
                 self._skip_ws(newlines=False)
-                if self._peek() == "+" and self.s.startswith("+=", self.i - 1):
-                    raise self._error("'+=' is not supported")
                 value = self._parse_value()
             else:
                 raise self._error(f"expected ':', '=' or '{{' after key {key!r}")
@@ -150,36 +150,66 @@ class _Parser:
 
     def _parse_value(self) -> Any:
         """One value: possibly a concatenation of adjacent pieces up to the
-        end of line / ',' / '}' / ']' / comment."""
+        end of line / ',' / '}' / ']' / comment. Whitespace BETWEEN pieces is
+        preserved in string concatenations, per the HOCON spec
+        ('hello ${name}' → 'hello Bob', not 'helloBob')."""
         parts: list = []
+        gaps: list = []  # whitespace run preceding each part
         raw_strings = False
+        pending_gap = ""
         while self.i < self.n:
             c = self._peek()
             if c in "\n,}]" or c == "#" or self.s.startswith("//", self.i):
                 break
+            before = self.i
             if c == "{":
-                parts.append(self._parse_object())
+                part: Any = self._parse_object()
             elif c == "[":
-                parts.append(self._parse_array())
+                part = self._parse_array()
             elif c == '"':
-                parts.append(self._parse_quoted())
+                part = self._parse_quoted()
                 raw_strings = True
             elif c == "$":
-                parts.append(self._parse_subst())
+                part = self._parse_subst()
             else:
                 piece = self._parse_unquoted_piece()
-                if piece is not None:
-                    parts.append(piece)
-                    raw_strings = True
-            # whitespace between pieces is preserved only inside unquoted
-            # runs (handled by _parse_unquoted_piece); skip the rest
+                if piece is None:
+                    # no progress possible: the next char ends an unquoted
+                    # string (':', '=', …) but is not a valid value start —
+                    # raise instead of spinning forever
+                    raise self._error(
+                        f"unexpected {self._peek()!r} in value (quote the "
+                        "string if it should contain this character)"
+                    )
+                part = piece
+                raw_strings = True
+            assert self.i > before  # every branch must consume input
+            parts.append(part)
+            gaps.append(pending_gap)
+            # capture (non-newline) whitespace before a possible next piece
+            ws_start = self.i
             self._skip_ws(newlines=False)
+            pending_gap = self.s[ws_start : self.i]
+        if not parts:
+            raise self._error("expected a value")
+        # unquoted pieces keep their internal/trailing whitespace for exact
+        # concatenation; the VALUE's trailing whitespace is trimmed (spec)
+        if parts and isinstance(parts[-1], str) and not _is_quoted_marker(parts[-1]):
+            parts[-1] = parts[-1].rstrip()
+            if not parts[-1]:
+                parts.pop()
+                gaps.pop()
         if not parts:
             raise self._error("expected a value")
         if len(parts) == 1:
             p = parts[0]
             return _typed(p) if raw_strings and isinstance(p, str) and not _is_quoted_marker(p) else p
-        return _Concat(parts)
+        merged: list = []
+        for gap, part in zip(gaps, parts):
+            if merged and gap:
+                merged.append(gap)
+            merged.append(part)
+        return _Concat(merged)
 
     def _parse_unquoted_piece(self) -> str | None:
         start = self.i
@@ -190,7 +220,7 @@ class _Parser:
             if self.s.startswith("//", self.i):
                 break
             self.i += 1
-        piece = self.s[start : self.i].rstrip()
+        piece = self.s[start : self.i]
         return piece if piece else None
 
     def _parse_quoted(self) -> str:

@@ -92,14 +92,62 @@ _BUILTIN: dict[str, Scheme] = {
 }
 
 
+#: process-global registry fetcher override (offline/test environments
+#: inject a stub once instead of threading it through every resolve call —
+#: AttributeDescriptor.spark_type resolves with no argument)
+_DEFAULT_REGISTRY_FETCHER = None
+
+#: memoized non-builtin schemes, keyed by (uri, jar tier). Without this,
+#: every AttributeDescriptor.spark_type access would rebuild pandas UDFs —
+#: and for schema-registry schemes, re-fetch the subject schema over HTTP.
+_RESOLVE_CACHE: dict = {}
+
+
+def set_default_registry_fetcher(fetcher) -> None:
+    """Install a process-wide ``fetcher(url) -> str`` used by
+    ``schema-registry:`` schemes resolved without an explicit fetcher
+    (clears the memo so already-resolved registry schemes re-resolve)."""
+    global _DEFAULT_REGISTRY_FETCHER
+    _DEFAULT_REGISTRY_FETCHER = fetcher
+    for key in [k for k in _RESOLVE_CACHE if k[0].startswith("schema-registry:")]:
+        del _RESOLVE_CACHE[key]
+
+
 def resolve_scheme(uri: str, registry_fetcher=None) -> Scheme:
     """Resolve a scheme URI. ``proto:``/``avro:`` resolve lazily so the
     engine works without the optional spark-protobuf/avro packages;
     ``schema-registry:`` takes an optional injectable ``registry_fetcher``
-    (url → response body) so tests run against a stub registry."""
+    (url → response body) so tests run against a stub registry — or install
+    one process-wide with ``set_default_registry_fetcher``. Results are
+    memoized per (uri, jar tier); explicit-fetcher resolutions bypass the
+    memo."""
     base = uri.split(":", 1)[0]
     if base in _BUILTIN:
         return _BUILTIN[base]
+    if registry_fetcher is None:
+        registry_fetcher = _DEFAULT_REGISTRY_FETCHER
+        cache_key = (uri, _jvm_class_available_cached(base))
+        cached = _RESOLVE_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+        scheme = _resolve_uncached(uri, base, registry_fetcher)
+        _RESOLVE_CACHE[cache_key] = scheme
+        return scheme
+    return _resolve_uncached(uri, base, registry_fetcher)
+
+
+_TIER_CLASSES = {
+    "proto": "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst",
+    "avro": "org.apache.spark.sql.avro.AvroDataToCatalyst",
+}
+
+
+def _jvm_class_available_cached(base: str) -> bool:
+    cls = _TIER_CLASSES.get(base)
+    return _jvm_class_available(cls) if cls else False
+
+
+def _resolve_uncached(uri: str, base: str, registry_fetcher) -> Scheme:
     if base == "proto":
         # Tiered like avro: JVM from_protobuf/to_protobuf when the
         # spark-protobuf jar is loadable; otherwise the pure-python wire

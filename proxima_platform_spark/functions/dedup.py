@@ -159,6 +159,7 @@ def lsh_band_keys(
 
 
 _BANDED_CACHE: list = []
+_BANDED_CACHE_KEEP = 4
 
 
 def minhash_candidate_pairs(
@@ -235,12 +236,14 @@ def minhash_candidate_pairs(
     banded = sig.select("id", F.explode(band_keys).alias("band"))
     # the self-join would recompute the whole signature pipeline on both
     # sides — persist the (tiny: one row per doc per band) banded signatures.
-    # Previous invocations' caches are released here: repeated builds (bench
-    # loops, oracle sweeps) must not pin storage memory indefinitely
+    # Bounded FIFO hygiene: keep the most recent few so interleaved
+    # pipelines (build A, build B, run A) don't thrash each other's cache,
+    # while repeated builds (bench loops, oracle sweeps) can't pin storage
+    # memory indefinitely
     banded = banded.persist()
-    while _BANDED_CACHE:
-        _BANDED_CACHE.pop().unpersist()
     _BANDED_CACHE.append(banded)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")

@@ -170,10 +170,17 @@ def retract_join_stream(
     (RetractJoin.java:57-363); at 100 TB of keyed state nothing accumulates
     on the driver, and micro-batch work scales with batch size.
 
-    Within a micro-batch, rows apply in (stamp, seq) order; across batches
-    the state carries over, so feeding time-ordered batches reproduces the
-    batch replay exactly (asserted in tests). Rows older than the event-time
-    watermark are dropped by the engine before reaching the state function.
+    Rows BUFFER until the event-time watermark passes their stamp, then
+    replay in global (stamp, seq) order — the reference's timer-on-watermark
+    design (and the same buffering the sibling
+    ``reduce_value_state_by_key_stream`` uses). Without the buffer, a row
+    arriving one micro-batch later than a higher-stamped row (legal within
+    the watermark bound) would apply as if newest and corrupt the per-key
+    state. Rows already older than the watermark at arrival are dropped
+    (MAX_ACCEPTABLE_STAMP analog). Outputs therefore trail the watermark by
+    ``watermark_delay`` — the streaming-correctness price the reference also
+    pays; buffered volume per key is bounded by watermark_delay × per-key
+    arrival rate.
     """
     merged = _normalize_side(
         left, left_key, left_value, left_stamp, left_delete, left_seq, "L"
@@ -189,18 +196,50 @@ def retract_join_stream(
         import json
 
         st = {"L": None, "R": None}
+        buffered: list = []
         if state.exists:
             packed = state.get
             if packed[0] is not None:
                 st = json.loads(packed[0])
+            if packed[1] is not None:
+                buffered = json.loads(packed[1])
 
-        rows: list[dict] = []
+        wm_ms = state.getCurrentWatermarkMs()
         for pdf in pdfs:
             for row in pdf.to_dict("records"):
-                rows.append({**row, "stamp": pd.Timestamp(row["stamp"])})
-        rows.sort(key=lambda r: (r["stamp"].value, r["seq"]))
-        out = _replay_rows(st, key_tuple[0], rows)
-        state.update((json.dumps(st),))
+                stamp_ns = int(pd.Timestamp(row["stamp"]).value)
+                if wm_ms > 0 and stamp_ns // 1_000_000 < wm_ms:
+                    continue  # late beyond the watermark at arrival: drop
+                buffered.append(
+                    {
+                        "stamp_ns": stamp_ns,
+                        "seq": int(row["seq"]),
+                        "side": row["side"],
+                        "value": row["value"],
+                        "delete": bool(row["delete"]),
+                    }
+                )
+
+        buffered.sort(key=lambda r: (r["stamp_ns"], r["seq"]))
+        flush = [r for r in buffered if r["stamp_ns"] // 1_000_000 <= wm_ms]
+        hold = [r for r in buffered if r["stamp_ns"] // 1_000_000 > wm_ms]
+        out = _replay_rows(
+            st,
+            key_tuple[0],
+            [
+                {
+                    "side": r["side"],
+                    "value": r["value"],
+                    "delete": r["delete"],
+                    "stamp": pd.Timestamp(r["stamp_ns"]),
+                }
+                for r in flush
+            ],
+        )
+        state.update((json.dumps(st), json.dumps(hold) if hold else None))
+        # wake this key when the watermark next advances so held rows flush
+        # even if no further data arrives for it
+        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
         if out:
             yield pd.DataFrame(
                 out,
@@ -210,7 +249,7 @@ def retract_join_stream(
     return merged.groupBy("key").applyInPandasWithState(
         process,
         outputStructType=RETRACT_SCHEMA,
-        stateStructType="state string",
+        stateStructType="state string, buffered string",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

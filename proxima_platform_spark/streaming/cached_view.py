@@ -102,7 +102,11 @@ class CachedView:
         delta = f"delta/d{v}"
         batch.write.parquet(f"{self.path}/{delta}")
         hwm = batch.agg(F.max("stamp")).first()[0]
-        if m["high_watermark"] is None or (hwm is not None and str(hwm) > m["high_watermark"]):
+        # an empty batch (hwm None) must not touch the watermark — str(None)
+        # would poison every later lexicographic comparison
+        if hwm is not None and (
+            m["high_watermark"] is None or str(hwm) > m["high_watermark"]
+        ):
             m["high_watermark"] = str(hwm)
         m["version"] = v
         m["deltas"] = m["deltas"] + [delta]

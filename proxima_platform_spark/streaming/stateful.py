@@ -20,12 +20,51 @@ key like any shuffle.
 
 from __future__ import annotations
 
+import base64
+from datetime import date, datetime
 from typing import Any, Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _pack_value(v):
+    """JSON-safe, type-preserving encoding for buffered row values. Every
+    buffered row round-trips through this (even ones flushed in their
+    arrival batch), so a row restored from persisted state is
+    indistinguishable from a fresh one — same types, same values."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return {"__ts_ns__": int(pd.Timestamp(v).value)}
+    if isinstance(v, date):
+        return {"__date__": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__b64__": base64.b64encode(bytes(v)).decode("ascii")}
+    if isinstance(v, float) and v != v:  # NaN → null (json has no NaN)
+        return None
+    if isinstance(v, dict):
+        return {k: _pack_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_pack_value(x) for x in v]
+    return v
+
+
+def _unpack_value(v):
+    if isinstance(v, dict):
+        if set(v) == {"__ts_ns__"}:
+            return pd.Timestamp(v["__ts_ns__"])
+        if set(v) == {"__date__"}:
+            return date.fromisoformat(v["__date__"])
+        if set(v) == {"__b64__"}:
+            return base64.b64decode(v["__b64__"])
+        return {k: _unpack_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_unpack_value(x) for x in v]
+    return v
 
 
 def reduce_value_state_by_key_stream(
@@ -71,12 +110,15 @@ def reduce_value_state_by_key_stream(
                 stamp_ms = int(pd.Timestamp(row[stamp]).value // 1_000_000)
                 if sorted and wm_ms > 0 and stamp_ms < wm_ms:
                     continue  # latecomer beyond bound: drop
-                # normalize before buffering so a row flushed from persisted
-                # state is byte-identical to one flushed in its arrival batch
-                # (stamp carried as epoch ms, reconstructed below)
-                buffered.append((stamp_ms, {**row, stamp: stamp_ms}))
+                # normalize EVERY value before buffering (timestamps → epoch
+                # ns, bytes → base64, numpy scalars → python) so a row
+                # flushed from persisted state is indistinguishable from one
+                # flushed in its arrival batch; stamp carried as epoch ms
+                packed = {k: _pack_value(v) for k, v in row.items()}
+                buffered.append((stamp_ms, {**packed, stamp: stamp_ms}))
 
         def apply(st, row):
+            row = {k: _unpack_value(v) for k, v in row.items()}
             return state_fn(
                 st, key_tuple[0], {**row, stamp: pd.Timestamp(row[stamp], unit="ms")}
             )
@@ -99,8 +141,10 @@ def reduce_value_state_by_key_stream(
                     outputs.append(out)
             buffered = []
 
+        # no default=str: values were packed type-preservingly at buffer
+        # time; anything unserializable here is a real bug and should raise
         state.update(
-            (json.dumps(st), json.dumps(buffered, default=str) if buffered else None)
+            (json.dumps(st), json.dumps(buffered) if buffered else None)
         )
         state.setTimeoutTimestamp(max(wm_ms + 1, 1))
         if outputs:

@@ -129,6 +129,25 @@ class TestParser:
     def test_unquoted_string_with_spaces(self):
         assert hocon.loads("a: hello world\n") == {"a": "hello world"}
 
+    def test_unquoted_colon_value_raises_not_hangs(self):
+        """Regression: 'key = a:b' used to spin the parser forever; the spec
+        ends unquoted strings at ':' so this must be a clear error."""
+        with pytest.raises(hocon.HoconError, match="quote the string"):
+            hocon.loads("key = a:b")
+        with pytest.raises(hocon.HoconError):
+            hocon.loads("storage = kafka://broker/topic\n")  # unquoted URI
+
+    def test_plus_equals_raises_cleanly(self):
+        with pytest.raises(hocon.HoconError, match="not supported"):
+            hocon.loads("a += [1]")
+
+    def test_concat_preserves_inter_piece_whitespace(self):
+        """Spec: 'hello ${name}' → 'hello Bob', not 'helloBob'."""
+        out = hocon.loads('name = "Bob"\ngreeting = hello ${name}')
+        assert out["greeting"] == "hello Bob"
+        out2 = hocon.loads('a = "x"\nb = ${a} ${a}\nc = ${a}${a}')
+        assert out2["b"] == "x x" and out2["c"] == "xx"
+
 
 class TestRepositoryFromHocon:
     def test_readme_style_config_parses(self):

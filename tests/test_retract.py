@@ -122,6 +122,7 @@ class TestRetractJoinStream:
             left_key="key", right_key="key",
             left_value="value", right_value="value",
             left_delete="delete", right_delete="delete",
+            watermark_delay="0 seconds",
         )
         q = (
             out.writeStream.format("memory").queryName("retract_stream_out")
@@ -153,6 +154,71 @@ class TestRetractJoinStream:
 
         assert canon(got) == canon(expect)
         assert got.count() == 6
+
+    def test_out_of_order_across_batches_matches_batch_replay(self, spark, tmp_path):
+        """Regression (r02 review): a row arriving one micro-batch LATER than
+        a higher-stamped row — legal within the watermark bound — must apply
+        in global (stamp, seq) order, not arrival order. Without the
+        watermark buffer, L v1@1000 arriving after L v2@5000 was applied as
+        if newest, leaving stale state and emitting wrong retractions."""
+        # batch 1: the NEWER left row + a right row; batch 2: an OLDER left
+        # row whose stamp is still above batch 1's watermark (10s delay)
+        l_rows_b1 = [("a", "v2", ts(5000), False)]
+        r_rows_b1 = [("a", "w1", ts(2000), False)]
+        l_rows_b2 = [("a", "v1", ts(1000), False)]
+        # w2 is the interesting event; the single-sided "zz" sentinel only
+        # pushes the final watermark past w2 so it flushes before stream end
+        r_rows_b2 = [("a", "w2", ts(60_000), False), ("zz", "s", ts(120_000), False)]
+
+        l_src, r_src = str(tmp_path / "l2"), str(tmp_path / "r2")
+        for src, batches in ((l_src, (l_rows_b1, l_rows_b2)), (r_src, (r_rows_b1, r_rows_b2))):
+            for i, rows in enumerate(batches):
+                spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.parquet(
+                    f"{src}/f{i}"
+                )
+
+        def file_stream(src):
+            return (
+                spark.readStream.schema(self.SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/f*")
+            )
+
+        out = retract_join_stream(
+            file_stream(l_src), file_stream(r_src),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
+            watermark_delay="10 seconds",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("retract_ooo_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql(
+            "SELECT key, left_value, right_value, stamp, is_addition FROM retract_ooo_out"
+        )
+        expect = retract_join_batch(
+            changelog(spark, l_rows_b1 + l_rows_b2),
+            changelog(spark, r_rows_b1 + r_rows_b2),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
+        )
+
+        def canon(df):
+            return sorted(
+                (r.key, r.left_value, r.right_value, r.stamp, r.is_addition)
+                for r in df.collect()
+            )
+
+        assert canon(got) == canon(expect)
+        # the final joined state must reflect v2 (newest by STAMP), i.e. the
+        # last addition for w2 pairs with v2, not the late-arriving v1
+        adds = [r for r in canon(got) if r[4]]
+        assert adds[-1][1] == "v2"
 
     def test_schemas_union_compatible(self, spark, tmp_path):
         """Both forms share RETRACT_SCHEMA (incl. stamp) — unionByName works."""
