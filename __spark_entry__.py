@@ -34,6 +34,7 @@ from proxima_platform_spark.functions.dedup import (
     normalize_text,
     simhash64,
 )
+from proxima_platform_spark.functions.graph import dedup_groups
 from proxima_platform_spark.functions.multimodal import image_features
 from proxima_platform_spark.functions.similarity import (
     brute_force_top_k,
@@ -1509,6 +1510,41 @@ def q_dedup_minhash(spark, sf):
     ).select(F.col("id_a"), F.col("id_b"))
 
 
+def q_dedup_groups(spark, sf):
+    """Transitive dedup groups: MinHash/LSH candidate pairs collapsed by
+    distributed connected components (alternating large-star/small-star,
+    functions/graph.py). Output: every doc with a near-dup partner, its
+    group label (min doc_id in the component), and the keeper flag."""
+    docs = _load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    return dedup_groups(pairs, "id_a", "id_b")
+
+
+def _sql_dedup_groups() -> str:
+    """Oracle: same banded pairs, components via recursive min-label
+    reachability (a label l reaches node x through monotone frontier
+    l < next-node; min received label == component min)."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes("documents")},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    WHERE r.label < e.v
+)
+SELECT node AS id, min(label) AS group_id,
+       (node = min(label)) AS is_representative
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash document fingerprints (60-bit; md5-derived token hashes)."""
     docs = _load(spark, sf, "documents")
@@ -2089,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14ish": q_tpch_q14ish,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "jaccard_adjacent": q_jaccard_adjacent,
@@ -2304,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14ish": SQL_TPCH_Q14ISH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_groups": _sql_dedup_groups(),
         "dedup_simhash": _sql_dedup_simhash(),
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "jaccard_adjacent": SQL_JACCARD_ADJACENT,

@@ -1,0 +1,149 @@
+"""Distributed connected components — dedup-group clustering.
+
+Near-duplicate candidate *pairs* (MinHash/LSH, SimHash, embedding buckets —
+functions/dedup.py) are only half of deduplication: a corpus cleaner must
+collapse each *transitive* group (A~B, B~C ⇒ {A,B,C}) and keep one
+representative. That grouping is connected components over the candidate
+graph.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the same
+two-phase contraction GraphFrames/GraphX use. Each phase is one
+groupBy + join (two shuffles); the edge set contracts toward a star per
+component in O(log n) rounds *regardless of component diameter*, which is
+why it is preferred over naive min-label propagation (O(diameter) rounds —
+a 1M-long chain of near-dups would need 1M rounds) at 100 TB scale.
+
+Scale properties:
+  * state is only the current edge set — no driver-side graph, ever;
+  * each round is hash-partitioned groupBy(min) + equi-join on node id;
+  * lineage is truncated every round (``localCheckpoint``) so the plan
+    stays O(1) deep instead of O(rounds);
+  * convergence is detected with a single count+checksum aggregate per
+    round (one job over the contracted — shrinking — edge set).
+
+Reference parity note: the reference platform has no graph operator; this
+is a north-star extension (training-data pipeline: dedup group collapse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) ordered pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every *strictly larger* neighbor of each node to the node's
+    minimum neighbor (including itself): for each u, m = min(N(u) ∪ {u});
+    emit (v, m) for v ∈ N(u), v > u."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's *smaller-or-equal* neighborhood, connect everything
+    to the minimum: orient edges u ≥ v, m = min(N≤(u) ∪ {u}); emit (v, m)
+    for the smaller neighbors plus (u, m)."""
+    e = _canonical(edges)  # u > v orientation
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    reattach = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    root = mins.select(F.col("u"), F.col("m").alias("v"))
+    return reattach.union(root).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the minimum
+    node id of its connected component.
+
+    Returns ``(node, component)`` — one row per node that appears in at
+    least one edge; ``component`` is the component's minimum node id
+    (deterministic, engine-portable: an ANSI recursive CTE produces the
+    same labels, which is what the oracle checks).
+
+    Raises ``RuntimeError`` if not converged after ``max_iter`` alternating
+    rounds (the algorithm's bound is O(log n) rounds; 25 covers graphs far
+    beyond 2^25 nodes).
+    """
+    def _fingerprint(df: DataFrame):
+        # convergence = identical edge set; on (u>v)-canonical DISTINCT
+        # sets, (count, sum of 64-bit row hashes in decimal — no overflow)
+        # is an exact set fingerprint modulo ~2^-64 collision odds
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    e = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    fp = _fingerprint(e)
+
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # converged state is a star forest: every edge points (u > v=root);
+    # nodes are all endpoints, roots label themselves
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    )
+    return nodes.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse near-duplicate candidate pairs into transitive dedup groups.
+
+    Returns ``(id, group_id, is_representative)`` — every document that has
+    at least one near-dup partner, its group label (min id in the
+    component), and whether it is the group's keeper (the representative the
+    corpus cleaner retains; the rest are dropped).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("node").alias("id"),
+        F.col("component").alias("group_id"),
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )

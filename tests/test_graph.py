@@ -1,0 +1,112 @@
+"""Connected components / dedup groups (functions/graph.py).
+
+North-star extension (no reference counterpart): alternating
+large-star/small-star contraction, validated against a driver-side
+union-find brute force.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.graph import (
+    _canonical,
+    connected_components,
+    dedup_groups,
+)
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    # label every node with the min of its component
+    comp_min: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+class TestConnectedComponents:
+    def test_two_components_and_pair(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "u int, v int"
+        )
+        got = {
+            (r.node, r.component) for r in connected_components(edges).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)
+        }
+
+    def test_long_chain_collapses(self, spark):
+        """Diameter-64 chain: naive min-propagation would need 64 rounds;
+        the alternating algorithm must finish well inside max_iter=25."""
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "u int, v int"
+        )
+        cc = connected_components(chain)
+        assert cc.count() == 65
+        assert cc.where(F.col("component") != 0).count() == 0
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        edges = spark.createDataFrame(
+            [(5, 5), (1, 2), (2, 1), (1, 2)], "u int, v int"
+        )
+        got = {(r.node, r.component) for r in connected_components(edges).collect()}
+        assert got == {(1, 1), (2, 1)}  # the pure self-loop node disappears
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        rng = random.Random(7)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "u int, v int")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == _union_find_labels(edges)
+
+    def test_string_ids(self, spark):
+        """Labels are min by the column's natural ordering — works for any
+        orderable id type (dedup keys are often md5 hex strings)."""
+        edges = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "u string, v string"
+        )
+        got = {(r.node, r.component) for r in connected_components(edges).collect()}
+        assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+    def test_canonical_orients_and_dedupes(self, spark):
+        e = _canonical(
+            spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "u int, v int")
+        ).collect()
+        assert [(r.u, r.v) for r in e] == [(2, 1)]
+
+
+class TestDedupGroups:
+    def test_representative_flags(self, spark):
+        pairs = spark.createDataFrame(
+            [(4, 2), (2, 9), (7, 8)], "id_a int, id_b int"
+        )
+        got = {
+            (r.id, r.group_id, r.is_representative)
+            for r in dedup_groups(pairs).collect()
+        }
+        assert got == {
+            (2, 2, True), (4, 2, False), (9, 2, False),
+            (7, 7, True), (8, 7, False),
+        }
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a int, id_b int")
+        assert dedup_groups(pairs).count() == 0
