@@ -35,6 +35,7 @@ from proxima_platform_spark.functions.dedup import (
     simhash64,
 )
 from proxima_platform_spark.functions.graph import dedup_groups
+from proxima_platform_spark.functions.ranking import bm25_top_k
 from proxima_platform_spark.functions.multimodal import image_features
 from proxima_platform_spark.functions.similarity import (
     brute_force_top_k,
@@ -1486,6 +1487,143 @@ WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
 """
 
 
+def q_tpch_q18ish(spark, sf):
+    """Large-volume customers (TPC-H Q18 shape): self-aggregated semi-join
+    on orders above a quantity threshold, then re-aggregate with the
+    customer dim. Quantities accumulate as decimal so the threshold cut and
+    the hash compare are exact cross-engine; the big→big join shares the
+    l_orderkey shuffle between the HAVING aggregate and the re-join."""
+    li = _load(spark, sf, "lineitem")
+    orders = _load(spark, sf, "orders")
+    cust = _load(spark, sf, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    j = big.join(orders, big["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18ISH = """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity::DECIMAL(12,2)) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty::DOUBLE AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_bm25_rank(spark, sf):
+    """BM25 top-20 for the query ['stream', 'data', 'query']: one
+    single-row corpus-stats aggregate broadcast into a shuffle-free scoring
+    projection, TakeOrderedAndProject for the cut (functions/ranking.py)."""
+    docs = _load(spark, sf, "documents")
+    top = bm25_top_k(docs, ["stream", "data", "query"], k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+SQL_BM25_RANK = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), d AS (
+    SELECT doc_id, len(t) AS dl,
+           len(list_filter(t, x -> x = 'stream')) AS tf0,
+           len(list_filter(t, x -> x = 'data')) AS tf1,
+           len(list_filter(t, x -> x = 'query')) AS tf2
+    FROM toks
+), stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+    FROM d
+)
+SELECT doc_id,
+       round(
+           ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+             * (tf0::DOUBLE * 2.2) / (tf0::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+             * (tf1::DOUBLE * 2.2) / (tf1::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+             * (tf2::DOUBLE * 2.2) / (tf2::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+       4) AS score
+FROM d, stats
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII detect + redact (functions/text.py). The corpus is clean
+    synthetic text, so each doc gets deterministic fake PII appended
+    (email/IP/phone derived from doc_id) — the scrubber then has real work
+    whose counts and redacted text the oracle reproduces exactly."""
+    from proxima_platform_spark.functions.text import pii_counts, pii_redact
+
+    docs = _load(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        pii_redact(F.col("text")).alias("redacted"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH salted AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR
+                || '@example.com from 10.0.' || (doc_id % 256)::VARCHAR
+                || '.' || ((doc_id * 7) % 256)::VARCHAR
+                || ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM salted
+"""
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup: md5-of-normalized-text grouping (hash-groupBy)."""
     docs = _load(spark, sf, "documents")
@@ -2123,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q18ish": q_tpch_q18ish,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_groups": q_dedup_groups,
@@ -2137,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": q_text_tokens_bpe,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_quality_signals": q_text_quality_signals,
+        "bm25_rank": q_bm25_rank,
+        "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "training_pipeline": q_training_pipeline,
@@ -2339,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "tpch_q4ish": SQL_TPCH_Q4ISH,
         "tpch_q14ish": SQL_TPCH_Q14ISH,
+        "tpch_q18ish": SQL_TPCH_Q18ISH,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_groups": _sql_dedup_groups(),
@@ -2351,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": _sql_text_tokens_bpe(),
         "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
         "text_quality_signals": _sql_text_quality_signals(),
+        "bm25_rank": SQL_BM25_RANK,
+        "pii_scrub": SQL_PII_SCRUB,
         "training_pipeline": _sql_training_pipeline(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,

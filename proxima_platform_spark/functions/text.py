@@ -167,3 +167,34 @@ def quality_signals(text: Column) -> dict[str, Column]:
         "stopword_ratio": F.when(toks > 0, stop_hits / toks).otherwise(0.0),
         "mean_word_len": F.when(toks > 0, n / toks).otherwise(0.0),
     }
+
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB/Go oracles): no lookaround, no backrefs — so detection counts and
+# redactions are engine-portable and oracle-checkable
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (codegen'd regexp_count)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace each PII occurrence with its ``[CATEGORY]`` placeholder.
+
+    Order matters: emails first (an email's host part must not be left for
+    the looser patterns), then IPs (dotted digits would half-match phone),
+    then phones.
+    """
+    out = text
+    for name in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
+    return out

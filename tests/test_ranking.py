@@ -1,0 +1,89 @@
+"""BM25 ranking (functions/ranking.py) and PII scrubbing (functions/text.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.ranking import bm25_score, bm25_top_k
+from proxima_platform_spark.functions.text import pii_counts, pii_redact
+
+
+CORPUS = [
+    (1, "the stream engine processes the stream"),
+    (2, "batch data and more data and yet more data"),
+    (3, "nothing relevant here at all"),
+    (4, "stream data stream data stream data"),
+]
+
+
+class TestBM25:
+    def test_manual_formula_tiny_corpus(self, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+        got = {
+            r.doc_id: r.score
+            for r in bm25_score(docs, ["stream"], id_col="doc_id").collect()
+        }
+        # by hand: N=4, df=2, idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+        dls = {i: len(t.split()) for i, t in CORPUS}
+        avgdl = sum(dls.values()) / 4
+        tfs = {i: t.split().count("stream") for i, t in CORPUS}
+        for i in got:
+            tf = tfs[i]
+            expect = math.log(2.0) * (tf * 2.2) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl)
+            ) if tf else 0.0
+            assert got[i] == pytest.approx(expect, rel=1e-12)
+
+    def test_more_matching_terms_rank_higher(self, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+        top = bm25_top_k(docs, ["stream", "data"], k=4).collect()
+        assert top[0].doc_id == 4  # hits both terms, repeatedly
+        assert top[-1].score == 0.0 and top[-1].doc_id == 3
+
+    def test_empty_query_raises(self, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+        with pytest.raises(ValueError):
+            bm25_score(docs, [])
+
+    def test_scoring_pass_is_shuffle_free(self, spark):
+        """The only exchange feeds the single-row stats aggregate; scoring
+        re-attaches it via broadcast — no shuffle of the corpus itself."""
+        docs = spark.createDataFrame(CORPUS, "doc_id int, text string")
+        plan = bm25_score(docs, ["stream"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # exactly one shuffle exchange (the partial->final stats agg)
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.co and c.d+x@e-f.org, ip 10.0.0.1, call 555-123-4567"),
+                (2, "clean text with version 1.2 and date 2024-01-02"),
+            ],
+            "id int, text string",
+        )
+        c = pii_counts(F.col("text"))
+        got = df.select(
+            "id",
+            c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+        by_id = {r.id: r for r in got}
+        assert (by_id[1].e, by_id[1].i, by_id[1].p) == (2, 1, 1)
+        assert by_id[1].red == "mail [EMAIL] and [EMAIL], ip [IPV4], call [PHONE]"
+        assert (by_id[2].e, by_id[2].i, by_id[2].p) == (0, 0, 0)
+        assert by_id[2].red == "clean text with version 1.2 and date 2024-01-02"
+
+    def test_email_redacted_before_ip_like_host(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x admin@127.0.0.1.com y")], "id int, text string"
+        )
+        red = df.select(pii_redact(F.col("text")).alias("r")).first()["r"]
+        assert red == "x [EMAIL] y"  # dotted-digit host consumed by EMAIL, not IPV4
