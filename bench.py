@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "tpch_q5ish",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_groups",
     "ann_cosine_topk",
     "text_stats",
     "training_pipeline",

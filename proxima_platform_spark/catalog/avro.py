@@ -154,6 +154,133 @@ def decode(schema, buf: bytes, pos: int = 0) -> tuple[Any, int]:
     raise NotImplementedError(f"avro type {t!r}")
 
 
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec §Schema Resolution) — decode data written with
+# one schema while presenting it under another: field reordering by name,
+# reader defaults for missing fields, writer-only fields skipped, numeric
+# promotions, string<->bytes, union re-resolution. This is what makes
+# schema-registry subjects with mixed writer versions read as ONE stable
+# column type (reference: scheme/.../AvroSerializer resolution semantics).
+# ---------------------------------------------------------------------------
+
+#: writer type -> reader types it may promote to
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+class AvroResolutionError(ValueError):
+    pass
+
+
+def _resolvable(writer, reader) -> bool:
+    wt, rt = _schema_type(writer), _schema_type(reader)
+    if wt == "union":
+        return True  # checked per-branch at decode time
+    if rt == "union":
+        return any(_resolvable(writer, b) for b in reader)
+    if wt == rt:
+        return True
+    return rt in _PROMOTIONS.get(wt, ())
+
+
+def _convert(value, wt: str, rt: str):
+    if wt == rt:
+        return value
+    if rt in ("long", "float", "double") and wt in ("int", "long", "float"):
+        return float(value) if rt in ("float", "double") else int(value)
+    if wt == "string" and rt == "bytes":
+        return value.encode("utf-8") if isinstance(value, str) else value
+    if wt == "bytes" and rt == "string":
+        return value.decode("utf-8") if isinstance(value, bytes) else value
+    raise AvroResolutionError(f"cannot promote {wt} -> {rt}")
+
+
+def _default_value(field_schema, default):
+    """Materialize a reader-field default (spec: JSON defaults; bytes/fixed
+    defaults are ISO-8859-1 strings)."""
+    t = _schema_type(field_schema)
+    if t == "union":
+        return _default_value(field_schema[0], default)
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("iso-8859-1")
+    return default
+
+
+def resolve_decode(writer, reader, buf: bytes, pos: int = 0) -> tuple[Any, int]:
+    """Decode one datum written with ``writer`` schema, resolved to
+    ``reader`` schema. Returns (value, next_pos)."""
+    wt, rt = _schema_type(writer), _schema_type(reader)
+    if wt == "union":
+        idx, pos = _read_long(buf, pos)
+        return resolve_decode(writer[idx], reader, buf, pos)
+    if rt == "union":
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return resolve_decode(writer, branch, buf, pos)
+        raise AvroResolutionError(f"writer {writer} matches no reader branch")
+    if rt == "record" and wt == "record":
+        reader_fields = {f["name"]: f for f in reader["fields"]}
+        writer_names = {f["name"] for f in writer["fields"]}
+        rec = {}
+        for wf in writer["fields"]:
+            if wf["name"] in reader_fields:
+                rec[wf["name"]], pos = resolve_decode(
+                    wf["type"], reader_fields[wf["name"]]["type"], buf, pos
+                )
+            else:
+                _, pos = decode(wf["type"], buf, pos)  # writer-only: skip
+        for rf in reader["fields"]:
+            if rf["name"] not in writer_names:
+                if "default" not in rf:
+                    raise AvroResolutionError(
+                        f"reader field {rf['name']!r} missing from writer "
+                        "and has no default"
+                    )
+                rec[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return rec, pos
+    if rt == "array" and wt == "array":
+        out = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                item, pos = resolve_decode(writer["items"], reader["items"], buf, pos)
+                out.append(item)
+    if rt == "map" and wt == "map":
+        out = {}
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                k, pos = decode("string", buf, pos)
+                out[k], pos = resolve_decode(writer["values"], reader["values"], buf, pos)
+    if rt == "enum" and wt == "enum":
+        idx, pos = _read_long(buf, pos)
+        sym = writer["symbols"][idx]
+        if sym in reader["symbols"]:
+            return sym, pos
+        if "default" in reader:
+            return reader["default"], pos
+        raise AvroResolutionError(f"enum symbol {sym!r} not in reader schema")
+    if wt == rt or rt in _PROMOTIONS.get(wt, ()):
+        value, pos = decode(writer, buf, pos)
+        return _convert(value, wt, rt), pos
+    raise AvroResolutionError(f"cannot resolve writer {wt} to reader {rt}")
+
+
 def encode(schema, value) -> bytes:
     t = _schema_type(schema)
     if t == "null":
@@ -417,10 +544,13 @@ def confluent_decode_column(client: SchemaRegistryClient, subject: str) -> Calla
     """Confluent-framed binary → typed column. The writer schema is looked up
     **per value** by the embedded schema id (cached in the client), matching
     the reference's per-id serializer cache
-    (SchemaRegistryValueSerializer.java:129-137)."""
+    (SchemaRegistryValueSerializer.java:129-137), then *resolved* to the
+    subject's latest schema (reader) per the Avro resolution spec — so a
+    topic holding a mix of writer versions reads as one stable column type
+    (old messages get reader defaults, retired fields are skipped)."""
     from pyspark.sql.functions import pandas_udf
 
-    _, latest_schema = client.latest_version(subject)
+    latest_id, latest_schema = client.latest_version(subject)
     spark_type = avro_to_spark_type(latest_schema)
     if not isinstance(spark_type, StructType):
         raise NotImplementedError("schema-registry subjects must be records")
@@ -433,7 +563,11 @@ def confluent_decode_column(client: SchemaRegistryClient, subject: str) -> Calla
                 rows.append(_null_record(spark_type))
                 continue
             schema_id, body = confluent_unwrap(bytes(b))
-            rows.append(decode(client.schema_by_id(schema_id), body)[0])
+            if schema_id == latest_id:
+                rows.append(decode(latest_schema, body)[0])
+            else:
+                writer = client.schema_by_id(schema_id)
+                rows.append(resolve_decode(writer, latest_schema, body)[0])
         return pd.DataFrame(rows, columns=[f.name for f in spark_type.fields])
 
     return dec

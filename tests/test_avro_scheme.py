@@ -181,3 +181,131 @@ class TestSchemaRegistryScheme:
         client.latest_version("users")
         client.schema_by_id(42)  # seeded by latest_version
         assert len(calls) == 1
+
+
+USER_SCHEMA_V1 = {
+    "type": "record",
+    "name": "User",
+    "namespace": "test",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "nick", "type": "string"},
+        {"name": "legacy_flag", "type": "boolean"},
+    ],
+}
+
+USER_SCHEMA_V2 = {
+    "type": "record",
+    "name": "User",
+    "namespace": "test",
+    "fields": [
+        # reordered vs writer; id promoted int->long; legacy_flag retired;
+        # email added with default
+        {"name": "nick", "type": "string"},
+        {"name": "id", "type": "long"},
+        {"name": "email", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+class TestSchemaResolution:
+    """Avro spec §Schema Resolution on the pure codec (resolve_decode)."""
+
+    def test_reorder_promote_skip_default(self):
+        body = av.encode(USER_SCHEMA_V1, {"id": 7, "nick": "n", "legacy_flag": True})
+        out, _ = av.resolve_decode(USER_SCHEMA_V1, USER_SCHEMA_V2, body)
+        assert out == {"nick": "n", "id": 7, "email": None}
+
+    def test_missing_field_without_default_raises(self):
+        reader = {
+            "type": "record", "name": "User",
+            "fields": [{"name": "absent", "type": "string"}],
+        }
+        body = av.encode(USER_SCHEMA_V1, {"id": 1, "nick": "x", "legacy_flag": False})
+        with pytest.raises(av.AvroResolutionError, match="absent"):
+            av.resolve_decode(USER_SCHEMA_V1, reader, body)
+
+    @pytest.mark.parametrize(
+        "wt,rt,value,expect",
+        [
+            ("int", "long", 5, 5),
+            ("int", "double", 5, 5.0),
+            ("long", "float", 12, 12.0),
+            ("string", "bytes", "ab", b"ab"),
+            ("bytes", "string", b"ab", "ab"),
+        ],
+    )
+    def test_primitive_promotions(self, wt, rt, value, expect):
+        out, _ = av.resolve_decode(wt, rt, av.encode(wt, value))
+        assert out == expect and type(out) is type(expect)
+
+    def test_incompatible_raises(self):
+        with pytest.raises(av.AvroResolutionError):
+            av.resolve_decode("double", "int", av.encode("double", 1.5))
+
+    def test_union_writer_resolved_against_reader_branch(self):
+        writer = ["null", "int"]
+        reader = ["null", "long"]
+        out, _ = av.resolve_decode(writer, reader, av.encode(writer, 9))
+        assert out == 9
+        out_null, _ = av.resolve_decode(writer, reader, av.encode(writer, None))
+        assert out_null is None
+
+    def test_array_and_map_resolve_elementwise(self):
+        w = {"type": "array", "items": "int"}
+        r = {"type": "array", "items": "double"}
+        out, _ = av.resolve_decode(w, r, av.encode(w, [1, 2, 3]))
+        assert out == [1.0, 2.0, 3.0]
+        wm = {"type": "map", "values": "int"}
+        rm = {"type": "map", "values": "long"}
+        out2, _ = av.resolve_decode(wm, rm, av.encode(wm, {"a": 1}))
+        assert out2 == {"a": 1}
+
+    def test_enum_symbol_fallback_to_reader_default(self):
+        w = {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}
+        r = {"type": "enum", "name": "E", "symbols": ["A", "B"], "default": "A"}
+        out, _ = av.resolve_decode(w, r, av.encode(w, "C"))
+        assert out == "A"
+
+
+def make_two_version_fetcher():
+    """Registry stub with subject 'users2' at v2 (id 43) and the old writer
+    schema still resolvable by id 41."""
+    v1, v2 = json.dumps(USER_SCHEMA_V1), json.dumps(USER_SCHEMA_V2)
+
+    def fetch(url: str) -> str:
+        if url.endswith("/subjects/users2/versions/latest"):
+            return json.dumps({"id": 43, "version": 2, "schema": v2})
+        if url.endswith("/schemas/ids/41"):
+            return json.dumps({"schema": v1})
+        if url.endswith("/schemas/ids/43"):
+            return json.dumps({"schema": v2})
+        raise AssertionError(f"unexpected registry URL {url}")
+
+    return fetch
+
+
+class TestMixedWriterVersions:
+    def test_topic_with_old_and_new_messages_reads_as_latest(self, spark):
+        """A commit-log family whose payloads span writer versions decodes
+        to ONE stable column type: old rows get reader defaults / promoted
+        ints, retired fields vanish (resolution, not positional decode)."""
+        from pyspark.sql import functions as F
+
+        client = av.SchemaRegistryClient(
+            "http://r:8081", fetcher=make_two_version_fetcher()
+        )
+        old = av.confluent_wrap(
+            41, av.encode(USER_SCHEMA_V1, {"id": 1, "nick": "old", "legacy_flag": True})
+        )
+        new = av.confluent_wrap(
+            43, av.encode(USER_SCHEMA_V2, {"nick": "new", "id": 2, "email": "n@x"})
+        )
+        df = spark.createDataFrame([(old,), (new,)], "bin binary")
+        dec = av.confluent_decode_column(client, "users2")
+        out = {
+            r.u.nick: r.u
+            for r in df.select(dec(F.col("bin")).alias("u")).collect()
+        }
+        assert out["old"].id == 1 and out["old"].email is None
+        assert out["new"].id == 2 and out["new"].email == "n@x"

@@ -229,6 +229,33 @@ class TestRepositoryFromHocon:
         assert repo_h.entities == repo_d.entities
         assert repo_h.families == repo_d.families
 
+    def test_reference_storage_uri_concatenation_shapes(self):
+        """The reference's test-readme.conf builds storage URIs by
+        concatenating quoted strings, ${substitutions} with dashed path
+        segments, and unquoted '/' pieces — all without whitespace
+        (core/src/test/resources/test-readme.conf:53,62,77). Mirror those
+        exact shapes and assert byte-identical resolution."""
+        conf = """
+        fams {
+          a { storage: "cassandra://"${cassandra.seed}/${cassandra.user-table}"?primary=user" }
+          b { storage: "cassandra://"${cassandra.seed}/${cassandra.event-table}/ }
+          c { storage: "kafka://"${kafka.brokers}/${kafka.topic} }
+        }
+        cassandra {
+          seed = "cas:9042"
+          user-table = "user"
+          event-table = "user_event"
+        }
+        kafka {
+          brokers = "k1:9092,k2:9092"
+          topic = "events"
+        }
+        """
+        out = hocon.loads(conf)
+        assert out["fams"]["a"]["storage"] == "cassandra://cas:9042/user?primary=user"
+        assert out["fams"]["b"]["storage"] == "cassandra://cas:9042/user_event/"
+        assert out["fams"]["c"]["storage"] == "kafka://k1:9092,k2:9092/events"
+
     def test_scalar_access_promoted_to_list(self):
         """`access: random-access` (scalar, as the reference fixture writes
         it) must behave like `access: [random-access]`."""
