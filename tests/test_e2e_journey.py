@@ -1,0 +1,147 @@
+"""The reference user's full journey, end to end on this engine.
+
+Mirrors the README walkthrough a Proxima user follows (HOCON config →
+console writes → commit log → replication → snapshot / random access /
+cached view / windowed analytics), composed across module boundaries the
+unit suites test in isolation. A user of the reference switching to this
+repo runs exactly this flow.
+
+Reference trail: core/src/test/resources/test-readme.conf (config),
+GroovyEnv put/get/stream (tools/), ReplicationController
+(direct/ingest-server/), LocalCachedPartitionedView (direct/core/),
+PCollectionTools.reduceAsSnapshot (beam/core/).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.catalog.repository import Repository
+from proxima_platform_spark.changelog import CHANGELOG_SCHEMA
+from proxima_platform_spark.env import make_env
+from proxima_platform_spark.streaming.cached_view import CachedView
+from proxima_platform_spark.streaming.replication import (
+    ReplicationController,
+    ReplicationTarget,
+    rename_transform,
+)
+
+
+def journey_conf(root: str) -> str:
+    return (
+        """
+entities {
+  user {
+    attributes {
+      # current account state, updated independently
+      status { scheme: "string" }
+      # per-device wildcard map
+      "device.*" { scheme: "bytes" }
+    }
+  }
+}
+
+attributeFamilies {
+  user-commit-log {
+    entity: user
+    attributes: [ "*" ]
+    storage: "parquet://"${paths.root}/commit-log
+    type: primary
+    access: [ commit-log, batch-updates ]
+  }
+  status-replica {
+    entity: user
+    attributes: [ "status" ]
+    storage: "parquet://"${paths.root}/replica
+    type: replica
+    access: [ read-only ]
+  }
+}
+
+paths { root = """
+        + f'"{root}"'
+        + " }\n"
+    )
+
+
+@pytest.fixture()
+def env_and_repo(spark, tmp_path):
+    repo = Repository.from_hocon(journey_conf(str(tmp_path)))
+    return make_env(repo, spark), repo, str(tmp_path)
+
+
+class TestUserJourney:
+    def test_full_flow(self, spark, env_and_repo):
+        env, repo, root = env_and_repo
+
+        # -- 1. console writes into the commit log (primary family) --------
+        env.user.status.put("alice", b"active", stamp_ms=1_000)
+        env.user.status.put("bob", b"active", stamp_ms=2_000)
+        env.user.status.put("alice", b"idle", stamp_ms=5_000)
+        env.user.device.put("alice", b"phone", stamp_ms=1_500, attribute="device.p1")
+        env.user.device.put("alice", b"tablet", stamp_ms=2_500, attribute="device.t1")
+        env.user.device.delete_all("alice", stamp_ms=2_000)  # tombstone < t1 only
+        env.user.status.delete("bob", stamp_ms=9_000)
+
+        # -- 2. snapshot = stream-table duality over the changelog ---------
+        snap = env.user.status.batch_snapshot()
+        state = {
+            r.key: bytes(r.value).decode() for r in snap.collect() if not r.delete
+        }
+        assert state == {"alice": "idle"}  # bob deleted, alice latest wins
+
+        # random access + wildcard scan resolve through the same compaction
+        got = env.user.status.get("alice")
+        assert bytes(got.value).decode() == "idle"
+        devices = env.user.device.list("alice")
+        assert [(r.attribute, bytes(r.value).decode()) for r in devices] == [
+            ("device.t1", "tablet")  # p1 (1500) killed by tombstone at 2000
+        ]
+
+        # -- 3. replication: commit log -> filtered replica + cached view --
+        stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(
+            f"{root}/commit-log"
+        )
+        view = CachedView(spark, f"{root}/view")
+        ctl = ReplicationController(stream, checkpoint_root=f"{root}/ckpt")
+        ctl.replicate(
+            ReplicationTarget(
+                family=repo.families["status-replica"],
+                storage_filter=F.col("attribute_base") == "status",
+            )
+        )
+        ctl.replicate_with("cached-view", view.update)
+        ctl.await_all(120)
+
+        replica = spark.read.parquet(f"{root}/replica")
+        assert replica.where("attribute_base != 'status'").count() == 0
+        assert replica.count() == 4  # 3 status upserts + 1 delete, no device rows
+
+        # the cached view serves the same answers as the batch snapshot,
+        # plus MVCC time travel to before the tombstone
+        assert bytes(view.get("alice", "status").value).decode() == "idle"
+        assert view.get("bob", "status") is None  # tombstoned
+        import datetime as dt
+
+        t1800 = dt.datetime.fromtimestamp(1.8, dt.timezone.utc)
+        early = view.scan_wildcard("alice", "device.", stamp=t1800)
+        assert [(r.attribute, bytes(r.value).decode()) for r in early] == [
+            ("device.p1", "phone")
+        ]
+
+        # -- 4. analytics: windowed aggregation over the replayed stream ---
+        counts = (
+            env.user.status.stream_from_oldest()
+            .filter(~F.col("delete"))
+            .time_window(4_000)
+            .count_by_key(F.col("key"), alias="n")
+        )
+        got = {
+            (r.key, r.window_start.timestamp()): r.n
+            for r in counts.withColumn(
+                "window_start", F.col("window").getField("start")
+            ).collect()
+        }
+        assert got == {("alice", 0.0): 1, ("bob", 0.0): 1, ("alice", 4.0): 1}
