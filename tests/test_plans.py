@@ -78,3 +78,37 @@ class TestCodegen:
         # would re-sort every shingle row
         plan = physical_plan(entry.q_dedup_minhash(spark, sf_dir))
         assert "SortAggregate" not in plan
+
+    def test_pii_scrub_is_one_codegen_projection(self, spark, sf_dir):
+        # detect + redact are regexp Column expressions over one scan:
+        # no shuffle, no Python, single whole-stage-codegen span
+        df = entry.q_pii_scrub(spark, sf_dir)
+        plan = physical_plan(df)
+        assert count_exchanges(df) == 0
+        assert plan.lstrip().startswith("*(1)")
+
+    def test_tpch_q18ish_pruned_and_top_k(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q18ish(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT
+        # lineitem scan pruned to the two columns the aggregate needs
+        li_read = [
+            seg.splitlines()[0]
+            for seg in plan.split("ReadSchema: ")[1:]
+            if "l_orderkey" in seg.splitlines()[0]
+        ]
+        assert li_read and all(
+            "l_shipdate" not in r and "l_comment" not in r for r in li_read
+        )
+
+    def test_bm25_corpus_never_shuffles(self, spark, sf_dir):
+        # corpus stats reduce to one single-row aggregate; scoring re-attaches
+        # via broadcast — the document table itself is never hash-partitioned
+        plan = physical_plan(entry.q_bm25_rank(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_dedup_groups_no_cartesian(self, spark, sf_dir):
+        # the component contraction is equi-joins on node id throughout;
+        # a CartesianProduct/BroadcastNestedLoop here means the band join
+        # or a star round regressed to all-pairs
+        plan = physical_plan(entry.q_dedup_groups(spark, sf_dir))
+        assert "CartesianProduct" not in plan
