@@ -50,12 +50,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    # no .distinct() here: the consumer (_small_star via _canonical)
+    # dedupes anyway — a distinct would only add a shuffle per round
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
