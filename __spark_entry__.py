@@ -33,6 +33,8 @@ from proxima_platform_spark.functions.dedup import (
     minhash_candidate_pairs,
     normalize_text,
     simhash64,
+    simhash_candidate_pairs,
+    simhash_signatures_df,
 )
 from proxima_platform_spark.functions.graph import dedup_groups
 from proxima_platform_spark.functions.ranking import bm25_top_k
@@ -1684,9 +1686,14 @@ FROM reach GROUP BY node
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash document fingerprints (60-bit; md5-derived token hashes)."""
+    """SimHash document fingerprints (60-bit; md5-derived token hashes),
+    via the exploded hash-aggregation shape (explode → 60 conditional-sum
+    bit votes — fixed-width HashAggregate, not a per-row 60-aggregate
+    expression)."""
     docs = _load(spark, sf, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_signatures_df(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("sim").alias("simhash")
+    )
 
 
 def _sql_dedup_simhash() -> str:
@@ -1710,6 +1717,32 @@ WITH tok AS (
     FROM h GROUP BY doc_id
 )
 SELECT doc_id, ({total})::BIGINT AS simhash FROM v
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: pigeonhole-chunked bucket join (4×15-bit
+    chunks guarantee hamming ≤ 3 collides on ≥1 chunk), exact hamming check
+    on candidates only — the hamming-space analog of the MinHash band join
+    (functions/dedup.py::simhash_candidate_pairs)."""
+    docs = _load(spark, sf, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", hamming_threshold=3)
+
+
+def _sql_dedup_simhash_pairs() -> str:
+    return f"""
+WITH sims AS (
+{_sql_dedup_simhash()}
+), chunked AS (
+    SELECT doc_id, simhash, t.ci,
+           (simhash >> (15 * t.ci)) & 32767 AS cv
+    FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS ci) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunked a
+JOIN chunked b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -2266,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "jaccard_adjacent": q_jaccard_adjacent,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2485,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_groups": _sql_dedup_groups(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "jaccard_adjacent": SQL_JACCARD_ADJACENT,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

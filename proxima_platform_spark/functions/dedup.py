@@ -296,6 +296,96 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures_df(df, id_col: str, text: str):
+    """Per-document SimHash as a DataFrame (id, sim) via the exploded
+    aggregation shape: explode(distinct tokens) → one md5/conv per token →
+    groupBy(id) with 60 conditional-sum bit votes (HashAggregate,
+    fixed-width integer buffers — same shuffle shape as the MinHash
+    signature aggregation, and ~10× faster than evaluating the 60-aggregate
+    Column expression per row)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text)))).alias("t"),
+    )
+    h = tok.select(
+        "id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    v = h.groupBy("id").agg(*votes)
+    total: Column = F.lit(0).cast("long")
+    for b in range(60):
+        total = total + F.when(
+            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return v.select("id", total.alias("sim"))
+
+
+def simhash_candidate_pairs(
+    df,
+    id_col: str,
+    text: str,
+    *,
+    hamming_threshold: int = 3,
+    chunks: int = 4,
+):
+    """Near-dup pairs by SimHash: pigeonhole-chunked bucket join, never n².
+
+    Split the 60-bit fingerprint into ``chunks`` pieces; two fingerprints
+    within hamming distance ``hamming_threshold`` ≤ chunks-1 must agree on
+    at least one whole chunk (pigeonhole), so the candidate set is an
+    equi-join on (chunk index, chunk value) — hash-partitioned, linear in
+    corpus size like the MinHash band join — followed by the exact hamming
+    check on candidates only. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if hamming_threshold > chunks - 1:
+        raise ValueError(
+            f"hamming_threshold={hamming_threshold} needs at least "
+            f"{hamming_threshold + 1} chunks for the pigeonhole guarantee"
+        )
+    bits = 60 // chunks
+    mask = (1 << bits) - 1
+    sims = simhash_signatures_df(df, id_col, text)
+    chunked = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("sim", bits * i).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("id", "sim", "chunk.ci", "chunk.cv")
+    # the self-join would evaluate the (wide: 60 aggregates/row) simhash
+    # expression on both sides — persist the tiny chunked fingerprints,
+    # bounded-FIFO like the MinHash banded cache
+    chunked = chunked.persist()
+    _BANDED_CACHE.append(chunked)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings,
     *,

@@ -110,3 +110,54 @@ class TestDedupGroups:
     def test_empty_pairs(self, spark):
         pairs = spark.createDataFrame([], "id_a int, id_b int")
         assert dedup_groups(pairs).count() == 0
+
+
+class TestSimhashPairs:
+    """simhash_candidate_pairs (functions/dedup.py): pigeonhole-chunked
+    bucket join in hamming space — grouped here with the other dedup-group
+    machinery."""
+
+    def test_exact_dup_is_hamming_zero_pair(self, spark):
+        from proxima_platform_spark.functions.dedup import simhash_candidate_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),          # exact dup of 1
+                (3, "utterly different words entirely unrelated"),
+            ],
+            "doc_id int, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_candidate_pairs(docs, "doc_id", "text").collect()
+        }
+        assert got.get((1, 2)) == 0
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_signatures_match_expression_form(self, spark):
+        from proxima_platform_spark.functions.dedup import (
+            simhash64,
+            simhash_signatures_df,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "the quick brown fox"), (3, "a a b")],
+            "doc_id int, text string",
+        )
+        agg = {
+            r.id: r.sim for r in simhash_signatures_df(docs, "doc_id", "text").collect()
+        }
+        expr = {
+            r.doc_id: r.s
+            for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+        }
+        assert agg == expr
+
+    def test_threshold_needs_enough_chunks(self, spark):
+        from proxima_platform_spark.functions.dedup import simhash_candidate_pairs
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_candidate_pairs(docs, "doc_id", "text", hamming_threshold=4)
