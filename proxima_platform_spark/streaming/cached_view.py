@@ -171,3 +171,27 @@ class CachedView:
             .orderBy("attribute")
             .collect()
         )
+
+    def enrich(
+        self,
+        batch: DataFrame,
+        *,
+        attribute: str,
+        on: str = "key",
+        value_alias: str | None = None,
+        how: str = "left",
+    ) -> DataFrame:
+        """Join a (micro-)batch against this view's *current* value of
+        ``attribute`` per key — the reference's read-cached-view-during-
+        stream-processing pattern (LocalCachedPartitionedView used inside
+        transforms). Call from ``foreachBatch`` so each micro-batch sees the
+        view as of that batch (stream-static joins would pin the plan to one
+        snapshot). The view side is a compacted per-key table — typically
+        dimension-sized, so AQE broadcasts it under the batch side."""
+        alias = value_alias or attribute
+        side = (
+            self.snapshot()
+            .where(F.col("attribute") == attribute)
+            .select(F.col("key").alias(on), F.col("value").alias(alias))
+        )
+        return batch.join(side, on=on, how=how)

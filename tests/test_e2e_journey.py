@@ -145,3 +145,57 @@ class TestUserJourney:
             ).collect()
         }
         assert got == {("alice", 0.0): 1, ("bob", 0.0): 1, ("alice", 4.0): 1}
+
+
+class TestStreamEnrichment:
+    def test_foreachbatch_enrich_sees_evolving_view(self, spark, tmp_path):
+        """Each micro-batch enriches against the view AS OF that batch —
+        the reference reads its cached view from inside stream transforms
+        (LocalCachedPartitionedView), which a pinned stream-static join
+        cannot express."""
+        from conftest import changelog_element as element  # canonical row builder
+
+        view = CachedView(spark, str(tmp_path / "enrich-view"))
+        view.update(
+            spark.createDataFrame(
+                [element("user", "u1", "status", 1000, "bronze")], CHANGELOG_SCHEMA
+            ),
+            0,
+        )
+
+        src = str(tmp_path / "events")
+        for i, (key, ts_ms) in enumerate([("u1", 2000), ("u1", 3000)]):
+            spark.createDataFrame(
+                [(key, ts_ms)], "key string, ts_ms long"
+            ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+        results = []
+
+        def process(batch, batch_id):
+            enriched = view.enrich(batch, attribute="status", value_alias="status")
+            results.extend(
+                (r.key, r.ts_ms, bytes(r.status).decode() if r.status else None)
+                for r in enriched.collect()
+            )
+            # the view evolves BETWEEN batches; batch 2 must see 'gold'
+            view.update(
+                spark.createDataFrame(
+                    [element("user", "u1", "status", 5000, "gold")], CHANGELOG_SCHEMA
+                ),
+                batch_id + 1,
+            )
+
+        q = (
+            spark.readStream.schema("key string, ts_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        assert sorted(results) == [
+            ("u1", 2000, "bronze"),
+            ("u1", 3000, "gold"),
+        ]
