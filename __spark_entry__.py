@@ -2174,6 +2174,64 @@ WHERE sk < CASE source
 """
 
 
+def q_corpus_split(spark, sf):
+    """Disjoint deterministic train/validation/test assignment
+    (functions/sampling.py::hash_split): cumulative ranges of one md5
+    sampling key — exactly disjoint and exhaustive, unlike per-split salted
+    draws; pure codegen expression, no shuffle."""
+    from proxima_platform_spark.functions.sampling import hash_split
+
+    docs = _load(spark, sf, "documents")
+    split = hash_split(
+        docs,
+        key=F.col("doc_id"),
+        fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+        salt="split-v1",
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+# hash_split assigns cumulative ranges in sorted-name order:
+# test [0, 0.1) -> train [0.1, 0.9) -> validation (rest)
+SQL_CORPUS_SPLIT = """
+WITH keyed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS sk
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN sk < 100000 THEN 'test'
+            WHEN sk < 900000 THEN 'train'
+            ELSE 'validation' END AS split
+FROM keyed
+"""
+
+
+def q_corpus_sample_topk(spark, sf):
+    """Exact-size deterministic sample (hash_sample_exact_k): the k smallest
+    md5 sampling keys win — TakeOrderedAndProject (per-partition heaps, no
+    population shuffle), the distributed reservoir-sampling analog."""
+    from proxima_platform_spark.functions.sampling import hash_sample_exact_k
+
+    docs = _load(spark, sf, "documents")
+    return hash_sample_exact_k(
+        docs, key=F.col("doc_id"), k=50, salt="sample-v1"
+    ).select("doc_id", "source")
+
+
+SQL_CORPUS_SAMPLE_TOPK = """
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS sk
+    FROM documents
+)
+ORDER BY sk, doc_id LIMIT 50
+"""
+
+
 _PIPELINE_CACHE: list = []
 
 
@@ -2318,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
         "schema_registry_roundtrip": q_schema_registry_roundtrip,
         "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_topk": q_corpus_sample_topk,
         # -- green in CORRECTNESS_r01.json ----------------------------------
         # §2.1 sources / scans
         "batch_updates_range": q_batch_updates_range,
@@ -2500,6 +2560,8 @@ def oracle_sql() -> dict[str, str]:
         "avro_scheme_roundtrip": SQL_AVRO_SCHEME_ROUNDTRIP,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
+        "corpus_split": SQL_CORPUS_SPLIT,
+        "corpus_sample_topk": SQL_CORPUS_SAMPLE_TOPK,
         "union_names": SQL_UNION_NAMES,
         "sorted_topk": SQL_SORTED_TOPK,
         "keyset_pagination": SQL_KEYSET_PAGINATION,

@@ -72,3 +72,47 @@ def stratified_sample(
         rate_map[strata], F.lit(int(default_rate * BUCKETS))
     )
     return df.where(sample_key(key, salt) < threshold)
+
+
+def hash_sample_exact_k(
+    df: DataFrame, *, key: Column, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``k`` rows, uniform without replacement, deterministic by
+    ``key``: the k smallest sampling keys win. Compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, no full sort, no
+    shuffle of the population (the distributed analog of reservoir
+    sampling, with a versionable, retry-stable choice of winners)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    return (
+        df.withColumn("__sk", sample_key(key, salt))
+        .orderBy(F.col("__sk"), key)  # key tiebreak: total order, stable
+        .limit(k)
+        .drop("__sk")
+    )
+
+
+def hash_split(
+    df: DataFrame, *, key: Column, fractions: Mapping[str, float], salt: str = ""
+) -> Column:
+    """Disjoint deterministic split assignment (train/validation/test).
+
+    Returns a label Column partitioning the key space by cumulative ranges
+    of ONE sampling key — unlike drawing per-split samples with different
+    salts (independent, overlapping), ranges of the same key are exactly
+    disjoint and exhaustive. Fractions must sum to 1 (±1e-9). Attach it
+    with ``df.withColumn("split", hash_split(df, ...))`` and filter — still
+    a pure codegen expression, no shuffle."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    sk = sample_key(key, salt)
+    expr = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = sk < int(cum * BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")

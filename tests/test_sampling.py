@@ -91,3 +91,59 @@ class TestStratifiedSample:
             F.max(sample_key(F.col("doc_id"))).alias("hi"),
         ).collect()[0]
         assert 0 <= mm.lo and mm.hi < BUCKETS
+
+
+class TestExactKAndSplit:
+    def test_exact_k_count_and_determinism(self, spark):
+        from proxima_platform_spark.functions.sampling import hash_sample_exact_k
+
+        df = corpus(spark, n=200)
+        s1 = hash_sample_exact_k(df, key=F.col("doc_id"), k=25)
+        s2 = hash_sample_exact_k(df, key=F.col("doc_id"), k=25)
+        ids1 = sorted(r.doc_id for r in s1.collect())
+        assert len(ids1) == 25
+        assert ids1 == sorted(r.doc_id for r in s2.collect())
+
+    def test_exact_k_nested_samples(self, spark):
+        """Threshold sampling property: the k=10 sample is a subset of the
+        k=30 sample (same key, same salt) — growing a sample never swaps
+        already-chosen rows."""
+        from proxima_platform_spark.functions.sampling import hash_sample_exact_k
+
+        df = corpus(spark, n=200)
+        small = {r.doc_id for r in hash_sample_exact_k(df, key=F.col("doc_id"), k=10).collect()}
+        large = {r.doc_id for r in hash_sample_exact_k(df, key=F.col("doc_id"), k=30).collect()}
+        assert small <= large
+
+    def test_exact_k_is_top_k_plan(self, spark):
+        from proxima_platform_spark.functions.sampling import hash_sample_exact_k
+
+        df = corpus(spark, n=200)
+        plan = (
+            hash_sample_exact_k(df, key=F.col("doc_id"), k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # never a global sort
+
+    def test_split_disjoint_exhaustive_stable(self, spark):
+        from proxima_platform_spark.functions.sampling import hash_split
+
+        df = corpus(spark, n=400)
+        lab = hash_split(
+            df, key=F.col("doc_id"),
+            fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+        )
+        out = df.select("doc_id", lab.alias("split")).collect()
+        assert len(out) == 400  # every row labeled (exhaustive)
+        counts = {}
+        for r in out:
+            counts[r.split] = counts.get(r.split, 0) + 1
+        # rough proportions (deterministic, so bounds are safe to pin)
+        assert counts["train"] > 250 and counts["validation"] < 100
+
+    def test_split_fractions_must_sum_to_one(self, spark):
+        from proxima_platform_spark.functions.sampling import hash_split
+
+        df = corpus(spark, n=10)
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(df, key=F.col("doc_id"), fractions={"a": 0.5, "b": 0.1})
