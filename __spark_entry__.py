@@ -1904,6 +1904,42 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <
 """
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (functions/text.py::contaminated_doc_ids):
+    corpus docs sharing any word n-gram with the eval set (docs 0-4) — the
+    GPT-3/Pile leak check as an exploded-shingle semi-join (eval side tiny,
+    AQE-broadcast). n=3 here because the fixture vocabulary is small;
+    production uses 8-13."""
+    from proxima_platform_spark.functions.text import contaminated_doc_ids
+
+    docs = _load(spark, sf, "documents")
+    return contaminated_doc_ids(
+        docs.where(F.col("doc_id") >= 5),
+        docs.where(F.col("doc_id") < 5),
+        n=3,
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END) AS g
+    FROM toks
+)
+SELECT DISTINCT c.doc_id
+FROM grams c
+JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 5) e USING (g)
+WHERE c.doc_id >= 5
+"""
+
+
 def q_text_stats(spark, sf):
     """Token counting + fingerprinting over documents (single projection)."""
     docs = _load(spark, sf, "documents")
@@ -2369,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_quality_signals": q_text_quality_signals,
         "bm25_rank": q_bm25_rank,
+        "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2591,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprint": _sql_doc_rolling_fingerprint(),
         "text_quality_signals": _sql_text_quality_signals(),
         "bm25_rank": SQL_BM25_RANK,
+        "decontaminate": SQL_DECONTAMINATE,
         "pii_scrub": SQL_PII_SCRUB,
         "training_pipeline": _sql_training_pipeline(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -187,6 +187,38 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+def contaminated_doc_ids(
+    docs,
+    eval_docs,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 8,
+):
+    """Benchmark decontamination: ids of corpus documents sharing any word
+    ``n``-gram with the evaluation set (the GPT-3/Pile recipe — drop
+    training docs that leak eval content).
+
+    Scale shape: the eval side is tiny (a benchmark), so its distinct
+    n-gram set stays small; both sides explode their shingles and meet in a
+    LEFT SEMI equi-join on the n-gram string — hash-partitioned, linear in
+    corpus size, with the eval side broadcast by AQE. Returns distinct
+    ``id_col`` rows; anti-join against it to clean the corpus.
+    """
+    from proxima_platform_spark.functions.dedup import ngram_shingles
+
+    corpus_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_shingles(F.col(text), n))).alias("g"),
+    )
+    eval_grams = eval_docs.select(
+        F.explode(F.array_distinct(ngram_shingles(F.col(text), n))).alias("g")
+    ).distinct()
+    return (
+        corpus_grams.join(eval_grams, "g", "left_semi").select(id_col).distinct()
+    )
+
+
 def pii_redact(text: Column) -> Column:
     """Replace each PII occurrence with its ``[CATEGORY]`` placeholder.
 

@@ -87,3 +87,39 @@ class TestPII:
         )
         red = df.select(pii_redact(F.col("text")).alias("r")).first()["r"]
         assert red == "x [EMAIL] y"  # dotted-digit host consumed by EMAIL, not IPV4
+
+
+class TestDecontamination:
+    def test_shared_ngram_flags_doc(self, spark):
+        from proxima_platform_spark.functions.text import contaminated_doc_ids
+
+        eval_docs = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id int, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "a sentence containing the quick brown fox verbatim"),
+                (2, "entirely unrelated content with no overlap at all"),
+                (3, "quick brown elsewhere but never three in a row"),
+            ],
+            "doc_id int, text string",
+        )
+        got = {
+            r.doc_id
+            for r in contaminated_doc_ids(corpus, eval_docs, n=3).collect()
+        }
+        assert got == {1}  # only the verbatim 3-gram leak
+
+    def test_eval_side_semi_join_keeps_corpus_columns_minimal(self, spark):
+        from proxima_platform_spark.functions.text import contaminated_doc_ids
+
+        eval_docs = spark.createDataFrame(
+            [(100, "x y z")], "doc_id int, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "x y z")], "doc_id int, text string"
+        )
+        out = contaminated_doc_ids(corpus, eval_docs, n=3)
+        assert out.columns == ["doc_id"]
+        assert [r.doc_id for r in out.collect()] == [1]
