@@ -1904,6 +1904,39 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <
 """
 
 
+def q_trigram_lm_score(spark, sf):
+    """Char-trigram LM fluency scoring (functions/ranking.py): average log
+    corpus-frequency of each doc's trigrams — the CCNet-style quality
+    proxy. Trigram table bounded by |charset|^3 (AQE-broadcast), two
+    map-side-combined shuffles; per-gram log-probs rounded then summed as
+    exact decimals so both engines agree bit-for-bit."""
+    from proxima_platform_spark.functions.ranking import trigram_lm_scores
+
+    docs = _load(spark, sf, "documents")
+    return trigram_lm_scores(docs)
+
+
+SQL_TRIGRAM_LM_SCORE = r"""
+WITH norm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest([substr(nt, i, 3)
+                           for i in range(1, greatest(len(nt) - 2, 0) + 1)]) AS g
+    FROM norm
+), counts AS (
+    SELECT g, count(*) AS cnt FROM grams GROUP BY g
+), total AS (
+    SELECT sum(cnt) AS total FROM counts
+)
+SELECT doc_id,
+       round(sum(round(ln(cnt / total), 8)::DECIMAL(28,10))::DOUBLE
+             / count(*), 6) AS lm_score
+FROM grams JOIN counts USING (g), total
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (functions/text.py::contaminated_doc_ids):
     corpus docs sharing any word n-gram with the eval set (docs 0-4) — the
@@ -2406,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_signals": q_text_quality_signals,
         "bm25_rank": q_bm25_rank,
         "decontaminate": q_decontaminate,
+        "trigram_lm_score": q_trigram_lm_score,
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2629,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_signals": _sql_text_quality_signals(),
         "bm25_rank": SQL_BM25_RANK,
         "decontaminate": SQL_DECONTAMINATE,
+        "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
         "pii_scrub": SQL_PII_SCRUB,
         "training_pipeline": _sql_training_pipeline(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

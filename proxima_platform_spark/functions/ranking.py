@@ -80,6 +80,67 @@ def bm25_score(
     return scored.select(F.col(id_col), score.alias("score"))
 
 
+def char_trigrams(norm_text: Column) -> Column:
+    """All character 3-grams of (already-normalized) text, as array<string>.
+    Project the normalized text into its own column before exploding —
+    Catalyst does not CSE inside Generate."""
+    n = F.greatest(F.length(norm_text) - 2, F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: norm_text.substr(i, F.lit(3))
+    )
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-trigram language-model fluency score per document — the
+    CCNet-style quality proxy: average log corpus-frequency of the doc's
+    trigrams (higher = more typical of the corpus; gibberish and boilerplate
+    outliers score low).
+
+        score(d) = mean over trigrams g of d:  ln(count(g) / total)
+
+    Scale shape: one explode→groupBy(count) builds the trigram table (its
+    cardinality is bounded by |charset|³, NOT corpus size — it only
+    shrinks relative to data as the corpus grows); scoring joins doc
+    trigrams against that table (AQE broadcasts the bounded side) and
+    reduces per doc. Two shuffles total (count agg + per-doc agg), both
+    map-side-combined. Per-gram log-probs round to 8 decimals and
+    accumulate as exact decimals, so the score is order-independent and
+    engine-portable (the DuckDB oracle reproduces it bit-for-bit).
+    """
+    from proxima_platform_spark.functions.dedup import normalize_text
+
+    grams = docs.select(
+        F.col(id_col), normalize_text(F.col(text)).alias("__norm")
+    ).select(
+        id_col, F.explode(char_trigrams(F.col("__norm"))).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = (
+        grams.join(counts, "g")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(F.log(F.col("cnt") / F.col("total")), 8)
+            .cast("decimal(28,10)")
+            .alias("lp"),
+        )
+    )
+    # exact decimal sum -> double, THEN one IEEE division: deterministic and
+    # identical cross-engine (decimal/decimal division rounding rules differ
+    # between engines; double division does not)
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lm_score")
+    )
+
+
 def bm25_top_k(
     docs: DataFrame,
     query_terms: list[str],

@@ -123,3 +123,32 @@ class TestDecontamination:
         out = contaminated_doc_ids(corpus, eval_docs, n=3)
         assert out.columns == ["doc_id"]
         assert [r.doc_id for r in out.collect()] == [1]
+
+
+class TestTrigramLM:
+    def test_gibberish_scores_below_typical(self, spark):
+        from proxima_platform_spark.functions.ranking import trigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the cat sat on the hat"),
+                (3, "the bat sat on the mat"),
+                (4, "zq xv jk qz wx kj zx"),  # trigrams shared with nobody
+            ],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: r.lm_score for r in trigram_lm_scores(docs).collect()}
+        assert len(got) == 4
+        typical_floor = min(got[1], got[2], got[3])
+        assert got[4] < typical_floor  # fluency proxy separates the outlier
+
+    def test_identical_docs_identical_scores(self, spark):
+        from proxima_platform_spark.functions.ranking import trigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: r.lm_score for r in trigram_lm_scores(docs).collect()}
+        assert got[1] == got[2]
