@@ -6,10 +6,11 @@ LLM-pipeline extension operators), each a callable (spark, sf_dir) → DataFrame
 `oracle_sql()` — DuckDB-runnable ANSI SQL equivalents, column-name aligned.
 
 Engine-portability conventions (see FIXTURES.md):
-  * `events.ts` is parquet timestamp[ns] — Spark needs runtime conf
-    spark.sql.legacy.parquet.nanosAsLong=true and then sees **long nanos**;
-    DuckDB sees TIMESTAMP_NS. Queries output epoch integers (exact in both
-    engines) instead of raw timestamps.
+  * `events.ts` is parquet timestamp[ns] — Spark 3.x reads it as **long
+    nanos** (requires spark.sql.legacy.parquet.nanosAsLong=true); Spark 4.x
+    reads it as **TIMESTAMP_NTZ** (µs, that conf is a no-op); DuckDB sees
+    TIMESTAMP_NS. `_events` branches on the observed dtype and normalizes to
+    epoch integers (exact in all engines) instead of raw timestamps.
   * ns→µs/ms conversions use exact integer arithmetic (`x DIV n`), never
     double division (1e18-scale longs lose precision as doubles).
   * double aggregates are round()ed identically on both sides.
@@ -22,7 +23,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from proxima_platform_spark import snapshot, snapshot_wide, to_changelog
 from proxima_platform_spark.catalog.proxy import AttributeProxyDescriptor
@@ -73,17 +74,42 @@ TABLES = [
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ns timestamps: read as long (runtime-settable; the driver owns the session)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 3.x throws PARQUET_TYPE_ILLEGAL on ns timestamps unless this
+        # legacy conf is set (then `ts` reads as long nanos). On Spark 4.x the
+        # conf is a silent no-op and `ts` reads as TIMESTAMP_NTZ (µs,
+        # truncated) — _events branches on the observed dtype below.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed entirely in some future Spark: the NTZ branch handles it
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts (long ns), ts_ms (long), and tstamp (timestamp, µs)."""
+    """events with ts (raw), ts_ms (long, epoch ms), tstamp (timestamp, µs).
+
+    Engine-portable across Spark 3.x (ts = long nanos via nanosAsLong) and
+    Spark 4.x (ts = TIMESTAMP_NTZ, ns truncated to µs at read). Both branches
+    floor toward -inf; all test timestamps are positive so integer DIV,
+    parquet ns→µs truncation, and DuckDB epoch_ms() all agree exactly.
+    """
     ev = _load(spark, sf_dir, "events")
-    return ev.withColumn("ts_ms", F.expr("ts DIV 1000000")).withColumn(
-        "tstamp", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ts_us = F.expr("ts DIV 1000")
+        ts_ms = F.expr("ts DIV 1000000")
+    else:
+        # TIMESTAMP_NTZ wall-clock is UTC by data contract (TESTDATA.md).
+        # Compute epoch µs from the wall-clock parts directly — date cast,
+        # hour/minute, and extract(SECOND) on NTZ are all timezone-free, so
+        # this is exact regardless of session tz (an NTZ→LTZ cast would
+        # re-interpret the wall in session tz and shift by its offset).
+        # All integer codegen; extract(SECOND) is DECIMAL(8,6) incl. fraction.
+        d = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        secs = d.cast("long") * 86400 + F.hour("ts") * 3600 + F.minute("ts") * 60
+        ts_us = secs * F.lit(1000000) + (F.expr("extract(SECOND FROM ts)") * 1000000).cast("long")
+        # µs→ms via subtract-pmod (numerator a multiple of 1000 → exact), as _stamp_ms.
+        ts_ms = ((ts_us - F.pmod(ts_us, F.lit(1000))) / F.lit(1000)).cast("long")
+    return ev.withColumn("ts_ms", ts_ms).withColumn("tstamp", F.timestamp_micros(ts_us))
 
 
 def _events_changelog(spark: SparkSession, sf_dir: str, delete: Column | None = None) -> DataFrame:
@@ -1191,23 +1217,26 @@ def q_reduce_value_state(spark, sf):
     """reduceValueStateByKey (sorted): per-user state machine emitting rows
     only when event_type changes (consecutive-dedup; ref Stream.java:496-503,
     BeamStream.java:1633-1677 — input applied in event-time order)."""
-    ev = _events(spark, sf)
+    # normalize the stamp to long epoch-µs Spark-side so the pandas state fn
+    # is engine-dtype-independent (ts is long ns on Spark 3.x, NTZ on 4.x)
+    # and sorts exactly like the oracle's ORDER BY epoch_us(ts)
+    ev = _events(spark, sf).withColumn("ts_us", F.unix_micros(F.col("tstamp")))
 
     def transitions(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
+        pdf = pdf.sort_values("ts_us", kind="mergesort")
         changed = pdf["event_type"].ne(pdf["event_type"].shift())
         out = pdf.loc[changed]
         return pd.DataFrame(
             {
                 "user_id": int(key),
-                # output µs (DuckDB truncates parquet ns timestamps to µs)
-                "tn": out["ts"] // 1000,
+                # µs (DuckDB truncates parquet ns timestamps to µs)
+                "tn": out["ts_us"],
                 "event_type": out["event_type"],
             }
         )
 
-    out = Stream(ev, "ts").reduce_value_state_by_key(
-        F.col("user_id"), ["event_type", "ts"], transitions,
+    out = Stream(ev, "ts_us").reduce_value_state_by_key(
+        F.col("user_id"), ["event_type", "ts_us"], transitions,
         "user_id long, tn long, event_type string",
     )
     return out.df
