@@ -1776,24 +1776,35 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the LSH
-    bucket-join variant is the scale path — functions/dedup.py)."""
+    """Embedding-cosine near-dup pairs via the sign-LSH bucket join — the
+    100 TB shape: both sides hash-partition on the 6-plane bucket, one
+    equi-join (≈ n²/2^planes candidate pairs, never a cross product), exact
+    cosine only on same-bucket candidates. The DuckDB oracle mirrors the
+    md5-derived hyperplane bucket math verbatim (same technique as
+    ann_lsh_topk), so the hash check covers the LSH algorithm itself."""
     emb = _load(spark, sf, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.40)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.40, num_planes=6)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 SQL_DEDUP_EMBEDDING = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    (list_sum(list_transform(range(6), p ->
+      CASE WHEN list_sum(list_transform(range(len(v)), d ->
+        v[d+1] * (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5)
+      )) > 0 THEN 2**p ELSE 0 END)))::BIGINT AS bucket
+  FROM base)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        round(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6
+         list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6
        ) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) > 0.40
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) > 0.40
 """
 
 

@@ -112,3 +112,11 @@ class TestCodegen:
         # or a star round regressed to all-pairs
         plan = physical_plan(entry.q_dedup_groups(spark, sf_dir))
         assert "CartesianProduct" not in plan
+
+    def test_dedup_embedding_no_cartesian(self, spark, sf_dir):
+        # embedding near-dup must candidate via the sign-LSH bucket
+        # equi-join; a nested-loop theta join on id_a < id_b is the O(n²)
+        # scale-killer this query previously shipped
+        plan = physical_plan(entry.q_dedup_embedding(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
