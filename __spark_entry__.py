@@ -1004,6 +1004,46 @@ SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
 """
 
 
+def q_proto_scheme_roundtrip(spark, sf):
+    """Proto scheme surface (ref scheme/proto/.../ProtoSerializerFactory.java:
+    78,124): supplier rows → protobuf wire bytes (pure-python varint/zigzag
+    codec as Arrow-batched pandas UDF — catalog/proto.py; spark-protobuf jar
+    absent here) → decode → project. The oracle is a plain SELECT: any codec
+    corruption (varint boundaries, zigzag sign, length-delimited framing)
+    diverges the hash."""
+    from proxima_platform_spark.catalog.proto import register_message
+    from proxima_platform_spark.catalog.schemes import resolve_scheme
+
+    register_message(
+        "tpch.Supplier",
+        {
+            "fields": {
+                1: {"name": "s_suppkey", "type": "int64"},
+                2: {"name": "s_name", "type": "string"},
+                3: {"name": "s_nationkey", "type": "sint64"},
+                4: {"name": "s_acctbal", "type": "double"},
+            }
+        },
+    )
+    scheme = resolve_scheme("proto:tpch.Supplier")
+    supp = _load(spark, sf, "supplier")
+    packed = supp.select(
+        scheme.encode(
+            F.struct("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        ).alias("bin")
+    )
+    return packed.select(scheme.decode(F.col("bin")).alias("s")).select(
+        "s.s_suppkey", "s.s_name", "s.s_nationkey",
+        F.round("s.s_acctbal", 2).alias("acctbal"),
+    )
+
+
+SQL_PROTO_SCHEME_ROUNDTRIP = """
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+FROM supplier
+"""
+
+
 def q_schema_registry_roundtrip(spark, sf):
     """Confluent schema-registry scheme (ref
     SchemaRegistryValueSerializer.java:47-140): nation rows → magic byte +
@@ -2449,68 +2489,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION NOTE: CORRECTNESS_r01.json recorded only the first 50
-    # insertion-order entries, leaving the TPC-H shapes and LLM-extension
-    # queries unchecked by the driver (the judge re-checked them by hand).
-    # Until every declared query fits one driver run, the queries the driver
-    # has NOT yet green-lit are listed FIRST each round, so the hard signal
-    # rotates through the full contract across rounds.
+    # ROTATION NOTE: the driver hard-checks the first ~50 insertion-order
+    # entries per round. Until every declared query fits one driver run, the
+    # queries with the LEAST driver signal are listed FIRST each round:
+    # r03 = (a) the 32 queries CORRECTNESS_r02 left unchecked (§2 operator
+    # core: joins, aggregations, windows, stateful, transactions, tpch),
+    # (b) the 14 events-based queries that ERRED in r02 (fixed this round),
+    # (c) queries changed or added this round. The r02 hash-green block
+    # rides at the back.
     return {
-        # -- driver-unchecked as of r01 (incl. new in r02) ------------------
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        "tpch_q18ish": q_tpch_q18ish,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding": q_dedup_embedding,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_quality_signals": q_text_quality_signals,
-        "bm25_rank": q_bm25_rank,
-        "decontaminate": q_decontaminate,
-        "trigram_lm_score": q_trigram_lm_score,
-        "pii_scrub": q_pii_scrub,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "training_pipeline": q_training_pipeline,
-        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
-        "schema_registry_roundtrip": q_schema_registry_roundtrip,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split": q_corpus_split,
-        "corpus_sample_topk": q_corpus_sample_topk,
-        # -- green in CORRECTNESS_r01.json ----------------------------------
-        # §2.1 sources / scans
-        "batch_updates_range": q_batch_updates_range,
-        "batch_snapshot": q_batch_snapshot,
-        "snapshot_wide": q_snapshot_wide,
-        "snapshot_with_deletes": q_snapshot_with_deletes,
-        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
-        "random_access_get": q_random_access_get,
-        "multi_get": q_multi_get,
-        "scan_wildcard": q_scan_wildcard,
-        "list_entities": q_list_entities,
-        "union_attributes": q_union_attributes,
-        "impulse_source": q_impulse_source,
-        "proxy_attribute_read": q_proxy_attribute_read,
-        # §2.3 element-wise
-        "map_project": q_map_project,
-        "filter_where": q_filter_where,
-        "flatmap_tokens": q_flatmap_tokens,
-        "elementwise_transform": q_elementwise_transform,
-        "with_window": q_with_window,
+        # -- (a) r02-unchecked §2 core --------------------------------------
         # §2.4 windows
-        "tumbling_window_sum": q_tumbling_window_sum,
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
@@ -2549,6 +2538,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # headline analytics
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        # -- (b) erred in r02 (the _events engine break, fixed r03) ---------
+        "batch_updates_range": q_batch_updates_range,
+        "batch_snapshot": q_batch_snapshot,
+        "snapshot_wide": q_snapshot_wide,
+        "snapshot_with_deletes": q_snapshot_with_deletes,
+        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
+        "random_access_get": q_random_access_get,
+        "multi_get": q_multi_get,
+        "scan_wildcard": q_scan_wildcard,
+        "list_entities": q_list_entities,
+        "union_attributes": q_union_attributes,
+        "proxy_attribute_read": q_proxy_attribute_read,
+        "elementwise_transform": q_elementwise_transform,
+        "with_window": q_with_window,
+        "tumbling_window_sum": q_tumbling_window_sum,
+        # -- (c) changed / new in r03 ---------------------------------------
+        "dedup_embedding": q_dedup_embedding,   # now sign-LSH bucketed
+        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,  # new
+        # -- hash-green in CORRECTNESS_r02.json -----------------------------
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q18ish": q_tpch_q18ish,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
+        "bm25_rank": q_bm25_rank,
+        "decontaminate": q_decontaminate,
+        "trigram_lm_score": q_trigram_lm_score,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "training_pipeline": q_training_pipeline,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_topk": q_corpus_sample_topk,
+        "impulse_source": q_impulse_source,
+        "map_project": q_map_project,
+        "filter_where": q_filter_where,
+        "flatmap_tokens": q_flatmap_tokens,
     }
 
 
@@ -2669,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_enrich": SQL_ASOF_JOIN_ENRICH,
         "json_props_extract": SQL_JSON_PROPS_EXTRACT,
         "avro_scheme_roundtrip": SQL_AVRO_SCHEME_ROUNDTRIP,
+        "proto_scheme_roundtrip": SQL_PROTO_SCHEME_ROUNDTRIP,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,
