@@ -244,3 +244,77 @@ class TestRetractJoinStream:
         assert [f.dataType for f in stream_out.schema.fields] == [
             f.dataType for f in batch_out.schema.fields
         ]
+
+    def test_event_time_timer_flushes_quiet_key(self, spark, tmp_path):
+        """Held rows for a key that receives NO further input must still
+        flush when the watermark advances past their stamps — the
+        state.setTimeoutTimestamp wakeup path (analog of the reference's
+        event-time timer in RetractJoin; the property suite only covers
+        keys that keep receiving data)."""
+        # batch 0: key "a" only — wm is 0 during the batch, so both rows are
+        # held in state. Key "a" NEVER appears again.
+        l_b0 = [("a", "v1", ts(1000), False)]
+        r_b0 = [("a", "w1", ts(2000), False)]
+        # batches 1..2: key "b" only — each advances the watermark; key "a"'s
+        # held rows can only flush via its registered event-time timer.
+        l_b1 = [("b", "x1", ts(10_000), False)]
+        r_b1 = [("b", "y1", ts(10_000), False)]
+        l_b2 = [("b", "x2", ts(20_000), False)]
+        r_b2 = [("b", "y2", ts(20_000), False)]
+
+        l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+        for src, batches in (
+            (l_src, (l_b0, l_b1, l_b2)),
+            (r_src, (r_b0, r_b1, r_b2)),
+        ):
+            for i, rows in enumerate(batches):
+                spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.parquet(
+                    f"{src}/f{i}"
+                )
+
+        def file_stream(src):
+            return (
+                spark.readStream.schema(self.SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/f*")
+            )
+
+        out = retract_join_stream(
+            file_stream(l_src), file_stream(r_src),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
+            watermark_delay="0 seconds",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("retract_timer_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql(
+            "SELECT key, left_value, right_value, stamp, is_addition "
+            "FROM retract_timer_out"
+        )
+        a_rows = sorted(
+            (r.left_value, r.right_value, r.stamp, r.is_addition)
+            for r in got.where("key = 'a'").collect()
+        )
+        # the quiet key's join output exists and is exactly the batch replay
+        assert a_rows == [("v1", "w1", ts(2000).replace(tzinfo=None), True)]
+
+        expect = retract_join_batch(
+            changelog(spark, l_b0 + l_b1 + l_b2),
+            changelog(spark, r_b0 + r_b1 + r_b2),
+            left_key="key", right_key="key",
+            left_value="value", right_value="value",
+            left_delete="delete", right_delete="delete",
+        )
+
+        def canon(df):
+            return sorted(
+                (r.key, r.left_value, r.right_value, r.stamp, r.is_addition)
+                for r in df.collect()
+            )
+
+        assert canon(got) == canon(expect)
