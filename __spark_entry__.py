@@ -38,21 +38,25 @@ from proxima_platform_spark.functions.dedup import (
     simhash_signatures_df,
 )
 from proxima_platform_spark.functions.graph import dedup_groups
-from proxima_platform_spark.functions.ranking import bm25_top_k
+from proxima_platform_spark.functions.ranking import bm25_top_k, tfidf_top_terms
 from proxima_platform_spark.functions.multimodal import image_features
+from proxima_platform_spark.functions.sampling import sequence_pack
 from proxima_platform_spark.functions.similarity import (
     brute_force_top_k,
     ivf_top_k,
     lsh_top_k,
+    quantize_embeddings,
 )
 from proxima_platform_spark.functions.text import (
     BPE_PATTERN,
     EN_STOPWORDS,
     LANG_MARKERS,
+    chunk_documents,
     doc_fingerprint,
     language_id,
     quality_score,
     quality_signals,
+    repetition_signals,
     rolling_hash_fingerprint,
     token_count,
     token_count_bpe,
@@ -2467,6 +2471,156 @@ def q_training_pipeline(spark, sf):
     )
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style within-document repetition signals (dup-word fraction,
+    top-bigram fraction, dup-line fraction) — one codegen projection over
+    documents (functions/text.py: repetition_signals)."""
+    docs = _load(spark, sf, "documents")
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["dup_word_frac"].alias("dup_word_frac"),
+        sig["top_bigram_frac"].alias("top_bigram_frac"),
+        sig["dup_line_frac"].alias("dup_line_frac"),
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+           list_filter([trim(l) for l in string_split(text, chr(10))],
+                       l -> len(l) > 0) AS lines
+    FROM documents
+), g AS (
+    SELECT doc_id, toks, lines,
+           CASE WHEN len(toks) >= 2
+                THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+                ELSE [] END AS bg
+    FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0
+             THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(bg) > 0
+             THEN list_max([len(list_filter(bg, x -> x = gr))
+                            for gr in list_distinct(bg)])::DOUBLE / len(bg)
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac
+FROM g
+"""
+
+
+def q_chunk_documents(spark, sf):
+    """Context-window chunking: 16-token chunks, stride 12 (overlap 4) —
+    narrow posexplode, no shuffle (functions/text.py: chunk_documents)."""
+    docs = _load(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=16, stride=12)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), 12)) AS st
+    FROM t
+)
+SELECT doc_id,
+       st // 12 AS chunk_id,
+       array_to_string(toks[st+1 : st+16], ' ') AS chunk_text,
+       len(toks[st+1 : st+16]) AS n_tokens
+FROM s
+"""
+
+
+def q_sequence_pack(spark, sf):
+    """Deterministic sequence packing into 256-token bins over 8 hash
+    shards (functions/sampling.py: sequence_pack)."""
+    docs = _load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return sequence_pack(docs, budget=256, n_shards=8)
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH t AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, shard,
+       (coalesce(sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 256)::BIGINT AS bin,
+       n_tokens
+FROM t
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (functions/ranking.py:
+    tfidf_top_terms); ties broken by term so the ranking is total."""
+    docs = _load(spark, sf, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1), 6) AS tfidf,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1), 6) DESC,
+                        tf.term) AS rank
+    FROM tf JOIN df USING (term) CROSS JOIN n
+) x WHERE rank <= 3
+"""
+
+
+def q_embedding_quantize(spark, sf):
+    """Per-vector int8 min-max quantization with reconstruction MSE
+    (functions/similarity.py: quantize_embeddings)."""
+    emb = _load(spark, sf, "embeddings")
+    return quantize_embeddings(emb, levels=255)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM b)
+SELECT vec_id,
+       round(mn, 6) AS vmin,
+       round(mx, 6) AS vmax,
+       (CASE WHEN mx - mn > 0
+            THEN list_sum(list_transform(v,
+                 x -> floor((x - mn) * 255.0 / (mx - mn))::BIGINT))
+            ELSE 0 END)::BIGINT AS q_checksum,
+       round(CASE WHEN mx - mn > 0
+             THEN list_sum(list_transform(v,
+                  x -> (x - (mn + floor((x - mn) * 255.0 / (mx - mn)) * ((mx - mn) / 255.0)))
+                     * (x - (mn + floor((x - mn) * 255.0 / (mx - mn)) * ((mx - mn) / 255.0)))))
+                  / len(v)
+             ELSE 0.0 END, 9) AS mse
+FROM m
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2556,6 +2710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) changed / new in r03 ---------------------------------------
         "dedup_embedding": q_dedup_embedding,   # now sign-LSH bucketed
         "proto_scheme_roundtrip": q_proto_scheme_roundtrip,  # new
+        "repetition_signals": q_repetition_signals,  # new
+        "chunk_documents": q_chunk_documents,  # new
+        "sequence_pack": q_sequence_pack,  # new
+        "tfidf_top_terms": q_tfidf_top_terms,  # new
+        "embedding_quantize": q_embedding_quantize,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -2713,6 +2872,11 @@ def oracle_sql() -> dict[str, str]:
         "json_props_extract": SQL_JSON_PROPS_EXTRACT,
         "avro_scheme_roundtrip": SQL_AVRO_SCHEME_ROUNDTRIP,
         "proto_scheme_roundtrip": SQL_PROTO_SCHEME_ROUNDTRIP,
+        "repetition_signals": SQL_REPETITION_SIGNALS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "sequence_pack": SQL_SEQUENCE_PACK,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,

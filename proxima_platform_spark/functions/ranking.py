@@ -157,3 +157,59 @@ def bm25_top_k(
         docs, query_terms, text=text, id_col=id_col, k1=k1, b=b
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Top-k TF-IDF terms per document (extension beyond the reference
+    surface; the classic sparse retrieval/feature step next to BM25).
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    Scale shape: one explode→hash-agg for (doc, term) counts, one hash-agg
+    for document frequencies, and the corpus size N is a single-row
+    aggregate attached by broadcast — the (doc,term)→df join shuffles on
+    term (bounded by vocabulary), never on the corpus; final top-k is a
+    per-document window over ≤ vocabulary-sized rows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

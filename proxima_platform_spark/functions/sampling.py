@@ -116,3 +116,48 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")
+
+
+def sequence_pack(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 32,
+):
+    """Deterministic sequence packing: assign documents to fixed-token-budget
+    training bins (extension beyond the reference surface; standard LLM
+    pretraining batch-prep).
+
+    Documents are hash-sharded (`id % n_shards`), ordered by id within the
+    shard, and a bin boundary falls wherever the running token total crosses
+    the budget: bin = floor(cumulative_start / budget). Greedy first-fit is
+    inherently sequential; this offset-packing variant is order-deterministic,
+    engine-portable (one window cumsum — same SQL in any engine), and at
+    100 TB parallelizes per shard: set n_shards ≳ cluster parallelism and no
+    single window partition ever sees more than corpus/n_shards rows. Bins
+    can overflow by at most one document — the standard trade for
+    deterministic distributed packing (true bin packing is NP-hard and
+    order-sensitive).
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_shard = docs.select(id_col, token_count_col, shard)
+    return with_shard.select(
+        id_col,
+        "shard",
+        F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).alias("cum_start"),
+        F.col(token_count_col).alias("n_tokens"),
+    ).select(
+        id_col,
+        "shard",
+        (F.col("cum_start") / budget).cast("long").alias("bin"),
+        "n_tokens",
+    )

@@ -223,3 +223,46 @@ def ivf_top_k(
         .where(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-vector min-max int8 quantization with reconstruction error —
+    the storage-side companion of the ANN operators (a 100 TB embedding
+    corpus at float32 is 4× the int8 footprint; quantize once, search the
+    compact form, rescore survivors at full precision).
+
+    q_i = floor((x_i − min) · levels / (max − min)), dequant x̂_i =
+    min + q_i·scale. Pure array expressions (zip-free: one transform +
+    one aggregate per vector) — a single codegen projection, no shuffle,
+    no Python. Output is scalar per vector (range, checksum of the code
+    array, mean squared reconstruction error), hash-comparable across
+    engines because every float op is the same IEEE double expression tree.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    rng = mx - mn
+    scale = rng / F.lit(float(levels))
+    q = F.when(rng > 0, F.transform(
+        v, lambda x: F.floor((x - mn) * F.lit(float(levels)) / rng).cast("long")
+    )).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    dequant_sq_err = F.aggregate(
+        F.zip_with(v, q, lambda x, c: (x - (mn + c.cast("double") * scale))
+                   * (x - (mn + c.cast("double") * scale))),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    n = F.size(v)
+    return embeddings.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_checksum"),
+        F.round(F.when(n > 0, dequant_sq_err / n.cast("double")).otherwise(F.lit(0.0)), 9).alias("mse"),
+    )

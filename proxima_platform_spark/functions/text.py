@@ -230,3 +230,110 @@ def pii_redact(text: Column) -> Column:
     for name in ("email", "ipv4", "phone"):
         out = F.regexp_replace(out, PII_PATTERNS[name], f"[{name.upper()}]")
     return out
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens of trimmed text (empty → empty array)."""
+    trimmed = F.trim(F.lower(text))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+", -1)
+    )
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (public corpus-
+    cleaning recipes; extension beyond the reference surface):
+
+      * ``dup_word_frac``  — 1 − distinct/total words
+      * ``top_bigram_frac`` — occurrences of the most frequent word bigram
+        over total bigrams
+      * ``dup_line_frac``  — 1 − distinct/total newline-separated lines
+
+    All pure Column expressions (array higher-order functions): per-document
+    bounded work, one projection over a 100 TB documents table, no shuffle,
+    no Python. The most-frequent-bigram count is a single-pass run-length
+    maximum over the *sorted* gram array (O(n log n) per doc) — the naive
+    distinct×filter form rebuilds the gram array per distinct element under
+    Spark's interpreted lambda evaluation and goes quadratic.
+    """
+    toks = _norm_tokens(text)
+    n_tok = F.size(toks)
+    dup_word = F.when(
+        n_tok > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    grams = F.when(n_tok >= 2, F.array_sort(F.transform(
+        F.sequence(F.lit(0), n_tok - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    ))).otherwise(F.array().cast("array<string>"))
+    n_gram = F.size(grams)
+    run_init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def run_merge(acc, g):
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    top_cnt = F.aggregate(grams, run_init, run_merge, lambda acc: acc["best"])
+    top_gram = F.when(
+        n_gram > 0, top_cnt.cast("double") / n_gram.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    lines = F.filter(
+        F.transform(F.split(text, r"\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_line = F.size(lines)
+    dup_line = F.when(
+        n_line > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_line.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_word_frac": F.round(dup_word, 6),
+        "top_bigram_frac": F.round(top_gram, 6),
+        "dup_line_frac": F.round(dup_line, 6),
+    }
+
+
+def chunk_documents(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    stride: int = 12,
+):
+    """Split documents into fixed-size token chunks with overlap (stride <
+    chunk_tokens) — the standard context-window preparation step for LLM
+    pretraining/embedding corpora.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens); the last
+    chunk may be short; a document shorter than one chunk yields exactly one
+    chunk. Shape at 100 TB: chunk starts come from a per-row `sequence` +
+    `posexplode` — a narrow transform with no shuffle; output rows carry
+    (id, chunk_id, chunk_text, n_tokens) and inherit the input partitioning.
+    """
+    toks = _norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))).otherwise(
+        F.array(F.lit(0))
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_toks"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_tokens"),
+    )

@@ -120,3 +120,33 @@ class TestCodegen:
         plan = physical_plan(entry.q_dedup_embedding(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestR03ExtensionPlans:
+    def test_repetition_signals_no_shuffle(self, spark, sf_dir):
+        # one projection over the scan: higher-order array expressions,
+        # no exchange, no Python
+        df = entry.q_repetition_signals(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        assert "Python" not in physical_plan(df)
+
+    def test_chunk_documents_no_shuffle(self, spark, sf_dir):
+        # posexplode is a narrow generate — chunking must not repartition
+        df = entry.q_chunk_documents(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        assert "Generate posexplode" in physical_plan(df)
+
+    def test_sequence_pack_single_shuffle(self, spark, sf_dir):
+        # one hash exchange on shard for the window cumsum; nothing else
+        df = entry.q_sequence_pack(spark, sf_dir)
+        assert count_exchanges(df) == 1
+
+    def test_tfidf_broadcasts_corpus_size(self, spark, sf_dir):
+        # the single-row corpus-size aggregate must attach via broadcast,
+        # never shuffle the (doc,term) table against it
+        plan = physical_plan(entry.q_tfidf_top_terms(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_embedding_quantize_no_shuffle(self, spark, sf_dir):
+        df = entry.q_embedding_quantize(spark, sf_dir)
+        assert count_exchanges(df) == 0
