@@ -2621,6 +2621,84 @@ FROM m
 """
 
 
+def q_multimodal_ahash_dup(spark, sf):
+    """Image near-dup via perceptual average-hash, with a REAL decode in the
+    path: synthesized spec-compliant PPM payloads (pixel bytes = md5 of the
+    image group id, dims from the group id — every 7 consecutive doc_ids
+    share an image) → pure-numpy PPM decode → 8×8 aHash → group docs by
+    fingerprint. rep_id = min doc_id per fingerprint, the image analog of
+    the exact-dedup keeper. The oracle replays the md5→pixels→gray→
+    downsample→mean→bit-pack chain in closed form — all integer math."""
+    import hashlib
+
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import encode_ppm, image_ahash
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                gid = int(row.doc_id) // 7
+                w = 4 + gid % 5
+                h = 3 + gid % 4
+                n = w * h * 3
+                dg = hashlib.md5(str(gid).encode()).digest()
+                pix = bytes(dg[i % 16] for i in range(n))
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                rows.append({"doc_id": row.doc_id, "payload": encode_ppm(img)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(encode, "doc_id long, payload binary")
+    ah = image_ahash(media)
+    w = Window.partitionBy("ahash")
+    return ah.select(
+        "doc_id", "ahash", F.min("doc_id").over(w).alias("rep_id")
+    )
+
+
+# aHash oracle: pixel byte i of a group's image is md5-digest byte i%16;
+# gray(y,x) averages the 3 channel bytes at base = y*w*3 + x*3; the 8x8
+# nearest-neighbor downsample picks src_y = y*h//8, src_x = x*w//8; bits are
+# MSB-first per row byte. Flat i in [0,64): y = i//8, x = i%8.
+_AHASH_BYTE = (
+    "('0x' || substr(hx, ((((((i//8) * h) // 8) * w * 3 + (((i%8) * w) // 8) * 3 + {ch}) % 16) * 2 + 1), 2))::BIGINT"
+)
+
+SQL_MULTIMODAL_AHASH_DUP = f"""
+WITH d AS (
+    SELECT doc_id, doc_id // 7 AS gid,
+           4 + (doc_id // 7) % 5 AS w,
+           3 + (doc_id // 7) % 4 AS h,
+           md5((doc_id // 7)::VARCHAR) AS hx
+    FROM documents
+), sel AS (
+    SELECT doc_id,
+           [({_AHASH_BYTE.format(ch=0)}
+           + {_AHASH_BYTE.format(ch=1)}
+           + {_AHASH_BYTE.format(ch=2)}) // 3
+            for i in range(0, 64)] AS g
+    FROM d
+), m AS (
+    SELECT doc_id, g, list_sum(g)::BIGINT // 64 AS mean FROM sel
+), bits AS (
+    SELECT doc_id,
+           [CASE WHEN g[i+1] > mean THEN 1 ELSE 0 END for i in range(0, 64)] AS b
+    FROM m
+), hx2 AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 8), j ->
+               printf('%02x',
+                   (list_sum(list_transform(range(0, 8), x ->
+                       b[j*8 + x + 1] * (2 ** (7 - x)))))::BIGINT)), '') AS ahash
+    FROM bits
+)
+SELECT doc_id, ahash, min(doc_id) OVER (PARTITION BY ahash) AS rep_id FROM hx2
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2715,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,  # new
         "tfidf_top_terms": q_tfidf_top_terms,  # new
         "embedding_quantize": q_embedding_quantize,  # new
+        "multimodal_ahash_dup": q_multimodal_ahash_dup,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -2877,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SQL_SEQUENCE_PACK,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+        "multimodal_ahash_dup": SQL_MULTIMODAL_AHASH_DUP,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,

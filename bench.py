@@ -41,8 +41,14 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_groups",
+    "dedup_embedding",
     "ann_cosine_topk",
     "text_stats",
+    "repetition_signals",
+    "chunk_documents",
+    "sequence_pack",
+    "tfidf_top_terms",
+    "embedding_quantize",
     "training_pipeline",
 ]
 

@@ -308,3 +308,49 @@ def audio_features(
             yield pd.DataFrame(rows, columns=["doc_id", "n_windows", "energy"])
 
     return media.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("ahash", StringType(), False),
+    ]
+)
+
+
+def image_ahash(
+    media: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash for image near-dup detection (the classic
+    aHash: nearest-neighbor 8×8 downsample → per-pixel gray > mean → 64-bit
+    fingerprint), as a mapInPandas decode stage.
+
+    Every step is exact integer math (gray = channel sum // channels,
+    mean = sum // 64, MSB-first bit packing), so the hash is byte-for-byte
+    reproducible from the payload alone — near-dup pairing is then a plain
+    equi-join (or a pigeonhole hamming join like SimHash) on `ahash`, the
+    same bucketed shape as the text dedup operators. Output hex string, not
+    long: bit 63 would overflow a signed 64-bit int.
+    """
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = _decode_image(row[payload_col]).astype(np.int64)
+                h, w, c = img.shape
+                gray = img.sum(axis=2) // c
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                sel = gray[np.ix_(ys, xs)]
+                mean = int(sel.sum()) // 64
+                bits = (sel > mean).astype(np.uint8).flatten()
+                rows.append(
+                    {
+                        "doc_id": row[id_col],
+                        "ahash": np.packbits(bits).tobytes().hex(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)

