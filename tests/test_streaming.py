@@ -541,3 +541,53 @@ class TestWatermarkEstimators:
         df = spark.createDataFrame([("a",)], "k string")
         out = ProcessingTime(stamp_arrival_as="arrived").apply(df)
         assert "arrived" in out.columns
+
+
+class TestStreamingCorpusIngest:
+    def test_gate_fingerprint_online_dedup(self, spark, tmp_path):
+        """Streaming LLM-corpus ingestion composed from existing pieces:
+        quality gate (pure expressions) → content fingerprint →
+        dropDuplicatesWithinWatermark on the fingerprint. Cross-micro-batch
+        duplicates inside the watermark are dropped online; the gate runs
+        before the stateful stage so junk never enters the dedup state."""
+        from proxima_platform_spark.functions.text import doc_fingerprint, quality_score
+        from proxima_platform_spark.streaming.stateful import distinct_within_watermark
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field toward the river bank"
+        )
+        other = (
+            "a second perfectly reasonable document with enough words "
+            "and letters to clear the quality gate threshold easily"
+        )
+        src = str(tmp_path / "corpus-src")
+        schema = "doc_id long, ts timestamp, text string"
+        # batch 0: good doc + junk; batch 1: same good text again (dup) + new
+        spark.createDataFrame(
+            [(1, ts(1000), good), (2, ts(1100), "!!! ### $$$ %%%")], schema
+        ).coalesce(1).write.parquet(f"{src}/f0")
+        spark.createDataFrame(
+            [(3, ts(2000), good), (4, ts(2100), other)], schema
+        ).coalesce(1).write.parquet(f"{src}/f1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        gated = stream.where(quality_score(F.col("text")) >= 0.5).withColumn(
+            "fp", doc_fingerprint(F.col("text"))
+        )
+        dedup = distinct_within_watermark(
+            gated, stamp="ts", delay="10 minutes", subset=["fp"]
+        )
+        q = (
+            dedup.writeStream.format("memory").queryName("corpus_ingest_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM corpus_ingest_out").collect())
+        # 1 survives; 2 gated out; 3 is an online dup of 1; 4 survives
+        assert got == [1, 4]
