@@ -2699,6 +2699,97 @@ SELECT doc_id, ahash, min(doc_id) OVER (PARTITION BY ahash) AS rep_id FROM hx2
 """
 
 
+def q_exact_decontaminate(spark, sf):
+    """Exact-substring benchmark decontamination, complementing the n-gram
+    semi-join (`decontaminate`): flag corpus docs whose normalized text
+    contains any eval doc's 3-token prefix verbatim. The needle set is
+    O(eval suite) and broadcast; the per-row multi-needle scan is the
+    distributed analog of an Aho–Corasick pass over the corpus (the
+    BroadcastNestedLoopJoin is deliberate and bounded by |needles|)."""
+    docs = _load(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs_n = docs.select("doc_id", norm.alias("ntext"))
+    needles = (
+        docs_n.where(F.col("doc_id") < 5)
+        .select(
+            F.array_join(
+                F.slice(F.split(F.col("ntext"), " ", -1), 1, 3), " "
+            ).alias("needle")
+        )
+        .distinct()
+    )
+    return (
+        docs_n.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(needles), F.expr("instr(ntext, needle) > 0"), "left_semi")
+        .select("doc_id")
+    )
+
+
+SQL_EXACT_DECONTAMINATE = r"""
+WITH n AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+    FROM documents
+), needles AS (
+    SELECT DISTINCT array_to_string((string_split(ntext, ' '))[1:3], ' ') AS needle
+    FROM n WHERE doc_id < 5
+)
+SELECT doc_id FROM n
+WHERE doc_id >= 5
+  AND EXISTS (SELECT 1 FROM needles e WHERE contains(n.ntext, e.needle))
+"""
+
+
+def q_dedup_best_of_cluster(spark, sf):
+    """Cluster-representative selection: collapse MinHash candidate pairs
+    into transitive groups (functions/graph.py) and keep the best-quality
+    member per group (quality tie → lowest doc_id) — the corpus cleaner's
+    'keep the best copy' policy, vs dedup_groups' min-id keeper. One
+    broadcast-friendly join of the (small) grouped-doc set against per-doc
+    quality, then a single hash aggregation."""
+    docs = _load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    groups = dedup_groups(pairs, "id_a", "id_b")
+    scored = docs.select(
+        F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("quality")
+    )
+    j = groups.join(scored, "id")
+    return j.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(F.col("id"), F.struct(F.col("quality"), (-F.col("id")).alias("neg"))).alias("keeper_id"),
+        F.max("quality").alias("best_quality"),
+    )
+
+
+def _sql_dedup_best_of_cluster() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes("documents")},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    WHERE r.label < e.v
+), comp AS (
+    SELECT node AS id, min(label) AS group_id FROM reach GROUP BY node
+), {_sql_scored_ctes()}
+SELECT group_id, n_members, keeper_id, best_quality FROM (
+    SELECT c.group_id, c.id AS keeper_id,
+           count(*) OVER (PARTITION BY c.group_id) AS n_members,
+           max(s.quality) OVER (PARTITION BY c.group_id) AS best_quality,
+           row_number() OVER (
+               PARTITION BY c.group_id ORDER BY s.quality DESC, c.id) AS rn
+    FROM comp c JOIN scored s ON s.doc_id = c.id
+) x WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2794,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,  # new
         "embedding_quantize": q_embedding_quantize,  # new
         "multimodal_ahash_dup": q_multimodal_ahash_dup,  # new
+        "exact_decontaminate": q_exact_decontaminate,  # new
+        "dedup_best_of_cluster": q_dedup_best_of_cluster,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -2957,6 +3050,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "multimodal_ahash_dup": SQL_MULTIMODAL_AHASH_DUP,
+        "exact_decontaminate": SQL_EXACT_DECONTAMINATE,
+        "dedup_best_of_cluster": _sql_dedup_best_of_cluster(),
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,
