@@ -226,3 +226,47 @@ class TestTimeWindows:
         out = Stream(df, "ts").calendar_window("month", count=2).count()
         # bimonthly buckets: [Jan,Feb] → 2, [Mar,Apr] → 2
         assert sorted(r["count"] for r in out.collect()) == [2, 2]
+
+
+    def test_calendar_window_timezone_dst(self, spark):
+        """SURVEY §7 hard-item 5: calendar windows across a DST change.
+        Europe/Prague springs forward 2024-03-31 02:00 CET→CEST (UTC+1→+2):
+        a UTC instant late on Mar 31 is already April in Prague, and the
+        local-midnight month boundary is NOT a fixed UTC offset across the
+        transition. Both rows are within one UTC hour of each other but
+        must land in different Prague months."""
+        df = spark.createDataFrame(
+            [
+                # 2024-03-31 21:59 UTC = 23:59 CEST → March in Prague
+                ("2024-03-31 21:59:00",),
+                # 2024-03-31 22:01 UTC = 2024-04-01 00:01 CEST → April
+                ("2024-03-31 22:01:00",),
+                # 2024-01-15 12:00 UTC → January either way
+                ("2024-01-15 12:00:00",),
+            ],
+            "d string",
+        ).withColumn("ts", F.to_timestamp("d"))
+        out = Stream(df, "ts").calendar_window("month", timezone="Europe/Prague").count()
+        got = sorted(
+            (str(r.window)[:10], r["count"]) for r in out.collect()
+        )
+        assert got == [("2024-01-01", 1), ("2024-03-01", 1), ("2024-04-01", 1)]
+        # control: in UTC both Mar 31 rows stay in March
+        out_utc = Stream(df, "ts").calendar_window("month").count()
+        got_utc = sorted((str(r.window)[:10], r["count"]) for r in out_utc.collect())
+        assert got_utc == [("2024-01-01", 1), ("2024-03-01", 2)]
+
+    def test_calendar_window_day_across_fall_back(self, spark):
+        """Fall-back (2024-10-27 03:00 CEST→02:00 CET): the Prague day
+        2024-10-27 is 25 hours of UTC; both 00:30 CEST and 23:30 CET belong
+        to the same local day window."""
+        df = spark.createDataFrame(
+            [
+                ("2024-10-26 22:30:00",),  # 2024-10-27 00:30 CEST
+                ("2024-10-27 22:30:00",),  # 2024-10-27 23:30 CET (post-shift)
+            ],
+            "d string",
+        ).withColumn("ts", F.to_timestamp("d"))
+        out = Stream(df, "ts").calendar_window("day", timezone="Europe/Prague").count()
+        got = [(str(r.window)[:10], r["count"]) for r in out.collect()]
+        assert got == [("2024-10-27", 2)]
