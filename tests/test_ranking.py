@@ -179,3 +179,45 @@ class TestChunking:
         docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
         out = chunk_documents(docs, chunk_tokens=16, stride=12).collect()
         assert len(out) == 1 and out[0].n_tokens == 3
+
+
+class TestArrowFastPathParity:
+    """The Arrow fast paths must be value-identical to their pure-expression
+    specs (which the DuckDB oracles mirror)."""
+
+    def test_repetition_counts_match_expression_form(self, spark, sf_dir):
+        import __spark_entry__ as entry
+        from proxima_platform_spark.functions.text import repetition_signals
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+        sig = repetition_signals(F.col("text"))
+        expr_rows = {
+            r.doc_id: (r.a, r.b, r.c)
+            for r in docs.select(
+                "doc_id",
+                sig["dup_word_frac"].alias("a"),
+                sig["top_bigram_frac"].alias("b"),
+                sig["dup_line_frac"].alias("c"),
+            ).collect()
+        }
+        fast = entry.q_repetition_signals.__wrapped__ if hasattr(
+            entry.q_repetition_signals, "__wrapped__") else entry.q_repetition_signals
+        got_rows = {
+            r.doc_id: (r.dup_word_frac, r.top_bigram_frac, r.dup_line_frac)
+            for r in fast(spark, sf_dir).collect()
+        }
+        for k, v in expr_rows.items():
+            assert got_rows[k] == v, k
+
+    def test_quantize_matches_expression_form(self, spark, sf_dir):
+        from proxima_platform_spark.functions.similarity import (
+            quantize_embeddings,
+            quantize_embeddings_arrow,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+        a = {r.vec_id: (r.vmin, r.vmax, r.q_checksum, r.mse)
+             for r in quantize_embeddings(emb).collect()}
+        b = {r.vec_id: (r.vmin, r.vmax, r.q_checksum, r.mse)
+             for r in quantize_embeddings_arrow(emb).collect()}
+        assert a == b
