@@ -1822,35 +1822,59 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs via the sign-LSH bucket join — the
-    100 TB shape: both sides hash-partition on the 6-plane bucket, one
-    equi-join (≈ n²/2^planes candidate pairs, never a cross product), exact
-    cosine only on same-bucket candidates. The DuckDB oracle mirrors the
-    md5-derived hyperplane bucket math verbatim (same technique as
-    ann_lsh_topk), so the hash check covers the LSH algorithm itself."""
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH — the
+    100 TB shape: candidates come from 2 independent 8-plane tables
+    (union of hash-partitioned bucket equi-joins, ≈ 2·n²/2⁸ pairs, never a
+    cross product; two tables roughly double recall at the same candidate
+    volume as one 6-plane table), exact cosine only on candidates,
+    multi-collisions deduped after scoring. The DuckDB oracle mirrors the
+    md5-derived hyperplane bucket math per table verbatim (same technique
+    as ann_lsh_topk), so the hash check covers the LSH algorithm itself."""
     emb = _load(spark, sf, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, threshold=0.40, num_planes=6)
+    # fixed embedding dim probed once (1-row driver action): folds the LSH
+    # planes into literals and unrolls the cosine into codegen chains
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.40, num_planes=8, num_tables=2, dim=dim
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-SQL_DEDUP_EMBEDDING = """
+def _sql_lsh_bucket(n_planes: int, offset: int) -> str:
+    """DuckDB mirror of sign_lsh_buckets_arrow's integer-exact plane family:
+    fixed-point components floor(x·10⁶) (exact in doubles) against ±1 planes
+    (md5 top hex digit ≥ 8) — an *integer* projection, so summation order
+    can't matter and both engines agree bit-for-bit by construction."""
+    return f"""(list_sum(list_transform(range({n_planes}), p ->
+      CASE WHEN list_sum(list_transform(range(len(v)), d ->
+        floor(v[d+1] * 1000000.0)::BIGINT *
+        (CASE WHEN ('0x' || substr(md5((p + {offset})::VARCHAR || ',' || d::VARCHAR), 1, 1))::INT >= 8
+              THEN 1 ELSE -1 END)
+      )) > 0 THEN 2**p ELSE 0 END)))::BIGINT"""
+
+
+SQL_DEDUP_EMBEDDING = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (
   SELECT vec_id, v,
-    (list_sum(list_transform(range(6), p ->
-      CASE WHEN list_sum(list_transform(range(len(v)), d ->
-        v[d+1] * (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 8))::BIGINT
-                   / 4294967296.0 - 0.5)
-      )) > 0 THEN 2**p ELSE 0 END)))::BIGINT AS bucket
-  FROM base)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+    {_sql_lsh_bucket(8, 0)} AS b0,
+    {_sql_lsh_bucket(8, 8)} AS b1
+  FROM base),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+)
+SELECT DISTINCT id_a, id_b,
        round(
-         list_dot_product(a.v, c.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6
+         list_dot_product(va, vb)
+         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6
        ) AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE list_dot_product(a.v, c.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) > 0.40
+FROM cand
+WHERE list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > 0.40
 """
 
 

@@ -393,6 +393,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     num_planes: int | None = None,
+    num_tables: int = 1,
+    dim: int | None = None,
 ):
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for all
     pairs with cosine similarity above `threshold`.
@@ -400,13 +402,21 @@ def embedding_near_dup_pairs(
     Exact form (num_planes=None): self-join on id_a < id_b — O(n²) pairs,
     correct baseline for correctness checks and modest n. Scale path
     (num_planes set): candidates restricted to equal sign-LSH buckets first
-    (one hash-partitioned equi-join instead of a cross product — the same
-    band-join shape as minhash_candidate_pairs); near-dups at high cosine
-    collide with high probability.
+    (hash-partitioned equi-joins instead of a cross product — the same
+    band-join shape as minhash_candidate_pairs). ``num_tables`` > 1 unions
+    candidates across independent plane sets — the standard LSH recall
+    knob: collision probability for a pair at angle θ rises from
+    (1−θ/π)^k to 1−(1−(1−θ/π)^k)^L while candidate volume stays
+    ≈ L·n²/2^k. Pairs colliding in several tables are deduped after
+    scoring (cosine is deterministic, so DISTINCT collapses them exactly).
+    Pass ``dim`` (fixed embedding length) to fold LSH planes into literals
+    and unroll the cosine — full codegen instead of interpreted lambdas.
     """
     from proxima_platform_spark.functions.similarity import (
         cosine_similarity,
-        sign_lsh_bucket,
+        dot,
+        l2_norm,
+        sign_lsh_buckets_arrow,
     )
 
     a = embeddings.select(
@@ -416,12 +426,35 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     if num_planes is not None:
-        a = a.withColumn("__bucket", sign_lsh_bucket(F.col("__va"), num_planes=num_planes))
-        b = b.withColumn("__bucket", sign_lsh_bucket(F.col("__vb"), num_planes=num_planes))
-        pairs = a.join(b, ["__bucket"]).where(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        def prep(df, vcol, side):
+            # integer-exact Arrow bucket stage (order-independent fixed-point
+            # projections -> numpy matrix product; see sign_lsh_buckets_arrow)
+            # + the per-vector norm staged ONCE here, not per candidate pair
+            staged = sign_lsh_buckets_arrow(
+                df, vec_col=vcol, num_planes=num_planes, num_tables=num_tables
+            ).withColumn(f"__n{side}", l2_norm(F.col(vcol), dim=dim))
+            tb = F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+                for t in range(num_tables)
+            ])
+            keep = [c for c in df.columns] + [f"__n{side}"]
+            return staged.select(*keep, F.explode(tb).alias("__tb")).select(
+                *keep, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
+            )
+
+        a = prep(a, "__va", "a")
+        b = prep(b, "__vb", "b")
+        pairs = a.join(b, ["__t", "__bucket"]).where(F.col("id_a") < F.col("id_b"))
+        denom = F.col("__na") * F.col("__nb")
+        cos = F.when(
+            denom > 0, dot(F.col("__va"), F.col("__vb"), dim=dim) / denom
+        ).otherwise(F.lit(0.0))
+        scored = pairs.select(
+            "id_a", "id_b", cos.alias("cosine")
+        ).where(F.col("cosine") > threshold)
+        return scored.distinct() if num_tables > 1 else scored
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b",
-        cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_similarity(F.col("__va"), F.col("__vb"), dim=dim).alias("cosine"),
     ).where(F.col("cosine") > threshold)

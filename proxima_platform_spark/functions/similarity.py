@@ -18,7 +18,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, *, dim: int | None = None) -> Column:
+    """Sequential-order dot product. With ``dim`` known, unrolls to a flat
+    multiply-add chain that whole-stage-codegen compiles (the aggregate
+    form runs in *interpreted* lambdas, ~20× slower); the left-to-right
+    order is identical either way, so the doubles are bit-equal."""
+    if dim is not None:
+        out = None
+        for d in range(dim):
+            t = F.element_at(a, d + 1).cast("double") * F.element_at(b, d + 1).cast("double")
+            out = t if out is None else out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -26,7 +36,14 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, *, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = None
+        for d in range(dim):
+            x = F.element_at(a, d + 1).cast("double")
+            t = x * x
+            out = t if out is None else out + t
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -34,9 +51,9 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+def cosine_similarity(a: Column, b: Column, *, dim: int | None = None) -> Column:
+    denom = l2_norm(a, dim=dim) * l2_norm(b, dim=dim)
+    return F.when(denom > 0, dot(a, b, dim=dim) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_top_k(
@@ -71,8 +88,46 @@ def _plane_component(plane: int, dim: Column) -> Column:
     return h / F.lit(float(16**8)) - 0.5
 
 
-def sign_lsh_bucket(vec: Column, *, num_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id (bigint in [0, 2^num_planes))."""
+def _plane_component_value(plane: int, dim: int) -> float:
+    """Python twin of _plane_component — bit-identical double: h/2³² − 0.5
+    with h the first 8 md5 hex digits (division by a power of two and the
+    half subtraction are both exact)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 - 0.5
+
+
+def sign_lsh_bucket(
+    vec: Column, *, num_planes: int = 8, plane_offset: int = 0, dim: int | None = None
+) -> Column:
+    """Random-hyperplane LSH bucket id (bigint in [0, 2^num_planes)).
+
+    ``plane_offset`` selects an independent plane set (table t passes
+    t·num_planes) — the multi-table LSH recall knob: each table is an
+    independent 2^k-bucket partition, and candidates union across tables.
+
+    When ``dim`` (the fixed vector length) is known, plane components —
+    which are data-independent md5-derived constants — are folded into
+    literals and each projection becomes a flat multiply-add chain that
+    whole-stage-codegen compiles (left-to-right, the same summation order
+    as the aggregate form and the oracle's list_sum). The dim-agnostic
+    fallback computes md5 per element inside *interpreted* higher-order
+    lambdas — ~20× slower; pass dim on any hot path."""
+    if dim is not None:
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            proj = None
+            for d in range(dim):
+                term = F.element_at(vec, d + 1).cast("double") * F.lit(
+                    _plane_component_value(plane_offset + p, d)
+                )
+                proj = term if proj is None else proj + term
+            bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return bucket
+
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
 
     def component_fn(p: int):
@@ -82,7 +137,7 @@ def sign_lsh_bucket(vec: Column, *, num_planes: int = 8) -> Column:
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         proj = F.aggregate(
-            F.zip_with(vec, dims, component_fn(p)),
+            F.zip_with(vec, dims, component_fn(plane_offset + p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -327,3 +382,71 @@ def quantize_embeddings_arrow(
         "q_checksum",
         F.round("mse_raw", 9).alias("mse"),
     )
+
+
+LSH_FIXED_SCALE = 1_000_000.0
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """±1 hyperplane component from the top bit of md5's first hex digit —
+    the integer-exact plane family for the Arrow bucket stage."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[0], 16) >= 8 else -1
+
+
+def sign_lsh_buckets_arrow(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Append per-table sign-LSH bucket columns ``__b0..__b{L-1}`` via one
+    Arrow-batched stage — the vectorizable-by-construction bucket family.
+
+    Float hyperplane projections are summation-order-sensitive, which forces
+    sequential evaluation (interpreted lambdas or giant codegen trees whose
+    Catalyst analysis alone costs seconds per build). This family quantizes
+    each component to fixed-point (floor(x·10⁶), exact in doubles) and
+    projects onto ±1 planes (md5 top bit), so the projection is an *integer*
+    sum — order-independent, overflow-safe (|q| ≤ 2³³ per term, dim ≤ 2²⁸),
+    and safely computed with numpy matrix products at full vector speed.
+    The DuckDB oracle mirrors it with a list_sum of the same integers.
+    Narrow stage: no shuffle, output inherits input partitioning.
+    """
+    from typing import Iterator
+
+    import numpy as np
+
+    cols = df.columns
+    signs = np.empty((num_tables * num_planes, 0), dtype=np.int64)
+    sign_cache: dict[int, "np.ndarray"] = {}
+
+    def stage(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n, dim = vecs.shape if vecs.ndim == 2 else (len(vecs), 0)
+            if dim not in sign_cache:
+                sign_cache[dim] = np.asarray(
+                    [
+                        [_plane_sign(p, d) for d in range(dim)]
+                        for p in range(num_tables * num_planes)
+                    ],
+                    dtype=np.int64,
+                )
+            S = sign_cache[dim]
+            q = np.floor(vecs * LSH_FIXED_SCALE).astype(np.int64)
+            proj = q @ S.T  # (n, tables*planes) integer — order-independent
+            bits = (proj > 0).astype(np.int64)
+            weights = np.asarray([1 << p for p in range(num_planes)], dtype=np.int64)
+            out = pdf.copy()
+            for t in range(num_tables):
+                out[f"__b{t}"] = bits[:, t * num_planes:(t + 1) * num_planes] @ weights
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"__b{t} long" for t in range(num_tables)]
+    )
+    return df.mapInPandas(stage, schema=schema)
