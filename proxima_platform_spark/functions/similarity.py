@@ -352,6 +352,11 @@ def quantize_embeddings_arrow(
             rows = []
             for vid, vec in zip(pdf[id_col], pdf[vec_col]):
                 v = [float(x) for x in vec]
+                if not v:
+                    # match the expression form on empty vectors:
+                    # null min/max, zero checksum, 0.0 mse
+                    rows.append((vid, None, None, 0, 0.0))
+                    continue
                 mn, mx = min(v), max(v)
                 rng = mx - mn
                 if rng > 0:
@@ -425,6 +430,12 @@ def sign_lsh_buckets_arrow(
 
     def stage(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
+            if pdf.empty:
+                out = pdf.copy()
+                for t in range(num_tables):
+                    out[f"__b{t}"] = pd.Series([], dtype="int64")
+                yield out
+                continue
             vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             n, dim = vecs.shape if vecs.ndim == 2 else (len(vecs), 0)
             if dim not in sign_cache:

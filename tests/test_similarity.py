@@ -74,3 +74,40 @@ class TestLSH:
         }
         for r in got:
             assert exact[r.vec_id] == pytest.approx(r.cosine, abs=1e-6)
+
+
+class TestArrowLshStage:
+    def test_empty_partitions_and_empty_vectors(self, spark):
+        from proxima_platform_spark.functions.similarity import (
+            quantize_embeddings,
+            quantize_embeddings_arrow,
+            sign_lsh_buckets_arrow,
+        )
+
+        # 3 rows over 8 partitions → the Arrow stage sees empty batches
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, -1.0]), (3, [0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        ).repartition(8)
+        out = sign_lsh_buckets_arrow(df, num_planes=4, num_tables=2)
+        assert out.count() == 3
+        assert {"__b0", "__b1"} <= set(out.columns)
+
+        # empty vector: arrow path matches the expression form's semantics
+        e = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [])], "vec_id long, embedding array<float>"
+        )
+        a = sorted(tuple(r) for r in quantize_embeddings_arrow(e).collect())
+        b = sorted(tuple(r) for r in quantize_embeddings(e).collect())
+        assert a == b
+
+    def test_bucket_determinism_across_partitionings(self, spark):
+        from proxima_platform_spark.functions.similarity import sign_lsh_buckets_arrow
+
+        rows = [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        one = {r.vec_id: (r["__b0"], r["__b1"]) for r in
+               sign_lsh_buckets_arrow(df, num_planes=6, num_tables=2).collect()}
+        two = {r.vec_id: (r["__b0"], r["__b1"]) for r in
+               sign_lsh_buckets_arrow(df.repartition(11), num_planes=6, num_tables=2).collect()}
+        assert one == two
