@@ -155,28 +155,44 @@ def lsh_top_k(
     query_vec_col: str = "embedding",
     k: int = 10,
     num_planes: int = 8,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k for a *set* of query vectors: bucket-equi-join on the
     sign-LSH bucket, exact cosine within the bucket, per-query top-k.
 
     At 100 TB this is the right shape: both sides hash-partition on bucket,
     no cross product, and the per-query top-k is a windowed rank over the
-    joined (small) candidate set. Recall is tunable via num_planes (and by
-    probing neighbor buckets — not implemented; documented knob).
+    joined (small) candidate set. Recall is tunable via num_planes and
+    ``num_tables`` (independent plane sets whose candidates union — the
+    standard L-tables LSH knob; duplicate candidates collapse in the
+    DISTINCT before ranking).
     """
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        sign_lsh_bucket(F.col(vec_col), num_planes=num_planes).alias("bucket"),
-    )
-    qs = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).alias("__qvec"),
-        sign_lsh_bucket(F.col(query_vec_col), num_planes=num_planes).alias("bucket"),
-    )
-    joined = base.join(qs, on="bucket").select(
+    def with_buckets(df, idc, vc, alias_vec=None):
+        sel = [F.col(idc)] + ([F.col(vc).alias(alias_vec)] if alias_vec else [F.col(vc)])
+        vec = F.col(vc)
+        tb = F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_lsh_bucket(
+                    vec, num_planes=num_planes, plane_offset=t * num_planes
+                ).alias("b"),
+            )
+            for t in range(num_tables)
+        ])
+        out_names = [idc] + [alias_vec or vc]
+        return df.select(*sel, F.explode(tb).alias("__tb")).select(
+            *out_names, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("bucket")
+        )
+
+    base = with_buckets(embeddings, id_col, vec_col)
+    qs = with_buckets(queries, query_id_col, query_vec_col, alias_vec="__qvec")
+    joined = base.join(qs, on=["__t", "bucket"]).select(
         query_id_col,
         id_col,
         F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
     )
+    if num_tables > 1:
+        joined = joined.distinct()
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )

@@ -111,3 +111,31 @@ class TestArrowLshStage:
         two = {r.vec_id: (r["__b0"], r["__b1"]) for r in
                sign_lsh_buckets_arrow(df.repartition(11), num_planes=6, num_tables=2).collect()}
         assert one == two
+
+
+class TestMultiTableLsh:
+    def test_more_tables_no_worse_recall(self, spark, sf_dir):
+        from proxima_platform_spark.functions.similarity import (
+            brute_force_top_k,
+            lsh_top_k,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def hits(out):
+            return {(r.query_id, r.vec_id) for r in out.collect()}
+
+        one = hits(lsh_top_k(emb, queries, k=5, num_planes=6, num_tables=1))
+        two = hits(lsh_top_k(emb, queries, k=5, num_planes=6, num_tables=2))
+        # truth: union of per-query exact top-5
+        truth = set()
+        rows = emb.where(F.col("vec_id") < 3).collect()
+        for q in rows:
+            for r in brute_force_top_k(emb, list(q.embedding), k=5).collect():
+                truth.add((q.vec_id, r.vec_id))
+        assert len(two & truth) >= len(one & truth)
+        # single-table candidates are a subset of two-table candidates per query
+        assert len(two) >= len(one) - 1  # top-k may reshuffle, sizes comparable
