@@ -88,18 +88,8 @@ def _plane_component(plane: int, dim: Column) -> Column:
     return h / F.lit(float(16**8)) - 0.5
 
 
-def _plane_component_value(plane: int, dim: int) -> float:
-    """Python twin of _plane_component — bit-identical double: h/2³² − 0.5
-    with h the first 8 md5 hex digits (division by a power of two and the
-    half subtraction are both exact)."""
-    import hashlib
-
-    h = int(hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[:8], 16)
-    return h / 4294967296.0 - 0.5
-
-
 def sign_lsh_bucket(
-    vec: Column, *, num_planes: int = 8, plane_offset: int = 0, dim: int | None = None
+    vec: Column, *, num_planes: int = 8, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane LSH bucket id (bigint in [0, 2^num_planes)).
 
@@ -107,27 +97,10 @@ def sign_lsh_bucket(
     t·num_planes) — the multi-table LSH recall knob: each table is an
     independent 2^k-bucket partition, and candidates union across tables.
 
-    When ``dim`` (the fixed vector length) is known, plane components —
-    which are data-independent md5-derived constants — are folded into
-    literals and each projection becomes a flat multiply-add chain that
-    whole-stage-codegen compiles (left-to-right, the same summation order
-    as the aggregate form and the oracle's list_sum). The dim-agnostic
-    fallback computes md5 per element inside *interpreted* higher-order
-    lambdas — ~20× slower; pass dim on any hot path."""
-    if dim is not None:
-        bucket = F.lit(0).cast("long")
-        for p in range(num_planes):
-            proj = None
-            for d in range(dim):
-                term = F.element_at(vec, d + 1).cast("double") * F.lit(
-                    _plane_component_value(plane_offset + p, d)
-                )
-                proj = term if proj is None else proj + term
-            bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return bucket
-
+    Expression form (interpreted higher-order lambdas): right for
+    query-sized inputs (ann_lsh_topk). For corpus-sized bucket assignment
+    use ``sign_lsh_buckets_arrow`` — its integer-exact plane family is
+    order-independent and vectorizes."""
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
 
     def component_fn(p: int):
