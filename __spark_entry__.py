@@ -1494,6 +1494,83 @@ GROUP BY 1
 """
 
 
+def q_tpch_q7ish(spark, sf):
+    """Bilateral trade volume (TPC-H Q7 shape): supplier-nation ×
+    customer-nation revenue by ship year for one nation pair — two broadcast
+    nation dims on a fact join, ship-year from l_shipdate."""
+    nation = _load(spark, sf, "nation")
+    supp = _load(spark, sf, "supplier")
+    cust = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .where(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+
+
+SQL_TPCH_Q7ISH = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10ish(spark, sf):
+    """Returned-item revenue report (TPC-H Q10 shape): top 20 customers by
+    revenue on returned lineitems; decimal-exact revenue makes the top-20
+    cutoff engine-deterministic (ties broken by custkey)."""
+    cust = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _load(spark, sf, "nation")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+SQL_TPCH_Q10ISH = """
+SELECT c_custkey, c_name, n_name AS nation,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ===========================================================================
 # LLM-pipeline extensions (north star): dedup / similarity / text
 # ===========================================================================
@@ -2938,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,  # new
         "exact_decontaminate": q_exact_decontaminate,  # new
         "dedup_best_of_cluster": q_dedup_best_of_cluster,  # new
+        "tpch_q7ish": q_tpch_q7ish,  # new
+        "tpch_q10ish": q_tpch_q10ish,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -3103,6 +3182,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_ahash_dup": SQL_MULTIMODAL_AHASH_DUP,
         "exact_decontaminate": SQL_EXACT_DECONTAMINATE,
         "dedup_best_of_cluster": _sql_dedup_best_of_cluster(),
+        "tpch_q7ish": SQL_TPCH_Q7ISH,
+        "tpch_q10ish": SQL_TPCH_Q10ISH,
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,
