@@ -151,3 +151,11 @@ class TestR03ExtensionPlans:
     def test_embedding_quantize_no_shuffle(self, spark, sf_dir):
         df = entry.q_embedding_quantize(spark, sf_dir)
         assert count_exchanges(df) == 0
+
+    def test_tpch_q7ish_broadcasts_dims(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q7ish(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_tpch_q10ish_topk_no_global_sort(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q10ish(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
