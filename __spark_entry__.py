@@ -2915,6 +2915,80 @@ SELECT group_id, n_members, keeper_id, best_quality FROM (
 """
 
 
+def q_pretraining_prep(spark, sf):
+    """End-to-end pretraining preparation composing the r03 operators the
+    way a batch-prep job chains them: quality + repetition gate → 16-token
+    chunking (stride 12) → deterministic packing of chunks into 256-token
+    bins over 8 hash shards → per-(shard, bin) manifest. The gate's
+    repetition counts ride the Arrow stage with the text carried through
+    (no re-join); chunk keys are doc_id·64 + chunk_id (chunks/doc < 64 by
+    corpus contract). Output: one row per packed bin — the unit a trainer
+    would stream."""
+    docs = _load(spark, sf, "documents")
+    scored = docs.select("doc_id", "text", quality_score(F.col("text")).alias("quality"))
+    counts = repetition_counts_arrow(scored, keep=("text", "quality"))
+    gated = counts.where(
+        (F.col("quality") >= 0.5)
+        & (
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    1.0 - F.col("n_tok_distinct").cast("double") / F.col("n_tok").cast("double"),
+                ).otherwise(F.lit(0.0)), 6,
+            )
+            <= 0.8
+        )
+    ).select("doc_id", "text")
+    chunks = chunk_documents(gated, chunk_tokens=16, stride=12)
+    units = chunks.select(
+        (F.col("doc_id") * 64 + F.col("chunk_id")).alias("unit_id"), "n_tokens"
+    )
+    packed = sequence_pack(
+        units, id_col="unit_id", token_count_col="n_tokens", budget=256, n_shards=8
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _sql_pretraining_prep() -> str:
+    return rf"""
+WITH {_sql_scored_ctes()},
+rep AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+), gated AS (
+    SELECT s.doc_id, s.text
+    FROM scored s JOIN rep r USING (doc_id)
+    WHERE s.quality >= 0.5
+      AND round(CASE WHEN len(r.toks) > 0
+                THEN 1.0 - len(list_distinct(r.toks))::DOUBLE / len(r.toks)
+                ELSE 0.0 END, 6) <= 0.8
+), t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM gated
+), ch AS (
+    SELECT doc_id, st // 12 AS chunk_id, len(toks[st+1 : st+16]) AS n_tokens
+    FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 12)) AS st FROM t)
+), units AS (
+    SELECT doc_id * 64 + chunk_id AS unit_id, n_tokens, (doc_id * 64 + chunk_id) % 8 AS shard
+    FROM ch
+), packed AS (
+    SELECT shard,
+           (coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY unit_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 256)::BIGINT AS bin,
+           n_tokens
+    FROM units
+)
+SELECT shard, bin, count(*) AS n_chunks, sum(n_tokens)::BIGINT AS total_tokens
+FROM packed GROUP BY shard, bin
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3017,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_of_cluster": q_dedup_best_of_cluster,  # new
         "tpch_q7ish": q_tpch_q7ish,  # new
         "tpch_q10ish": q_tpch_q10ish,  # new
+        "pretraining_prep": q_pretraining_prep,  # new
         # -- hash-green in CORRECTNESS_r02.json -----------------------------
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -3184,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best_of_cluster": _sql_dedup_best_of_cluster(),
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
+        "pretraining_prep": _sql_pretraining_prep(),
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "corpus_split": SQL_CORPUS_SPLIT,

@@ -344,6 +344,7 @@ def repetition_counts_arrow(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: tuple = (),
 ):
     """Arrow-batched integer repetition counts — the fast path behind
     `repetition_signals`'s fractions.
@@ -357,14 +358,22 @@ def repetition_counts_arrow(
     Spark expressions afterwards, so results are bit-identical to the
     expression spec and to the DuckDB oracle. Tokenization mirrors
     split(trim(lower(text)), '\\s+') — ASCII whitespace, as the corpus
-    contract guarantees.
+    contract guarantees. ``keep`` names extra input columns to carry
+    through the stage (e.g. the text itself for a downstream chunker) —
+    cheaper than re-joining the counts back to the source on id.
     """
     from collections import Counter
     from typing import Iterator
 
+    keep = tuple(k for k in keep if k not in (id_col,))
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in docs.schema.fields if f.name in keep
+    )
     schema = (
         f"{id_col} long, n_tok long, n_tok_distinct long, "
         "n_gram long, top_gram_cnt long, n_line long, n_line_distinct long"
+        + keep_schema
     )
 
     def counts(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -372,7 +381,8 @@ def repetition_counts_arrow(
 
         for pdf in batches:
             rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for _, r in pdf.iterrows():
+                text = r[text_col]
                 toks = (text or "").strip().lower().split()
                 n_tok = len(toks)
                 n_gram = max(n_tok - 1, 0)
@@ -382,13 +392,15 @@ def repetition_counts_arrow(
                 lines = [l.strip() for l in (text or "").split("\n")]
                 lines = [l for l in lines if l]
                 rows.append(
-                    (did, n_tok, len(set(toks)), n_gram, top,
+                    (r[id_col], n_tok, len(set(toks)), n_gram, top,
                      len(lines), len(set(lines)))
+                    + tuple(r[k] for k in keep)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "n_tok", "n_tok_distinct", "n_gram",
-                         "top_gram_cnt", "n_line", "n_line_distinct"],
+                         "top_gram_cnt", "n_line", "n_line_distinct", *keep],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(counts, schema=schema)
+    in_cols = list(dict.fromkeys([id_col, text_col, *keep]))
+    return docs.select(*in_cols).mapInPandas(counts, schema=schema)
