@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "embedding_quantize",
     "training_pipeline",
+    "pretraining_prep",
 ]
 
 
