@@ -458,3 +458,66 @@ def embedding_near_dup_pairs(
         "id_a", "id_b",
         cosine_similarity(F.col("__va"), F.col("__vb"), dim=dim).alias("cosine"),
     ).where(F.col("cosine") > threshold)
+
+
+def dedup_paragraphs(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+):
+    """Paragraph-level exact deduplication with reassembly — the CCNet /
+    RefinedWeb pretraining primitive: split each document into paragraphs,
+    drop every corpus-wide duplicate paragraph except its first occurrence
+    (smallest ``(id, position)``), and stitch the survivors back together in
+    original order.
+
+    Returns ``(id_col, n_para, n_kept, text_dedup)`` — one row per input
+    document, ``text_dedup = ''`` when every paragraph was a duplicate.
+
+    Scale shape (100 TB): paragraphs explode narrowly (no shuffle); the
+    first-occurrence winner per fingerprint is a ``groupBy(md5).agg(min(
+    struct))`` — partial map-side combine makes a boilerplate paragraph
+    repeated 10⁹ times cost one row per map task, where the equivalent
+    ``row_number() OVER (PARTITION BY fp)`` window would funnel the hot
+    fingerprint through a single reducer. The winner set IS the kept set
+    (no join back), so the whole operator is explode → agg → agg → one
+    left join on the id: three shuffles, no cartesian, no driver state.
+    """
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), delimiter, -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    base = docs.select(F.col(id_col), paras.alias("__paras"))
+    exploded = base.select(
+        id_col, F.posexplode("__paras").alias("pos", "para")
+    )
+    # first occurrence per fingerprint: lexicographic struct-min on
+    # (id, pos, para); (id, pos) is unique so the winner is deterministic
+    kept = (
+        exploded.groupBy(F.md5("para").alias("__fp"))
+        .agg(F.min(F.struct(id_col, "pos", "para")).alias("k"))
+        .select(
+            F.col(f"k.{id_col}").alias(id_col),
+            F.col("k.pos").alias("pos"),
+            F.col("k.para").alias("para"),
+        )
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delimiter,
+        ).alias("text_dedup"),
+    )
+    counts = base.select(id_col, F.size("__paras").alias("n_para"))
+    return counts.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_para",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

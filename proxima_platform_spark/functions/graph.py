@@ -20,7 +20,10 @@ Scale properties:
   * lineage is truncated every round (``localCheckpoint``) so the plan
     stays O(1) deep instead of O(rounds);
   * convergence is detected with a single count+checksum aggregate per
-    round (one job over the contracted — shrinking — edge set).
+    round, and the checkpoint is LAZY: the fingerprint aggregate is the
+    first action on the round's edge set, so the one job both stores the
+    checkpoint blocks and reduces the fingerprint — one pass over the
+    (shrinking) edges per round, not a materialize-then-aggregate pair.
 
 Reference parity note: the reference platform has no graph operator; this
 is a north-star extension (training-data pipeline: dedup group collapse).
@@ -63,8 +66,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Within each node's *smaller-or-equal* neighborhood, connect everything
     to the minimum: orient edges u ≥ v, m = min(N≤(u) ∪ {u}); emit (v, m)
-    for the smaller neighbors plus (u, m)."""
-    e = _canonical(edges)  # u > v orientation
+    for the smaller neighbors plus (u, m).
+
+    The input (large-star output) is a multigraph; no distinct here: ``min``
+    is duplicate-insensitive, duplicate join rows collapse in the final
+    ``distinct()``, and a 2-col distinct's hashpartitioning(u, v) could not
+    be reused by the 1-col join on u anyway — it would be a pure extra
+    shuffle of the same E rows."""
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))  # u > v orientation, no distinct
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
     reattach = (
         e.join(mins, "u")
@@ -107,13 +118,19 @@ def connected_components(
         ).first()
         return (row["n"], row["s"])
 
+    # eager=False everywhere: each round's fingerprint aggregate is the first
+    # action on that round's edge set, so ONE job stores the checkpoint
+    # blocks AND reduces (count, hash). No up-front fingerprint of the input:
+    # fp=None makes round 1 unconditionally proceed (the input is almost
+    # never already a star forest), saving one full pass over the largest —
+    # pre-contraction — edge set.
     e = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
-    fp = _fingerprint(e)
+    ).localCheckpoint(eager=False)
+    fp = None
 
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp2 = _fingerprint(e2)
         e = e2
         if fp2 == fp:

@@ -1,0 +1,111 @@
+"""Pretraining-preparation pipeline: gate → chunk → pack → manifest.
+
+Batch and streaming forms of the same chain (north-star extension; the
+streaming form mirrors the reference's defining property that any derived
+computation also runs over the changelog — ReplicationController semantics,
+`direct/ingest-server/.../ReplicationController.java`):
+
+  * quality + repetition gate — the repetition counts ride an Arrow
+    ``mapInPandas`` stage with the text carried through (no re-join);
+  * 16-token chunking (stride 12) — narrow posexplode;
+  * deterministic packing of chunks into fixed-token-budget bins over hash
+    shards — one per-shard window cumsum;
+  * per-(shard, bin) manifest — the unit a trainer would stream.
+
+At 100 TB the batch form is gate (narrow) → chunk (narrow) → pack (one
+shuffle per shard partition) → manifest agg (one shuffle). The streaming
+form applies the identical chain per micro-batch via ``foreachBatch`` —
+packing is batch-local (bins never span micro-batches), the deliberate
+trade for unbounded input: a trainer consumes sealed bins as they land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from proxima_platform_spark.functions.sampling import sequence_pack
+from proxima_platform_spark.functions.text import (
+    chunk_documents,
+    quality_score,
+    repetition_counts_arrow,
+)
+
+
+def pretraining_prep(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    dup_word_max: float = 0.8,
+    chunk_tokens: int = 16,
+    stride: int = 12,
+    budget: int = 256,
+    n_shards: int = 8,
+    chunks_per_doc_cap: int = 64,
+) -> DataFrame:
+    """The batch manifest: one row per packed (shard, bin) with chunk and
+    token counts. Chunk unit ids are ``doc_id * chunks_per_doc_cap +
+    chunk_id`` (corpus contract: fewer than ``chunks_per_doc_cap`` chunks
+    per document)."""
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    counts = repetition_counts_arrow(scored, keep=("text", "quality"))
+    gated = counts.where(
+        (F.col("quality") >= quality_min)
+        & (
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    1.0
+                    - F.col("n_tok_distinct").cast("double")
+                    / F.col("n_tok").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            <= dup_word_max
+        )
+    ).select("doc_id", "text")
+    chunks = chunk_documents(gated, chunk_tokens=chunk_tokens, stride=stride)
+    units = chunks.select(
+        (F.col("doc_id") * chunks_per_doc_cap + F.col("chunk_id")).alias("unit_id"),
+        "n_tokens",
+    )
+    packed = sequence_pack(
+        units,
+        id_col="unit_id",
+        token_count_col="n_tokens",
+        budget=budget,
+        n_shards=n_shards,
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def pretraining_prep_stream(
+    stream_docs: DataFrame,
+    sink,
+    **prep_kwargs,
+):
+    """Run the identical gate→chunk→pack chain over a documents *stream*.
+
+    ``sink(manifest_df, batch_id)`` receives each micro-batch's manifest —
+    the same rows ``pretraining_prep`` produces on that micro-batch's data
+    slice (pinned by TestStreamingPretrainingPrep). Returns a
+    ``DataStreamWriter``; caller adds trigger/checkpoint and ``start()``.
+
+    Packing is batch-local by design: bins seal at micro-batch boundaries
+    so output is append-only and a trainer can consume bins as they land —
+    the streaming analog of a bulk writer's time-windowed flush
+    (AbstractBulkFileSystemAttributeWriter semantics).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(pretraining_prep(batch_df, **prep_kwargs), batch_id)
+
+    return stream_docs.writeStream.foreachBatch(handle)

@@ -158,6 +158,9 @@ def sequence_pack(
     ).select(
         id_col,
         "shard",
-        (F.col("cum_start") / budget).cast("long").alias("bin"),
+        # integer division, not float-divide-then-cast: for non-power-of-two
+        # budgets with large cumulative sums, double rounding can land on the
+        # wrong side of the boundary vs the oracle's integer `//`
+        F.expr(f"cum_start DIV {int(budget)}").alias("bin"),
         "n_tokens",
     )

@@ -413,8 +413,6 @@ def sign_lsh_buckets_arrow(
 
     import numpy as np
 
-    cols = df.columns
-    signs = np.empty((num_tables * num_planes, 0), dtype=np.int64)
     sign_cache: dict[int, "np.ndarray"] = {}
 
     def stage(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -425,8 +423,15 @@ def sign_lsh_buckets_arrow(
                     out[f"__b{t}"] = pd.Series([], dtype="int64")
                 yield out
                 continue
+            lens = {len(v) for v in pdf[vec_col]}
+            if len(lens) != 1:
+                raise ValueError(
+                    f"sign_lsh_buckets_arrow: mixed vector lengths {sorted(lens)} "
+                    f"in one batch — the corpus contract requires a fixed "
+                    f"embedding dim"
+                )
             vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n, dim = vecs.shape if vecs.ndim == 2 else (len(vecs), 0)
+            n, dim = vecs.shape
             if dim not in sign_cache:
                 sign_cache[dim] = np.asarray(
                     [

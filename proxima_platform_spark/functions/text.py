@@ -357,13 +357,21 @@ def repetition_counts_arrow(
     are exact integers — the fraction arithmetic (and rounding) happens in
     Spark expressions afterwards, so results are bit-identical to the
     expression spec and to the DuckDB oracle. Tokenization mirrors
-    split(trim(lower(text)), '\\s+') — ASCII whitespace, as the corpus
-    contract guarantees. ``keep`` names extra input columns to carry
-    through the stage (e.g. the text itself for a downstream chunker) —
-    cheaper than re-joining the counts back to the source on id.
+    split(trim(lower(text)), '\\s+') EXACTLY: trim strips ASCII space only
+    (not tab/newline — Spark F.trim and DuckDB trim semantics), and the
+    split class is Java's \\s = [ \\t\\n\\x0b\\f\\r], NOT Python
+    str.split()'s Unicode whitespace. Text starting with a tab therefore
+    yields a leading empty token on all three paths alike
+    (tests/test_ranking.py::TestRepetitionParity pins this with
+    tab/newline/\\r edge cases). ``keep`` names extra input columns to
+    carry through the stage (e.g. the text itself for a downstream
+    chunker) — cheaper than re-joining the counts back to the source on id.
     """
+    import re
     from collections import Counter
     from typing import Iterator
+
+    ws_split = re.compile(r"[ \t\n\x0b\f\r]+").split
 
     keep = tuple(k for k in keep if k not in (id_col,))
     keep_schema = "".join(
@@ -383,13 +391,17 @@ def repetition_counts_arrow(
             rows = []
             for _, r in pdf.iterrows():
                 text = r[text_col]
-                toks = (text or "").strip().lower().split()
+                # mirror _norm_tokens: space-only trim, Java-\s split,
+                # blank-after-trim -> no tokens
+                stripped = (text or "").lower().strip(" ")
+                toks = [] if stripped == "" else ws_split(stripped)
                 n_tok = len(toks)
                 n_gram = max(n_tok - 1, 0)
                 top = 0
                 if n_gram:
                     top = max(Counter(zip(toks, toks[1:])).values())
-                lines = [l.strip() for l in (text or "").split("\n")]
+                # mirror the expression spec's F.trim(line): space-only strip
+                lines = [l.strip(" ") for l in (text or "").split("\n")]
                 lines = [l for l in lines if l]
                 rows.append(
                     (r[id_col], n_tok, len(set(toks)), n_gram, top,

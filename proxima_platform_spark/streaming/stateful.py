@@ -67,6 +67,134 @@ def _unpack_value(v):
     return v
 
 
+def transform_with_state_available(spark) -> bool:
+    """Capability probe for Spark 4's ``transformWithStateInPandas``
+    (DELTAS.md #12). All three must hold, or the query fails at runtime:
+
+      * the StatefulProcessor API is importable (Spark >= 4.0);
+      * the ``google.protobuf`` python package is installed — the
+        TransformWithStateInPySpark driver worker speaks protobuf to the
+        JVM and crashes on init without it (verified in this container:
+        ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` /
+        ``ImportError: cannot import name 'descriptor'``);
+      * the session's state-store provider is RocksDB —
+        HDFSBackedStateStoreProvider does not support transformWithState.
+    """
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    return "RocksDB" in (provider or "")
+
+
+def _twsip_reduce_value_state(
+    wm: DataFrame,
+    *,
+    key: str,
+    stamp: str,
+    state_fn,
+    initial_state,
+    output_schema: str,
+    sorted_: bool,
+) -> DataFrame:
+    """``transformWithStateInPandas`` implementation of the keyed state
+    machine — the reference's exact timer design (ReduceValueStateByKey:
+    1633-1677: ListState buffer + event-time timer at the watermark):
+
+      * arriving rows (minus latecomers) append to a ListState buffer;
+      * rows at-or-before the watermark flush immediately in stamp order
+        (same emission timing as the applyInPandasWithState fallback);
+      * a timer registered at watermark+1 flushes quiet keys — buffered
+        rows whose keys see no further input still emit once the global
+        watermark passes them, without waiting for new data on the key.
+
+    Selected by ``transform_with_state_available``; semantics are pinned to
+    the fallback path by TestStreamingReduceValueState/TestStreamingIntegrate
+    running against whichever implementation the dispatch picks.
+    """
+    import json
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._st = handle.getValueState("st", "js string")
+            self._buf = handle.getListState("buf", "stamp_ms long, js string")
+
+        def _flush(self, key_tuple, wm_ms):
+            buffered = [
+                (r["stamp_ms"], json.loads(r["js"])) for r in self._buf.get()
+            ]
+            st = initial_state
+            if self._st.exists():
+                packed = self._st.get()["js"]
+                if packed is not None:
+                    st = json.loads(packed)
+
+            def apply(st, row):
+                row = {k: _unpack_value(v) for k, v in row.items()}
+                return state_fn(
+                    st,
+                    key_tuple[0],
+                    {**row, stamp: pd.Timestamp(row[stamp], unit="ms")},
+                )
+
+            outputs = []
+            if sorted_:
+                buffered.sort(key=lambda t: t[0])
+                flush = [b for b in buffered if b[0] <= wm_ms]
+                hold = [b for b in buffered if b[0] > wm_ms]
+            else:
+                flush, hold = buffered, []
+            for _, row in flush:
+                st, out = apply(st, row)
+                if out is not None:
+                    outputs.append(out)
+            self._st.update((json.dumps(st),))
+            self._buf.clear()
+            if hold:
+                self._buf.put([(ms, json.dumps(row)) for ms, row in hold])
+                self._h.registerTimer(max(wm_ms + 1, 1))
+            return outputs
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            for pdf in rows:
+                for row in pdf.to_dict("records"):
+                    stamp_ms = int(pd.Timestamp(row[stamp]).value // 1_000_000)
+                    if sorted_ and wm_ms > 0 and stamp_ms < wm_ms:
+                        continue  # latecomer beyond bound: drop
+                    packed = {k: _pack_value(v) for k, v in row.items()}
+                    self._buf.appendValue(
+                        (stamp_ms, json.dumps({**packed, stamp: stamp_ms}))
+                    )
+            outputs = self._flush(key_tuple, wm_ms)
+            if outputs:
+                yield pd.DataFrame(outputs)
+
+        def handleExpiredTimer(self, key_tuple, timerValues, expiredTimerInfo):
+            outputs = self._flush(
+                key_tuple, timerValues.getCurrentWatermarkInMs()
+            )
+            if outputs:
+                yield pd.DataFrame(outputs)
+
+        def close(self):
+            pass
+
+    return wm.groupBy(key).transformWithStateInPandas(
+        _Processor(),
+        outputStructType=output_schema,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def reduce_value_state_by_key_stream(
     stream_df: DataFrame,
     *,
@@ -77,6 +205,7 @@ def reduce_value_state_by_key_stream(
     output_schema: str,
     sorted: bool = True,
     watermark_delay: str = "10 seconds",
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming keyed state machine, event-time sorted.
 
@@ -88,8 +217,27 @@ def reduce_value_state_by_key_stream(
     row's stamp, apply rows in (stamp) order and emit outputs. Rows older
     than the watermark at arrival are dropped (MAX_ACCEPTABLE_STAMP analog,
     BeamStream.java:1547).
+
+    ``api``: "auto" picks ``transformWithStateInPandas`` (Spark 4 timers —
+    the reference's exact analog) when ``transform_with_state_available``,
+    else the deprecated-track ``applyInPandasWithState``; "twsip"/"apiws"
+    force a path (twsip raises where unsupported).
     """
     wm = stream_df.withWatermark(stamp, watermark_delay)
+    use_twsip = (
+        api == "twsip"
+        or (api == "auto" and transform_with_state_available(stream_df.sparkSession))
+    )
+    if use_twsip:
+        return _twsip_reduce_value_state(
+            wm,
+            key=key,
+            stamp=stamp,
+            state_fn=state_fn,
+            initial_state=initial_state,
+            output_schema=output_schema,
+            sorted_=sorted,
+        )
 
     def process(
         key_tuple,

@@ -156,6 +156,32 @@ class TestR03ExtensionPlans:
         plan = physical_plan(entry.q_tpch_q7ish(spark, sf_dir))
         assert plan.count("BroadcastHashJoin") >= 3
 
+    def test_tpch_q7ish_not_vacuous(self, spark, sf_dir):
+        # Guard against the r03 defect: the nation-pair literals must exist in
+        # the fixture's nation table so the bilateral join selects real rows.
+        # A green oracle hash on an empty result certifies nothing.
+        assert entry.q_tpch_q7ish(spark, sf_dir).count() > 0
+
     def test_tpch_q10ish_topk_no_global_sort(self, spark, sf_dir):
         plan = physical_plan(entry.q_tpch_q10ish(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestR04ExtensionPlans:
+    def test_dedup_paragraphs_no_cartesian_bounded_shuffles(self, spark, sf_dir):
+        df = entry.q_dedup_paragraphs(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # explode is narrow; winner-agg, reassembly-agg, and the id join are
+        # the only exchanges (hash partial agg on the fingerprint — no
+        # hot-paragraph window funnel)
+        assert count_exchanges(df) <= 4
+
+    def test_dedup_paragraphs_actually_drops_duplicates(self, spark, sf_dir):
+        # non-vacuity: the fixture's segment collisions must produce at
+        # least one dropped paragraph corpus-wide
+        agg = entry.q_dedup_paragraphs(spark, sf_dir).agg(
+            F.sum(F.col("n_para") - F.col("n_kept")).alias("dropped")
+        ).collect()[0]
+        assert agg.dropped > 0

@@ -209,6 +209,48 @@ class TestArrowFastPathParity:
         for k, v in expr_rows.items():
             assert got_rows[k] == v, k
 
+    def test_repetition_counts_whitespace_edge_parity(self, spark):
+        # ADVICE r03: leading tab/newline and '\r' cases — Python str.strip()/
+        # str.split() diverge from the Spark/DuckDB spec (space-only trim,
+        # Java-\s split). The Arrow path must match the expression form on
+        # exactly these inputs.
+        from proxima_platform_spark.functions.text import (
+            _norm_tokens,
+            repetition_counts_arrow,
+        )
+
+        nasty = [
+            (1, "\tleading tab text"),
+            (2, "\nleading newline"),
+            (3, "trailing tab\t"),
+            (4, "line one\r\nline two\r\nline one"),
+            (5, "  double  spaced  words  "),
+            (6, "\t"),
+            (7, "plain text no tricks plain text"),
+            (8, "a\x0bb\x0cc"),
+        ]
+        docs = spark.createDataFrame(nasty, "doc_id long, text string")
+        toks = _norm_tokens(F.col("text"))
+        lines = F.filter(
+            F.transform(F.split("text", r"\n", -1), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        )
+        expr = {
+            r.doc_id: (r.n_tok, r.n_tok_distinct, r.n_line, r.n_line_distinct)
+            for r in docs.select(
+                "doc_id",
+                F.size(toks).alias("n_tok"),
+                F.size(F.array_distinct(toks)).alias("n_tok_distinct"),
+                F.size(lines).alias("n_line"),
+                F.size(F.array_distinct(lines)).alias("n_line_distinct"),
+            ).collect()
+        }
+        fast = {
+            r.doc_id: (r.n_tok, r.n_tok_distinct, r.n_line, r.n_line_distinct)
+            for r in repetition_counts_arrow(docs).collect()
+        }
+        assert fast == expr
+
     def test_quantize_matches_expression_form(self, spark, sf_dir):
         from proxima_platform_spark.functions.similarity import (
             quantize_embeddings,

@@ -101,6 +101,21 @@ class TestArrowLshStage:
         b = sorted(tuple(r) for r in quantize_embeddings(e).collect())
         assert a == b
 
+    def test_mixed_length_vectors_raise_clearly(self, spark):
+        # ADVICE r03: a ragged batch used to crash deep inside numpy with an
+        # opaque ValueError; the fixed-dim corpus contract is now asserted
+        # with an explicit message.
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.similarity import sign_lsh_buckets_arrow
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, -1.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1)
+        with _pytest.raises(Exception, match="mixed vector lengths"):
+            sign_lsh_buckets_arrow(df, num_planes=4).collect()
+
     def test_bucket_determinism_across_partitionings(self, spark):
         from proxima_platform_spark.functions.similarity import sign_lsh_buckets_arrow
 

@@ -450,6 +450,139 @@ class TestLatecomerSplit:
         assert [r.k for r in late.collect()] == ["a"]
 
 
+class TestStreamingPretrainingPrep:
+    def test_per_batch_manifest_matches_batch_oracle(self, spark, tmp_path):
+        """VERDICT r03 #5: the gate→chunk→pack chain runs over a commit-log
+        stream via foreachBatch, and each micro-batch's manifest equals the
+        batch pipeline on the same data slice (packing is batch-local by
+        design — bins seal at micro-batch boundaries)."""
+        from proxima_platform_spark.functions.prep import (
+            pretraining_prep,
+            pretraining_prep_stream,
+        )
+
+        good_a = (
+            "the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet field toward the river bank every morning "
+            "while the sun rises slowly over the distant eastern hills"
+        )
+        good_b = (
+            "a second perfectly reasonable document with enough words and "
+            "letters to clear the quality gate threshold easily and then "
+            "some more text so that several chunks come out of the splitter"
+        )
+        src = str(tmp_path / "prep-src")
+        schema = "doc_id long, ts timestamp, text string"
+        batches = [
+            [(1, ts(1000), good_a), (2, ts(1100), "!!! ### $$$ %%%")],
+            [(3, ts(2000), good_b), (4, ts(2100), good_a + " " + good_b)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+            time.sleep(0.05)
+
+        collected: dict[int, set] = {}
+
+        def sink(manifest, batch_id):
+            collected[batch_id] = {tuple(r) for r in manifest.collect()}
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            pretraining_prep_stream(stream, sink, budget=64, n_shards=4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        assert len(collected) == 2
+        # micro-batch file order is mtime-based; compare against the batch
+        # form on each slice regardless of which file landed in which batch
+        got = sorted(collected.values(), key=sorted)
+        want = sorted(
+            (
+                {
+                    tuple(r)
+                    for r in pretraining_prep(
+                        spark.createDataFrame(rows, schema),
+                        budget=64,
+                        n_shards=4,
+                    ).collect()
+                }
+                for rows in batches
+            ),
+            key=sorted,
+        )
+        assert got == want
+        # the junk doc was gated out, the good docs produced real bins
+        assert all(len(s) > 0 for s in want)
+
+
+class TestTransformWithStateProbe:
+    """DELTAS.md #12: the stateful streaming operators auto-select Spark 4's
+    transformWithStateInPandas when the environment can actually run it
+    (protobuf + RocksDB provider), falling back to applyInPandasWithState.
+    The suites above certify whichever path the dispatch picks here."""
+
+    def test_probe_requires_rocksdb_provider(self, spark):
+        from proxima_platform_spark.streaming.stateful import (
+            transform_with_state_available,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+            assert transform_with_state_available(spark) is False
+            spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            got = transform_with_state_available(spark)
+            # with RocksDB configured the answer depends only on protobuf
+            try:
+                from google.protobuf import descriptor  # noqa: F401
+
+                assert got is True
+            except ImportError:
+                assert got is False
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    def test_dispatch_falls_back_cleanly(self, spark):
+        # building the fallback query plan must not require protobuf
+        import pandas as pd
+
+        from proxima_platform_spark.streaming.stateful import (
+            reduce_value_state_by_key_stream,
+            transform_with_state_available,
+        )
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .select(F.lit("k").alias("k"), F.col("timestamp").alias("ts"),
+                    F.col("value").cast("double").alias("v"))
+        )
+        out = reduce_value_state_by_key_stream(
+            stream,
+            key="k",
+            stamp="ts",
+            state_fn=lambda st, k, row: (st, None),
+            initial_state=0,
+            output_schema="k string, ts timestamp",
+            api="auto",
+        )
+        assert out.isStreaming
+        if not transform_with_state_available(spark):
+            # the deprecated-track API must be the one in the plan
+            assert "FlatMapGroupsInPandasWithState" in out._jdf.queryExecution().analyzed().toString()
+
+
 class TestStreamingReduceValueState:
     def test_event_time_sorted_state_machine(self, spark, tmp_path):
         """Streaming reduceValueStateByKey (sorted): buffered rows apply in
