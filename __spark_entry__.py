@@ -2974,6 +2974,50 @@ FROM np LEFT JOIN kept ON np.doc_id = kept.doc_id
 """
 
 
+def q_dedup_paragraphs_near(spark, sf):
+    """Paragraph-granularity NEAR-dup candidates: the same synthesized
+    10-token paragraphs as dedup_paragraphs, each treated as a unit document
+    through the MinHash+LSH banding machinery (functions/dedup.py) — the
+    CCNet-style complement to exact paragraph dedup. Paragraph unit ids are
+    doc_id*64 + position (paras/doc < 64 by corpus contract), so pairs map
+    straight back to (document, paragraph) coordinates."""
+    docs = _load(spark, sf, "documents")
+    trimmed = F.trim(F.lower(F.col("text")))
+    toks = F.split(trimmed, r"\s+", -1)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(10))
+    seg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, 10), " "))
+        ).alias("pos", "para"),
+    )
+    paras = seg.select(
+        (F.col("doc_id") * 64 + F.col("pos")).alias("para_id"),
+        F.col("para").alias("text"),
+    )
+    return minhash_candidate_pairs(paras, "para_id", "text", n=3, num_hashes=8, bands=4)
+
+
+def _sql_dedup_paragraphs_near() -> str:
+    return rf"""
+WITH p0 AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+), p1 AS (
+    SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 10)) AS s
+    FROM p0
+), paras AS (
+    SELECT doc_id * 64 + s // 10 AS doc_id,
+           array_to_string(toks[s+1:s+10], ' ') AS text
+    FROM p1
+), {_sql_minhash_ctes("paras")}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
 def q_pretraining_prep(spark, sf):
     """End-to-end pretraining preparation composing the r03 operators the
     way a batch-prep job chains them: quality + repetition gate → 16-token
@@ -3072,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_prep": q_pretraining_prep,
         # -- (b) new in r04 -------------------------------------------------
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_paragraphs_near": q_dedup_paragraphs_near,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3297,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_decontaminate": SQL_EXACT_DECONTAMINATE,
         "dedup_best_of_cluster": _sql_dedup_best_of_cluster(),
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+        "dedup_paragraphs_near": _sql_dedup_paragraphs_near(),
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "training_pipeline",
     "pretraining_prep",
+    "dedup_paragraphs",
 ]
 
 
