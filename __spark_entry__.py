@@ -3018,6 +3018,61 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
 
+def q_multimodal_audio(spark, sf):
+    """Audio pipeline with a REAL decode: deterministic PCM samples are
+    synthesized from each document's codepoints, packed into spec-compliant
+    RIFF/WAVE payloads (encode_wav), then wav_features walks the RIFF chunk
+    list, validates PCM mono 16-bit, and emits exact int64 per-window
+    |sample| sums (functions/multimodal.py). Sample synthesis is closed-form
+    over (doc_id, text) so the DuckDB oracle recomputes every window sum
+    without touching the binary — the same contract as the PPM image
+    features."""
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import encode_wav, wav_features
+
+    docs = _load(spark, sf, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                n = 80 + (int(row.doc_id) % 5) * 40
+                t = row.text or ""
+                i = np.arange(n, dtype=np.int64)
+                if t:
+                    cps = np.asarray([ord(c) % 256 for c in t], dtype=np.int64)
+                    cp = cps[i % len(cps)]
+                else:
+                    cp = np.zeros(n, dtype=np.int64)
+                samples = (cp * 131 + i * 7) % 65536 - 32768
+                rows.append({"doc_id": row.doc_id, "payload": encode_wav(samples)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+    return wav_features(media, window_samples=40)
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH base AS (
+    SELECT doc_id, text, length(text) AS l,
+           (80 + (doc_id % 5) * 40) AS n
+    FROM documents
+), idx AS (
+    SELECT doc_id, text, l, unnest(range(0, n)) AS i FROM base
+), samp AS (
+    SELECT doc_id, (i // 40)::INT AS window_id,
+           abs((((CASE WHEN l > 0
+                       THEN ascii(substr(text, (i % l)::INT + 1, 1)) % 256
+                       ELSE 0 END) * 131 + i * 7) % 65536) - 32768) AS a
+    FROM idx
+)
+SELECT doc_id, window_id, count(*)::INT AS n_samples, sum(a)::BIGINT AS sum_abs
+FROM samp GROUP BY 1, 2
+"""
+
+
 def q_pretraining_prep(spark, sf):
     """End-to-end pretraining preparation composing the r03 operators the
     way a batch-prep job chains them: quality + repetition gate → 16-token
@@ -3117,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new in r04 -------------------------------------------------
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_paragraphs_near": q_dedup_paragraphs_near,
+        "multimodal_audio": q_multimodal_audio,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3343,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best_of_cluster": _sql_dedup_best_of_cluster(),
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "dedup_paragraphs_near": _sql_dedup_paragraphs_near(),
+        "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -6,15 +6,17 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
 Decode support is tiered:
 
-* **Real codecs (pure numpy, no external library)**: binary PPM (``P6``) and
-  uncompressed 24-bit BMP (``BM``) are decoded for real — header parse,
-  stride/padding handling, ``(height, width, channels)`` uint8 array out.
-  ``encode_ppm`` produces spec-compliant P6 payloads so pipelines can
-  round-trip (and so correctness oracles can recompute features closed-form
-  from the source bytes).
-* **Stubbed codecs**: JPEG/PNG/video/audio containers need PIL/cv2/ffmpeg
-  (absent in this container). Unrecognized payloads fall back to a clearly
-  marked deterministic fake so the distributed plumbing stays testable.
+* **Real codecs (pure numpy, no external library)**: binary PPM (``P6``),
+  uncompressed 24-bit BMP (``BM``), and RIFF/WAVE PCM mono 16-bit audio
+  (``encode_wav``/``decode_wav`` — full chunk-list walk with odd-size
+  padding) are decoded for real — header parse, stride/padding handling,
+  typed arrays out. The encoders produce spec-compliant payloads so
+  pipelines can round-trip (and so correctness oracles can recompute
+  features closed-form from the source bytes).
+* **Stubbed codecs**: JPEG/PNG/video containers and compressed audio need
+  PIL/cv2/ffmpeg (absent in this container). Unrecognized payloads fall
+  back to a clearly marked deterministic fake so the distributed plumbing
+  stays testable.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary column
 never materializes per-task; keep ``spark.sql.files.maxPartitionBytes`` at
@@ -354,3 +356,102 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
 
     return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Spec-compliant RIFF/WAVE writer: PCM (format 1), mono, 16-bit
+    little-endian. Pure numpy — the audio analog of ``encode_ppm``."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    chunks = b"".join(
+        [
+            b"fmt ", struct.pack("<I", len(fmt)), fmt,
+            b"data", struct.pack("<I", len(pcm)), pcm,
+        ]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """RIFF/WAVE parser for PCM 16-bit mono: walks the chunk list (skipping
+    unknown chunks, honoring odd-size padding per the RIFF spec), validates
+    the fmt chunk, returns (int16 sample array, sample_rate)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"decode_wav: only PCM mono 16-bit supported, got "
+                    f"fmt={audio_fmt} channels={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if rate is None or data is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_id", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("sum_abs", LongType(), False),
+    ]
+)
+
+
+def wav_features(
+    media: DataFrame,
+    *,
+    window_samples: int = 40,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio feature extraction: decode the WAV payload (decode_wav),
+    window the PCM stream, emit one row per window with the exact int64
+    sum of absolute sample values — the integer core of frame energy.
+
+    Exact-integer output means a correctness oracle can recompute the
+    features closed-form from whatever generated the samples (the same
+    contract as the PPM channel-sum features). Narrow Arrow stage: no
+    shuffle, output inherits input partitioning; a 100 TB audio column
+    streams through in Arrow batches without materializing per task.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples, _rate = decode_wav(bytes(row[payload_col]))
+                absx = np.abs(samples.astype(np.int64))
+                for w in range(0, max(len(absx), 1), window_samples):
+                    chunk = absx[w:w + window_samples]
+                    rows.append(
+                        {
+                            "doc_id": row[id_col],
+                            "window_id": w // window_samples,
+                            "n_samples": int(len(chunk)),
+                            "sum_abs": int(chunk.sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_id", "n_samples", "sum_abs"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        extract, schema=WAV_FEATURES_SCHEMA
+    )

@@ -119,6 +119,57 @@ class TestAudioVideo:
         assert all(r.n_windows == 3 and len(r.energy) == 3 for r in out)
 
 
+class TestWav:
+    def test_round_trip(self):
+        from proxima_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(3)
+        samples = rng.integers(-32768, 32768, 127, dtype=np.int16)
+        got, rate = decode_wav(encode_wav(samples, sample_rate=16000))
+        assert rate == 16000
+        assert np.array_equal(got, samples)
+
+    def test_chunk_walk_skips_unknown_and_pads_odd(self):
+        import struct
+
+        from proxima_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+        samples = np.arange(-5, 5, dtype=np.int16)
+        payload = encode_wav(samples)
+        # splice an odd-sized unknown chunk between WAVE and fmt
+        junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\0"  # pad to even
+        spliced = payload[:12] + junk + payload[12:]
+        fixed = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        got, _ = decode_wav(fixed)
+        assert np.array_equal(got, samples)
+
+    def test_rejects_non_wav_and_stereo(self):
+        import struct
+
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError, match="not a RIFF/WAVE"):
+            decode_wav(b"P6 not audio at all")
+        payload = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+        # fmt chunk starts at offset 12+8; channels field is bytes 2-4 of it
+        struct.pack_into("<H", payload, 12 + 8 + 2, 2)  # channels=2
+        with _pytest.raises(ValueError, match="PCM mono 16-bit"):
+            decode_wav(bytes(payload))
+
+    def test_wav_features_windows_exact(self, spark):
+        from proxima_platform_spark.functions.multimodal import encode_wav, wav_features
+
+        samples = np.asarray([1, -2, 3, -4, 5, -6, 7], dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(samples)))], "doc_id long, payload binary"
+        )
+        rows = {r.window_id: (r.n_samples, r.sum_abs)
+                for r in wav_features(df, window_samples=3).collect()}
+        assert rows == {0: (3, 6), 1: (3, 15), 2: (1, 7)}
+
+
 class TestImageAHash:
     def test_identical_images_identical_hash(self, spark):
         from proxima_platform_spark.functions.multimodal import image_ahash

@@ -154,6 +154,46 @@ class TestTrigramLM:
         assert got[1] == got[2]
 
 
+class TestParagraphDedup:
+    def _run(self, spark, rows):
+        from proxima_platform_spark.functions.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.n_para, r.n_kept, r.text_dedup)
+            for r in dedup_paragraphs(df).collect()
+        }
+
+    def test_no_duplicates_roundtrips(self, spark):
+        got = self._run(spark, [(1, "alpha beta\ngamma delta"), (2, "epsilon zeta")])
+        assert got == {
+            1: (2, 2, "alpha beta\ngamma delta"),
+            2: (1, 1, "epsilon zeta"),
+        }
+
+    def test_cross_doc_duplicate_kept_in_smallest_id(self, spark):
+        got = self._run(
+            spark,
+            [(2, "shared para\nunique two"), (1, "unique one\nshared para")],
+        )
+        # doc 1 keeps 'shared para' (smallest doc_id wins); doc 2 drops it
+        assert got[1] == (2, 2, "unique one\nshared para")
+        assert got[2] == (2, 1, "unique two")
+
+    def test_within_doc_duplicate_kept_at_first_pos(self, spark):
+        got = self._run(spark, [(1, "again\nmiddle\nagain")])
+        assert got[1] == (3, 2, "again\nmiddle")
+
+    def test_fully_deduplicated_doc_stays_with_empty_text(self, spark):
+        got = self._run(spark, [(1, "only para"), (2, "only para")])
+        assert got[1] == (1, 1, "only para")
+        assert got[2] == (1, 0, "")
+
+    def test_blank_paragraphs_dropped_before_counting(self, spark):
+        got = self._run(spark, [(1, "first\n\n  \nsecond\n")])
+        assert got[1] == (2, 2, "first\nsecond")
+
+
 class TestChunking:
     def test_chunks_cover_and_overlap(self, spark):
         from proxima_platform_spark.functions.text import chunk_documents
