@@ -178,6 +178,17 @@ class TestR04ExtensionPlans:
         # hot-paragraph window funnel)
         assert count_exchanges(df) <= 4
 
+    def test_dedup_paragraphs_near_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_dedup_paragraphs_near(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_multimodal_audio_stays_narrow(self, spark, sf_dir):
+        # synth -> encode -> decode -> window rows: two Arrow stages, no
+        # shuffle anywhere (output inherits the scan partitioning)
+        df = entry.q_multimodal_audio(spark, sf_dir)
+        assert count_exchanges(df) == 0
+
     def test_dedup_paragraphs_actually_drops_duplicates(self, spark, sf_dir):
         # non-vacuity: the fixture's segment collisions must produce at
         # least one dropped paragraph corpus-wide

@@ -148,3 +148,53 @@ def test_snapshot_time_travel_matches_model(spark, raw, at_ms):
         for r in snapshot(clog, at=F.lit(ts(at_ms))).collect()
     }
     assert got == model_snapshot(elements, at_ms=at_ms)
+
+
+# --- paragraph dedup vs python model (r04) ---------------------------------
+
+_para_st = st.sampled_from(
+    ["alpha beta", "gamma", "delta epsilon zeta", "  padded  ", "", " ", "x"]
+)
+_doc_st = st.lists(_para_st, min_size=0, max_size=6).map("\n".join)
+
+
+def model_dedup_paragraphs(docs: dict[int, str]) -> dict[int, tuple]:
+    """Pure-python model: space-only trim, drop blanks, corpus-wide first
+    occurrence by (doc_id, position), reassemble survivors in order."""
+    paras_by_doc = {}
+    winner: dict[str, tuple] = {}
+    for did in sorted(docs):
+        ps = [p.strip(" ") for p in docs[did].split("\n")]
+        ps = [p for p in ps if p]
+        paras_by_doc[did] = ps
+        for pos, p in enumerate(ps):
+            if p not in winner or (did, pos) < winner[p]:
+                winner[p] = (did, pos)
+    return {
+        did: (
+            len(ps),
+            sum(1 for pos, p in enumerate(ps) if winner[p] == (did, pos)),
+            "\n".join(p for pos, p in enumerate(ps) if winner[p] == (did, pos)),
+        )
+        for did, ps in paras_by_doc.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc_st, min_size=1, max_size=8))
+def test_dedup_paragraphs_matches_model(spark, texts):
+    from proxima_platform_spark.functions.dedup import dedup_paragraphs
+
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_para, r.n_kept, r.text_dedup)
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got == model_dedup_paragraphs(docs)
