@@ -198,3 +198,23 @@ def test_dedup_paragraphs_matches_model(spark, texts):
         for r in dedup_paragraphs(df).collect()
     }
     assert got == model_dedup_paragraphs(docs)
+
+
+# --- WAV codec round-trip (r04) --------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_round_trips(samples, rate):
+    import numpy as np
+
+    from proxima_platform_spark.functions.multimodal import decode_wav, encode_wav
+
+    arr = np.asarray(samples, dtype=np.int16)
+    got, got_rate = decode_wav(encode_wav(arr, sample_rate=rate))
+    assert got_rate == rate
+    assert np.array_equal(got, arr)
