@@ -523,6 +523,57 @@ class TestStreamingPretrainingPrep:
         assert all(len(s) > 0 for s in want)
 
 
+class TestStreamingParagraphDedup:
+    def test_online_paragraph_dedup_across_batches(self, spark, tmp_path):
+        """Paragraph-level online dedup over the changelog: explode the
+        document stream to trimmed non-empty paragraphs, fingerprint, and
+        dropDuplicatesWithinWatermark on the fingerprint — the streaming
+        complement of functions/dedup.dedup_paragraphs (first arrival wins
+        instead of smallest (doc_id, pos); batch replay reproduces the
+        batch operator's keeper set when arrival order follows doc order)."""
+        src = str(tmp_path / "pdedup-src")
+        schema = "doc_id long, ts timestamp, text string"
+        spark.createDataFrame(
+            [(1, ts(1000), "shared para\nunique one")], schema
+        ).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(2, ts(2000), "unique two\nshared para")], schema
+        ).coalesce(1).write.parquet(f"{src}/f1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        paras = F.filter(
+            F.transform(F.split("text", r"\n", -1), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        )
+        exploded = stream.select(
+            "doc_id", "ts", F.posexplode(paras).alias("pos", "para")
+        ).withColumn("fp", F.md5("para"))
+        deduped = (
+            exploded.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["fp"])
+        )
+        q = (
+            deduped.writeStream.format("memory").queryName("pdedup_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.pos, r.para)
+            for r in spark.sql("SELECT doc_id, pos, para FROM pdedup_out").collect()
+        }
+        # doc 2's copy of 'shared para' (pos 1) was dropped online
+        assert got == {
+            (1, 0, "shared para"),
+            (1, 1, "unique one"),
+            (2, 0, "unique two"),
+        }
+
+
 class TestTransformWithStateProbe:
     """DELTAS.md #12: the stateful streaming operators auto-select Spark 4's
     transformWithStateInPandas when the environment can actually run it
