@@ -2829,6 +2829,71 @@ SELECT doc_id, ahash, min(doc_id) OVER (PARTITION BY ahash) AS rep_id FROM hx2
 """
 
 
+def q_multimodal_audio_dup(spark, sf):
+    """Audio near-dup via perceptual fingerprint, with a REAL decode in the
+    path: every 9 consecutive doc_ids share a synthesized waveform (sample
+    count and PCM values closed-form in the group id), packed as
+    spec-compliant RIFF/WAVE, decoded by wav_fingerprint (chunk walk +
+    64-window |sample|-sum bits — functions/multimodal.py), then grouped by
+    fingerprint with the min-doc_id keeper — the audio analog of
+    multimodal_ahash_dup. Sample counts are multiples of 64 so the window
+    boundaries are equal-width and the oracle's window sums mirror the
+    operator's index-range windows exactly."""
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import encode_wav, wav_fingerprint
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                gid = int(row.doc_id) // 9
+                n = 128 + (gid % 4) * 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((gid + 1) * 2654435761 * (i + 1)) % 65536 - 32768
+                rows.append({"doc_id": row.doc_id, "payload": encode_wav(samples)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
+    fp = wav_fingerprint(media, n_windows=64)
+    w = Window.partitionBy("afp")
+    return fp.select("doc_id", "afp", F.min("doc_id").over(w).alias("rep_id"))
+
+
+SQL_MULTIMODAL_AUDIO_DUP = """
+WITH d AS (
+    SELECT doc_id, doc_id // 9 AS gid,
+           128 + (doc_id // 9) % 4 * 64 AS n
+    FROM documents
+), s AS (
+    SELECT doc_id, n, n // 64 AS wlen,
+           [abs((((gid + 1) * 2654435761 * (i + 1)) % 65536) - 32768)
+            for i in range(0, n)] AS a
+    FROM d
+), win AS (
+    SELECT doc_id,
+           [list_sum(a[k*wlen + 1 : (k+1)*wlen])::BIGINT for k in range(0, 64)] AS s64
+    FROM s
+), m AS (
+    SELECT doc_id, s64, list_sum(s64)::BIGINT // 64 AS mean FROM win
+), bits AS (
+    SELECT doc_id,
+           [CASE WHEN s64[k+1] > mean THEN 1 ELSE 0 END for k in range(0, 64)] AS b
+    FROM m
+), hx AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 8), j ->
+               printf('%02x',
+                   (list_sum(list_transform(range(0, 8), x ->
+                       b[j*8 + x + 1] * (2 ** (7 - x)))))::BIGINT)), '') AS afp
+    FROM bits
+)
+SELECT doc_id, afp, min(doc_id) OVER (PARTITION BY afp) AS rep_id FROM hx
+"""
+
+
 def q_exact_decontaminate(spark, sf):
     """Exact-substring benchmark decontamination, complementing the n-gram
     semi-join (`decontaminate`): flag corpus docs whose normalized text
@@ -3173,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_paragraphs_near": q_dedup_paragraphs_near,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_audio_dup": q_multimodal_audio_dup,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3400,6 +3466,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "dedup_paragraphs_near": _sql_dedup_paragraphs_near(),
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+        "multimodal_audio_dup": SQL_MULTIMODAL_AUDIO_DUP,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

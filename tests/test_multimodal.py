@@ -158,6 +158,27 @@ class TestWav:
         with _pytest.raises(ValueError, match="PCM mono 16-bit"):
             decode_wav(bytes(payload))
 
+    def test_wav_fingerprint_groups_identical_audio(self, spark):
+        from proxima_platform_spark.functions.multimodal import (
+            encode_wav,
+            wav_fingerprint,
+        )
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(-32768, 32768, 256, dtype=np.int16)
+        b = rng.integers(-32768, 32768, 256, dtype=np.int16)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_wav(a))),
+                (2, bytearray(encode_wav(b))),
+                (3, bytearray(encode_wav(a))),  # identical to 1
+            ],
+            "doc_id long, payload binary",
+        )
+        fps = {r.doc_id: r.afp for r in wav_fingerprint(df).collect()}
+        assert fps[1] == fps[3] != fps[2]
+        assert len(fps[1]) == 16  # 64 bits as hex
+
     def test_wav_features_windows_exact(self, spark):
         from proxima_platform_spark.functions.multimodal import encode_wav, wav_features
 
