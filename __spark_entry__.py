@@ -2894,6 +2894,72 @@ SELECT doc_id, afp, min(doc_id) OVER (PARTITION BY afp) AS rep_id FROM hx
 """
 
 
+def q_multimodal_video_frames(spark, sf):
+    """Video near-dup plumbing with a REAL decode: every 9 consecutive
+    doc_ids share a synthesized multi-frame YUV4MPEG2 (C444) clip whose luma
+    plane is closed-form in (group id, frame, pixel index), parsed by
+    decode_y4m (header tokens, FRAME markers, planar reads), then each
+    frame's Y plane is perceptual-hashed (functions/multimodal.py:
+    video_frame_ahash). Frame-level near-dup across clips = equi-group on
+    the frame hash. 16×8 frames make the 8×8 downsample pick columns 2x —
+    mirrored exactly by the oracle's index arithmetic."""
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import (
+        encode_y4m,
+        video_frame_ahash,
+    )
+
+    docs = _load(spark, sf, "documents")
+    w, h = 16, 8
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                gid = int(row.doc_id) // 9
+                nf = 2 + gid % 3
+                idx = np.arange(h * w, dtype=np.int64)
+                frames = np.empty((nf, h, w, 3), dtype=np.uint8)
+                for f in range(nf):
+                    y = ((gid + 1) * (f * 1315423911 + idx)) % 256
+                    frames[f, :, :, 0] = y.reshape(h, w).astype(np.uint8)
+                    frames[f, :, :, 1] = 128
+                    frames[f, :, :, 2] = 128
+                rows.append({"doc_id": row.doc_id, "payload": encode_y4m(frames)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
+    return video_frame_ahash(media)
+
+
+SQL_MULTIMODAL_VIDEO_FRAMES = """
+WITH d AS (
+    SELECT doc_id, doc_id // 9 AS gid,
+           2 + (doc_id // 9) % 3 AS nf
+    FROM documents
+), fr AS (
+    SELECT doc_id, gid, unnest(range(0, nf)) AS f FROM d
+), sel AS (
+    SELECT doc_id, f::INT AS frame_id,
+           [((gid + 1) * (f * 1315423911 + ((i // 8) * 16 + (i % 8) * 2))) % 256
+            for i in range(0, 64)] AS g
+    FROM fr
+), m AS (
+    SELECT doc_id, frame_id, g, list_sum(g)::BIGINT // 64 AS mean FROM sel
+), bits AS (
+    SELECT doc_id, frame_id,
+           [CASE WHEN g[i+1] > mean THEN 1 ELSE 0 END for i in range(0, 64)] AS b
+    FROM m
+)
+SELECT doc_id, frame_id,
+       array_to_string(list_transform(range(0, 8), j ->
+           printf('%02x',
+               (list_sum(list_transform(range(0, 8), x ->
+                   b[j*8 + x + 1] * (2 ** (7 - x)))))::BIGINT)), '') AS fhash
+FROM bits
+"""
+
+
 def q_exact_decontaminate(spark, sf):
     """Exact-substring benchmark decontamination, complementing the n-gram
     semi-join (`decontaminate`): flag corpus docs whose normalized text
@@ -3239,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs_near": q_dedup_paragraphs_near,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_audio_dup": q_multimodal_audio_dup,
+        "multimodal_video_frames": q_multimodal_video_frames,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3467,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs_near": _sql_dedup_paragraphs_near(),
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         "multimodal_audio_dup": SQL_MULTIMODAL_AUDIO_DUP,
+        "multimodal_video_frames": SQL_MULTIMODAL_VIDEO_FRAMES,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -7,14 +7,15 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages.
 Decode support is tiered:
 
 * **Real codecs (pure numpy, no external library)**: binary PPM (``P6``),
-  uncompressed 24-bit BMP (``BM``), and RIFF/WAVE PCM mono 16-bit audio
+  uncompressed 24-bit BMP (``BM``), RIFF/WAVE PCM mono 16-bit audio
   (``encode_wav``/``decode_wav`` — full chunk-list walk with odd-size
-  padding) are decoded for real — header parse, stride/padding handling,
+  padding), and YUV4MPEG2 C444 video (``encode_y4m``/``decode_y4m`` —
+  header tokens, FRAME markers, planar reads) are decoded for real — header parse, stride/padding handling,
   typed arrays out. The encoders produce spec-compliant payloads so
   pipelines can round-trip (and so correctness oracles can recompute
   features closed-form from the source bytes).
-* **Stubbed codecs**: JPEG/PNG/video containers and compressed audio need
-  PIL/cv2/ffmpeg (absent in this container). Unrecognized payloads fall
+* **Stubbed codecs**: JPEG/PNG, compressed video containers (mp4/mkv) and
+  compressed audio need PIL/cv2/ffmpeg (absent in this container). Unrecognized payloads fall
   back to a clearly marked deterministic fake so the distributed plumbing
   stays testable.
 
@@ -504,3 +505,114 @@ def wav_fingerprint(
             yield pd.DataFrame(rows, columns=["doc_id", "afp"])
 
     return media.select(id_col, payload_col).mapInPandas(fp, schema=AUDIO_FP_SCHEMA)
+
+
+def encode_y4m(frames: "np.ndarray", fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Spec-compliant YUV4MPEG2 (Y4M) writer, C444 colorspace: header line
+    with W/H/F/C tokens, then per frame a ``FRAME\\n`` marker followed by
+    full-resolution Y, U, V planes. Pure numpy — the video analog of
+    ``encode_ppm``/``encode_wav``. ``frames`` is ``(n, h, w, 3)`` uint8 in
+    YUV plane order."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) array, got shape {arr.shape}")
+    n, h, w, _ = arr.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d C444\n" % (w, h, fps[0], fps[1])]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        for c in range(3):  # planar: full Y, U, V planes
+            out.append(arr[f, :, :, c].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple["np.ndarray", tuple[int, int]]:
+    """YUV4MPEG2 parser for C444 streams: reads the header token list
+    (W/H/F required, C defaulting to 420 per spec — only C444 supported
+    here), walks FRAME markers (per-frame params tolerated), returns
+    ``((n, h, w, 3) uint8 array, (fps_num, fps_den))``."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("decode_y4m: not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cspace = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t[0] == "C":
+            cspace = t[1:]
+    if w is None or h is None:
+        raise ValueError("decode_y4m: missing W/H header tokens")
+    if not cspace.startswith("444"):
+        raise NotImplementedError(
+            f"decode_y4m: only C444 supported, got C{cspace} (C420 needs "
+            f"chroma upsampling — out of scope for the pure-numpy tier)"
+        )
+    plane = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"decode_y4m: expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # per-frame params tolerated
+        raw = payload[pos:pos + 3 * plane]
+        if len(raw) < 3 * plane:
+            raise ValueError("decode_y4m: truncated frame")
+        yuv = np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        frames.append(np.stack([yuv[0], yuv[1], yuv[2]], axis=-1))
+        pos += 3 * plane
+    return (
+        np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8),
+        fps,
+    )
+
+
+VIDEO_FRAME_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_id", IntegerType(), False),
+        StructField("fhash", StringType(), False),
+    ]
+)
+
+
+def video_frame_ahash(
+    media: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame perceptual hash over a REAL video decode: parse the Y4M
+    stream, aHash each frame's luma (Y) plane — 8×8 nearest-neighbor
+    downsample, integer mean threshold, MSB-first hex — one row per
+    (video, frame). Frame-level near-dup across videos is then an equi-join
+    on ``fhash``, the same bucketed shape as the image/audio/text dedup
+    family. Narrow Arrow stage; no shuffle."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames, _fps = decode_y4m(bytes(row[payload_col]))
+                n, h, w, _ = frames.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                for f in range(n):
+                    sel = frames[f, :, :, 0].astype(np.int64)[np.ix_(ys, xs)]
+                    mean = int(sel.sum()) // 64
+                    bits = (sel > mean).astype(np.uint8).flatten()
+                    rows.append(
+                        {
+                            "doc_id": row[id_col],
+                            "frame_id": f,
+                            "fhash": np.packbits(bits).tobytes().hex(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "fhash"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        fp, schema=VIDEO_FRAME_AHASH_SCHEMA
+    )

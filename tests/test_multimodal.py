@@ -191,6 +191,56 @@ class TestWav:
         assert rows == {0: (3, 6), 1: (3, 15), 2: (1, 7)}
 
 
+class TestY4M:
+    def test_round_trip(self):
+        from proxima_platform_spark.functions.multimodal import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 256, (3, 4, 6, 3), dtype=np.uint8)
+        got, fps = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+        assert fps == (30, 1)
+        assert np.array_equal(got, frames)
+
+    def test_rejects_non_y4m_and_subsampled(self):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.multimodal import decode_y4m
+
+        with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            decode_y4m(b"RIFF....WAVE")
+        hdr = b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\0" * 24
+        with _pytest.raises(NotImplementedError, match="only C444"):
+            decode_y4m(hdr)
+
+    def test_truncated_frame_raises(self):
+        from proxima_platform_spark.functions.multimodal import decode_y4m, encode_y4m
+
+        frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+        payload = encode_y4m(frames)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="truncated frame"):
+            decode_y4m(payload[:-3])
+
+    def test_frame_ahash_groups_identical_frames(self, spark):
+        from proxima_platform_spark.functions.multimodal import (
+            encode_y4m,
+            video_frame_ahash,
+        )
+
+        rng = np.random.default_rng(13)
+        a = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+        b = a.copy()
+        b[1] = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)  # frame 1 differs
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_y4m(a))), (2, bytearray(encode_y4m(b)))],
+            "doc_id long, payload binary",
+        )
+        got = {(r.doc_id, r.frame_id): r.fhash for r in video_frame_ahash(df).collect()}
+        assert got[(1, 0)] == got[(2, 0)]
+        assert got[(1, 1)] != got[(2, 1)]
+
+
 class TestImageAHash:
     def test_identical_images_identical_hash(self, spark):
         from proxima_platform_spark.functions.multimodal import image_ahash
