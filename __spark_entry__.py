@@ -2960,6 +2960,40 @@ FROM bits
 """
 
 
+def q_compressed_ingest(spark, sf):
+    """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
+    path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
+    are decompressed in a narrow Arrow stage and the recovered text feeds
+    the standard fingerprint + token stats. The oracle computes the same
+    stats on the original table — lossless round-trip through the actual
+    gzip wire format is what the hash match certifies (the compressed bytes
+    themselves never need to be engine-portable, both directions run
+    Spark-side)."""
+    from proxima_platform_spark.functions.compress import (
+        compress_text,
+        decompress_text,
+    )
+
+    docs = _load(spark, sf, "documents")
+    blobs = compress_text(docs, codec="gzip")
+    recovered = decompress_text(blobs, codec="gzip")
+    return recovered.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+SQL_COMPRESSED_INGEST = r"""
+SELECT doc_id, md5(text) AS fp, length(text) AS n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+       END AS n_tokens
+FROM documents
+"""
+
+
 def q_exact_decontaminate(spark, sf):
     """Exact-substring benchmark decontamination, complementing the n-gram
     semi-join (`decontaminate`): flag corpus docs whose normalized text
@@ -3306,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_audio_dup": q_multimodal_audio_dup,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "compressed_ingest": q_compressed_ingest,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3535,6 +3570,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         "multimodal_audio_dup": SQL_MULTIMODAL_AUDIO_DUP,
         "multimodal_video_frames": SQL_MULTIMODAL_VIDEO_FRAMES,
+        "compressed_ingest": SQL_COMPRESSED_INGEST,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
