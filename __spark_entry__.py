@@ -3334,7 +3334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_decontaminate": q_exact_decontaminate,
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
-        # -- (b) new in r04 -------------------------------------------------
+        # -- (b) new or changed in r04 --------------------------------------
+        "text_tokens_bpe": q_text_tokens_bpe,  # CHANGED r04: regexp_count
+        "training_pipeline": q_training_pipeline,  # CHANGED r04: same swap
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_paragraphs_near": q_dedup_paragraphs_near,
         "multimodal_audio": q_multimodal_audio,
@@ -3417,7 +3419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
-        "text_tokens_bpe": q_text_tokens_bpe,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_quality_signals": q_text_quality_signals,
         "bm25_rank": q_bm25_rank,
@@ -3426,7 +3427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "training_pipeline": q_training_pipeline,
         "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
         "schema_registry_roundtrip": q_schema_registry_roundtrip,
         "corpus_sample": q_corpus_sample,
