@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "training_pipeline",
     "pretraining_prep",
     "dedup_paragraphs",
+    "multimodal_audio_dup",
+    "compressed_ingest",
 ]
 
 
