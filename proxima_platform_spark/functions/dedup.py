@@ -419,31 +419,44 @@ def embedding_near_dup_pairs(
         sign_lsh_buckets_arrow,
     )
 
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
     if num_planes is not None:
-        def prep(df, vcol, side):
-            # integer-exact Arrow bucket stage (order-independent fixed-point
-            # projections -> numpy matrix product; see sign_lsh_buckets_arrow)
-            # + the per-vector norm staged ONCE here, not per candidate pair
-            staged = sign_lsh_buckets_arrow(
-                df, vec_col=vcol, num_planes=num_planes, num_tables=num_tables
-            ).withColumn(f"__n{side}", l2_norm(F.col(vcol), dim=dim))
-            tb = F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
-                for t in range(num_tables)
-            ])
-            keep = [c for c in df.columns] + [f"__n{side}"]
-            return staged.select(*keep, F.explode(tb).alias("__tb")).select(
-                *keep, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
-            )
-
-        a = prep(a, "__va", "a")
-        b = prep(b, "__vb", "b")
+        # integer-exact Arrow bucket stage (order-independent fixed-point
+        # projections -> numpy matrix product; see sign_lsh_buckets_arrow)
+        # + the per-vector norm, staged ONCE and persisted: both sides of
+        # the self-join are projections of the same cached frame. Without
+        # the persist, alias-renamed sides canonicalize differently, no
+        # ReusedExchange fires, and the Arrow decode+matmul runs TWICE per
+        # query (measured: MapInPandas ×2 in the physical plan). Same
+        # bounded-FIFO cache hygiene as the minhash banded signatures.
+        staged0 = sign_lsh_buckets_arrow(
+            embeddings.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+            ),
+            vec_col="__v",
+            num_planes=num_planes,
+            num_tables=num_tables,
+        ).withColumn("__n", l2_norm(F.col("__v"), dim=dim))
+        tb = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+            for t in range(num_tables)
+        ])
+        staged = staged0.select(
+            "__id", "__v", "__n", F.explode(tb).alias("__tb")
+        ).select(
+            "__id", "__v", "__n",
+            F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"),
+        ).persist()
+        _BANDED_CACHE.append(staged)
+        while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+            _BANDED_CACHE.pop(0).unpersist()
+        a = staged.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), "__t", "__bucket",
+        )
+        b = staged.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"), "__t", "__bucket",
+        )
         pairs = a.join(b, ["__t", "__bucket"]).where(F.col("id_a") < F.col("id_b"))
         denom = F.col("__na") * F.col("__nb")
         cos = F.when(
@@ -453,6 +466,12 @@ def embedding_near_dup_pairs(
             "id_a", "id_b", cos.alias("cosine")
         ).where(F.col("cosine") > threshold)
         return scored.distinct() if num_tables > 1 else scored
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b",
