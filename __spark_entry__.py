@@ -2960,6 +2960,51 @@ FROM bits
 """
 
 
+def q_range_join_ship_week(spark, sf):
+    """Range (interval-overlap) join without equality keys: lineitems
+    shipped within 7 days of each order's date — per-month pair counts and
+    quantity. Naive Spark plans a BroadcastNestedLoopJoin for this theta
+    predicate; operators/range_join.py bins the time axis (7-day bins),
+    explodes each interval into its ≤2 bins, equi-joins on the bin id, and
+    re-checks the exact predicate — plan-asserted no BNLJ/cartesian. The
+    oracle runs the naive theta join directly (DuckDB IEJoin handles it at
+    oracle scale)."""
+    from proxima_platform_spark.operators.range_join import range_join_binned
+
+    orders = _load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ivl_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("ivl_end"),
+    )
+    li = _load(spark, sf, "lineitem").select("l_shipdate", "l_quantity")
+    pairs = range_join_binned(
+        orders,
+        li,
+        start_col="ivl_start",
+        end_col="ivl_end",
+        point_col="l_shipdate",
+        bin_seconds=7 * 86400,
+    )
+    return pairs.groupBy(
+        F.year("ivl_start").alias("o_year"), F.month("ivl_start").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _dsum(F.col("l_quantity"), 2).alias("qty"),
+    )
+
+
+SQL_RANGE_JOIN_SHIP_WEEK = """
+SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+       count(*) AS n_pairs,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1, 2
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3343,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_dup": q_multimodal_audio_dup,
         "multimodal_video_frames": q_multimodal_video_frames,
         "compressed_ingest": q_compressed_ingest,
+        "range_join_ship_week": q_range_join_ship_week,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3571,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_dup": SQL_MULTIMODAL_AUDIO_DUP,
         "multimodal_video_frames": SQL_MULTIMODAL_VIDEO_FRAMES,
         "compressed_ingest": SQL_COMPRESSED_INGEST,
+        "range_join_ship_week": SQL_RANGE_JOIN_SHIP_WEEK,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -189,6 +189,13 @@ class TestR04ExtensionPlans:
         df = entry.q_multimodal_audio(spark, sf_dir)
         assert count_exchanges(df) == 0
 
+    def test_range_join_no_nested_loop(self, spark, sf_dir):
+        # the whole point of the binned range join: the theta predicate
+        # must NOT plan as BroadcastNestedLoopJoin/CartesianProduct
+        plan = physical_plan(entry.q_range_join_ship_week(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_dedup_paragraphs_actually_drops_duplicates(self, spark, sf_dir):
         # non-vacuity: the fixture's segment collisions must produce at
         # least one dropped paragraph corpus-wide
