@@ -2960,6 +2960,47 @@ FROM bits
 """
 
 
+def q_hypertable_rollup(spark, sf):
+    """Hypertable-style continuous-aggregate ladder (operators/rollup.py):
+    raw events → hourly buckets → DAILY buckets re-aggregated from the
+    hourly level (never from raw — the TimescaleDB shape; at 100 TB the
+    daily pass reads a 24×-smaller input). The oracle aggregates the raw
+    table directly at daily resolution, so the hash match proves the
+    ladder's coarse-from-fine composition is exact (decimal sums, counts,
+    min/max)."""
+    from proxima_platform_spark.operators.rollup import hypertable_rollup
+
+    ev = _events(spark, sf)
+    ladder = hypertable_rollup(
+        ev,
+        ts_ms_col="ts_ms",
+        keys=["event_type"],
+        value_col="value",
+        levels_ms=[3600_000, 86400_000],
+    )
+    daily = ladder[86400_000]
+    return daily.select(
+        F.col("bucket_ms").alias("day_ms"),
+        F.col("event_type"),
+        F.col("cnt"),
+        F.col("total_dec").cast("double").alias("total"),
+        F.round(F.col("vmin"), 6).alias("vmin"),
+        F.round(F.col("vmax"), 6).alias("vmax"),
+    )
+
+
+SQL_HYPERTABLE_ROLLUP = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       event_type,
+       count(*) AS cnt,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_range_join_ship_week(spark, sf):
     """Range (interval-overlap) join without equality keys: lineitems
     shipped within 7 days of each order's date — per-month pair counts and
@@ -3389,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "compressed_ingest": q_compressed_ingest,
         "range_join_ship_week": q_range_join_ship_week,
+        "hypertable_rollup": q_hypertable_rollup,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3618,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_frames": SQL_MULTIMODAL_VIDEO_FRAMES,
         "compressed_ingest": SQL_COMPRESSED_INGEST,
         "range_join_ship_week": SQL_RANGE_JOIN_SHIP_WEEK,
+        "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -1,0 +1,76 @@
+"""Hypertable-style multi-resolution time rollups (continuous aggregates).
+
+Extension beyond the reference surface (north star). The TimescaleDB /
+continuous-aggregate shape: maintain a ladder of time-bucketed aggregates
+where each coarser level re-aggregates the *previous level*, never the raw
+events. At 100 TB the difference is structural — serving hourly, daily and
+monthly resolutions costs one cascading pass (raw → hour → day → month,
+each input 24–30× smaller than the last) instead of three full scans of
+the raw table, and the fine levels are exactly the frames a dashboard
+serves directly.
+
+Exactness contract: only algebraic aggregates ride the ladder — sum
+(decimal-accumulated), count, min, max compose associatively, so every
+level is bit-identical to aggregating the raw events at that resolution
+(the oracle checks the coarsest level against a direct raw aggregation).
+Averages are derived at read time as sum/count; quantiles would need a
+mergeable sketch and are deliberately not offered here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    *,
+    ts_ms_col: str,
+    keys: list[str],
+    value_col: str,
+    levels_ms: list[int],
+    decimal_scale: int = 2,
+) -> dict[int, DataFrame]:
+    """Build the rollup ladder. Returns ``{level_ms: frame}`` where each
+    frame has ``(*keys, bucket_ms, cnt, total_dec, vmin, vmax)`` —
+    ``total_dec`` stays DECIMAL through every level so re-aggregation is
+    exact; cast at read time.
+
+    ``levels_ms`` must be ascending and each level must divide the next
+    (hour→day→week…), or coarse buckets would straddle fine ones and the
+    ladder could not be exact."""
+    if not levels_ms or sorted(levels_ms) != levels_ms:
+        raise ValueError(f"levels_ms must be ascending, got {levels_ms}")
+    for fine, coarse in zip(levels_ms, levels_ms[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"level {coarse} ms is not a multiple of {fine} ms — coarse "
+                f"buckets would straddle fine buckets and break exactness"
+            )
+
+    ts = F.col(ts_ms_col)
+    l0 = levels_ms[0]
+    bucket0 = (ts - F.pmod(ts, F.lit(l0))).alias("bucket_ms")
+    out: dict[int, DataFrame] = {}
+    dec = f"decimal(28,{decimal_scale})"
+    level = events.groupBy(*keys, bucket0).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast(f"decimal(18,{decimal_scale})"))
+        .cast(dec)
+        .alias("total_dec"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    out[l0] = level
+    for lv in levels_ms[1:]:
+        b = F.col("bucket_ms")
+        level = level.groupBy(
+            *keys, (b - F.pmod(b, F.lit(lv))).alias("bucket_ms")
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total_dec").cast(dec).alias("total_dec"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        out[lv] = level
+    return out

@@ -1,0 +1,72 @@
+"""Hypertable rollup ladder (operators/rollup.py): coarse-from-fine must
+equal direct aggregation of the raw events at every level."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.operators.rollup import hypertable_rollup
+
+
+def raw_df(spark):
+    rows = [
+        # (ts_ms, k, v) spread over 3 days, 2 keys, hour boundaries crossed
+        (h * 3600_000 + m * 60_000, k, float(v))
+        for h, m, k, v in [
+            (0, 5, "a", 1.25), (0, 50, "a", 2.5), (1, 10, "a", -3.0),
+            (25, 0, "a", 4.75), (26, 59, "b", 10.0), (49, 30, "b", 0.25),
+            (50, 0, "a", 7.5), (71, 59, "b", -1.5),
+        ]
+    ]
+    return spark.createDataFrame(rows, "ts_ms long, k string, v double")
+
+
+class TestHypertableRollup:
+    def test_every_level_matches_direct_aggregation(self, spark):
+        df = raw_df(spark)
+        ladder = hypertable_rollup(
+            df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            levels_ms=[3600_000, 86400_000],
+        )
+        for lv, frame in ladder.items():
+            got = {
+                (r.k, r.bucket_ms): (r.cnt, float(r.total_dec), r.vmin, r.vmax)
+                for r in frame.collect()
+            }
+            direct = {
+                (r.k, r.bucket_ms): (r.cnt, float(r.total), r.vmin, r.vmax)
+                for r in df.groupBy(
+                    "k", ((F.col("ts_ms") / lv).cast("long") * lv).alias("bucket_ms")
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+                    F.min("v").alias("vmin"),
+                    F.max("v").alias("vmax"),
+                ).collect()
+            }
+            assert got == direct, lv
+
+    def test_three_level_ladder(self, spark):
+        df = raw_df(spark)
+        ladder = hypertable_rollup(
+            df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            levels_ms=[60_000, 3600_000, 86400_000],
+        )
+        day = ladder[86400_000]
+        total = sum(float(r.total_dec) for r in day.collect())
+        assert total == pytest.approx(1.25 + 2.5 - 3.0 + 4.75 + 10.0 + 0.25 + 7.5 - 1.5)
+
+    def test_rejects_non_dividing_levels(self, spark):
+        df = raw_df(spark)
+        with pytest.raises(ValueError, match="not a multiple"):
+            hypertable_rollup(
+                df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+                levels_ms=[3600_000, 5000_000],
+            )
+        with pytest.raises(ValueError, match="ascending"):
+            hypertable_rollup(
+                df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+                levels_ms=[86400_000, 3600_000],
+            )
