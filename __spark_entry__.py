@@ -3001,6 +3001,60 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_histogram(spark, sf):
+    """Mergeable histogram sketch on the rollup ladder
+    (operators/rollup.py: histogram_rollup): fixed value bins
+    [0,100,200,300,400) + edge bins counted hourly, DAILY level merged
+    from the hourly sketches by exact element-wise sum. Output is one row
+    per (day, event_type, bin) — the oracle histograms the raw events at
+    daily resolution directly, so the hash match proves sketch merges are
+    exact (the property probabilistic quantile sketches can't offer an
+    oracle for)."""
+    from proxima_platform_spark.operators.rollup import histogram_rollup
+
+    ev = _events(spark, sf)
+    ladder = histogram_rollup(
+        ev,
+        ts_ms_col="ts_ms",
+        keys=["event_type"],
+        value_col="value",
+        levels_ms=[3600_000, 86400_000],
+        boundaries=[0.0, 100.0, 200.0, 300.0, 400.0],
+    )
+    daily = ladder[86400_000]
+    return daily.select(
+        F.col("bucket_ms").alias("day_ms"),
+        "event_type",
+        F.posexplode("hist").alias("bin_id", "bin_cnt"),
+    )
+
+
+SQL_ROLLUP_HISTOGRAM = """
+WITH binned AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           event_type,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value < 100.0 THEN 1
+                WHEN value < 200.0 THEN 2
+                WHEN value < 300.0 THEN 3
+                WHEN value < 400.0 THEN 4
+                ELSE 5 END AS bin_id
+    FROM events
+), bins AS (
+    SELECT DISTINCT day_ms, event_type FROM binned
+), grid AS (
+    SELECT day_ms, event_type, unnest(range(0, 6)) AS bin_id FROM bins
+)
+SELECT g.day_ms, g.event_type, g.bin_id::INT AS bin_id,
+       coalesce(c.cnt, 0) AS bin_cnt
+FROM grid g
+LEFT JOIN (
+    SELECT day_ms, event_type, bin_id, count(*) AS cnt
+    FROM binned GROUP BY 1, 2, 3
+) c USING (day_ms, event_type, bin_id)
+"""
+
+
 def q_range_join_ship_week(spark, sf):
     """Range (interval-overlap) join without equality keys: lineitems
     shipped within 7 days of each order's date — per-month pair counts and
@@ -3431,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_ingest": q_compressed_ingest,
         "range_join_ship_week": q_range_join_ship_week,
         "hypertable_rollup": q_hypertable_rollup,
+        "rollup_histogram": q_rollup_histogram,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3661,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
         "compressed_ingest": SQL_COMPRESSED_INGEST,
         "range_join_ship_week": SQL_RANGE_JOIN_SHIP_WEEK,
         "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
+        "rollup_histogram": SQL_ROLLUP_HISTOGRAM,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

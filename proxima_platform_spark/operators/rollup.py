@@ -74,3 +74,62 @@ def hypertable_rollup(
         )
         out[lv] = level
     return out
+
+
+def histogram_rollup(
+    events: DataFrame,
+    *,
+    ts_ms_col: str,
+    keys: list[str],
+    value_col: str,
+    levels_ms: list[int],
+    boundaries: list[float],
+) -> dict[int, DataFrame]:
+    """Mergeable fixed-bin histogram sketch riding the same rollup ladder —
+    the deterministic alternative to probabilistic quantile sketches: with
+    *fixed* boundaries the per-bin counts merge by exact element-wise sum,
+    so every ladder level is bit-identical to histogramming the raw events
+    at that resolution (unlike KLL/t-digest, whose merges are
+    order-sensitive and oracle-hostile). Quantile estimates derive from the
+    histogram at read time at bounded error = bin width.
+
+    Bins: ``len(boundaries)+1`` — an underflow bin (< boundaries[0]), one
+    per ``[b[i], b[i+1])``, and an overflow bin (>= boundaries[-1]).
+    Returns ``{level_ms: frame}`` of ``(*keys, bucket_ms, hist)`` with
+    ``hist`` an ``array<bigint>`` of per-bin counts."""
+    if boundaries != sorted(boundaries) or len(set(boundaries)) != len(boundaries):
+        raise ValueError(f"boundaries must be strictly ascending, got {boundaries}")
+    for fine, coarse in zip(levels_ms, levels_ms[1:]):
+        if coarse % fine != 0:
+            raise ValueError(f"level {coarse} ms is not a multiple of {fine} ms")
+
+    v = F.col(value_col)
+    conds = []
+    lo = None
+    for b in boundaries:
+        conds.append(v < F.lit(b) if lo is None else (v >= F.lit(lo)) & (v < F.lit(b)))
+        lo = b
+    conds.append(v >= F.lit(boundaries[-1]))
+    n_bins = len(conds)
+
+    ts = F.col(ts_ms_col)
+    l0 = levels_ms[0]
+    bucket0 = (ts - F.pmod(ts, F.lit(l0))).alias("bucket_ms")
+    out: dict[int, DataFrame] = {}
+    level = events.groupBy(*keys, bucket0).agg(
+        *[
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"__h{i}")
+            for i, c in enumerate(conds)
+        ]
+    )
+    pack = F.array(*[F.col(f"__h{i}") for i in range(n_bins)]).alias("hist")
+    out[l0] = level.select(*keys, "bucket_ms", pack)
+    for lv in levels_ms[1:]:
+        b = F.col("bucket_ms")
+        level = level.groupBy(
+            *keys, (b - F.pmod(b, F.lit(lv))).alias("bucket_ms")
+        ).agg(
+            *[F.sum(F.col(f"__h{i}")).alias(f"__h{i}") for i in range(n_bins)]
+        )
+        out[lv] = level.select(*keys, "bucket_ms", pack)
+    return out

@@ -70,3 +70,44 @@ class TestHypertableRollup:
                 df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
                 levels_ms=[86400_000, 3600_000],
             )
+
+
+class TestHistogramRollup:
+    def test_merged_level_matches_direct_histogram(self, spark):
+        from proxima_platform_spark.operators.rollup import histogram_rollup
+
+        df = raw_df(spark)
+        bounds = [0.0, 2.0, 5.0]
+        ladder = histogram_rollup(
+            df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            levels_ms=[3600_000, 86400_000], boundaries=bounds,
+        )
+        day = {
+            (r.k, r.bucket_ms): list(r.hist)
+            for r in ladder[86400_000].collect()
+        }
+
+        def bin_of(v):
+            if v < 0.0:
+                return 0
+            if v < 2.0:
+                return 1
+            if v < 5.0:
+                return 2
+            return 3
+
+        direct = {}
+        for r in df.collect():
+            key = (r.k, (r.ts_ms // 86400_000) * 86400_000)
+            h = direct.setdefault(key, [0, 0, 0, 0])
+            h[bin_of(r.v)] += 1
+        assert day == direct
+
+    def test_rejects_unsorted_boundaries(self, spark):
+        from proxima_platform_spark.operators.rollup import histogram_rollup
+
+        with pytest.raises(ValueError, match="ascending"):
+            histogram_rollup(
+                raw_df(spark), ts_ms_col="ts_ms", keys=["k"], value_col="v",
+                levels_ms=[3600_000], boundaries=[5.0, 2.0],
+            )
