@@ -3100,6 +3100,192 @@ GROUP BY 1, 2
 """
 
 
+def q_funnel_steps(spark, sf):
+    """Ordered 3-step conversion funnel (view → click → purchase) per user:
+    earliest view, earliest click STRICTLY AFTER it, earliest purchase
+    strictly after that (functions/timeseries.py::funnel). Generalizes the
+    reference's per-key ordered-state reductions (direct/core
+    reduceValueStateByKey) to the multi-step conversion shape: one filtered
+    min-aggregate per step, every shuffle keyed on user_id so the exchange
+    is reused across the chain — never a per-user sort of raw events."""
+    from proxima_platform_spark.functions.timeseries import funnel
+
+    ev = _events(spark, sf)
+    return funnel(
+        ev,
+        ["view", "click", "purchase"],
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts_ms",
+    ).select("user_id", "t1", "t2", "t3")
+
+
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+    SELECT user_id, min(epoch_ms(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+    GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+    GROUP BY 1
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort-retention triangle: cohort = the user's first-activity
+    week (epoch-anchored 604800000-ms buckets, timezone-free), cell =
+    distinct cohort users active that week
+    (functions/timeseries.py::cohort_retention). Distinct counting is the
+    exact two-phase dedup-then-count — re-aggregable and skew-safe at
+    100 TB, never a per-group in-memory set."""
+    from proxima_platform_spark.functions.timeseries import cohort_retention
+
+    ev = _events(spark, sf)
+    return cohort_retention(
+        ev, user_col="user_id", ts_ms_col="ts_ms", bucket_ms=604_800_000
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+    SELECT user_id, (epoch_ms(ts) // 604800000) * 604800000 AS bucket_ms
+    FROM events
+), cohorts AS (
+    SELECT user_id, min(bucket_ms) AS cohort_ms FROM activity GROUP BY 1
+)
+SELECT cohort_ms, bucket_ms, count(*) AS users
+FROM (SELECT DISTINCT a.user_id, c.cohort_ms, a.bucket_ms
+      FROM activity a JOIN cohorts c USING (user_id))
+GROUP BY 1, 2
+"""
+
+
+def q_gapfill_locf(spark, sf):
+    """Hypertable gap-fill + last-observation-carried-forward: per-user
+    6-hour purchase-revenue buckets densified to a gapless grid between each
+    user's first and last active bucket, empty buckets carrying the most
+    recent observation forward (functions/timeseries.py::gapfill_locf — the
+    TimescaleDB time_bucket_gapfill+locf shape). The grid is generated
+    executor-side with sequence()/explode from a per-key (min,max)
+    aggregate; LOCF is last(ignorenulls) over the BUCKETED frame, never a
+    sort of raw events."""
+    from proxima_platform_spark.functions.timeseries import gapfill_locf
+
+    step = 21_600_000
+    ev = _events(spark, sf).where(F.col("event_type") == "purchase")
+    pts = ev.groupBy(
+        "user_id",
+        F.expr(f"(ts_ms DIV {step}) * {step}").alias("bucket_ms"),
+    ).agg(_dsum(F.col("value"), 2).alias("value"))
+    return gapfill_locf(
+        pts,
+        key_col="user_id",
+        bucket_ms_col="bucket_ms",
+        value_col="value",
+        step_ms=step,
+    )
+
+
+SQL_GAPFILL_LOCF = """
+WITH pts AS (
+    SELECT user_id, (epoch_ms(ts) // 21600000) * 21600000 AS bucket_ms,
+           sum(value::DECIMAL(18,2))::DOUBLE AS v
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM pts GROUP BY 1
+), grid AS (
+    SELECT user_id, unnest(range(lo, hi + 21600000, 21600000)) AS bucket_ms
+    FROM bounds
+)
+SELECT g.user_id, g.bucket_ms,
+       last_value(p.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN pts p USING (user_id, bucket_ms)
+"""
+
+
+def q_rollup_distinct(spark, sf):
+    """Distinct-users rollup ladder (functions/timeseries.py::
+    distinct_ladder): daily unique actives computed hour→day from the
+    DEDUPED (hour, user) pairs of the finer level — exact distinct is not
+    bucket-mergeable, but coarsening an already-deduped pair frame reads
+    |distinct pairs|, not |events|, at 100 TB. The mergeable-sketch variant
+    (hll_ladder: hour sketches hll_union_agg'd to days) is property-tested
+    against this exact ladder in tests/test_timeseries.py."""
+    from proxima_platform_spark.functions.timeseries import distinct_ladder
+
+    ev = _events(spark, sf)
+    ladder = distinct_ladder(
+        ev, ts_ms_col="ts_ms", member_col="user_id",
+        levels_ms=[3_600_000, 86_400_000],
+    )
+    return ladder[86_400_000].select(
+        F.col("bucket_ms").alias("day_ms"), "uniques"
+    )
+
+
+SQL_ROLLUP_DISTINCT = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       count(DISTINCT user_id) AS uniques
+FROM events
+GROUP BY 1
+"""
+
+
+def q_bloom_decontaminate(spark, sf):
+    """Runtime-filter decontamination: exact 4-gram semi-join against the
+    eval set with a pure-DataFrame Bloom filter in front
+    (functions/sketch.py::bloom_semi_join — k×xxhash64 bit positions,
+    bit_or-combined words, 1-row broadcast map probe, then exact confirm).
+    At 100 TB the corpus-side exploded-gram shuffle carries only bitset
+    survivors (~|eval| + ε of the corpus) instead of every gram; the result
+    is still EXACT (Bloom admits no false negatives, the confirm join
+    removes false positives). The oracle is the plain semi-join — the hash
+    match certifies the pre-filter changed nothing."""
+    from proxima_platform_spark.functions.dedup import ngram_shingles
+    from proxima_platform_spark.functions.sketch import bloom_semi_join
+
+    docs = _load(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngram_shingles(F.col("text"), 4))).alias("g"),
+    )
+    eval_grams = grams.where(F.col("doc_id") < 5).select("g")
+    corpus_grams = grams.where(F.col("doc_id") >= 5)
+    hits = bloom_semi_join(corpus_grams, eval_grams, "g")
+    return hits.select("doc_id").distinct()
+
+
+SQL_BLOOM_DECONTAMINATE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 4
+                  THEN list_distinct([array_to_string(t[i:i+3], ' ')
+                                      for i in range(1, len(t) - 2)])
+                  ELSE [] END) AS g
+    FROM toks
+)
+SELECT DISTINCT c.doc_id
+FROM grams c
+JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 5) e ON c.g = e.g
+WHERE c.doc_id >= 5
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3486,6 +3672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ship_week": q_range_join_ship_week,
         "hypertable_rollup": q_hypertable_rollup,
         "rollup_histogram": q_rollup_histogram,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "gapfill_locf": q_gapfill_locf,
+        "rollup_distinct": q_rollup_distinct,
+        "bloom_decontaminate": q_bloom_decontaminate,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3717,6 +3908,11 @@ def oracle_sql() -> dict[str, str]:
         "range_join_ship_week": SQL_RANGE_JOIN_SHIP_WEEK,
         "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
         "rollup_histogram": SQL_ROLLUP_HISTOGRAM,
+        "funnel_steps": SQL_FUNNEL_STEPS,
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "gapfill_locf": SQL_GAPFILL_LOCF,
+        "rollup_distinct": SQL_ROLLUP_DISTINCT,
+        "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -1,0 +1,227 @@
+"""Event-analytics & time-series operators: funnel, cohort retention,
+gap-fill + LOCF, re-aggregable distinct ladder.
+
+These generalize the reference's windowed aggregation toolkit (reference
+``core/src/main/java/cz/o2/proxima/core/transform`` element-wise transforms +
+``beam/core`` windowed joins) to the event-analytics shapes a hypertable /
+training-telemetry deployment runs daily. Everything is expressed as
+shuffle-on-key DataFrame plans:
+
+* ``funnel``       — k-step ordered conversion; k joins + group-bys, ALL on
+                     the same user key, so AQE/exchange-reuse keeps it at one
+                     logical shuffle of the events table per step with no
+                     driver state. Never sorts whole partitions.
+* ``cohort_retention`` — two shuffles (user → (cohort, week)); distinct
+                     counting is the exact two-phase pattern (dedup rows,
+                     then count), which is re-aggregable and skew-safe.
+* ``gapfill_locf`` — per-key dense hourly grid via ``sequence``/``explode``
+                     (rows generated executor-side, proportional to output,
+                     nothing on the driver) + ``last(..., ignorenulls)`` over
+                     a per-key ordered window. The window never re-sorts raw
+                     events — only the already-aggregated per-bucket frame.
+* ``distinct_ladder`` — exact distinct-per-bucket by (bucket, key) dedup
+                     then count; the HLL variant carries a mergeable sketch
+                     column up the rollup ladder (hour → day via
+                     ``hll_union_agg``) exactly like the reference's
+                     combinable aggregates (windowed Sums/Combine:
+                     ``beam/core`` CombineByKey) — constant-size state per
+                     bucket at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "tstamp",
+) -> DataFrame:
+    """Ordered k-step funnel: for each user, the earliest time of step 1,
+    then the earliest step-2 event STRICTLY AFTER it, and so on.
+
+    Returns one row per user who completed step 1, with nullable
+    ``t1..tk`` timestamps.
+
+    Scale design: the naive per-user sort-and-scan is a full shuffle+sort of
+    the raw events; this instead runs one filtered min-aggregate per step —
+    each a partial-aggregating (map-side combined) shuffle keyed on
+    ``user_col`` — and joins step i's result to step i+1's candidate events
+    on the same key. Every exchange in the chain hashes the same key, so
+    Spark reuses partitioning across stages instead of re-shuffling, and
+    a hot user costs one combiner slot, not a sort buffer.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    out = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(user_col, ts_col)
+            .join(out.select(user_col, prev), user_col)
+            .where(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    bucket_ms: int = 604_800_000,
+) -> DataFrame:
+    """Cohort retention triangle: cohort = the user's first-activity bucket
+    (epoch-anchored integer buckets — timezone-free and identical across
+    engines), cell = distinct users from that cohort active in each bucket.
+
+    Two shuffles: (1) min-bucket per user (map-side combined), (2) exact
+    distinct per (cohort, bucket) via dedup-then-count — the re-aggregable
+    form of COUNT(DISTINCT) that never holds a per-group set in memory.
+    The cohort frame joins back to activity on ``user_col`` — same key as
+    shuffle (1), so partitioning is reused.
+    """
+    # integer DIV floor: ts_ms is non-negative by data contract
+    bucket = F.expr(f"({ts_ms_col} DIV {bucket_ms}) * {bucket_ms}")
+    activity = events.select(user_col, bucket.alias("bucket_ms"))
+    cohorts = activity.groupBy(user_col).agg(F.min("bucket_ms").alias("cohort_ms"))
+    return (
+        activity.join(cohorts, user_col)
+        .select(user_col, "cohort_ms", "bucket_ms")
+        .distinct()
+        .groupBy("cohort_ms", "bucket_ms")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+def gapfill_locf(
+    points: DataFrame,
+    key_col: str,
+    bucket_ms_col: str,
+    value_col: str,
+    step_ms: int,
+) -> DataFrame:
+    """Dense per-key time grid with last-observation-carried-forward.
+
+    ``points`` is an already-bucketed frame (one row per (key, bucket));
+    the output has one row per key per ``step_ms`` between that key's first
+    and last bucket, with ``value`` = the most recent non-null observation
+    (the TimescaleDB ``time_bucket_gapfill + locf`` shape).
+
+    Scale design: the grid is generated executor-side with
+    ``sequence()``/``explode`` from a per-key (min, max) aggregate — output
+    volume is exactly the result size, no driver loop, no cross join. LOCF
+    is ``last(ignorenulls)`` over a per-key ordered window; the sort is over
+    the BUCKETED frame (|buckets| rows per key, not |raw events|), which at
+    100 TB is the 3-orders-smaller ladder level.
+    """
+    bounds = points.groupBy(key_col).agg(
+        F.min(bucket_ms_col).alias("_lo"), F.max(bucket_ms_col).alias("_hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_ms))
+        ).alias(bucket_ms_col),
+    )
+    filled = grid.join(points, [key_col, bucket_ms_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_ms_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.withColumn(
+        value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def distinct_ladder(
+    events: DataFrame,
+    ts_ms_col: str,
+    member_col: str,
+    levels_ms: Sequence[int],
+) -> dict[int, DataFrame]:
+    """Exact distinct-count rollup ladder: per level, the number of distinct
+    ``member_col`` values per bucket, computed fine→coarse.
+
+    EXACT distinct is NOT mergeable across buckets (a user active in two
+    hours of one day must count once for the day), so unlike sum/min/max
+    ladders each level re-deduplicates — but from the (bucket, member)
+    DEDUPED pairs of the previous level, never from raw. Coarsening the
+    bucket of an already-deduped pair frame is a strictly shrinking input:
+    at 100 TB the hour→day pass reads |distinct (hour, member)| rows, not
+    |events|. For sketch-mergeable rollups (one pass, constant state) see
+    ``hll_ladder``.
+    """
+    out: dict[int, DataFrame] = {}
+    step0 = levels_ms[0]
+    pairs = events.select(
+        F.expr(f"({ts_ms_col} DIV {step0}) * {step0}").alias("bucket_ms"),
+        F.col(member_col).alias("_m"),
+    ).distinct()
+    out[step0] = pairs.groupBy("bucket_ms").agg(F.count("*").alias("uniques"))
+    for step in levels_ms[1:]:
+        pairs = pairs.select(
+            F.expr(f"(bucket_ms DIV {step}) * {step}").alias("bucket_ms"), "_m"
+        ).distinct()
+        out[step] = pairs.groupBy("bucket_ms").agg(F.count("*").alias("uniques"))
+    return out
+
+
+def hll_ladder(
+    events: DataFrame,
+    ts_ms_col: str,
+    member_col: str,
+    levels_ms: Sequence[int],
+    lg_k: int = 12,
+) -> dict[int, DataFrame]:
+    """Mergeable approximate-distinct ladder: per-bucket Datasketches HLL
+    sketches at the finest level, coarser levels built by ``hll_union_agg``
+    over the FINER level's sketches (never touching raw again).
+
+    This is the sketch analog of ``operators/rollup.py::hypertable_rollup``:
+    constant-size per-bucket state, one shuffle per level with map-side
+    combine, and the day sketch is the union of 24 hour sketches — the
+    continuous-aggregate contract. Columns: ``bucket_ms``, ``sketch``
+    (binary, re-mergeable downstream), ``estimate`` (long).
+    """
+    step0 = levels_ms[0]
+    cur = (
+        events.select(
+            F.expr(f"({ts_ms_col} DIV {step0}) * {step0}").alias("bucket_ms"),
+            F.col(member_col).alias("_m"),
+        )
+        .groupBy("bucket_ms")
+        .agg(F.hll_sketch_agg("_m", F.lit(lg_k)).alias("sketch"))
+    )
+    out = {
+        step0: cur.withColumn(
+            "estimate", F.hll_sketch_estimate("sketch").cast("long")
+        )
+    }
+    for step in levels_ms[1:]:
+        cur = (
+            cur.select(
+                F.expr(f"(bucket_ms DIV {step}) * {step}").alias("bucket_ms"),
+                "sketch",
+            )
+            .groupBy("bucket_ms")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+        out[step] = cur.withColumn(
+            "estimate", F.hll_sketch_estimate("sketch").cast("long")
+        )
+    return out

@@ -1,0 +1,69 @@
+"""Pure-DataFrame Bloom filter (functions/sketch.py): no false negatives,
+plausible false-positive rate, exactness of the prefilter+confirm join,
+and plan shape (broadcast 1-row filter, no Python boundary)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.sketch import (
+    bloom_build,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        keys = spark.range(0, 500).select(F.concat(F.lit("k"), "id").alias("g"))
+        bloom = bloom_build(keys, "g", num_bits=1 << 14, k=5)
+        kept = bloom_prefilter(keys, "g", bloom, num_bits=1 << 14, k=5)
+        # every true member must survive
+        assert kept.count() == 500
+
+    def test_false_positive_rate_plausible(self, spark):
+        members = spark.range(0, 200).select(F.concat(F.lit("m"), "id").alias("g"))
+        others = spark.range(0, 2000).select(F.concat(F.lit("x"), "id").alias("g"))
+        bloom = bloom_build(members, "g", num_bits=1 << 14, k=5)
+        fp = bloom_prefilter(others, "g", bloom, num_bits=1 << 14, k=5).count()
+        # n=200, m=16384, k=5 → theoretical fpr ≈ (1-e^{-kn/m})^k ≈ 5e-7;
+        # allow generous slack for hash clustering
+        assert fp <= 20
+
+    def test_semi_join_exact(self, spark):
+        corpus = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("g"), (F.col("id") % 137)).alias("g"),
+        )
+        needles = spark.createDataFrame(
+            [("g3",), ("g17",), ("g200",)], "g string"
+        )  # g200 never occurs (id%137 < 137)
+        got = sorted(
+            r["doc_id"]
+            for r in bloom_semi_join(corpus, needles, "g").select("doc_id").collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in corpus.join(needles, "g", "left_semi").select("doc_id").collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_plan_broadcast_no_python(self, spark):
+        corpus = spark.range(0, 100).select(
+            F.concat(F.lit("g"), (F.col("id") % 7)).alias("g")
+        )
+        needles = spark.createDataFrame([("g1",)], "g string")
+        plan = (
+            bloom_semi_join(corpus, needles, "g")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan, f"{bad} in plan"

@@ -1,0 +1,180 @@
+"""Event-analytics & time-series operators (functions/timeseries.py):
+funnel step strictness, cohort retention, gap-fill LOCF, distinct ladder,
+HLL sketch ladder mergeability."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.timeseries import (
+    cohort_retention,
+    distinct_ladder,
+    funnel,
+    gapfill_locf,
+    hll_ladder,
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        # u1 completes all 3 in order; u2 clicks BEFORE its only view (no
+        # conversion past step 1); u3 never does step 1 (absent from output).
+        df = _events_df(
+            spark,
+            [
+                (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+                (2, "click", 50), (2, "view", 100),
+                (3, "click", 10), (3, "purchase", 20),
+            ],
+        )
+        out = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in funnel(df, ["view", "click", "purchase"], ts_col="ts_ms").collect()
+        }
+        assert out == {1: (100, 200, 300), 2: (100, None, None)}
+
+    def test_earliest_qualifying_not_earliest_overall(self, spark):
+        # u1's earliest click (150) is before its second view but after the
+        # FIRST view — strictness is vs the step-1 min, so 150 qualifies.
+        # u2's clicks straddle the first view: only the later one counts.
+        df = _events_df(
+            spark,
+            [
+                (1, "view", 100), (1, "view", 400), (1, "click", 150),
+                (2, "view", 100), (2, "click", 90), (2, "click", 110),
+            ],
+        )
+        out = {
+            r["user_id"]: r["t2"]
+            for r in funnel(df, ["view", "click"], ts_col="ts_ms").collect()
+        }
+        assert out == {1: 150, 2: 110}
+
+    def test_equal_timestamp_does_not_qualify(self, spark):
+        df = _events_df(spark, [(1, "view", 100), (1, "click", 100)])
+        row = funnel(df, ["view", "click"], ts_col="ts_ms").collect()[0]
+        assert row["t1"] == 100 and row["t2"] is None
+
+
+class TestCohortRetention:
+    def test_triangle(self, spark):
+        wk = 604_800_000
+        df = _events_df(
+            spark,
+            [
+                # u1: cohort week 0, active weeks 0 and 2 (twice in week 2 —
+                # must count once)
+                (1, "view", 10), (1, "view", 2 * wk + 5), (1, "click", 2 * wk + 9),
+                # u2: cohort week 0, active week 0 only
+                (2, "view", 20),
+                # u3: cohort week 1
+                (3, "view", wk + 1), (3, "view", 2 * wk + 1),
+            ],
+        )
+        out = {
+            (r["cohort_ms"], r["bucket_ms"]): r["users"]
+            for r in cohort_retention(df, ts_ms_col="ts_ms", bucket_ms=wk).collect()
+        }
+        assert out == {
+            (0, 0): 2,
+            (0, 2 * wk): 1,
+            (wk, wk): 1,
+            (wk, 2 * wk): 1,
+        }
+
+
+class TestGapfillLocf:
+    def test_fills_gaps_and_carries_forward(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0, 10.0), (1, 30, 13.0), (2, 20, 5.0)],
+            "k long, bucket_ms long, value double",
+        )
+        out = gapfill_locf(
+            pts, key_col="k", bucket_ms_col="bucket_ms", value_col="value", step_ms=10
+        )
+        got = {(r["k"], r["bucket_ms"]): r["value"] for r in out.collect()}
+        assert got == {
+            (1, 0): 10.0, (1, 10): 10.0, (1, 20): 10.0, (1, 30): 13.0,
+            (2, 20): 5.0,
+        }
+
+    def test_no_window_over_raw(self, spark):
+        # the LOCF window sorts the bucketed frame; the plan must contain a
+        # single Window over the grid join, not a sort of the input table
+        pts = spark.createDataFrame(
+            [(1, 0, 1.0)], "k long, bucket_ms long, value double"
+        )
+        plan = gapfill_locf(
+            pts, key_col="k", bucket_ms_col="bucket_ms", value_col="value", step_ms=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 1
+
+
+class TestDistinctLadder:
+    def test_coarse_from_fine_equals_direct(self, spark, sf_dir):
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __spark_entry__ import _events
+
+        ev = _events(spark, sf_dir)
+        ladder = distinct_ladder(
+            ev, ts_ms_col="ts_ms", member_col="user_id",
+            levels_ms=[3_600_000, 86_400_000],
+        )
+        got = {
+            r["bucket_ms"]: r["uniques"] for r in ladder[86_400_000].collect()
+        }
+        direct = {
+            r["d"]: r["u"]
+            for r in ev.groupBy(
+                F.expr("(ts_ms DIV 86400000) * 86400000").alias("d")
+            )
+            .agg(F.countDistinct("user_id").alias("u"))
+            .collect()
+        }
+        assert got == direct
+
+    def test_hll_ladder_merge_and_accuracy(self, spark, sf_dir):
+        from __spark_entry__ import _events
+
+        ev = _events(spark, sf_dir)
+        exact = distinct_ladder(
+            ev, ts_ms_col="ts_ms", member_col="user_id", levels_ms=[86_400_000]
+        )[86_400_000]
+        approx = hll_ladder(
+            ev, ts_ms_col="ts_ms", member_col="user_id",
+            levels_ms=[3_600_000, 86_400_000], lg_k=12,
+        )[86_400_000]
+        joined = exact.join(approx.select("bucket_ms", "estimate"), "bucket_ms")
+        rows = joined.collect()
+        assert rows
+        for r in rows:
+            # lg_k=12 → ~1.6% relative standard error; day cardinalities in
+            # the fixture are small enough that unions are near-exact
+            assert abs(r["estimate"] - r["uniques"]) <= max(2, 0.05 * r["uniques"])
+
+    def test_day_sketch_equals_union_of_hours(self, spark, sf_dir):
+        # the mergeability contract: unioning the 24 hour sketches must give
+        # the SAME estimate as sketching the day directly
+        from __spark_entry__ import _events
+
+        ev = _events(spark, sf_dir)
+        via_hours = hll_ladder(
+            ev, ts_ms_col="ts_ms", member_col="user_id",
+            levels_ms=[3_600_000, 86_400_000], lg_k=12,
+        )[86_400_000]
+        direct = hll_ladder(
+            ev, ts_ms_col="ts_ms", member_col="user_id",
+            levels_ms=[86_400_000], lg_k=12,
+        )[86_400_000]
+        a = {r["bucket_ms"]: r["estimate"] for r in via_hours.collect()}
+        b = {r["bucket_ms"]: r["estimate"] for r in direct.collect()}
+        assert a == b
