@@ -3286,6 +3286,72 @@ WHERE c.doc_id >= 5
 """
 
 
+def q_kmeans_cluster(spark, sf):
+    """Distributed k-means (functions/cluster.py::kmeans_lloyd): 2 Lloyd
+    iterations, k=8, deterministic seed (vec_id < k). Per iteration the
+    centroids are a k-row broadcast (assignment = crossJoin + per-vector
+    row_number argmin, expression-only distances) and the update is a
+    posexplode + decimal-sum shuffle — order-independent centroid means,
+    which is what lets the DuckDB oracle replay the ENTIRE iteration chain
+    hash-identically (assignment, both centroid updates, final argmin)."""
+    from proxima_platform_spark.functions.cluster import kmeans_lloyd
+
+    emb = _load(spark, sf, "embeddings")
+    out = kmeans_lloyd(emb, k=8, iters=2)
+    return out.select(
+        "vec_id", F.col("cid").alias("cluster"), F.round("d2", 6).alias("d2")
+    )
+
+
+SQL_KMEANS_CLUSTER = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+    SELECT vec_id::BIGINT AS cid, v AS c FROM v WHERE vec_id < 8
+), a1 AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (SELECT v.vec_id, c0.cid,
+                 list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, c0.c)
+                 + list_dot_product(c0.c, c0.c) AS d2
+          FROM v, c0)
+), c1 AS (
+    SELECT cid, list(cv ORDER BY pos) AS c
+    FROM (SELECT cid, pos, (sum(x::DECIMAL(28,10))::DOUBLE) / count(*) AS cv
+          FROM (SELECT a1.cid, unnest(range(0, len(v.v))) AS pos,
+                       unnest(v.v) AS x
+                FROM a1 JOIN v USING (vec_id) WHERE a1.rn = 1)
+          GROUP BY 1, 2)
+    GROUP BY 1
+), a2 AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (SELECT v.vec_id, c1.cid,
+                 list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, c1.c)
+                 + list_dot_product(c1.c, c1.c) AS d2
+          FROM v, c1)
+), c2 AS (
+    SELECT cid, list(cv ORDER BY pos) AS c
+    FROM (SELECT cid, pos, (sum(x::DECIMAL(28,10))::DOUBLE) / count(*) AS cv
+          FROM (SELECT a2.cid, unnest(range(0, len(v.v))) AS pos,
+                       unnest(v.v) AS x
+                FROM a2 JOIN v USING (vec_id) WHERE a2.rn = 1)
+          GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT vec_id, cid AS cluster, round(d2, 6) AS d2
+FROM (SELECT v.vec_id, c2.cid,
+             list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, c2.c)
+             + list_dot_product(c2.c, c2.c) AS d2,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.v, v.v)
+                                      - 2 * list_dot_product(v.v, c2.c)
+                                      + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+      FROM v, c2)
+WHERE rn = 1
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3677,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "rollup_distinct": q_rollup_distinct,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "kmeans_cluster": q_kmeans_cluster,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3913,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf": SQL_GAPFILL_LOCF,
         "rollup_distinct": SQL_ROLLUP_DISTINCT,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+        "kmeans_cluster": SQL_KMEANS_CLUSTER,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

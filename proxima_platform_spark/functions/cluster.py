@@ -1,0 +1,98 @@
+"""Distributed k-means (Lloyd) over an embedding column — the clustering
+step of corpus curation pipelines (topic bucketing, diversity sampling,
+IVF coarse-quantizer training; the assignment step is what
+``similarity.ivf_top_k`` consumes).
+
+Scale design, per Lloyd iteration:
+* assignment — centroids are a k-row frame BROADCAST into a crossJoin
+  (k ≪ partitions; the k× row blow-up is filtered to 1 per vector by a
+  per-vector ``row_number`` argmin, deterministic tie-break on centroid
+  id), distances are the expression-only ``similarity.dot`` fold — no
+  Python boundary, whole-stage codegen.
+* update — ``posexplode`` to (cluster, dim) pairs and a map-side-combined
+  decimal-sum aggregate: one shuffle of k×d tiny partial rows per
+  executor, never a per-cluster vector buffer. Decimal accumulation makes
+  the new centroids ORDER-INDEPENDENT (bit-identical however Spark
+  schedules the partials) — the same exactness trick as the engine's
+  decimal window sums, and what lets a DuckDB oracle replay the whole
+  iteration chain hash-identically.
+* the loop builds ONE lazy plan (no driver materialization between
+  iterations); iteration count is fixed by the caller, so there is no
+  driver-synchronized convergence barrier — at 100 TB each iteration is
+  two shuffles and the chain is scheduled as a single job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.similarity import dot
+
+
+def _sq_dist(v: Column, c: Column) -> Column:
+    """||v-c||² via the 3-dot expansion ``v·v - 2·v·c + c·c`` — the exact
+    association order is mirrored in the SQL oracle, keeping doubles
+    bit-identical across engines."""
+    return dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
+
+
+def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: ``vecs(id_col…, v)`` × broadcast
+    ``centroids(cid, c)`` → one row per vector with ``cid`` and ``d2``.
+    Ties break on the lower centroid id (total order → deterministic)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2", _sq_dist(F.col("v"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "c")
+    )
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """New centroid = per-dimension mean of the assigned vectors, decimal
+    sums for order independence. Clusters that lost all members drop out
+    (standard Lloyd on fixed data — both engines agree)."""
+    return (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """``iters`` Lloyd iterations from the deterministic seed ``id < k``
+    (callers wanting k-means|| style seeding pass their own frame through
+    ``kmeans_assign`` directly). Returns the final assignment:
+    ``(vec_id, cid, d2)`` per vector."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        cent = _update_centroids(kmeans_assign(vecs, cent))
+    return kmeans_assign(vecs, cent).select("vec_id", "cid", "d2")

@@ -1,0 +1,73 @@
+"""Distributed k-means (functions/cluster.py): recovers separated
+clusters, deterministic tie-breaks, plan shape (broadcast centroids, no
+Python boundary)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.cluster import (
+    kmeans_assign,
+    kmeans_lloyd,
+)
+
+
+def _blobs(spark):
+    # two tight blobs far apart; seeds 0 and 1 land one in each blob
+    rows = []
+    for i in range(10):
+        rows.append((i * 2, [0.0 + i * 0.01, 0.0]))       # blob A (even ids)
+        rows.append((i * 2 + 1, [100.0, 100.0 + i * 0.01]))  # blob B (odd ids)
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestKmeans:
+    def test_recovers_separated_blobs(self, spark):
+        out = kmeans_lloyd(_blobs(spark), k=2, iters=2).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cid"], set()).add(r["vec_id"])
+        assert len(by_cluster) == 2
+        groups = sorted(by_cluster.values(), key=min)
+        assert groups[0] == {i * 2 for i in range(10)}
+        assert groups[1] == {i * 2 + 1 for i in range(10)}
+
+    def test_assign_tie_breaks_lower_cid(self, spark):
+        vecs = spark.createDataFrame(
+            [(7, [0.0, 0.0])], "vec_id long, v array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(3, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+            "cid long, c array<double>",
+        )  # all at distance 1 — the lowest cid must win
+        row = kmeans_assign(vecs, cents).collect()[0]
+        assert row["cid"] == 1
+
+    def test_iteration_moves_centroids(self, spark):
+        # seed centroids both sit in blob A; after one update, one centroid
+        # must move toward blob B and capture it
+        rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0])] + [
+            (i, [100.0 + i * 0.01, 100.0]) for i in range(2, 12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["cid"] for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+        assert out[0] == 0
+        # blob B all in one cluster, and not cluster 0's seed-only cluster
+        b_clusters = {out[i] for i in range(2, 12)}
+        assert len(b_clusters) == 1
+
+    def test_plan_broadcast_no_python(self, spark):
+        plan = (
+            kmeans_lloyd(_blobs(spark), k=2, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, f"{bad} in plan"
