@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "multimodal_audio_dup",
     "compressed_ingest",
+    "range_join_ship_week",
+    "hypertable_rollup",
+    "funnel_steps",
+    "gapfill_locf",
+    "kmeans_cluster",
+    "bloom_decontaminate",
 ]
 
 

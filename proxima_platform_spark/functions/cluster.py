@@ -6,9 +6,9 @@ IVF coarse-quantizer training; the assignment step is what
 Scale design, per Lloyd iteration:
 * assignment — centroids are a k-row frame BROADCAST into a crossJoin
   (k ≪ partitions; the k× row blow-up is filtered to 1 per vector by a
-  per-vector ``row_number`` argmin, deterministic tie-break on centroid
-  id), distances are the expression-only ``similarity.dot`` fold — no
-  Python boundary, whole-stage codegen.
+  map-side-combined ``min(struct(d2, cid))`` argmin, deterministic
+  tie-break on centroid id), distances are the expression-only
+  ``similarity.dot`` fold — no Python boundary, whole-stage codegen.
 * update — ``posexplode`` to (cluster, dim) pairs and a map-side-combined
   decimal-sum aggregate: one shuffle of k×d tiny partial rows per
   executor, never a per-cluster vector buffer. Decimal accumulation makes
@@ -24,7 +24,7 @@ Scale design, per Lloyd iteration:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from proxima_platform_spark.functions.similarity import dot
@@ -40,15 +40,23 @@ def _sq_dist(v: Column, c: Column) -> Column:
 def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: ``vecs(id_col…, v)`` × broadcast
     ``centroids(cid, c)`` → one row per vector with ``cid`` and ``d2``.
-    Ties break on the lower centroid id (total order → deterministic)."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2", _sq_dist(F.col("v"), F.col("c"))
+    Ties break on the lower centroid id (total order → deterministic).
+
+    The argmin is ``min(struct(d2, cid))`` — an algebraic aggregate, so the
+    k candidate rows (all produced in the vector's own partition by the
+    broadcast crossJoin) collapse map-side to ONE row per vector before any
+    exchange. A row_number window here would instead shuffle and sort all
+    k·n scored rows. ``first(v)`` is deterministic: every candidate row of
+    a vec_id carries the identical vector."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        F.struct(_sq_dist(F.col("v"), F.col("c")).alias("d2"), "cid").alias("__sc"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "c")
+    return scored.groupBy("vec_id").agg(
+        F.min("__sc").alias("__m"), F.first("v").alias("v")
+    ).select(
+        "vec_id", F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"), "v"
     )
 
 
