@@ -3071,10 +3071,25 @@ def q_range_join_ship_week(spark, sf):
         F.col("o_orderdate").alias("ivl_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("ivl_end"),
     )
-    li = _load(spark, sf, "lineitem").select("l_shipdate", "l_quantity")
+    # aggregate pushdown BELOW the range join: the requested output is an
+    # algebraic aggregate of the pairs, so collapse the point side to one
+    # row per ship-date first (|days| rows, not |lineitems|). The range
+    # join then produces |orders|×7 candidate rows instead of the full
+    # ~quarter-billion (interval × co-resident points) pair set — the
+    # difference between 1.4 s and 140 s at sf0.1, and between feasible
+    # and not at 100 TB. The pair-level operator stays available for
+    # callers that need the pairs themselves.
+    li_daily = (
+        _load(spark, sf, "lineitem")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty_dec"),
+        )
+    )
     pairs = range_join_binned(
         orders,
-        li,
+        li_daily,
         start_col="ivl_start",
         end_col="ivl_end",
         point_col="l_shipdate",
@@ -3083,8 +3098,8 @@ def q_range_join_ship_week(spark, sf):
     return pairs.groupBy(
         F.year("ivl_start").alias("o_year"), F.month("ivl_start").alias("o_month")
     ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        _dsum(F.col("l_quantity"), 2).alias("qty"),
+        F.sum("__cnt").alias("n_pairs"),
+        F.sum("__qty_dec").cast("double").alias("qty"),
     )
 
 
@@ -3349,6 +3364,62 @@ FROM (SELECT v.vec_id, c2.cid,
                                       + list_dot_product(c2.c, c2.c), c2.cid) AS rn
       FROM v, c2)
 WHERE rn = 1
+"""
+
+
+def q_source_quota_sample(spark, sf):
+    """Per-source document quota (functions/sampling.py::quota_sample): cap
+    every source at 15 docs (fixture: 25/source at sf0.01 — the cut is
+    exercised, not vacuous), winners = smallest md5 sampling keys — the
+    source-mixing primitive (no crawl may dominate the mixture). One hash
+    exchange on source + per-stratum rank; a pre-quota hash_sample filter
+    composes in front when a stratum's raw bulk would stress a sort buffer
+    (same winners — both order by the same key)."""
+    from proxima_platform_spark.functions.sampling import quota_sample
+
+    docs = _load(spark, sf, "documents")
+    return quota_sample(
+        docs, key=F.col("doc_id"), strata=F.col("source"), quota=15,
+        salt="quota-v1",
+    ).select("doc_id", "source")
+
+
+SQL_SOURCE_QUOTA_SAMPLE = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('quota-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 15
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """Quality-weighted Bernoulli sampling (functions/sampling.py::
+    weighted_sample): per-row keep probability = min(1, n_chars/800) —
+    longer documents kept at higher rates (the importance-resampling shape:
+    rate column can be any quality/model score). Pure codegen filter, zero
+    shuffle, deterministic by md5 key."""
+    from proxima_platform_spark.functions.sampling import weighted_sample
+
+    docs = _load(spark, sf, "documents")
+    return weighted_sample(
+        docs,
+        key=F.col("doc_id"),
+        rate=F.col("n_chars") / F.lit(800.0),
+        salt="weighted-v1",
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5('weighted-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000
+    < least(greatest(n_chars / 800.0, 0.0), 1.0) * 1000000.0
 """
 
 
@@ -3744,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct": q_rollup_distinct,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_cluster": q_kmeans_cluster,
+        "source_quota_sample": q_source_quota_sample,
+        "weighted_sample": q_weighted_sample,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -3981,6 +4054,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_distinct": SQL_ROLLUP_DISTINCT,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "kmeans_cluster": SQL_KMEANS_CLUSTER,
+        "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

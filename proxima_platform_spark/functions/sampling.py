@@ -92,6 +92,53 @@ def hash_sample_exact_k(
     )
 
 
+def quota_sample(
+    df: DataFrame, *, key: Column, strata: Column, quota: int, salt: str = ""
+) -> DataFrame:
+    """Cap every stratum at ``quota`` rows — the source-mixing primitive
+    ("no single crawl may exceed N documents"): within each stratum, the
+    ``quota`` rows with the smallest sampling keys win, a deterministic
+    uniform choice.
+
+    One hash exchange on the stratum key, then a per-stratum ordered rank.
+    Strata counts are the partition-size bound — sources/languages/shards,
+    thousands at most, so a stratum fits a task at 100 TB corpus scale
+    *per stratum*; a pathologically dominant stratum is exactly the row
+    this operator exists to cut, and if its PRE-quota bulk breaks a sort
+    buffer the caller composes ``hash_sample`` (pure filter, no shuffle)
+    in front to knock the population down to O(quota) first — same final
+    sample, because both draws order by the same md5 key."""
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__st").orderBy("__sk", key)
+    return (
+        df.withColumn("__st", strata)
+        .withColumn("__sk", sample_key(key, salt))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__st", "__sk", "__rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame, *, key: Column, rate: Column, salt: str = ""
+) -> DataFrame:
+    """Per-ROW Bernoulli keep with probability ``rate`` (a Column in
+    [0, 1]) — importance/quality-weighted sampling (keep long documents,
+    high quality scores, rare languages at higher rates). Still a pure
+    codegen filter: deterministic by key, zero shuffle, composes with scan
+    pruning. Rates outside [0,1] are clamped."""
+    clamped = F.least(F.greatest(rate.cast("double"), F.lit(0.0)), F.lit(1.0))
+    # long < double comparison (exact: both sides < 2^53) — an integer CAST
+    # of the threshold would truncate here but round in other engines,
+    # flipping boundary keys
+    return df.where(
+        sample_key(key, salt).cast("double") < clamped * F.lit(float(BUCKETS))
+    )
+
+
 def hash_split(
     df: DataFrame, *, key: Column, fractions: Mapping[str, float], salt: str = ""
 ) -> Column:

@@ -185,3 +185,95 @@ class TestSequencePack:
         a = {(r.doc_id): (r.shard, r.bin) for r in sequence_pack(docs, budget=512, n_shards=4).collect()}
         b = {(r.doc_id): (r.shard, r.bin) for r in sequence_pack(docs.repartition(13), budget=512, n_shards=4).collect()}
         assert a == b
+
+
+class TestQuotaSample:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, 300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 3)).alias("source"),
+        )
+
+    def test_caps_each_stratum(self, spark):
+        from proxima_platform_spark.functions.sampling import quota_sample
+        from pyspark.sql import functions as F
+
+        out = quota_sample(
+            self._docs(spark), key=F.col("doc_id"), strata=F.col("source"),
+            quota=25, salt="t",
+        )
+        counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"s0": 25, "s1": 25, "s2": 25}
+
+    def test_quota_above_population_keeps_all(self, spark):
+        from proxima_platform_spark.functions.sampling import quota_sample
+        from pyspark.sql import functions as F
+
+        out = quota_sample(
+            self._docs(spark), key=F.col("doc_id"), strata=F.col("source"),
+            quota=500, salt="t",
+        )
+        assert out.count() == 300
+
+    def test_winners_deterministic_and_prefilter_composable(self, spark):
+        # composing a hash_sample prefilter that keeps a superset of the
+        # winners must not change the final quota sample
+        from proxima_platform_spark.functions.sampling import (
+            hash_sample, quota_sample, sample_key,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        full = quota_sample(docs, key=F.col("doc_id"), strata=F.col("source"), quota=10, salt="t")
+        pre = hash_sample(docs, key=F.col("doc_id"), rate=0.5, salt="t")
+        comp = quota_sample(pre, key=F.col("doc_id"), strata=F.col("source"), quota=10, salt="t")
+        a = sorted(r["doc_id"] for r in full.collect())
+        b = sorted(r["doc_id"] for r in comp.collect())
+        # prefilter keeps the smallest half of the SAME key space, and each
+        # stratum has ≥10 survivors at rate 0.5 of 100 — winners identical
+        assert a == b
+
+    def test_columns_restored(self, spark):
+        from proxima_platform_spark.functions.sampling import quota_sample
+        from pyspark.sql import functions as F
+
+        out = quota_sample(
+            self._docs(spark), key=F.col("doc_id"), strata=F.col("source"),
+            quota=5, salt="t",
+        )
+        assert out.columns == ["doc_id", "source"]
+
+
+class TestWeightedSample:
+    def test_rate_extremes_and_clamp(self, spark):
+        from proxima_platform_spark.functions.sampling import weighted_sample
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        none = weighted_sample(docs, key=F.col("doc_id"), rate=F.lit(0.0), salt="w")
+        assert none.count() == 0
+        all_ = weighted_sample(docs, key=F.col("doc_id"), rate=F.lit(5.0), salt="w")
+        assert all_.count() == 200  # clamped to 1.0
+
+    def test_monotone_in_rate(self, spark):
+        from proxima_platform_spark.functions.sampling import weighted_sample
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        lo = {r["doc_id"] for r in weighted_sample(docs, key=F.col("doc_id"), rate=F.lit(0.2), salt="w").collect()}
+        hi = {r["doc_id"] for r in weighted_sample(docs, key=F.col("doc_id"), rate=F.lit(0.6), salt="w").collect()}
+        assert lo <= hi
+        assert 40 < len(lo) < 160 and 200 < len(hi) < 400
+
+    def test_no_shuffle_plan(self, spark):
+        from proxima_platform_spark.functions.sampling import weighted_sample
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+        plan = (
+            weighted_sample(docs, key=F.col("doc_id"), rate=F.lit(0.5), salt="w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
