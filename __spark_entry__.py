@@ -3423,6 +3423,85 @@ WHERE ('0x' || substr(md5('weighted-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BI
 """
 
 
+def q_user_paths(spark, sf):
+    """Top-20 user journey paths: each user's full event-type sequence in
+    (ts, event_id) order joined into one path string, counted across users
+    — the path-mining shape (Sankey/flow reports). One shuffle to the user
+    key; the per-user sequence is an in-group ``array_sort`` of
+    (ts, event_id, type) structs — deterministic total order, no window
+    sort of the raw table — then a count agg on the path hash. Top-k is
+    TakeOrdered."""
+    ev = _events(spark, sf)
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            # tstamp (µs-exact) not ts_ms: a same-user pair
+                            # inside one millisecond would order by event_id
+                            # here but by µs in the oracle
+                            F.struct("tstamp", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    return paths.orderBy(F.desc("users"), "path").limit(20)
+
+
+SQL_USER_PATHS = """
+SELECT path, count(*) AS users
+FROM (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+)
+GROUP BY path
+ORDER BY users DESC, path
+LIMIT 20
+"""
+
+
+def q_event_transitions(spark, sf):
+    """Event-type transition matrix (first-order Markov counts): for every
+    consecutive event pair per user (ts, event_id order), count (from, to)
+    occurrences. lead() over the per-user ordered window — one shuffle on
+    user_id, then a map-side-combined count agg on the 25-cell matrix."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("tstamp", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3817,6 +3896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster": q_kmeans_cluster,
         "source_quota_sample": q_source_quota_sample,
         "weighted_sample": q_weighted_sample,
+        "user_paths": q_user_paths,
+        "event_transitions": q_event_transitions,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -4056,6 +4137,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster": SQL_KMEANS_CLUSTER,
         "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "user_paths": SQL_USER_PATHS,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
