@@ -3502,6 +3502,49 @@ GROUP BY 1, 2
 """
 
 
+def q_session_ids(spark, sf):
+    """Gap-based session ID assignment (complement of session_window_stats,
+    which only returns aggregates): per user, a new session starts when the
+    gap since the previous event exceeds 30 min; the session id is the
+    running count of session starts — lag + conditional cumsum over one
+    user-keyed window (both functions share partitioning and order, so
+    the plan is ONE exchange + ONE sort feeding two pipelined Window
+    operators — verified: 1 Exchange in the executed plan). Emits
+    (event_id, user_id, session_seq) — the enrichment form downstream
+    joins consume."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("tstamp", "event_id")
+    gap_ms = 30 * 60 * 1000
+    is_start = (
+        F.col("ts_ms") - F.lag("ts_ms").over(w) > F.lit(gap_ms)
+    ).cast("long")
+    run = Window.partitionBy("user_id").orderBy("tstamp", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(F.coalesce(is_start, F.lit(0))).over(run) + 1).alias("session_seq"),
+    )
+
+
+SQL_SESSION_IDS = """
+SELECT event_id, user_id,
+       (1 + sum(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+FROM (
+    SELECT event_id, user_id, ts,
+           coalesce((epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) > 1800000)::BIGINT,
+               0) AS is_start
+    FROM events
+)
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3898,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "user_paths": q_user_paths,
         "event_transitions": q_event_transitions,
+        "session_ids": q_session_ids,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -4139,6 +4183,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "user_paths": SQL_USER_PATHS,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "session_ids": SQL_SESSION_IDS,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
