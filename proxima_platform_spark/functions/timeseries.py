@@ -78,6 +78,68 @@ def funnel(
     return out
 
 
+def funnel_stream(
+    stream_events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    stamp_col: str = "tstamp",
+    watermark_delay: str = "10 seconds",
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming twin of :func:`funnel`: per-user step times live in the
+    keyed state store; every time a user advances a step, an updated funnel
+    row (user_id, t1..tk epoch-ms, nulls for steps not yet reached) is
+    emitted — a changelog of the batch funnel result.
+
+    Built on ``reduce_value_state_by_key_stream`` (the engine's keyed
+    event-time-sorted state machine: transformWithStateInPandas when the
+    environment supports it, applyInPandasWithState otherwise). Because the
+    machine applies rows in event-time order within the watermark, the
+    greedy in-order transition — accept an event iff it is the NEXT step
+    and strictly after the last accepted time — computes exactly the batch
+    min-chain. State per user is one short list of epoch-ms longs; at
+    100 TB of traffic the state store shards by user like any keyed agg.
+    """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("funnel needs at least one step")
+    step_list = list(steps)
+
+    def state_fn(state, key, row):
+        ts_ms = int(row[stamp_col].value // 1_000_000)
+        done = len(state)
+        if (
+            done < k
+            and row[type_col] == step_list[done]
+            and (done == 0 or ts_ms > state[-1])
+        ):
+            state = state + [ts_ms]
+            out = {"user_id": key}
+            for i in range(k):
+                out[f"t{i + 1}"] = state[i] if i < len(state) else None
+            return state, out
+        return state, None
+
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
+    schema = "user_id long, " + ", ".join(f"t{i + 1} long" for i in range(k))
+    return reduce_value_state_by_key_stream(
+        stream_events.select(user_col, type_col, stamp_col),
+        key=user_col,
+        stamp=stamp_col,
+        state_fn=state_fn,
+        initial_state=[],
+        output_schema=schema,
+        sorted=True,
+        watermark_delay=watermark_delay,
+        api=api,
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

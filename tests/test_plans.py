@@ -203,3 +203,71 @@ class TestR04ExtensionPlans:
             F.sum(F.col("n_para") - F.col("n_kept")).alias("dropped")
         ).collect()[0]
         assert agg.dropped > 0
+
+
+class TestR04EventAnalyticsPlans:
+    def test_range_join_aggregates_below_the_join(self, spark, sf_dir):
+        # the point side must collapse to per-day rows BEFORE the bin join
+        # (the aggregate-pushdown that keeps the pair set off the wire) —
+        # the optimized plan has an Aggregate under the Join on the
+        # lineitem branch
+        from pyspark.sql import functions as F
+
+        df = entry.q_range_join_ship_week(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        join_pos = logical.find("Join")
+        assert join_pos != -1
+        below = logical[join_pos:]
+        assert "Aggregate" in below, "no pre-join aggregate on the point side"
+
+    def test_funnel_no_cartesian_single_key_exchanges(self, spark, sf_dir):
+        df = entry.q_funnel_steps(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # every exchange in the chain hashes user_id (exchange-reuse shape):
+        # no other partitioning expression appears
+        import re
+
+        for m in re.finditer(r"hashpartitioning\(([^,)]+)", plan):
+            assert "user_id" in m.group(1), m.group(0)
+
+    def test_bloom_decontaminate_prefilter_is_broadcast(self, spark, sf_dir):
+        plan = physical_plan(entry.q_bloom_decontaminate(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # the 1-row bitset side arrives by broadcast; no Python anywhere
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    def test_kmeans_no_python_no_cartesian_blowup_on_wire(self, spark, sf_dir):
+        plan = physical_plan(entry.q_kmeans_cluster(spark, sf_dir))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan
+        # assignment argmin is an aggregate (map-side combined), not a
+        # row_number window over the k-times-n scored rows
+        assert "row_number" not in plan
+
+    def test_session_ids_one_exchange(self, spark, sf_dir):
+        df = entry.q_session_ids(spark, sf_dir)
+        assert count_exchanges(df) == 1
+
+    def test_gapfill_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_gapfill_locf(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_quota_sample_binds_at_oracle_sf(self, spark):
+        # non-vacuity guard (the tpch_q7ish lesson): at the driver's oracle
+        # scale the quota must actually cut — every source has more docs
+        # than the quota keeps
+        import os
+
+        sf001 = "/root/testdata/sf0.01"
+        if not os.path.exists(sf001):
+            import pytest
+
+            pytest.skip("sf0.01 fixture not present")
+        kept = entry.q_source_quota_sample(spark, sf001).count()
+        total = spark.read.parquet(f"{sf001}/documents.parquet").count()
+        assert kept < total

@@ -775,3 +775,77 @@ class TestStreamingCorpusIngest:
             "SELECT doc_id FROM corpus_ingest_out").collect())
         # 1 survives; 2 gated out; 3 is an online dup of 1; 4 survives
         assert got == [1, 4]
+
+
+class TestStreamingFunnel:
+    def test_emits_changelog_of_batch_funnel(self, spark, tmp_path):
+        """Streaming funnel (functions/timeseries.funnel_stream): per-user
+        step state over the keyed state machine; end-state must equal the
+        batch funnel on the same data, and intermediate emissions form its
+        changelog (one row per step advance)."""
+        from proxima_platform_spark.functions.timeseries import funnel, funnel_stream
+
+        src = str(tmp_path / "funnel_src")
+        schema = "user_id long, event_type string, tstamp timestamp"
+        rows = [
+            # u1: view(1s) click-before-view ignored at step2? no — click at
+            # 0.5s arrives first in event time but step1 not done: dropped.
+            (1, "click", ts(500)),
+            (1, "view", ts(1000)),
+            (1, "click", ts(2000)),
+            (1, "purchase", ts(3000)),
+            # u2: completes step 1 only (clicks at/before the view don't count)
+            (2, "click", ts(900)),
+            (2, "view", ts(1000)),
+            # u3: noise only
+            (3, "purchase", ts(100)),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        # sentinel far in the future advances the watermark to flush all
+        spark.createDataFrame(
+            [(9, "x", ts(60_000))], schema
+        ).coalesce(1).write.parquet(f"{src}/f1")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = funnel_stream(
+            stream,
+            ["view", "click", "purchase"],
+            watermark_delay="0 seconds",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("funnel_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        emitted = [
+            (r.user_id, r.t1, r.t2, r.t3)
+            for r in spark.sql(
+                "SELECT * FROM funnel_out ORDER BY user_id, coalesce(t3,-1), coalesce(t2,-1), t1"
+            ).collect()
+        ]
+        # changelog: one emission per step advance
+        assert emitted == [
+            (1, 1000, None, None),
+            (1, 1000, 2000, None),
+            (1, 1000, 2000, 3000),
+            (2, 1000, None, None),
+        ]
+        # end-state (latest emission per user) == batch funnel on same data
+        batch_df = spark.createDataFrame(rows, schema).withColumn(
+            "ts_ms", (F.unix_micros("tstamp") / 1000).cast("long")
+        )
+        batch = {
+            r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel(
+                batch_df, ["view", "click", "purchase"], ts_col="ts_ms"
+            ).collect()
+        }
+        latest = {}
+        for u, t1, t2, t3 in emitted:
+            latest[u] = (t1, t2, t3)
+        assert latest == batch

@@ -1,0 +1,139 @@
+"""Property-based tests: funnel and session-ID assignment must agree with
+direct Python models on arbitrary event interleavings (duplicate
+timestamps, missing steps, out-of-order arrival)."""
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.timeseries import funnel
+
+STEPS = ["a", "b", "c"]
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.sampled_from(STEPS + ["x"]),                  # type (x = noise)
+        st.integers(min_value=0, max_value=30),          # ts
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def model_funnel(rows):
+    """Earliest step-1; each later step strictly after the previous one."""
+    out = {}
+    users = {u for (u, t, _) in rows if t == STEPS[0]}
+    for u in users:
+        mine = [(ts, t) for (uu, t, ts) in rows if uu == u]
+        t_prev = min(ts for ts, t in mine if t == STEPS[0])
+        result = [t_prev]
+        for step in STEPS[1:]:
+            cand = [ts for ts, t in mine if t == step and ts > t_prev]
+            if not cand:
+                result += [None] * (len(STEPS) - len(result))
+                break
+            t_prev = min(cand)
+            result.append(t_prev)
+        out[u] = tuple(result)
+    return out
+
+
+def model_sessions(rows, gap):
+    """rows: (user, ts, uid). Session seq per (user, uid)."""
+    out = {}
+    by_user = {}
+    for u, ts, uid in rows:
+        by_user.setdefault(u, []).append((ts, uid))
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for ts, uid in evs:
+            if prev is None or ts - prev > gap:
+                seq += 1
+            out[(u, uid)] = seq
+            prev = ts
+    return out
+
+
+class TestFunnelProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(event_strategy)
+    def test_matches_model(self, rows):
+        spark = self.spark
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            [(u, t, ts) for (u, t, ts) in rows],
+            "user_id long, event_type string, ts_ms long",
+        )
+        got = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in funnel(df, STEPS, ts_col="ts_ms").collect()
+        }
+        assert got == model_funnel(rows)
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
+
+
+class TestSessionIdsProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),   # user
+                st.integers(min_value=0, max_value=100), # ts_ms
+            ),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        )
+    )
+    def test_matches_model(self, rows):
+        # mirror q_session_ids' shape with a 10ms gap on synthetic data
+        from pyspark.sql import Window
+
+        spark = self.spark
+        data = [(u, ts, i) for i, (u, ts) in enumerate(rows)]
+        df = spark.createDataFrame(data, "user_id long, ts_ms long, event_id long")
+        w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        is_start = (F.col("ts_ms") - F.lag("ts_ms").over(w) > 10).cast("long")
+        got = {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in df.select(
+                "user_id",
+                "event_id",
+                (F.sum(F.coalesce(is_start, F.lit(0))).over(run) + 1).alias(
+                    "session_seq"
+                ),
+            ).collect()
+        }
+        # model keys on (user, uid); ties on ts broken by event_id in both
+        want = model_sessions(
+            sorted(data, key=lambda x: (x[0], x[1], x[2])), gap=10
+        )
+        want = {(u, uid): s for (u, uid), s in want.items()}
+        assert got == want
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
