@@ -849,3 +849,94 @@ class TestStreamingFunnel:
         for u, t1, t2, t3 in emitted:
             latest[u] = (t1, t2, t3)
         assert latest == batch
+
+
+class TestContinuousRollup:
+    def test_streaming_ladder_equals_batch_ladder(self, spark, tmp_path):
+        """Continuous aggregate (streaming/rollup_stream.ContinuousRollup):
+        per-micro-batch partial folds must reproduce the batch
+        hypertable_rollup ladder exactly — hour level and day level —
+        whatever the batch boundaries, including a bucket straddling two
+        batches and compaction kicking in."""
+        from proxima_platform_spark.operators.rollup import hypertable_rollup
+        from proxima_platform_spark.streaming.rollup_stream import ContinuousRollup
+
+        HOUR, DAY = 3_600_000, 86_400_000
+        schema = "k string, ts_ms long, v double"
+        batches = [
+            # bucket hour-0 split across batches 1 and 2; negative value
+            # exercises vmin; day 2 appears only in batch 3
+            [("a", 10_000, 1.5), ("a", 20_000, -2.0), ("b", 30_000, 7.25)],
+            [("a", 40_000, 3.0), ("a", HOUR + 1_000, 10.0)],
+            [("b", DAY + 5_000, 0.5), ("a", DAY + HOUR + 1, 4.75)],
+            [("a", 50_000, 2.25)],  # late-in-arrival but in-bucket: folds fine
+            [("b", 60_000, -1.25)],
+        ]
+        roll = ContinuousRollup(
+            spark,
+            str(tmp_path / "cr"),
+            ts_ms_col="ts_ms",
+            keys=["k"],
+            value_col="v",
+            base_level_ms=HOUR,
+            compact_every=3,
+        )
+        for i, rows in enumerate(batches):
+            roll.update(spark.createDataFrame(rows, schema), i)
+
+        all_rows = [r for b in batches for r in b]
+        raw = spark.createDataFrame(all_rows, schema)
+        for lvl in (HOUR, DAY):
+            want = {
+                tuple(r[c] for c in ("k", "bucket_ms")): (
+                    r["cnt"], float(r["total_dec"]), r["vmin"], r["vmax"]
+                )
+                for r in hypertable_rollup(
+                    raw, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+                    levels_ms=[HOUR, DAY] if lvl == DAY else [HOUR],
+                )[lvl].collect()
+            }
+            got = {
+                (r["k"], r["bucket_ms"]): (
+                    r["cnt"], float(r["total_dec"]), r["vmin"], r["vmax"]
+                )
+                for r in roll.level(lvl).collect()
+            }
+            assert got == want, lvl
+        # compaction folded the first generations: fewer deltas than batches
+        assert len(roll._manifest()["deltas"]) < len(batches)
+
+    def test_foreachbatch_wiring(self, spark, tmp_path):
+        """update() as a foreachBatch callback over a file stream."""
+        from proxima_platform_spark.streaming.rollup_stream import ContinuousRollup
+
+        HOUR = 3_600_000
+        src = str(tmp_path / "cr_src")
+        schema = "k string, ts_ms long, v double"
+        spark.createDataFrame(
+            [("a", 1_000, 1.0), ("a", 2_000, 2.0)], schema
+        ).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [("a", HOUR + 1_000, 5.0)], schema
+        ).coalesce(1).write.parquet(f"{src}/f1")
+
+        roll = ContinuousRollup(
+            spark, str(tmp_path / "cr2"), ts_ms_col="ts_ms", keys=["k"],
+            value_col="v", base_level_ms=HOUR,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(roll.update)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["bucket_ms"]): (r["cnt"], float(r["total_dec"]))
+            for r in roll.level(HOUR).collect()
+        }
+        assert got == {("a", 0): (2, 3.0), ("a", HOUR): (1, 5.0)}
