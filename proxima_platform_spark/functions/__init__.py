@@ -26,20 +26,62 @@ from proxima_platform_spark.functions.similarity import (
     dot,
     l2_norm,
 )
+from proxima_platform_spark.functions.timeseries import (
+    cohort_retention,
+    distinct_ladder,
+    funnel,
+    funnel_stream,
+    gapfill_locf,
+    hll_ladder,
+)
+from proxima_platform_spark.functions.sketch import (
+    bloom_build,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+from proxima_platform_spark.functions.cluster import (
+    kmeans_assign,
+    kmeans_lloyd,
+)
+from proxima_platform_spark.functions.sampling import (
+    hash_sample,
+    hash_sample_exact_k,
+    hash_split,
+    quota_sample,
+    stratified_sample,
+    weighted_sample,
+)
 
 __all__ = [
+    "bloom_build",
+    "bloom_prefilter",
+    "bloom_semi_join",
+    "cohort_retention",
     "cosine_similarity",
+    "distinct_ladder",
     "doc_fingerprint",
     "dot",
     "epoch_ms",
     "exact_dup_key",
     "from_epoch_ms",
+    "funnel",
+    "funnel_stream",
+    "gapfill_locf",
+    "hash_sample",
+    "hash_sample_exact_k",
+    "hash_split",
+    "hll_ladder",
+    "kmeans_assign",
+    "kmeans_lloyd",
     "l2_norm",
     "language_id",
     "minhash_signature",
     "ngram_shingles",
     "quality_score",
+    "quota_sample",
     "simhash64",
+    "stratified_sample",
     "token_count",
+    "weighted_sample",
     "window_start_ms",
 ]
