@@ -3906,8 +3906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~50-slot window (judge-verified green via tools/oracle_check.py but
     # never driver-certified — VERDICT r03 "What's missing" #1), with
     # tpch_q7ish de-vacuated this round (fixture-present nation pair),
-    # (b) queries changed or added in r04, (c) the r03 hash-green block
-    # re-rides the remaining slots, oldest certification first.
+    # (b) the 28 queries added or changed in r04 (event analytics, media
+    # codecs, rollup ladders, sketches, clustering, mixing samplers — all
+    # 114 declared queries hold a local 114/114 sweep, ORACLE_SWEEP_r04.txt),
+    # (c) the r03 hash-green block re-rides the remaining slots, oldest
+    # certification first.
     return {
         # -- (a) r03-new, never driver-checked ------------------------------
         "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)

@@ -137,3 +137,56 @@ class TestSessionIdsProperty:
     @pytest.fixture(autouse=True)
     def _attach_spark(self, spark):
         type(self).spark = spark
+
+
+class TestGapfillProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),    # key
+                st.integers(min_value=0, max_value=12),   # bucket index
+                st.floats(min_value=-5, max_value=5, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=15,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def test_matches_model(self, pts):
+        from proxima_platform_spark.functions.timeseries import gapfill_locf
+
+        spark = self.spark
+        step = 10
+        df = spark.createDataFrame(
+            [(k, b * step, v) for (k, b, v) in pts],
+            "k long, bucket_ms long, value double",
+        )
+        got = {
+            (r["k"], r["bucket_ms"]): r["value"]
+            for r in gapfill_locf(
+                df, key_col="k", bucket_ms_col="bucket_ms",
+                value_col="value", step_ms=step,
+            ).collect()
+        }
+        # model: per key, dense grid lo..hi, carry last value forward
+        by_key = {}
+        for k, b, v in pts:
+            by_key.setdefault(k, {})[b * step] = v
+        want = {}
+        for k, obs in by_key.items():
+            lo, hi = min(obs), max(obs)
+            last = None
+            for b in range(lo, hi + step, step):
+                if b in obs:
+                    last = obs[b]
+                want[(k, b)] = last
+        assert got == want
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
