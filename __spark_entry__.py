@@ -3545,6 +3545,104 @@ FROM (
 """
 
 
+def q_scd2_intervals(spark, sf):
+    """Changelog → slowly-changing-dimension (SCD2) validity intervals: for
+    each (user, event_type) cell, each value version becomes a row valid
+    from its stamp until the next version's stamp (open-ended for the
+    latest) — the stream-table-duality read that turns the platform's
+    changelog into a point-in-time joinable dimension (pair it with
+    operators/asof.py for the enrich side). One lead() over the per-cell
+    ordered window — single shuffle on the cell key."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id", "event_type").orderBy("tstamp", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.lead("ts_ms").over(w).alias("valid_to_ms"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_type, round(value, 2) AS value,
+       epoch_ms(ts) AS valid_from_ms,
+       lead(epoch_ms(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) AS valid_to_ms
+FROM events
+"""
+
+
+def q_rollup_quantile(spark, sf):
+    """Read-time quantiles from the mergeable histogram ladder
+    (operators/rollup.py::histogram_quantile): p50/p90 per (day,
+    event_type) estimated from the DAY-level bin counts — which were merged
+    up from hourly bins, so this certifies the full sketch→merge→estimate
+    path. The estimate is a pure CASE-chain interpolation over cumulative
+    bin sums; the oracle replays the identical arithmetic from a raw
+    day-level histogram, so the hash match proves both the ladder merge and
+    the estimator."""
+    from proxima_platform_spark.operators.rollup import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    B = [0.0, 100.0, 200.0, 300.0, 400.0]
+    ev = _events(spark, sf)
+    day = histogram_rollup(
+        ev, ts_ms_col="ts_ms", keys=["event_type"], value_col="value",
+        levels_ms=[3_600_000, 86_400_000], boundaries=B,
+    )[86_400_000]
+    return day.select(
+        F.col("bucket_ms").alias("day_ms"),
+        "event_type",
+        F.round(histogram_quantile(B, 0.5), 6).alias("p50"),
+        F.round(histogram_quantile(B, 0.9), 6).alias("p90"),
+    )
+
+
+SQL_ROLLUP_QUANTILE = """
+WITH binned AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           event_type,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value < 100.0 THEN 1
+                WHEN value < 200.0 THEN 2
+                WHEN value < 300.0 THEN 3
+                WHEN value < 400.0 THEN 4
+                ELSE 5 END AS bin_id
+    FROM events
+), c AS (
+    SELECT day_ms, event_type, bin_id, cnt,
+           sum(cnt) OVER (PARTITION BY day_ms, event_type
+                          ORDER BY bin_id) AS cum,
+           sum(cnt) OVER (PARTITION BY day_ms, event_type) AS total
+    FROM (SELECT day_ms, event_type, bin_id, count(*) AS cnt
+          FROM binned GROUP BY 1, 2, 3)
+), est AS (
+    SELECT day_ms, event_type, qq,
+           CASE WHEN bin_id = 0 THEN 0.0
+                WHEN bin_id = 5 THEN 400.0
+                ELSE (bin_id - 1) * 100.0
+                     + (qq * total - (cum - cnt)) / cnt * 100.0
+           END AS v,
+           row_number() OVER (PARTITION BY day_ms, event_type, qq
+                              ORDER BY bin_id) AS rn
+    FROM c CROSS JOIN (SELECT unnest([0.5, 0.9]) AS qq)
+    WHERE qq * total <= cum
+)
+SELECT day_ms, event_type,
+       round(max(CASE WHEN qq = 0.5 THEN v END), 6) AS p50,
+       round(max(CASE WHEN qq = 0.9 THEN v END), 6) AS p90
+FROM est
+WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -3945,6 +4043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_paths": q_user_paths,
         "event_transitions": q_event_transitions,
         "session_ids": q_session_ids,
+        "scd2_intervals": q_scd2_intervals,
+        "rollup_quantile": q_rollup_quantile,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -4187,6 +4287,8 @@ def oracle_sql() -> dict[str, str]:
         "user_paths": SQL_USER_PATHS,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "session_ids": SQL_SESSION_IDS,
+        "scd2_intervals": SQL_SCD2_INTERVALS,
+        "rollup_quantile": SQL_ROLLUP_QUANTILE,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),

@@ -133,3 +133,47 @@ def histogram_rollup(
         )
         out[lv] = level.select(*keys, "bucket_ms", pack)
     return out
+
+
+def histogram_quantile(
+    boundaries: list[float], q: float, hist_col: str = "hist"
+):
+    """Read-time quantile estimate from a fixed-bin histogram column (the
+    consumption side of :func:`histogram_rollup`): find the first bin whose
+    cumulative count reaches ``q`` of the total and linearly interpolate
+    inside it; the underflow/overflow bins clamp to the boundary. Error is
+    bounded by bin width — the documented trade for exact mergeability.
+
+    Pure expression (a CASE chain over the n_bins cumulative sums — n_bins
+    is small and fixed), so a SQL oracle can replay the estimate
+    bit-identically; no sort, no shuffle, evaluated on the LADDER frame.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    n_bins = len(boundaries) + 1
+    h = [F.element_at(F.col(hist_col), i + 1) for i in range(n_bins)]
+    total = h[0]
+    for x in h[1:]:
+        total = total + x
+    target = F.lit(q) * total
+    cums = []
+    cum = h[0]
+    for i in range(n_bins):
+        if i > 0:
+            cum = cum + h[i]
+        cums.append(cum)
+    # first bin with cum >= target; interpolate interior bins
+    expr = None
+    for i in range(n_bins):
+        if i == 0:
+            est = F.lit(float(boundaries[0]))
+        elif i == n_bins - 1:
+            est = F.lit(float(boundaries[-1]))
+        else:
+            lo, hi = boundaries[i - 1], boundaries[i]
+            est = F.lit(float(lo)) + (target - cums[i - 1]) / h[i] * F.lit(
+                float(hi - lo)
+            )
+        cond = target <= cums[i]
+        expr = F.when(cond, est) if expr is None else expr.when(cond, est)
+    return expr.otherwise(F.lit(float(boundaries[-1])))

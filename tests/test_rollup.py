@@ -111,3 +111,55 @@ class TestHistogramRollup:
                 raw_df(spark), ts_ms_col="ts_ms", keys=["k"], value_col="v",
                 levels_ms=[3600_000], boundaries=[5.0, 2.0],
             )
+
+
+class TestHistogramQuantile:
+    def test_estimate_within_bin_width_of_exact(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.operators.rollup import (
+            histogram_quantile,
+            histogram_rollup,
+        )
+
+        rnd = random.Random(7)
+        rows = [("k", 0, rnd.uniform(0, 400)) for _ in range(2000)]
+        df = spark.createDataFrame(rows, "k string, ts_ms long, v double")
+        B = [float(x) for x in range(0, 401, 50)]  # width 50
+        day = histogram_rollup(
+            df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            levels_ms=[3_600_000], boundaries=B,
+        )[3_600_000]
+        got = day.select(
+            histogram_quantile(B, 0.5).alias("p50"),
+            histogram_quantile(B, 0.9).alias("p90"),
+        ).collect()[0]
+        vals = sorted(v for (_, _, v) in rows)
+        exact50 = vals[int(0.5 * len(vals))]
+        exact90 = vals[int(0.9 * len(vals))]
+        assert abs(got["p50"] - exact50) <= 50.0
+        assert abs(got["p90"] - exact90) <= 50.0
+
+    def test_clamps_under_and_overflow(self, spark):
+        from proxima_platform_spark.operators.rollup import (
+            histogram_quantile,
+            histogram_rollup,
+        )
+
+        B = [0.0, 10.0]
+        df = spark.createDataFrame(
+            [("k", 0, -5.0), ("k", 0, -1.0), ("k", 0, 99.0)],
+            "k string, ts_ms long, v double",
+        )
+        lvl = histogram_rollup(
+            df, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            levels_ms=[1000], boundaries=B,
+        )[1000]
+        row = lvl.select(
+            histogram_quantile(B, 0.5).alias("lo"),
+            histogram_quantile(B, 0.99).alias("hi"),
+        ).collect()[0]
+        assert row["lo"] == 0.0   # mass in the underflow bin clamps to b0
+        assert row["hi"] == 10.0  # overflow clamps to the last boundary
