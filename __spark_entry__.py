@@ -3643,6 +3643,47 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental corpus ingestion dedup: a NEW batch of documents
+    (doc_id >= 250) survives only if its content fingerprint (a) does not
+    already exist in the REFERENCE corpus (doc_id < 250) — md5 anti-join,
+    reference side is a fingerprint-only projection — and (b) is the batch's
+    first occurrence (min-struct winner per fingerprint, the skew-safe
+    map-side-combining form, not a window). This is the nightly-crawl
+    append shape: cost scales with the BATCH, the existing corpus
+    contributes one pruned column scan, and both joins hash on the
+    fingerprint. The key is the 8-token head fingerprint (boilerplate-head
+    dedup; also the granularity at which this fixture actually collides —
+    full-text md5 would be vacuously green here, 500/500 unique)."""
+    docs = _load(spark, sf, "documents")
+    ntext = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    head = F.array_join(F.slice(F.split(ntext, " ", -1), 1, 8), " ")
+    keyed = docs.select("doc_id", F.md5(head).alias("fp"))
+    existing = keyed.where(F.col("doc_id") < 250).select("fp").distinct()
+    batch = keyed.where(F.col("doc_id") >= 250)
+    fresh = batch.join(existing, "fp", "left_anti")
+    winners = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return winners.select("doc_id", "fp")
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               (string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:8],
+               ' ')) AS fp
+    FROM documents
+), fresh AS (
+    SELECT doc_id, fp FROM keyed
+    WHERE doc_id >= 250
+      AND fp NOT IN (SELECT fp FROM keyed WHERE doc_id < 250)
+)
+SELECT min(doc_id) AS doc_id, fp
+FROM fresh
+GROUP BY fp
+"""
+
+
 def q_compressed_ingest(spark, sf):
     """WARC/WET-shaped compressed-corpus ingestion with a REAL codec in the
     path: per-record gzip blobs (functions/compress.py, stdlib zlib wbits=31)
@@ -4045,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_ids": q_session_ids,
         "scd2_intervals": q_scd2_intervals,
         "rollup_quantile": q_rollup_quantile,
+        "incremental_dedup": q_incremental_dedup,
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -4289,6 +4331,7 @@ def oracle_sql() -> dict[str, str]:
         "session_ids": SQL_SESSION_IDS,
         "scd2_intervals": SQL_SCD2_INTERVALS,
         "rollup_quantile": SQL_ROLLUP_QUANTILE,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
