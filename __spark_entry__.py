@@ -832,9 +832,14 @@ GROUP BY 1
 
 def q_join_left(spark, sf):
     """Left outer join, nulls right (ref WindowedStream.leftJoin:370,
-    JoinFn :657-692)."""
+    JoinFn :657-692). Orders restricted to pre-1996 so 326 of 1500
+    customers actually take the null-right path (n_orders=0, total=0.0):
+    unrestricted, every customer matches and the check would certify an
+    inner join (the tpch_q7ish non-vacuity lesson)."""
     customer = _load(spark, sf, "customer")
-    orders = _load(spark, sf, "orders")
+    orders = _load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
     j = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_outer")
     return j.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
@@ -845,7 +850,9 @@ def q_join_left(spark, sf):
 SQL_JOIN_LEFT = """
 SELECT c_custkey, count(o_orderkey) AS n_orders,
        coalesce(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 0.0) AS total
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+FROM customer LEFT JOIN (SELECT * FROM orders
+                         WHERE o_orderdate < DATE '1996-01-01') o
+  ON c_custkey = o_custkey
 GROUP BY 1
 """
 
@@ -898,9 +905,15 @@ GROUP BY 1
 
 
 def q_semi_join(spark, sf):
-    """left_semi (Spark extension; absent in reference — SURVEY §2.6)."""
+    """left_semi (Spark extension; absent in reference — SURVEY §2.6):
+    customers with at least one pre-1996 order. Every customer has SOME
+    order in this fixture, so the unrestricted semi-join keeps all 1500
+    rows and never exercises the drop path; with the cutoff 1174 of 1500
+    survive — both paths checked (the tpch_q7ish non-vacuity lesson)."""
     customer = _load(spark, sf, "customer")
-    orders = _load(spark, sf, "orders")
+    orders = _load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
     return customer.join(
         orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
     ).select("c_custkey", "c_name")
@@ -908,14 +921,23 @@ def q_semi_join(spark, sf):
 
 SQL_SEMI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate < DATE '1996-01-01')
 """
 
 
 def q_anti_join(spark, sf):
-    """left_anti (Spark extension)."""
+    """left_anti (Spark extension): customers with no orders before 1996.
+    The date restriction makes the check non-vacuous on this fixture
+    (every customer has SOME order, so the unrestricted form returns 0
+    rows and a hash match would prove nothing — the tpch_q7ish lesson);
+    with the cutoff, 326 of 1500 customers survive at sf0.01, exercising
+    both the exclusion and retention paths of the anti-join."""
     customer = _load(spark, sf, "customer")
-    orders = _load(spark, sf, "orders")
+    orders = _load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
     return customer.join(
         orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
@@ -923,7 +945,9 @@ def q_anti_join(spark, sf):
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < DATE '1996-01-01')
 """
 
 
@@ -1784,15 +1808,23 @@ FROM salted
 
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup: md5-of-normalized-text grouping (hash-groupBy)."""
+    """Exact dedup: md5-of-normalized-text grouping (hash-groupBy) at
+    40-char-head granularity — the fixture's full texts are all unique
+    (500/500), so full-text keys would leave every group at n_docs=1 and
+    the n_docs>1 grouping path unexercised; the head key yields 476 groups
+    with real multi-doc clusters (the tpch_q7ish non-vacuity lesson).
+    `exact_dup_key` itself remains the full-text primitive."""
     docs = _load(spark, sf, "documents")
-    return docs.groupBy(exact_dup_key(F.col("text")).alias("fp")).agg(
+    head = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40
+    )
+    return docs.groupBy(F.md5(head).alias("fp")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
     )
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40)) AS fp,
        count(*) AS n_docs, min(doc_id) AS min_doc
 FROM documents GROUP BY 1
 """
