@@ -419,3 +419,83 @@ def repetition_counts_arrow(
 
     in_cols = list(dict.fromkeys([id_col, text_col, *keep]))
     return docs.select(*in_cols).mapInPandas(counts, schema=schema)
+
+
+def quality_lang_arrow(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+):
+    """Arrow-batched quality score + language ID — the fast path behind
+    corpus gating (`training_pipeline`). Bit-identical to the expression
+    forms (``quality_score``/``language_id``), pinned by
+    tests/test_ranking.py::TestQualityLangParity:
+
+      * marker counts: greedy non-overlapping substring count on
+        " "+lower(text)+" " — identical to the replace-length-delta trick;
+      * token count: space-ONLY trim then Java-\\s split
+        ``[ \\t\\n\\x0b\\f\\r]+`` (empty tokens counted), exactly
+        ``size(split(trim(text), '\\s+'))``;
+      * rounding: Java ``BigDecimal.valueOf(double)`` HALF_UP — replicated
+        via shortest-repr ``Decimal(repr(x))`` (Python repr and Java
+        Double.toString produce the same shortest round-trip string).
+
+    ~25 full-text scans per doc in the expression form (5 langs × 5
+    markers via replace, plus regex strips) become one Python pass per
+    batch; the stage is narrow (no shuffle), pre-projected, and output
+    inherits input partitioning.
+    """
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    langs = sorted(LANG_MARKERS)
+    markers = {l: list(ms) for l, ms in LANG_MARKERS.items()}
+    non_alpha = re.compile(r"[^A-Za-z]")
+    ws_split = re.compile(r"[ \t\n\x0b\f\r]+").split
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def stage(batches):
+        for pdf in batches:
+            qs, ls = [], []
+            for text in pdf[text_col]:
+                t = text or ""
+                padded = " " + t.lower() + " "
+                best_score, best_lang = 0, "und"
+                for lang in langs:
+                    s = sum(padded.count(m) for m in markers[lang])
+                    if s > best_score:  # tie keeps earlier (alphabetical)
+                        best_score, best_lang = s, lang
+                n = float(len(t))
+                alpha = float(len(non_alpha.sub("", t)))
+                alpha_ratio = alpha / n if n > 0 else 0.0
+                stripped = t.strip(" ")
+                toks = float(0 if stripped == "" else len(ws_split(stripped)))
+                mean_word = n / toks if toks > 0 else 0.0
+                word_sanity = 1.0 if 3 <= mean_word <= 12 else 0.0
+                length_sat = min(n / 200.0, 1.0)
+                qs.append(
+                    round6(0.5 * alpha_ratio + 0.25 * word_sanity + 0.25 * length_sat)
+                )
+                ls.append(best_lang)
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for c in keep:
+                out[c] = pdf[c]
+            out["quality"] = pd.Series(qs, dtype="float64")
+            out["lang_guess"] = pd.Series(ls, dtype="object")
+            yield out
+
+    # schema order must follow the emitted pandas column order (id, *keep)
+    keep_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col, *[c for c in keep if c != text_col]).mapInPandas(
+        stage,
+        schema=f"{id_col} {id_type}{keep_schema}, quality double, lang_guess string",
+    )

@@ -303,3 +303,55 @@ class TestArrowFastPathParity:
         b = {r.vec_id: (r.vmin, r.vmax, r.q_checksum, r.mse)
              for r in quantize_embeddings_arrow(emb).collect()}
         assert a == b
+
+
+class TestQualityLangParity:
+    EDGE_DOCS = [
+        (0, "the cat and the dog is of to the house"),      # english markers
+        (1, "der hund und die katze ist das haus"),          # german
+        (2, ""),                                             # empty
+        (3, "   "),                                          # blank
+        (4, "\tthe and of to is leading tab"),               # tab head (trim parity)
+        (5, "x" * 500),                                      # long, no markers
+        (6, "le la et les des " * 3),                         # french repeats
+        (7, " the  the the  and and "),                       # overlap-ish markers
+        (8, "a\r\nb\x0bc d"),                                 # exotic whitespace
+        (9, "12345 67890 !!! ???"),                           # no alpha
+    ]
+
+    def test_arrow_matches_expression_spec(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.text import (
+            language_id,
+            quality_lang_arrow,
+            quality_score,
+        )
+
+        fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        edge = spark.createDataFrame(self.EDGE_DOCS, "doc_id long, text string")
+        docs = fixture.unionByName(edge.withColumn("doc_id", F.col("doc_id") + 10_000))
+        want = {
+            r["doc_id"]: (r["q"], r["l"])
+            for r in docs.select(
+                "doc_id",
+                quality_score(F.col("text")).alias("q"),
+                language_id(F.col("text")).alias("l"),
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["quality"], r["lang_guess"])
+            for r in quality_lang_arrow(docs).collect()
+        }
+        assert got == want  # bit-identical, including rounding
+
+    def test_keep_columns_ride_through(self, spark):
+        from proxima_platform_spark.functions.text import quality_lang_arrow
+
+        df = spark.createDataFrame(
+            [(1, "s0", "the and of")], "doc_id long, source string, text string"
+        )
+        out = quality_lang_arrow(df, keep=("source", "text")).collect()[0]
+        assert out["source"] == "s0" and out["text"] == "the and of"
