@@ -3302,13 +3302,20 @@ def q_bloom_decontaminate(spark, sf):
     is still EXACT (Bloom admits no false negatives, the confirm join
     removes false positives). The oracle is the plain semi-join — the hash
     match certifies the pre-filter changed nothing."""
-    from proxima_platform_spark.functions.dedup import ngram_shingles
+    from proxima_platform_spark.functions.dedup import shingles_from_tokens, tokens
     from proxima_platform_spark.functions.sketch import bloom_semi_join
 
     docs = _load(spark, sf, "documents")
+    # tokens projected first — the inline ngram_shingles form re-tokenizes
+    # per emitted shingle under Generate (no CSE): measured 5.4 s → 0.7 s
+    # for this explode at sf0.1
     grams = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(F.array_distinct(ngram_shingles(F.col("text"), 4))).alias("g"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), 4))
+        ).alias("g"),
     )
     eval_grams = grams.where(F.col("doc_id") < 5).select("g")
     corpus_grams = grams.where(F.col("doc_id") >= 5)

@@ -122,9 +122,16 @@ def minhash_signatures_df(
     """(id, seed, minhash) via explode + groupBy — the scale path: shingle
     arrays never materialize per-row signatures on skewed/huge docs; the
     combiner collapses to one row per (doc, seed) per partition."""
-    sh = docs.select(
-        F.col(id_col), F.explode(ngram_shingles(F.col(text_col), n)).alias("shingle")
-    ).select(F.col(id_col), shingle_hash(F.col("shingle")).alias("h"))
+    # tokens in their own projection first — no CSE inside Generate means
+    # the inline form re-tokenizes the doc per emitted shingle (7× at sf0.1)
+    sh = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"),
+        )
+        .select(F.col(id_col), shingle_hash(F.col("shingle")).alias("h"))
+    )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     exploded = sh.select(id_col, seeds, "h")
     a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:num_hashes]])

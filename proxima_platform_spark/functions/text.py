@@ -208,15 +208,29 @@ def contaminated_doc_ids(
     corpus size, with the eval side broadcast by AQE. Returns distinct
     ``id_col`` rows; anti-join against it to clean the corpus.
     """
-    from proxima_platform_spark.functions.dedup import ngram_shingles
+    from proxima_platform_spark.functions.dedup import shingles_from_tokens, tokens
 
+    # tokens projected into their own column BEFORE the shingle transform:
+    # Catalyst does not CSE inside Generate, so the inline form re-tokenizes
+    # the document once per emitted shingle (measured 7× at sf0.1 — the
+    # ngram_shingles docstring's warning, applied)
     corpus_grams = docs.select(
+        F.col(id_col), tokens(F.col(text)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngram_shingles(F.col(text), n))).alias("g"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+        ).alias("g"),
     )
-    eval_grams = eval_docs.select(
-        F.explode(F.array_distinct(ngram_shingles(F.col(text), n))).alias("g")
-    ).distinct()
+    eval_grams = (
+        eval_docs.select(tokens(F.col(text)).alias("__toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+            ).alias("g")
+        )
+        .distinct()
+    )
     return (
         corpus_grams.join(eval_grams, "g", "left_semi").select(id_col).distinct()
     )
