@@ -4129,6 +4129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "rollup_quantile": q_rollup_quantile,
         "incremental_dedup": q_incremental_dedup,
+        "semi_join": q_semi_join,  # CHANGED r04: de-vacuated (pre-1996)
+        "anti_join": q_anti_join,  # CHANGED r04: de-vacuated
+        "join_left": q_join_left,  # CHANGED r04: null-right path exercised
+        "dedup_exact": q_dedup_exact,  # CHANGED r04: head-key groups collide
         # -- (c) r03 hash-green re-certs ------------------------------------
         # §2.4 windows
         "sliding_window_count": q_sliding_window_count,
@@ -4148,11 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_to_latest": q_reduce_to_latest,
         # §2.6 joins
         "join_inner": q_join_inner,
-        "join_left": q_join_left,
         "windowed_join": q_windowed_join,
         "join_three_way": q_join_three_way,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "asof_join_enrich": q_asof_join_enrich,
         "json_props_extract": q_json_props_extract,
         # §2.7 set ops / ordering
@@ -4194,7 +4195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
         "tpch_q18ish": q_tpch_q18ish,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,

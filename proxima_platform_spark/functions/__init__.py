@@ -10,8 +10,10 @@ from proxima_platform_spark.functions.core import (
     window_start_ms,
 )
 from proxima_platform_spark.functions.text import (
+    chunk_documents,
     doc_fingerprint,
     language_id,
+    quality_lang_arrow,
     quality_score,
     token_count,
 )
@@ -56,6 +58,7 @@ __all__ = [
     "bloom_build",
     "bloom_prefilter",
     "bloom_semi_join",
+    "chunk_documents",
     "cohort_retention",
     "cosine_similarity",
     "distinct_ladder",
@@ -77,6 +80,7 @@ __all__ = [
     "language_id",
     "minhash_signature",
     "ngram_shingles",
+    "quality_lang_arrow",
     "quality_score",
     "quota_sample",
     "simhash64",

@@ -336,7 +336,13 @@ def chunk_documents(
     `posexplode` — a narrow transform with no shuffle; output rows carry
     (id, chunk_id, chunk_text, n_tokens) and inherit the input partitioning.
     """
-    toks = _norm_tokens(F.col(text_col))
+    # tokens materialized in their own projection first — the inline form
+    # re-tokenizes the document once per chunk under the Generate (no CSE;
+    # the ngram_shingles lesson applied here too)
+    based = docs.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))).otherwise(
         F.array(F.lit(0))
@@ -344,7 +350,7 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.slice(toks, s + 1, chunk_tokens)
     )
-    exploded = docs.select(
+    exploded = based.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "chunk_toks"),
     )
