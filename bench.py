@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "gapfill_locf",
     "kmeans_cluster",
     "bloom_decontaminate",
+    "session_ids",
+    "user_paths",
+    "event_transitions",
+    "rollup_quantile",
+    "scd2_intervals",
+    "incremental_dedup",
 ]
 
 
