@@ -190,3 +190,63 @@ class TestGapfillProperty:
     @pytest.fixture(autouse=True)
     def _attach_spark(self, spark):
         type(self).spark = spark
+
+
+class TestContinuousRollupProperty:
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(  # events: (key, hour-index, value-cents)
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=-500, max_value=500),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        st.lists(  # batch split points
+            st.integers(min_value=1, max_value=23), max_size=3, unique=True
+        ),
+    )
+    def test_any_batching_matches_batch_ladder(self, tmp_path_factory, events, cuts):
+        from proxima_platform_spark.operators.rollup import hypertable_rollup
+        from proxima_platform_spark.streaming.rollup_stream import ContinuousRollup
+
+        spark = self.spark
+        HOUR, DAY = 3_600_000, 86_400_000
+        rows = [(k, h * HOUR + 7, c / 100.0) for (k, h, c) in events]
+        bounds = sorted(c for c in cuts if c < len(rows))
+        batches, prev = [], 0
+        for b in bounds + [len(rows)]:
+            if b > prev:
+                batches.append(rows[prev:b])
+                prev = b
+        path = str(tmp_path_factory.mktemp("crp"))
+        roll = ContinuousRollup(
+            spark, path, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+            base_level_ms=HOUR, compact_every=2,
+        )
+        schema = "k string, ts_ms long, v double"
+        for i, b in enumerate(batches):
+            roll.update(spark.createDataFrame(b, schema), i)
+        raw = spark.createDataFrame(rows, schema)
+        want = {
+            (r["k"], r["bucket_ms"]): (r["cnt"], str(r["total_dec"]), r["vmin"], r["vmax"])
+            for r in hypertable_rollup(
+                raw, ts_ms_col="ts_ms", keys=["k"], value_col="v",
+                levels_ms=[HOUR, DAY],
+            )[DAY].collect()
+        }
+        got = {
+            (r["k"], r["bucket_ms"]): (r["cnt"], str(r["total_dec"]), r["vmin"], r["vmax"])
+            for r in roll.level(DAY).collect()
+        }
+        assert got == want
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
