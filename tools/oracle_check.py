@@ -103,6 +103,12 @@ def main(only: list[str]) -> int:
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
+        elif len(sdf) == 0:
+            # green-on-empty proves nothing about the operator (the
+            # tpch_q7ish lesson): still counted as passing, but flagged so
+            # a vacuous check can't hide in the sweep
+            print(f"ok   {name}: 0 rows [VACUOUS — both engines empty] "
+                  f"[{time.time()-t0:.1f}s]")
         else:
             print(f"ok   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
