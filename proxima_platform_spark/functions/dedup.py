@@ -547,3 +547,32 @@ def dedup_paragraphs(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
+    S-curve pivots closest to the requested Jaccard ``threshold``.
+
+    For b bands of r rows the candidate probability at similarity s is
+    ``1-(1-s^r)^b``, steepest near ``(1/b)^(1/r)`` — the classic banding
+    planner (MMDS ch.3). Callers feed the result to
+    :func:`minhash_candidate_pairs`'s ``bands``: more bands → more
+    candidates → higher recall at lower precision. Shuffle volume scales
+    with ``docs × bands``, so at 100 TB this knob is the explicit
+    recall-vs-shuffle trade, chosen from the dedup threshold rather than
+    guessed.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        pivot = (1.0 / b) ** (1.0 / r)
+        err = abs(pivot - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -161,3 +161,34 @@ class TestSimhashPairs:
         docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
         with pytest.raises(ValueError, match="pigeonhole"):
             simhash_candidate_pairs(docs, "doc_id", "text", hamming_threshold=4)
+
+
+class TestPlanBands:
+    def test_factorizations_and_monotonicity(self):
+        from proxima_platform_spark.functions.dedup import plan_bands
+
+        for nh in (8, 16, 64):
+            for t in (0.2, 0.5, 0.8, 0.95):
+                b, r = plan_bands(t, nh)
+                assert b * r == nh
+                pivot = (1.0 / b) ** (1.0 / r)
+                # every other factorization is no closer to the threshold
+                for rr in range(1, nh + 1):
+                    if nh % rr == 0:
+                        bb = nh // rr
+                        assert abs(pivot - t) <= abs((1.0 / bb) ** (1.0 / rr) - t) + 1e-12
+        # low threshold (catch distant pairs) wants many bands; high
+        # threshold (near-exact only) wants few
+        b_lo, _ = plan_bands(0.2, 16)
+        b_hi, _ = plan_bands(0.95, 16)
+        assert b_lo > b_hi
+
+    def test_rejects_bad_inputs(self):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.dedup import plan_bands
+
+        with _pytest.raises(ValueError):
+            plan_bands(0.0, 8)
+        with _pytest.raises(ValueError):
+            plan_bands(0.5, 0)
