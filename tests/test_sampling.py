@@ -277,3 +277,38 @@ class TestWeightedSample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestQuotaSampleProperty:
+    def test_matches_model_on_random_corpus(self, spark):
+        # deterministic pseudo-random corpus; model = per-stratum smallest
+        # (md5-key, key) winners, mirroring sample_key's exact arithmetic
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.sampling import quota_sample
+
+        rows = [(i, f"s{i % 7}") for i in range(211)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sorted(
+            r["doc_id"]
+            for r in quota_sample(
+                df, key=F.col("doc_id"), strata=F.col("source"), quota=9,
+                salt="prop",
+            ).collect()
+        )
+
+        def sk(doc_id):
+            h = hashlib.md5(f"prop{doc_id}".encode()).hexdigest()
+            return int(h[:15], 16) % 1_000_000
+
+        by_stratum = {}
+        for i, s in rows:
+            by_stratum.setdefault(s, []).append((sk(i), i))
+        want = sorted(
+            i
+            for s, members in by_stratum.items()
+            for _, i in sorted(members)[:9]
+        )
+        assert out == want
