@@ -199,3 +199,95 @@ class TestStreamEnrichment:
             ("u1", 2000, "bronze"),
             ("u1", 3000, "gold"),
         ]
+
+
+class TestEventAnalyticsJourney:
+    def test_changelog_to_dashboard(self, spark, tmp_path):
+        """The r04 analytics journey end to end: raw events stream in as
+        micro-batches → the continuous rollup ladder absorbs them →
+        read-time dashboard surfaces (hourly revenue, daily distinct
+        actives, funnel, session ids) agree with one-shot batch computation
+        over the same events. The composition a telemetry deployment runs:
+        ingestion is incremental, analytics read the maintained state."""
+        from proxima_platform_spark.functions.timeseries import (
+            distinct_ladder,
+            funnel,
+        )
+        from proxima_platform_spark.operators.rollup import hypertable_rollup
+        from proxima_platform_spark.streaming.rollup_stream import ContinuousRollup
+
+        HOUR, DAY = 3_600_000, 86_400_000
+        schema = "user_id long, event_type string, ts_ms long, value double"
+        rows = []
+        for u in range(6):
+            base = u * 17_000_000
+            rows += [
+                (u, "view", base + 1_000, 1.0),
+                (u, "click", base + 120_000, 2.5),
+                (u, "purchase", base + 600_000, 40.0 + u),
+                (u, "view", base + DAY + 5_000, 1.0),
+            ]
+        batches = [rows[:8], rows[8:15], rows[15:]]
+
+        roll = ContinuousRollup(
+            spark, str(tmp_path / "ladder"), ts_ms_col="ts_ms",
+            keys=["event_type"], value_col="value", base_level_ms=HOUR,
+            compact_every=2,
+        )
+        for i, b in enumerate(batches):
+            roll.update(spark.createDataFrame(b, schema), i)
+
+        all_df = spark.createDataFrame(rows, schema)
+
+        # 1. hourly revenue from the maintained ladder == batch rollup
+        got_hour = {
+            (r["event_type"], r["bucket_ms"]): (r["cnt"], str(r["total_dec"]))
+            for r in roll.level(HOUR).collect()
+        }
+        want_hour = {
+            (r["event_type"], r["bucket_ms"]): (r["cnt"], str(r["total_dec"]))
+            for r in hypertable_rollup(
+                all_df, ts_ms_col="ts_ms", keys=["event_type"],
+                value_col="value", levels_ms=[HOUR],
+            )[HOUR].collect()
+        }
+        assert got_hour == want_hour
+
+        # 2. daily distinct actives (exact two-phase ladder)
+        daily = {
+            r["bucket_ms"]: r["uniques"]
+            for r in distinct_ladder(
+                all_df, ts_ms_col="ts_ms", member_col="user_id",
+                levels_ms=[HOUR, DAY],
+            )[DAY].collect()
+        }
+        assert all(v == 6 for v in daily.values()) and len(daily) >= 2
+
+        # 3. every user converts through the funnel in order
+        fun = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in funnel(
+                all_df, ["view", "click", "purchase"], ts_col="ts_ms"
+            ).collect()
+        }
+        assert len(fun) == 6
+        for u, (t1, t2, t3) in fun.items():
+            assert t1 < t2 < t3
+
+        # 4. session assignment splits each user's two bursts
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts_ms")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        is_start = (
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > 30 * 60 * 1000
+        ).cast("long")
+        sess = all_df.select(
+            "user_id",
+            (F.sum(F.coalesce(is_start, F.lit(0))).over(run) + 1).alias("s"),
+        )
+        per_user = {
+            r["user_id"]: r["m"]
+            for r in sess.groupBy("user_id").agg(F.max("s").alias("m")).collect()
+        }
+        assert all(m == 2 for m in per_user.values())
