@@ -4059,6 +4059,235 @@ FROM packed GROUP BY shard, bin
 
 
 # ===========================================================================
+# r04b extensions: frequency sketch, smoothing/anomaly, attribution,
+# feature matrices, quantile binning
+# ===========================================================================
+
+
+def q_heavy_hitters(spark, sf):
+    """Exact frequent-items with a Count-Min runtime filter in front
+    (functions/sketch.py::cms_frequent_items): every (user, event_type)
+    pair occurring ≥ 18 times, exact counts. The CMS build shuffles only
+    depth×width counter CELLS (map-side combined, O(8K) regardless of key
+    cardinality), collapses to a one-row broadcastable map, and the exact
+    groupBy then only carries rows whose estimate clears the threshold —
+    CMS never undercounts, so no true hitter is lost, and the exact count
+    drops collision impostors. At 100 TB this is the frequent-items analog
+    of the reference's StorageFilter pre-selection (prune cheap, confirm
+    exact); the oracle is the plain GROUP BY/HAVING — the hash match
+    certifies the sketch prefilter changed nothing."""
+    from proxima_platform_spark.functions.sketch import cms_frequent_items
+
+    ev = _events(spark, sf)
+    return cms_frequent_items(
+        ev.select("user_id", "event_type"), ["user_id", "event_type"], 18
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT user_id, event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+HAVING count(*) >= 18
+"""
+
+
+def q_ewma_value(spark, sf):
+    """Per-user exponentially-weighted moving average of event values
+    (functions/timeseries.py::ewma) — the decayed analog of the reference's
+    integratePerKey running sum (direct/core ReduceValueStateByKey with
+    geometric α=1/2 decay, truncated to the trailing 16 observations).
+    Exact integer dot product over a bounded window frame; the single
+    double division at the end is IEEE-identical in both engines, so the
+    oracle hash covers the smoothing math itself. Plan: Exchange(user) →
+    Sort → Window with O(16) state per row — no Python, no driver state."""
+    from proxima_platform_spark.functions.timeseries import ewma
+
+    ev = _events(spark, sf)
+    return ewma(ev, ["user_id"], ["tstamp", "event_id"], "value").select(
+        "event_id", "user_id", "ewma"
+    )
+
+
+SQL_EWMA_VALUE = """
+WITH w AS (
+  SELECT event_id, user_id,
+         list(CAST(round(value * 100, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+  FROM events)
+SELECT event_id, user_id,
+       round(CAST(list_sum(list_transform(l, (x, i) -> x * ((1::BIGINT) << (i - 1)))) AS DOUBLE)
+             / (CAST(((1::BIGINT) << len(l)) - 1 AS DOUBLE) * 100.0), 6) AS ewma
+FROM w
+"""
+
+
+def q_anomaly_zscore(spark, sf):
+    """Rolling anomaly detection (functions/timeseries.py::rolling_zscore):
+    per-user trailing-50 z-score, flag |z| ≥ 2.5 after a 10-observation
+    warmup. Σx/Σx² accumulate exactly in DECIMAL (order-independent — no
+    float summation noise), so μ/σ/z are a fixed sequence of
+    correctly-rounded double ops identical across engines. One
+    Exchange(user) → Sort → Window pass computes both running sums —
+    the streaming-telemetry outlier primitive at any scale."""
+    from proxima_platform_spark.functions.timeseries import rolling_zscore
+
+    ev = _events(spark, sf)
+    rz = rolling_zscore(ev, ["user_id"], ["tstamp", "event_id"], "value")
+    return rz.where(F.abs(F.col("zscore")) >= 2.5).select(
+        "event_id", "user_id", "value", "zscore"
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sum_x,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) OVER win AS DOUBLE) AS sum_x2,
+         CAST(count(*) OVER win AS DOUBLE) AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN n >= 10 AND (sum_x2/n - (sum_x/n)*(sum_x/n)) > 0
+              THEN round((CAST(value AS DOUBLE) - sum_x/n)
+                         / sqrt(sum_x2/n - (sum_x/n)*(sum_x/n)), 6) END AS zscore
+  FROM w)
+SELECT event_id, user_id, value, zscore
+FROM z WHERE abs(zscore) >= 2.5
+"""
+
+
+def q_attribution(spark, sf):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent PRECEDING click/view (none → '(direct)'), then
+    purchases and decimal-exact revenue roll up per credited channel.
+    last(..., ignorenulls) over the per-user ordered window — one shuffle
+    on user_id shared with the sort; the credit assignment itself is O(1)
+    per row (Spark's running `last` carries one value), never a per-row
+    rescan. The attribution shape every event-analytics deployment runs;
+    composes the reference's ordered-per-key guarantee (commit-log
+    per-key ordering, direct/core) with a windowed carry-forward."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tstamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    credited = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", F.coalesce(credited, F.lit("(direct)")))
+        .where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum(F.col("value"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH credited AS (
+  SELECT coalesce(
+           last(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           '(direct)') AS channel,
+         event_type, value
+  FROM events)
+SELECT channel, count(*) AS n_purchases,
+       sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS revenue
+FROM credited WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_feature_matrix(spark, sf):
+    """Per-user feature vectorization: pivot event-type counts into a dense
+    user × type matrix plus decimal-exact total spend — the feature-prep
+    step in front of any per-entity model. Explicit pivot value list ⇒ a
+    SINGLE shuffle with map-side partial aggregation (no extra
+    distinct-values job, no second pass); at 100 TB the output is one row
+    per entity, each column a conditional count — the same conditional
+    aggregation Catalyst compiles for the SQL form."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf)
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(_dsum(F.col("value"), 2).alias("total_spend"))
+    )
+    out = pv.join(spend, "user_id", "left").na.fill({"total_spend": 0.0})
+    return out.select(
+        "user_id",
+        *[F.col(t).alias(f"n_{t}") for t in types],
+        "total_spend",
+    )
+
+
+SQL_FEATURE_MATRIX = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'purchase')::DOUBLE, 0.0) AS total_spend
+FROM events
+GROUP BY 1
+"""
+
+
+def q_quantile_bins(spark, sf):
+    """Equi-depth feature binning: assign every document an n_chars decile
+    (ntile over a fully deterministic total order — (n_chars, doc_id)) and
+    report per-decile population and range. ntile's bucket-size rule
+    (remainder to the leading buckets) is engine-standardized, so the
+    oracle hash pins the binning itself. Scale note: a global ntile is a
+    range-partitioned sort (Spark samples boundaries, one exchange) —
+    the plan a 1000-executor sort uses; for approximate cuts at extreme
+    scale the histogram ladder (rollup_quantile) is the sketch path."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select(
+        "doc_id", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents)
+SELECT decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM b GROUP BY 1
+"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -4093,6 +4322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the r03 hash-green block re-rides the remaining slots, oldest
     # certification first.
     return {
+        # -- (a0) newest in r04, zero driver signal -------------------------
+        "heavy_hitters": q_heavy_hitters,
+        "ewma_value": q_ewma_value,
+        "anomaly_zscore": q_anomaly_zscore,
+        "attribution": q_attribution,
+        "feature_matrix": q_feature_matrix,
+        "quantile_bins": q_quantile_bins,
         # -- (a) r03-new, never driver-checked ------------------------------
         "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)
         "tpch_q10ish": q_tpch_q10ish,
@@ -4301,6 +4537,12 @@ FROM survivors GROUP BY source
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "ewma_value": SQL_EWMA_VALUE,
+        "anomaly_zscore": SQL_ANOMALY_ZSCORE,
+        "attribution": SQL_ATTRIBUTION,
+        "feature_matrix": SQL_FEATURE_MATRIX,
+        "quantile_bins": SQL_QUANTILE_BINS,
         "batch_updates_range": SQL_BATCH_UPDATES,
         "batch_snapshot": SQL_BATCH_SNAPSHOT,
         "snapshot_wide": SQL_SNAPSHOT_WIDE,

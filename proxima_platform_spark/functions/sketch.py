@@ -111,3 +111,118 @@ def bloom_semi_join(
     return candidates.join(
         needles.select(col).distinct(), col, "left_semi"
     )
+
+
+# ===========================================================================
+# Count-Min sketch (frequency) — same two-phase exactness pattern as Bloom
+# ===========================================================================
+#
+# A CMS is a depth×width grid of counters; each key increments one counter
+# per row (xxhash64(key, row) % width) and its frequency estimate is the MIN
+# over its depth counters. Estimates NEVER undercount (collisions only add),
+# so "estimate >= T" admits every truly-frequent key — the same
+# no-false-negative contract the Bloom filter gives membership, applied to
+# frequency. Reference analog: the platform's StorageFilter pre-selection
+# (direct/core commit-log filtering) — prune cheaply first, confirm exactly
+# on the survivors.
+#
+# Scale shape (100 TB): the build shuffles depth×width COUNTER CELLS
+# (map-side combined — the shuffle is O(d·w), independent of key
+# cardinality), collapses to ONE row holding a map<int,long> of a few
+# hundred KB, and the probe is a 1-row broadcast + least() over d
+# element_at lookups — whole-stage codegen, no Python, no shuffle. An
+# exact frequent-items groupBy at 100 TB shuffles every distinct key;
+# CMS-prefiltered, the exact agg only carries rows whose key is plausibly
+# frequent (true hitters + a collision-bounded ε·N of impostors).
+
+
+def _cms_cells(cols: list[Column], width: int, depth: int) -> list[Column]:
+    """depth cell ids for a (possibly composite) key: row r hashes with
+    seed r into [0, width), offset by r·width into the flat grid."""
+    return [
+        F.lit(r * width) + F.pmod(F.xxhash64(*cols, F.lit(r)), F.lit(width))
+        for r in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame, cols: list[str], width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """One-row DataFrame ``{cells: map<int,long>, width, depth}`` — the
+    Count-Min grid over the multiset of ``cols`` tuples in ``df`` (one
+    increment per ROW, so the sketch estimates row frequencies)."""
+    key = [F.col(c) for c in cols]
+    pos = df.select(
+        F.explode(F.array(*_cms_cells(key, width, depth))).alias("cell")
+    )
+    per_cell = pos.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return per_cell.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("cell").cast("int"), "n")))
+        ).alias("cells"),
+        F.lit(width).alias("width"),
+        F.lit(depth).alias("depth"),
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shape sketches by element-wise counter addition —
+    CMS(A ⊎ B) == merge(CMS(A), CMS(B)) exactly, which is what makes the
+    sketch usable per-partition / per-micro-batch (build small, merge up,
+    probe once). Plain DataFrame ops: explode both maps, sum per cell."""
+    ae = a.select(F.explode("cells").alias("cell", "n"), "width", "depth")
+    be = b.select(F.explode("cells").alias("cell", "n"), "width", "depth")
+    u = ae.unionByName(be)
+    per_cell = u.groupBy("cell", "width", "depth").agg(F.sum("n").alias("n"))
+    return per_cell.groupBy("width", "depth").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("cell", "n")))
+        ).alias("cells")
+    ).select("cells", "width", "depth")
+
+
+def cms_estimate(
+    probe: DataFrame, cols: list[str], cms: DataFrame,
+    width: int = 2048, depth: int = 4, out: str = "freq_est",
+) -> DataFrame:
+    """``probe`` + a ``freq_est`` column: min over the key's depth counters
+    (0 for never-seen keys). 1-row broadcast crossJoin (map-side, not a
+    cartesian blow-up); the lookup is least() over element_at — codegen."""
+    key = [F.col(c) for c in cols]
+    cells = _cms_cells(key, width, depth)
+    lookups = [
+        F.coalesce(
+            F.element_at(F.col("__cms.cells"), c.cast("int")), F.lit(0).cast("long")
+        )
+        for c in cells
+    ]
+    est = lookups[0] if depth == 1 else F.least(*lookups)
+    return (
+        probe.crossJoin(F.broadcast(cms.select(F.struct("cells").alias("__cms"))))
+        .withColumn(out, est)
+        .drop("__cms")
+    )
+
+
+def cms_frequent_items(
+    df: DataFrame,
+    cols: list[str],
+    threshold: int,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """EXACT frequent-items: every ``cols`` tuple occurring ≥ ``threshold``
+    times in ``df``, with its exact count ``n`` — equal to the plain
+    ``groupBy(cols).count().where(n >= T)``, but the exact aggregation only
+    shuffles rows whose CMS estimate clears the threshold. CMS never
+    undercounts ⇒ no true hitter is dropped; overcounted impostors are
+    removed by the exact count."""
+    sketch = cms_build(df.select(*cols), cols, width, depth)
+    candidates = cms_estimate(df, cols, sketch, width, depth).where(
+        F.col("freq_est") >= F.lit(threshold)
+    )
+    return (
+        candidates.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= F.lit(threshold))
+    )

@@ -287,3 +287,99 @@ def hll_ladder(
             "estimate", F.hll_sketch_estimate("sketch").cast("long")
         )
     return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out: str = "ewma",
+    max_lag: int = 16,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key (α = 1/2), truncated to
+    the trailing ``max_lag`` observations — the decayed analog of the
+    reference's ``integratePerKey`` running sum
+    (direct/core ReduceValueStateByKey semantics with geometric decay).
+
+    Exact-arithmetic formulation (engine-portable, hash-oracle-safe): with
+    the trailing frame [x_0 … x_{m-1}] oldest-first, the α=1/2 truncated
+    normalized weights are 2^i / (2^m − 1), so
+
+        ewma = Σ x_i·2^i / (2^m − 1)
+
+    Values are fixed-decimal (``value_scale`` digits) ⇒ scaled to integers,
+    the numerator is an EXACT int64 dot product (m ≤ 16 keeps it far from
+    overflow: |x|·10^s·2^16), and the one double division at the end is
+    IEEE-correctly-rounded identically in any engine. No float accumulation
+    anywhere, so no summation-order noise.
+
+    Plan shape: one shuffle on the key, one sort per partition, a
+    ``collect_list`` over a BOUNDED frame (≤ max_lag elements — state is
+    O(max_lag), not O(partition)), and a codegen ``aggregate`` lambda.
+    At 100 TB this is the standard windowed-analytic plan: Exchange(key) →
+    Sort → Window, no driver state, no Python.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(max_lag - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * F.lit(10 ** value_scale)).cast("long")
+    # frame order = orderBy order (oldest first); the newest element gets
+    # the largest weight 2^(m-1)
+    staged = df.withColumn("__l", F.collect_list(cents).over(w))
+    num = F.expr(
+        "aggregate(zip_with(__l, sequence(0, size(__l) - 1),"
+        " (x, i) -> x * shiftleft(1L, i)), 0L, (a, v) -> a + v)"
+    )
+    den = F.expr("shiftleft(1L, size(__l)) - 1")
+    return staged.withColumn(
+        out, F.round(num / (den * F.lit(10 ** value_scale)), 6)
+    ).drop("__l")
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 50,
+    min_obs: int = 10,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Rolling anomaly score per key: z = (x − μ)/σ over the trailing
+    ``window_rows`` observations (population σ), NULL until ``min_obs``
+    points have been seen. The streaming-telemetry outlier primitive.
+
+    Exactness recipe: Σx and Σx² accumulate in DECIMAL over the
+    fixed-decimal input (order-independent — no float summation noise; x²
+    of a scale-s decimal is a scale-2s decimal, still exact), then μ, σ, z
+    are a FIXED sequence of correctly-rounded double ops identical in any
+    IEEE engine, rounded to 6 at the end. Columns added: ``n_obs``,
+    ``zscore``.
+
+    Plan shape: Exchange(key) → Sort → single Window computing both running
+    sums over the same bounded frame — one pass, O(1) state per row.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    s = value_scale
+    xd = F.col(value_col).cast(f"decimal(18,{s})")
+    sum_x = F.sum(xd).over(w).cast("double")
+    sum_x2 = F.sum((xd * xd).cast(f"decimal(38,{2 * s})")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = sum_x / n
+    var = sum_x2 / n - mean * mean
+    x = F.col(value_col).cast("double")
+    z = (x - mean) / F.sqrt(var)
+    # var > 0 guard (not sqrt(var) > 0): engines disagree on sqrt of the
+    # tiny negative a cancellation can produce (NaN vs error)
+    return df.withColumn("n_obs", n.cast("long")).withColumn(
+        "zscore",
+        F.when((F.col("n_obs") >= min_obs) & (var > 0), F.round(z, 6)),
+    )

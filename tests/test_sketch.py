@@ -67,3 +67,83 @@ class TestBloom:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
             assert bad not in plan, f"{bad} in plan"
+
+
+from proxima_platform_spark.functions.sketch import (  # noqa: E402
+    cms_build,
+    cms_estimate,
+    cms_frequent_items,
+    cms_merge,
+)
+
+
+class TestCountMin:
+    """CMS contract: estimates never undercount, merge is exact counter
+    addition (CMS(A ⊎ B) == merge(CMS(A), CMS(B))), and the two-phase
+    frequent-items equals the plain exact groupBy — same exactness shape
+    as the Bloom prefilter+confirm above."""
+
+    def _df(self, spark):
+        # zipf-ish: key k occurs ~ 600/(k+1) times → a few clear hitters
+        return spark.range(0, 2000).select(
+            (F.col("id") % 13).alias("k"),
+            F.concat(F.lit("t"), F.col("id") % 3).alias("t"),
+        ).where(F.col("id") % (F.col("k") + 1) == 0)
+
+    def test_estimate_never_undercounts(self, spark):
+        df = self._df(spark)
+        exact = {(r.k, r.t): r["count"] for r in df.groupBy("k", "t").count().collect()}
+        sk = cms_build(df, ["k", "t"], width=256, depth=4)
+        est = cms_estimate(
+            df.select("k", "t").distinct(), ["k", "t"], sk, width=256, depth=4
+        ).collect()
+        assert len(est) == len(exact)
+        for r in est:
+            assert r.freq_est >= exact[(r.k, r.t)]
+
+    def test_never_seen_estimates_include_zero(self, spark):
+        df = self._df(spark)
+        sk = cms_build(df, ["k", "t"], width=2048, depth=4)
+        probe = spark.createDataFrame([(999, "zz")], "k long, t string")
+        [(r,)] = cms_estimate(probe, ["k", "t"], sk).select("freq_est").collect()
+        # wide grid + tiny key set → the unseen key's cells are all empty
+        assert r == 0
+
+    def test_merge_equals_union_build(self, spark):
+        df = self._df(spark)
+        a, b = df.where("id < 700"), df.where("id >= 700")
+        m = cms_merge(
+            cms_build(a, ["k", "t"], width=256, depth=4),
+            cms_build(b, ["k", "t"], width=256, depth=4),
+        ).collect()[0]
+        u = cms_build(df, ["k", "t"], width=256, depth=4).collect()[0]
+        assert dict(m.cells) == dict(u.cells)
+        assert (m.width, m.depth) == (u.width, u.depth)
+
+    def test_frequent_items_exact(self, spark):
+        df = self._df(spark)
+        for threshold in (5, 50, 200):
+            got = {
+                (r.k, r.t): r.n
+                for r in cms_frequent_items(
+                    df, ["k", "t"], threshold, width=256, depth=4
+                ).collect()
+            }
+            want = {
+                (r.k, r.t): r["count"]
+                for r in df.groupBy("k", "t").count().collect()
+                if r["count"] >= threshold
+            }
+            assert got == want
+
+    def test_plan_broadcast_no_python(self, spark):
+        df = self._df(spark)
+        plan = (
+            cms_frequent_items(df, ["k", "t"], 10, width=256, depth=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan, f"{bad} in plan"

@@ -178,3 +178,124 @@ class TestDistinctLadder:
         a = {r["bucket_ms"]: r["estimate"] for r in via_hours.collect()}
         b = {r["bucket_ms"]: r["estimate"] for r in direct.collect()}
         assert a == b
+
+
+from proxima_platform_spark.functions.timeseries import (  # noqa: E402
+    ewma,
+    rolling_zscore,
+)
+
+
+class TestEwma:
+    """Trailing-K α=1/2 EWMA vs a pure-Python model of the same truncated
+    normalized weighting: ewma_n = Σ x_{n-j}·2^{m-1-j} / (2^m − 1)."""
+
+    def _model(self, xs, max_lag=16):
+        out = []
+        for n in range(len(xs)):
+            frame = xs[max(0, n - max_lag + 1) : n + 1]
+            m = len(frame)
+            cents = [round(x * 100) for x in frame]
+            num = sum(c * (1 << i) for i, c in enumerate(cents))
+            out.append(round(num / (((1 << m) - 1) * 100.0), 6))
+        return out
+
+    def test_matches_model(self, spark):
+        xs = [1.25, 2.0, 0.5, 10.0, 3.75, 3.75, 0.01, 99.99, 4.2]
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k long, i long, v double"
+        )
+        got = [
+            r.ewma
+            for r in ewma(df, ["k"], ["i"], "v").orderBy("i").collect()
+        ]
+        assert got == self._model(xs)
+
+    def test_decay_weights_newest_most(self, spark):
+        # a spike decays geometrically: after the spike, each step halves
+        # its remaining contribution
+        xs = [0.0] * 5 + [100.0] + [0.0] * 5
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k long, i long, v double"
+        )
+        got = [r.ewma for r in ewma(df, ["k"], ["i"], "v").orderBy("i").collect()]
+        assert got[5] == max(got)  # spike dominates at its own row
+        for i in range(6, 10):
+            assert got[i + 1] < got[i]  # monotone decay afterwards
+
+    def test_keys_independent(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 5.0), (2, 0, 50.0), (1, 1, 5.0), (2, 1, 50.0)],
+            "k long, i long, v double",
+        )
+        rows = ewma(df, ["k"], ["i"], "v").collect()
+        for r in rows:
+            assert r.ewma == (5.0 if r.k == 1 else 50.0)
+
+    def test_window_plan_single_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 5.0), (2, 1, 6.0)], "k long, i long, v double"
+        )
+        plan = (
+            ewma(df, ["k"], ["i"], "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1 + plan.count("Exchange rangepartitioning")
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan
+
+
+class TestRollingZscore:
+    def _model(self, xs, window=50, min_obs=10):
+        import math
+
+        out = []
+        for n in range(len(xs)):
+            frame = xs[max(0, n - window + 1) : n + 1]
+            m = len(frame)
+            sum_x = sum(round(x * 100) for x in frame) / 100.0
+            sum_x2 = sum(round(x * 100) ** 2 for x in frame) / 10000.0
+            mean = sum_x / m
+            var = sum_x2 / m - mean * mean
+            if m >= min_obs and var > 0:
+                out.append((m, round((xs[n] - mean) / math.sqrt(var), 6)))
+            else:
+                out.append((m, None))
+        return out
+
+    def test_matches_model(self, spark):
+        import random
+
+        rng = random.Random(7)
+        xs = [round(rng.uniform(0, 50), 2) for _ in range(80)]
+        xs[40] = 500.0  # an unmistakable outlier inside the window
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k long, i long, v double"
+        )
+        got = [
+            (r.n_obs, r.zscore)
+            for r in rolling_zscore(df, ["k"], ["i"], "v", window_rows=50)
+            .orderBy("i")
+            .collect()
+        ]
+        want = self._model(xs)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gn, gz), (wn, wz) in zip(got, want):
+            if wz is None:
+                assert gz is None
+            else:
+                assert gz == pytest.approx(wz, abs=1e-6)
+
+    def test_warmup_null_and_outlier_flagged(self, spark):
+        xs = [10.0] * 20 + [10.5] * 20 + [1000.0]
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k long, i long, v double"
+        )
+        rows = rolling_zscore(df, ["k"], ["i"], "v").orderBy("i").collect()
+        for r in rows[:9]:
+            assert r.zscore is None  # warmup
+        # constant prefix → var == 0 → NULL, never a division blowup
+        assert rows[9].zscore is None
+        assert rows[-1].zscore is not None and rows[-1].zscore > 3
