@@ -4287,6 +4287,151 @@ FROM b GROUP BY 1
 """
 
 
+def q_ohlc_bars(spark, sf):
+    """Time-series downsampling to OHLC bars: per (event_type, day) the
+    open/high/low/close of `value`, open/close taken at the deterministic
+    (ts, event_id) order extremes via min/max over a packed struct — ONE
+    hash aggregation with map-side combine, no window sort of raw events
+    (the struct min carries (ts, event_id, value) so the arg-min rides the
+    agg). The hypertable downsampling primitive: at 100 TB each day×type
+    cell reduces locally before the one shuffle, and the bars feed the
+    rollup ladder (operators/rollup.py) unchanged. Values are fixed-decimal
+    ⇒ cents-exact; open/close recovered from the struct's value field."""
+    ev = _events(spark, sf)
+    day = F.expr("ts_ms DIV 86400000")
+    packed = F.struct(F.col("ts_ms"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.min(packed).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(packed).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+SQL_OHLC_BARS = """
+WITH o AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day, value,
+         first_value(value) OVER (PARTITION BY event_type, epoch_ms(ts) // 86400000
+                                  ORDER BY ts, event_id) AS open,
+         last_value(value)  OVER (PARTITION BY event_type, epoch_ms(ts) // 86400000
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM events)
+SELECT event_type, day,
+       any_value(open) AS open, max(value) AS high, min(value) AS low,
+       any_value(close) AS close, count(*) AS n_ticks
+FROM o GROUP BY 1, 2
+"""
+
+
+def q_inverted_index(spark, sf):
+    """Retrieval-prep inverted index: token → document-frequency, total
+    term-frequency, and the sorted posting list (CSV string — arrays don't
+    hash-compare portably). Tokens are projected into their own column
+    BEFORE the explode (the Generate-CSE trap), then one groupBy(term)
+    with map-side combine builds df/tf and the postings via
+    sort_array(collect_set(...)). Scale shape: term keys are zipf-skewed —
+    the df/tf counts two-phase cleanly (partial aggs absorb the skew), and
+    the posting-list collect is bounded here by the corpus contract; a
+    web-scale index would cap postings per term (slice after sort) or
+    shard hot terms — noted in SCALE.md. The BM25/TF-IDF rankers
+    (functions/ranking.py) consume exactly these statistics."""
+    from proxima_platform_spark.functions.dedup import tokens
+
+    docs = _load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") >= 3)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias(
+                "postings_csv"
+            ),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf,
+       list_aggr(list_sort(list_distinct(list(doc_id))), 'string_agg', ',') AS postings_csv
+FROM toks WHERE length(term) >= 3
+GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+def q_pagerank_types(spark, sf):
+    """PageRank over the event-type transition graph
+    (functions/graph.py::pagerank_int): edges = first-order Markov
+    transition counts (the event_transitions query), 3 iterations of the
+    INTEGER-spec weighted PageRank — every rank a scaled int64, every
+    division integer DIV, so the DuckDB oracle replays the exact spec
+    CTE-by-CTE and the hash check certifies the propagation math itself.
+    Each iteration is one equi-join (ranks ⋈ edges) + one summed
+    groupBy(dst) — at graph scale both hash-partition on the same key
+    every round; no driver state, no collect."""
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.graph import pagerank_int
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("tstamp", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank_int(edges, iterations=3)
+    return ranks.select(F.col("node").alias("event_type"), "rank")
+
+
+SQL_PAGERANK_TYPES = """
+WITH edges AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS weight
+  FROM (SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events)
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), ow AS (SELECT src, sum(weight) AS out_w FROM edges GROUP BY 1),
+e AS (SELECT edges.*, ow.out_w FROM edges JOIN ow USING (src)),
+r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+r1 AS (
+  SELECT n.node, ((3000000000::BIGINT // 20) + coalesce(s.in_sum, 0))::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((17::BIGINT * r.rank * e.weight) // (20::BIGINT * e.out_w)) AS in_sum
+    FROM e JOIN r0 r ON e.src = r.node GROUP BY 1) s ON n.node = s.node
+), r2 AS (
+  SELECT n.node, ((3000000000::BIGINT // 20) + coalesce(s.in_sum, 0))::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((17::BIGINT * r.rank * e.weight) // (20::BIGINT * e.out_w)) AS in_sum
+    FROM e JOIN r1 r ON e.src = r.node GROUP BY 1) s ON n.node = s.node
+), r3 AS (
+  SELECT n.node, ((3000000000::BIGINT // 20) + coalesce(s.in_sum, 0))::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((17::BIGINT * r.rank * e.weight) // (20::BIGINT * e.out_w)) AS in_sum
+    FROM e JOIN r2 r ON e.src = r.node GROUP BY 1) s ON n.node = s.node
+)
+SELECT node AS event_type, rank FROM r3
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4324,6 +4469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a0) newest in r04, zero driver signal -------------------------
         "heavy_hitters": q_heavy_hitters,
+        "ohlc_bars": q_ohlc_bars,
+        "inverted_index": q_inverted_index,
+        "pagerank_types": q_pagerank_types,
         "ewma_value": q_ewma_value,
         "anomaly_zscore": q_anomaly_zscore,
         "attribution": q_attribution,
@@ -4538,6 +4686,9 @@ FROM survivors GROUP BY source
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "ohlc_bars": SQL_OHLC_BARS,
+        "inverted_index": SQL_INVERTED_INDEX,
+        "pagerank_types": SQL_PAGERANK_TYPES,
         "ewma_value": SQL_EWMA_VALUE,
         "anomaly_zscore": SQL_ANOMALY_ZSCORE,
         "attribution": SQL_ATTRIBUTION,

@@ -165,3 +165,76 @@ def dedup_groups(
         F.col("component").alias("group_id"),
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10 ** 9,
+) -> DataFrame:
+    """Weighted PageRank with a fully INTEGER specification — every rank is
+    a scaled int64 and every division is integer ``DIV``, so two engines
+    replaying the same spec agree bit-for-bit (the same determinism trick
+    as the k-means decimal means and the LSH integer projections).
+
+    Spec (per iteration, damping d = damping_num/damping_den):
+
+        contrib(u→v) = (d·rank(u)·w(u,v)) DIV (den·out_w(u))
+        rank'(v)     = ((den−num)·scale) DIV den + Σ contrib(·→v)
+
+    Nodes = distinct endpoints of ``edges(src, dst, weight)``; nodes with
+    no in-edges keep the teleport term. Dangling nodes (no out-edges)
+    simply don't distribute — the spec is self-contained rather than
+    mass-conserving, which is what makes it exactly replayable.
+
+    Scale shape: each iteration is ONE equi-join (ranks ⋈ edges on src —
+    ranks is one row per node and broadcasts when small; at web scale both
+    sides hash-partition on the same key every round, so AQE reuses the
+    exchange) + one groupBy(dst) sum with map-side combine. The plan is
+    built lazily over ``iterations`` rounds — no driver state, no collect.
+    Fixed iteration count keeps the plan finite; for convergence-driven
+    runs compose with the ``connected_components`` checkpoint pattern.
+
+    Overflow bound: num·rank·w must fit int64 — rank ≤ scale·(1+in_deg),
+    fine for scale=1e9 and weights ≤ ~1e5.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # lazy checkpoint: the weighted edge list is consumed once per
+    # iteration — truncate lineage so round k doesn't replay the (possibly
+    # expensive) edge derivation k times (same pattern as
+    # connected_components; blocks materialize on first use)
+    e = edges.join(out_w, "src").localCheckpoint(eager=False)
+    teleport = F.expr(
+        f"CAST({(damping_den - damping_num) * scale} AS BIGINT) DIV {damping_den}"
+    )
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(CAST({damping_num} AS BIGINT) * rank * weight)"
+                    f" DIV (CAST({damping_den} AS BIGINT) * out_w)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("in_sum"), F.lit(0).cast("long"))).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks

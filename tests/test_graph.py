@@ -192,3 +192,52 @@ class TestPlanBands:
             plan_bands(0.0, 8)
         with _pytest.raises(ValueError):
             plan_bands(0.5, 0)
+
+
+from proxima_platform_spark.functions.graph import pagerank_int  # noqa: E402
+
+
+class TestPagerankInt:
+    """Integer-spec PageRank vs a pure-Python replay of the same spec:
+    contrib = (17·rank·w) // (20·out_w), rank' = (3·scale) // 20 + Σ."""
+
+    def _model(self, edges, iterations=3, scale=10 ** 9):
+        nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+        out_w = {}
+        for u, _, w in edges:
+            out_w[u] = out_w.get(u, 0) + w
+        rank = {n: scale for n in nodes}
+        for _ in range(iterations):
+            nxt = {n: (3 * scale) // 20 for n in nodes}
+            for u, v, w in edges:
+                nxt[v] += (17 * rank[u] * w) // (20 * out_w[u])
+            rank = nxt
+        return rank
+
+    def test_matches_model(self, spark):
+        edges = [
+            ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+            ("c", "a", 5), ("d", "a", 1),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r.node: r.rank for r in pagerank_int(df, iterations=3).collect()}
+        assert got == self._model(edges)
+
+    def test_sink_keeps_teleport_plus_inflow(self, spark):
+        # d has no in-edges: after iteration 1 its rank is exactly the
+        # teleport term, and it stays there
+        edges = [("d", "a", 1), ("a", "b", 1), ("b", "a", 1)]
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r.node: r.rank for r in pagerank_int(df, iterations=4).collect()}
+        assert got["d"] == (3 * 10 ** 9) // 20
+        assert got == self._model(edges, iterations=4)
+
+    def test_more_inflow_ranks_higher(self, spark):
+        # hub receives from everyone; spokes only from the hub
+        edges = [("s%d" % i, "hub", 10) for i in range(5)] + [
+            ("hub", "s%d" % i, 1) for i in range(5)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {r.node: r.rank for r in pagerank_int(df).collect()}
+        assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+        assert got == self._model(edges)

@@ -940,3 +940,56 @@ class TestContinuousRollup:
             for r in roll.level(HOUR).collect()
         }
         assert got == {("a", 0): (2, 3.0), ("a", HOUR): (1, 5.0)}
+
+
+class TestStreamingHeavyHitters:
+    def test_merged_batch_sketches_equal_global(self, spark):
+        """Continuous frequent-items: CMS built per micro-batch and merged
+        across batches (functions/sketch.py::cms_merge) must equal the
+        sketch of the full stream — so a streaming job can maintain one
+        small merged sketch and answer 'is this key frequent so far'
+        without re-reading history. Then the merged-sketch prefilter +
+        exact confirm over the full data reproduces the plain exact
+        frequent-items — the batch heavy_hitters contract, maintained
+        online."""
+        from proxima_platform_spark.functions.sketch import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        schema = "k string, t string"
+        batches = [
+            [("a", "x")] * 9 + [("b", "y")] * 2,
+            [("a", "x")] * 5 + [("c", "z")] * 6 + [("b", "y")],
+            [("a", "x")] * 4 + [("c", "z")] * 3,
+        ]
+        merged = None
+        for rows in batches:
+            sk = cms_build(spark.createDataFrame(rows, schema), ["k", "t"],
+                           width=128, depth=4)
+            merged = sk if merged is None else cms_merge(merged, sk)
+        all_rows = [r for b in batches for r in b]
+        full = spark.createDataFrame(all_rows, schema)
+        want = cms_build(full, ["k", "t"], width=128, depth=4).collect()[0]
+        got = merged.collect()[0]
+        assert dict(got.cells) == dict(want.cells)
+
+        # online heavy-hitters from the merged sketch == exact groupBy
+        threshold = 9
+        cand = cms_estimate(full, ["k", "t"], merged, width=128, depth=4).where(
+            F.col("freq_est") >= threshold
+        )
+        hh = {
+            (r.k, r.t): r["n"]
+            for r in cand.groupBy("k", "t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= threshold)
+            .collect()
+        }
+        exact = {
+            (r.k, r.t): r["count"]
+            for r in full.groupBy("k", "t").count().collect()
+            if r["count"] >= threshold
+        }
+        assert hh == exact and len(exact) == 2  # ('a','x')=18, ('c','z')=9
