@@ -4432,6 +4432,145 @@ SELECT node AS event_type, rank FROM r3
 """
 
 
+def q_pit_enrich(spark, sf):
+    """Point-in-time-correct feature join, SCD2-interval route: purchases
+    enriched with the signup-profile version VALID AT the purchase instant
+    (valid_from ≤ t < valid_to, open-ended latest) — the feature-store
+    correctness primitive (no leakage from future versions). The dimension
+    is built from the changelog exactly like scd2_intervals; the join is an
+    EQUI-join on user_id with the interval predicate as a residual filter —
+    a hash join, never a BNLJ, because per-key version counts are small
+    (the SCD2 contract); a version-heavy dimension would switch to the
+    binned range join (operators/range_join.py). Complements
+    asof_join_enrich, which certifies the same semantics via the
+    carry-forward window — two plans, one meaning."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.round("value", 2).alias("profile_value"),
+            F.col("ts_ms").alias("valid_from_ms"),
+            F.lead("ts_ms").over(
+                Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+            ).alias("valid_to_ms"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    j = purchases.join(dim, "user_id").where(
+        (F.col("ts_ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ts_ms") < F.col("valid_to_ms")))
+    )
+    return j.select("event_id", "user_id", "profile_value")
+
+
+SQL_PIT_ENRICH = """
+WITH dim AS (
+  SELECT user_id, round(value, 2) AS profile_value,
+         epoch_ms(ts) AS valid_from_ms,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+             AS valid_to_ms
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, dim.profile_value
+FROM p JOIN dim USING (user_id)
+WHERE p.ts_ms >= dim.valid_from_ms
+  AND (dim.valid_to_ms IS NULL OR p.ts_ms < dim.valid_to_ms)
+"""
+
+
+def q_bpe_merge_candidates(spark, sf):
+    """First BPE merge-rule induction step: count adjacent CHARACTER pair
+    frequencies inside whitespace tokens across the corpus and emit the
+    top-20 merge candidates (count desc, pair asc — fully deterministic).
+    This is the inner loop of byte-pair-encoding vocabulary training; one
+    round is the expensive part at corpus scale and it is pure
+    shuffle-on-pair aggregation: tokens projected BEFORE the pair explode
+    (Generate-CSE trap), pair cardinality is bounded (alphabet²) so the
+    count agg is map-side combined into almost nothing, and the top-20 is
+    a TakeOrdered — no global sort."""
+    from proxima_platform_spark.functions.dedup import tokens
+
+    docs = _load(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = r"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair
+  FROM (SELECT tok, unnest(range(1, length(tok))) AS i FROM toks WHERE length(tok) >= 2)
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """Per-group top-k (the 'top spenders per event type' shape): exact
+    decimal spend per (type, user), then row_number ≤ 3 inside each type
+    with a deterministic tie-break (spend desc, user asc). Two shuffles —
+    the agg and the per-group rank — and the rank window sorts only the
+    ALREADY-AGGREGATED frame (one row per (type, user)), never raw events;
+    with millions of groups this stays a partial-sort per group key, no
+    global order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    spend = ev.groupBy("event_type", "user_id").agg(
+        _dsum(F.col("value"), 2).alias("spend")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("spend").desc(), F.col("user_id")
+    )
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "spend", "rnk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH spend AS (
+  SELECT event_type, user_id,
+         sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS spend
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id, spend,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY spend DESC, user_id) AS rnk
+  FROM spend)
+SELECT event_type, user_id, spend, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4469,6 +4608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a0) newest in r04, zero driver signal -------------------------
         "heavy_hitters": q_heavy_hitters,
+        "pit_enrich": q_pit_enrich,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "topk_per_group": q_topk_per_group,
         "ohlc_bars": q_ohlc_bars,
         "inverted_index": q_inverted_index,
         "pagerank_types": q_pagerank_types,
@@ -4686,6 +4828,9 @@ FROM survivors GROUP BY source
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "pit_enrich": SQL_PIT_ENRICH,
+        "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
         "ohlc_bars": SQL_OHLC_BARS,
         "inverted_index": SQL_INVERTED_INDEX,
         "pagerank_types": SQL_PAGERANK_TYPES,
