@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     "rollup_quantile",
     "scd2_intervals",
     "incremental_dedup",
+    "heavy_hitters",
+    "ewma_value",
+    "anomaly_zscore",
+    "ohlc_bars",
+    "inverted_index",
+    "pagerank_types",
+    "pit_enrich",
+    "bpe_merge_candidates",
 ]
 
 

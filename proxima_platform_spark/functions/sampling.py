@@ -211,3 +211,54 @@ def sequence_pack(
         F.expr(f"cum_start DIV {int(budget)}").alias("bin"),
         "n_tokens",
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    key: Column,
+    strata_col: str,
+    target_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source mixing (the T5/mT5 recipe at temperature
+    T=2, i.e. exponent α = 1/2): sample each source s with probability
+    ∝ √n_s, so small sources are up-weighted relative to their share and
+    no source dominates purely by volume. Rates are DERIVED from the data:
+
+        w_s = round(√n_s, 6)            (sqrt is IEEE-correctly-rounded —
+                                         the only engine-portable irrational
+                                         op; rounding pins the 6-dec value)
+        rate_s = round(min(1, target_total·w_s / (Σw·n_s)), 6)
+
+    Σw accumulates the 6-dec weights in DECIMAL (order-independent), and
+    the per-source rate is a fixed sequence of correctly-rounded double
+    ops — deterministic across engines, so the md5-keyed draw (the same
+    ``sample_key`` family as every sampler here) is exactly mirrorable in
+    SQL. Plan: one tiny per-source count agg (map-side combined), a 1-row
+    Σw broadcast, a broadcast join of the per-source rates onto the corpus,
+    then ONE pure codegen filter — no shuffle of the corpus itself."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.withColumn("w_s", F.round(F.sqrt(F.col("n_s")), 6))
+    tot = w.agg(
+        F.sum(F.col("w_s").cast("decimal(28,6)")).cast("double").alias("sum_w")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(float(target_total)) * F.col("w_s"))
+                    / (F.col("sum_w") * F.col("n_s").cast("double")),
+                ),
+                6,
+            ),
+        )
+        .select(strata_col, (F.col("rate") * BUCKETS).cast("long").alias("__thr"))
+    )
+    out = df.join(F.broadcast(rates), strata_col).where(
+        sample_key(key, salt) < F.col("__thr")
+    )
+    return out.drop("__thr")

@@ -383,3 +383,50 @@ def rolling_zscore(
         "zscore",
         F.when((F.col("n_obs") >= min_obs) & (var > 0), F.round(z, 6)),
     )
+
+
+def ewma_stream(
+    stream_events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    stamp_col: str = "tstamp",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    max_lag: int = 16,
+    value_scale: int = 2,
+    watermark_delay: str = "10 seconds",
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming twin of :func:`ewma`: the keyed event-time state machine
+    (``reduce_value_state_by_key_stream`` — transformWithStateInPandas
+    when available, applyInPandasWithState otherwise) carries the last
+    ``max_lag`` scaled-integer observations per key and emits one
+    (key, id, ewma) row per input event, equal to the batch operator's
+    value for that row. State per key is ≤ max_lag int64s; rows apply in
+    event-time order within the watermark, matching the batch
+    (stamp, id) frame order."""
+    scale = 10 ** value_scale
+
+    def state_fn(state, key, row):
+        cents = int(round(float(row[value_col]) * scale))
+        state = (state + [cents])[-max_lag:]
+        m = len(state)
+        num = sum(c * (1 << i) for i, c in enumerate(state))
+        val = round(num / (((1 << m) - 1) * float(scale)), 6)
+        return state, {key_col: key, id_col: row[id_col], "ewma": val}
+
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
+    return reduce_value_state_by_key_stream(
+        stream_events.select(key_col, stamp_col, value_col, id_col),
+        key=key_col,
+        stamp=stamp_col,
+        state_fn=state_fn,
+        initial_state=[],
+        output_schema=f"{key_col} long, {id_col} long, ewma double",
+        sorted=True,
+        watermark_delay=watermark_delay,
+        api=api,
+    )

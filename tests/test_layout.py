@@ -1,0 +1,81 @@
+"""Z-order layout keys (functions/layout.py): bit-exact Morton spec vs a
+python model, and the locality property that justifies the layout —
+z-sorted chunks bound BOTH dimensions where a single-column sort bounds
+only one."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.layout import morton_key_2d, spread_bits_16
+
+
+def _spread_model(x):
+    x &= 0xFFFF
+    for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+def _morton_model(a, b):
+    return _spread_model(a) | (_spread_model(b) << 1)
+
+
+class TestMortonKey:
+    def test_spread_matches_model(self, spark):
+        vals = [0, 1, 2, 3, 255, 256, 0xFFFF, 0x12345, 54321]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = [r.s for r in df.select(spread_bits_16(F.col("x")).alias("s")).collect()]
+        assert got == [_spread_model(v) for v in vals]
+
+    def test_interleave_bit_exact(self, spark):
+        pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (0xFFFF, 0xFFFF), (1234, 4321)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = [
+            r.z
+            for r in df.select(
+                morton_key_2d(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        ]
+        assert got == [_morton_model(a, b) for a, b in pairs]
+        # unit checks: a=1,b=0 -> bit0; a=0,b=1 -> bit1
+        assert _morton_model(1, 0) == 1 and _morton_model(0, 1) == 2
+
+    def test_zsort_bounds_both_dims(self, spark):
+        # 64x64 uniform grid; cut the sorted order into 16 equal chunks and
+        # measure each chunk's (a-extent + b-extent). Z-order keeps both
+        # extents ~sqrt(cell) while sorting by `a` leaves b unbounded.
+        n = 64
+        grid = spark.range(n * n).select(
+            (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+        )
+        z = grid.withColumn("z", morton_key_2d(F.col("a"), F.col("b")))
+        chunk = 16
+
+        def max_extent(df, order_col):
+            from pyspark.sql import Window
+
+            w = Window.orderBy(order_col)
+            c = df.withColumn(
+                "chunk", ((F.row_number().over(w) - 1) / (n * n // chunk)).cast("long")
+            )
+            ext = (
+                c.groupBy("chunk")
+                .agg(
+                    (F.max("a") - F.min("a") + F.max("b") - F.min("b")).alias("e")
+                )
+                .agg(F.max("e"))
+                .collect()[0][0]
+            )
+            return ext
+
+        z_ext = max_extent(z, "z")
+        a_ext = max_extent(z, "a")
+        # z chunks: 16x16 tiles -> extent 30; a-sorted chunks: 4 full
+        # columns -> b extent 63 (+ a extent 3) = 66
+        assert z_ext <= 32
+        assert a_ext >= 60
+        assert z_ext < a_ext / 2

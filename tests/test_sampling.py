@@ -312,3 +312,68 @@ class TestQuotaSampleProperty:
             for _, i in sorted(members)[:9]
         )
         assert out == want
+
+
+from proxima_platform_spark.functions.sampling import temperature_mix  # noqa: E402
+
+
+class TestTemperatureMix:
+    def _corpus(self, spark):
+        # skewed mixture: 400 'big', 100 'mid', 25 'small'
+        rows = (
+            [(i, "big") for i in range(400)]
+            + [(400 + i, "mid") for i in range(100)]
+            + [(500 + i, "small") for i in range(25)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def test_sqrt_upweights_tail(self, spark):
+        df = self._corpus(spark)
+        out = temperature_mix(
+            df, key=F.col("doc_id"), strata_col="src", target_total=200
+        )
+        kept = out.groupBy("src").count().collect()
+        frac = {r.src: r["count"] / n for r, n in
+                ((r, {"big": 400, "mid": 100, "small": 25}[r.src]) for r in kept)}
+        # keep-rate must INCREASE as stratum size decreases (α=1/2 law)
+        assert frac["small"] > frac["mid"] > frac["big"]
+
+    def test_rates_match_python_model(self, spark):
+        import math
+
+        df = self._corpus(spark)
+        out = temperature_mix(
+            df, key=F.col("doc_id"), strata_col="src", target_total=200,
+            salt="s1",
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        sizes = {"big": 400, "mid": 100, "small": 25}
+        w = {s: round(math.sqrt(n), 6) for s, n in sizes.items()}
+        sw = float(sum(w.values()))  # 6-dec weights: float sum is exact here
+        thr = {
+            s: int(round(min(1.0, (200.0 * w[s]) / (sw * n)), 6) * 1_000_000)
+            for s, n in sizes.items()
+        }
+        from proxima_platform_spark.functions.sampling import sample_key
+
+        keyed = df.select(
+            "doc_id", "src", sample_key(F.col("doc_id"), "s1").alias("sk")
+        ).collect()
+        want = sorted(r.doc_id for r in keyed if r.sk < thr[r.src])
+        assert got == want and 0 < len(want) < 525
+
+    def test_deterministic(self, spark):
+        df = self._corpus(spark)
+        a = sorted(
+            r.doc_id
+            for r in temperature_mix(
+                df, key=F.col("doc_id"), strata_col="src", target_total=100
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in temperature_mix(
+                df, key=F.col("doc_id"), strata_col="src", target_total=100
+            ).collect()
+        )
+        assert a == b

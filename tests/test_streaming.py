@@ -993,3 +993,57 @@ class TestStreamingHeavyHitters:
             if r["count"] >= threshold
         }
         assert hh == exact and len(exact) == 2  # ('a','x')=18, ('c','z')=9
+
+
+class TestStreamingEwma:
+    def test_streaming_equals_batch_per_row(self, spark, tmp_path):
+        """Streaming EWMA (functions/timeseries.ewma_stream): the keyed
+        event-time state machine carries the trailing-16 scaled-int buffer
+        per user; every emitted (user, event, ewma) must equal the batch
+        operator's value for that row — including across a micro-batch
+        boundary splitting one user's series."""
+        from proxima_platform_spark.functions.timeseries import ewma, ewma_stream
+
+        src = str(tmp_path / "ewma_src")
+        schema = "user_id long, event_id long, tstamp timestamp, value double"
+        b0 = [
+            (1, 0, ts(1000), 10.0),
+            (1, 1, ts(2000), 20.0),
+            (2, 2, ts(1500), 5.5),
+        ]
+        b1 = [
+            (1, 3, ts(3000), 40.0),  # continues u1's buffer from batch 0
+            (2, 4, ts(2500), 7.25),
+        ]
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f1")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(9, 99, ts(60_000), 0.0)], schema
+        ).coalesce(1).write.parquet(f"{src}/f2")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = ewma_stream(stream, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("ewma_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.event_id: r.ewma
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+            if r.user_id != 9
+        }
+        batch_df = spark.createDataFrame(b0 + b1, schema)
+        want = {
+            r.event_id: r.ewma
+            for r in ewma(
+                batch_df, ["user_id"], ["tstamp", "event_id"], "value"
+            ).collect()
+        }
+        assert got == want and len(got) == 5
