@@ -4642,6 +4642,79 @@ FROM events
 """
 
 
+def q_mad_outliers(spark, sf):
+    """Robust per-user outliers via Median Absolute Deviation
+    (functions/timeseries.py::mad_outliers): |x − med| > 3·MAD with exact
+    deterministic LOWER medians (rank-selected — no interpolation, no
+    float accumulation), the robust complement to anomaly_zscore (a single
+    500.0 spike inflates σ and hides itself from a z-test; it cannot move
+    a median). Two rank-the-key passes + same-key joins — partitioning
+    reused across all four stages. Output: the flagged rows."""
+    from proxima_platform_spark.functions.timeseries import mad_outliers
+
+    ev = _events(spark, sf)
+    out = mad_outliers(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id"], "value", ["event_id"], k=3.0,
+    )
+    return out.where(F.col("is_outlier")).select(
+        "event_id", "user_id", "value", "med", "mad"
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT user_id, value AS med
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events)
+  WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT e.event_id, e.user_id, e.value, m.med, abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, d AS mad
+  FROM (SELECT user_id, d, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY d, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM dev)
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT dev.event_id, dev.user_id, dev.value, dev.med, mad.mad
+FROM dev JOIN mad USING (user_id)
+WHERE mad.mad > 0 AND dev.d > 3.0 * mad.mad
+"""
+
+
+def q_retention_vacuum(spark, sf):
+    """Storage retention vacuum (changelog.py::vacuum_changelog): prune the
+    events changelog to the newest 2 versions per (key, attribute) cell
+    while ALWAYS keeping each cell's newest row — the maintenance
+    compaction a bulk family runs under a retention policy, with the
+    invariant snapshot(vacuum(c)) == snapshot(c) pinned by test. One
+    Exchange(cell) → Sort → row_number → codegen filter, the same
+    partitioning `compact` uses. Output: the surviving version rows."""
+    from proxima_platform_spark.changelog import vacuum_changelog
+
+    clog = _events_changelog(spark, sf)
+    kept = vacuum_changelog(clog, keep_versions=2)
+    return kept.select(
+        "key", "attribute", F.col("seq_id").alias("event_id"),
+        _stamp_ms().alias("stamp_ms"),
+    )
+
+
+SQL_RETENTION_VACUUM = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       event_id, epoch_us(ts) // 1000 AS stamp_ms
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY epoch_us(ts) DESC, event_id DESC) <= 2
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4684,6 +4757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a0) newest in r04, zero driver signal -------------------------
         "heavy_hitters": q_heavy_hitters,
         "temperature_mix": q_temperature_mix,
+        "mad_outliers": q_mad_outliers,
+        "retention_vacuum": q_retention_vacuum,
         "zorder_layout": q_zorder_layout,
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -4906,6 +4981,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        "mad_outliers": SQL_MAD_OUTLIERS,
+        "retention_vacuum": SQL_RETENTION_VACUUM,
         "zorder_layout": _sql_zorder_layout(),
         "pit_enrich": SQL_PIT_ENRICH,
         "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "pagerank_types",
     "pit_enrich",
     "bpe_merge_candidates",
+    "mad_outliers",
+    "retention_vacuum",
 ]
 
 

@@ -229,3 +229,44 @@ def snapshot_map(snapshot_df: DataFrame, attribute_base: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("suffix", "value")))
         ).alias(attribute_base[:-2])
     )
+
+
+def vacuum_changelog(
+    changelog: DataFrame,
+    *,
+    keep_versions: int = 1,
+    ttl_ms: int | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Retention vacuum: prune a changelog to the newest ``keep_versions``
+    rows per (entity, key, attribute) cell, optionally also dropping
+    NON-NEWEST versions older than ``now_ms − ttl_ms``. The newest version
+    of every cell is ALWAYS kept — ``snapshot(vacuum_changelog(c)) ==
+    snapshot(c)`` by construction, the invariant storage retention must
+    preserve (reference: per-family storage retention/TTL settings,
+    core storage descriptors; this is the batch compaction a maintenance
+    job runs over bulk families).
+
+    Plan shape: one Exchange(cell key) → Sort → row_number, then a codegen
+    filter — identical partitioning to ``compact``, so a maintenance
+    pipeline doing vacuum→snapshot reuses the exchange. Version rank
+    orders by (stamp, seq_id) DESC — the same total order compaction uses,
+    so rank 1 is exactly the row ``snapshot`` would keep.
+    """
+    from pyspark.sql import Window
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1 (snapshot must survive)")
+    w = Window.partitionBy("entity", "key", "attribute").orderBy(
+        F.col("stamp").desc(), F.col("seq_id").desc()
+    )
+    ranked = changelog.withColumn("__vrank", F.row_number().over(w))
+    cond = F.col("__vrank") <= keep_versions
+    if ttl_ms is not None:
+        if now_ms is None:
+            raise ValueError("ttl_ms requires an explicit now_ms (determinism)")
+        cutoff = now_ms - ttl_ms
+        us = F.unix_micros(F.col("stamp"))
+        stamp_ms = ((us - F.pmod(us, F.lit(1000))) / F.lit(1000)).cast("long")
+        cond = cond & ((F.col("__vrank") == 1) | (stamp_ms >= cutoff))
+    return ranked.where(cond).drop("__vrank")

@@ -430,3 +430,109 @@ def ewma_stream(
         watermark_delay=watermark_delay,
         api=api,
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_cols: Sequence[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outliers via Median Absolute Deviation: flag rows
+    with |x − med| > k·MAD, where both medians are the LOWER median
+    (element at position ⌊(n+1)/2⌋ in (value, id) order — exact and
+    deterministic; no interpolation, so no engine float-divergence and a
+    single extreme value can't drag the threshold the way σ does in
+    z-scoring). Columns added: ``med``, ``mad``, ``is_outlier``.
+
+    Plan shape: two rank-the-key passes (value order, then deviation
+    order), each Exchange(key) → Sort → Window with row_number + count
+    sharing one exchange; the median frames join back on the SAME key, so
+    partitioning is reused. All comparisons are on fixed-decimal inputs —
+    no float accumulation anywhere.
+    """
+    kc = list(key_cols)
+    ic = list(id_cols)
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        wp = Window.partitionBy(*kc)
+        w = wp.orderBy(F.col(col), *ic)
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(wp)
+        )
+        return (
+            ranked.where(F.col("__rn") == F.expr("(__cnt + 1) DIV 2"))
+            .select(*kc, F.col(col).alias(out))
+        )
+
+    med = lower_median(df.select(*kc, *ic, value_col), value_col, "med")
+    with_med = df.join(med, kc)
+    dev = with_med.withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = lower_median(dev.select(*kc, *ic, "__dev"), "__dev", "mad")
+    out = dev.join(mad, kc).withColumn(
+        "is_outlier",
+        (F.col("mad") > 0) & (F.col("__dev") > F.lit(k) * F.col("mad")),
+    )
+    return out.drop("__dev")
+
+
+def rolling_zscore_stream(
+    stream_events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    stamp_col: str = "tstamp",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 50,
+    min_obs: int = 10,
+    value_scale: int = 2,
+    watermark_delay: str = "10 seconds",
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming twin of :func:`rolling_zscore`: the keyed event-time state
+    machine carries the trailing ``window_rows`` scaled-integer
+    observations per key and emits (key, id, n_obs, zscore) per event,
+    equal to the batch operator row-for-row (the python math mirrors the
+    batch recipe: exact integer Σx/Σx², then the same fixed IEEE double
+    sequence). State per key is ≤ window_rows int64s — the RocksDB state
+    store shards it by key at scale."""
+    import math
+
+    scale = 10 ** value_scale
+
+    def state_fn(state, key, row):
+        cents = int(round(float(row[value_col]) * scale))
+        state = (state + [cents])[-window_rows:]
+        m = len(state)
+        sum_x = float(sum(state)) / scale
+        sum_x2 = float(sum(c * c for c in state)) / (scale * scale)
+        mean = sum_x / m
+        var = sum_x2 / m - mean * mean
+        z = None
+        if m >= min_obs and var > 0:
+            z = round((float(row[value_col]) - mean) / math.sqrt(var), 6)
+        return state, {
+            key_col: key,
+            id_col: row[id_col],
+            "n_obs": m,
+            "zscore": z,
+        }
+
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
+    return reduce_value_state_by_key_stream(
+        stream_events.select(key_col, stamp_col, value_col, id_col),
+        key=key_col,
+        stamp=stamp_col,
+        state_fn=state_fn,
+        initial_state=[],
+        output_schema=f"{key_col} long, {id_col} long, n_obs long, zscore double",
+        sorted=True,
+        watermark_delay=watermark_delay,
+        api=api,
+    )

@@ -156,3 +156,79 @@ class TestSnapshotMap:
         rows = snapshot_map(snap, "category.*").collect()
         keys = [list(r.category.keys()) for r in rows]
         assert all(k == sorted(k) for k in keys)
+
+
+class TestVacuumChangelog:
+    def _clog(self, spark):
+        import datetime as dt
+
+        from proxima_platform_spark.changelog import to_changelog
+
+        rows = [
+            # (key, attr, seq, stamp_s, value, delete)
+            (1, "a", 1, 10, "v1", False),
+            (1, "a", 2, 20, "v2", False),
+            (1, "a", 3, 30, "v3", False),
+            (1, "b", 4, 15, "w1", False),
+            (2, "a", 5, 40, "x1", True),  # newest is a delete tombstone
+            (2, "a", 6, 5, "x0", False),
+        ]
+        df = spark.createDataFrame(
+            [
+                (k, a, s, dt.datetime(2024, 1, 1, 0, 0, t), v, d)
+                for k, a, s, t, v, d in rows
+            ],
+            "k long, a string, seq long, ts timestamp, v string, del boolean",
+        )
+        from pyspark.sql import functions as F
+
+        return to_changelog(
+            df, entity="e", key="k", attribute="a", stamp="ts",
+            value=F.encode("v", "UTF-8"), seq_id="seq", delete=F.col("del"),
+        )
+
+    def test_keeps_newest_k_and_snapshot_invariant(self, spark):
+        from proxima_platform_spark.changelog import snapshot, vacuum_changelog
+
+        clog = self._clog(spark)
+        for k in (1, 2, 3):
+            kept = vacuum_changelog(clog, keep_versions=k)
+            per_cell = (
+                kept.groupBy("key", "attribute").count().collect()
+            )
+            assert all(r["count"] <= k for r in per_cell)
+            # the retention invariant: snapshot is unchanged
+            a = sorted(
+                (r.key, r.attribute, bytes(r.value))
+                for r in snapshot(clog).collect()
+            )
+            b = sorted(
+                (r.key, r.attribute, bytes(r.value))
+                for r in snapshot(kept).collect()
+            )
+            assert a == b, k
+        kept1 = vacuum_changelog(clog, keep_versions=1)
+        assert sorted(r.seq_id for r in kept1.collect()) == [3, 4, 5]
+
+    def test_ttl_drops_old_non_newest_only(self, spark):
+        from proxima_platform_spark.changelog import vacuum_changelog
+
+        clog = self._clog(spark)
+        # now = 60s after epoch day start; ttl = 25s → cutoff at 35s:
+        # only stamps >= 35s survive EXCEPT each cell's newest (always kept)
+        base_ms = 1704067200000  # 2024-01-01T00:00:00Z
+        kept = vacuum_changelog(
+            clog, keep_versions=3, ttl_ms=25_000, now_ms=base_ms + 60_000
+        )
+        assert sorted(r.seq_id for r in kept.collect()) == [3, 4, 5]
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.changelog import vacuum_changelog
+
+        clog = self._clog(spark)
+        with _pytest.raises(ValueError):
+            vacuum_changelog(clog, keep_versions=0)
+        with _pytest.raises(ValueError):
+            vacuum_changelog(clog, ttl_ms=1000)  # now_ms required

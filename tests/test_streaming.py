@@ -1047,3 +1047,53 @@ class TestStreamingEwma:
             ).collect()
         }
         assert got == want and len(got) == 5
+
+
+class TestStreamingZscore:
+    def test_streaming_equals_batch_per_row(self, spark, tmp_path):
+        """Streaming rolling z-score (functions/timeseries.
+        rolling_zscore_stream): per-row equality with the batch operator,
+        with one user's window straddling the micro-batch boundary."""
+        from proxima_platform_spark.functions.timeseries import (
+            rolling_zscore,
+            rolling_zscore_stream,
+        )
+
+        src = str(tmp_path / "zs_src")
+        schema = "user_id long, event_id long, tstamp timestamp, value double"
+        b0 = [(1, i, ts(1000 + i * 100), 10.0 + (i % 7) * 0.5) for i in range(8)]
+        b1 = [(1, 8 + i, ts(2000 + i * 100), 12.0 + i) for i in range(6)]
+        b1[-1] = (1, 13, ts(2500), 400.0)  # outlier once warmed up
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f1")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(9, 99, ts(60_000), 0.0)], schema
+        ).coalesce(1).write.parquet(f"{src}/f2")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = rolling_zscore_stream(stream, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("zs_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.event_id: (r.n_obs, r.zscore)
+            for r in spark.sql("SELECT * FROM zs_out").collect()
+            if r.user_id != 9
+        }
+        batch_df = spark.createDataFrame(b0 + b1, schema)
+        want = {
+            r.event_id: (r.n_obs, r.zscore)
+            for r in rolling_zscore(
+                batch_df, ["user_id"], ["tstamp", "event_id"], "value"
+            ).collect()
+        }
+        assert got == want and len(got) == 14
+        assert got[13][1] is not None and got[13][1] > 2  # outlier flagged

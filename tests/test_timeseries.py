@@ -299,3 +299,58 @@ class TestRollingZscore:
         # constant prefix → var == 0 → NULL, never a division blowup
         assert rows[9].zscore is None
         assert rows[-1].zscore is not None and rows[-1].zscore > 3
+
+
+from proxima_platform_spark.functions.timeseries import mad_outliers  # noqa: E402
+
+
+class TestMadOutliers:
+    def _model(self, rows, k=3.0):
+        # rows: (id, key, value); lower median at position (n+1)//2 (1-based)
+        from collections import defaultdict
+
+        by_key = defaultdict(list)
+        for i, g, v in rows:
+            by_key[g].append((v, i))
+        out = {}
+        for g, vals in by_key.items():
+            s = sorted(vals)
+            med = s[(len(s) + 1) // 2 - 1][0]
+            devs = sorted((abs(v - med), i) for v, i in vals)
+            mad = devs[(len(devs) + 1) // 2 - 1][0]
+            for v, i in vals:
+                out[i] = (med, mad, mad > 0 and abs(v - med) > k * mad)
+        return out
+
+    def test_matches_model(self, spark):
+        rows = [
+            (0, 1, 10.0), (1, 1, 11.0), (2, 1, 9.5), (3, 1, 10.25),
+            (4, 1, 500.0),  # spike
+            (5, 2, 1.0), (6, 2, 2.0), (7, 2, 3.0), (8, 2, 2.5),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+        got = {
+            r.event_id: (r.med, r.mad, r.is_outlier)
+            for r in mad_outliers(
+                df, ["user_id"], "value", ["event_id"]
+            ).collect()
+        }
+        assert got == self._model(rows)
+        assert got[4][2] is True  # the spike is flagged
+
+    def test_robust_where_zscore_is_not(self, spark):
+        # one huge spike among 9 near-identical points: the spike inflates
+        # σ enough that a 3σ test needs care; the median/MAD don't move
+        rows = [(i, 1, 10.0 + i * 0.01) for i in range(9)] + [(9, 1, 10000.0)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+        res = {r.event_id: r for r in mad_outliers(df, ["user_id"], "value", ["event_id"]).collect()}
+        assert res[9].is_outlier is True
+        assert abs(res[9].med - 10.04) < 1e-9  # median untouched by the spike
+        for i in range(9):
+            assert res[i].is_outlier is False
+
+    def test_constant_series_never_divides(self, spark):
+        rows = [(i, 1, 7.0) for i in range(5)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+        res = mad_outliers(df, ["user_id"], "value", ["event_id"]).collect()
+        assert all(r.mad == 0.0 and r.is_outlier is False for r in res)
