@@ -271,3 +271,103 @@ class TestR04EventAnalyticsPlans:
         kept = entry.q_source_quota_sample(spark, sf001).count()
         total = spark.read.parquet(f"{sf001}/documents.parquet").count()
         assert kept < total
+
+
+class TestLateR04Plans:
+    """Plan-shape asserts for the late-r04 block — pins the SCALE.md
+    inventory rows (sketch prefilters broadcast, window ops share one
+    exchange, layout/mixing stay codegen, no Python, no cartesian)."""
+
+    def test_heavy_hitters_prefilter_broadcast_no_python(self, spark, sf_dir):
+        plan = physical_plan(entry.q_heavy_hitters(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan
+
+    def test_ewma_single_exchange_no_python(self, spark, sf_dir):
+        df = entry.q_ewma_value(spark, sf_dir)
+        assert count_exchanges(df) == 1
+        plan = physical_plan(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    def test_zscore_single_exchange_single_sort(self, spark, sf_dir):
+        df = entry.q_anomaly_zscore(spark, sf_dir)
+        assert count_exchanges(df) == 1
+        # Catalyst may split the window expressions into stacked Window
+        # operators, but they must share ONE sort over ONE exchange (the
+        # second Window consumes the first's ordering for free)
+        assert physical_plan(df).count("+- Sort") == 1
+
+    def test_attribution_single_user_exchange(self, spark, sf_dir):
+        df = entry.q_attribution(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        import re
+
+        parts = {m.group(1) for m in re.finditer(r"hashpartitioning\(([^,)]+)", plan)}
+        assert all("user_id" in p or "channel" in p for p in parts), parts
+
+    def test_ohlc_one_exchange_no_window(self, spark, sf_dir):
+        df = entry.q_ohlc_bars(spark, sf_dir)
+        assert count_exchanges(df) == 1
+        # open/close ride the hash agg — no Sort-based Window over raw ticks
+        assert "Window" not in physical_plan(df)
+
+    def test_pagerank_no_python_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_pagerank_types(spark, sf_dir))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan
+
+    def test_pit_enrich_hash_join_not_bnlj(self, spark, sf_dir):
+        plan = physical_plan(entry.q_pit_enrich(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_temperature_mix_corpus_never_shuffles(self, spark, sf_dir):
+        df = entry.q_temperature_mix(spark, sf_dir)
+        plan = physical_plan(df)
+        # the corpus side joins the broadcast rate table and filters —
+        # any hashpartitioning exchange must belong to the tiny count agg,
+        # never carry doc text
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    def test_zorder_layout_pure_codegen(self, spark, sf_dir):
+        df = entry.q_zorder_layout(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        plan = physical_plan(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    def test_mad_joins_reuse_key_partitioning(self, spark, sf_dir):
+        plan = physical_plan(entry.q_mad_outliers(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+
+    def test_retention_vacuum_one_exchange(self, spark, sf_dir):
+        assert count_exchanges(entry.q_retention_vacuum(spark, sf_dir)) == 1
+
+    def test_late_r04_not_vacuous_at_oracle_sf(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/events.parquet"):
+            import pytest as _p
+
+            _p.skip("no testdata")
+        # filters/joins must both keep and drop rows at the driver's scale
+        hh = entry.q_heavy_hitters(spark, sf).count()
+        assert 0 < hh < 750
+        anom = entry.q_anomaly_zscore(spark, sf).count()
+        assert 0 < anom < 10_000
+        mad = entry.q_mad_outliers(spark, sf).count()
+        assert 0 < mad < 10_000
+        tm = entry.q_temperature_mix(spark, sf).count()
+        assert 0 < tm < 500
+        pe = entry.q_pit_enrich(spark, sf).count()
+        assert 0 < pe < 2_500
