@@ -4715,6 +4715,237 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_drift_chi2(spark, sf):
+    """Distribution-drift monitor (functions/timeseries.py::drift_chi2):
+    per event type, Pearson χ² between the value histogram of the first
+    half of the month (reference) and the second half (current), 10 fixed
+    bins over [0, 500). χ² stays in +,−,×,÷ (log-free — PSI/KL would drag
+    libm's last-ulp differences into the oracle) and the per-group Σ folds
+    a SORTED term array, so both engines add in the same order. Two
+    bounded count aggs (type×bin cells) — nothing but the first count pass
+    scales with row count. The week-over-week telemetry health check."""
+    from proxima_platform_spark.functions.timeseries import drift_chi2
+
+    ev = _events(spark, sf)
+    mid = 1705363200000  # 2024-01-16 00:00 UTC
+    return drift_chi2(
+        ev, ["event_type"], "value", F.col("ts_ms") >= mid,
+        n_bins=10, lo=0.0, hi=500.0,
+    )
+
+
+SQL_DRIFT_CHI2 = """
+WITH binned AS (
+  SELECT event_type,
+         least(9, greatest(0, floor(value / 50.0)::INT)) AS bin,
+         (epoch_ms(ts) >= 1705363200000) AS cur
+  FROM events
+), counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END) AS o,
+         sum(CASE WHEN cur THEN 0 ELSE 1 END) AS r
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, sum(o) AS n_cur, sum(r) AS n_ref
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT c.event_type, c.bin,
+         CASE WHEN c.r > 0 THEN
+           (CAST(c.o AS DOUBLE) - (CAST(t.n_cur AS DOUBLE) * CAST(c.r AS DOUBLE) / CAST(t.n_ref AS DOUBLE)))
+           * (CAST(c.o AS DOUBLE) - (CAST(t.n_cur AS DOUBLE) * CAST(c.r AS DOUBLE) / CAST(t.n_ref AS DOUBLE)))
+           / (CAST(t.n_cur AS DOUBLE) * CAST(c.r AS DOUBLE) / CAST(t.n_ref AS DOUBLE))
+         END AS term,
+         (c.o > 0 AND c.r = 0) AS extra
+  FROM counts c JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       round(coalesce(list_reduce(list(term ORDER BY bin) FILTER (term IS NOT NULL),
+                                  (a, b) -> a + b), 0.0), 6) AS chi2,
+       CAST(sum(CASE WHEN extra THEN 1 ELSE 0 END) AS BIGINT) AS extra_bins
+FROM terms GROUP BY 1
+"""
+
+
+def q_vocab_overlap(spark, sf):
+    """Corpus diagnostics: pairwise vocabulary Jaccard between sources —
+    the redundancy map that drives mixture decisions (near-identical
+    vocabularies ⇒ candidate sources for dedup or down-weighting). Term
+    sets are distinct (source, term) pairs (≥3 chars); the intersection is
+    ONE equi-join on term (never source×source×corpus), sizes broadcast
+    back, Jaccard is a single rounded double division. Zipf skew on hot
+    terms is absorbed by the distinct-pair dedup before the join — the
+    same two-phase trick the distinct ladder uses; a web-scale run would
+    also drop stopword-grade terms (df cap) first."""
+    from proxima_platform_spark.functions.dedup import tokens
+
+    docs = _load(spark, sf, "documents")
+    terms = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") >= 3)
+        .distinct()
+    )
+    sizes = terms.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = terms.select(F.col("source").alias("s1"), "term")
+    b = terms.select(F.col("source").alias("s2"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(sa), "s1")
+        .join(F.broadcast(sb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_VOCAB_OVERLAP = r"""
+WITH terms AS (
+  SELECT DISTINCT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), t AS (SELECT source, term FROM terms WHERE length(term) >= 3),
+sizes AS (SELECT source, count(*) AS n FROM t GROUP BY 1),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+  FROM t a JOIN t b USING (term)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = s1
+JOIN sizes sb ON sb.source = s2
+"""
+
+
+def q_span_corruption(spark, sf):
+    """T5-style span-corruption PLANNING (the deterministic half of
+    denoising-objective prep): per document, choose mask-span start
+    positions by the md5 sample key over (doc_id, token_index) at ~15%
+    token rate / 3-token spans, merge overlaps by construction (span i
+    covers min(3, next_start − start) new tokens), and report
+    n_tokens / n_spans / n_masked / corruption_rate. All integer except
+    the one rounded rate division — the oracle replays every decision.
+    Plan: tokens projected once (Generate-CSE trap), positions from
+    ``sequence`` — narrow and shuffle-free; sentinel-text materialization
+    is a trivial projection on top and deliberately out of the stats
+    contract."""
+    from proxima_platform_spark.functions.dedup import tokens
+
+    docs = _load(spark, sf, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("__toks")).select(
+        "doc_id", F.size("__toks").alias("n_tokens"), "__toks"
+    )
+    # deterministic start decisions: md5(doc_id*1e6+i) < 5% of key space
+    # (≈15% of tokens masked at span length 3)
+    starts = t.select(
+        "doc_id",
+        "n_tokens",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("span-v1"),
+                                (F.col("doc_id") * 1_000_000 + i).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1_000_000
+                < 50_000
+            ),
+        ).alias("__starts"),
+    )
+    masked = starts.select(
+        "doc_id",
+        "n_tokens",
+        F.size("__starts").alias("n_spans"),
+        F.when(
+            F.size("__starts") > 0,
+            F.aggregate(
+                F.zip_with(
+                    F.col("__starts"),
+                    # successors: drop the first start, append the doc end
+                    # (slice length must be a bounded expression — and
+                    # least() IGNORES nulls, so the empty case is guarded
+                    # by the when(), never by a null ride-through)
+                    F.concat(
+                        F.slice(
+                            F.col("__starts"), 2, F.size(F.col("__starts"))
+                        ),
+                        F.array(F.col("n_tokens")),
+                    ),
+                    lambda s, nxt: F.least(F.lit(3), nxt - s),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        ).otherwise(F.lit(0)).alias("n_masked"),
+    )
+    return masked.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_masked",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_masked").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("corruption_rate"),
+    )
+
+
+SQL_SPAN_CORRUPTION = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_filter(range(0, len(toks)),
+                     i -> ('0x' || substr(md5('span-v1' || CAST(doc_id * 1000000 + i AS VARCHAR)), 1, 15))::BIGINT
+                          % 1000000 < 50000) AS starts
+  FROM t
+), m AS (
+  SELECT doc_id, n_tokens, len(starts) AS n_spans,
+         coalesce(list_sum(list_transform(range(1, len(starts) + 1),
+             j -> least(3, (CASE WHEN j < len(starts)
+                                 THEN starts[j + 1]
+                                 ELSE n_tokens END) - starts[j]))), 0) AS n_masked
+  FROM base
+)
+SELECT doc_id, n_tokens, n_spans, CAST(n_masked AS INT) AS n_masked,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS corruption_rate
+FROM m
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4758,6 +4989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "temperature_mix": q_temperature_mix,
         "mad_outliers": q_mad_outliers,
+        "drift_chi2": q_drift_chi2,
+        "vocab_overlap": q_vocab_overlap,
+        "span_corruption": q_span_corruption,
         "retention_vacuum": q_retention_vacuum,
         "zorder_layout": q_zorder_layout,
         "pit_enrich": q_pit_enrich,
@@ -4982,6 +5216,9 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,
+        "drift_chi2": SQL_DRIFT_CHI2,
+        "vocab_overlap": SQL_VOCAB_OVERLAP,
+        "span_corruption": SQL_SPAN_CORRUPTION,
         "retention_vacuum": SQL_RETENTION_VACUUM,
         "zorder_layout": _sql_zorder_layout(),
         "pit_enrich": SQL_PIT_ENRICH,

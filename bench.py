@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "mad_outliers",
     "retention_vacuum",
+    "drift_chi2",
+    "vocab_overlap",
+    "span_corruption",
 ]
 
 

@@ -536,3 +536,106 @@ def rolling_zscore_stream(
         watermark_delay=watermark_delay,
         api=api,
     )
+
+
+def drift_chi2(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    split_col: Column,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Distribution-drift detection per group: Pearson χ² between the
+    ``value_col`` histograms of the reference slice (``split_col`` false)
+    and the current slice (true), over ``n_bins`` fixed-width bins in
+    [lo, hi) (clamped). χ² = Σ (o_i − e_i)²/e_i with e_i = n_cur·ref_i/n_ref,
+    over bins with ref_i > 0; plus ``extra_bins`` counting current-slice
+    bins the reference never saw (those break the e_i formula and are a
+    drift signal on their own).
+
+    Determinism recipe: bin counts are exact integers; each per-bin term is
+    a FIXED sequence of correctly-rounded double ops; and the Σ over bins
+    folds a SORTED array (aggregate over array_sort(collect_list)) — the
+    one place a groupBy sum of doubles would introduce engine-dependent
+    summation order. Rounded to 6 at the end.
+
+    Why χ² and not PSI/KL: those need log(), whose last-ulp behavior is
+    libm-specific — χ² stays in +,−,×,÷ and keeps the oracle exact. Plan:
+    two bounded-cardinality count aggs (groups×bins cells, map-side
+    combined) + one group-keyed merge — nothing scales with row count but
+    the first count pass.
+    """
+    g = list(group_cols)
+    width = (hi - lo) / n_bins
+    binned = df.select(
+        *g,
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        ).alias("__bin"),
+        split_col.cast("boolean").alias("__cur"),
+    )
+    counts = binned.groupBy(*g, "__bin").agg(
+        F.sum(F.when(F.col("__cur"), 1).otherwise(0)).alias("o"),
+        F.sum(F.when(~F.col("__cur"), 1).otherwise(0)).alias("r"),
+    )
+    totals = counts.groupBy(*g).agg(
+        F.sum("o").alias("n_cur"), F.sum("r").alias("n_ref")
+    )
+    terms = counts.join(totals, g).select(
+        *g,
+        "__bin",
+        F.when(
+            F.col("r") > 0,
+            (
+                (
+                    F.col("o").cast("double")
+                    - (
+                        F.col("n_cur").cast("double")
+                        * F.col("r").cast("double")
+                        / F.col("n_ref").cast("double")
+                    )
+                )
+                * (
+                    F.col("o").cast("double")
+                    - (
+                        F.col("n_cur").cast("double")
+                        * F.col("r").cast("double")
+                        / F.col("n_ref").cast("double")
+                    )
+                )
+                / (
+                    F.col("n_cur").cast("double")
+                    * F.col("r").cast("double")
+                    / F.col("n_ref").cast("double")
+                )
+            ),
+        ).alias("__term"),
+        ((F.col("o") > 0) & (F.col("r") == 0)).alias("__extra"),
+    )
+    return (
+        terms.groupBy(*g)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__term").isNotNull(),
+                                F.struct("__bin", "__term"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["__term"],
+                ),
+                6,
+            ).alias("chi2"),
+            F.sum(F.when(F.col("__extra"), 1).otherwise(0)).alias("extra_bins"),
+        )
+    )

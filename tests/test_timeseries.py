@@ -354,3 +354,64 @@ class TestMadOutliers:
         df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
         res = mad_outliers(df, ["user_id"], "value", ["event_id"]).collect()
         assert all(r.mad == 0.0 and r.is_outlier is False for r in res)
+
+
+from proxima_platform_spark.functions.timeseries import drift_chi2  # noqa: E402
+
+
+class TestDriftChi2:
+    def test_identical_distributions_score_zero(self, spark):
+        rows = [
+            (i, "a", float(v), half == 1)
+            for half in (0, 1)
+            for i, v in enumerate([5, 15, 25, 35] * 25)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double, cur boolean")
+        [r] = drift_chi2(df, ["g"], "v", F.col("cur"), n_bins=10, lo=0, hi=100).collect()
+        # both halves see the exact same histogram → chi2 == 0
+        assert r.chi2 == 0.0 and r.extra_bins == 0
+
+    def test_shifted_distribution_scores_high(self, spark):
+        rows = [(i, "a", 5.0, False) for i in range(100)] + [
+            (100 + i, "a", 95.0, True) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double, cur boolean")
+        [r] = drift_chi2(df, ["g"], "v", F.col("cur"), n_bins=10, lo=0, hi=100).collect()
+        # the current slice lands entirely in a bin the reference never
+        # populated: flagged via extra_bins, and the reference bin's
+        # expected count is wholly missing → large chi2
+        assert r.extra_bins == 1
+        assert r.chi2 > 50
+
+    def test_matches_model(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, "g%d" % (i % 2), round(rng.uniform(0, 100), 2), rng.random() < 0.5)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double, cur boolean")
+        got = {
+            r.g: (r.chi2, r.extra_bins)
+            for r in drift_chi2(df, ["g"], "v", F.col("cur"), n_bins=10, lo=0, hi=100).collect()
+        }
+        for g in ("g0", "g1"):
+            o = [0] * 10
+            ref = [0] * 10
+            for _, gg, v, cur in rows:
+                if gg != g:
+                    continue
+                b = min(9, max(0, int(v // 10)))
+                (o if cur else ref)[b] += 1
+            n_cur, n_ref = sum(o), sum(ref)
+            chi2 = 0.0
+            extra = 0
+            for b in range(10):
+                if ref[b] > 0:
+                    e = n_cur * ref[b] / n_ref
+                    chi2 += (o[b] - e) ** 2 / e
+                elif o[b] > 0:
+                    extra += 1
+            assert got[g][1] == extra
+            assert abs(got[g][0] - round(chi2, 6)) < 1e-6, g
