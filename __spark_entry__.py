@@ -4946,6 +4946,80 @@ FROM m
 """
 
 
+def q_join_size_estimate(spark, sf):
+    """Join-cardinality estimation WITHOUT executing the join
+    (functions/sketch.py::cms_join_size_estimate): the Count-Min inner
+    product min'd over depth rows upper-bounds |orders ⋈ lineitem| on
+    o_orderkey = l_orderkey — the planner primitive that decides broadcast
+    vs shuffle vs skew-salt before committing a 100 TB join. Two
+    O(width·depth)-cell count aggs, one pass over each input, NO key
+    shuffle of either table. The hash family is md5 (sampling.sample_key's
+    trick), so the oracle rebuilds both sketches and the estimate
+    bit-for-bit — the hash match certifies the estimator math itself; the
+    never-undercounts guarantee is pinned in pytest against the exact
+    join."""
+    from proxima_platform_spark.functions.sketch import cms_join_size_estimate
+
+    orders = _load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = _load(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return cms_join_size_estimate(orders, li, ["k"], width=1024, depth=4)
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH a AS (
+  SELECT cell, count(*) AS n FROM (
+    SELECT r * 1024 + ('0x' || substr(md5('cms-v1' || r || chr(31) || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS cell
+    FROM orders, range(4) t(r)) GROUP BY 1
+), b AS (
+  SELECT cell, count(*) AS n FROM (
+    SELECT r * 1024 + ('0x' || substr(md5('cms-v1' || r || chr(31) || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS cell
+    FROM lineitem, range(4) t(r)) GROUP BY 1
+), per_row AS (
+  SELECT rows.r AS row, coalesce(s.ip, 0) AS ip
+  FROM range(4) rows(r)
+  LEFT JOIN (SELECT a.cell // 1024 AS row, sum(a.n * b.n) AS ip
+             FROM a JOIN b USING (cell) GROUP BY 1) s ON rows.r = s.row
+)
+SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM per_row
+"""
+
+
+def q_key_erasure(spark, sf):
+    """Right-to-erasure over the changelog (changelog.py::erase_keys):
+    physically remove every version of users 0–9 and append per-cell
+    DELETE tombstones that propagate the deletion to replicas — then
+    snapshot the result. The snapshot must contain nothing for the erased
+    keys and be IDENTICAL to the original snapshot for everyone else
+    (both directions certified by the oracle: it computes the snapshot of
+    the untouched changelog restricted to user_id ≥ 10). Tombstone
+    mechanics (max-seq+1 compaction win, replication visibility) are
+    pinned in pytest."""
+    from proxima_platform_spark.changelog import erase_keys, snapshot
+
+    clog = _events_changelog(spark, sf)
+    keys = spark.range(0, 10).select(F.col("id").cast("string").alias("key"))
+    erased = erase_keys(clog, keys, erase_stamp_us=1707000000000000)
+    snap = snapshot(erased)
+    return snap.select(
+        "key",
+        "attribute",
+        _stamp_ms().alias("stamp_ms"),
+        F.decode("value", "UTF-8").cast("double").alias("val"),
+    )
+
+
+SQL_KEY_ERASURE = """
+SELECT user_id::VARCHAR AS key, event_type AS attribute,
+       epoch_us(ts) // 1000 AS stamp_ms, value AS val
+FROM events
+WHERE user_id >= 10
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4990,6 +5064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "mad_outliers": q_mad_outliers,
         "drift_chi2": q_drift_chi2,
+        "join_size_estimate": q_join_size_estimate,
+        "key_erasure": q_key_erasure,
         "vocab_overlap": q_vocab_overlap,
         "span_corruption": q_span_corruption,
         "retention_vacuum": q_retention_vacuum,
@@ -5217,6 +5293,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,
         "drift_chi2": SQL_DRIFT_CHI2,
+        "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+        "key_erasure": SQL_KEY_ERASURE,
         "vocab_overlap": SQL_VOCAB_OVERLAP,
         "span_corruption": SQL_SPAN_CORRUPTION,
         "retention_vacuum": SQL_RETENTION_VACUUM,

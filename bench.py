@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "drift_chi2",
     "vocab_overlap",
     "span_corruption",
+    "join_size_estimate",
+    "key_erasure",
 ]
 
 

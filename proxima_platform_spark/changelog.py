@@ -270,3 +270,55 @@ def vacuum_changelog(
         stamp_ms = ((us - F.pmod(us, F.lit(1000))) / F.lit(1000)).cast("long")
         cond = cond & ((F.col("__vrank") == 1) | (stamp_ms >= cutoff))
     return ranked.where(cond).drop("__vrank")
+
+
+def erase_keys(
+    changelog: DataFrame,
+    keys: DataFrame,
+    *,
+    erase_stamp_us: int,
+    key_col: str = "key",
+) -> DataFrame:
+    """Right-to-erasure over the changelog: physically remove EVERY version
+    of every attribute for the keys in ``keys`` and append one DELETE
+    tombstone per erased (entity, key, attribute) cell at
+    ``erase_stamp_us`` — so the output is (a) free of the erased payloads
+    (the GDPR contract: removal, not masking) and (b) still a valid
+    changelog whose tombstones propagate the deletion to replicas and
+    caches exactly like any reference delete (SURVEY §2.10.1 semantics;
+    replication replays them as ordinary elements).
+
+    Tombstone seq_id = the cell's max erased seq_id + 1, so it wins the
+    (stamp, seq_id) compaction order against everything it erases even if
+    ``erase_stamp_us`` ties an existing stamp. Determinism: the caller
+    supplies the stamp; nothing reads the wall clock.
+
+    Plan: one semi/anti-join pair on the key (same exchange both sides;
+    deliberately NOT broadcast-hinted — a small erasure list broadcasts
+    via AQE at runtime, but a bulk-erasure list can be huge and a forced
+    broadcast is the OOM path, the wildcard-tombstone lesson) + a cell
+    groupBy for the tombstones. The erased-key list NEVER collects to the
+    driver.
+    """
+    k = keys.select(F.col(key_col).cast("string").alias("key")).distinct()
+    survivors = changelog.join(k, "key", "left_anti")
+    cells = (
+        changelog.join(k, "key", "left_semi")
+        .groupBy("entity", "key", "attribute", "attribute_base")
+        .agg(F.max(F.coalesce(F.col("seq_id"), F.lit(0))).alias("__max_seq"))
+    )
+    tombstones = cells.select(
+        "entity",
+        "key",
+        "attribute",
+        "attribute_base",
+        (F.col("__max_seq") + 1).alias("seq_id"),
+        F.lit(None).cast("string").alias("uuid"),
+        F.timestamp_micros(F.lit(erase_stamp_us)).alias("stamp"),
+        F.lit(True).alias("delete"),
+        F.lit(False).alias("delete_wildcard"),
+        F.lit(None).cast("binary").alias("value"),
+    )
+    return survivors.select(*changelog.columns).unionByName(
+        tombstones.select(*changelog.columns)
+    )

@@ -226,3 +226,84 @@ def cms_frequent_items(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= F.lit(threshold))
     )
+
+
+# ===========================================================================
+# CMS join-size estimation (md5 family — oracle-replayable end to end)
+# ===========================================================================
+
+
+def _cms_cells_md5(
+    cols: list[Column], width: int, depth: int, salt: str
+) -> list[Column]:
+    """depth cell ids via the engine-portable md5 hash family (the
+    ``sampling.sample_key`` trick): row r = md5(salt‖r‖key) → 60-bit int →
+    flat grid offset. Slower per row than xxhash64, but DuckDB can compute
+    the identical value — used where the ORACLE must rebuild the sketch."""
+    key = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    return [
+        F.lit(r * width)
+        + F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}{r}\x1f"), key)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width
+        for r in range(depth)
+    ]
+
+
+def cms_build_md5(
+    df: DataFrame, cols: list[str], width: int = 1024, depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """``(row, cell, n)`` counter frame (NOT collapsed to a map — the
+    inner product consumes it as a frame) over the md5 hash family."""
+    key = [F.col(c) for c in cols]
+    cells = _cms_cells_md5(key, width, depth, salt)
+    pos = df.select(
+        F.explode(F.array(*cells)).alias("cell")
+    )
+    return pos.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    cols: list[str],
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Estimate |a ⋈ b| on an equi-key WITHOUT executing the join: the
+    inner product of the two Count-Min rows is an upper-bound estimator of
+    Σ_k a_k·b_k (the true join size), and min over the depth rows tightens
+    it (AMS/CMS inner-product estimate — collisions only ADD, so the
+    estimate NEVER undercounts the true size; pytest pins both bounds).
+
+    The planner primitive at 100 TB: sizing a candidate join costs two
+    O(width·depth)-cell count aggs over single passes of each input —
+    no shuffle of either table by key, no join executed. All arithmetic is
+    integer and the hash family is md5, so the SQL oracle rebuilds both
+    sketches and the estimate bit-for-bit.
+
+    Returns one row: ``(est_join_rows,)``.
+    """
+    ca = cms_build_md5(a, cols, width, depth, salt)
+    cb = cms_build_md5(b, cols, width, depth, salt)
+    prod = (
+        ca.alias("a")
+        .join(cb.alias("b"), F.col("a.cell") == F.col("b.cell"))
+        .select(
+            (F.col("a.cell") / width).cast("int").alias("row"),
+            (F.col("a.n") * F.col("b.n")).alias("p"),
+        )
+    )
+    per_row = prod.groupBy("row").agg(F.sum("p").alias("ip"))
+    # a depth row with NO overlapping cells has inner product 0 (join is
+    # provably empty) — it must not silently drop out of the min
+    spine = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("row"))
+    filled = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+    )
+    return filled.agg(F.min("ip").alias("est_join_rows"))

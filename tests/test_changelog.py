@@ -232,3 +232,63 @@ class TestVacuumChangelog:
             vacuum_changelog(clog, keep_versions=0)
         with _pytest.raises(ValueError):
             vacuum_changelog(clog, ttl_ms=1000)  # now_ms required
+
+
+class TestEraseKeys:
+    def _clog(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.changelog import to_changelog
+
+        rows = [
+            (1, "a", 1, 10, "v1"), (1, "a", 2, 20, "v2"), (1, "b", 3, 15, "w"),
+            (2, "a", 4, 40, "x"), (3, "a", 5, 30, "y"),
+        ]
+        df = spark.createDataFrame(
+            [(k, a, s, dt.datetime(2024, 1, 1, 0, 0, t), v) for k, a, s, t, v in rows],
+            "k long, a string, seq long, ts timestamp, v string",
+        )
+        return to_changelog(
+            df, entity="e", key="k", attribute="a", stamp="ts",
+            value=F.encode("v", "UTF-8"), seq_id="seq",
+        )
+
+    def test_erased_gone_others_untouched_tombstones_visible(self, spark):
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.changelog import erase_keys, snapshot
+
+        clog = self._clog(spark)
+        keys = spark.createDataFrame([("1",)], "key string")
+        erased = erase_keys(clog, keys, erase_stamp_us=1706000000000000)
+        # no payload rows for key 1 remain anywhere in the changelog
+        remaining = erased.where((F.col("key") == "1") & ~F.col("delete"))
+        assert remaining.count() == 0
+        # tombstones: one per erased cell, winning seq order
+        tombs = {
+            (r.attribute, r.seq_id)
+            for r in erased.where((F.col("key") == "1") & F.col("delete")).collect()
+        }
+        assert tombs == {("a", 3), ("b", 4)}  # max erased seq + 1 per cell
+        # snapshot: erased key absent, others identical to pre-erasure
+        snap = {(r.key, r.attribute): bytes(r.value) for r in snapshot(erased).collect()}
+        want = {
+            (r.key, r.attribute): bytes(r.value)
+            for r in snapshot(clog).collect()
+            if r.key != "1"
+        }
+        assert snap == want and ("2", "a") in snap
+
+    def test_changelog_stays_valid_for_replication(self, spark):
+        # erase → snapshot and erase → compact → snapshot agree (the
+        # tombstones behave like ordinary reference deletes)
+        from proxima_platform_spark.changelog import compact, erase_keys, snapshot
+
+        clog = self._clog(spark)
+        keys = spark.createDataFrame([("1",), ("3",)], "key string")
+        erased = erase_keys(clog, keys, erase_stamp_us=1706000000000000)
+        a = sorted((r.key, r.attribute) for r in snapshot(erased).collect())
+        b = sorted((r.key, r.attribute) for r in snapshot(compact(erased)).collect())
+        assert a == b == [("2", "a")]

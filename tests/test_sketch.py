@@ -147,3 +147,33 @@ class TestCountMin:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
             assert bad not in plan, f"{bad} in plan"
+
+
+from proxima_platform_spark.functions.sketch import cms_join_size_estimate  # noqa: E402
+
+
+class TestJoinSizeEstimate:
+    def test_never_undercounts_and_is_tight_when_wide(self, spark):
+        # a: keys 0..99 once each; b: key k appears k%5+1 times
+        a = spark.range(100).select(F.col("id").alias("k"))
+        b = spark.range(300).select((F.col("id") % 100).alias("k"))
+        exact = a.join(b, "k").count()
+        [row] = cms_join_size_estimate(a, b, ["k"], width=4096, depth=4).collect()
+        assert row.est_join_rows >= exact  # inner product never undercounts
+        # wide grid, tiny key set → within a few collision cross-terms
+        assert row.est_join_rows <= exact * 1.1
+
+    def test_narrow_grid_overestimates_but_bounded(self, spark):
+        a = spark.range(200).select(F.col("id").alias("k"))
+        b = spark.range(200).select(F.col("id").alias("k"))
+        exact = 200
+        [row] = cms_join_size_estimate(a, b, ["k"], width=32, depth=4).collect()
+        assert row.est_join_rows >= exact
+        # AMS bound: error ~ |a||b|/width = 200*200/32 = 1250
+        assert row.est_join_rows <= exact + 5 * 1250
+
+    def test_disjoint_keys_estimate_zero_or_tiny(self, spark):
+        a = spark.range(0, 50).select(F.col("id").alias("k"))
+        b = spark.range(1000, 1050).select(F.col("id").alias("k"))
+        [row] = cms_join_size_estimate(a, b, ["k"], width=4096, depth=4).collect()
+        assert row.est_join_rows <= 2  # collisions only
