@@ -5020,6 +5020,141 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_cube_counts(spark, sf):
+    """CUBE aggregation (the §2 rollup/cube pair's second half): order
+    counts and decimal revenue over every subset of {orderstatus,
+    orderpriority} — one pass, Spark expands the grouping sets inside a
+    single hash aggregate (no union of 4 scans). NULL group markers are
+    disambiguated with grouping_id so the oracle's GROUPING SETS output
+    aligns cell-for-cell."""
+    orders = _load(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_zorder_pruning(spark, sf):
+    """File-skipping effectiveness of the Z-order layout, quantified
+    in-engine: group events by coarse z-range bucket (the unit a writer
+    would emit as one file), record per-bucket min/max of BOTH dimensions
+    — the parquet footer stats — and evaluate which buckets a
+    two-predicate scan (user_id ∈ [40,60) ∧ cents ∈ [10000,20000)) could
+    skip on stats alone. Output: per-bucket stats + can_skip; pytest
+    asserts the z-layout skips the majority while a one-column sort
+    cannot. This is the read-side payoff the layout exists for."""
+    from proxima_platform_spark.functions.layout import morton_key_2d
+
+    ev = _events(spark, sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    zb = F.shiftright(morton_key_2d(F.col("user_id"), cents), 22).alias("zbucket")
+    stats = (
+        ev.select(zb, "user_id", cents.alias("cents"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("cents").alias("c_min"),
+            F.max("cents").alias("c_max"),
+        )
+    )
+    return stats.withColumn(
+        "can_skip",
+        (F.col("u_max") < 40)
+        | (F.col("u_min") >= 60)
+        | (F.col("c_max") < 10000)
+        | (F.col("c_min") >= 20000),
+    )
+
+
+def _sql_zorder_pruning() -> str:
+    from proxima_platform_spark.functions.layout import zorder_sql_2d
+
+    z = zorder_sql_2d("user_id", "CAST(round(value * 100, 0) AS BIGINT)")
+    return f"""
+WITH b AS (
+  SELECT ({z} >> 22) AS zbucket, user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), stats AS (
+  SELECT zbucket, count(*) AS n_rows,
+         min(user_id) AS u_min, max(user_id) AS u_max,
+         min(cents) AS c_min, max(cents) AS c_max
+  FROM b GROUP BY 1
+)
+SELECT *, (u_max < 40 OR u_min >= 60 OR c_max < 10000 OR c_min >= 20000)
+       AS can_skip
+FROM stats
+"""
+
+
+def q_quartiles_exact(spark, sf):
+    """Exact per-type value quartiles by RANK SELECTION (elements at
+    positions ⌈q·n⌉ of the (value, event_id) total order — no
+    interpolation, so no float formula to drift between engines; the MAD
+    median machinery generalized to {0.25, 0.5, 0.75}). One
+    Exchange(type) → Sort → Window pass computes all three positions; the
+    histogram ladder (rollup_quantile) remains the sketch path where an
+    exact sort is too expensive."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("value", "event_id")
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("cnt", F.count(F.lit(1)).over(wp))
+    picks = ranked.where(
+        (F.col("rn") == F.expr("CAST(ceil(0.25 * cnt) AS BIGINT)"))
+        | (F.col("rn") == F.expr("CAST(ceil(0.50 * cnt) AS BIGINT)"))
+        | (F.col("rn") == F.expr("CAST(ceil(0.75 * cnt) AS BIGINT)"))
+    )
+    return picks.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("CAST(ceil(0.25 * cnt) AS BIGINT)"), F.col("value"))
+        ).alias("p25"),
+        F.max(
+            F.when(F.col("rn") == F.expr("CAST(ceil(0.50 * cnt) AS BIGINT)"), F.col("value"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rn") == F.expr("CAST(ceil(0.75 * cnt) AS BIGINT)"), F.col("value"))
+        ).alias("p75"),
+    )
+
+
+SQL_QUARTILES_EXACT = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN value END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN value END) AS p75
+FROM ranked
+WHERE rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+   OR rn = CAST(ceil(0.50 * cnt) AS BIGINT)
+   OR rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+GROUP BY 1
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -5065,6 +5200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "drift_chi2": q_drift_chi2,
         "join_size_estimate": q_join_size_estimate,
+        "cube_counts": q_cube_counts,
+        "zorder_pruning": q_zorder_pruning,
+        "quartiles_exact": q_quartiles_exact,
         "key_erasure": q_key_erasure,
         "vocab_overlap": q_vocab_overlap,
         "span_corruption": q_span_corruption,
@@ -5294,6 +5432,9 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": SQL_MAD_OUTLIERS,
         "drift_chi2": SQL_DRIFT_CHI2,
         "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+        "cube_counts": SQL_CUBE_COUNTS,
+        "zorder_pruning": _sql_zorder_pruning(),
+        "quartiles_exact": SQL_QUARTILES_EXACT,
         "key_erasure": SQL_KEY_ERASURE,
         "vocab_overlap": SQL_VOCAB_OVERLAP,
         "span_corruption": SQL_SPAN_CORRUPTION,

@@ -79,3 +79,42 @@ class TestMortonKey:
         assert z_ext <= 32
         assert a_ext >= 60
         assert z_ext < a_ext / 2
+
+
+class TestZorderPruning:
+    def test_two_predicate_scan_skips_majority_of_buckets(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/events.parquet"):
+            import pytest as _p
+
+            _p.skip("no testdata")
+        import __spark_entry__ as entry
+
+        rows = entry.q_zorder_pruning(spark, sf).collect()
+        total = len(rows)
+        skipped = sum(1 for r in rows if r.can_skip)
+        kept = total - skipped
+        # the two-predicate scan must skip MOST z-buckets on stats alone,
+        # but not all (non-vacuity: some buckets genuinely overlap)
+        assert 0 < kept < total
+        assert skipped / total >= 0.5, (skipped, total)
+        # a single-column sort cannot bound the second dimension: bucketing
+        # the same rows by user_id range only, the cents stats stay so wide
+        # that the cents predicate alone skips (almost) nothing
+        from pyspark.sql import functions as F
+
+        ev = entry._events(spark, sf)
+        cents = F.round(F.col("value") * 100).cast("long")
+        stats = (
+            ev.select(
+                F.expr("user_id DIV 8").alias("bucket"),
+                cents.alias("cents"),
+            )
+            .groupBy("bucket")
+            .agg(F.min("cents").alias("c_min"), F.max("cents").alias("c_max"))
+        )
+        srows = stats.collect()
+        skippable = sum(1 for r in srows if r.c_max < 10000 or r.c_min >= 20000)
+        assert skippable / len(srows) <= 0.1, (skippable, len(srows))
