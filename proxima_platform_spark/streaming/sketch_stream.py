@@ -1,0 +1,187 @@
+"""Continuously-maintained frequency sketch: Count-Min + candidate set
+folded per micro-batch — streaming heavy hitters with the classic
+superset guarantee.
+
+Why the batch two-phase (`functions/sketch.cms_frequent_items`) can't run
+online unchanged: its exact confirm re-scans all rows, and a stream can't
+revisit history. The streaming maintainer keeps instead
+
+* the merged CMS counter frame (base+delta parquet generations, compacted
+  — the ``ContinuousRollup`` manifest pattern; state is O(width·depth)
+  CELLS regardless of key cardinality), and
+* a CANDIDATE key table: every batch, the batch's distinct keys are probed
+  against the merged sketch and the ones whose estimate clears the
+  threshold are appended. A key's count only grows in batches where it
+  appears, and CMS never undercounts — so the batch in which a key's true
+  running count crosses T is a batch that contains it, and the probe in
+  that batch catches it. Hence candidates ⊇ every key truly frequent so
+  far (no false negatives, ever); impostors are bounded by the standard
+  CMS collision mass εN and can be confirmed exactly offline.
+
+This is the reference's StorageFilter idea run forward continuously:
+cheap online pruning with a hard no-miss guarantee, exactness restored by
+a bounded offline confirm. State and I/O per batch: the batch's cell
+partials (≤ w·d rows) + its crossing keys — never the raw history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proxima_platform_spark.functions.sketch import _cms_cells
+
+
+class ContinuousHeavyHitters:
+    """``update(batch)`` is usable directly as a ``foreachBatch``
+    callback; ``hitters()`` returns the current candidate keys with their
+    sketch estimates (a superset of the truly-frequent keys)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        key_cols: list[str],
+        threshold: int,
+        width: int = 2048,
+        depth: int = 4,
+        compact_every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.threshold = threshold
+        self.width = width
+        self.depth = depth
+        self.compact_every = compact_every
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest (the ContinuousRollup pattern) ----------------------------
+
+    def _manifest(self) -> dict:
+        p = f"{self.path}/manifest.json"
+        if not os.path.exists(p):
+            return {"version": 0, "base": None, "deltas": [], "cands": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{self.path}/manifest.json")
+
+    # -- sketch frames -------------------------------------------------------
+
+    def _batch_cells(self, batch: DataFrame) -> DataFrame:
+        key = [F.col(c) for c in self.key_cols]
+        cells = _cms_cells(key, self.width, self.depth)
+        return (
+            batch.select(F.explode(F.array(*cells)).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _merged_cells(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        df = self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+        return df.groupBy("cell").agg(F.sum("n").alias("n"))
+
+    def _estimate(self, keys: DataFrame, cells: DataFrame) -> DataFrame:
+        key = [F.col(c) for c in self.key_cols]
+        cell_exprs = _cms_cells(key, self.width, self.depth)
+        one_row = cells.agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cell").cast("int"), "n"))
+                )
+            ).alias("cells")
+        )
+        lookups = [
+            F.coalesce(
+                F.element_at(F.col("__cms.cells"), c.cast("int")),
+                F.lit(0).cast("long"),
+            )
+            for c in cell_exprs
+        ]
+        est = lookups[0] if self.depth == 1 else F.least(*lookups)
+        return (
+            keys.crossJoin(
+                F.broadcast(one_row.select(F.struct("cells").alias("__cms")))
+            )
+            .withColumn("freq_est", est)
+            .drop("__cms")
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        m = self._manifest()
+        v = m["version"] + 1
+        delta = f"delta/d{v}"
+        self._batch_cells(batch).write.parquet(f"{self.path}/{delta}")
+        m["version"] = v
+        m["deltas"] = m["deltas"] + [delta]
+
+        # probe THIS batch's keys against the merged-so-far sketch; the
+        # crossing batch always contains the key, so no hitter is missed
+        merged = self._merged_cells(
+            ([m["base"]] if m["base"] else []) + m["deltas"]
+        )
+        crossers = (
+            self._estimate(batch.select(*self.key_cols).distinct(), merged)
+            .where(F.col("freq_est") >= self.threshold)
+            .select(*self.key_cols)
+        )
+        cand = f"cand/c{v}"
+        crossers.write.parquet(f"{self.path}/{cand}")
+        m["cands"] = m["cands"] + [cand]
+        self._write_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        m = self._manifest()
+        merged = self._merged_cells(
+            ([m["base"]] if m["base"] else []) + m["deltas"]
+        )
+        if merged is None:
+            return
+        new_base = f"base/g{m['version']}"
+        merged.write.parquet(f"{self.path}/{new_base}")
+        cand_paths = [f"{self.path}/{p}" for p in m["cands"]]
+        new_cand = f"cand/g{m['version']}"
+        (
+            self.spark.read.parquet(*cand_paths)
+            .distinct()
+            .write.parquet(f"{self.path}/{new_cand}")
+        )
+        old = ([m["base"]] if m["base"] else []) + m["deltas"] + m["cands"]
+        m["base"], m["deltas"], m["cands"] = new_base, [], [new_cand]
+        self._write_manifest(m)
+        for p in old:
+            shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
+
+    # -- reads ---------------------------------------------------------------
+
+    def hitters(self) -> DataFrame:
+        """Candidate keys with estimate ≥ threshold NOW — a superset of
+        every key whose true running count is ≥ threshold. Exactness, if
+        needed, is one bounded confirm join over the candidates offline."""
+        m = self._manifest()
+        if not m["cands"]:
+            raise LookupError("continuous heavy hitters is empty")
+        cands = self.spark.read.parquet(
+            *[f"{self.path}/{p}" for p in m["cands"]]
+        ).distinct()
+        merged = self._merged_cells(
+            ([m["base"]] if m["base"] else []) + m["deltas"]
+        )
+        return self._estimate(cands, merged).where(
+            F.col("freq_est") >= self.threshold
+        )

@@ -1097,3 +1097,57 @@ class TestStreamingZscore:
         }
         assert got == want and len(got) == 14
         assert got[13][1] is not None and got[13][1] > 2  # outlier flagged
+
+
+class TestContinuousHeavyHitters:
+    def test_superset_guarantee_and_exactness_when_wide(self, spark, tmp_path):
+        """Maintained CMS + candidate set (streaming/sketch_stream.
+        ContinuousHeavyHitters): after any batch sequence, hitters() must
+        contain EVERY key whose true running count >= T (no false
+        negatives — including keys that cross T mid-stream via
+        accumulation), and with a wide grid it equals the exact set."""
+        from proxima_platform_spark.functions.sketch import cms_build
+        from proxima_platform_spark.streaming.sketch_stream import (
+            ContinuousHeavyHitters,
+        )
+
+        schema = "k string"
+        batches = [
+            ["a"] * 4 + ["b"] * 2,
+            ["a"] * 3 + ["c"] * 5,       # a crosses T=7 here (4+3)
+            ["c"] * 3 + ["d"] * 1,       # c crosses T=7 here (5+3)
+        ]
+        hh = ContinuousHeavyHitters(
+            spark, str(tmp_path / "hh"), key_cols=["k"], threshold=7,
+            width=2048, depth=4, compact_every=2,
+        )
+        for i, rows in enumerate(batches):
+            hh.update(spark.createDataFrame([(r,) for r in rows], schema), i)
+
+        got = {r.k: r.freq_est for r in hh.hitters().collect()}
+        from collections import Counter
+
+        exact = Counter(r for b in batches for r in b)
+        true_hitters = {k for k, n in exact.items() if n >= 7}
+        assert true_hitters <= set(got)          # superset guarantee
+        assert set(got) == true_hitters          # wide grid → no impostors
+        for k in got:
+            assert got[k] >= exact[k]            # estimates never undercount
+
+        # the maintained sketch == the batch sketch of the union
+        full = spark.createDataFrame(
+            [(r,) for b in batches for r in b], schema
+        )
+        want = dict(
+            cms_build(full, ["k"], width=2048, depth=4).collect()[0].cells
+        )
+        m = hh._manifest()
+        merged = {
+            r.cell: r.n
+            for r in hh._merged_cells(
+                ([m["base"]] if m["base"] else []) + m["deltas"]
+            ).collect()
+        }
+        assert merged == want
+        # compaction ran (compact_every=2) — deltas folded into a base
+        assert m["base"] is not None
