@@ -5155,6 +5155,102 @@ GROUP BY 1
 """
 
 
+def q_skew_report(spark, sf):
+    """Skew advisor (operational input to operators/skew.py salting
+    decisions): the per-key row-count distribution summarized as an exact
+    Gini coefficient (rank formula Σ(2i−n−1)·x_i / (n·Σx) — integer
+    numerator/denominator, one rounded double division at the end) plus
+    top-1/top-10 key shares. The rank pass sorts the AGGREGATED per-key
+    frame (|keys| rows, 3 orders below raw); at billions of keys the
+    sampled-quantile approximation replaces the exact rank — stated, not
+    assumed. One row out: the go/no-go for salting a pipeline's key."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("c", "user_id")
+    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("c").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+         count(*) OVER () AS n
+  FROM counts
+)
+SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total,
+       round(CAST(sum((2 * i - n - 1) * c) AS DOUBLE)
+             / (CAST(any_value(n) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+def q_bitmap_retention(spark, sf):
+    """Bitmap-index day-over-day retention: per-day active users packed
+    into 64-bit word bitmaps (word = user DIV 64, bit = user MOD 64 via
+    bit_or agg — the roaring-bitmap warehouse technique as pure integer
+    codegen), consecutive days intersected by joining on the WORD and
+    popcounting bits1 & bits2. Exact distinct-intersection without ever
+    re-shuffling raw events per day pair: state is |users|/64 words per
+    day. The oracle computes the same retention with plain COUNT(DISTINCT)
+    self-joins — the hash match certifies the whole bitmap encoding. At
+    100 TB this is THE pattern for audience-overlap matrices (N² pairs
+    from one bitmap table, raw scanned once)."""
+    ev = _events(spark, sf)
+    day = F.expr("ts_ms DIV 86400000")
+    bm = (
+        ev.select(
+            day.alias("day"),
+            F.expr("user_id DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    active = bm.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).alias("n_active")
+    )
+    nxt = bm.select((F.col("day") - 1).alias("day"), "word", F.col("bits").alias("bits2"))
+    retained = (
+        bm.join(nxt, ["day", "word"])
+        .select("day", F.bit_count(F.col("bits").bitwiseAND(F.col("bits2"))).alias("p"))
+        .groupBy("day")
+        .agg(F.sum("p").alias("n_retained"))
+    )
+    return (
+        active.join(retained, "day")
+        .select("day", "n_active", "n_retained")
+    )
+
+
+SQL_BITMAP_RETENTION = """
+WITH a AS (
+  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+), act AS (
+  SELECT day, count(*) AS n_active FROM a GROUP BY 1
+), ret AS (
+  SELECT a1.day, count(*) AS n_retained
+  FROM a a1 JOIN a a2 ON a1.user_id = a2.user_id AND a2.day = a1.day + 1
+  GROUP BY 1
+)
+SELECT act.day, act.n_active, ret.n_retained
+FROM act JOIN ret ON act.day = ret.day
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -5201,6 +5297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": q_drift_chi2,
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
+        "skew_report": q_skew_report,
+        "bitmap_retention": q_bitmap_retention,
         "zorder_pruning": q_zorder_pruning,
         "quartiles_exact": q_quartiles_exact,
         "key_erasure": q_key_erasure,
@@ -5433,6 +5531,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2": SQL_DRIFT_CHI2,
         "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
         "cube_counts": SQL_CUBE_COUNTS,
+        "skew_report": SQL_SKEW_REPORT,
+        "bitmap_retention": SQL_BITMAP_RETENTION,
         "zorder_pruning": _sql_zorder_pruning(),
         "quartiles_exact": SQL_QUARTILES_EXACT,
         "key_erasure": SQL_KEY_ERASURE,

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "span_corruption",
     "join_size_estimate",
     "key_erasure",
+    "bitmap_retention",
+    "skew_report",
 ]
 
 

@@ -177,3 +177,65 @@ class TestJoinSizeEstimate:
         b = spark.range(1000, 1050).select(F.col("id").alias("k"))
         [row] = cms_join_size_estimate(a, b, ["k"], width=4096, depth=4).collect()
         assert row.est_join_rows <= 2  # collisions only
+
+
+class TestBitmapAndGini:
+    def test_bitmap_intersection_equals_set_intersection(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(rng.randint(0, 3), rng.randint(0, 500)) for _ in range(2000)]
+        df = spark.createDataFrame(rows, "day long, uid long")
+        bm = (
+            df.select(
+                "day",
+                F.expr("uid DIV 64").alias("word"),
+                F.expr("shiftleft(1L, CAST(uid % 64 AS INT))").alias("m"),
+            )
+            .groupBy("day", "word")
+            .agg(F.bit_or("m").alias("bits"))
+        )
+        nxt = bm.select(
+            (F.col("day") - 1).alias("day"), "word", F.col("bits").alias("b2")
+        )
+        got = {
+            r.day: r.n
+            for r in bm.join(nxt, ["day", "word"])
+            .select("day", F.bit_count(F.col("bits").bitwiseAND(F.col("b2"))).alias("p"))
+            .groupBy("day")
+            .agg(F.sum("p").alias("n"))
+            .collect()
+        }
+        from collections import defaultdict
+
+        days = defaultdict(set)
+        for d, u in rows:
+            days[d].add(u)
+        want = {
+            d: len(days[d] & days[d + 1])
+            for d in days
+            if d + 1 in days and len(days[d] & days[d + 1]) > 0
+        }
+        assert got == want and len(want) >= 2
+
+    def test_gini_bounds(self, spark):
+        import __spark_entry__ as entry
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/events.parquet"):
+            import pytest as _p
+
+            _p.skip("no testdata")
+        [r] = entry.q_skew_report(spark, sf).collect()
+        # near-uniform synthetic fixture: Gini small but nonzero
+        assert 0.0 < r.gini < 0.3
+        assert r.n_keys == 150
+        # concentrated distribution → Gini near 1
+        rows = [(0, i) for i in range(1000)] + [(k, 0) for k in range(1, 10)]
+        df = spark.createDataFrame(rows, "uid long, j long")
+        counts = df.groupBy("uid").count()
+        xs = sorted(r["count"] for r in counts.collect())
+        n, tot = len(xs), sum(xs)
+        gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * tot)
+        assert gini > 0.85
