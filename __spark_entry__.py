@@ -5251,6 +5251,56 @@ FROM act JOIN ret ON act.day = ret.day
 """
 
 
+def q_snapshot_diff(spark, sf):
+    """Point-in-time audit diff (changelog.py::snapshot_diff): which
+    (user, event_type) cells changed between 2024-01-10 and 2024-01-20 —
+    added / updated (no deletes in the plain events changelog; the delete
+    path is pinned by TestSnapshotDiff). Two deterministic snapshot-at
+    compactions + one full outer join on the shared cell key (partitioning
+    reused); history is never rescanned beyond the two compactions. The
+    time-travel read the reference's cached view serves, as a batch
+    audit."""
+    from proxima_platform_spark.changelog import snapshot_diff
+
+    clog = _events_changelog(spark, sf)
+    d = snapshot_diff(
+        clog,
+        at_from=F.timestamp_millis(F.lit(T0)),
+        at_to=F.timestamp_millis(F.lit(T1)),
+    )
+    return d.select(
+        "key",
+        "attribute",
+        "status",
+        F.decode("value_from", "UTF-8").cast("double").alias("val_from"),
+        F.decode("value_to", "UTF-8").cast("double").alias("val_to"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH s0 AS (
+  SELECT user_id::VARCHAR AS key, event_type AS attribute, value AS val
+  FROM events WHERE epoch_us(ts) <= {T0} * 1000
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+), s1 AS (
+  SELECT user_id::VARCHAR AS key, event_type AS attribute, value AS val
+  FROM events WHERE epoch_us(ts) <= {T1} * 1000
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+)
+SELECT coalesce(s0.key, s1.key) AS key,
+       coalesce(s0.attribute, s1.attribute) AS attribute,
+       CASE WHEN s0.key IS NULL THEN 'added'
+            WHEN s1.key IS NULL THEN 'deleted'
+            ELSE 'updated' END AS status,
+       s0.val AS val_from, s1.val AS val_to
+FROM s0 FULL OUTER JOIN s1
+  ON s0.key = s1.key AND s0.attribute = s1.attribute
+WHERE s0.key IS NULL OR s1.key IS NULL OR s0.val <> s1.val
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -5298,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
         "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
         "bitmap_retention": q_bitmap_retention,
         "zorder_pruning": q_zorder_pruning,
         "quartiles_exact": q_quartiles_exact,
@@ -5532,6 +5583,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
         "cube_counts": SQL_CUBE_COUNTS,
         "skew_report": SQL_SKEW_REPORT,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "bitmap_retention": SQL_BITMAP_RETENTION,
         "zorder_pruning": _sql_zorder_pruning(),
         "quartiles_exact": SQL_QUARTILES_EXACT,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "key_erasure",
     "bitmap_retention",
     "skew_report",
+    "snapshot_diff",
 ]
 
 

@@ -322,3 +322,41 @@ def erase_keys(
     return survivors.select(*changelog.columns).unionByName(
         tombstones.select(*changelog.columns)
     )
+
+
+def snapshot_diff(
+    changelog: DataFrame,
+    *,
+    at_from: Column,
+    at_to: Column,
+) -> DataFrame:
+    """Audit diff between two snapshot instants of the same changelog:
+    one row per (entity, key, attribute) cell whose LIVE value differs
+    between ``at_from`` and ``at_to`` — ``status`` ∈ {added, deleted,
+    updated}, with both values carried. Unchanged cells are excluded.
+
+    This is the stream–table-duality read the reference's time-travel
+    cached view enables (LocalCachedPartitionedView snapshot-at
+    semantics): two deterministic point-in-time compactions and ONE full
+    outer join on the cell key. Both snapshots shuffle on the same cell
+    key, so the join reuses their partitioning; the diff never rescans
+    raw history beyond the two compactions.
+    """
+    a = snapshot(changelog, at=at_from).select(
+        "entity", "key", "attribute", F.col("value").alias("value_from")
+    )
+    b = snapshot(changelog, at=at_to).select(
+        "entity", "key", "attribute", F.col("value").alias("value_to")
+    )
+    j = a.join(b, ["entity", "key", "attribute"], "full_outer")
+    status = (
+        F.when(F.col("value_from").isNull(), F.lit("added"))
+        .when(F.col("value_to").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.where(
+        F.col("value_from").isNull()
+        | F.col("value_to").isNull()
+        | (F.col("value_from") != F.col("value_to"))
+    ).select("entity", "key", "attribute", status.alias("status"),
+             "value_from", "value_to")

@@ -292,3 +292,50 @@ class TestEraseKeys:
         a = sorted((r.key, r.attribute) for r in snapshot(erased).collect())
         b = sorted((r.key, r.attribute) for r in snapshot(compact(erased)).collect())
         assert a == b == [("2", "a")]
+
+
+class TestSnapshotDiff:
+    def test_added_updated_deleted(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.changelog import snapshot_diff, to_changelog
+
+        rows = [
+            # (key, attr, seq, second, value, delete)
+            (1, "a", 1, 10, "v1", False),
+            (1, "a", 2, 30, "v2", False),   # updated after t0
+            (2, "a", 3, 5, "x", False),     # deleted after t0
+            (2, "a", 4, 40, None, True),
+            (3, "a", 5, 35, "new", False),  # added after t0
+            (4, "a", 6, 12, "same", False), # unchanged → excluded
+        ]
+        df = spark.createDataFrame(
+            [
+                (k, a, s, dt.datetime(2024, 1, 1, 0, 0, t), v, d)
+                for k, a, s, t, v, d in rows
+            ],
+            "k long, a string, seq long, ts timestamp, v string, del boolean",
+        )
+        clog = to_changelog(
+            df, entity="e", key="k", attribute="a", stamp="ts",
+            value=F.encode("v", "UTF-8"), seq_id="seq", delete=F.col("del"),
+        )
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 20)
+        t1 = dt.datetime(2024, 1, 1, 0, 1, 0)
+        got = {
+            (r.key, r.attribute): (
+                r.status,
+                bytes(r.value_from) if r.value_from else None,
+                bytes(r.value_to) if r.value_to else None,
+            )
+            for r in snapshot_diff(
+                clog, at_from=F.lit(t0), at_to=F.lit(t1)
+            ).collect()
+        }
+        assert got == {
+            ("1", "a"): ("updated", b"v1", b"v2"),
+            ("2", "a"): ("deleted", b"x", None),
+            ("3", "a"): ("added", None, b"new"),
+        }

@@ -218,3 +218,103 @@ def test_wav_codec_round_trips(samples, rate):
     got, got_rate = decode_wav(encode_wav(arr, sample_rate=rate))
     assert got_rate == rate
     assert np.array_equal(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# late-r04 primitives: CMS merge algebra, vacuum invariant, Morton bijection
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(0, 59),
+)
+def test_cms_merge_split_invariant(spark, rows, cut):
+    """CMS(A ⊎ B) == merge(CMS(A), CMS(B)) for ANY split point — the
+    algebra that makes per-partition / per-micro-batch builds sound."""
+    from proxima_platform_spark.functions.sketch import cms_build, cms_merge
+
+    cut = min(cut, len(rows))
+    schema = "k long, t string"
+    full = spark.createDataFrame(rows, schema)
+    a = rows[:cut] or [(99, "pad")]
+    b = rows[cut:] or [(99, "pad")]
+    pad = [(99, "pad")] if (not rows[:cut] or not rows[cut:]) else []
+    whole = spark.createDataFrame(rows + pad, schema)
+    m = cms_merge(
+        cms_build(spark.createDataFrame(a, schema), ["k", "t"], width=64, depth=3),
+        cms_build(spark.createDataFrame(b, schema), ["k", "t"], width=64, depth=3),
+    ).collect()[0]
+    u = cms_build(whole, ["k", "t"], width=64, depth=3).collect()[0]
+    assert dict(m.cells) == dict(u.cells)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(element_st, min_size=1, max_size=25), k=st.integers(1, 3))
+def test_vacuum_preserves_snapshot(spark, raw, k):
+    """snapshot(vacuum_changelog(c, k)) == snapshot(c) for ANY changelog
+    and ANY keep_versions ≥ 1 — the retention invariant, property-scale."""
+    from proxima_platform_spark.changelog import vacuum_changelog
+
+    elements = to_elements(raw)
+    df = spark.createDataFrame(
+        [
+            (
+                e["key"],
+                e["attribute"],
+                e["seq"],
+                ts(e["stamp"]),
+                e["value"],
+                e["delete"],
+                e["delete_wildcard"],
+            )
+            for e in elements
+        ],
+        "k string, a string, seq long, t timestamp, v string, d boolean, dw boolean",
+    )
+    clog = to_changelog(
+        df, entity="e", key="k", attribute="a", stamp="t",
+        value=F.encode("v", "UTF-8"), seq_id="seq", delete=F.col("d"),
+        delete_wildcard=F.col("dw"),
+    )
+    kept = vacuum_changelog(clog, keep_versions=k)
+    a = sorted(
+        (r.key, r.attribute, bytes(r.value) if r.value is not None else None)
+        for r in snapshot(clog).collect()
+    )
+    b = sorted(
+        (r.key, r.attribute, bytes(r.value) if r.value is not None else None)
+        for r in snapshot(kept).collect()
+    )
+    assert a == b
+
+
+def test_morton_key_is_a_bijection_on_16bit_pairs():
+    """The pure-python mirror of the spread steps inverts uniquely on a
+    dense sample — no two (a, b) pairs share a key (driver-side check of
+    the spec the Spark expressions implement)."""
+    def spread(x):
+        x &= 0xFFFF
+        for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+            x = (x | (x << shift)) & mask
+        return x
+
+    seen = {}
+    for a in range(0, 256, 7):
+        for b in range(0, 256, 11):
+            z = spread(a) | (spread(b) << 1)
+            assert z not in seen, (a, b, seen[z])
+            seen[z] = (a, b)
