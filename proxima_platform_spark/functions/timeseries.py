@@ -639,3 +639,55 @@ def drift_chi2(
             F.sum(F.when(F.col("__extra"), 1).otherwise(0)).alias("extra_bins"),
         )
     )
+
+
+def attribution_stream(
+    stream_events: DataFrame,
+    *,
+    marketing_types: Sequence[str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    stamp_col: str = "tstamp",
+    id_col: str = "event_id",
+    watermark_delay: str = "10 seconds",
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming twin of the batch last-touch attribution query: the keyed
+    event-time state machine carries ONE value per user (the most recent
+    marketing touch) and emits a credited row per conversion —
+    (key, conversion id, channel). Rows apply in event-time order within
+    the watermark, so the credit equals the batch carry-forward window's.
+    State per key is O(1); conversions stream out as they happen instead
+    of waiting for a batch re-scan — the online half of the attribution
+    pair."""
+    mtypes = set(marketing_types)
+
+    def state_fn(state, key, row):
+        t = row[type_col]
+        if t in mtypes:
+            return [t], None
+        if t == conversion_type:
+            channel = state[0] if state else "(direct)"
+            return state, {
+                key_col: key,
+                id_col: row[id_col],
+                "channel": channel,
+            }
+        return state, None
+
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
+    return reduce_value_state_by_key_stream(
+        stream_events.select(key_col, type_col, stamp_col, id_col),
+        key=key_col,
+        stamp=stamp_col,
+        state_fn=state_fn,
+        initial_state=[],
+        output_schema=f"{key_col} long, {id_col} long, channel string",
+        sorted=True,
+        watermark_delay=watermark_delay,
+        api=api,
+    )

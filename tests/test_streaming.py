@@ -1151,3 +1151,51 @@ class TestContinuousHeavyHitters:
         assert merged == want
         # compaction ran (compact_every=2) — deltas folded into a base
         assert m["base"] is not None
+
+
+class TestStreamingAttribution:
+    def test_streaming_credit_equals_batch_window(self, spark, tmp_path):
+        """Streaming last-touch attribution (functions/timeseries.
+        attribution_stream): per-conversion credit must equal the batch
+        carry-forward window, including a touch in one micro-batch
+        crediting a purchase in the next, and '(direct)' before any
+        touch."""
+        from proxima_platform_spark.functions.timeseries import attribution_stream
+
+        src = str(tmp_path / "attr_src")
+        schema = "user_id long, event_id long, event_type string, tstamp timestamp"
+        b0 = [
+            (1, 0, "purchase", ts(500)),   # before any touch → (direct)
+            (1, 1, "click", ts(1000)),
+            (2, 2, "view", ts(900)),
+        ]
+        b1 = [
+            (1, 3, "purchase", ts(2000)),  # credited to b0's click
+            (2, 4, "click", ts(1500)),
+            (2, 5, "purchase", ts(1800)),  # click overrides older view
+        ]
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f1")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(9, 99, "x", ts(60_000))], schema
+        ).coalesce(1).write.parquet(f"{src}/f2")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = attribution_stream(stream, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("attr_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.event_id: r.channel
+            for r in spark.sql("SELECT * FROM attr_out").collect()
+            if r.user_id != 9
+        }
+        assert got == {0: "(direct)", 3: "click", 5: "click"}
