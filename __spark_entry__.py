@@ -1600,6 +1600,425 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation block (r04c): correlated scalar subqueries, EXISTS /
+# NOT EXISTS with inequality correlation, NOT IN, scalar-subquery HAVING,
+# CTE + scalar max — the subquery shapes Catalyst rewrites into joins
+# (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery). These run
+# through ``spark.sql`` on temp views deliberately: the SQL entry point is
+# part of the engine surface, and the physical plans (left-semi/anti hash
+# joins, broadcast scalar aggregates) are asserted in
+# tests/test_plans.py::TestTpchDecorrelation. Engine-exactness notes inline:
+# decimal accumulation for money sums, integral-double quantities for avg,
+# bigint cents for balance thresholds.
+# ---------------------------------------------------------------------------
+
+
+def _tpch_views(spark, sf):
+    """Register the TPC-H-ish fixture tables as ``t_*`` temp views for the
+    spark.sql-based queries (idempotent per session)."""
+    for t in ("part", "supplier", "customer", "orders", "lineitem", "nation", "region"):
+        _load(spark, sf, t).createOrReplaceTempView(f"t_{t}")
+
+
+def q_tpch_q2ish(spark, sf):
+    """Minimum-cost supplier (TPC-H Q2 shape, adapted: no partsupp table in
+    the fixture, so "cost" is the shipping supplier's account balance): for
+    every small part, the supplier(s) whose s_acctbal equals the correlated
+    per-part minimum. Exercises Catalyst's correlated-scalar-subquery
+    rewrite (aggregate + rejoin on the correlation key); min over doubles is
+    order-independent, so the equality is engine-exact."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+        FROM t_part p
+        JOIN t_lineitem l ON p.p_partkey = l.l_partkey
+        JOIN t_supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 5
+          AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                             FROM t_lineitem l2
+                             JOIN t_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                             WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+SQL_TPCH_Q2ISH = """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5
+  AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                     FROM lineitem l2
+                     JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                     WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+def q_tpch_q8ish(spark, sf):
+    """National market share (TPC-H Q8 shape): NATION_7's share of supplier
+    revenue among ASIA-region customers, by ship year. Two decimal-exact
+    conditional sums per group; the share is one IEEE double division of two
+    exact values, so it is bit-identical across engines."""
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    cust = _load(spark, sf, "customer")
+    supp = _load(spark, sf, "supplier")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    n2 = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(18,4)"
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+    )
+    return j.groupBy(F.year("l_shipdate").alias("o_year")).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", vol.cast(dec))
+                  .otherwise(F.lit(0).cast(dec))).cast("double")
+            / F.sum(vol.cast(dec)).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+SQL_TPCH_Q8ISH = """
+SELECT year(l_shipdate) AS o_year,
+       sum(CASE WHEN n2.n_name = 'NATION_7'
+                THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+                ELSE 0::DECIMAL(18,4) END)::DOUBLE
+       / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_tpch_q9ish(spark, sf):
+    """Product-type profit (TPC-H Q9 shape, adapted: no partsupp, so cost is
+    p_retailprice * quantity): per-row profit is one double expression
+    (bit-identical across engines), accumulated in decimal, grouped by
+    supplier nation × ship year for parts whose name contains 'red'."""
+    part = _load(spark, sf, "part").where(F.col("p_name").contains("red"))
+    supp = _load(spark, sf, "supplier")
+    nation = _load(spark, sf, "nation")
+    li = _load(spark, sf, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")
+    ).agg(_dsum(profit, 4).alias("sum_profit"))
+
+
+SQL_TPCH_Q9ISH = """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       sum((l_extendedprice * (1 - l_discount)
+            - p_retailprice * l_quantity)::DECIMAL(18,4))::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11ish(spark, sf):
+    """Important-stock identification (TPC-H Q11 shape): parts whose shipped
+    value exceeds 1/1500 of total shipped value — a scalar subquery inside
+    HAVING. Both sides accumulate in DECIMAL(18,2) and the threshold
+    multiplies the per-part sum by an integer, so the comparison is exact in
+    both engines (no double rounding at the cut)."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        FROM t_lineitem
+        GROUP BY l_partkey
+        HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1500
+               > (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM t_lineitem)
+        """
+    )
+
+
+SQL_TPCH_Q11ISH = """
+SELECT l_partkey AS p_partkey,
+       sum((l_extendedprice)::DECIMAL(18,2))::DOUBLE AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum((l_extendedprice)::DECIMAL(18,2)) * 1500
+       > (SELECT sum((l_extendedprice)::DECIMAL(18,2)) FROM lineitem)
+"""
+
+
+def q_tpch_q13ish(spark, sf):
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    with an extra join-side predicate (non-urgent orders only), two-level
+    aggregation — per-customer count including the zero bucket, then the
+    histogram of those counts."""
+    cust = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(cust["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15ish(spark, sf):
+    """Top supplier (TPC-H Q15 shape): revenue-per-supplier CTE reused twice
+    — once as the join input, once under a scalar max() — selecting the
+    supplier(s) whose quarterly revenue equals the maximum. Revenue is a
+    DECIMAL(18,4) accumulation, so the max-equality is exact."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+          FROM t_lineitem
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM t_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        """
+    )
+
+
+SQL_TPCH_Q15ISH = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+def q_tpch_q16ish(spark, sf):
+    """Part/supplier relationship count (TPC-H Q16 shape): count DISTINCT
+    suppliers per (brand, size) over selected sizes, excluding a NOT IN
+    supplier set (negative balances) — the anti-join rewrite of NOT IN plus
+    a distinct aggregation."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM t_part
+        JOIN t_lineitem ON p_partkey = l_partkey
+        WHERE p_size IN (1, 14, 23, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM t_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        """
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_tpch_q17ish(spark, sf):
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems below 20%
+    of their part's average quantity — a correlated scalar avg subquery per
+    outer row. Quantities are integral doubles (fixture contract), so
+    sum-then-divide is exact-sum + one IEEE division + one multiply: the
+    threshold is bit-identical across engines and the < cut cannot flip."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM t_lineitem
+        JOIN t_part ON p_partkey = l_partkey
+        WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM t_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+SQL_TPCH_Q17ISH = """
+SELECT p_brand,
+       sum((l_extendedprice)::DECIMAL(18,2))::DOUBLE / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+def q_tpch_q19ish(spark, sf):
+    """Discounted revenue under disjunctive predicates (TPC-H Q19 shape):
+    three OR'd conjunctions over (brand, size, quantity). The brand/size
+    conjuncts land on the broadcast part side and the common l_quantity
+    bounds are pushable to the scan; revenue accumulates in decimal."""
+    part = _load(spark, sf, "part")
+    li = _load(spark, sf, "lineitem")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li["l_partkey"] == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("matched"),
+    )
+
+
+SQL_TPCH_Q19ISH = """
+SELECT sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue,
+       count(*) AS matched
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21ish(spark, sf):
+    """Suppliers-at-fault report (TPC-H Q21 shape, adapted: no receipt /
+    commit dates in the fixture, so "at fault" = sole supplier with returned
+    items on a multi-supplier finished order): EXISTS plus NOT EXISTS, both
+    correlated with an inequality on the supplier key — the pattern Catalyst
+    must turn into left-semi and left-anti joins with non-equi conjuncts."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM t_supplier
+        JOIN t_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN t_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM t_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM t_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        """
+    )
+
+
+SQL_TPCH_Q21ISH = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22ish(spark, sf):
+    """Global sales opportunity (TPC-H Q22 shape, adapted: no phone country
+    codes, so grouped by nation; "inactive" = no open orders): customers
+    above the positive-balance average with no 'O'-status orders. The
+    average cut is computed in bigint cents (round(bal*100) is exact for the
+    2-decimal fixture balances) as cents*count > total_cents — all-integer
+    arithmetic, so the threshold cannot flip between engines."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nation_key, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM t_customer c
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+                * (SELECT count(*) FROM t_customer WHERE c_acctbal > 0.0)
+              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                 FROM t_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM t_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+SQL_TPCH_Q22ISH = """
+SELECT c_nationkey AS nation_key, count(*) AS numcust,
+       sum((c_acctbal)::DECIMAL(18,2))::DOUBLE AS totacctbal
+FROM customer c
+WHERE (round(c_acctbal * 100))::BIGINT
+        * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT sum((round(c_acctbal * 100))::BIGINT)
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+
 # ===========================================================================
 # LLM-pipeline extensions (north star): dedup / similarity / text
 # ===========================================================================
@@ -5326,7 +5745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION NOTE: the driver hard-checks the first ~50 insertion-order
     # entries per round. Until every declared query fits one driver run, the
     # queries with the LEAST driver signal are listed FIRST each round:
-    # r04 = (a0) the 28 queries added late in r04 (CMS heavy hitters +
+    # r04 = (a00) the 11-query TPC-H decorrelation block added last
+    # (correlated scalar subqueries, EXISTS/NOT EXISTS with inequality
+    # correlation, NOT IN, scalar-subquery HAVING, CTE + scalar max — all
+    # locally hash-green via tools/oracle_check.py, 11/11),
+    # (a0) the 28 queries added late in r04 (CMS heavy hitters +
     # join-size estimation, EWMA, rolling z-score + MAD anomaly,
     # attribution, feature pivot, decile bins + exact quartiles, OHLC
     # bars, inverted index, integer PageRank, PIT/SCD2 enrich + snapshot
@@ -5344,6 +5767,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the r03 hash-green block re-rides the remaining slots, oldest
     # certification first.
     return {
+        # -- (a00) r04c TPC-H decorrelation block, zero driver signal -------
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8ish": q_tpch_q8ish,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q21ish": q_tpch_q21ish,
+        "tpch_q22ish": q_tpch_q22ish,
         # -- (a0) newest in r04, zero driver signal -------------------------
         "heavy_hitters": q_heavy_hitters,
         "temperature_mix": q_temperature_mix,
@@ -5681,6 +6116,17 @@ def oracle_sql() -> dict[str, str]:
         "rollup_quantile": SQL_ROLLUP_QUANTILE,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "tpch_q7ish": SQL_TPCH_Q7ISH,
+        "tpch_q2ish": SQL_TPCH_Q2ISH,
+        "tpch_q8ish": SQL_TPCH_Q8ISH,
+        "tpch_q9ish": SQL_TPCH_Q9ISH,
+        "tpch_q11ish": SQL_TPCH_Q11ISH,
+        "tpch_q13ish": SQL_TPCH_Q13ISH,
+        "tpch_q15ish": SQL_TPCH_Q15ISH,
+        "tpch_q16ish": SQL_TPCH_Q16ISH,
+        "tpch_q17ish": SQL_TPCH_Q17ISH,
+        "tpch_q19ish": SQL_TPCH_Q19ISH,
+        "tpch_q21ish": SQL_TPCH_Q21ISH,
+        "tpch_q22ish": SQL_TPCH_Q22ISH,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,

@@ -371,3 +371,56 @@ class TestLateR04Plans:
         assert 0 < tm < 500
         pe = entry.q_pit_enrich(spark, sf).count()
         assert 0 < pe < 2_500
+
+
+class TestTpchDecorrelation:
+    """The r04c subquery block: Catalyst must rewrite every correlated
+    subquery into a join (no per-row re-execution exists in Spark — if the
+    rewrite failed, planning itself errors) and the join strategies must be
+    the ones the queries were designed around. Non-vacuity is checked at the
+    driver's oracle scale so a filter matching nothing can't silently turn
+    the hash check into a no-op."""
+
+    def test_q2_correlated_min_becomes_aggregate_join(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q2ish(spark, sf_dir))
+        # the correlated min() reappears as a standalone aggregate joined back
+        assert "min(" in plan and "Join" in plan
+
+    def test_q17_correlated_avg_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q17ish(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_q21_exists_becomes_semi_and_anti(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q21ish(spark, sf_dir))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+
+    def test_q16_not_in_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q16ish(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_q19_disjunction_prunes_part_columns(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q19ish(spark, sf_dir))
+        # part scan must read only the 3 join/predicate columns, not p_name etc.
+        assert "p_name" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1
+
+    def test_q8_broadcasts_all_dims(self, spark, sf_dir):
+        plan = physical_plan(entry.q_tpch_q8ish(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 4
+
+    def test_block_not_vacuous_at_oracle_sf(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/lineitem.parquet"):
+            pytest.skip("no testdata")
+        # every filter/subquery must both keep and drop rows at driver scale
+        assert 0 < entry.q_tpch_q2ish(spark, sf).count() < 3000
+        assert 0 < entry.q_tpch_q11ish(spark, sf).count() < 2000
+        assert 0 < entry.q_tpch_q13ish(spark, sf).count() < 1500
+        assert entry.q_tpch_q15ish(spark, sf).count() >= 1
+        assert 0 < entry.q_tpch_q16ish(spark, sf).count() < 300
+        assert 0 < entry.q_tpch_q17ish(spark, sf).count() <= 3
+        assert 0 < entry.q_tpch_q21ish(spark, sf).count() < 1000
+        assert 0 < entry.q_tpch_q22ish(spark, sf).count() < 1500
