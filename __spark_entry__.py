@@ -2019,6 +2019,70 @@ GROUP BY c_nationkey
 """
 
 
+def q_set_intersect_buyers(spark, sf):
+    """INTERSECT (set semantics): customers who ordered in both 1997 and
+    1998. Spark plans distinct-set intersection as an aggregate + left-semi
+    hash join — no operator the reference's union machinery offers
+    (reference unions only concatenate: core/src/main/java/cz/o2/proxima/
+    core/storage/commitlog — set ops are a genuine engine extension)."""
+    o = _load(spark, sf, "orders")
+    y97 = o.where(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("c_custkey"))
+    y98 = o.where(F.year("o_orderdate") == 1998).select(F.col("o_custkey").alias("c_custkey"))
+    return y97.intersect(y98)
+
+
+SQL_SET_INTERSECT_BUYERS = """
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+def q_set_except_priorities(spark, sf):
+    """EXCEPT ALL (multiset semantics): the bag difference of order
+    priorities 1997 vs 1998, re-aggregated to counts. Multiset difference
+    keeps max(0, n1-n2) copies per value — the count column certifies the
+    per-duplicate bookkeeping, not just membership."""
+    o = _load(spark, sf, "orders")
+    a = o.where(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    b = o.where(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    return a.exceptAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("surplus")
+    )
+
+
+SQL_SET_EXCEPT_PRIORITIES = """
+SELECT o_orderpriority, count(*) AS surplus FROM (
+  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1998
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_metrics(spark, sf):
+    """Unpivot / melt (wide→long, the inverse of the feature_matrix pivot):
+    part metrics columns become (metric, val) rows, re-aggregated per
+    metric. One narrow Generate — no shuffle until the final aggregate."""
+    part = _load(spark, sf, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    m = part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "val")
+    return m.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+SELECT metric, count(*) AS n, sum(CAST(val AS DECIMAL(18,2)))::DOUBLE AS total
+FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+GROUP BY metric
+"""
+
+
 # ===========================================================================
 # LLM-pipeline extensions (north star): dedup / similarity / text
 # ===========================================================================
@@ -5779,6 +5843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "set_intersect_buyers": q_set_intersect_buyers,
+        "set_except_priorities": q_set_except_priorities,
+        "unpivot_metrics": q_unpivot_metrics,
         # -- (a0) newest in r04, zero driver signal -------------------------
         "heavy_hitters": q_heavy_hitters,
         "temperature_mix": q_temperature_mix,
@@ -6127,6 +6194,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "set_intersect_buyers": SQL_SET_INTERSECT_BUYERS,
+        "set_except_priorities": SQL_SET_EXCEPT_PRIORITIES,
+        "unpivot_metrics": SQL_UNPIVOT_METRICS,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "pretraining_prep": _sql_pretraining_prep(),
         "schema_registry_roundtrip": SQL_SCHEMA_REGISTRY_ROUNDTRIP,

@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "bitmap_retention",
     "skew_report",
     "snapshot_diff",
+    "tpch_q9ish",
+    "tpch_q17ish",
+    "tpch_q21ish",
 ]
 
 

@@ -424,3 +424,30 @@ class TestTpchDecorrelation:
         assert 0 < entry.q_tpch_q17ish(spark, sf).count() <= 3
         assert 0 < entry.q_tpch_q21ish(spark, sf).count() < 1000
         assert 0 < entry.q_tpch_q22ish(spark, sf).count() < 1500
+
+
+class TestSetOpsAndUnpivot:
+    def test_intersect_plans_as_semi_join(self, spark, sf_dir):
+        plan = physical_plan(entry.q_set_intersect_buyers(spark, sf_dir))
+        assert "LeftSemi" in plan
+
+    def test_except_all_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_set_except_priorities(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_unpivot_single_exchange(self, spark, sf_dir):
+        # the melt itself is narrow; only the final aggregate shuffles
+        from proxima_platform_spark.plans import count_exchanges
+        assert count_exchanges(entry.q_unpivot_metrics(spark, sf_dir)) <= 1
+
+    def test_not_vacuous_at_oracle_sf(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/orders.parquet"):
+            pytest.skip("no testdata")
+        # intersect keeps some but not all customers; except-all drops 5-LOW
+        n = entry.q_set_intersect_buyers(spark, sf).count()
+        assert 0 < n < 1500
+        prios = {r["o_orderpriority"] for r in entry.q_set_except_priorities(spark, sf).collect()}
+        assert prios and len(prios) < 5
