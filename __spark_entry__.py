@@ -2019,6 +2019,133 @@ GROUP BY c_nationkey
 """
 
 
+def q_twa_value(spark, sf):
+    """Time-weighted average (the TimescaleDB `time_weight` primitive) of
+    event values per user per day: each sample is weighted by its holding
+    duration — lead(ts) within (user, day), last sample held to midnight.
+    All-integer core: 2-decimal values become exact bigint cents (fixture
+    contract, as ewma_value), durations are epoch-ms longs, so
+    Σ(cents·dur) and Σdur are exact and the TWA is one IEEE double
+    division, bit-identical across engines. Plan: one Exchange on
+    (user, day) → Sort → Window(lead) → partial-agg — window and
+    aggregation reuse the same partitioning, no second shuffle."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf).withColumn("day", F.expr("ts_ms DIV 86400000")).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts_ms", "event_id")
+    d = ev.withColumn(
+        "dur",
+        F.coalesce(F.lead("ts_ms").over(w), (F.col("day") + 1) * 86400000)
+        - F.col("ts_ms"),
+    )
+    # group on the raw (user_id, day) key — the window's partitioning — so
+    # EnsureRequirements reuses the one exchange; day_ms is projected after
+    # (grouping on day*86400000 directly hides the bijection from Catalyst
+    # and costs a second shuffle)
+    return (
+        d.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("cents") * F.col("dur")).alias("weighted_cents_ms"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                / (F.sum("dur").cast("double") * 100.0),
+                6,
+            ).alias("twa"),
+        )
+        .select(
+            "user_id",
+            (F.col("day") * 86400000).alias("day_ms"),
+            "n_samples",
+            "weighted_cents_ms",
+            "twa",
+        )
+    )
+
+
+SQL_TWA_VALUE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) // 86400000 AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+d AS (
+  SELECT user_id, day, cents,
+         coalesce(lead(ts_ms) OVER (PARTITION BY user_id, day
+                                    ORDER BY ts_ms, event_id),
+                  (day + 1) * 86400000) - ts_ms AS dur
+  FROM e)
+SELECT user_id, day * 86400000 AS day_ms,
+       count(*) AS n_samples,
+       CAST(sum(cents * dur) AS BIGINT) AS weighted_cents_ms,
+       round(CAST(sum(cents * dur) AS DOUBLE)
+             / (CAST(sum(dur) AS DOUBLE) * 100.0), 6) AS twa
+FROM d
+GROUP BY 1, 2
+"""
+
+
+def q_corr_price_qty(spark, sf):
+    """Pearson correlation + sample covariance of (quantity, price) per
+    return flag, decomposed into exact integer power sums instead of
+    Spark's/DuckDB's streaming corr/covar kernels (whose partial-merge
+    order makes them engine- and partitioning-dependent): quantities are
+    integral, prices become bigint cents, and Σx, Σy, Σxy, Σx², Σy²
+    accumulate in DECIMAL — order-independent. The closing formulas are
+    the same double expression tree on both sides, so every IEEE op
+    matches bit-for-bit. This is also the at-scale design: power sums are
+    one map-side-combinable pass; the textbook two-pass mean-centered
+    formula would read the fact table twice."""
+    li = _load(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dec = "decimal(38,0)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+        F.round(num / (F.col("n") * (F.col("n") - 1.0)) / 100.0, 4).alias(
+            "covar_samp_qty_price"
+        ),
+    )
+
+
+SQL_CORR_PRICE_QTY = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * (n - 1.0)) / 100.0, 4) AS covar_samp_qty_price
+FROM s
+"""
+
+
 def q_set_intersect_buyers(spark, sf):
     """INTERSECT (set semantics): customers who ordered in both 1997 and
     1998. Spark plans distinct-set intersection as an aggregate + left-semi
@@ -5843,6 +5970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "twa_value": q_twa_value,
+        "corr_price_qty": q_corr_price_qty,
         "set_intersect_buyers": q_set_intersect_buyers,
         "set_except_priorities": q_set_except_priorities,
         "unpivot_metrics": q_unpivot_metrics,
@@ -6194,6 +6323,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "twa_value": SQL_TWA_VALUE,
+        "corr_price_qty": SQL_CORR_PRICE_QTY,
         "set_intersect_buyers": SQL_SET_INTERSECT_BUYERS,
         "set_except_priorities": SQL_SET_EXCEPT_PRIORITIES,
         "unpivot_metrics": SQL_UNPIVOT_METRICS,

@@ -451,3 +451,33 @@ class TestSetOpsAndUnpivot:
         assert 0 < n < 1500
         prios = {r["o_orderpriority"] for r in entry.q_set_except_priorities(spark, sf).collect()}
         assert prios and len(prios) < 5
+
+
+class TestTwaAndCorr:
+    def test_twa_single_exchange(self, spark, sf_dir):
+        # window partitioning on (user, day) must be reused by the aggregate
+        from proxima_platform_spark.plans import count_exchanges
+        assert count_exchanges(entry.q_twa_value(spark, sf_dir)) == 1
+
+    def test_corr_matches_numpy(self, spark, sf_dir):
+        # independent cross-check of the power-sum decomposition against
+        # numpy's two-pass kernel (scale-invariance makes cents == price)
+        import numpy as np
+
+        pdf = (
+            entry._load(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        got = {
+            r["l_returnflag"]: r["corr_qty_price"]
+            for r in entry.q_corr_price_qty(spark, sf_dir).collect()
+        }
+        for flag, grp in pdf.groupby("l_returnflag"):
+            expect = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+            assert abs(got[flag] - expect) < 1e-6, (flag, got[flag], expect)
+
+    def test_corr_single_pass_no_python(self, spark, sf_dir):
+        plan = physical_plan(entry.q_corr_price_qty(spark, sf_dir))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+            assert bad not in plan
