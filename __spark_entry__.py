@@ -2019,6 +2019,91 @@ GROUP BY c_nationkey
 """
 
 
+def q_grouping_sets_sales(spark, sf):
+    """GROUPING SETS with grouping_id(): the arbitrary-set generalization of
+    the rollup/cube family — {(flag,status), (flag), ()} in one pass. Spark
+    expands the sets in a single Expand + aggregate (rows × 3 pre-combine,
+    map-side partials still apply); grouping_id()'s bit vector is
+    column-order-defined identically in both engines."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS grp_id,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows
+        FROM t_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_SALES = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING_ID(l_returnflag, l_linestatus) AS grp_id,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_percent_rank_orders(spark, sf):
+    """Analytic rank family (percent_rank + cume_dist) per order priority,
+    with a unique (totalprice, orderkey) sort so both engines agree on every
+    rank: the outputs are small-integer ratios — (rank-1)/(n-1) and
+    rank_count/n — one IEEE division each, bit-identical. One exchange on
+    the partition key, sort, and a single window operator for both ranks."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_PERCENT_RANK_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS cume
+FROM orders
+"""
+
+
+def q_string_agg_nations(spark, sf):
+    """Ordered string aggregation (LISTAGG/string_agg): nation names per
+    region, comma-joined in sorted order. collect_list is unordered by
+    contract in a distributed engine — the array_sort canonicalization is
+    what makes the result deterministic, the same discipline every
+    distributed string_agg needs (DuckDB gets it via ORDER BY inside the
+    aggregate)."""
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+SQL_STRING_AGG_NATIONS = """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_twa_value(spark, sf):
     """Time-weighted average (the TimescaleDB `time_weight` primitive) of
     event values per user per day: each sample is weighted by its holding
@@ -5936,10 +6021,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION NOTE: the driver hard-checks the first ~50 insertion-order
     # entries per round. Until every declared query fits one driver run, the
     # queries with the LEAST driver signal are listed FIRST each round:
-    # r04 = (a00) the 11-query TPC-H decorrelation block added last
+    # r04 = (a00) the final r04 block: 11 TPC-H decorrelation queries
     # (correlated scalar subqueries, EXISTS/NOT EXISTS with inequality
-    # correlation, NOT IN, scalar-subquery HAVING, CTE + scalar max — all
-    # locally hash-green via tools/oracle_check.py, 11/11),
+    # correlation, NOT IN, scalar-subquery HAVING, CTE + scalar max), set
+    # ops (INTERSECT / EXCEPT ALL), unpivot, GROUPING SETS, percent_rank /
+    # cume_dist, ordered string_agg, time-weighted average, power-sum
+    # corr/covar — all locally hash-green via tools/oracle_check.py,
     # (a0) the 28 queries added late in r04 (CMS heavy hitters +
     # join-size estimation, EWMA, rolling z-score + MAD anomaly,
     # attribution, feature pivot, decile bins + exact quartiles, OHLC
@@ -5970,6 +6057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "grouping_sets_sales": q_grouping_sets_sales,
+        "percent_rank_orders": q_percent_rank_orders,
+        "string_agg_nations": q_string_agg_nations,
         "twa_value": q_twa_value,
         "corr_price_qty": q_corr_price_qty,
         "set_intersect_buyers": q_set_intersect_buyers,
@@ -6323,6 +6413,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
+        "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
+        "string_agg_nations": SQL_STRING_AGG_NATIONS,
         "twa_value": SQL_TWA_VALUE,
         "corr_price_qty": SQL_CORR_PRICE_QTY,
         "set_intersect_buyers": SQL_SET_INTERSECT_BUYERS,

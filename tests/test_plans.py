@@ -481,3 +481,35 @@ class TestTwaAndCorr:
         plan = physical_plan(entry.q_corr_price_qty(spark, sf_dir))
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
             assert bad not in plan
+
+
+class TestGroupingSetsRanksStringAgg:
+    def test_grouping_sets_single_expand_single_exchange(self, spark, sf_dir):
+        from proxima_platform_spark.plans import count_exchanges
+        df = entry.q_grouping_sets_sales(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Expand" in plan
+        assert count_exchanges(df) == 1
+
+    def test_percent_rank_one_window_pass(self, spark, sf_dir):
+        df = entry.q_percent_rank_orders(spark, sf_dir)
+        plan = physical_plan(df)
+        # both rank functions share one Window operator and one exchange
+        assert plan.count("Window") == 1
+        from proxima_platform_spark.plans import count_exchanges
+        assert count_exchanges(df) == 1
+
+    def test_percent_rank_values(self, spark, sf_dir):
+        rows = entry.q_percent_rank_orders(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["pct_rank"] <= 1.0
+            assert 0.0 < r["cume"] <= 1.0
+
+    def test_string_agg_deterministic_order(self, spark, sf_dir):
+        rows = {r["r_name"]: r["nations"] for r in
+                entry.q_string_agg_nations(spark, sf_dir).collect()}
+        assert rows
+        for joined in rows.values():
+            parts = joined.split(",")
+            assert parts == sorted(parts)
