@@ -2114,40 +2114,9 @@ def q_twa_value(spark, sf):
     division, bit-identical across engines. Plan: one Exchange on
     (user, day) → Sort → Window(lead) → partial-agg — window and
     aggregation reuse the same partitioning, no second shuffle."""
-    from pyspark.sql import Window
+    from proxima_platform_spark.functions.timeseries import time_weighted_average
 
-    ev = _events(spark, sf).withColumn("day", F.expr("ts_ms DIV 86400000")).withColumn(
-        "cents", F.round(F.col("value") * 100, 0).cast("long")
-    )
-    w = Window.partitionBy("user_id", "day").orderBy("ts_ms", "event_id")
-    d = ev.withColumn(
-        "dur",
-        F.coalesce(F.lead("ts_ms").over(w), (F.col("day") + 1) * 86400000)
-        - F.col("ts_ms"),
-    )
-    # group on the raw (user_id, day) key — the window's partitioning — so
-    # EnsureRequirements reuses the one exchange; day_ms is projected after
-    # (grouping on day*86400000 directly hides the bijection from Catalyst
-    # and costs a second shuffle)
-    return (
-        d.groupBy("user_id", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_samples"),
-            F.sum(F.col("cents") * F.col("dur")).alias("weighted_cents_ms"),
-            F.round(
-                F.sum(F.col("cents") * F.col("dur")).cast("double")
-                / (F.sum("dur").cast("double") * 100.0),
-                6,
-            ).alias("twa"),
-        )
-        .select(
-            "user_id",
-            (F.col("day") * 86400000).alias("day_ms"),
-            "n_samples",
-            "weighted_cents_ms",
-            "twa",
-        )
-    )
+    return time_weighted_average(_events(spark, sf), ["user_id"])
 
 
 SQL_TWA_VALUE = """

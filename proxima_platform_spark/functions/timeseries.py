@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -687,6 +689,124 @@ def attribution_stream(
         state_fn=state_fn,
         initial_state=[],
         output_schema=f"{key_col} long, {id_col} long, channel string",
+        sorted=True,
+        watermark_delay=watermark_delay,
+        api=api,
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    ts_ms_col: str = "ts_ms",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    day_ms: int = 86400000,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Batch time-weighted average per (keys, day) — the TimescaleDB
+    ``time_weight('LOCF', ...)`` primitive: each sample is weighted by its
+    holding duration (lead() within the day; the last sample is held to
+    midnight). All-integer core: ``value_scale``-decimal values become
+    exact scaled-integer "cents", durations are epoch-ms longs, so
+    Σ(cents·dur) and Σdur are exact and the TWA is one IEEE double
+    division. Output: key cols + ``day_ms``, ``n_samples``,
+    ``weighted_cents_ms``, ``twa``. The aggregate groups on the window's
+    own (keys, day) partition key so both share one exchange."""
+    scale = 10 ** value_scale
+    keys = list(key_cols)
+    ev = df.withColumn("day", F.expr(f"{ts_ms_col} DIV {day_ms}")).withColumn(
+        "cents", F.round(F.col(value_col) * scale, 0).cast("long")
+    )
+    w = Window.partitionBy(*keys, "day").orderBy(ts_ms_col, id_col)
+    d = ev.withColumn(
+        "dur",
+        F.coalesce(F.lead(ts_ms_col).over(w), (F.col("day") + 1) * day_ms)
+        - F.col(ts_ms_col),
+    )
+    return (
+        d.groupBy(*keys, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("cents") * F.col("dur")).alias("weighted_cents_ms"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur")).cast("double")
+                / (F.sum("dur").cast("double") * float(scale)),
+                6,
+            ).alias("twa"),
+        )
+        .select(
+            *keys,
+            (F.col("day") * day_ms).alias("day_ms"),
+            "n_samples",
+            "weighted_cents_ms",
+            "twa",
+        )
+    )
+
+
+def twa_stream(
+    stream_events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    stamp_col: str = "tstamp",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    day_ms: int = 86400000,
+    value_scale: int = 2,
+    watermark_delay: str = "10 seconds",
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming twin of :func:`time_weighted_average`, continuously
+    maintained: per (key, day) the state machine carries (first_ts,
+    closed-interval Σcents·dur, previous sample), and after every event
+    emits the day's TWA *as if the day ended now* (last sample held to
+    midnight, denominator = midnight − first_ts). The LAST emission per
+    (key, day) therefore equals the batch operator's value exactly — the
+    same convergence contract as the continuously-maintained heavy-hitter
+    sketch. State per key-day is three ints; the composite grouping key is
+    key·10⁶ + day (decomposed again in the output)."""
+    scale = 10 ** value_scale
+
+    ev = stream_events.withColumn(
+        "uk",
+        F.col(key_col).cast("long") * F.lit(1_000_000)
+        + F.expr(f"unix_millis({stamp_col}) DIV {day_ms}"),
+    )
+
+    def state_fn(state, uk, row):
+        ts = int(pd.Timestamp(row[stamp_col]).value // 1_000_000)
+        cents = int(round(float(row[value_col]) * scale))
+        if state is None or not state:
+            first_ts, closed, prev_ts, prev_cents = ts, 0, ts, cents
+        else:
+            first_ts, closed, prev_ts, prev_cents = state
+            closed += prev_cents * (ts - prev_ts)
+            prev_ts, prev_cents = ts, cents
+        day = uk % 1_000_000
+        day_end = (day + 1) * day_ms
+        total = closed + cents * (day_end - ts)
+        twa = round(total / (float(day_end - first_ts) * scale), 6)
+        out = {
+            key_col: uk // 1_000_000,
+            "day_ms": day * day_ms,
+            id_col: int(row[id_col]),
+            "twa": twa,
+        }
+        return [first_ts, closed, prev_ts, prev_cents], out
+
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
+    return reduce_value_state_by_key_stream(
+        ev.select("uk", stamp_col, value_col, id_col),
+        key="uk",
+        stamp=stamp_col,
+        state_fn=state_fn,
+        initial_state=[],
+        output_schema=f"{key_col} long, day_ms long, {id_col} long, twa double",
         sorted=True,
         watermark_delay=watermark_delay,
         api=api,

@@ -1199,3 +1199,68 @@ class TestStreamingAttribution:
             if r.user_id != 9
         }
         assert got == {0: "(direct)", 3: "click", 5: "click"}
+
+
+class TestStreamingTwa:
+    def test_last_emission_equals_batch(self, spark, tmp_path):
+        """Streaming TWA (functions/timeseries.twa_stream) is continuously
+        maintained: after each event it emits the day's TWA as if the day
+        ended now, so the LAST emission per (user, day) must equal the batch
+        time_weighted_average value — including across a micro-batch
+        boundary splitting one user's day."""
+        from proxima_platform_spark.functions.timeseries import (
+            time_weighted_average,
+            twa_stream,
+        )
+
+        day0 = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
+        src = str(tmp_path / "twa_src")
+        schema = "user_id long, event_id long, tstamp timestamp, value double"
+        b0 = [
+            (1, 0, ts(day0 + 1_000), 10.0),
+            (1, 1, ts(day0 + 7_200_000), 20.0),
+            (2, 2, ts(day0 + 3_600_000), 5.5),
+        ]
+        b1 = [
+            (1, 3, ts(day0 + 50_000_000), 40.0),   # continues u1's day
+            (2, 4, ts(day0 + 86_000_000), 7.25),
+            (1, 5, ts(day0 + 86_400_000 + 10_000), 3.0),  # next day
+        ]
+        spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f1")
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(9, 99, ts(day0 + 10 * 86_400_000), 0.0)], schema
+        ).coalesce(1).write.parquet(f"{src}/f2")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        out = twa_stream(stream, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory").queryName("twa_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        emitted = [
+            r for r in spark.sql("SELECT * FROM twa_out").collect()
+            if r.user_id != 9
+        ]
+        assert len(emitted) == 6  # one emission per event
+        best = {}
+        for r in emitted:  # last emission = highest event_id here (stamps
+            k = (r.user_id, r.day_ms)  # increase with event_id per key)
+            if k not in best or r.event_id > best[k].event_id:
+                best[k] = r
+        last = {k: r.twa for k, r in best.items()}
+        batch_df = spark.createDataFrame(b0 + b1, schema).withColumn(
+            "ts_ms", F.expr("unix_millis(tstamp)")
+        )
+        want = {
+            (r.user_id, r.day_ms): r.twa
+            for r in time_weighted_average(batch_df, ["user_id"]).collect()
+        }
+        assert last == want and len(want) == 3
