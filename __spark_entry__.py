@@ -2019,6 +2019,97 @@ GROUP BY c_nationkey
 """
 
 
+def q_lateral_top_lines(spark, sf):
+    """Correlated LATERAL derived table with per-outer-row ORDER BY/LIMIT:
+    the top-2 priciest lineitems for each 1997 order — the lateral-join
+    shape (Catalyst DecorrelateInnerQuery turns the limit-per-key subquery
+    into a partitioned rank, never a per-row re-scan). Deterministic
+    tie-break on l_linenumber."""
+    _tpch_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM t_orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM t_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2) l
+        WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+        """
+    )
+
+
+SQL_LATERAL_TOP_LINES = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2) l
+WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+"""
+
+
+def q_rolling_range_revenue(spark, sf):
+    """RANGE-frame window (interval-based, not row-count-based): trailing
+    7-day order revenue per customer nation, ordered by epoch-ms order
+    date. RANGE semantics include every peer row with an order value inside
+    the frame bound, so ties contribute symmetrically and the result is
+    tie-order-independent — the property ROWS frames lack. Exact bigint
+    cents inside the frame; one exchange on the nation key."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf, "orders")
+    cust = _load(spark, sf, "customer")
+    nation = _load(spark, sf, "nation")
+    j = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        # o_orderdate is TIMESTAMP_NTZ on Spark 4 — epoch ms from wall-clock
+        # parts (tz-free; an LTZ cast would shift by session offset)
+        .withColumn(
+            "od_ms",
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                ).cast("long")
+                * 86400
+                + F.hour("o_orderdate") * 3600
+                + F.minute("o_orderdate") * 60
+            )
+            * 1000
+            + (F.expr("extract(SECOND FROM o_orderdate)") * 1000).cast("long"),
+        )
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("od_ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    return j.select(
+        "o_orderkey",
+        F.col("n_name").alias("nation"),
+        F.sum("cents").over(w).alias("win_cents"),
+    )
+
+
+SQL_ROLLING_RANGE_REVENUE = """
+SELECT o_orderkey, n_name AS nation,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY n_name ORDER BY epoch_ms(o_orderdate)
+               RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
 def q_grouping_sets_sales(spark, sf):
     """GROUPING SETS with grouping_id(): the arbitrary-set generalization of
     the rollup/cube family — {(flag,status), (flag), ()} in one pass. Spark
@@ -6035,6 +6126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "lateral_top_lines": q_lateral_top_lines,
+        "rolling_range_revenue": q_rolling_range_revenue,
         "grouping_sets_sales": q_grouping_sets_sales,
         "percent_rank_orders": q_percent_rank_orders,
         "string_agg_nations": q_string_agg_nations,
@@ -6381,6 +6474,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "lateral_top_lines": SQL_LATERAL_TOP_LINES,
+        "rolling_range_revenue": SQL_ROLLING_RANGE_REVENUE,
         "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
         "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
         "string_agg_nations": SQL_STRING_AGG_NATIONS,

@@ -513,3 +513,32 @@ class TestGroupingSetsRanksStringAgg:
         for joined in rows.values():
             parts = joined.split(",")
             assert parts == sorted(parts)
+
+
+class TestLateralAndRangeFrame:
+    def test_lateral_becomes_rank_not_rescan(self, spark, sf_dir):
+        # the per-order LIMIT must plan as a partitioned window/limit over
+        # one lineitem scan — not a nested re-scan per outer row
+        plan = physical_plan(entry.q_lateral_top_lines(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert plan.count("Scan parquet") <= 2
+
+    def test_range_frame_single_exchange(self, spark, sf_dir):
+        from proxima_platform_spark.plans import count_exchanges
+        df = entry.q_rolling_range_revenue(spark, sf_dir)
+        assert count_exchanges(df) == 1
+        assert "RangeFrame" in physical_plan(df)
+
+    def test_not_vacuous_at_oracle_sf(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/orders.parquet"):
+            pytest.skip("no testdata")
+        n = entry.q_lateral_top_lines(spark, sf).count()
+        assert 0 < n  # 1997 orders only
+        # the lateral LIMIT actually limits: ≤ 2 rows per order
+        import pyspark.sql.functions as SF
+        mx = (entry.q_lateral_top_lines(spark, sf)
+              .groupBy("o_orderkey").count().agg(SF.max("count")).first()[0])
+        assert mx <= 2
