@@ -2019,6 +2019,32 @@ GROUP BY c_nationkey
 """
 
 
+def q_null_safe_join(spark, sf):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer and
+    supplier cohorts keyed by a nullable derived group (nullif carves a NULL
+    class out of the fixture's non-null keys). Plain equality silently drops
+    the NULL×NULL pairs; the null-safe operator matches them — and Spark
+    still plans it as a hash join (coalesced key), not a nested loop. The
+    NULL group's pair count in the output is what certifies the semantics."""
+    cust = _load(spark, sf, "customer").select(
+        "c_custkey", F.nullif(F.pmod("c_nationkey", F.lit(5)), F.lit(4)).alias("cgrp")
+    )
+    supp = _load(spark, sf, "supplier").select(
+        "s_suppkey", F.nullif(F.pmod("s_nationkey", F.lit(5)), F.lit(4)).alias("sgrp")
+    )
+    j = cust.join(F.broadcast(supp), cust["cgrp"].eqNullSafe(supp["sgrp"]))
+    return j.groupBy(F.col("cgrp").alias("grp")).agg(F.count(F.lit(1)).alias("pairs"))
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH c AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS grp FROM customer),
+     s AS (SELECT s_suppkey, nullif(s_nationkey % 5, 4) AS grp FROM supplier)
+SELECT c.grp AS grp, count(*) AS pairs
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+GROUP BY 1
+"""
+
+
 def q_lateral_top_lines(spark, sf):
     """Correlated LATERAL derived table with per-outer-row ORDER BY/LIMIT:
     the top-2 priciest lineitems for each 1997 order — the lateral-join
@@ -6126,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "null_safe_join": q_null_safe_join,
         "lateral_top_lines": q_lateral_top_lines,
         "rolling_range_revenue": q_rolling_range_revenue,
         "grouping_sets_sales": q_grouping_sets_sales,
@@ -6474,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "null_safe_join": SQL_NULL_SAFE_JOIN,
         "lateral_top_lines": SQL_LATERAL_TOP_LINES,
         "rolling_range_revenue": SQL_ROLLING_RANGE_REVENUE,
         "grouping_sets_sales": SQL_GROUPING_SETS_SALES,

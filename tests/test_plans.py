@@ -542,3 +542,15 @@ class TestLateralAndRangeFrame:
         mx = (entry.q_lateral_top_lines(spark, sf)
               .groupBy("o_orderkey").count().agg(SF.max("count")).first()[0])
         assert mx <= 2
+
+
+class TestNullSafeJoin:
+    def test_null_safe_join_is_hash_join(self, spark, sf_dir):
+        plan = physical_plan(entry.q_null_safe_join(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_null_group_present(self, spark, sf_dir):
+        rows = {r["grp"]: r["pairs"] for r in
+                entry.q_null_safe_join(spark, sf_dir).collect()}
+        assert None in rows and rows[None] > 0  # NULL x NULL pairs matched
