@@ -6115,7 +6115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # correlation, NOT IN, scalar-subquery HAVING, CTE + scalar max), set
     # ops (INTERSECT / EXCEPT ALL), unpivot, GROUPING SETS, percent_rank /
     # cume_dist, ordered string_agg, time-weighted average, power-sum
-    # corr/covar — all locally hash-green via tools/oracle_check.py,
+    # corr/covar, null-safe join, LATERAL top-k, RANGE-frame rolling sums
+    # — all locally hash-green via tools/oracle_check.py,
     # (a0) the 28 queries added late in r04 (CMS heavy hitters +
     # join-size estimation, EWMA, rolling z-score + MAD anomaly,
     # attribution, feature pivot, decile bins + exact quartiles, OHLC

@@ -250,3 +250,64 @@ class TestContinuousRollupProperty:
     @pytest.fixture(autouse=True)
     def _attach_spark(self, spark):
         type(self).spark = spark
+
+
+def model_twa(rows, day_ms=86_400_000):
+    """rows: (user, ts_ms, value). Per (user, day): Σ cents·dur / Σ dur with
+    lead-to-next (ties broken by event id = list position) and last-sample
+    held to midnight — integer arithmetic, one final double division."""
+    out = {}
+    by_key = {}
+    for i, (u, ts, v) in enumerate(rows):
+        by_key.setdefault((u, ts // day_ms), []).append((ts, i, int(round(v * 100))))
+    for (u, day), evs in by_key.items():
+        evs.sort()
+        end = (day + 1) * day_ms
+        wsum = dsum = 0
+        for j, (ts, _, cents) in enumerate(evs):
+            nxt = evs[j + 1][0] if j + 1 < len(evs) else end
+            wsum += cents * (nxt - ts)
+            dsum += nxt - ts
+        out[(u, day * day_ms)] = (len(evs), wsum, round(wsum / (dsum * 100.0), 6))
+    return out
+
+
+class TestTwaProperty:
+    @pytest.fixture(autouse=True)
+    def _bind(self, spark):
+        self.spark = spark
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),                  # user
+                st.integers(min_value=0, max_value=3 * 86_400_000 - 1), # ts_ms
+                st.decimals(
+                    min_value=-100, max_value=100, places=2
+                ).map(float),                                           # value
+            ),
+            min_size=1,
+            max_size=20,
+            unique_by=lambda r: (r[0], r[1]),  # unique (user, ts): the model
+            # breaks duration ties by id while the operator orders by
+            # (ts, event_id) — identical only when stamps are unique
+        )
+    )
+    def test_matches_model(self, rows):
+        from proxima_platform_spark.functions.timeseries import time_weighted_average
+
+        spark = self.spark
+        df = spark.createDataFrame(
+            [(u, ts, float(v), i) for i, (u, ts, v) in enumerate(rows)],
+            "user_id long, ts_ms long, value double, event_id long",
+        )
+        got = {
+            (r.user_id, r.day_ms): (r.n_samples, r.weighted_cents_ms, r.twa)
+            for r in time_weighted_average(df, ["user_id"]).collect()
+        }
+        assert got == model_twa(rows)
