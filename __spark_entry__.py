@@ -2019,6 +2019,67 @@ GROUP BY c_nationkey
 """
 
 
+def q_dq_audit(spark, sf):
+    """Data-quality audit (the dbt-tests / Deequ constraint shape): one row
+    per constraint with its violation count — PK uniqueness (duplicate
+    o_orderkey), referential integrity (lineitem orphans vs orders,
+    left-anti), accepted range (l_quantity bounds, l_discount in [0,1]),
+    and completeness (NULL keys). The quantity bound is deliberately
+    tighter than the fixture's [1,50] domain so the audit reports a
+    non-zero count alongside the zero rows — both the fire and no-fire
+    paths are exercised (the vacuity discipline). Each check is a count
+    aggregate or an anti-join — exactly the shapes a 100 TB audit can
+    afford (no sorts, no windows); the union of single-row aggregates
+    keeps one job."""
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    dup_pk = (
+        orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_pk_unique").alias("constraint"), "violations")
+    )
+    orphans = (
+        li.join(orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_fk_orders").alias("constraint"), "violations")
+    )
+    qty_range = (
+        li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 40))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("l_quantity_in_1_40").alias("constraint"), "violations")
+    )
+    disc_range = (
+        li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("l_discount_in_0_1").alias("constraint"), "violations")
+    )
+    null_keys = (
+        li.where(F.col("l_orderkey").isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("l_orderkey_not_null").alias("constraint"), "violations")
+    )
+    return dup_pk.union(orphans).union(qty_range).union(disc_range).union(null_keys)
+
+
+SQL_DQ_AUDIT = """
+SELECT 'orders_pk_unique' AS constraint, count(*) AS violations
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_fk_orders', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'l_quantity_in_1_40', count(*)
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 40
+UNION ALL
+SELECT 'l_discount_in_0_1', count(*)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'l_orderkey_not_null', count(*)
+FROM lineitem WHERE l_orderkey IS NULL
+"""
+
+
 def q_null_safe_join(spark, sf):
     """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): customer and
     supplier cohorts keyed by a nullable derived group (nullif carves a NULL
@@ -6153,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "dq_audit": q_dq_audit,
         "null_safe_join": q_null_safe_join,
         "lateral_top_lines": q_lateral_top_lines,
         "rolling_range_revenue": q_rolling_range_revenue,
@@ -6502,6 +6564,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "dq_audit": SQL_DQ_AUDIT,
         "null_safe_join": SQL_NULL_SAFE_JOIN,
         "lateral_top_lines": SQL_LATERAL_TOP_LINES,
         "rolling_range_revenue": SQL_ROLLING_RANGE_REVENUE,

@@ -554,3 +554,22 @@ class TestNullSafeJoin:
         rows = {r["grp"]: r["pairs"] for r in
                 entry.q_null_safe_join(spark, sf_dir).collect()}
         assert None in rows and rows[None] > 0  # NULL x NULL pairs matched
+
+
+class TestDqAudit:
+    def test_one_job_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_dq_audit(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan  # counts and anti-joins only
+
+    def test_fire_and_nofire_paths(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/lineitem.parquet"):
+            pytest.skip("no testdata")
+        rows = {r["constraint"]: r["violations"]
+                for r in entry.q_dq_audit(spark, sf).collect()}
+        assert rows["l_quantity_in_1_40"] > 0       # the audit can fire
+        assert rows["lineitem_fk_orders"] == 0      # and reports clean checks
+        assert rows["orders_pk_unique"] == 0
