@@ -267,6 +267,20 @@ def cms_build_md5(
     return pos.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
 
 
+def cms_build_xxhash(
+    df: DataFrame, cols: list[str], width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """``(cell, n)`` counter frame over the JVM-native xxhash64 family —
+    the production fast path (codegen hash, no string md5 round-trip;
+    measurably cheaper per row at 100 TB scan scale). Same flat-grid cell
+    layout as :func:`cms_build_md5`, so the inner-product estimator
+    consumes either family unchanged; md5 remains the oracle-replayable
+    spec family."""
+    key = [F.col(c) for c in cols]
+    pos = df.select(F.explode(F.array(*_cms_cells(key, width, depth))).alias("cell"))
+    return pos.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
 def cms_join_size_estimate(
     a: DataFrame,
     b: DataFrame,
@@ -274,6 +288,7 @@ def cms_join_size_estimate(
     width: int = 1024,
     depth: int = 4,
     salt: str = "cms-v1",
+    family: str = "md5",
 ) -> DataFrame:
     """Estimate |a ⋈ b| on an equi-key WITHOUT executing the join: the
     inner product of the two Count-Min rows is an upper-bound estimator of
@@ -284,13 +299,20 @@ def cms_join_size_estimate(
     The planner primitive at 100 TB: sizing a candidate join costs two
     O(width·depth)-cell count aggs over single passes of each input —
     no shuffle of either table by key, no join executed. All arithmetic is
-    integer and the hash family is md5, so the SQL oracle rebuilds both
-    sketches and the estimate bit-for-bit.
+    integer. ``family="md5"`` (default) is the engine-portable spec the
+    SQL oracle rebuilds bit-for-bit; ``family="xxhash64"`` is the
+    JVM-native production path (same estimator guarantees — the
+    never-undercounts property is hash-family-independent — pinned for
+    both families in pytest).
 
     Returns one row: ``(est_join_rows,)``.
     """
-    ca = cms_build_md5(a, cols, width, depth, salt)
-    cb = cms_build_md5(b, cols, width, depth, salt)
+    if family == "xxhash64":
+        ca = cms_build_xxhash(a, cols, width, depth)
+        cb = cms_build_xxhash(b, cols, width, depth)
+    else:
+        ca = cms_build_md5(a, cols, width, depth, salt)
+        cb = cms_build_md5(b, cols, width, depth, salt)
     prod = (
         ca.alias("a")
         .join(cb.alias("b"), F.col("a.cell") == F.col("b.cell"))

@@ -178,6 +178,20 @@ class TestJoinSizeEstimate:
         [row] = cms_join_size_estimate(a, b, ["k"], width=4096, depth=4).collect()
         assert row.est_join_rows <= 2  # collisions only
 
+    def test_xxhash_family_same_guarantees(self, spark):
+        # the production fast path: never undercounts, tight when wide,
+        # and agrees with the md5 spec family within collision cross-terms
+        a = spark.range(100).select(F.col("id").alias("k"))
+        b = spark.range(300).select((F.col("id") % 100).alias("k"))
+        exact = a.join(b, "k").count()
+        [fast] = cms_join_size_estimate(
+            a, b, ["k"], width=4096, depth=4, family="xxhash64"
+        ).collect()
+        [spec] = cms_join_size_estimate(a, b, ["k"], width=4096, depth=4).collect()
+        assert fast.est_join_rows >= exact
+        assert fast.est_join_rows <= exact * 1.1
+        assert abs(fast.est_join_rows - spec.est_join_rows) <= exact * 0.1
+
 
 class TestBitmapAndGini:
     def test_bitmap_intersection_equals_set_intersection(self, spark):
