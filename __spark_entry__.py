@@ -2834,6 +2834,91 @@ WHERE list_dot_product(va, vb)
 """
 
 
+def q_lsh_recall_eval(spark, sf):
+    """Recall evaluation of the production LSH candidate path against exact
+    ground truth AND against the sign-LSH collision model — the
+    quality-engineering harness every ANN deployment needs. True pairs
+    come from a bounded all-pairs cosine sweep (eval-scale ONLY — the n²
+    join here is the measurement, not the operator); found pairs from the
+    same 2×8-plane candidates `dedup_embedding` ships; expected recall is
+    the collision model 1−(1−(1−acos(c)/π)^planes)^tables averaged over
+    the true pairs (per-pair probabilities rounded to exact micro-units,
+    so the average is integer arithmetic + one division — no float-order
+    drift). The certified property is measured ≈ model (pinned ±binomial
+    noise in pytest): at this fixture's 0.40 threshold the model itself
+    predicts low single-digit recall — sign-LSH is a high-similarity
+    tool; low-threshold dedup belongs to MinHash banding (see the LSH
+    band planner). Precision is 1.0 by construction (exact-cosine
+    confirm)."""
+    from proxima_platform_spark.functions.similarity import cosine_similarity
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"), dim=dim)
+    p_collide = 1 - F.pow(
+        1 - F.pow(1 - F.acos(cos) / float(__import__("math").pi), 8), 2
+    )
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos > 0.40)
+        .agg(
+            F.count(F.lit(1)).alias("true_pairs"),
+            F.sum(F.round(p_collide * 1_000_000, 0).cast("long")).alias("p_micro"),
+        )
+    )
+    found = embedding_near_dup_pairs(
+        emb, threshold=0.40, num_planes=8, num_tables=2, dim=dim
+    ).agg(F.count(F.lit(1)).alias("found_pairs"))
+    return true_pairs.crossJoin(found).select(
+        "true_pairs",
+        "found_pairs",
+        F.round(F.col("found_pairs") / F.col("true_pairs"), 6).alias("recall"),
+        F.round(
+            F.col("p_micro") / (F.col("true_pairs") * 1_000_000.0), 6
+        ).alias("expected_recall"),
+    )
+
+
+def _sql_lsh_recall_eval() -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tru AS (
+  SELECT count(*) AS true_pairs,
+         sum(CAST(round((1 - pow(1 - pow(1 - acos(cos) / pi(), 8), 2)) * 1000000, 0)
+             AS BIGINT)) AS p_micro
+  FROM (
+    SELECT list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM base a JOIN base c ON a.vec_id < c.vec_id)
+  WHERE cos > 0.40
+),
+b AS (
+  SELECT vec_id, v,
+    {_sql_lsh_bucket(8, 0)} AS b0,
+    {_sql_lsh_bucket(8, 8)} AS b1
+  FROM base),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+),
+fnd AS (
+  SELECT count(*) AS found_pairs FROM (
+    SELECT DISTINCT id_a, id_b FROM cand
+    WHERE list_dot_product(va, vb)
+          / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > 0.40)
+)
+SELECT true_pairs, found_pairs,
+       round(found_pairs / true_pairs, 6) AS recall,
+       round(p_micro / (true_pairs * 1000000.0), 6) AS expected_recall
+FROM tru, fnd
+"""
+
+
 def q_jaccard_adjacent(spark, sf):
     """Exact n-gram Jaccard on candidate pairs (here: adjacent doc ids)."""
     docs = _load(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -6214,6 +6299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "lsh_recall_eval": q_lsh_recall_eval,
         "dq_audit": q_dq_audit,
         "null_safe_join": q_null_safe_join,
         "lateral_top_lines": q_lateral_top_lines,
@@ -6564,6 +6650,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "lsh_recall_eval": _sql_lsh_recall_eval(),
         "dq_audit": SQL_DQ_AUDIT,
         "null_safe_join": SQL_NULL_SAFE_JOIN,
         "lateral_top_lines": SQL_LATERAL_TOP_LINES,

@@ -154,3 +154,28 @@ class TestMultiTableLsh:
         assert len(two & truth) >= len(one & truth)
         # single-table candidates are a subset of two-table candidates per query
         assert len(two) >= len(one) - 1  # top-k may reshuffle, sizes comparable
+
+
+class TestLshRecallHarness:
+    def test_measured_recall_within_model_noise(self, spark):
+        """The eval harness's certified property: measured LSH recall agrees
+        with the sign-LSH collision model within binomial noise (it cannot
+        certify a recall the math doesn't predict)."""
+        import math
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/embeddings.parquet"):
+            import pytest as _p
+
+            _p.skip("no testdata")
+        import __spark_entry__ as entry
+
+        [row] = entry.q_lsh_recall_eval(spark, sf).collect()
+        assert row.true_pairs > 0
+        p = row.expected_recall
+        sigma = math.sqrt(max(p * (1 - p), 1e-9) / row.true_pairs)
+        # loose 5σ: bucket collisions across pairs are positively correlated
+        assert abs(row.recall - p) <= max(5 * sigma, 0.1), (
+            row.recall, p, sigma,
+        )
