@@ -2919,6 +2919,88 @@ FROM tru, fnd
 """
 
 
+def q_minhash_recall_eval(spark, sf):
+    """MinHash-banding recall harness, the companion to `lsh_recall_eval`:
+    true pairs from an exact all-pairs 3-gram Jaccard sweep (eval scale
+    only), found = banded candidates ∩ true, expected recall from the
+    banding model 1−(1−s^rows)^bands at each true pair's exact Jaccard s
+    (micro-unit integer average — no float-order drift). On this fixture
+    the true pairs sit at s ≥ 0.8 where the 4×2 banding predicts ≈1.0 —
+    the measured agreement, next to sign-LSH's predicted-low recall at
+    cosine 0.40, is the quantified case for routing low-threshold dedup
+    to MinHash banding (the band planner's job)."""
+    from proxima_platform_spark.functions.dedup import ngram_shingles
+
+    docs = _load(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    union_n = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / union_n.cast("double")
+    p_band = 1 - F.pow(1 - F.pow(jac, 2), 4)
+    tru = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(union_n > 0)
+        .where(jac >= 0.5)
+        .select(
+            "id_a", "id_b",
+            F.round(p_band * 1_000_000, 0).cast("long").alias("p_micro"),
+        )
+    )
+    cand = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4
+    ).select("id_a", "id_b")
+    hit = tru.join(cand, ["id_a", "id_b"], "left_semi")
+    stats = tru.agg(
+        F.count(F.lit(1)).alias("true_pairs"),
+        F.sum("p_micro").alias("p_sum"),
+    )
+    found = hit.agg(F.count(F.lit(1)).alias("found_pairs"))
+    return stats.crossJoin(found).select(
+        "true_pairs",
+        "found_pairs",
+        F.round(F.col("found_pairs") / F.col("true_pairs"), 6).alias("recall"),
+        F.round(F.col("p_sum") / (F.col("true_pairs") * 1_000_000.0), 6).alias(
+            "expected_recall"
+        ),
+    )
+
+
+def _sql_minhash_recall_eval() -> str:
+    return rf"""
+WITH {_sql_minhash_ctes("documents")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+shd AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+),
+tru AS (
+  SELECT id_a, id_b,
+         CAST(round((1 - pow(1 - pow(jac, 2), 4)) * 1000000, 0) AS BIGINT) AS p_micro
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jac
+    FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0)
+  WHERE jac >= 0.5
+),
+stats AS (SELECT count(*) AS true_pairs, sum(p_micro) AS p_sum FROM tru),
+fnd AS (
+  SELECT count(*) AS found_pairs FROM tru t
+  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+)
+SELECT true_pairs, found_pairs,
+       round(found_pairs / true_pairs, 6) AS recall,
+       round(p_sum / (true_pairs * 1000000.0), 6) AS expected_recall
+FROM stats, fnd
+"""
+
+
 def q_jaccard_adjacent(spark, sf):
     """Exact n-gram Jaccard on candidate pairs (here: adjacent doc ids)."""
     docs = _load(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -6299,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "minhash_recall_eval": q_minhash_recall_eval,
         "lsh_recall_eval": q_lsh_recall_eval,
         "dq_audit": q_dq_audit,
         "null_safe_join": q_null_safe_join,
@@ -6650,6 +6733,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19ish": SQL_TPCH_Q19ISH,
         "tpch_q21ish": SQL_TPCH_Q21ISH,
         "tpch_q22ish": SQL_TPCH_Q22ISH,
+        "minhash_recall_eval": _sql_minhash_recall_eval(),
         "lsh_recall_eval": _sql_lsh_recall_eval(),
         "dq_audit": SQL_DQ_AUDIT,
         "null_safe_join": SQL_NULL_SAFE_JOIN,

@@ -179,3 +179,24 @@ class TestLshRecallHarness:
         assert abs(row.recall - p) <= max(5 * sigma, 0.1), (
             row.recall, p, sigma,
         )
+
+    def test_minhash_recall_matches_banding_model(self, spark):
+        """Companion harness: measured MinHash-banding recall agrees with
+        1-(1-s^r)^b at the true pairs' exact Jaccard — on this fixture
+        (s >= 0.8) that is ~1.0, the quantified case for banding at
+        low-to-mid thresholds where sign-LSH's model predicts near-zero."""
+        import math
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            import pytest as _p
+
+            _p.skip("no testdata")
+        import __spark_entry__ as entry
+
+        [row] = entry.q_minhash_recall_eval(spark, sf).collect()
+        assert row.true_pairs > 0
+        p = row.expected_recall
+        sigma = math.sqrt(max(p * (1 - p), 1e-9) / row.true_pairs)
+        assert abs(row.recall - p) <= max(5 * sigma, 0.1)
