@@ -5607,8 +5607,8 @@ WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
 w AS (SELECT lang, n_s, round(sqrt(n_s), 6) AS w_s FROM c),
 t AS (SELECT CAST(sum(CAST(w_s AS DECIMAL(28,6))) AS DOUBLE) AS sum_w FROM w),
 r AS (SELECT lang,
-             CAST(round(least(1.0, (250.0 * w_s) / (sum_w * CAST(n_s AS DOUBLE))), 6)
-                  * 1000000 AS BIGINT) AS thr
+             round(least(1.0, (250.0 * w_s) / (sum_w * CAST(n_s AS DOUBLE))), 6)
+                  * 1000000.0 AS thr
       FROM w, t)
 SELECT doc_id, lang
 FROM documents d JOIN r USING (lang)

@@ -256,9 +256,14 @@ def temperature_mix(
                 6,
             ),
         )
-        .select(strata_col, (F.col("rate") * BUCKETS).cast("long").alias("__thr"))
+        # double threshold, NOT an integer cast: rate*BUCKETS can land just
+        # below an integer in double (e.g. 437515.9999...), and a truncating
+        # cast here would round in other engines, flipping boundary keys —
+        # the same trap documented at weighted_sample above. long < double
+        # is exact (both sides < 2^53).
+        .select(strata_col, (F.col("rate") * F.lit(float(BUCKETS))).alias("__thr"))
     )
     out = df.join(F.broadcast(rates), strata_col).where(
-        sample_key(key, salt) < F.col("__thr")
+        sample_key(key, salt).cast("double") < F.col("__thr")
     )
     return out.drop("__thr")

@@ -30,12 +30,26 @@ shuffle-on-key DataFrame plans:
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Sequence
 
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _round_half_up(x: float, digits: int = 0) -> float:
+    """Mirror Spark's ``F.round`` on doubles (Java
+    ``BigDecimal.valueOf(double)`` = shortest-repr, then HALF_UP) — NOT
+    Python's built-in ``round()``, which is half-to-even and silently
+    breaks the streaming twins' row-for-row batch-parity contract on
+    exact .5 ties (e.g. value=0.125 at scale 100: batch cents=13,
+    ``round()`` cents=12). Python ``repr`` and Java ``Double.toString``
+    produce the same shortest round-trip decimal string, so this is
+    bit-exact parity (same recipe as functions/text.py round6)."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
 
 
 def funnel(
@@ -410,11 +424,12 @@ def ewma_stream(
     scale = 10 ** value_scale
 
     def state_fn(state, key, row):
-        cents = int(round(float(row[value_col]) * scale))
+        # half-up cents, matching the batch operator's F.round scaling
+        cents = int(_round_half_up(float(row[value_col]) * scale))
         state = (state + [cents])[-max_lag:]
         m = len(state)
         num = sum(c * (1 << i) for i, c in enumerate(state))
-        val = round(num / (((1 << m) - 1) * float(scale)), 6)
+        val = _round_half_up(num / (((1 << m) - 1) * float(scale)), 6)
         return state, {key_col: key, id_col: row[id_col], "ewma": val}
 
     from proxima_platform_spark.streaming.stateful import (
@@ -506,7 +521,8 @@ def rolling_zscore_stream(
     scale = 10 ** value_scale
 
     def state_fn(state, key, row):
-        cents = int(round(float(row[value_col]) * scale))
+        # half-up cents, matching the batch operator's F.round scaling
+        cents = int(_round_half_up(float(row[value_col]) * scale))
         state = (state + [cents])[-window_rows:]
         m = len(state)
         sum_x = float(sum(state)) / scale
@@ -515,7 +531,9 @@ def rolling_zscore_stream(
         var = sum_x2 / m - mean * mean
         z = None
         if m >= min_obs and var > 0:
-            z = round((float(row[value_col]) - mean) / math.sqrt(var), 6)
+            z = _round_half_up(
+                (float(row[value_col]) - mean) / math.sqrt(var), 6
+            )
         return state, {
             key_col: key,
             id_col: row[id_col],
@@ -769,15 +787,29 @@ def twa_stream(
     key·10⁶ + day (decomposed again in the output)."""
     scale = 10 ** value_scale
 
+    # Composite-key precondition: uk = key·10⁶ + day packs into int64 only
+    # for 0 <= key <= ~9.2e12 (negative keys decompose wrong under
+    # %/DIV 10⁶ and would silently misattribute state across (key, day)
+    # cells). Fail loudly executor-side instead: assert_true raises on the
+    # first violating row.
+    key_ok = (F.col(key_col) >= 0) & (
+        F.col(key_col) <= (9_223_372_036_854_775_807 - 999_999) // 1_000_000
+    )
     ev = stream_events.withColumn(
         "uk",
-        F.col(key_col).cast("long") * F.lit(1_000_000)
-        + F.expr(f"unix_millis({stamp_col}) DIV {day_ms}"),
+        F.when(
+            F.assert_true(
+                key_ok, f"twa_stream: {key_col} must be in [0, ~9.2e12]"
+            ).isNull(),
+            F.col(key_col).cast("long") * F.lit(1_000_000)
+            + F.expr(f"unix_millis({stamp_col}) DIV {day_ms}"),
+        ),
     )
 
     def state_fn(state, uk, row):
         ts = int(pd.Timestamp(row[stamp_col]).value // 1_000_000)
-        cents = int(round(float(row[value_col]) * scale))
+        # half-up cents, matching the batch operator's F.round scaling
+        cents = int(_round_half_up(float(row[value_col]) * scale))
         if state is None or not state:
             first_ts, closed, prev_ts, prev_cents = ts, 0, ts, cents
         else:
@@ -787,7 +819,7 @@ def twa_stream(
         day = uk % 1_000_000
         day_end = (day + 1) * day_ms
         total = closed + cents * (day_end - ts)
-        twa = round(total / (float(day_end - first_ts) * scale), 6)
+        twa = _round_half_up(total / (float(day_end - first_ts) * scale), 6)
         out = {
             key_col: uk // 1_000_000,
             "day_ms": day * day_ms,

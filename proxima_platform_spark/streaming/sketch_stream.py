@@ -65,9 +65,17 @@ class ContinuousHeavyHitters:
     def _manifest(self) -> dict:
         p = f"{self.path}/manifest.json"
         if not os.path.exists(p):
-            return {"version": 0, "base": None, "deltas": [], "cands": []}
+            return {
+                "version": 0,
+                "base": None,
+                "deltas": [],
+                "cands": [],
+                "seen_batches": [],
+            }
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("seen_batches", [])
+        return m
 
     def _write_manifest(self, m: dict) -> None:
         tmp = f"{self.path}/manifest.json.tmp"
@@ -122,9 +130,26 @@ class ContinuousHeavyHitters:
 
     def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
         m = self._manifest()
+        # foreachBatch is at-least-once: after a failure between the delta
+        # write and the sink commit, Structured Streaming REPLAYS the
+        # micro-batch with the same batch_id. Without this no-op guard the
+        # replay would write a second delta and double-count every key in
+        # the batch — the superset guarantee survives (counters only grow)
+        # but freq_est would exceed the documented εN collision bound. The
+        # manifest records processed batch_ids, the exactly-once idempotence
+        # convention foreachBatch callbacks are expected to implement.
+        if batch_id is not None:
+            if batch_id in m["seen_batches"]:
+                return
+            m["seen_batches"] = m["seen_batches"] + [batch_id]
         v = m["version"] + 1
         delta = f"delta/d{v}"
-        self._batch_cells(batch).write.parquet(f"{self.path}/{delta}")
+        # overwrite: a crash after this write but before the manifest write
+        # leaves an orphan dir at this same versioned path; the replay must
+        # be able to rewrite it (the manifest is the commit point)
+        self._batch_cells(batch).write.mode("overwrite").parquet(
+            f"{self.path}/{delta}"
+        )
         m["version"] = v
         m["deltas"] = m["deltas"] + [delta]
 
@@ -139,7 +164,7 @@ class ContinuousHeavyHitters:
             .select(*self.key_cols)
         )
         cand = f"cand/c{v}"
-        crossers.write.parquet(f"{self.path}/{cand}")
+        crossers.write.mode("overwrite").parquet(f"{self.path}/{cand}")
         m["cands"] = m["cands"] + [cand]
         self._write_manifest(m)
         if len(m["deltas"]) >= self.compact_every:
