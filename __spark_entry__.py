@@ -2854,14 +2854,28 @@ def q_lsh_recall_eval(spark, sf):
 
     emb = _load(spark, sf, "embeddings")
     dim = emb.select(F.size("embedding").alias("d")).first().d
+    # inequality BNLJ over the 8-byte ids ONLY (codegen-safe), then two
+    # equi-joins attach the vectors — consuming wide ArrayData columns
+    # inside the BroadcastNestedLoopJoin consume path overflows Janino's
+    # 64KB method limit (interpreted fallback: correct but noisy stacks in
+    # the sweep artifact). Eval-scale-only all-pairs, as documented.
+    ids = emb.select("vec_id")
+    id_pairs = ids.select(F.col("vec_id").alias("id_a")).join(
+        ids.select(F.col("vec_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"), dim=dim)
+    # dim=None on purpose: the aggregate form evaluates left-to-right like
+    # the unrolled chain (bit-equal doubles) but stays a single fallback
+    # expression — the unrolled 3·dim multiply-add chain fused into this
+    # join stage is exactly what overflowed Janino's method limit
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
     p_collide = 1 - F.pow(
         1 - F.pow(1 - F.acos(cos) / float(__import__("math").pi), 8), 2
     )
     true_pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        id_pairs.join(a, "id_a").join(b, "id_b")
         .where(cos > 0.40)
         .agg(
             F.count(F.lit(1)).alias("true_pairs"),
@@ -2935,13 +2949,20 @@ def q_minhash_recall_eval(spark, sf):
     sh = docs.select(
         "doc_id", F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("s")
     )
+    # ids-only inequality BNLJ, shingle arrays attached by equi-join after
+    # (same Janino-width reasoning as q_lsh_recall_eval above)
+    ids = sh.select("doc_id")
+    id_pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     union_n = F.size(F.array_union(F.col("sa"), F.col("sb")))
     jac = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / union_n.cast("double")
     p_band = 1 - F.pow(1 - F.pow(jac, 2), 4)
     tru = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        id_pairs.join(a, "id_a").join(b, "id_b")
         .where(union_n > 0)
         .where(jac >= 0.5)
         .select(
