@@ -5562,6 +5562,82 @@ ORDER BY n DESC, pair LIMIT 20
 """
 
 
+#: Learned BPE merge table (rank order), pinned from
+#: ``functions.bpe.bpe_learn(documents, 16)`` at sf0.01 — pinning makes
+#: the encode oracle a STATIC SQL string (oracle_sql() cannot read data),
+#: while the learner itself is pinned against a Python-model property
+#: suite in tests/test_bpe.py. Note the multi-codepoint merges
+#: ('m','er'), ('p','ar'): rank-monotone — 'er'/'ar' are produced by the
+#: earlier rules — so the table exercises the merged-token path.
+BPE_MERGES_V1 = [
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), (" ", "c"), ("a", "s"),
+    (" ", "b"), (" ", "v"), ("a", "r"), ("p", "ar"), (" ", "f"),
+    (" ", "a"),
+]
+
+
+def q_bpe_encode(spark, sf):
+    """BPE tokenization — APPLYING a learned merge table to the corpus
+    (functions/bpe.py::bpe_encode_docs), the other half of
+    `bpe_merge_candidates`' induction and the op that makes the
+    token-budget paths (sequence_pack, chunk_documents) end-to-end real.
+    Leftmost-greedy GPT-2 semantics as a pure string fold; cost is paid
+    per DISTINCT word (Zipf vocabulary ≪ corpus), joined back and
+    re-aggregated per document. The fp column is md5 of the
+    position-ordered token stream, so the oracle hash match certifies
+    every token's identity and order across both engines, not just the
+    counts."""
+    from proxima_platform_spark.functions.bpe import bpe_encode_docs
+
+    docs = _load(spark, sf, "documents")
+    return bpe_encode_docs(docs, BPE_MERGES_V1)
+
+
+def _sql_bpe_encode() -> str:
+    from proxima_platform_spark.functions.bpe import SEP  # noqa: F401
+
+    pattern = BPE_PATTERN.replace("'", "''")
+
+    def step(a: str, b: str) -> str:
+        aq, bq = a.replace("'", "''"), b.replace("'", "''")
+        return (
+            "list_reduce(string_split(enc, chr(31)), (acc, x) -> "
+            f"CASE WHEN x = '{bq}' AND (acc = '{aq}' "
+            f"OR ends_with(acc, chr(31) || '{aq}')) "
+            f"THEN acc || '{bq}' ELSE acc || chr(31) || x END)"
+        )
+
+    levels = ",\n".join(
+        f"e{i + 1} AS (SELECT word, {step(a, b)} AS enc FROM e{i})"
+        for i, (a, b) in enumerate(BPE_MERGES_V1)
+    )
+    last = len(BPE_MERGES_V1)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{pattern}') AS l FROM documents)
+),
+vocab AS (SELECT DISTINCT word FROM words),
+e0 AS (
+  SELECT word,
+         array_to_string(regexp_extract_all(word, '.'), chr(31)) AS enc
+  FROM vocab
+),
+{levels},
+v AS (
+  SELECT word, enc, len(string_split(enc, chr(31))) AS n_tok FROM e{last}
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(enc, chr(31) ORDER BY pos)) AS fp
+FROM words JOIN v USING (word)
+GROUP BY doc_id
+"""
+
+
 def q_topk_per_group(spark, sf):
     """Per-group top-k (the 'top spenders per event type' shape): exact
     decimal spend per (type, user), then row_number ≤ 3 inside each type
@@ -6402,6 +6478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_quantile": q_rollup_quantile,
         "incremental_dedup": q_incremental_dedup,
         # -- (B) added or changed in r05 ------------------------------------
+        "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "temperature_mix": q_temperature_mix,
         # -- (C) previously driver-certified re-certs -----------------------
         "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)
@@ -6635,6 +6712,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _sql_zorder_layout(),
         "pit_enrich": SQL_PIT_ENRICH,
         "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+        "bpe_encode": _sql_bpe_encode(),
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "ohlc_bars": SQL_OHLC_BARS,
         "inverted_index": SQL_INVERTED_INDEX,

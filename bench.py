@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "tpch_q9ish",
     "tpch_q17ish",
     "tpch_q21ish",
+    "bpe_encode",
 ]
 
 

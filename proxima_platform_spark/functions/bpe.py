@@ -1,0 +1,233 @@
+"""Byte-pair-encoding tokenization: apply a learned merge table to a
+corpus, and learn such a table from one (extension beyond the reference
+surface; the standard LLM-pretraining token-budget primitive, completing
+the induction half shipped in r04 as ``bpe_merge_candidates``).
+
+Reference parity note: the reference platform has no tokenizer (its
+element-wise transforms at
+``core/src/main/java/cz/o2/proxima/core/transform`` are the closest
+surface); this module is north-star scope like the rest of the
+LLM-pipeline operators.
+
+Semantics — GPT-2-style leftmost-greedy BPE:
+
+* a word is pre-tokenized to its codepoints;
+* merges apply IN RANK ORDER; one merge rule (a, b) applies
+  EXHAUSTIVELY, leftmost-first: scanning the token list once and fusing
+  the current token into the previous one whenever (prev, cur) == (a, b)
+  is exactly the leftmost-greedy fixpoint (a freshly-merged ``ab`` can
+  immediately fuse with the NEXT token when a==ab-shaped rules exist, and
+  never re-splits);
+* rank-order application equals the find-min-rank-pair loop whenever the
+  merge table is *learned* (a rule over a merged token always ranks after
+  the rule that created the token — the monotonicity every BPE learner
+  guarantees). Tables violating that precondition are rejected.
+
+Engine parity (the oracle replays every step bit-for-bit):
+
+* the token list is carried as ONE ``\\x1f``-joined string — tokens come
+  from \\x1f-free text, so the separator is unambiguous;
+* one merge = one left fold over ``split(s, \\x1f)`` with a string
+  accumulator:  ``acc || b`` when the accumulator's last token is ``a``
+  and the element is ``b`` (string-append IS merge — the trailing ``a``
+  becomes ``ab``), else ``acc || \\x1f || t``.  Spark: ``F.aggregate``
+  with an empty-string init consumed by the first element; DuckDB:
+  ``list_reduce`` (first element is the init) — identical folds;
+* "last token is a" = ``acc == a OR acc ends_with \\x1f||a`` — exact
+  because tokens cannot contain the separator.
+
+Scale design (100 TB): encoding cost is paid per DISTINCT word, never per
+occurrence — ``bpe_encode_docs`` explodes words with position, encodes the
+deduplicated vocabulary (Zipf: orders of magnitude smaller than the
+corpus), joins the encodings back on the word (plain equi-join; the
+frequent-word skew sits on the small build side) and re-aggregates per
+document. The merge fold itself is a narrow projection over the vocab
+frame. ``bpe_learn`` keeps the vocabulary distributed: each iteration is
+one weighted pair-count aggregation over the vocab frame plus ONE bounded
+1-row ``first()`` (the argmax pair) — the same lazy iteration chain as
+``cluster.kmeans_lloyd``, with a persist/unpersist handoff so plan depth
+stays O(1) per iteration instead of O(iterations).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from proxima_platform_spark.functions.text import BPE_PATTERN
+
+#: token separator inside the carried encoding string; \x1f (ASCII unit
+#: separator) never appears in text columns
+SEP = "\x1f"
+
+
+def _check_monotone(merges: Sequence[tuple[str, str]]) -> None:
+    """Reject non-learned tables: every multi-codepoint side of a rule
+    must have been produced by an EARLIER rule, otherwise rank-order
+    application diverges from the find-min-rank loop and the rule could
+    never fire anyway (the token never exists)."""
+    produced: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for side in (a, b):
+            if len(side) > 1 and side not in produced:
+                raise ValueError(
+                    f"merge #{i} {(a, b)!r}: token {side!r} is not produced "
+                    "by any earlier merge — not a learned (rank-monotone) "
+                    "BPE table"
+                )
+        produced.add(a + b)
+
+
+def _fold_step(s: Column, a: str, b: str) -> Column:
+    """One merge rule applied exhaustively (leftmost-greedy) to the
+    \\x1f-joined token string ``s``."""
+    toks = F.split(s, SEP)
+    return F.aggregate(
+        toks,
+        F.lit(""),
+        lambda acc, t: F.when(acc == F.lit(""), t).otherwise(
+            F.when(
+                (t == F.lit(b))
+                & ((acc == F.lit(a)) | acc.endswith(F.lit(SEP + a))),
+                F.concat(acc, F.lit(b)),
+            ).otherwise(F.concat(acc, F.lit(SEP), t))
+        ),
+    )
+
+
+def bpe_word_encode_expr(
+    word: Column, merges: Sequence[tuple[str, str]]
+) -> Column:
+    """Expression encoding one word: codepoint split, then the merge folds
+    in rank order. Returns the \\x1f-joined token string (token count =
+    ``size(split(result, \\x1f))``). Pure expression — composes into any
+    projection; cost O(len(word) · len(merges)) per evaluated row, which
+    is why callers evaluate it over distinct words only."""
+    _check_monotone(merges)
+    # '.' = one full codepoint in both Java regex and RE2 (words from
+    # BPE_PATTERN cannot contain newlines, the one thing '.' skips)
+    s = F.array_join(F.regexp_extract_all(word, F.lit("."), 0), SEP)
+    for a, b in merges:
+        s = _fold_step(s, a, b)
+    return s
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    *,
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode a (distinct-)word frame: adds ``enc`` (joined token string)
+    and ``n_tok``. Narrow projection — no shuffle."""
+    return words.withColumn(
+        "enc", bpe_word_encode_expr(F.col(word_col), merges)
+    ).withColumn("n_tok", F.size(F.split(F.col("enc"), SEP)))
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = BPE_PATTERN,
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table — the scale path:
+
+      explode words with position → encode the DISTINCT vocabulary →
+      equi-join encodings back → per-document re-aggregation.
+
+    Output per document (documents with zero pattern matches drop out, in
+    both engines): ``n_words``, ``n_chars`` (codepoints inside words),
+    ``n_tokens`` (post-merge), and ``fp`` — md5 of the position-ordered
+    concatenation of the word encodings, certifying every token's
+    identity and order, not just the counts."""
+    words = docs.select(
+        id_col,
+        F.posexplode(F.regexp_extract_all(text_col, F.lit(pattern), 0)).alias(
+            "pos", "word"
+        ),
+    )
+    vocab = bpe_encode_words(
+        words.select("word").distinct(), merges, word_col="word"
+    )
+    joined = words.join(vocab, "word")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+        lambda x: x["enc"],
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.md5(F.array_join(ordered, SEP)).alias("fp"),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    pattern: str = BPE_PATTERN,
+) -> list[tuple[str, str]]:
+    """Learn a rank-monotone merge table from a corpus (the induction
+    loop behind ``bpe_merge_candidates``' single-shot ranking): each
+    round counts occurrence-weighted adjacent token pairs over the
+    CURRENT tokenization of the distinct vocabulary and merges the
+    (count desc, pair asc) argmax everywhere.
+
+    Driver reads are bounded by contract: one 1-row ``first()`` per
+    round (the argmax pair), ``n_merges`` rounds total. Each round's
+    vocab frame is lazily ``localCheckpoint``-ed (the
+    ``connected_components``/``pagerank`` pattern): the round's argmax
+    aggregate is the first action on it, so one job both stores the
+    blocks and reduces the argmax, and round k's plan is one fold over
+    round k−1's blocks — without the truncation, plan text and analysis
+    cost grow with every round (measured: driver OOM building the
+    explain string near round 16). Stops early when no pair is left
+    (every word fully merged)."""
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(pattern), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.array_join(
+                F.regexp_extract_all("word", F.lit("."), 0), SEP
+            ).alias("enc"),
+            "w",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        toks = F.split("enc", SEP)
+        pairs = vocab.where(F.size(toks) > 1).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "w",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("w").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((top["a"], top["b"]))
+        vocab = vocab.withColumn(
+            "enc", _fold_step(F.col("enc"), top["a"], top["b"])
+        ).localCheckpoint(eager=False)
+    return merges
