@@ -3227,6 +3227,61 @@ WHERE c.doc_id >= 5
 """
 
 
+def q_fuzzy_decontaminate(spark, sf):
+    """Fuzzy (near-duplicate) decontamination
+    (functions/dedup.py::fuzzy_contaminated_doc_ids): eval docs
+    PARAPHRASED into the corpus share no long exact n-gram but keep high
+    shingle-Jaccard — the contamination variant the exact/Bloom/substring
+    trio misses. MinHash banding (bands from plan_bands(0.5, 8) → 4×2)
+    generates candidates with the eval side BROADCAST (plan-asserted),
+    then exact distinct-shingle Jaccard ≥ 0.5 confirms each one, so
+    precision is exact and the hash match certifies banding + confirm
+    end-to-end. The corpus is never shuffled by key and never
+    self-joined. Eval set = docs 0-99 (the 0-4 split of q_decontaminate
+    has no near-dup partners in the fixture — this split crosses a dozen
+    real >=0.9-Jaccard pairs, so the drop path is exercised)."""
+    from proxima_platform_spark.functions.dedup import (
+        fuzzy_contaminated_doc_ids,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return fuzzy_contaminated_doc_ids(
+        docs.where(F.col("doc_id") >= 100),
+        docs.where(F.col("doc_id") < 100),
+        threshold=0.5,
+        n=3,
+        num_hashes=8,
+    )
+
+
+def _sql_fuzzy_decontaminate() -> str:
+    # band keys over the FULL documents table then split by id: per-doc
+    # signatures are independent, so banding once and filtering equals the
+    # Spark side's two separate pipelines
+    return f"""
+WITH {_sql_minhash_ctes("documents")},
+corpus_b AS (SELECT doc_id, band FROM banded WHERE doc_id >= 100),
+eval_b AS (SELECT doc_id AS eval_id, band FROM banded WHERE doc_id < 100),
+cand AS (
+  SELECT DISTINCT c.doc_id, e.eval_id FROM corpus_b c JOIN eval_b e USING (band)
+),
+shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+conf AS (
+  SELECT cand.doc_id, cand.eval_id,
+         CAST(round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+              * 1000000, 0) AS BIGINT) AS jac_micro
+  FROM cand
+  JOIN shd a ON a.doc_id = cand.doc_id
+  JOIN shd b ON b.doc_id = cand.eval_id
+)
+SELECT doc_id, eval_id, jac_micro FROM conf
+WHERE jac_micro >= 500000
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY jac_micro DESC, eval_id) = 1
+"""
+
+
 def q_text_stats(spark, sf):
     """Token counting + fingerprinting over documents (single projection)."""
     docs = _load(spark, sf, "documents")
@@ -6479,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
         "temperature_mix": q_temperature_mix,
         # -- (C) previously driver-certified re-certs -----------------------
         "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)
@@ -6857,6 +6913,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_signals": _sql_text_quality_signals(),
         "bm25_rank": SQL_BM25_RANK,
         "decontaminate": SQL_DECONTAMINATE,
+        "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
         "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
         "pii_scrub": SQL_PII_SCRUB,
         "training_pipeline": _sql_training_pipeline(),

@@ -169,6 +169,39 @@ _BANDED_CACHE: list = []
 _BANDED_CACHE_KEEP = 4
 
 
+def _banded_from_tokenized(
+    tokenized: DataFrame, *, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band) LSH band keys from an (id, toks) frame — the shared
+    signature pipeline: explode shingles → one hash-agg computing all
+    ``num_hashes`` mins at once (one md5 per shingle row; map-side partial
+    agg collapses the shuffle to ~1 row per doc per partition) → band keys
+    from the aggregated columns."""
+    rows_per_band = num_hashes // bands
+    sh = tokenized.select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
+    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
+    sig = sh.groupBy("id").agg(
+        *[F.min(affine_hash(F.col("h"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_keys).alias("band"))
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -192,7 +225,6 @@ def minhash_candidate_pairs(
          pairs generated only within buckets, hash-partitioned.
     Docs with fewer than ``n`` tokens have no shingles and drop out.
     """
-    rows_per_band = num_hashes // bands
     # materialize tokens once (Catalyst re-evaluates the regexp+split per
     # reference inside Generate otherwise), then explode shingles
     tokenized = docs.select(
@@ -217,30 +249,9 @@ def minhash_candidate_pairs(
             tokenized = tokenized.repartition(spark.sparkContext.defaultParallelism)
     elif spread:
         tokenized = tokenized.repartition(spread)
-    sh = tokenized.select(
-        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
-    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
-    # one md5 per shingle row, 8 affine derivations; integer min-hashes →
-    # HashAggregate (fixed-width buffer) + small shuffle
-    sig = sh.groupBy("id").agg(
-        *[F.min(affine_hash(F.col("h"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    banded = _banded_from_tokenized(
+        tokenized, n=n, num_hashes=num_hashes, bands=bands
     )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_keys).alias("band"))
     # the self-join would recompute the whole signature pipeline on both
     # sides — persist the (tiny: one row per doc per band) banded signatures.
     # Bounded FIFO hygiene: keep the most recent few so interleaved
@@ -576,3 +587,83 @@ def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def fuzzy_contaminated_doc_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination — the missing
+    variant next to exact n-gram / exact-substring / Bloom: an eval doc
+    PARAPHRASED into the corpus shares no long exact n-gram but keeps a
+    high shingle-Jaccard. Candidates come from MinHash banding with
+    (bands, rows) chosen by :func:`plan_bands` for ``threshold``; each
+    candidate is then CONFIRMED by exact distinct-shingle Jaccard ≥
+    threshold, so precision is exact and recall follows the planner's
+    S-curve (quantified by the `minhash_recall_eval` harness).
+
+    Scale shape: the corpus runs the same explode → hash-agg → band
+    pipeline as :func:`minhash_candidate_pairs` (linear, one shuffle per
+    doc·band); the eval side is benchmark-sized by definition, so its
+    banded keys AND its shingle sets ride broadcast joins — the corpus is
+    never shuffled by key and never self-joined. Returns one row per
+    contaminated corpus doc: the best-matching eval doc (highest Jaccard,
+    ties to the smallest eval id) with the Jaccard in exact micro-units.
+    """
+    from pyspark.sql import Window
+
+    bands, _rows = plan_bands(threshold, num_hashes)
+    corpus_tok = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    eval_tok = eval_docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    corpus_banded = _banded_from_tokenized(
+        corpus_tok, n=n, num_hashes=num_hashes, bands=bands
+    )
+    eval_banded = _banded_from_tokenized(
+        eval_tok, n=n, num_hashes=num_hashes, bands=bands
+    ).select(F.col("id").alias("eval_id"), "band")
+    cand = (
+        corpus_banded.join(F.broadcast(eval_banded), "band")
+        .select("id", "eval_id")
+        .distinct()
+    )
+    # exact confirm on the (small) candidate set: distinct-shingle Jaccard.
+    # Integer micro-units — size() counts are exact ints, one fixed
+    # double division + round, so the oracle replays the value bit-for-bit.
+    corpus_sh = corpus_tok.select(
+        "id",
+        F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sa"),
+    )
+    eval_sh = eval_tok.select(
+        F.col("id").alias("eval_id"),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sb"),
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    )
+    confirmed = (
+        cand.join(corpus_sh, "id")
+        .join(F.broadcast(eval_sh), "eval_id")
+        .select(
+            "id",
+            "eval_id",
+            F.round(jac * 1_000_000, 0).cast("long").alias("jac_micro"),
+        )
+        .where(F.col("jac_micro") >= int(round(threshold * 1_000_000)))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("jac_micro"), "eval_id")
+    return (
+        confirmed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("id").alias(id_col), "eval_id", "jac_micro")
+    )

@@ -573,3 +573,30 @@ class TestDqAudit:
         assert rows["l_quantity_in_1_40"] > 0       # the audit can fire
         assert rows["lineitem_fk_orders"] == 0      # and reports clean checks
         assert rows["orders_pk_unique"] == 0
+
+
+class TestR05ExtensionPlans:
+    def test_fuzzy_decontaminate_broadcasts_eval_side(self, spark, sf_dir):
+        df = entry.q_fuzzy_decontaminate(spark, sf_dir)
+        plan = physical_plan(df)
+        # the eval set is benchmark-sized: its banded keys AND shingle sets
+        # must ride broadcast joins — the corpus is never shuffled by key
+        # for the candidate join and never self-joined
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_fuzzy_decontaminate_not_vacuous(self, spark, sf_dir):
+        # the eval split must cross real near-dup pairs so the drop path
+        # is exercised (the q7ish lesson)
+        rows = entry.q_fuzzy_decontaminate(spark, sf_dir).collect()
+        assert len(rows) > 0
+        assert all(r["jac_micro"] >= 500_000 for r in rows)
+
+    def test_bpe_encode_distinct_vocab_join(self, spark, sf_dir):
+        df = entry.q_bpe_encode(spark, sf_dir)
+        plan = physical_plan(df)
+        # encode cost is paid per DISTINCT word: the plan must contain the
+        # vocab dedup agg + join back, and no cartesian anywhere
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
