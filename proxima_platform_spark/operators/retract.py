@@ -28,12 +28,9 @@ Output schema (both forms — unionByName-compatible):
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RETRACT_SCHEMA = (
     "key string, left_value string, right_value string, "
@@ -160,96 +157,68 @@ def retract_join_stream(
     left_seq: str | Column | None = None,
     right_seq: str | Column | None = None,
     watermark_delay: str = "10 seconds",
+    api: str = "auto",
 ) -> DataFrame:
     """Streaming retract join with *distributed* keyed state.
 
-    The same replay state machine as :func:`retract_join_batch`, but the
-    per-key (left-latest, right-latest) pair lives in Spark's state store
-    (``applyInPandasWithState``), hash-partitioned on the join key across
-    executors — the reference keeps this state on Beam workers
-    (RetractJoin.java:57-363); at 100 TB of keyed state nothing accumulates
-    on the driver, and micro-batch work scales with batch size.
+    The same replay state machine as :func:`retract_join_batch`, hosted by
+    the shared keyed engine ``reduce_value_state_by_key_stream`` — the
+    reference's exact timer design serves BOTH stateful paths through one
+    implementation: ``transformWithStateInPandas`` when the capability
+    probe passes (Spark 4 timers + protobuf + RocksDB provider, DELTAS.md
+    #12), ``applyInPandasWithState`` otherwise. No duplicated
+    buffer/watermark/timer code here — only the join step function.
 
     Rows BUFFER until the event-time watermark passes their stamp, then
-    replay in global (stamp, seq) order — the reference's timer-on-watermark
-    design (and the same buffering the sibling
-    ``reduce_value_state_by_key_stream`` uses). Without the buffer, a row
-    arriving one micro-batch later than a higher-stamped row (legal within
-    the watermark bound) would apply as if newest and corrupt the per-key
-    state. Rows already older than the watermark at arrival are dropped
-    (MAX_ACCEPTABLE_STAMP analog). Outputs therefore trail the watermark by
-    ``watermark_delay`` — the streaming-correctness price the reference also
-    pays; buffered volume per key is bounded by watermark_delay × per-key
-    arrival rate.
+    replay in global (stamp, seq) order via ``order_cols`` — the
+    reference's SequentialInstant total order (RetractJoin.java:57-363,
+    SequentialInstant.java) at the same millisecond granularity as its
+    Joda Instants. Rows older than the watermark at arrival are dropped
+    (MAX_ACCEPTABLE_STAMP analog); outputs trail the watermark by
+    ``watermark_delay`` — the streaming-correctness price the reference
+    also pays; buffered volume per key is bounded by watermark_delay ×
+    per-key arrival rate. Per-key state is the (left-latest, right-latest)
+    pair, hash-partitioned across executors exactly like the reference
+    keeps keyed state on Beam workers; nothing accumulates on the driver.
     """
+    from proxima_platform_spark.streaming.stateful import (
+        reduce_value_state_by_key_stream,
+    )
+
     merged = _normalize_side(
         left, left_key, left_value, left_stamp, left_delete, left_seq, "L"
     ).unionByName(
         _normalize_side(
             right, right_key, right_value, right_stamp, right_delete, right_seq, "R"
         )
-    ).withWatermark("stamp", watermark_delay)
+    )
 
-    def process(
-        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        import json
-
-        st = {"L": None, "R": None}
-        buffered: list = []
-        if state.exists:
-            packed = state.get
-            if packed[0] is not None:
-                st = json.loads(packed[0])
-            if packed[1] is not None:
-                buffered = json.loads(packed[1])
-
-        wm_ms = state.getCurrentWatermarkMs()
-        for pdf in pdfs:
-            for row in pdf.to_dict("records"):
-                stamp_ns = int(pd.Timestamp(row["stamp"]).value)
-                if wm_ms > 0 and stamp_ns // 1_000_000 < wm_ms:
-                    continue  # late beyond the watermark at arrival: drop
-                buffered.append(
-                    {
-                        "stamp_ns": stamp_ns,
-                        "seq": int(row["seq"]),
-                        "side": row["side"],
-                        "value": row["value"],
-                        "delete": bool(row["delete"]),
-                    }
-                )
-
-        buffered.sort(key=lambda r: (r["stamp_ns"], r["seq"]))
-        flush = [r for r in buffered if r["stamp_ns"] // 1_000_000 <= wm_ms]
-        hold = [r for r in buffered if r["stamp_ns"] // 1_000_000 > wm_ms]
+    def state_fn(st, key, row):
+        # copy before mutating: the engine shares initial_state across keys
+        st = {"L": st.get("L"), "R": st.get("R")}
         out = _replay_rows(
             st,
-            key_tuple[0],
+            key,
             [
                 {
-                    "side": r["side"],
-                    "value": r["value"],
-                    "delete": r["delete"],
-                    "stamp": pd.Timestamp(r["stamp_ns"]),
+                    "side": row["side"],
+                    "value": row["value"],
+                    "delete": bool(row["delete"]),
+                    "stamp": row["stamp"],
                 }
-                for r in flush
             ],
         )
-        state.update((json.dumps(st), json.dumps(hold) if hold else None))
-        # wake this key when the watermark next advances so held rows flush
-        # even if no further data arrives for it
-        state.setTimeoutTimestamp(max(wm_ms + 1, 1))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=["key", "left_value", "right_value", "stamp", "is_addition"],
-            )
+        return st, out
 
-    return merged.groupBy("key").applyInPandasWithState(
-        process,
-        outputStructType=RETRACT_SCHEMA,
-        stateStructType="state string, buffered string",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return reduce_value_state_by_key_stream(
+        merged,
+        key="key",
+        stamp="stamp",
+        state_fn=state_fn,
+        initial_state={"L": None, "R": None},
+        output_schema=RETRACT_SCHEMA,
+        sorted=True,
+        watermark_delay=watermark_delay,
+        order_cols=("seq",),
+        api=api,
     )

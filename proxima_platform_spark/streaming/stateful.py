@@ -113,6 +113,7 @@ def _twsip_reduce_value_state(
     initial_state,
     output_schema: str,
     sorted_: bool,
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``transformWithStateInPandas`` implementation of the keyed state
     machine — the reference's exact timer design (ReduceValueStateByKey:
@@ -159,14 +160,21 @@ def _twsip_reduce_value_state(
 
             outputs = []
             if sorted_:
-                buffered.sort(key=lambda t: t[0])
+                # stamp first, then the caller's tiebreak columns (e.g. the
+                # retract join's seq — the reference's SequentialInstant
+                # (stamp, seq) total order); stable for full ties
+                buffered.sort(
+                    key=lambda t: (t[0], *[t[1][c] for c in order_cols])
+                )
                 flush = [b for b in buffered if b[0] <= wm_ms]
                 hold = [b for b in buffered if b[0] > wm_ms]
             else:
                 flush, hold = buffered, []
             for _, row in flush:
                 st, out = apply(st, row)
-                if out is not None:
+                if isinstance(out, list):
+                    outputs.extend(out)
+                elif out is not None:
                     outputs.append(out)
             self._st.update((json.dumps(st),))
             self._buf.clear()
@@ -219,11 +227,19 @@ def reduce_value_state_by_key_stream(
     sorted: bool = True,
     watermark_delay: str = "10 seconds",
     api: str = "auto",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming keyed state machine, event-time sorted.
 
-    ``state_fn(state, key, row) -> (new_state, output_or_None)`` mirrors the
-    reference's (stateUpdate, outputFn) pair collapsed into one callable.
+    ``state_fn(state, key, row) -> (new_state, output)`` mirrors the
+    reference's (stateUpdate, outputFn) pair collapsed into one callable;
+    ``output`` may be None (no emission), one row dict, or a LIST of row
+    dicts (multi-emission steps — the retract join emits a retraction AND
+    an addition per update). ``order_cols`` appends tiebreak columns to
+    the event-time sort (the reference's SequentialInstant (stamp, seq)
+    total order); rows equal on (stamp, *order_cols) keep arrival order.
+    Stamps are carried at millisecond precision — the same granularity as
+    the reference's Joda ``Instant``.
 
     sorted=True semantics (ReduceValueStateByKey:1633-1677): buffer arriving
     rows in state; when the event-time watermark advances past a buffered
@@ -250,6 +266,7 @@ def reduce_value_state_by_key_stream(
             initial_state=initial_state,
             output_schema=output_schema,
             sorted_=sorted,
+            order_cols=tuple(order_cols),
         )
 
     def process(
@@ -286,19 +303,23 @@ def reduce_value_state_by_key_stream(
 
         outputs = []
         if sorted:
-            buffered.sort(key=lambda t: t[0])
+            buffered.sort(key=lambda t: (t[0], *[t[1][c] for c in order_cols]))
             flush, hold = [], []
             for stamp_ms, row in buffered:
                 (flush if stamp_ms <= wm_ms else hold).append((stamp_ms, row))
             for _, row in flush:
                 st, out = apply(st, row)
-                if out is not None:
+                if isinstance(out, list):
+                    outputs.extend(out)
+                elif out is not None:
                     outputs.append(out)
             buffered = hold
         else:
             for _, row in buffered:
                 st, out = apply(st, row)
-                if out is not None:
+                if isinstance(out, list):
+                    outputs.extend(out)
+                elif out is not None:
                     outputs.append(out)
             buffered = []
 
