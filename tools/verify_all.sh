@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Single-command verification for the whole repo — the exact commands that
+# produce each round's artifacts (run from the repo root, idle box):
+#
+#   tools/verify_all.sh            # sweep + tests + bench smoke
+#   tools/verify_all.sh sweep      # oracle sweep only (-> stdout; redirect
+#                                  #   to ORACLE_SWEEP_r{N}.txt)
+#   tools/verify_all.sh tests      # full pytest suite only
+#   tools/verify_all.sh bench      # full bench only (-> stdout JSON line;
+#                                  #   redirect to BENCH_r{N}.json)
+#
+# Never run the sweep or tests concurrently with bench (SCALE.md "Bench
+# notes": a concurrent Spark job inflates Arrow-stage numbers 1.2-1.5x).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+stage="${1:-all}"
+
+run_sweep() {
+  echo "== oracle sweep (every queries() entry vs DuckDB at sf0.01) =="
+  python tools/oracle_check.py
+}
+
+run_tests() {
+  echo "== pytest (full suite) =="
+  python -m pytest tests/ -q
+}
+
+run_bench() {
+  echo "== bench (headline suite, sf0.1, median-of-5 warm) ==" >&2
+  python bench.py
+}
+
+case "$stage" in
+  sweep) run_sweep ;;
+  tests) run_tests ;;
+  bench) run_bench ;;
+  all)   run_sweep && run_tests && run_bench ;;
+  *) echo "usage: $0 [sweep|tests|bench|all]" >&2; exit 2 ;;
+esac
