@@ -6536,6 +6536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
         "temperature_mix": q_temperature_mix,
+        # CHANGED r05: ids-only inequality join + aggregate-form cosine
+        # (Janino-width fix) — re-certify inside the window
+        "minhash_recall_eval": q_minhash_recall_eval,
+        "lsh_recall_eval": q_lsh_recall_eval,
         # -- (C) previously driver-certified re-certs -----------------------
         "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)
         "tpch_q10ish": q_tpch_q10ish,
@@ -6557,8 +6561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q22ish": q_tpch_q22ish,
-        "minhash_recall_eval": q_minhash_recall_eval,
-        "lsh_recall_eval": q_lsh_recall_eval,
         "dq_audit": q_dq_audit,
         "null_safe_join": q_null_safe_join,
         "lateral_top_lines": q_lateral_top_lines,
