@@ -5649,9 +5649,10 @@ def q_bpe_encode(spark, sf):
     return bpe_encode_docs(docs, BPE_MERGES_V1)
 
 
-def _sql_bpe_encode() -> str:
-    from proxima_platform_spark.functions.bpe import SEP  # noqa: F401
-
+def _sql_bpe_ctes() -> str:
+    """CTE chain ``words → vocab → e0 … eN → v`` replaying the merge folds
+    of ``BPE_MERGES_V1`` over the distinct vocabulary (shared by
+    `bpe_encode` and the composed `token_budget_pack`)."""
     pattern = BPE_PATTERN.replace("'", "''")
 
     def step(a: str, b: str) -> str:
@@ -5668,8 +5669,7 @@ def _sql_bpe_encode() -> str:
         for i, (a, b) in enumerate(BPE_MERGES_V1)
     )
     last = len(BPE_MERGES_V1)
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
   FROM (SELECT doc_id, regexp_extract_all(text, '{pattern}') AS l FROM documents)
 ),
@@ -5682,7 +5682,12 @@ e0 AS (
 {levels},
 v AS (
   SELECT word, enc, len(string_split(enc, chr(31))) AS n_tok FROM e{last}
-)
+)"""
+
+
+def _sql_bpe_encode() -> str:
+    return f"""
+WITH {_sql_bpe_ctes()}
 SELECT doc_id,
        count(*) AS n_words,
        CAST(sum(length(word)) AS BIGINT) AS n_chars,
@@ -5690,6 +5695,54 @@ SELECT doc_id,
        md5(string_agg(enc, chr(31) ORDER BY pos)) AS fp
 FROM words JOIN v USING (word)
 GROUP BY doc_id
+"""
+
+
+def q_token_budget_pack(spark, sf):
+    """End-to-end token-budget pipeline: BPE-tokenize the corpus with the
+    learned merge table, then pack documents into 512-BPE-token training
+    bins over 8 hash shards — `bpe_encode` composed with `sequence_pack`,
+    the two halves of pretraining batch prep now feeding each other on
+    REAL (merged-token) counts instead of whitespace proxies. Output is
+    the per-(shard, bin) manifest (doc count + exact token payload) a
+    batch assembler would consume. Plan: the encode's distinct-vocab
+    join + one window cumsum per shard + one group agg — nothing beyond
+    the two operators' own shuffles."""
+    from proxima_platform_spark.functions.bpe import bpe_encode_docs
+    from proxima_platform_spark.functions.sampling import sequence_pack
+
+    docs = _load(spark, sf, "documents")
+    enc = bpe_encode_docs(docs, BPE_MERGES_V1).select("doc_id", "n_tokens")
+    packed = sequence_pack(
+        enc, id_col="doc_id", token_count_col="n_tokens",
+        budget=512, n_shards=8,
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def _sql_token_budget_pack() -> str:
+    return f"""
+WITH {_sql_bpe_ctes()},
+enc AS (
+  SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM words JOIN v USING (word)
+  GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+  FROM enc
+)
+SELECT shard, (cum_start // 512)::BIGINT AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY 1, 2
 """
 
 
@@ -6534,6 +6587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
+        "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
         "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
         "temperature_mix": q_temperature_mix,
         # CHANGED r05: ids-only inequality join + aggregate-form cosine
@@ -6771,6 +6825,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_enrich": SQL_PIT_ENRICH,
         "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
         "bpe_encode": _sql_bpe_encode(),
+        "token_budget_pack": _sql_token_budget_pack(),
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "ohlc_bars": SQL_OHLC_BARS,
         "inverted_index": SQL_INVERTED_INDEX,

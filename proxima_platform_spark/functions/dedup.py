@@ -667,3 +667,21 @@ def fuzzy_contaminated_doc_ids(
         .where(F.col("__rn") == 1)
         .select(F.col("id").alias(id_col), "eval_id", "jac_micro")
     )
+
+
+def fuzzy_decontaminate_stream(stream_docs: DataFrame, eval_docs: DataFrame, sink, **kwargs):
+    """Streaming twin of :func:`fuzzy_contaminated_doc_ids`: the identical
+    banding + exact-confirm chain per micro-batch via ``foreachBatch``
+    against a STATIC eval set. This is not an approximation: a document's
+    contamination verdict depends only on itself and the eval set, so the
+    union over micro-batches equals the batch operator on the union of
+    batches — no cross-batch state needed (unlike paragraph dedup, whose
+    first-arrival-wins semantics do need
+    ``dropDuplicatesWithinWatermark``). ``sink(df, batch_id)`` receives
+    each batch's contaminated ids; returns a ``DataStreamWriter`` —
+    caller adds trigger/checkpoint and ``start()``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(fuzzy_contaminated_doc_ids(batch_df, eval_docs, **kwargs), batch_id)
+
+    return stream_docs.writeStream.foreachBatch(handle)

@@ -1264,3 +1264,66 @@ class TestStreamingTwa:
             for r in time_weighted_average(batch_df, ["user_id"]).collect()
         }
         assert last == want and len(want) == 3
+
+
+class TestStreamingFuzzyDecontaminate:
+    def test_union_over_batches_equals_batch(self, spark, tmp_path):
+        """Per-micro-batch fuzzy decontamination against a static eval set
+        is EXACT: verdicts are per-document, so the union over batches must
+        equal the batch operator on the full corpus."""
+        from proxima_platform_spark.functions.dedup import (
+            fuzzy_contaminated_doc_ids,
+            fuzzy_decontaminate_stream,
+        )
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        eval_rows = [(0, base), (1, "one two three four five six seven")]
+        corpus_batches = [
+            [(10, base + " extra"), (11, "totally unrelated words here")],
+            [(12, "one two three four five six seven eight"), (13, base)],
+        ]
+        schema = "doc_id long, text string"
+        eval_df = spark.createDataFrame(eval_rows, schema)
+        src = str(tmp_path / "fuzzy-src")
+        for i, rows in enumerate(corpus_batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+            time.sleep(0.05)
+
+        collected = []
+
+        def sink(df, batch_id):
+            collected.extend(tuple(r) for r in df.collect())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            fuzzy_decontaminate_stream(
+                stream, eval_df, sink, threshold=0.5, n=3, num_hashes=8
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        all_rows = [r for rows in corpus_batches for r in rows]
+        want = {
+            tuple(r)
+            for r in fuzzy_contaminated_doc_ids(
+                spark.createDataFrame(all_rows, schema),
+                eval_df,
+                threshold=0.5,
+                n=3,
+                num_hashes=8,
+            ).collect()
+        }
+        assert set(collected) == want
+        # non-vacuity: the near-dup corpus docs must actually be flagged
+        assert {r[0] for r in collected} >= {10, 12, 13}
