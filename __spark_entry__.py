@@ -3871,6 +3871,124 @@ FROM m
 """
 
 
+def q_embedding_covariance(spark, sf):
+    """Distributed covariance matrix over the embedding column — the input
+    every whitening / PCA / Mahalanobis-outlier step needs, as ONE pass
+    with no self-join: each row explodes its d(d+1)/2 upper-triangle
+    component pairs (a narrow Generate — the raw table is never shuffled
+    by key), and the power sums accumulate per (i, j) cell in DECIMAL
+    over micro-scaled integers (the corr_price_qty recipe), so the
+    unbounded-row sums are order-independent-exact and the closing sample
+    covariance is one fixed IEEE double sequence the oracle replays
+    bit-for-bit. Cell count is bounded by d² (64 → 2080 cells) whatever
+    the corpus size — map-side combine collapses the shuffle to ~2080
+    rows per partition; at 100 TB the d-explode is the whole cost."""
+    emb = _load(spark, sf, "embeddings")
+    d = emb.select(F.size("embedding").alias("d")).first().d
+    sc = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+    )
+    pairs = emb.select(sc.alias("sc")).select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {d}), i ->
+                      transform(sequence(i, {d}), j ->
+                        struct(i AS i, j AS j, sc[i-1] AS xi, sc[j-1] AS xj))))"""
+            )
+        ).alias("p")
+    )
+    s = pairs.groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("p.xi").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("p.xj").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("p.xi") * F.col("p.xj")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return s.select(
+        "i",
+        "j",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+            / F.lit(1e12),
+            9,
+        ).alias("cov"),
+    )
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH base AS (
+  SELECT [CAST(round(x * 1000000, 0) AS BIGINT) for x in embedding::DOUBLE[]] AS sc
+  FROM embeddings
+),
+pairs AS (
+  SELECT t.i, u.j, sc[t.i] AS xi, sc[u.j] AS xj
+  FROM base, range(1, 65) t(i), range(1, 65) u(j)
+  WHERE t.i <= u.j
+),
+s AS (
+  SELECT i, j,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(xj AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xi * xj AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY i, j
+)
+SELECT i, j, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / (n * (n - 1.0)) / 1e12, 9) AS cov
+FROM s
+"""
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility by language — BPE tokens per word, the standard
+    multilingual tokenizer-quality diagnostic (a language the merge table
+    under-serves shows fertility near codepoints-per-word): `bpe_encode`
+    joined back to the corpus languages, integer sums per language, one
+    fixed closing division. The per-doc encode frame is tiny relative to
+    the corpus (one row per doc), so the lang join is a cheap equi-join
+    and the final agg is bounded by language count."""
+    docs = _load(spark, sf, "documents")
+    enc = q_bpe_encode(spark, sf)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _sql_tokenizer_fertility() -> str:
+    return f"""
+WITH {_sql_bpe_ctes()},
+enc AS (
+  SELECT doc_id,
+         count(*) AS nw,
+         CAST(sum(n_tok) AS BIGINT) AS nt
+  FROM words JOIN v USING (word)
+  GROUP BY doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6) AS fertility
+FROM enc JOIN documents USING (doc_id)
+GROUP BY lang
+"""
+
+
 def q_multimodal_ahash_dup(spark, sf):
     """Image near-dup via perceptual average-hash, with a REAL decode in the
     path: synthesized spec-compliant PPM payloads (pixel bytes = md5 of the
@@ -6588,6 +6706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
+        "tokenizer_fertility": q_tokenizer_fertility,  # NEW r05
+        "embedding_covariance": q_embedding_covariance,  # NEW r05
         "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
         "temperature_mix": q_temperature_mix,
         # CHANGED r05: ids-only inequality join + aggregate-form cosine
@@ -6826,6 +6946,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
         "bpe_encode": _sql_bpe_encode(),
         "token_budget_pack": _sql_token_budget_pack(),
+        "tokenizer_fertility": _sql_tokenizer_fertility(),
+        "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "ohlc_bars": SQL_OHLC_BARS,
         "inverted_index": SQL_INVERTED_INDEX,
