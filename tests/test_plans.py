@@ -600,3 +600,20 @@ class TestR05ExtensionPlans:
         # vocab dedup agg + join back, and no cartesian anywhere
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_embedding_covariance_one_exchange_no_join(self, spark, sf_dir):
+        # one pass, NO self-join: the only exchange is the d²-bounded cell
+        # agg; everything before it is a narrow pair-explode
+        df = entry.q_embedding_covariance(spark, sf_dir)
+        plan = physical_plan(df)
+        assert count_exchanges(df) == 1
+        assert "Join" not in plan
+
+    def test_token_budget_pack_bounded_shuffles(self, spark, sf_dir):
+        # vocab dedup + shard window + manifest agg are the only exchanges;
+        # the vocab joins back broadcast (encode cost paid per DISTINCT word)
+        df = entry.q_token_budget_pack(spark, sf_dir)
+        plan = physical_plan(df)
+        assert count_exchanges(df) <= 3
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "CartesianProduct" not in plan
