@@ -3282,6 +3282,50 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-document novelty / memorization score
+    (functions/text.py::ngram_novelty): fraction of each corpus doc's
+    distinct trigrams never seen in the reference slice (docs < 100 — the
+    fuzzy_decontaminate split, so near-copies score novelty ≈ 0 here and
+    the oracle certifies the per-doc ratio in exact micro-units, not just
+    a boolean verdict). One gram equi-join + one doc-keyed re-agg."""
+    from proxima_platform_spark.functions.text import ngram_novelty
+
+    docs = _load(spark, sf, "documents")
+    return ngram_novelty(
+        docs.where(F.col("doc_id") >= 100),
+        docs.where(F.col("doc_id") < 100),
+        n=3,
+    )
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [] END) AS g
+    FROM toks
+), ref AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id < 100
+)
+SELECT c.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST(round((1.0 - CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS novelty_micro
+FROM grams c LEFT JOIN ref r ON c.g = r.g
+WHERE c.doc_id >= 100
+GROUP BY c.doc_id
+"""
+
+
 def q_text_stats(spark, sf):
     """Token counting + fingerprinting over documents (single projection)."""
     docs = _load(spark, sf, "documents")
@@ -6713,6 +6757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,  # NEW r05
         "embedding_covariance": q_embedding_covariance,  # NEW r05
         "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
+        "ngram_novelty": q_ngram_novelty,  # NEW r05
         "temperature_mix": q_temperature_mix,
         # CHANGED r05: ids-only inequality join + aggregate-form cosine
         # (Janino-width fix) — re-certify inside the window
@@ -7097,6 +7142,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": SQL_BM25_RANK,
         "decontaminate": SQL_DECONTAMINATE,
         "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
         "trigram_lm_score": SQL_TRIGRAM_LM_SCORE,
         "pii_scrub": SQL_PII_SCRUB,
         "training_pipeline": _sql_training_pipeline(),

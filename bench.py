@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "tpch_q17ish",
     "tpch_q21ish",
     "bpe_encode",
+    "token_budget_pack",
+    "fuzzy_decontaminate",
+    "embedding_covariance",
+    "ngram_novelty",
 ]
 
 

@@ -17,10 +17,17 @@ from proxima_platform_spark.functions.text import (
     quality_score,
     token_count,
 )
+from proxima_platform_spark.functions.bpe import (
+    bpe_encode_docs,
+    bpe_learn,
+    bpe_word_encode_expr,
+)
 from proxima_platform_spark.functions.dedup import (
     exact_dup_key,
+    fuzzy_contaminated_doc_ids,
     minhash_signature,
     ngram_shingles,
+    plan_bands,
     simhash64,
 )
 from proxima_platform_spark.functions.similarity import (
@@ -58,6 +65,11 @@ __all__ = [
     "bloom_build",
     "bloom_prefilter",
     "bloom_semi_join",
+    "bpe_encode_docs",
+    "bpe_learn",
+    "bpe_word_encode_expr",
+    "fuzzy_contaminated_doc_ids",
+    "plan_bands",
     "chunk_documents",
     "cohort_retention",
     "cosine_similarity",

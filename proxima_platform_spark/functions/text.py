@@ -236,6 +236,73 @@ def contaminated_doc_ids(
     )
 
 
+def ngram_novelty(
+    docs,
+    reference,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+):
+    """Per-document novelty vs a reference corpus: the fraction of a doc's
+    DISTINCT word n-grams never seen in the reference — the memorization /
+    near-copy score (novelty ≈ 0 flags verbatim reuse; the per-doc
+    granular companion to :func:`contaminated_doc_ids`' boolean verdict).
+
+    Output per doc (docs with < n tokens have no grams and drop out, both
+    engines): ``n_grams``, ``n_seen``, and ``novelty_micro`` — the ratio
+    in exact integer micro-units (counts are exact ints, one fixed double
+    division + round, so the oracle replays the value bit-for-bit).
+
+    Scale shape: both sides explode distinct shingles (tokens projected
+    BEFORE the Generate — the CSE trap); the membership check is one
+    LEFT equi-join on the gram string (hash-partitioned, linear) and the
+    per-doc re-agg groups on the doc id. The reference's distinct-gram
+    set is never collected or broadcast by hand — AQE picks broadcast
+    when it is small (an eval benchmark) and a shuffle join when it is
+    another corpus.
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    corpus_grams = docs.select(
+        F.col(id_col), tokens(F.col(text)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+        ).alias("g"),
+    )
+    ref_grams = (
+        reference.select(tokens(F.col(text)).alias("__toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus_grams.join(ref_grams, "g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_seen"),
+        F.round(
+            (
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("novelty_micro"),
+    )
+
+
 def pii_redact(text: Column) -> Column:
     """Replace each PII occurrence with its ``[CATEGORY]`` placeholder.
 
