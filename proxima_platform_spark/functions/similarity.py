@@ -455,3 +455,57 @@ def sign_lsh_buckets_arrow(
         + [f"__b{t} long" for t in range(num_tables)]
     )
     return df.mapInPandas(stage, schema=schema)
+
+
+def embedding_covariance_partials(
+    emb, *, vec_col: str = "embedding", dim: int, scale: int = 1_000_000
+):
+    """Upper-triangle covariance power sums over an embedding column — the
+    block-matrix accumulation path: values are micro-scaled to int64 by a
+    JVM-side ``F.round`` projection (keeping the HALF_UP scaling bit-exact
+    with the expression form / the SQL oracle — no Python rounding in the
+    path), then each Arrow batch emits ONE partial (i, j, n, sxi, sxj,
+    sxy) set from an exact int64 ``X.T @ X`` (|x|·scale ≤ 1e6 ⇒ per-batch
+    products < 2^62 for any realistic batch). Output is d(d+1)/2 rows per
+    BATCH, so the downstream per-cell aggregation shuffles O(d² ·
+    n_batches) tiny rows no matter the corpus size; the global sums
+    accumulate in DECIMAL there. For d=64 the naive pair-explode works
+    too, but the interpreted nested-lambda explode costs ~8× this Arrow
+    stage and the gap widens quadratically with d."""
+    import numpy as np
+    import pandas as pd
+
+    scaled = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+        ).alias("sc")
+    )
+    iu = None
+
+    def stage(batches):
+        nonlocal iu
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["sc"].to_numpy()).astype(np.int64)
+            n = X.shape[0]
+            s = X.sum(axis=0)
+            G = X.T @ X
+            if iu is None:
+                iu = np.triu_indices(dim)
+            ii, jj = iu
+            yield pd.DataFrame(
+                {
+                    "i": ii + 1,
+                    "j": jj + 1,
+                    "n": np.full(ii.shape, n, dtype=np.int64),
+                    "sxi": s[ii],
+                    "sxj": s[jj],
+                    "sxy": G[ii, jj],
+                }
+            )
+
+    return scaled.mapInPandas(
+        stage, "i int, j int, n long, sxi long, sxj long, sxy long"
+    )
