@@ -6703,9 +6703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       r04; this round converts that into the hard driver signal.
     #   (B) then queries ADDED or CHANGED in r05 — new: bpe_encode,
     #       token_budget_pack, tokenizer_fertility, embedding_covariance,
-    #       fuzzy_decontaminate; changed: temperature_mix (double-compare
-    #       threshold, ADVICE #1), minhash/lsh_recall_eval (ids-only
-    #       inequality join). New work lands here, never ahead of block A.
+    #       fuzzy_decontaminate, ngram_novelty; changed: temperature_mix
+    #       (double-compare threshold, ADVICE #1), minhash/lsh_recall_eval
+    #       (ids-only inequality join). New work lands here, never ahead
+    #       of block A.
     #   (C) then the previously-certified queries, unchanged relative
     #       order (all hash-green in their latest driver check). Blocks
     #       A+B = 43 entries, so the ~50-slot window certifies them all
