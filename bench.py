@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "vocab_overlap",
     "span_corruption",
     "join_size_estimate",
+    "join_size_estimate_xxhash",
     "key_erasure",
     "bitmap_retention",
     "skew_report",
@@ -113,13 +114,13 @@ def main() -> None:
 
     qs = dict(entrymod.queries())
 
-    # Bench overrides: same operator, production hash family. The declared
-    # join_size_estimate query keeps the md5 family because the DuckDB
-    # oracle must rebuild the sketch bit-for-bit; the HEADLINE bench should
-    # price the path a deployment runs — the JVM-native xxhash64 family
+    # Extra bench-only entry: same operator, production hash family. The
+    # declared join_size_estimate query keeps the md5 family because the
+    # DuckDB oracle must rebuild the sketch bit-for-bit; the bench ALSO
+    # prices the path a deployment runs — the JVM-native xxhash64 family
     # (identical estimator + never-undercount guarantee, both families
-    # pinned in tests/test_sketch.py). The md5 string round-trip was the
-    # whole 3.3s cost of the r04 reading.
+    # pinned in tests/test_sketch.py). Reported under its own key so
+    # cross-round comparisons of the declared query stay like-for-like.
     def _join_size_estimate_xxhash(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -137,7 +138,7 @@ def main() -> None:
             orders, li, ["k"], width=1024, depth=4, family="xxhash64"
         )
 
-    qs["join_size_estimate"] = _join_size_estimate_xxhash
+    qs["join_size_estimate_xxhash"] = _join_size_estimate_xxhash
 
     # warmup: trigger codegen/classloading + parquet footer reads once so the
     # first timed query doesn't absorb JVM startup costs
@@ -178,6 +179,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # run-context note: this box shows 1.4-1.6x global / 3-8x per-query
+        # jitter under concurrent load (SCALE.md "Bench notes"); compare
+        # in-driver numbers against BENCH_r*_local.json clean-box runs
+        # before calling a regression
+        "load_note": os.environ.get(
+            "SPARK_GRAFT_LOAD_NOTE",
+            "unknown box load; see SCALE.md noise envelope (1.4-1.6x global)",
+        ),
     }
     spark.stop()
     print(json.dumps(out))

@@ -679,7 +679,18 @@ def fuzzy_decontaminate_stream(stream_docs: DataFrame, eval_docs: DataFrame, sin
     first-arrival-wins semantics do need
     ``dropDuplicatesWithinWatermark``). ``sink(df, batch_id)`` receives
     each batch's contaminated ids; returns a ``DataStreamWriter`` —
-    caller adds trigger/checkpoint and ``start()``."""
+    caller adds trigger/checkpoint and ``start()``.
+
+    Delivery is AT-LEAST-ONCE (the standard foreachBatch contract): after
+    a failure between the sink call and the checkpoint commit, Structured
+    Streaming replays the micro-batch with the SAME ``batch_id``, so the
+    sink sees that batch's contaminated ids again. The sink must be
+    idempotent on ``batch_id`` — e.g. overwrite a per-batch partition
+    keyed by it, or no-op when ``batch_id`` ≤ the max already committed
+    (the ``ContinuousHeavyHitters.update`` pattern,
+    ``streaming/sketch_stream.py``). Verdicts are deterministic per
+    document, so replays carry identical rows and any batch_id-keyed
+    dedupe restores exactly-once."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sink(fuzzy_contaminated_doc_ids(batch_df, eval_docs, **kwargs), batch_id)

@@ -465,8 +465,9 @@ def embedding_covariance_partials(
     JVM-side ``F.round`` projection (keeping the HALF_UP scaling bit-exact
     with the expression form / the SQL oracle — no Python rounding in the
     path), then each Arrow batch emits ONE partial (i, j, n, sxi, sxj,
-    sxy) set from an exact int64 ``X.T @ X`` (|x|·scale ≤ 1e6 ⇒ per-batch
-    products < 2^62 for any realistic batch). Output is d(d+1)/2 rows per
+    sxy) set from an exact int64 ``X.T @ X`` (exactness requires
+    n·max|x·scale|² < 2^62 per batch — ENFORCED per batch with a loud
+    ValueError, so unnormalized embeddings can never silently wrap). Output is d(d+1)/2 rows per
     BATCH, so the downstream per-cell aggregation shuffles O(d² ·
     n_batches) tiny rows no matter the corpus size; the global sums
     accumulate in DECIMAL there. For d=64 the naive pair-explode works
@@ -490,6 +491,19 @@ def embedding_covariance_partials(
                 continue
             X = np.stack(pdf["sc"].to_numpy()).astype(np.int64)
             n = X.shape[0]
+            # loud overflow guard: the int64 X.T @ X accumulation is exact
+            # only while n·max|x·scale|² < 2^62; unnormalized embeddings
+            # (|x| ~ 100 at scale=1e6) would silently wrap and produce
+            # wrong covariances. Checked against the ACTUAL batch max, so
+            # normalized corpora never pay more than one abs/max pass.
+            bmax = int(np.abs(X).max()) if X.size else 0
+            if bmax and n * bmax * bmax >= 2**62:
+                raise ValueError(
+                    f"embedding_covariance_partials: |value|*scale up to "
+                    f"{bmax} over a {n}-row batch overflows the int64 "
+                    f"X.T@X accumulation; normalize the embeddings or "
+                    f"lower scale= (currently risking >=2^62 products)"
+                )
             s = X.sum(axis=0)
             G = X.T @ X
             if iu is None:

@@ -70,11 +70,17 @@ class ContinuousHeavyHitters:
                 "base": None,
                 "deltas": [],
                 "cands": [],
-                "seen_batches": [],
+                "max_batch_id": None,
             }
         with open(p) as f:
             m = json.load(f)
-        m.setdefault("seen_batches", [])
+        # migrate pre-r06 manifests that recorded every batch_id: ids are
+        # monotonic, so the max is all the replay guard ever needed (O(1)
+        # state + O(1) membership instead of unbounded list + linear scan)
+        if "seen_batches" in m:
+            seen = m.pop("seen_batches")
+            m["max_batch_id"] = max(seen) if seen else None
+        m.setdefault("max_batch_id", None)
         return m
 
     def _write_manifest(self, m: dict) -> None:
@@ -136,12 +142,14 @@ class ContinuousHeavyHitters:
         # replay would write a second delta and double-count every key in
         # the batch — the superset guarantee survives (counters only grow)
         # but freq_est would exceed the documented εN collision bound. The
-        # manifest records processed batch_ids, the exactly-once idempotence
+        # manifest records the max committed batch_id — Structured Streaming
+        # batch ids are monotonically increasing, so "already seen" is
+        # exactly "≤ max committed"; this is the exactly-once idempotence
         # convention foreachBatch callbacks are expected to implement.
         if batch_id is not None:
-            if batch_id in m["seen_batches"]:
+            if m["max_batch_id"] is not None and batch_id <= m["max_batch_id"]:
                 return
-            m["seen_batches"] = m["seen_batches"] + [batch_id]
+            m["max_batch_id"] = batch_id
         v = m["version"] + 1
         delta = f"delta/d{v}"
         # overwrite: a crash after this write but before the manifest write
@@ -177,14 +185,19 @@ class ContinuousHeavyHitters:
         )
         if merged is None:
             return
+        # overwrite: a crash between these writes and the manifest commit
+        # leaves orphan dirs at the same versioned paths; the retried
+        # compaction must be able to rewrite them (same contract as the
+        # delta writes above — the manifest is the only commit point)
         new_base = f"base/g{m['version']}"
-        merged.write.parquet(f"{self.path}/{new_base}")
+        merged.write.mode("overwrite").parquet(f"{self.path}/{new_base}")
         cand_paths = [f"{self.path}/{p}" for p in m["cands"]]
         new_cand = f"cand/g{m['version']}"
         (
             self.spark.read.parquet(*cand_paths)
             .distinct()
-            .write.parquet(f"{self.path}/{new_cand}")
+            .write.mode("overwrite")
+            .parquet(f"{self.path}/{new_cand}")
         )
         old = ([m["base"]] if m["base"] else []) + m["deltas"] + m["cands"]
         m["base"], m["deltas"], m["cands"] = new_base, [], [new_cand]

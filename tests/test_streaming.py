@@ -1327,3 +1327,78 @@ class TestStreamingFuzzyDecontaminate:
         assert set(collected) == want
         # non-vacuity: the near-dup corpus docs must actually be flagged
         assert {r[0] for r in collected} >= {10, 12, 13}
+
+
+class TestStreamingAsofJoin:
+    def test_stream_matches_batch_row_for_row(self, spark, tmp_path):
+        """Streaming as-of join (operators/asof.asof_join_stream) is a
+        drop-in twin of the batch operator: every left event must carry the
+        same right values as asof_join, including a right update in one
+        micro-batch enriching a left event in the next, an equal-stamp tie
+        (right visible, non-strict), and a left event before any right
+        (nulls)."""
+        from proxima_platform_spark.operators.asof import asof_join, asof_join_stream
+
+        src = str(tmp_path / "asof_src")
+        schema = (
+            "side int, user_id long, event_id long, stamp timestamp, "
+            "price double, note string"
+        )
+        # side=1 left events, side=0 right updates, mixed in arrival order
+        b0 = [
+            (1, 1, 0, ts(500), None, None),       # before any right → nulls
+            (0, 1, 100, ts(1_000), 10.0, "a"),
+            (1, 1, 1, ts(1_000), None, None),     # equal-stamp tie → sees "a"
+            (0, 2, 101, ts(900), 5.0, "x"),
+        ]
+        b1 = [
+            (1, 1, 2, ts(2_000), None, None),     # cross-batch carry → "a"
+            (0, 1, 102, ts(2_500), 20.0, "b"),
+            (1, 2, 3, ts(9_000), None, None),     # tolerance-expired lookback
+            (1, 1, 4, ts(3_000), None, None),     # sees "b"
+        ]
+        sentinel = [(1, 9, 99, ts(60_000), None, None)]
+        for i, rows in enumerate([b0, b1, sentinel]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+            time.sleep(0.05)
+
+        def split(df):
+            left = df.where(F.col("side") == 1).select("user_id", "event_id", "stamp")
+            right = df.where(F.col("side") == 0).select("user_id", "stamp", "price", "note")
+            return left, right
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        sl, sr = split(stream)
+        out = asof_join_stream(
+            sl, sr, key="user_id", tolerance_ms=5_000, watermark_delay="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("asof_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.event_id: (r.right_price, r.right_note)
+            for r in spark.sql("SELECT * FROM asof_out").collect()
+            if r.user_id != 9
+        }
+
+        bl, br = split(spark.createDataFrame(b0 + b1, schema))
+        want = {
+            r.event_id: (r.right_price, r.right_note)
+            for r in asof_join(
+                bl, br, key="user_id", left_stamp="stamp",
+                right_stamp="stamp", tolerance_ms=5_000,
+            ).collect()
+        }
+        assert got == want and len(want) == 5
+        # non-vacuity: the tie, carry, null, and tolerance cases each bite
+        assert want[0] == (None, None)
+        assert want[1] == (10.0, "a")
+        assert want[2] == (10.0, "a")
+        assert want[4] == (20.0, "b")
+        assert want[3] == (None, None)  # 9000 - 900 > 5000ms tolerance
