@@ -6673,6 +6673,83 @@ WHERE s0.key IS NULL OR s1.key IS NULL OR s0.val <> s1.val
 
 
 # ===========================================================================
+# round-6 additions: model-based quality, within-doc span dedup,
+# byte-level BPE, semantic dedup
+# ===========================================================================
+
+
+def q_quality_model_score(spark, sf):
+    """Model-based quality scoring (functions/text.py::
+    quality_model_score): a fixed-weight logistic model over the cheap
+    signal stack (alpha/punct/stopword ratios, mean-word-length deviation,
+    length saturation, dup-word fraction) — the fastText-classifier analog
+    corpus pipelines gate on (CCNet/DCLM-style, public recipes). Pure
+    literal-weight projection: zero shuffles, zero joins, whole-stage
+    codegen over a 100 TB documents scan. The logit is rounded to 6
+    decimals BEFORE the sigmoid so both engines feed exp() bit-identical
+    inputs; the score re-rounds to 6."""
+    from proxima_platform_spark.functions.text import (
+        quality_model_logit,
+        quality_model_score,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        quality_model_logit(F.col("text")).alias("logit"),
+        quality_model_score(F.col("text")).alias("score"),
+        (quality_model_score(F.col("text")) >= 0.5).alias("keep"),
+    )
+
+
+def _sql_quality_model_score() -> str:
+    from proxima_platform_spark.functions.text import QUALITY_MODEL_WEIGHTS_V1 as W
+
+    stop_parts = " + ".join(
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+        for m in EN_STOPWORDS
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+           length(text)::DOUBLE AS n,
+           (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS toks,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+       CASE WHEN n > 0
+            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n
+            ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n > 0
+            THEN length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) / n
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN toks > 0 THEN ({stop_parts}) / toks ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN toks > 0 THEN n / toks ELSE 0.0 END AS mean_word_len,
+       least(n / 200.0, 1.0) AS length_sat,
+       round(CASE WHEN len(tk) > 0
+             THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+             ELSE 0.0 END, 6) AS dup_word_frac
+    FROM base
+), z AS (
+    SELECT doc_id,
+           round({W["bias"]} + {W["alpha_ratio"]} * alpha_ratio
+                 + {W["punct_ratio"]} * punct_ratio
+                 + {W["stopword_ratio"]} * stopword_ratio
+                 + {W["mean_word_len_dev"]} * abs(mean_word_len - 5.5)
+                 + {W["length_sat"]} * length_sat
+                 + {W["dup_word_frac"]} * dup_word_frac, 6) AS logit
+    FROM feat
+)
+SELECT doc_id, logit,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+       round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+FROM z
+"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -6747,6 +6824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "rollup_quantile": q_rollup_quantile,
         "incremental_dedup": q_incremental_dedup,
+        "quality_model_score": q_quality_model_score,  # NEW r06
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
@@ -6971,6 +7049,7 @@ FROM survivors GROUP BY source
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_model_score": _sql_quality_model_score(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

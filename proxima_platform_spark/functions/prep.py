@@ -43,16 +43,28 @@ def pretraining_prep(
     budget: int = 256,
     n_shards: int = 8,
     chunks_per_doc_cap: int = 64,
+    model_quality_min: float | None = None,
 ) -> DataFrame:
     """The batch manifest: one row per packed (shard, bin) with chunk and
     token counts. Chunk unit ids are ``doc_id * chunks_per_doc_cap +
     chunk_id`` (corpus contract: fewer than ``chunks_per_doc_cap`` chunks
-    per document)."""
+    per document).
+
+    ``model_quality_min``: optional model-based gate — additionally
+    require ``quality_model_score(text) >= model_quality_min`` (the
+    linear-classifier keep-probability; another literal-weight projection,
+    so the gate adds zero shuffles to the plan)."""
     scored = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         quality_score(F.col(text_col)).alias("quality"),
     )
+    if model_quality_min is not None:
+        from proxima_platform_spark.functions.text import quality_model_score
+
+        scored = scored.where(
+            quality_model_score(F.col("text")) >= model_quality_min
+        )
     counts = repetition_counts_arrow(scored, keep=("text", "quality"))
     gated = counts.where(
         (F.col("quality") >= quality_min)

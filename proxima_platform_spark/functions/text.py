@@ -86,6 +86,61 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: fixed logistic-model weights for ``quality_model_score`` — the shape a
+#: fastText/linear quality classifier ships as (feature weights + bias),
+#: hand-set to the public-recipe signal directions: alphabetic text and
+#: stopword density up-weight (real prose), punctuation walls and
+#: within-doc word repetition down-weight, mean word length penalized by
+#: distance from English's ~5.5-char center, mild length saturation bonus.
+#: Versioned constant: a real deployment swaps in trained weights; scoring
+#: cost and plan shape are identical.
+QUALITY_MODEL_WEIGHTS_V1: dict[str, float] = {
+    "bias": -1.5,
+    "alpha_ratio": 2.8,
+    "punct_ratio": -6.0,
+    "stopword_ratio": 4.0,
+    "mean_word_len_dev": -0.45,  # applied to |mean_word_len - 5.5|
+    "length_sat": 1.2,
+    "dup_word_frac": -2.5,
+}
+
+
+def quality_model_logit(text: Column) -> Column:
+    """Linear-model quality logit over the cheap signal stack
+    (``quality_signals`` ratios + length saturation + ``dup_word_frac``)
+    — the model-based corpus gate (fastText-classifier analog, public
+    recipes: CCNet/DCLM-style quality filtering). Pure Column expression:
+    broadcast-free (weights are literals), shuffle-free, one projection
+    over a 100 TB documents table inside whole-stage codegen.
+
+    The logit is rounded to 6 decimals so downstream transcendentals
+    (sigmoid) start from a bit-identical value in every engine."""
+    w = QUALITY_MODEL_WEIGHTS_V1
+    sig = quality_signals(text)
+    n = F.length(text).cast("double")
+    length_sat = F.least(n / F.lit(200.0), F.lit(1.0))
+    rep = repetition_signals(text)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["alpha_ratio"]) * sig["alpha_ratio"]
+        + F.lit(w["punct_ratio"]) * sig["punct_ratio"]
+        + F.lit(w["stopword_ratio"]) * sig["stopword_ratio"]
+        + F.lit(w["mean_word_len_dev"])
+        * F.abs(sig["mean_word_len"] - F.lit(5.5))
+        + F.lit(w["length_sat"]) * length_sat
+        + F.lit(w["dup_word_frac"]) * rep["dup_word_frac"]
+    )
+    return F.round(z, 6)
+
+
+def quality_model_score(text: Column) -> Column:
+    """Sigmoid of :func:`quality_model_logit`, rounded to 6 decimals —
+    the [0,1] keep-probability a pipeline thresholds on (compose as a
+    gate: ``where(quality_model_score(text) >= cutoff)``)."""
+    z = quality_model_logit(text)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of the
     lowercased/whitespace-collapsed text. (The rolling-hash fingerprint for

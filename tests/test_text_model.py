@@ -1,0 +1,89 @@
+"""Round-6 text-model operators: model-based quality scoring
+(quality_model_score) and within-document repeated-span removal
+(self_dedup_spans)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.text import (
+    QUALITY_MODEL_WEIGHTS_V1,
+    quality_model_logit,
+    quality_model_score,
+)
+
+
+PROSE = (
+    "The quick brown fox jumps over the lazy dog and the dog is happy "
+    "to see the fox in the morning light of the quiet meadow."
+)
+SPAM = "!!! $$$ ### @@@ %%% ^^^ &&& *** ((( ))) !!! $$$ ### @@@ %%%"
+REPEAT = "buy now " * 30
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, PROSE), (1, SPAM), (2, REPEAT), (3, "")],
+        "doc_id long, text string",
+    )
+
+
+class TestQualityModelScore:
+    def test_score_bounds_and_keep_flag(self, spark):
+        out = docs(spark).select(
+            "doc_id",
+            quality_model_score(F.col("text")).alias("s"),
+        ).collect()
+        for r in out:
+            assert 0.0 <= r.s <= 1.0
+
+    def test_signal_directions(self, spark):
+        """Prose outranks punctuation spam and repeated-word junk — the
+        directions the fixed weights encode."""
+        s = {r.doc_id: r.s for r in docs(spark).select(
+            "doc_id", quality_model_score(F.col("text")).alias("s")
+        ).collect()}
+        assert s[0] > s[1] and s[0] > s[2]
+
+    def test_sigmoid_of_logit(self, spark):
+        """score == round(sigmoid(logit), 6) with the logit pre-rounded —
+        the engine-parity contract the oracle relies on."""
+        import math
+
+        rows = docs(spark).select(
+            quality_model_logit(F.col("text")).alias("z"),
+            quality_model_score(F.col("text")).alias("s"),
+        ).collect()
+        for r in rows:
+            assert r.s == pytest.approx(
+                round(1.0 / (1.0 + math.exp(-r.z)), 6), abs=1e-9
+            )
+
+    def test_weights_are_versioned_constants(self):
+        assert set(QUALITY_MODEL_WEIGHTS_V1) == {
+            "bias", "alpha_ratio", "punct_ratio", "stopword_ratio",
+            "mean_word_len_dev", "length_sat", "dup_word_frac",
+        }
+
+    def test_pretraining_prep_gate_composes(self, spark):
+        """model_quality_min gates pretraining_prep exactly like
+        pre-filtering the docs frame on the score — and the gate actually
+        drops something on this fixture (non-vacuous)."""
+        from proxima_platform_spark.functions.prep import pretraining_prep
+
+        d = docs(spark).where(F.length("text") > 0)
+        cutoff = 0.5
+        gated = pretraining_prep(
+            d, model_quality_min=cutoff, budget=64, n_shards=2,
+            quality_min=0.0, dup_word_max=1.0,
+        ).collect()
+        prefiltered = pretraining_prep(
+            d.where(quality_model_score(F.col("text")) >= cutoff),
+            budget=64, n_shards=2, quality_min=0.0, dup_word_max=1.0,
+        ).collect()
+        assert sorted(map(tuple, gated)) == sorted(map(tuple, prefiltered))
+        ungated = pretraining_prep(
+            d, budget=64, n_shards=2, quality_min=0.0, dup_word_max=1.0,
+        ).agg(F.sum("total_tokens")).collect()[0][0]
+        gated_total = sum(r.total_tokens for r in gated)
+        assert gated_total < ungated
