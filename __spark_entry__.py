@@ -6749,6 +6749,72 @@ FROM z
 """
 
 
+def q_self_dedup_spans(spark, sf):
+    """Within-document repeated-span removal (functions/dedup.py::
+    self_dedup_spans): non-overlapping 2-token spans, first occurrence
+    kept per document, survivors reassembled in order — the intra-doc
+    companion to dedup_paragraphs (Gopher-style repeated-passage
+    cleanup). The fp column is md5 of the reassembled text, certifying
+    every surviving span's identity and order; dup_word_frac before/after
+    quantifies the repetition delta in the same result (repetition_signals
+    formula on the original and the deduped text). At sf0.01 the drop
+    path bites on ~250 span groups (non-vacuous by construction)."""
+    from proxima_platform_spark.functions.dedup import self_dedup_spans
+    from proxima_platform_spark.functions.text import repetition_signals
+
+    docs = _load(spark, sf, "documents")
+    sd = self_dedup_spans(docs, span_tokens=2)
+    joined = docs.join(sd, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.md5("text_dedup").alias("fp"),
+        repetition_signals(F.col("text"))["dup_word_frac"].alias("dup_before"),
+        repetition_signals(F.col("text_dedup"))["dup_word_frac"].alias("dup_after"),
+    )
+
+
+def _sql_self_dedup_spans(k: int = 2) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+), sp AS (
+    SELECT doc_id, text, toks,
+           [array_to_string(toks[s+1:s+{k}], ' ')
+            for s in range(0, greatest(len(toks), 1), {k})] AS spans
+    FROM t
+), ex AS (
+    SELECT doc_id, unnest(spans) AS span, generate_subscripts(spans, 1) AS pos
+    FROM sp
+), kept AS (
+    SELECT doc_id, span, min(pos) AS pos FROM ex GROUP BY 1, 2
+), re AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS text_dedup
+    FROM kept GROUP BY 1
+), joined AS (
+    SELECT sp.doc_id, len(sp.spans) AS n_spans, re.n_kept, re.text_dedup,
+           sp.toks,
+           CASE WHEN length(trim(re.text_dedup)) = 0 THEN ['']
+                ELSE string_split(regexp_replace(lower(trim(re.text_dedup)), '\s+', ' ', 'g'), ' ')
+           END AS toks_after
+    FROM sp JOIN re USING (doc_id)
+)
+SELECT doc_id, n_spans, n_kept, md5(text_dedup) AS fp,
+       round(CASE WHEN len(toks) > 0
+             THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS dup_before,
+       round(CASE WHEN length(trim(text_dedup)) = 0 THEN 0.0
+             WHEN len(toks_after) > 0
+             THEN 1.0 - len(list_distinct(toks_after))::DOUBLE / len(toks_after)
+             ELSE 0.0 END, 6) AS dup_after
+FROM joined
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6825,6 +6891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_quantile": q_rollup_quantile,
         "incremental_dedup": q_incremental_dedup,
         "quality_model_score": q_quality_model_score,  # NEW r06
+        "self_dedup_spans": q_self_dedup_spans,  # NEW r06
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
@@ -7050,6 +7117,7 @@ FROM survivors GROUP BY source
 def oracle_sql() -> dict[str, str]:
     return {
         "quality_model_score": _sql_quality_model_score(),
+        "self_dedup_spans": _sql_self_dedup_spans(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

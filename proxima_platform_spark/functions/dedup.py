@@ -560,6 +560,63 @@ def dedup_paragraphs(
     )
 
 
+def self_dedup_spans(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 3,
+):
+    """Within-document repeated-span removal — the intra-document half of
+    span-level dedup (Gopher-style repeated-passage cleanup, public corpus
+    recipes; :func:`dedup_paragraphs` handles the cross-document half):
+    normalized tokens are cut into consecutive NON-overlapping
+    ``span_tokens``-token spans (last span may be short), every span that
+    already occurred earlier in the SAME document is dropped (first
+    occurrence kept), and survivors are stitched back in original order.
+
+    Returns ``(id_col, n_spans, n_kept, text_dedup)`` — one row per input
+    document.
+
+    Scale shape (100 TB): the ``dedup_paragraphs`` machinery one level
+    down, keyed per document — spans explode narrowly; first occurrence
+    per (doc, span) is a map-side-combined ``min(pos)`` agg (a document's
+    boilerplate span repeated 10⁴ times collapses to one row per map
+    task, and the shuffle key (doc, span) cannot concentrate: one
+    document's spans spread over its distinct span values); reassembly is
+    one more per-doc agg. Three shuffles total, no window over raw spans,
+    no cartesian, no Python."""
+    toks = tokens(F.col(text_col))
+    based = docs.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    # tokens('') == [''] so n >= 1 always; starts = 0, k, 2k, … < n
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(span_tokens))
+    spans = F.transform(
+        starts, lambda s: F.array_join(F.slice(t, s + 1, span_tokens), " ")
+    )
+    sp = based.select(id_col, spans.alias("__spans"))
+    exploded = sp.select(id_col, F.posexplode("__spans").alias("pos", "span"))
+    kept = exploded.groupBy(id_col, "span").agg(F.min("pos").alias("pos"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    counts = sp.select(id_col, F.size("__spans").alias("n_spans"))
+    return counts.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
     """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
     S-curve pivots closest to the requested Jaccard ``threshold``.

@@ -87,3 +87,49 @@ class TestQualityModelScore:
         ).agg(F.sum("total_tokens")).collect()[0][0]
         gated_total = sum(r.total_tokens for r in gated)
         assert gated_total < ungated
+
+
+class TestSelfDedupSpans:
+    def test_first_occurrence_kept_and_reassembled(self, spark):
+        from proxima_platform_spark.functions.dedup import self_dedup_spans
+
+        # spans of 2 tokens: [a b][c d][a b][e] → drop the repeat, keep order
+        d = spark.createDataFrame(
+            [(1, "a b c d a b e"), (2, "x y x y x y"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in self_dedup_spans(d, span_tokens=2).collect()}
+        assert (out[1].n_spans, out[1].n_kept) == (4, 3)
+        assert out[1].text_dedup == "a b c d e"
+        assert (out[2].n_spans, out[2].n_kept) == (3, 1)
+        assert out[2].text_dedup == "x y"
+        # empty text: tokens('') == [''] → one empty span, reassembles to ''
+        assert (out[3].n_spans, out[3].n_kept) == (1, 1)
+        assert out[3].text_dedup == ""
+
+    def test_no_repeats_is_identity(self, spark):
+        from proxima_platform_spark.functions.dedup import self_dedup_spans
+
+        d = spark.createDataFrame(
+            [(1, "one two three four five")], "doc_id long, text string"
+        )
+        r = self_dedup_spans(d, span_tokens=2).collect()[0]
+        assert r.n_spans == r.n_kept == 3
+        assert r.text_dedup == "one two three four five"
+
+    def test_repetition_delta_drops(self, spark):
+        """Deduping repeated spans must not increase dup_word_frac on a
+        repeat-heavy document."""
+        from proxima_platform_spark.functions.dedup import self_dedup_spans
+        from proxima_platform_spark.functions.text import repetition_signals
+
+        d = spark.createDataFrame(
+            [(1, "spam ham " * 20 + "real content here")],
+            "doc_id long, text string",
+        )
+        sd = self_dedup_spans(d, span_tokens=2)
+        row = d.join(sd, "doc_id").select(
+            repetition_signals(F.col("text"))["dup_word_frac"].alias("before"),
+            repetition_signals(F.col("text_dedup"))["dup_word_frac"].alias("after"),
+        ).collect()[0]
+        assert row.after < row.before
