@@ -6749,6 +6749,96 @@ FROM z
 """
 
 
+#: ``functions.bpe.bpe_learn(documents, 16, alphabet='byte')`` at sf0.01 —
+#: the byte-level twin of BPE_MERGES_V1 over the GPT-2-style byte alphabet
+#: (space remaps to 'Ġ' U+0120; this ASCII-dominant fixture otherwise
+#: learns the same pair ranking, which itself certifies the remap: every
+#: ' x' rule becomes 'Ġx'). Pinned so the encode oracle stays a static SQL
+#: string; the byte learner is pinned against the Python byte-model
+#: property suite in tests/test_bpe.py.
+BPE_BYTE_MERGES_V1 = [
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("Ġ", "c"), ("a", "s"),
+    ("Ġ", "b"), ("Ġ", "v"), ("a", "r"), ("p", "ar"), ("Ġ", "f"),
+    ("Ġ", "a"),
+]
+
+
+def q_bpe_encode_bytes(spark, sf):
+    """BYTE-level BPE tokenization (functions/bpe.py, alphabet='byte') —
+    the tokenizer shape production GPT-2/tiktoken pipelines actually run:
+    words pre-tokenize to their UTF-8 BYTES through the fixed 256-entry
+    byte→unicode remap (space → 'Ġ'), merges operate over the remapped
+    alphabet, so any input is representable and merges can cross codepoint
+    boundaries. Same scale path as bpe_encode (distinct-vocab fold +
+    equi-join back); the remap itself is one foldable map expression. The
+    oracle replays the remap via a 256-row VALUES join and every merge
+    fold bit-for-bit; fp certifies token identity and order."""
+    from proxima_platform_spark.functions.bpe import bpe_encode_docs
+
+    docs = _load(spark, sf, "documents")
+    return bpe_encode_docs(docs, BPE_BYTE_MERGES_V1, alphabet="byte")
+
+
+def _sql_bpe_bytes_ctes() -> str:
+    """CTE chain ``words → vocab → bmap/b0/e0 → e1 … eN → v`` replaying
+    byte remap + merge folds of ``BPE_BYTE_MERGES_V1`` over the distinct
+    vocabulary."""
+    from proxima_platform_spark.functions.bpe import BYTE_HEX_CHARS
+
+    pattern = BPE_PATTERN.replace("'", "''")
+    bmap_rows = ", ".join(
+        f"('{hx}', chr({ord(ch)}))" for hx, ch in sorted(BYTE_HEX_CHARS.items())
+    )
+
+    def step(a: str, b: str) -> str:
+        aq, bq = a.replace("'", "''"), b.replace("'", "''")
+        return (
+            "list_reduce(string_split(enc, chr(31)), (acc, x) -> "
+            f"CASE WHEN x = '{bq}' AND (acc = '{aq}' "
+            f"OR ends_with(acc, chr(31) || '{aq}')) "
+            f"THEN acc || '{bq}' ELSE acc || chr(31) || x END)"
+        )
+
+    levels = ",\n".join(
+        f"e{i + 1} AS (SELECT word, {step(a, b)} AS enc FROM e{i})"
+        for i, (a, b) in enumerate(BPE_BYTE_MERGES_V1)
+    )
+    last = len(BPE_BYTE_MERGES_V1)
+    return f"""words AS (
+  SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '{pattern}') AS l FROM documents)
+),
+vocab AS (SELECT DISTINCT word FROM words),
+bmap(h, c) AS (VALUES {bmap_rows}),
+b0 AS (
+  SELECT word, unnest(hs) AS h, generate_subscripts(hs, 1) AS bpos
+  FROM (SELECT word, regexp_extract_all(hex(encode(word)), '..') AS hs FROM vocab)
+),
+e0 AS (
+  SELECT word, string_agg(c, chr(31) ORDER BY bpos) AS enc
+  FROM b0 JOIN bmap USING (h)
+  GROUP BY word
+),
+{levels},
+v AS (
+  SELECT word, enc, len(string_split(enc, chr(31))) AS n_tok FROM e{last}
+)"""
+
+
+def _sql_bpe_encode_bytes() -> str:
+    return f"""
+WITH {_sql_bpe_bytes_ctes()}
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(octet_length(encode(word))) AS BIGINT) AS n_bytes,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(enc, chr(31) ORDER BY pos)) AS fp
+FROM words JOIN v USING (word)
+GROUP BY doc_id
+"""
+
+
 def q_self_dedup_spans(spark, sf):
     """Within-document repeated-span removal (functions/dedup.py::
     self_dedup_spans): non-overlapping 2-token spans, first occurrence
@@ -6892,6 +6982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "quality_model_score": q_quality_model_score,  # NEW r06
         "self_dedup_spans": q_self_dedup_spans,  # NEW r06
+        "bpe_encode_bytes": q_bpe_encode_bytes,  # NEW r06
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
@@ -7118,6 +7209,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quality_model_score": _sql_quality_model_score(),
         "self_dedup_spans": _sql_self_dedup_spans(),
+        "bpe_encode_bytes": _sql_bpe_encode_bytes(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

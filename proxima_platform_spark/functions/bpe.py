@@ -62,6 +62,59 @@ from proxima_platform_spark.functions.text import BPE_PATTERN
 SEP = "\x1f"
 
 
+def byte_alphabet() -> dict[int, str]:
+    """GPT-2-style byte→unicode alphabet (public BPE recipes): every one
+    of the 256 byte values gets a DISTINCT single printable codepoint —
+    visible ASCII and Latin-1 printables map to themselves; the remaining
+    68 bytes (controls, space, DEL, 0x80-0xA0, 0xAD) map to 256+k in
+    first-seen order (space 0x20 → U+0120 'Ġ', newline 0x0A → U+010A).
+    Working over this alphabet instead of codepoints is what makes the
+    tokenizer byte-level: any UTF-8 input is representable, multi-byte
+    codepoints become multiple alphabet chars, and merges can cross
+    codepoint boundaries — the tiktoken/GPT-2 production shape."""
+    printable = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    table: dict[int, str] = {b: chr(b) for b in printable}
+    shift = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + shift)
+            shift += 1
+    return table
+
+
+#: hex pair ("00".."FF", uppercase — what hex(binary) yields in both
+#: engines) → byte-alphabet char
+BYTE_HEX_CHARS: dict[str, str] = {
+    f"{b:02X}": c for b, c in byte_alphabet().items()
+}
+
+
+def _byte_map_expr() -> Column:
+    """The fixed 256-entry hex-pair→char remap as a map literal — one
+    foldable expression both engines can replay (the DuckDB oracle uses
+    an equivalent 256-row VALUES join)."""
+    items: list[Column] = []
+    for hx, ch in sorted(BYTE_HEX_CHARS.items()):
+        items.append(F.lit(hx))
+        items.append(F.lit(ch))
+    return F.create_map(*items)
+
+
+def byte_tokens_expr(word: Column) -> Column:
+    """\\x1f-joined byte-alphabet chars of ``word``'s UTF-8 bytes — the
+    byte-level analog of the codepoint split: hex the encoded bytes
+    (2 chars per byte, uppercase in both engines), remap each pair
+    through the fixed table."""
+    pairs = F.regexp_extract_all(F.hex(F.encode(word, "UTF-8")), F.lit(".."), 0)
+    return F.array_join(
+        F.transform(pairs, lambda h: F.element_at(_byte_map_expr(), h)), SEP
+    )
+
+
 def _check_monotone(merges: Sequence[tuple[str, str]]) -> None:
     """Reject non-learned tables: every multi-codepoint side of a rule
     must have been produced by an EARLIER rule, otherwise rank-order
@@ -97,17 +150,27 @@ def _fold_step(s: Column, a: str, b: str) -> Column:
 
 
 def bpe_word_encode_expr(
-    word: Column, merges: Sequence[tuple[str, str]]
+    word: Column,
+    merges: Sequence[tuple[str, str]],
+    *,
+    alphabet: str = "char",
 ) -> Column:
-    """Expression encoding one word: codepoint split, then the merge folds
-    in rank order. Returns the \\x1f-joined token string (token count =
-    ``size(split(result, \\x1f))``). Pure expression — composes into any
-    projection; cost O(len(word) · len(merges)) per evaluated row, which
-    is why callers evaluate it over distinct words only."""
+    """Expression encoding one word: initial-alphabet split (``char`` =
+    codepoints, ``byte`` = UTF-8 bytes through the fixed GPT-2-style
+    remap), then the merge folds in rank order. Returns the \\x1f-joined
+    token string (token count = ``size(split(result, \\x1f))``). Pure
+    expression — composes into any projection; cost O(len(word) ·
+    len(merges)) per evaluated row, which is why callers evaluate it over
+    distinct words only. The fold is alphabet-agnostic: byte-level merge
+    tokens are strings over the remap chars, and the same
+    rank-monotonicity check applies."""
     _check_monotone(merges)
-    # '.' = one full codepoint in both Java regex and RE2 (words from
-    # BPE_PATTERN cannot contain newlines, the one thing '.' skips)
-    s = F.array_join(F.regexp_extract_all(word, F.lit("."), 0), SEP)
+    if alphabet == "byte":
+        s = byte_tokens_expr(word)
+    else:
+        # '.' = one full codepoint in both Java regex and RE2 (words from
+        # BPE_PATTERN cannot contain newlines, the one thing '.' skips)
+        s = F.array_join(F.regexp_extract_all(word, F.lit("."), 0), SEP)
     for a, b in merges:
         s = _fold_step(s, a, b)
     return s
@@ -118,11 +181,12 @@ def bpe_encode_words(
     merges: Sequence[tuple[str, str]],
     *,
     word_col: str = "word",
+    alphabet: str = "char",
 ) -> DataFrame:
     """Encode a (distinct-)word frame: adds ``enc`` (joined token string)
     and ``n_tok``. Narrow projection — no shuffle."""
     return words.withColumn(
-        "enc", bpe_word_encode_expr(F.col(word_col), merges)
+        "enc", bpe_word_encode_expr(F.col(word_col), merges, alphabet=alphabet)
     ).withColumn("n_tok", F.size(F.split(F.col("enc"), SEP)))
 
 
@@ -133,6 +197,7 @@ def bpe_encode_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     pattern: str = BPE_PATTERN,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge table — the scale path:
 
@@ -140,7 +205,8 @@ def bpe_encode_docs(
       equi-join encodings back → per-document re-aggregation.
 
     Output per document (documents with zero pattern matches drop out, in
-    both engines): ``n_words``, ``n_chars`` (codepoints inside words),
+    both engines): ``n_words``, ``n_chars`` (codepoints inside words; for
+    ``alphabet='byte'`` the column is ``n_bytes`` — UTF-8 octets),
     ``n_tokens`` (post-merge), and ``fp`` — md5 of the position-ordered
     concatenation of the word encodings, certifying every token's
     identity and order, not just the counts."""
@@ -151,16 +217,22 @@ def bpe_encode_docs(
         ),
     )
     vocab = bpe_encode_words(
-        words.select("word").distinct(), merges, word_col="word"
+        words.select("word").distinct(), merges, word_col="word",
+        alphabet=alphabet,
     )
     joined = words.join(vocab, "word")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "enc"))),
         lambda x: x["enc"],
     )
+    unit = (
+        F.sum(F.octet_length("word")).alias("n_bytes")
+        if alphabet == "byte"
+        else F.sum(F.length("word")).alias("n_chars")
+    )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.length("word")).alias("n_chars"),
+        unit,
         F.sum("n_tok").alias("n_tokens"),
         F.md5(F.array_join(ordered, SEP)).alias("fp"),
     )
@@ -172,6 +244,7 @@ def bpe_learn(
     *,
     text_col: str = "text",
     pattern: str = BPE_PATTERN,
+    alphabet: str = "char",
 ) -> list[tuple[str, str]]:
     """Learn a rank-monotone merge table from a corpus (the induction
     loop behind ``bpe_merge_candidates``' single-shot ranking): each
@@ -189,6 +262,11 @@ def bpe_learn(
     cost grow with every round (measured: driver OOM building the
     explain string near round 16). Stops early when no pair is left
     (every word fully merged)."""
+    init = (
+        byte_tokens_expr(F.col("word"))
+        if alphabet == "byte"
+        else F.array_join(F.regexp_extract_all("word", F.lit("."), 0), SEP)
+    )
     vocab = (
         docs.select(
             F.explode(
@@ -197,12 +275,7 @@ def bpe_learn(
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w"))
-        .select(
-            F.array_join(
-                F.regexp_extract_all("word", F.lit("."), 0), SEP
-            ).alias("enc"),
-            "w",
-        )
+        .select(init.alias("enc"), "w")
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
