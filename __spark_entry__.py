@@ -4602,8 +4602,7 @@ def q_kmeans_cluster(spark, sf):
     )
 
 
-SQL_KMEANS_CLUSTER = """
-WITH v AS (
+_SQL_KMEANS_CTES = """v AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
     SELECT vec_id::BIGINT AS cid, v AS c FROM v WHERE vec_id < 8
@@ -4637,17 +4636,22 @@ WITH v AS (
                 FROM a2 JOIN v USING (vec_id) WHERE a2.rn = 1)
           GROUP BY 1, 2)
     GROUP BY 1
-)
-SELECT vec_id, cid AS cluster, round(d2, 6) AS d2
-FROM (SELECT v.vec_id, c2.cid,
-             list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, c2.c)
-             + list_dot_product(c2.c, c2.c) AS d2,
-             row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY list_dot_product(v.v, v.v)
-                                      - 2 * list_dot_product(v.v, c2.c)
-                                      + list_dot_product(c2.c, c2.c), c2.cid) AS rn
-      FROM v, c2)
-WHERE rn = 1
+), asg AS (
+    SELECT vec_id, cid, d2
+    FROM (SELECT v.vec_id, c2.cid,
+                 list_dot_product(v.v, v.v) - 2 * list_dot_product(v.v, c2.c)
+                 + list_dot_product(c2.c, c2.c) AS d2,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_dot_product(v.v, v.v)
+                                          - 2 * list_dot_product(v.v, c2.c)
+                                          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+          FROM v, c2)
+    WHERE rn = 1
+)"""
+
+SQL_KMEANS_CLUSTER = f"""
+WITH {_SQL_KMEANS_CTES}
+SELECT vec_id, cid AS cluster, round(d2, 6) AS d2 FROM asg
 """
 
 
@@ -6839,6 +6843,44 @@ GROUP BY doc_id
 """
 
 
+def q_semantic_dedup(spark, sf):
+    """Semantic (embedding-level) dedup — the SemDeDup composition
+    (functions/cluster.py::semantic_dedup): k-means bounds the pair space
+    per cluster, exact cosine runs on intra-cluster pairs only, greedy
+    keep-lowest-id verdicts. The standard companion to MinHash for
+    paraphrase-level dups that token shingles miss. The DuckDB oracle
+    replays the ENTIRE chain — both Lloyd iterations (decimal means),
+    final assignment, per-cluster pair cosine, and the verdicts — so the
+    hash certifies the composition end-to-end. Threshold 0.40 on this
+    fixture condemns a real slice of vectors (non-vacuous both ways)."""
+    from proxima_platform_spark.functions.cluster import semantic_dedup
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.40, dim=dim)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_SQL_KMEANS_CTES},
+av AS (
+    SELECT a.vec_id, a.cid, v.v FROM asg a JOIN v USING (vec_id)
+), p AS (
+    SELECT y.vec_id AS id_b,
+           list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+    FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+), condemned AS (
+    SELECT id_b, count(*) AS n_near, max(cos) AS max_cos
+    FROM p WHERE cos > 0.40 GROUP BY 1
+)
+SELECT av.vec_id, av.cid AS cluster,
+       c.id_b IS NULL AS kept,
+       coalesce(c.n_near, 0) AS n_near,
+       round(coalesce(c.max_cos, -2.0), 6) AS max_cos
+FROM av LEFT JOIN condemned c ON av.vec_id = c.id_b
+"""
+
+
 def q_self_dedup_spans(spark, sf):
     """Within-document repeated-span removal (functions/dedup.py::
     self_dedup_spans): non-overlapping 2-token spans, first occurrence
@@ -6983,6 +7025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_score": q_quality_model_score,  # NEW r06
         "self_dedup_spans": q_self_dedup_spans,  # NEW r06
         "bpe_encode_bytes": q_bpe_encode_bytes,  # NEW r06
+        "semantic_dedup": q_semantic_dedup,  # NEW r06
         # -- (B) added or changed in r05 ------------------------------------
         "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
         "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
@@ -7210,6 +7253,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_model_score": _sql_quality_model_score(),
         "self_dedup_spans": _sql_self_dedup_spans(),
         "bpe_encode_bytes": _sql_bpe_encode_bytes(),
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

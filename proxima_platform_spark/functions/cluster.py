@@ -83,6 +83,68 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-level semantic deduplication — the SemDeDup shape
+    (public recipe: cluster the embedding space, then near-dup only
+    WITHIN each cluster): :func:`kmeans_lloyd` assigns clusters, exact
+    cosine runs over intra-cluster pairs only, and a vector is dropped
+    when a LOWER-id vector in its cluster exceeds the threshold (greedy
+    keep-first — deterministic, and the same winner rule as the exact
+    ``embedding_near_dup_pairs`` consumers).
+
+    Returns one row per vector: ``(vec_id, cluster, kept, n_near,
+    max_cos)`` — ``n_near``/``max_cos`` describe the lower-id near-dups
+    that condemned it (0 / -2.0 sentinel when kept).
+
+    Scale design (100 TB): the pair space is bounded PER CLUSTER — the
+    self-join is an equi-join on cluster id, never a cross product across
+    clusters, so candidate volume is Σ nᵢ² over cluster sizes instead of
+    n². Production sizing picks k ∝ n (SemDeDup runs ~10⁵ clusters over
+    ~10⁸ docs keeping clusters ~10³); for clusters still too large,
+    ``embedding_near_dup_pairs``' sign-LSH bucketing composes INSIDE a
+    cluster by keying on (cluster, bucket). k-means itself is the two
+    shuffles/iteration documented on :func:`kmeans_lloyd`; everything
+    downstream is one equi-join + one per-key agg + one left join."""
+    from proxima_platform_spark.functions.similarity import cosine_similarity
+
+    assigned = kmeans_lloyd(emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    av = assigned.join(vecs, "vec_id").select("vec_id", "cid", "v")
+    a = av.select(
+        F.col("vec_id").alias("id_a"), "cid", F.col("v").alias("__va")
+    )
+    b = av.select(
+        F.col("vec_id").alias("id_b"), "cid", F.col("v").alias("__vb")
+    )
+    pairs = a.join(b, "cid").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_b",
+        cosine_similarity(F.col("__va"), F.col("__vb"), dim=dim).alias("cos"),
+    ).where(F.col("cos") > threshold)
+    condemned = scored.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_near"), F.max("cos").alias("max_cos")
+    )
+    return av.join(condemned, av["vec_id"] == condemned["id_b"], "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("id_b").isNull().alias("kept"),
+        F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        F.round(F.coalesce("max_cos", F.lit(-2.0)), 6).alias("max_cos"),
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str = "vec_id",

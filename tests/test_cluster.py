@@ -71,3 +71,58 @@ class TestKmeans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan, f"{bad} in plan"
+
+
+class TestSemanticDedup:
+    def test_near_dups_dropped_within_cluster_only(self, spark):
+        """Near-identical vectors in the same blob condemn the higher id;
+        cross-blob vectors never pair (the SemDeDup bound)."""
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [100.0, 100.0]),
+            (2, [1.0, 0.0001]),      # ~ vec 0 → dropped (same blob)
+            (3, [100.0, 100.001]),   # ~ vec 1 → dropped (same blob)
+            (4, [0.0, 1.0]),         # blob A but orthogonal → kept
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r.vec_id: r
+            for r in semantic_dedup(emb, k=2, iters=2, threshold=0.99, dim=2).collect()
+        }
+        assert out[0].kept and out[1].kept and out[4].kept
+        assert not out[2].kept and out[2].n_near == 1
+        assert not out[3].kept
+        assert out[2].max_cos > 0.99
+        assert out[4].max_cos == -2.0
+
+    def test_greedy_keeps_lowest_id(self, spark):
+        """Three mutual near-dups: only the lowest id survives."""
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        rows = [(i, [1.0, float(i) * 1e-6]) for i in range(3)] + [
+            (10, [-50.0, 60.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.vec_id: r.kept for r in semantic_dedup(
+            emb, k=2, iters=1, threshold=0.999, dim=2
+        ).collect()}
+        assert out[0] and not out[1] and not out[2]
+
+    def test_pairs_are_cluster_equi_join(self, spark):
+        """Plan shape: the pair stage is an equi-join keyed on the cluster
+        id — no cartesian/BNLJ across clusters anywhere in the plan."""
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        emb = _blobs(spark)
+        plan = semantic_dedup(emb, k=2, iters=1, dim=2)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the pair stage must be a HASH equi-join keyed on the cluster id;
+        # the only nested-loop joins allowed are kmeans' broadcast k-row
+        # centroid crossJoins (bounded build side by construction)
+        assert any(
+            ("SortMergeJoin" in line or "BroadcastHashJoin" in line)
+            and "cid" in line
+            for line in plan.splitlines()
+        ), plan
