@@ -605,6 +605,137 @@ class TestTransformWithStateProbe:
             else:
                 spark.conf.set(key, old)
 
+    def test_probe_gate_imports(self, spark):
+        """Gate 1 in isolation: with the memoized import flag forced False,
+        the probe answers False even when the provider is RocksDB."""
+        from proxima_platform_spark.streaming import stateful
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old_conf = spark.conf.get(key, None)
+        old_flag = stateful._TWS_IMPORTS_OK
+        try:
+            spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            stateful._TWS_IMPORTS_OK = False
+            assert stateful.transform_with_state_available(spark) is False
+        finally:
+            stateful._TWS_IMPORTS_OK = old_flag
+            if old_conf is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old_conf)
+
+    def test_probe_gate_provider_binds_even_with_imports(self, spark):
+        """Gate 3 in isolation: with imports forced True, a non-RocksDB
+        provider still vetoes (HDFSBackedStateStoreProvider cannot run
+        transformWithState)."""
+        from proxima_platform_spark.streaming import stateful
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old_conf = spark.conf.get(key, None)
+        old_flag = stateful._TWS_IMPORTS_OK
+        try:
+            stateful._TWS_IMPORTS_OK = True
+            spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+            assert stateful.transform_with_state_available(spark) is False
+            spark.conf.unset(key)  # unset default: no RocksDB → False
+            assert stateful.transform_with_state_available(spark) is False
+        finally:
+            stateful._TWS_IMPORTS_OK = old_flag
+            if old_conf is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old_conf)
+
+    def test_probe_gate_memoization_is_import_static(self):
+        """Gate 2's memo: the import probe is cached per process (a FAILED
+        import otherwise re-scans sys.path per call — the r04 bench-drift
+        suspect), so the flag is a module global with three states."""
+        from proxima_platform_spark.streaming import stateful
+
+        assert stateful._TWS_IMPORTS_OK in (None, True, False)
+
+    def test_twsip_branch_end_to_end_when_available(self, spark, tmp_path):
+        """The r05 unification hosts reduce-value-state, the retract join,
+        and the streaming as-of join on ONE keyed engine with two API
+        backends. This runs the twsip backend end-to-end (sorted flush,
+        list outputs, order_cols tiebreak — the retract-join shape) and
+        pins it to the apiws backend's output. SKIPS where the
+        environment lacks the twsip prerequisites (this container has no
+        google.protobuf — DELTAS.md #12); the day the probe flips, the
+        branch is already covered."""
+        try:
+            from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+                StatefulProcessor,
+            )
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip("transformWithStateInPandas imports unavailable")
+
+        from proxima_platform_spark.streaming.stateful import (
+            reduce_value_state_by_key_stream,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old_conf = spark.conf.get(key, None)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try:
+            src = str(tmp_path / "twsip_src")
+            schema = "k string, seq long, ts timestamp, v long"
+            spark.createDataFrame(
+                [("a", 2, ts(3000), 3), ("a", 0, ts(1000), 1), ("a", 1, ts(1000), 2)],
+                schema,
+            ).coalesce(1).write.parquet(f"{src}/f0")
+            time.sleep(0.05)
+            spark.createDataFrame(
+                [("a", 9, ts(60_000), 99)], schema
+            ).coalesce(1).write.parquet(f"{src}/f1")
+
+            def dup_emit(state, key_, row):
+                total = state + row["v"]
+                # list output: the retract join's emit-two-rows shape
+                return total, [
+                    {"k": key_, "v": row["v"], "total": total, "tag": "add"},
+                    {"k": key_, "v": row["v"], "total": total, "tag": "run"},
+                ]
+
+            results = {}
+            for api in ("twsip", "apiws"):
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{src}/f*")
+                )
+                out = reduce_value_state_by_key_stream(
+                    stream,
+                    key="k",
+                    stamp="ts",
+                    state_fn=dup_emit,
+                    initial_state=0,
+                    output_schema="k string, v long, total long, tag string",
+                    watermark_delay="0 seconds",
+                    order_cols=("seq",),
+                    api=api,
+                )
+                name = f"twsip_cmp_{api}"
+                q = (
+                    out.writeStream.format("memory").queryName(name)
+                    .outputMode("append").trigger(availableNow=True).start()
+                )
+                q.awaitTermination(120)
+                results[api] = sorted(
+                    (r.k, r.v, r.total, r.tag)
+                    for r in spark.sql(f"SELECT * FROM {name}").collect()
+                )
+            assert results["twsip"] == results["apiws"]
+            # event-time + seq tiebreak order applied: totals 1, 3, 6
+            totals = sorted({t for (_, _, t, _) in results["apiws"]})
+            assert totals[:3] == [1, 3, 6]
+        finally:
+            if old_conf is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old_conf)
+
     def test_dispatch_falls_back_cleanly(self, spark):
         # building the fallback query plan must not require protobuf
         import pandas as pd
