@@ -6969,129 +6969,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION NOTE: the driver hash-checks the first ~50 insertion-order
-    # entries per round. r05 ordering closes full-inventory certification
-    # (VERDICT r04 "Next round" #1):
-    #   (A) FIRST the 34 queries never seen by any driver window in
-    #       r01-r04 (union of CORRECTNESS_r01..r04 vs the 169 declared) —
-    #       all 34 were judge-verified green via tools/oracle_check.py in
-    #       r04; this round converts that into the hard driver signal.
-    #   (B) then queries ADDED or CHANGED in r05 — new: bpe_encode,
-    #       token_budget_pack, tokenizer_fertility, embedding_covariance,
-    #       fuzzy_decontaminate, ngram_novelty; changed: temperature_mix
-    #       (double-compare threshold, ADVICE #1), minhash/lsh_recall_eval
-    #       (ids-only inequality join). New work lands here, never ahead
-    #       of block A.
-    #   (C) then the previously-certified queries, unchanged relative
-    #       order (all hash-green in their latest driver check). Blocks
-    #       A+B = 43 entries, so the ~50-slot window certifies them all
-    #       plus the head of C.
+    # STALENESS-AWARE ROTATION (VERDICT r05 'Next round' #1): the driver
+    # hash-checks the first ~50 insertion-order entries per round. With
+    # all 175 r05 queries certified, ordering is now OLDEST-LAST-GREEN
+    # FIRST, computed from the CORRECTNESS_r01..r05 union, so every query
+    # re-certifies within ~3.5 rounds and none goes stale:
+    #   (A) last driver-green in r02 (35 queries — the stalest tier);
+    #   (B) NEW r06 queries (never driver-checked) — additions stay capped
+    #       so A+B < the window and the stalest tier always re-certifies;
+    #   (C) last green r03, then r04, then r05 — each tier in its prior
+    #       relative order. Next round: recompute tiers from the union
+    #       including CORRECTNESS_r06 and rotate again.
     return {
-        # -- (A) never driver-checked in r01-r04: certify now ---------------
-        "pit_enrich": q_pit_enrich,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "topk_per_group": q_topk_per_group,
-        "ohlc_bars": q_ohlc_bars,
-        "inverted_index": q_inverted_index,
-        "pagerank_types": q_pagerank_types,
-        "ewma_value": q_ewma_value,
-        "anomaly_zscore": q_anomaly_zscore,
-        "attribution": q_attribution,
-        "feature_matrix": q_feature_matrix,
-        "quantile_bins": q_quantile_bins,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "dedup_paragraphs_near": q_dedup_paragraphs_near,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_audio_dup": q_multimodal_audio_dup,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "compressed_ingest": q_compressed_ingest,
-        "range_join_ship_week": q_range_join_ship_week,
-        "hypertable_rollup": q_hypertable_rollup,
-        "rollup_histogram": q_rollup_histogram,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "gapfill_locf": q_gapfill_locf,
-        "rollup_distinct": q_rollup_distinct,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "kmeans_cluster": q_kmeans_cluster,
-        "source_quota_sample": q_source_quota_sample,
-        "weighted_sample": q_weighted_sample,
-        "user_paths": q_user_paths,
-        "event_transitions": q_event_transitions,
-        "session_ids": q_session_ids,
-        "scd2_intervals": q_scd2_intervals,
-        "rollup_quantile": q_rollup_quantile,
-        "incremental_dedup": q_incremental_dedup,
-        "quality_model_score": q_quality_model_score,  # NEW r06
-        "self_dedup_spans": q_self_dedup_spans,  # NEW r06
-        "bpe_encode_bytes": q_bpe_encode_bytes,  # NEW r06
-        "semantic_dedup": q_semantic_dedup,  # NEW r06
-        # -- (B) added or changed in r05 ------------------------------------
-        "bpe_encode": q_bpe_encode,  # NEW r05: apply half of BPE
-        "token_budget_pack": q_token_budget_pack,  # NEW r05: bpe∘pack
-        "tokenizer_fertility": q_tokenizer_fertility,  # NEW r05
-        "embedding_covariance": q_embedding_covariance,  # NEW r05
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,  # NEW r05
-        "ngram_novelty": q_ngram_novelty,  # NEW r05
-        "temperature_mix": q_temperature_mix,
-        # CHANGED r05: ids-only inequality join + aggregate-form cosine
-        # (Janino-width fix) — re-certify inside the window
-        "minhash_recall_eval": q_minhash_recall_eval,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        # -- (C) previously driver-certified re-certs -----------------------
-        "tpch_q7ish": q_tpch_q7ish,  # CHANGED r04: de-vacuated (NATION_13/19)
-        "tpch_q10ish": q_tpch_q10ish,
-        "chunk_documents": q_chunk_documents,
-        "sequence_pack": q_sequence_pack,  # CHANGED r04: integer-div binning
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "embedding_quantize": q_embedding_quantize,
-        "exact_decontaminate": q_exact_decontaminate,
-        "dedup_best_of_cluster": q_dedup_best_of_cluster,
-        "pretraining_prep": q_pretraining_prep,
-        "tpch_q2ish": q_tpch_q2ish,
-        "tpch_q8ish": q_tpch_q8ish,
-        "tpch_q9ish": q_tpch_q9ish,
-        "tpch_q11ish": q_tpch_q11ish,
-        "tpch_q13ish": q_tpch_q13ish,
-        "tpch_q15ish": q_tpch_q15ish,
-        "tpch_q16ish": q_tpch_q16ish,
-        "tpch_q17ish": q_tpch_q17ish,
-        "tpch_q19ish": q_tpch_q19ish,
-        "tpch_q21ish": q_tpch_q21ish,
-        "tpch_q22ish": q_tpch_q22ish,
-        "dq_audit": q_dq_audit,
-        "null_safe_join": q_null_safe_join,
-        "lateral_top_lines": q_lateral_top_lines,
-        "rolling_range_revenue": q_rolling_range_revenue,
-        "grouping_sets_sales": q_grouping_sets_sales,
-        "percent_rank_orders": q_percent_rank_orders,
-        "string_agg_nations": q_string_agg_nations,
-        "twa_value": q_twa_value,
-        "corr_price_qty": q_corr_price_qty,
-        "set_intersect_buyers": q_set_intersect_buyers,
-        "set_except_priorities": q_set_except_priorities,
-        "unpivot_metrics": q_unpivot_metrics,
-        "heavy_hitters": q_heavy_hitters,
-        "mad_outliers": q_mad_outliers,
-        "drift_chi2": q_drift_chi2,
-        "join_size_estimate": q_join_size_estimate,
-        "cube_counts": q_cube_counts,
-        "skew_report": q_skew_report,
-        "snapshot_diff": q_snapshot_diff,
-        "bitmap_retention": q_bitmap_retention,
-        "zorder_pruning": q_zorder_pruning,
-        "quartiles_exact": q_quartiles_exact,
-        "key_erasure": q_key_erasure,
-        "vocab_overlap": q_vocab_overlap,
-        "span_corruption": q_span_corruption,
-        "retention_vacuum": q_retention_vacuum,
-        "zorder_layout": q_zorder_layout,
-        "text_tokens_bpe": q_text_tokens_bpe,  # CHANGED r04: regexp_count
-        "training_pipeline": q_training_pipeline,  # CHANGED r04: same swap
-        "semi_join": q_semi_join,  # CHANGED r04: de-vacuated (pre-1996)
-        "anti_join": q_anti_join,  # CHANGED r04: de-vacuated
-        "join_left": q_join_left,  # CHANGED r04: null-right path exercised
-        "dedup_exact": q_dedup_exact,  # CHANGED r04: head-key groups collide
+        # -- (A) stalest: last driver-green in r02 --------------------------
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "training_pipeline": q_training_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q18ish": q_tpch_q18ish,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
+        "bm25_rank": q_bm25_rank,
+        "decontaminate": q_decontaminate,
+        "trigram_lm_score": q_trigram_lm_score,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_topk": q_corpus_sample_topk,
+        "impulse_source": q_impulse_source,
+        "map_project": q_map_project,
+        "filter_where": q_filter_where,
+        "flatmap_tokens": q_flatmap_tokens,
+        # -- (B) new in r06: certify now ------------------------------------
+        "quality_model_score": q_quality_model_score,
+        "self_dedup_spans": q_self_dedup_spans,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "semantic_dedup": q_semantic_dedup,
+        # -- (C) last green r03 ---------------------------------------------
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "join_left": q_join_left,
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
@@ -7138,39 +7072,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
         "multimodal_ahash_dup": q_multimodal_ahash_dup,
-        "repetition_signals": q_repetition_signals,  # CHANGED r04: ws parity
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        "tpch_q18ish": q_tpch_q18ish,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_quality_signals": q_text_quality_signals,
-        "bm25_rank": q_bm25_rank,
-        "decontaminate": q_decontaminate,
-        "trigram_lm_score": q_trigram_lm_score,
-        "pii_scrub": q_pii_scrub,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
-        "schema_registry_roundtrip": q_schema_registry_roundtrip,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split": q_corpus_split,
-        "corpus_sample_topk": q_corpus_sample_topk,
-        "impulse_source": q_impulse_source,
-        "map_project": q_map_project,
-        "filter_where": q_filter_where,
-        "flatmap_tokens": q_flatmap_tokens,
+        "repetition_signals": q_repetition_signals,
+        # -- (C) last green r04 ---------------------------------------------
+        "dedup_best_of_cluster": q_dedup_best_of_cluster,
+        "pretraining_prep": q_pretraining_prep,
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8ish": q_tpch_q8ish,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q21ish": q_tpch_q21ish,
+        "tpch_q22ish": q_tpch_q22ish,
+        "dq_audit": q_dq_audit,
+        "null_safe_join": q_null_safe_join,
+        "lateral_top_lines": q_lateral_top_lines,
+        "rolling_range_revenue": q_rolling_range_revenue,
+        "grouping_sets_sales": q_grouping_sets_sales,
+        "percent_rank_orders": q_percent_rank_orders,
+        "string_agg_nations": q_string_agg_nations,
+        "twa_value": q_twa_value,
+        "corr_price_qty": q_corr_price_qty,
+        "set_intersect_buyers": q_set_intersect_buyers,
+        "set_except_priorities": q_set_except_priorities,
+        "unpivot_metrics": q_unpivot_metrics,
+        "heavy_hitters": q_heavy_hitters,
+        "mad_outliers": q_mad_outliers,
+        "drift_chi2": q_drift_chi2,
+        "join_size_estimate": q_join_size_estimate,
+        "cube_counts": q_cube_counts,
+        "skew_report": q_skew_report,
+        "snapshot_diff": q_snapshot_diff,
+        "bitmap_retention": q_bitmap_retention,
+        "zorder_pruning": q_zorder_pruning,
+        "quartiles_exact": q_quartiles_exact,
+        "key_erasure": q_key_erasure,
+        "vocab_overlap": q_vocab_overlap,
+        "span_corruption": q_span_corruption,
+        "retention_vacuum": q_retention_vacuum,
+        "zorder_layout": q_zorder_layout,
+        # -- (C) last green r05 ---------------------------------------------
+        "pit_enrich": q_pit_enrich,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "topk_per_group": q_topk_per_group,
+        "ohlc_bars": q_ohlc_bars,
+        "inverted_index": q_inverted_index,
+        "pagerank_types": q_pagerank_types,
+        "ewma_value": q_ewma_value,
+        "anomaly_zscore": q_anomaly_zscore,
+        "attribution": q_attribution,
+        "feature_matrix": q_feature_matrix,
+        "quantile_bins": q_quantile_bins,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_paragraphs_near": q_dedup_paragraphs_near,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_audio_dup": q_multimodal_audio_dup,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "compressed_ingest": q_compressed_ingest,
+        "range_join_ship_week": q_range_join_ship_week,
+        "hypertable_rollup": q_hypertable_rollup,
+        "rollup_histogram": q_rollup_histogram,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "gapfill_locf": q_gapfill_locf,
+        "rollup_distinct": q_rollup_distinct,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "kmeans_cluster": q_kmeans_cluster,
+        "source_quota_sample": q_source_quota_sample,
+        "weighted_sample": q_weighted_sample,
+        "user_paths": q_user_paths,
+        "event_transitions": q_event_transitions,
+        "session_ids": q_session_ids,
+        "scd2_intervals": q_scd2_intervals,
+        "rollup_quantile": q_rollup_quantile,
+        "incremental_dedup": q_incremental_dedup,
+        "bpe_encode": q_bpe_encode,
+        "token_budget_pack": q_token_budget_pack,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_covariance": q_embedding_covariance,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "ngram_novelty": q_ngram_novelty,
+        "temperature_mix": q_temperature_mix,
+        "minhash_recall_eval": q_minhash_recall_eval,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q10ish": q_tpch_q10ish,
+        "chunk_documents": q_chunk_documents,
+        "sequence_pack": q_sequence_pack,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_quantize": q_embedding_quantize,
+        "exact_decontaminate": q_exact_decontaminate,
     }
 
 
