@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "fuzzy_decontaminate",
     "embedding_covariance",
     "ngram_novelty",
+    "bpe_encode_bytes",
+    "semantic_dedup",
+    "quality_model_score",
+    "self_dedup_spans",
 ]
 
 

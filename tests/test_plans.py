@@ -617,3 +617,46 @@ class TestR05ExtensionPlans:
         assert count_exchanges(df) <= 3
         assert plan.count("BroadcastHashJoin") >= 1
         assert "CartesianProduct" not in plan
+
+
+class TestR06ExtensionPlans:
+    def test_quality_model_score_zero_shuffle(self, spark, sf_dir):
+        # literal-weight linear model: one projection over the scan — no
+        # exchange, no join, no Python boundary anywhere in the plan
+        df = entry.q_quality_model_score(spark, sf_dir)
+        plan = physical_plan(df)
+        assert count_exchanges(df) == 0
+        assert "Join" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_self_dedup_spans_bounded_shuffles(self, spark, sf_dir):
+        # explode → (doc, span) min-agg → per-doc reassembly → one join
+        # back on the doc id; no window over raw spans, no cartesian
+        df = entry.q_self_dedup_spans(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert count_exchanges(df) <= 5
+        assert "Window" not in plan
+
+    def test_bpe_encode_bytes_distinct_vocab_join(self, spark, sf_dir):
+        # same scale shape as char-level bpe_encode: vocab dedup agg + join
+        # back; the byte remap is a foldable map expression, not a join
+        df = entry.q_bpe_encode_bytes(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semantic_dedup_cluster_bounded_pairs(self, spark, sf_dir):
+        # pair generation is keyed on the cluster id (hash equi-join); the
+        # only nested-loop joins are kmeans' broadcast k-row centroid
+        # seeds — never a CartesianProduct
+        df = entry.q_semantic_dedup(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert any(
+            ("SortMergeJoin" in line or "BroadcastHashJoin" in line)
+            and "cid" in line
+            for line in plan.splitlines()
+        )
