@@ -6851,24 +6851,35 @@ def q_semantic_dedup(spark, sf):
     paraphrase-level dups that token shingles miss. The DuckDB oracle
     replays the ENTIRE chain — both Lloyd iterations (decimal means),
     final assignment, per-cluster pair cosine, and the verdicts — so the
-    hash certifies the composition end-to-end. Threshold 0.40 on this
+    hash certifies the composition end-to-end. The pair cosine runs on
+    micro-quantized int64 vectors (exact order-independent Gram matmul in
+    an Arrow stage; floor(x·10⁶) replayed literally in SQL — the
+    embedding_covariance parity technique). Threshold 0.40 on this
     fixture condemns a real slice of vectors (non-vacuous both ways)."""
     from proxima_platform_spark.functions.cluster import semantic_dedup
 
     emb = _load(spark, sf, "embeddings")
-    dim = emb.select(F.size("embedding").alias("d")).first().d
-    return semantic_dedup(emb, k=8, iters=2, threshold=0.40, dim=dim)
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.40)
 
 
 SQL_SEMANTIC_DEDUP = f"""
 WITH {_SQL_KMEANS_CTES},
 av AS (
     SELECT a.vec_id, a.cid, v.v FROM asg a JOIN v USING (vec_id)
+), qv AS (
+    SELECT vec_id, cid,
+           [floor(x * 1000000.0)::BIGINT for x in v] AS q
+    FROM av
+), nn AS (
+    SELECT vec_id, cid, q,
+           list_sum(list_transform(q, x -> x * x))::DOUBLE AS n2
+    FROM qv
 ), p AS (
     SELECT y.vec_id AS id_b,
-           list_dot_product(x.v, y.v)
-           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-    FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           list_sum(list_transform(range(len(x.q)), i -> x.q[i+1] * y.q[i+1]))::DOUBLE
+           / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+    FROM nn x JOIN nn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE x.n2 > 0 AND y.n2 > 0
 ), condemned AS (
     SELECT id_b, count(*) AS n_near, max(cos) AS max_cos
     FROM p WHERE cos > 0.40 GROUP BY 1

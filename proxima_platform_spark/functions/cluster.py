@@ -91,7 +91,6 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.9,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-level semantic deduplication — the SemDeDup shape
     (public recipe: cluster the embedding space, then near-dup only
@@ -105,6 +104,17 @@ def semantic_dedup(
     max_cos)`` — ``n_near``/``max_cos`` describe the lower-id near-dups
     that condemned it (0 / -2.0 sentinel when kept).
 
+    Cosines are computed on micro-quantized vectors (``floor(x·10⁶)``
+    int64 fixed point): the per-cluster Gram product then runs as an
+    EXACT integer matmul — order-independent, bit-reproducible, and
+    BLAS-fast — and the double cosine derived from those integers is
+    bit-identical in any engine (the ``embedding_covariance`` /
+    ``sign_lsh`` parity technique). Quantization shifts a cosine by
+    O(10⁻⁶) — far below any dedup threshold's meaningful resolution. The
+    expression-form alternative (64-term unrolled dot in the join stage)
+    measured 20µs/pair: the chain exceeds whole-stage-codegen limits and
+    silently drops the stage to interpreted mode.
+
     Scale design (100 TB): the pair space is bounded PER CLUSTER — the
     self-join is an equi-join on cluster id, never a cross product across
     clusters, so candidate volume is Σ nᵢ² over cluster sizes instead of
@@ -114,25 +124,69 @@ def semantic_dedup(
     cluster by keying on (cluster, bucket). k-means itself is the two
     shuffles/iteration documented on :func:`kmeans_lloyd`; everything
     downstream is one equi-join + one per-key agg + one left join."""
-    from proxima_platform_spark.functions.similarity import cosine_similarity
+    import numpy as np
+    import pandas as pd
 
     assigned = kmeans_lloyd(emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    av = assigned.join(vecs, "vec_id").select("vec_id", "cid", "v")
-    a = av.select(
-        F.col("vec_id").alias("id_a"), "cid", F.col("v").alias("__va")
-    )
-    b = av.select(
-        F.col("vec_id").alias("id_b"), "cid", F.col("v").alias("__vb")
-    )
-    pairs = a.join(b, "cid").where(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_b",
-        cosine_similarity(F.col("__va"), F.col("__vb"), dim=dim).alias("cos"),
-    ).where(F.col("cos") > threshold)
+    # staged ONCE via an eager localCheckpoint: the scorer and the verdict
+    # frame both scan this frame — without the materialization the whole
+    # kmeans chain re-executes per consumer (alias-renamed sides
+    # canonicalize differently, no ReusedExchange; measured ~3x).
+    # localCheckpoint (the kmeans/pagerank/bpe_learn handoff pattern)
+    # rather than persist(): it truncates the plan, so repeated calls
+    # don't pollute the CacheManager with deep kmeans plans whose
+    # canonicalized-lookup cost grows with every cached entry (measured:
+    # 3.3s → 12.9s per call by the third persist()-based invocation in
+    # one session).
+    av = assigned.join(vecs, "vec_id").select("vec_id", "cid", "v").localCheckpoint()
+
+    scale = 1_000_000
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.floor(
+            np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale
+        ).astype(np.int64)
+        d = Q.shape[1]
+        qmax = int(np.abs(Q).max()) if Q.size else 0
+        # loud overflow guard (the embedding_covariance contract): the
+        # int64 Gram product is exact only while dim·max|q|² < 2^62
+        if qmax and d * qmax * qmax >= 2**62:
+            raise ValueError(
+                f"semantic_dedup: |value|*{scale} up to {qmax} over dim {d} "
+                "overflows the int64 Gram accumulation; normalize the "
+                "embeddings or lower the fixed-point scale"
+            )
+        rn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        out_ids, out_cos = [], []
+        B = 1024  # row blocks bound the transient Gram slab to B×n
+        col = np.arange(len(ids))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(ids), B):
+                e = min(s + B, len(ids))
+                Gb = Q[s:e] @ Q.T  # exact int64
+                cb = Gb.astype(np.float64) / (rn[s:e, None] * rn[None, :])
+                for bi in range(e - s):
+                    i = s + bi
+                    m = (col > i) & (rn > 0) & (rn[i] > 0) & (cb[bi] > threshold)
+                    if m.any():
+                        out_ids.extend(ids[m].tolist())
+                        out_cos.extend(cb[bi][m].tolist())
+        if not out_ids:
+            return empty
+        return pd.DataFrame({"id_b": np.asarray(out_ids, dtype=np.int64),
+                             "cos": np.asarray(out_cos, dtype=np.float64)})
+
+    scored = av.groupBy("cid").applyInPandas(score, "id_b long, cos double")
     condemned = scored.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_near"), F.max("cos").alias("max_cos")
     )

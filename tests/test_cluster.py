@@ -89,7 +89,7 @@ class TestSemanticDedup:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         out = {
             r.vec_id: r
-            for r in semantic_dedup(emb, k=2, iters=2, threshold=0.99, dim=2).collect()
+            for r in semantic_dedup(emb, k=2, iters=2, threshold=0.99).collect()
         }
         assert out[0].kept and out[1].kept and out[4].kept
         assert not out[2].kept and out[2].n_near == 1
@@ -106,23 +106,47 @@ class TestSemanticDedup:
         ]
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         out = {r.vec_id: r.kept for r in semantic_dedup(
-            emb, k=2, iters=1, threshold=0.999, dim=2
+            emb, k=2, iters=1, threshold=0.999
         ).collect()}
         assert out[0] and not out[1] and not out[2]
 
-    def test_pairs_are_cluster_equi_join(self, spark):
-        """Plan shape: the pair stage is an equi-join keyed on the cluster
-        id — no cartesian/BNLJ across clusters anywhere in the plan."""
+    def test_pairs_are_cluster_bounded_arrow_stage(self, spark):
+        """Plan shape: pair scoring is an Arrow stage grouped on the
+        cluster id (the exact int64 Gram matmul) — candidates never cross
+        clusters and nothing in the plan is a cartesian product."""
         from proxima_platform_spark.functions.cluster import semantic_dedup
 
         emb = _blobs(spark)
-        plan = semantic_dedup(emb, k=2, iters=1, dim=2)._jdf.queryExecution().executedPlan().toString()
+        plan = semantic_dedup(emb, k=2, iters=1)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-        # the pair stage must be a HASH equi-join keyed on the cluster id;
-        # the only nested-loop joins allowed are kmeans' broadcast k-row
-        # centroid crossJoins (bounded build side by construction)
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the scorer is grouped on cid: a FlatMapGroupsInPandas (Arrow)
+        # stage fed by a hash exchange on the cluster id
+        assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
         assert any(
-            ("SortMergeJoin" in line or "BroadcastHashJoin" in line)
-            and "cid" in line
-            for line in plan.splitlines()
+            "hashpartitioning(cid" in line for line in plan.splitlines()
         ), plan
+
+    def test_quantized_cosine_is_exact_int_gram(self, spark):
+        """The Arrow scorer's cosine equals the direct fixed-point formula
+        floor(x*1e6) int dot / (sqrt*sqrt) computed independently."""
+        import math
+
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        rows = [(0, [0.8, 0.61]), (1, [0.79, 0.6]), (2, [-0.9, 0.2])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r.vec_id: r for r in semantic_dedup(
+            emb, k=1, iters=1, threshold=0.9
+        ).collect()}
+
+        def q(v):
+            return [math.floor(x * 1_000_000) for x in v]
+
+        qa, qb = q(rows[0][1]), q(rows[1][1])
+        dotq = sum(a * b for a, b in zip(qa, qb))
+        na = math.sqrt(float(sum(a * a for a in qa)))
+        nb = math.sqrt(float(sum(b * b for b in qb)))
+        want = round(dotq / (na * nb), 6)
+        assert out[1].max_cos == pytest.approx(want, abs=0)
+        assert not out[1].kept and out[0].kept

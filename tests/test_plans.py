@@ -649,14 +649,15 @@ class TestR06ExtensionPlans:
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_semantic_dedup_cluster_bounded_pairs(self, spark, sf_dir):
-        # pair generation is keyed on the cluster id (hash equi-join); the
-        # only nested-loop joins are kmeans' broadcast k-row centroid
-        # seeds — never a CartesianProduct
+        # pair scoring is an Arrow stage grouped on the cluster id (exact
+        # int64 Gram matmul per cluster) — candidates never cross
+        # clusters; no cartesian, no BNLJ (the kmeans centroid crossJoins
+        # live behind the localCheckpoint and never reach this plan)
         df = entry.q_semantic_dedup(spark, sf_dir)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
         assert any(
-            ("SortMergeJoin" in line or "BroadcastHashJoin" in line)
-            and "cid" in line
-            for line in plan.splitlines()
+            "hashpartitioning(cid" in line for line in plan.splitlines()
         )
