@@ -6892,6 +6892,52 @@ FROM av LEFT JOIN condemned c ON av.vec_id = c.id_b
 """
 
 
+def q_tokenizer_fertility_bytes(spark, sf):
+    """Tokenizer fertility by language, BYTE-level — tokens per word under
+    the byte-alphabet merge table. The diagnostic real pipelines run: a
+    language whose script needs multi-byte UTF-8 shows fertility near
+    bytes-per-word until the table learns its byte pairs, which is
+    exactly what byte-level measurement (and not codepoint-level) makes
+    visible. Same bounded shape as tokenizer_fertility: per-doc encode
+    frame → lang equi-join → language-count-bounded agg."""
+    docs = _load(spark, sf, "documents")
+    enc = q_bpe_encode_bytes(spark, sf)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _sql_tokenizer_fertility_bytes() -> str:
+    return f"""
+WITH {_sql_bpe_bytes_ctes()},
+enc AS (
+  SELECT doc_id,
+         count(*) AS nw,
+         CAST(sum(n_tok) AS BIGINT) AS nt
+  FROM words JOIN v USING (word)
+  GROUP BY doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6) AS fertility
+FROM enc JOIN documents USING (doc_id)
+GROUP BY lang
+"""
+
+
 def q_self_dedup_spans(spark, sf):
     """Within-document repeated-span removal (functions/dedup.py::
     self_dedup_spans): non-overlapping 2-token spans, first occurrence
@@ -7033,6 +7079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_dedup_spans": q_self_dedup_spans,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "semantic_dedup": q_semantic_dedup,
+        "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7259,6 +7306,7 @@ def oracle_sql() -> dict[str, str]:
         "self_dedup_spans": _sql_self_dedup_spans(),
         "bpe_encode_bytes": _sql_bpe_encode_bytes(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,
