@@ -7004,6 +7004,73 @@ FROM joined
 """
 
 
+def q_dup_ngram_coverage(spark, sf):
+    """Cross-document duplicated-passage coverage (functions/dedup.py::
+    dup_ngram_coverage): per-document fraction of token positions covered
+    by 8-grams that occur in >= 2 distinct documents — the exact
+    fixed-granularity cousin of suffix-array substring dedup and the
+    overlap diagnostic corpus reports quote. Distinct-doc counting per
+    gram is two map-side-combined aggs (never countDistinct over raw
+    occurrences); the window union is a positions-explode + distinct
+    bounded by duplicated occurrences. At sf0.01 ~1,000 grams are
+    cross-doc duplicated (non-vacuous)."""
+    from proxima_platform_spark.functions.dedup import dup_ngram_coverage
+
+    docs = _load(spark, sf, "documents")
+    return dup_ngram_coverage(docs, n=8)
+
+
+def _sql_dup_ngram_coverage(n: int = 8) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), counts AS (
+    SELECT doc_id, len(tk) AS n_tokens FROM t
+), occ AS (
+    SELECT doc_id, pos, md5(gram) AS fp
+    FROM (
+        SELECT doc_id,
+               unnest(g) AS gram,
+               generate_subscripts(g, 1) AS pos
+        FROM (SELECT doc_id,
+                     CASE WHEN len(tk) >= {n}
+                          THEN [array_to_string(tk[i:i+{n}-1], ' ')
+                                for i in range(1, len(tk) - {n} + 2)]
+                          ELSE [] END AS g
+              FROM t)
+    )
+), per_doc AS (
+    SELECT fp, doc_id, count(*) AS o FROM occ GROUP BY 1, 2
+), dup_fps AS (
+    SELECT fp FROM per_doc GROUP BY fp HAVING count(*) >= 2
+), dup_occ AS (
+    SELECT occ.doc_id, occ.pos FROM occ JOIN dup_fps USING (fp)
+), gram_counts AS (
+    SELECT doc_id, count(*) AS n_grams FROM occ GROUP BY 1
+), dup_gram_counts AS (
+    SELECT doc_id, count(*) AS n_dup_grams FROM dup_occ GROUP BY 1
+), covered AS (
+    SELECT doc_id, count(*) AS covered_tokens
+    FROM (SELECT DISTINCT doc_id, pos + u AS p
+          FROM dup_occ, unnest(range(0, {n})) AS r(u))
+    GROUP BY 1
+)
+SELECT c.doc_id, c.n_tokens,
+       coalesce(g.n_grams, 0) AS n_grams,
+       coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(v.covered_tokens, 0) AS covered_tokens,
+       round(CASE WHEN c.n_tokens > 0
+             THEN coalesce(v.covered_tokens, 0)::DOUBLE / c.n_tokens
+             ELSE 0.0 END, 6) AS coverage
+FROM counts c
+LEFT JOIN gram_counts g USING (doc_id)
+LEFT JOIN dup_gram_counts d USING (doc_id)
+LEFT JOIN covered v USING (doc_id)
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7080,6 +7147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "semantic_dedup": q_semantic_dedup,
         "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7307,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_bytes": _sql_bpe_encode_bytes(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
+        "dup_ngram_coverage": _sql_dup_ngram_coverage(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

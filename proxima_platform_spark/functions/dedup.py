@@ -617,6 +617,84 @@ def self_dedup_spans(
     )
 
 
+def dup_ngram_coverage(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Cross-document duplicated-passage coverage — for each document,
+    how much of it is n-gram-exactly shared with OTHER documents (the
+    RefinedWeb/Lee-et-al.-style overlap diagnostic; the cheap-and-exact
+    cousin of suffix-array substring dedup at a fixed granularity):
+
+      * a token n-gram is DUPLICATED when it occurs in ≥ 2 distinct docs;
+      * a token position is COVERED when some duplicated gram's window
+        contains it;
+      * output per doc: ``n_tokens``, ``n_grams``, ``n_dup_grams``
+        (duplicated-gram occurrences), ``covered_tokens`` (union length
+        of the windows), ``coverage`` (covered/tokens, 6 decimals).
+
+    Scale shape (100 TB): grams explode narrowly; distinct-doc counting
+    per gram is TWO map-side-combined aggs — ``(fp, doc)`` then ``fp`` —
+    never a countDistinct shuffle of raw occurrences (a boilerplate gram
+    repeated 10⁴× inside one doc collapses to one row per map task at
+    the first agg). The dup-flag joins back on the gram fingerprint (a
+    plain equi-join; a fingerprint hot across 10⁹ docs is AQE
+    skew-split territory, noted), and the window union is one
+    positions-explode + distinct + per-doc count — bounded by n · dup
+    occurrences, not by the corpus."""
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    counts = base.select(id_col, F.size("__toks").alias("n_tokens"))
+    occ = base.select(
+        id_col,
+        F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", F.md5("gram").alias("__fp"))
+    per_doc = occ.groupBy("__fp", id_col).agg(F.count(F.lit(1)).alias("__o"))
+    dup_fps = (
+        per_doc.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__fp")
+    )
+    dup_occ = occ.join(dup_fps, "__fp")
+    gram_counts = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_gram_counts = dup_occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        dup_occ.select(
+            id_col, F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    out = (
+        counts.join(gram_counts, id_col, "left")
+        .join(dup_gram_counts, id_col, "left")
+        .join(covered, id_col, "left")
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coverage"),
+    )
+
+
 def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
     """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
     S-curve pivots closest to the requested Jaccard ``threshold``.

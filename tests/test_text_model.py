@@ -133,3 +133,53 @@ class TestSelfDedupSpans:
             repetition_signals(F.col("text_dedup"))["dup_word_frac"].alias("after"),
         ).collect()[0]
         assert row.after < row.before
+
+
+class TestDupNgramCoverage:
+    def test_shared_passage_covered(self, spark):
+        from proxima_platform_spark.functions.dedup import dup_ngram_coverage
+
+        shared = "alpha beta gamma delta"  # one shared 4-token passage
+        d = spark.createDataFrame(
+            [
+                (1, shared + " unique one two three"),
+                (2, "other words here " + shared),
+                (3, "completely different content entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_ngram_coverage(d, n=4).collect()}
+        # doc1: tokens 8, grams 5, exactly gram at pos0 duplicated → covers 4
+        assert (out[1].n_tokens, out[1].n_grams) == (8, 5)
+        assert out[1].n_dup_grams == 1 and out[1].covered_tokens == 4
+        assert out[1].coverage == 0.5
+        # doc2: shared passage at the end
+        assert out[2].n_dup_grams == 1 and out[2].covered_tokens == 4
+        # doc3: nothing shared
+        assert out[3].n_dup_grams == 0 and out[3].coverage == 0.0
+
+    def test_overlapping_windows_union(self, spark):
+        """Two overlapping duplicated grams cover the union of their
+        windows, not the sum."""
+        from proxima_platform_spark.functions.dedup import dup_ngram_coverage
+
+        seq = "a b c d e"  # grams (a b c d), (b c d e) both duplicated
+        d = spark.createDataFrame(
+            [(1, seq + " tail1 x1 y1"), (2, seq + " tail2 x2 y2")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_ngram_coverage(d, n=4).collect()}
+        assert out[1].n_dup_grams == 2
+        assert out[1].covered_tokens == 5  # union of [0..3] and [1..4]
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        """A gram repeated only WITHIN one doc is not cross-doc duplicated
+        (the >=2 distinct docs rule)."""
+        from proxima_platform_spark.functions.dedup import dup_ngram_coverage
+
+        d = spark.createDataFrame(
+            [(1, "p q r s p q r s"), (2, "totally different words here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dup_ngram_coverage(d, n=4).collect()}
+        assert out[1].n_dup_grams == 0 and out[1].coverage == 0.0
