@@ -7071,6 +7071,59 @@ LEFT JOIN covered v USING (doc_id)
 """
 
 
+def q_ann_knn_join(spark, sf):
+    """Approximate kNN SELF-join (functions/similarity.py::knn_join_lsh):
+    every vector's top-3 cosine neighbors among its 2×8-plane sign-LSH
+    bucket mates — the corpus-wide companion to the single-query ann_*
+    operators. Candidates are the same bucket equi-joins dedup_embedding
+    ships (no n² product); ranking is one per-vector window over the
+    candidate set with deterministic (cosine desc, id asc) tiebreaks.
+    The oracle replays the md5 hyperplane bucket math per table AND the
+    ranking verbatim."""
+    from proxima_platform_spark.functions.similarity import knn_join_lsh
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    return knn_join_lsh(emb, k=3, num_planes=8, num_tables=2, dim=dim)
+
+
+SQL_ANN_KNN_JOIN = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    {_sql_lsh_bucket(8, 0)} AS b0,
+    {_sql_lsh_bucket(8, 8)} AS b1
+  FROM base),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT DISTINCT id_a, id_b,
+         list_dot_product(va, vb)
+         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+  FROM cand
+  WHERE list_dot_product(va, vb)
+        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > -1.0
+),
+directed AS (
+  SELECT id_a, id_b, cos FROM scored
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, cos FROM scored
+),
+ranked AS (
+  SELECT id_a, id_b, cos,
+         row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+  FROM directed
+)
+SELECT id_a AS vec_id, rank, id_b AS nbr, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7148,6 +7201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "ann_knn_join": q_ann_knn_join,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7376,6 +7430,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
+        "ann_knn_join": SQL_ANN_KNN_JOIN,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

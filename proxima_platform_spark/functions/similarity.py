@@ -271,6 +271,63 @@ def ivf_top_k(
     )
 
 
+def knn_join_lsh(
+    embeddings,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    dim: int | None = None,
+):
+    """Approximate k-nearest-neighbor SELF-join: for EVERY vector, its
+    top-k most-cosine-similar bucket mates — the corpus-wide companion to
+    the single-query ``ann_*`` operators (retrieval-augmented dataset
+    building, nearest-neighbor audit sheets, graph construction).
+
+    Candidates come from the same multi-table sign-LSH bucket equi-joins
+    as :func:`proxima_platform_spark.functions.dedup.
+    embedding_near_dup_pairs` (never an n² product; recall rises with
+    ``num_tables`` at ≈L·n²/2^planes candidate volume); each vector then
+    ranks ITS candidates by (cosine desc, neighbor id asc) through one
+    per-vector window over the candidate set — the shuffle is bounded by
+    candidate volume, not n². Vectors whose buckets hold no other vector
+    emit nothing (the documented LSH-recall tradeoff; raise num_tables
+    or lower num_planes to tighten)."""
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=-1.0,  # keep every scored candidate; ranking cuts to k
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+    )
+    directed = pairs.union(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            "rank",
+            F.col("id_b").alias("nbr"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     *,

@@ -200,3 +200,51 @@ class TestLshRecallHarness:
         p = row.expected_recall
         sigma = math.sqrt(max(p * (1 - p), 1e-9) / row.true_pairs)
         assert abs(row.recall - p) <= max(5 * sigma, 0.1)
+
+
+class TestKnnJoin:
+    def test_same_bucket_equals_brute_force_topk(self, spark):
+        """Near-identical vectors share every LSH bucket, so the candidate
+        set is complete and the kNN join must equal exact brute-force
+        top-k for every vector."""
+        from proxima_platform_spark.functions.similarity import knn_join_lsh
+
+        vecs = {i: [1.0, 0.5 + i * 1e-4, 0.25] for i in range(5)}
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        out = knn_join_lsh(emb, k=2, num_planes=4, num_tables=2, dim=3).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.vec_id, []).append((r.rank, r.nbr))
+
+        import math
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        for i in vecs:
+            ranked = sorted(
+                ((j, cos(vecs[i], vecs[j])) for j in vecs if j != i),
+                key=lambda t: (-t[1], t[0]),
+            )[:2]
+            assert [n for _, n in sorted(got[i])] == [j for j, _ in ranked], i
+
+    def test_rank_is_dense_and_bounded(self, spark):
+        from proxima_platform_spark.functions.similarity import knn_join_lsh
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, float(i % 3)]) for i in range(9)],
+            "vec_id long, embedding array<double>",
+        )
+        out = knn_join_lsh(emb, k=3, num_planes=2, num_tables=1, dim=2).collect()
+        by_vec = {}
+        for r in out:
+            by_vec.setdefault(r.vec_id, []).append(r.rank)
+        for v, ranks in by_vec.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 3
