@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "quality_model_score",
     "self_dedup_spans",
+    "dup_ngram_coverage",
+    "ann_knn_join",
 ]
 
 

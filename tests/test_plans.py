@@ -661,3 +661,22 @@ class TestR06ExtensionPlans:
         assert any(
             "hashpartitioning(cid" in line for line in plan.splitlines()
         )
+
+    def test_dup_ngram_coverage_no_countdistinct_no_cartesian(self, spark, sf_dir):
+        # distinct-doc counting per gram is two map-side-combined aggs —
+        # the plan must contain partial_count HashAggregates and no
+        # expand-based distinct aggregate, no cartesian
+        df = entry.q_dup_ngram_coverage(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Expand" not in plan  # no count(distinct) expansion
+
+    def test_ann_knn_join_bucketed_candidates(self, spark, sf_dir):
+        # candidates come from LSH bucket equi-joins; ranking is one
+        # window over candidates — never an n^2 product
+        df = entry.q_ann_knn_join(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan
