@@ -248,3 +248,53 @@ class TestKnnJoin:
         for v, ranks in by_vec.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 3
+
+
+class TestEmbeddingWhiten:
+    def test_whitened_covariance_is_identity(self, spark):
+        """After ZCA whitening, the sample covariance of the output is ~I
+        and the mean is ~0 — the defining property."""
+        import numpy as np
+
+        from proxima_platform_spark.functions.similarity import embedding_whiten
+
+        rng = np.random.RandomState(11)
+        d = 6
+        A = rng.randn(d, d)
+        X = rng.randn(400, d) @ A + rng.randn(d) * 0.5  # correlated + shifted
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        )
+        out = embedding_whiten(emb, dim=d, eps=1e-9).collect()
+        Z = np.stack([np.asarray(r.whitened) for r in sorted(out, key=lambda r: r.vec_id)])
+        assert Z.shape == (400, d)
+        assert np.abs(Z.mean(axis=0)).max() < 1e-6
+        cov = np.cov(Z, rowvar=False)
+        assert np.abs(cov - np.eye(d)).max() < 1e-2
+
+    def test_deterministic_across_runs(self, spark):
+        import numpy as np
+
+        from proxima_platform_spark.functions.similarity import embedding_whiten
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(50, 4)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        )
+        a = {r.vec_id: tuple(r.whitened) for r in embedding_whiten(emb, dim=4).collect()}
+        b = {r.vec_id: tuple(r.whitened) for r in embedding_whiten(emb, dim=4).collect()}
+        assert a == b
+
+    def test_requires_two_rows(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.similarity import embedding_whiten
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="at least 2 rows"):
+            embedding_whiten(emb, dim=2)
