@@ -91,14 +91,25 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.9,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Embedding-level semantic deduplication — the SemDeDup shape
     (public recipe: cluster the embedding space, then near-dup only
     WITHIN each cluster): :func:`kmeans_lloyd` assigns clusters, exact
     cosine runs over intra-cluster pairs only, and a vector is dropped
-    when a LOWER-id vector in its cluster exceeds the threshold (greedy
-    keep-first — deterministic, and the same winner rule as the exact
-    ``embedding_near_dup_pairs`` consumers).
+    when a HIGHER-priority vector in its cluster exceeds the threshold
+    (greedy keep-first over a deterministic total order).
+
+    ``keep`` selects the priority order — which member of a near-dup
+    pair survives:
+
+      * ``"min_id"`` (default): lowest id wins — the same winner rule as
+        the exact ``embedding_near_dup_pairs`` consumers;
+      * ``"far_centroid"``: larger kmeans d² wins (vec_id tiebreak) —
+        the SemDeDup paper's policy (keep the example FARTHEST from its
+        centroid for diversity);
+      * ``"near_centroid"``: smaller d² wins — the prototypical-example
+        policy.
 
     Returns one row per vector: ``(vec_id, cluster, kept, n_near,
     max_cos)`` — ``n_near``/``max_cos`` describe the lower-id near-dups
@@ -127,6 +138,8 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    if keep not in ("min_id", "far_centroid", "near_centroid"):
+        raise ValueError(f"unknown keep policy {keep!r}")
     assigned = kmeans_lloyd(emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -142,7 +155,11 @@ def semantic_dedup(
     # canonicalized-lookup cost grows with every cached entry (measured:
     # 3.3s → 12.9s per call by the third persist()-based invocation in
     # one session).
-    av = assigned.join(vecs, "vec_id").select("vec_id", "cid", "v").localCheckpoint()
+    av = (
+        assigned.join(vecs, "vec_id")
+        .select("vec_id", "cid", "d2", "v")
+        .localCheckpoint()
+    )
 
     scale = 1_000_000
 
@@ -151,7 +168,15 @@ def semantic_dedup(
                               "cos": pd.Series(dtype="float64")})
         if len(pdf) < 2:
             return empty
-        pdf = pdf.sort_values("vec_id")
+        # priority-sorted: row i condemns row j>i on a near-dup hit, so
+        # sorting BY the keep policy makes the same block loop implement
+        # every policy (total order → deterministic winners)
+        if keep == "min_id":
+            pdf = pdf.sort_values("vec_id")
+        elif keep == "far_centroid":
+            pdf = pdf.sort_values(["d2", "vec_id"], ascending=[False, True])
+        else:  # near_centroid
+            pdf = pdf.sort_values(["d2", "vec_id"], ascending=[True, True])
         ids = pdf["vec_id"].to_numpy()
         Q = np.floor(
             np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale

@@ -150,3 +150,41 @@ class TestSemanticDedup:
         want = round(dotq / (na * nb), 6)
         assert out[1].max_cos == pytest.approx(want, abs=0)
         assert not out[1].kept and out[0].kept
+
+    def test_keep_policy_far_centroid(self, spark):
+        """SemDeDup paper policy: of a near-dup pair, the member FARTHER
+        from its centroid survives (diversity keep) — the opposite winner
+        from min_id when the near-dups sit at different radii."""
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        # cluster seeded at vec 0; vec 5 is the same direction but farther
+        # from the centroid; vec 9 anchors a second cluster
+        rows = [
+            (0, [1.0, 0.0]),
+            (5, [3.0, 0.0]),          # cos(0,5)=1.0, larger d2 from centroid
+            (9, [-100.0, 100.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        min_id = {r.vec_id: r.kept for r in semantic_dedup(
+            emb, k=2, iters=1, threshold=0.99, keep="min_id"
+        ).collect()}
+        far = {r.vec_id: r.kept for r in semantic_dedup(
+            emb, k=2, iters=1, threshold=0.99, keep="far_centroid"
+        ).collect()}
+        near = {r.vec_id: r.kept for r in semantic_dedup(
+            emb, k=2, iters=1, threshold=0.99, keep="near_centroid"
+        ).collect()}
+        assert min_id[0] and not min_id[5]
+        # after 1 Lloyd iter the centroid is the pair mean: vec 5 is farther
+        assert far[5] and not far[0]
+        assert near[0] and not near[5]
+        assert min_id[9] and far[9] and near[9]
+
+    def test_keep_policy_rejects_unknown(self, spark):
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="keep policy"):
+            semantic_dedup(emb, keep="best")
