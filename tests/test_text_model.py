@@ -183,3 +183,84 @@ class TestDupNgramCoverage:
         )
         out = {r.doc_id: r for r in dup_ngram_coverage(d, n=4).collect()}
         assert out[1].n_dup_grams == 0 and out[1].coverage == 0.0
+
+
+class TestR06ModelParity:
+    def test_self_dedup_spans_matches_python_model(self, spark):
+        """Randomized corpora: operator output equals a direct Python model
+        of the spec (chunk → first-occurrence filter → reassemble)."""
+        import random
+
+        from proxima_platform_spark.functions.dedup import self_dedup_spans
+
+        rng = random.Random(42)
+        words = ["aa", "bb", "cc", "dd"]
+        rows = []
+        for i in range(40):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        for k in (2, 3):
+            got = {
+                r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+                for r in self_dedup_spans(d, span_tokens=k).collect()
+            }
+            for i, text in rows:
+                toks = text.lower().strip().split()
+                toks = toks if toks != [] else [""] if text == "" else toks
+                # tokens('') == [''] per the dedup.tokens contract
+                if text.strip() == "":
+                    toks = [""]
+                spans = [
+                    " ".join(toks[s:s + k]) for s in range(0, max(len(toks), 1), k)
+                ]
+                seen, kept = set(), []
+                for sp in spans:
+                    if sp not in seen:
+                        seen.add(sp)
+                        kept.append(sp)
+                want = (len(spans), len(kept), " ".join(kept))
+                assert got[i] == want, (i, text, got[i], want)
+
+    def test_dup_ngram_coverage_matches_python_model(self, spark):
+        import random
+
+        from proxima_platform_spark.functions.dedup import dup_ngram_coverage
+
+        rng = random.Random(7)
+        words = ["x", "y", "z"]
+        rows = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 10))))
+            for i in range(30)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        n = 3
+        got = {
+            r.doc_id: (r.n_tokens, r.n_grams, r.n_dup_grams, r.covered_tokens)
+            for r in dup_ngram_coverage(d, n=n).collect()
+        }
+        # model
+        toks = {}
+        for i, text in rows:
+            t = text.lower().strip().split()
+            toks[i] = t if t or text.strip() else [""]
+            if text.strip() == "":
+                toks[i] = [""]
+        grams = {
+            i: [" ".join(t[s:s + n]) for s in range(len(t) - n + 1)]
+            if len(t) >= n else []
+            for i, t in toks.items()
+        }
+        docs_per_gram = {}
+        for i, gs in grams.items():
+            for g in set(gs):
+                docs_per_gram.setdefault(g, set()).add(i)
+        for i, text in rows:
+            dup_occ = [
+                s for s, g in enumerate(grams[i]) if len(docs_per_gram[g]) >= 2
+            ]
+            covered = set()
+            for s in dup_occ:
+                covered.update(range(s, s + n))
+            want = (len(toks[i]), len(grams[i]), len(dup_occ), len(covered))
+            assert got[i] == want, (i, text, got[i], want)
