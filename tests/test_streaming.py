@@ -1533,3 +1533,49 @@ class TestStreamingAsofJoin:
         assert want[2] == (10.0, "a")
         assert want[4] == (20.0, "b")
         assert want[3] == (None, None)  # 9000 - 900 > 5000ms tolerance
+
+
+class TestStreamingPrepModelGate:
+    def test_model_gate_forwards_to_stream(self, spark, tmp_path):
+        """model_quality_min forwards through pretraining_prep_stream: each
+        micro-batch manifest equals the batch form with the same gate."""
+        from proxima_platform_spark.functions.prep import (
+            pretraining_prep,
+            pretraining_prep_stream,
+        )
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet field toward the river bank every morning"
+        )
+        junk = "$$$ " * 30
+        src = str(tmp_path / "prep-gate-src")
+        schema = "doc_id long, ts timestamp, text string"
+        rows = [(1, ts(1000), good), (2, ts(1100), junk)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f0")
+
+        collected = {}
+
+        def sink(manifest, batch_id):
+            collected[batch_id] = {tuple(r) for r in manifest.collect()}
+
+        stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
+        q = (
+            pretraining_prep_stream(
+                stream, sink, budget=64, n_shards=2,
+                quality_min=0.0, dup_word_max=1.0, model_quality_min=0.5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        want = {
+            tuple(r)
+            for r in pretraining_prep(
+                spark.createDataFrame(rows, schema),
+                budget=64, n_shards=2,
+                quality_min=0.0, dup_word_max=1.0, model_quality_min=0.5,
+            ).collect()
+        }
+        assert collected[0] == want and len(want) > 0
+
