@@ -590,6 +590,31 @@ def embedding_whiten(
     )
 
 
+def embedding_outlier_scores(
+    emb,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    eps: float = 1e-6,
+):
+    """Mahalanobis outlier score per embedding: ``‖W(x−μ)‖²`` where W is
+    the ZCA whitening matrix — i.e. squared Mahalanobis distance (up to
+    the eps regularization), the covariance-aware companion to the
+    per-key z-score family. One :func:`embedding_whiten` pass plus a
+    narrow squared-norm projection; same bounded-driver-eigh contract."""
+    w = embedding_whiten(emb, id_col=id_col, vec_col=vec_col, dim=dim, eps=eps)
+    return w.select(
+        id_col,
+        F.round(
+            F.aggregate(
+                "whitened", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            6,
+        ).alias("maha2"),
+    )
+
+
 def embedding_covariance_partials(
     emb, *, vec_col: str = "embedding", dim: int, scale: int = 1_000_000
 ):

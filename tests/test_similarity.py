@@ -298,3 +298,25 @@ class TestEmbeddingWhiten:
         )
         with _pytest.raises(ValueError, match="at least 2 rows"):
             embedding_whiten(emb, dim=2)
+
+
+class TestEmbeddingOutlierScores:
+    def test_planted_outlier_scores_highest(self, spark):
+        import numpy as np
+
+        from proxima_platform_spark.functions.similarity import (
+            embedding_outlier_scores,
+        )
+
+        rng = np.random.RandomState(5)
+        X = rng.randn(200, 4)
+        X[0] = [25.0, -25.0, 25.0, -25.0]  # planted far outlier
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r.vec_id: r.maha2 for r in embedding_outlier_scores(emb, dim=4).collect()}
+        assert max(out, key=out.get) == 0
+        # squared Mahalanobis of N(0,I) data averages ~dim
+        others = [v for k, v in out.items() if k != 0]
+        assert 1.0 < sum(others) / len(others) < 10.0
