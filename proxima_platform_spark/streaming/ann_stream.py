@@ -1,0 +1,200 @@
+"""Continuously-maintained ANN index: sign-LSH bucket assignments folded
+per micro-batch — approximate nearest-neighbor queries over an unbounded,
+growing corpus without rebuilding.
+
+The ``ContinuousRollup``/``ContinuousHeavyHitters`` manifest pattern
+applied to the ANN family: each micro-batch's vectors are bucket-assigned
+by the SAME integer-exact Arrow stage the batch operators use
+(``similarity.sign_lsh_buckets_arrow``), appended as a delta parquet
+generation, and compacted every N generations. A query hashes itself with
+the identical integer math (mirrored in pure Python — the plane family is
+deterministic md5 signs over fixed-point components, so driver and
+executors agree bit-for-bit), reads ONLY its buckets (predicate pushed to
+the parquet scan), and ranks candidates by exact cosine.
+
+Consistency contract: ids are append-only across the stream (the corpus
+ingestion shape); ``update`` is idempotent on replayed micro-batches via
+the max-committed-batch_id guard — the standard foreachBatch
+at-least-once discipline. State per generation is O(rows·num_tables) —
+the index IS the data plus its bucket keys; no driver-side structure.
+
+At 1000 executors: deltas land as ordinary parquet appends, compaction is
+one bucket-partitioned fold, and queries touch ~num_tables·n/2^planes
+rows — the same candidate-volume math as the batch LSH join.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proxima_platform_spark.functions.similarity import (
+    LSH_FIXED_SCALE,
+    _plane_sign,
+    cosine_similarity,
+    sign_lsh_buckets_arrow,
+)
+
+
+def _query_buckets(
+    vec: list[float], *, num_planes: int, num_tables: int
+) -> list[int]:
+    """Bucket of ``vec`` per table — the pure-Python mirror of
+    ``sign_lsh_buckets_arrow``'s integer projection (floor(x·scale) int64
+    against ±1 planes; exact, so the driver-side query hashes into
+    exactly the buckets the executors assigned)."""
+    q = [math.floor(x * LSH_FIXED_SCALE) for x in vec]
+    dim = len(q)
+    out = []
+    for t in range(num_tables):
+        bucket = 0
+        for p in range(num_planes):
+            plane = t * num_planes + p
+            proj = sum(q[d] * _plane_sign(plane, d) for d in range(dim))
+            if proj > 0:
+                bucket |= 1 << p
+        out.append(bucket)
+    return out
+
+
+class ContinuousAnnIndex:
+    """``update(batch)`` is usable directly as a ``foreachBatch``
+    callback; ``query_df(vec, k)`` returns the top-k bucket mates by
+    exact cosine as a DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_planes: int = 8,
+        num_tables: int = 2,
+        compact_every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.compact_every = compact_every
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest (the ContinuousRollup pattern) ----------------------------
+
+    def _manifest(self) -> dict:
+        p = f"{self.path}/manifest.json"
+        if not os.path.exists(p):
+            return {"version": 0, "base": None, "deltas": [], "max_batch_id": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{self.path}/manifest.json")
+
+    # -- maintenance ---------------------------------------------------------
+
+    def _bucketed(self, batch: DataFrame) -> DataFrame:
+        staged = sign_lsh_buckets_arrow(
+            batch.select(
+                F.col(self.id_col).alias("__id"),
+                F.col(self.vec_col).cast("array<double>").alias("__v"),
+            ),
+            vec_col="__v",
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+        )
+        tb = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+            for t in range(self.num_tables)
+        ])
+        return staged.select("__id", "__v", F.explode(tb).alias("__tb")).select(
+            F.col("__id").alias("id"),
+            F.col("__v").alias("v"),
+            F.col("__tb.t").alias("t"),
+            F.col("__tb.b").alias("bucket"),
+        )
+
+    def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        m = self._manifest()
+        # foreachBatch is at-least-once: replays carry the same monotonic
+        # batch_id — no-op instead of double-inserting the batch's vectors
+        if batch_id is not None:
+            if m["max_batch_id"] is not None and batch_id <= m["max_batch_id"]:
+                return
+            m["max_batch_id"] = batch_id
+        v = m["version"] + 1
+        delta = f"delta/d{v}"
+        # overwrite: the manifest is the commit point — a crash between
+        # this write and the manifest write leaves an orphan dir the
+        # replay must be able to rewrite
+        self._bucketed(batch).write.mode("overwrite").parquet(
+            f"{self.path}/{delta}"
+        )
+        m["version"] = v
+        m["deltas"] = m["deltas"] + [delta]
+        self._write_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        m = self._manifest()
+        paths = ([m["base"]] if m["base"] else []) + m["deltas"]
+        if not paths:
+            return
+        new_base = f"base/g{m['version']}"
+        (
+            self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+            .write.mode("overwrite")
+            .parquet(f"{self.path}/{new_base}")
+        )
+        old = paths
+        m["base"], m["deltas"] = new_base, []
+        self._write_manifest(m)
+        for p in old:
+            shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
+
+    # -- reads ---------------------------------------------------------------
+
+    def _frames(self) -> DataFrame:
+        m = self._manifest()
+        paths = ([m["base"]] if m["base"] else []) + m["deltas"]
+        if not paths:
+            raise LookupError("continuous ANN index is empty")
+        return self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+
+    def query_df(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        """Top-k bucket mates of ``query_vec`` by exact cosine —
+        ``(id, cosine)``, deterministic (cosine desc, id asc) order. The
+        (t, bucket) disjunction pushes down to the parquet scan, so the
+        read touches candidate buckets only."""
+        buckets = _query_buckets(
+            list(query_vec),
+            num_planes=self.num_planes,
+            num_tables=self.num_tables,
+        )
+        cond = None
+        for t, b in enumerate(buckets):
+            c = (F.col("t") == t) & (F.col("bucket") == b)
+            cond = c if cond is None else (cond | c)
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            self._frames()
+            .where(cond)
+            .dropDuplicates(["id"])  # multi-table collisions carry equal vectors
+            .select(
+                "id",
+                F.round(cosine_similarity(F.col("v"), qlit), 6).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("id"))
+            .limit(k)
+        )

@@ -1579,3 +1579,100 @@ class TestStreamingPrepModelGate:
         }
         assert collected[0] == want and len(want) > 0
 
+
+
+class TestContinuousAnnIndex:
+    def test_maintained_index_matches_batch_lsh(self, spark, tmp_path):
+        """Index maintained over micro-batches answers exactly like the
+        batch LSH path on the union: same candidate buckets (the Python
+        query-hash mirrors the Arrow integer projection), same exact
+        cosine ranking. Includes a replayed batch_id (no double insert)
+        and enough generations to force compaction."""
+        import numpy as np
+
+        from proxima_platform_spark.functions.similarity import (
+            sign_lsh_buckets_arrow,
+        )
+        from proxima_platform_spark.streaming.ann_stream import (
+            ContinuousAnnIndex,
+            _query_buckets,
+        )
+
+        rng = np.random.RandomState(17)
+        all_rows = [
+            (i, [float(x) for x in rng.randn(8)]) for i in range(120)
+        ]
+        schema = "vec_id long, embedding array<double>"
+        idx = ContinuousAnnIndex(
+            spark, str(tmp_path / "ann_idx"),
+            num_planes=4, num_tables=2, compact_every=2,
+        )
+        batches = [all_rows[:40], all_rows[40:80], all_rows[80:]]
+        for bid, rows in enumerate(batches):
+            idx.update(spark.createDataFrame(rows, schema), batch_id=bid)
+        # replay of batch 2 must no-op (at-least-once discipline)
+        idx.update(spark.createDataFrame(batches[2], schema), batch_id=2)
+        # compaction ran (compact_every=2) and the manifest is consistent
+        m = idx._manifest()
+        assert m["base"] is not None and m["max_batch_id"] == 2
+
+        qvec = [float(x) for x in rng.randn(8)]
+        got = [(r.id, r.cosine) for r in idx.query_df(qvec, k=5).collect()]
+
+        # batch oracle: bucket the union with the same Arrow stage, take
+        # ids landing in the query's buckets, rank by exact cosine
+        full = spark.createDataFrame(all_rows, schema)
+        staged = sign_lsh_buckets_arrow(
+            full.select(F.col("vec_id"), F.col("embedding").alias("__v")),
+            vec_col="__v", num_planes=4, num_tables=2,
+        ).collect()
+        qb = _query_buckets(qvec, num_planes=4, num_tables=2)
+        cand = {
+            r["vec_id"] for r in staged
+            if r["__b0"] == qb[0] or r["__b1"] == qb[1]
+        }
+        assert cand, "fixture must produce candidates"
+        vecs = dict(all_rows)
+
+        def cos(a, b):
+            import math
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        want = sorted(
+            ((i, round(cos(vecs[i], qvec), 6)) for i in cand),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got == want
+
+    def test_foreachbatch_wiring(self, spark, tmp_path):
+        """update() works directly as a writeStream.foreachBatch callback."""
+        import numpy as np
+
+        from proxima_platform_spark.streaming.ann_stream import ContinuousAnnIndex
+
+        rng = np.random.RandomState(3)
+        src = str(tmp_path / "ann_src")
+        schema = "vec_id long, embedding array<double>"
+        rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(30)]
+        spark.createDataFrame(rows[:15], schema).coalesce(1).write.parquet(f"{src}/f0")
+        time.sleep(0.05)
+        spark.createDataFrame(rows[15:], schema).coalesce(1).write.parquet(f"{src}/f1")
+
+        idx = ContinuousAnnIndex(
+            spark, str(tmp_path / "ann_idx2"), num_planes=3, num_tables=1,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.update)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        out = idx.query_df(rows[0][1], k=3).collect()
+        assert out and out[0].id == 0 and out[0].cosine == 1.0
