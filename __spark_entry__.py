@@ -7049,25 +7049,27 @@ WITH t AS (
     SELECT occ.doc_id, occ.pos FROM occ JOIN dup_fps USING (fp)
 ), gram_counts AS (
     SELECT doc_id, count(*) AS n_grams FROM occ GROUP BY 1
-), dup_gram_counts AS (
-    SELECT doc_id, count(*) AS n_dup_grams FROM dup_occ GROUP BY 1
-), covered AS (
-    SELECT doc_id, count(*) AS covered_tokens
-    FROM (SELECT DISTINCT doc_id, pos + u AS p
-          FROM dup_occ, unnest(range(0, {n})) AS r(u))
-    GROUP BY 1
+), dup_stats AS (
+    SELECT doc_id, count(*) AS n_dup_grams,
+           list_sort(list(pos)) AS ss
+    FROM dup_occ GROUP BY 1
+), dup_cov AS (
+    SELECT doc_id, n_dup_grams,
+           ({n} + coalesce(list_sum(
+               [least({n}, ss[i+1] - ss[i]) for i in range(1, len(ss))]
+           ), 0))::BIGINT AS covered_tokens
+    FROM dup_stats
 )
 SELECT c.doc_id, c.n_tokens,
        coalesce(g.n_grams, 0) AS n_grams,
        coalesce(d.n_dup_grams, 0) AS n_dup_grams,
-       coalesce(v.covered_tokens, 0) AS covered_tokens,
+       coalesce(d.covered_tokens, 0) AS covered_tokens,
        round(CASE WHEN c.n_tokens > 0
-             THEN coalesce(v.covered_tokens, 0)::DOUBLE / c.n_tokens
+             THEN coalesce(d.covered_tokens, 0)::DOUBLE / c.n_tokens
              ELSE 0.0 END, 6) AS coverage
 FROM counts c
 LEFT JOIN gram_counts g USING (doc_id)
-LEFT JOIN dup_gram_counts d USING (doc_id)
-LEFT JOIN covered v USING (doc_id)
+LEFT JOIN dup_cov d USING (doc_id)
 """
 
 

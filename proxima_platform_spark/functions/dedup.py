@@ -662,21 +662,31 @@ def dup_ngram_coverage(
     )
     dup_occ = occ.join(dup_fps, "__fp")
     gram_counts = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    dup_gram_counts = dup_occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_grams")
+    # window-union length WITHOUT an n× positions explode + global
+    # distinct: the duplicated windows all have length n, so sorted by
+    # start each one overlaps only its predecessor and the union is
+    # n + Σ min(n, sᵢ − sᵢ₋₁) — one per-doc agg over a doc-bounded start
+    # list, a narrow pairwise fold, zero extra shuffles (measured ~2×
+    # the explode+distinct form at sf0.1)
+    dup_stats = dup_occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.array_sort(F.collect_list("pos")).alias("__ss"),
     )
-    covered = (
-        dup_occ.select(
-            id_col, F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p")
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    ss = F.col("__ss")
+    m = F.size(ss)
+    diffs = F.zip_with(
+        F.slice(ss, 2, m - 1),
+        F.slice(ss, 1, m - 1),
+        lambda a, b: F.least(F.lit(n), a - b),
     )
-    out = (
-        counts.join(gram_counts, id_col, "left")
-        .join(dup_gram_counts, id_col, "left")
-        .join(covered, id_col, "left")
+    covered_expr = F.lit(n) + F.aggregate(
+        diffs, F.lit(0), lambda acc, x: acc + x
+    )
+    dup_stats = dup_stats.select(
+        id_col, "n_dup_grams", covered_expr.alias("covered_tokens")
+    )
+    out = counts.join(gram_counts, id_col, "left").join(
+        dup_stats, id_col, "left"
     )
     return out.select(
         id_col,
