@@ -7090,7 +7090,10 @@ def q_ann_knn_join(spark, sf):
 
 
 SQL_ANN_KNN_JOIN = f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE len(list_filter(embedding::DOUBLE[], x -> x <> 0)) > 0
+),
 b AS (
   SELECT vec_id, v,
     {_sql_lsh_bucket(8, 0)} AS b0,

@@ -165,6 +165,8 @@ def bpe_word_encode_expr(
     tokens are strings over the remap chars, and the same
     rank-monotonicity check applies."""
     _check_monotone(merges)
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"unknown alphabet {alphabet!r} (use 'char' or 'byte')")
     if alphabet == "byte":
         s = byte_tokens_expr(word)
     else:
@@ -262,6 +264,8 @@ def bpe_learn(
     cost grow with every round (measured: driver OOM building the
     explain string near round 16). Stops early when no pair is left
     (every word fully merged)."""
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"unknown alphabet {alphabet!r} (use 'char' or 'byte')")
     init = (
         byte_tokens_expr(F.col("word"))
         if alphabet == "byte"

@@ -647,12 +647,22 @@ def dup_ngram_coverage(
     occurrences, not by the corpus."""
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     counts = base.select(id_col, F.size("__toks").alias("n_tokens"))
-    occ = base.select(
-        id_col,
-        F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
-            "pos", "gram"
-        ),
-    ).select(id_col, "pos", F.md5("gram").alias("__fp"))
+    # staged once (lazy localCheckpoint): occ feeds three consumers (the
+    # per-gram doc counts, the per-doc gram counts, and the dup join) —
+    # without the materialization the tokenize + explode + md5 subtree,
+    # the dominant cost on a full-corpus run, re-executes per consumer
+    # (the semantic_dedup lesson; lazy so the first downstream job both
+    # stores and consumes the blocks)
+    occ = (
+        base.select(
+            id_col,
+            F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5("gram").alias("__fp"))
+        .localCheckpoint(eager=False)
+    )
     per_doc = occ.groupBy("__fp", id_col).agg(F.count(F.lit(1)).alias("__o"))
     dup_fps = (
         per_doc.groupBy("__fp")

@@ -299,8 +299,16 @@ def knn_join_lsh(
 
     from proxima_platform_spark.functions.dedup import embedding_near_dup_pairs
 
+    # zero-norm vectors have no cosine: drop them up front. Without this
+    # the keep-everything threshold exposes an engine asymmetry — Spark's
+    # cosine_similarity falls back to 0.0 on a zero denominator while a
+    # raw SQL division yields NaN (every other caller thresholds >= 0 and
+    # both engines agree to drop; -1.0 keeps the fallback rows)
+    nonzero = embeddings.where(
+        F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0)
+    )
     pairs = embedding_near_dup_pairs(
-        embeddings,
+        nonzero,
         id_col=id_col,
         vec_col=vec_col,
         threshold=-1.0,  # keep every scored candidate; ranking cuts to k
@@ -559,7 +567,7 @@ def embedding_whiten(
         )
         .collect()  # bounded: d(d+1)/2 rows
     )
-    n = int(cells[0]["n"])
+    n = int(cells[0]["n"]) if cells else 0
     if n < 2:
         raise ValueError("embedding_whiten needs at least 2 rows")
     C = np.zeros((dim, dim), dtype=np.float64)

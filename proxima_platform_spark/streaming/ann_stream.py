@@ -162,6 +162,24 @@ class ContinuousAnnIndex:
         self._write_manifest(m)
         for p in old:
             shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
+        self._gc_unreferenced(m)
+
+    def _gc_unreferenced(self, m: dict) -> None:
+        """Remove generation dirs no manifest references — a crash between
+        a compaction's parquet writes and its manifest commit leaves an
+        orphan base/g{N} the retried stream never revisits (the replayed
+        batch no-ops on the batch_id guard). The manifest is the only
+        commit point, so after a successful commit anything else on disk
+        is garbage; update/_compact run sequentially inside foreachBatch,
+        so no write is in flight here."""
+        referenced = {p for p in [m["base"], *m["deltas"]] if p}
+        for sub in ("base", "delta"):
+            d = f"{self.path}/{sub}"
+            if not os.path.isdir(d):
+                continue
+            for g in os.listdir(d):
+                if f"{sub}/{g}" not in referenced:
+                    shutil.rmtree(f"{d}/{g}", ignore_errors=True)
 
     # -- reads ---------------------------------------------------------------
 

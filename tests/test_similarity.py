@@ -320,3 +320,31 @@ class TestEmbeddingOutlierScores:
         # squared Mahalanobis of N(0,I) data averages ~dim
         others = [v for k, v in out.items() if k != 0]
         assert 1.0 < sum(others) / len(others) < 10.0
+
+
+class TestKnnJoinZeroNorm:
+    def test_zero_norm_vectors_excluded(self, spark):
+        """A zero-norm vector has no cosine: it neither emits neighbors
+        nor appears as one (and both engines agree — the raw SQL division
+        would NaN where Spark's guard falls back to 0.0)."""
+        from proxima_platform_spark.functions.similarity import knn_join_lsh
+
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.1]), (2, [1.0, 0.2])],
+            "vec_id long, embedding array<double>",
+        )
+        out = knn_join_lsh(emb, k=3, num_planes=2, num_tables=1, dim=2).collect()
+        ids = {r.vec_id for r in out} | {r.nbr for r in out}
+        assert 0 not in ids
+        assert {1, 2} <= ids
+
+
+class TestEmbeddingWhitenEmpty:
+    def test_empty_input_raises_value_error(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.similarity import embedding_whiten
+
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="at least 2 rows"):
+            embedding_whiten(emb, dim=3)

@@ -1676,3 +1676,33 @@ class TestContinuousAnnIndex:
         q.awaitTermination(120)
         out = idx.query_df(rows[0][1], k=3).collect()
         assert out and out[0].id == 0 and out[0].cosine == 1.0
+
+
+class TestContinuousIndexGc:
+    def test_orphan_generation_collected_on_next_compaction(self, spark, tmp_path):
+        """A generation dir left by a crash between parquet writes and the
+        manifest commit is garbage-collected by the next successful
+        compaction instead of leaking forever."""
+        import os
+
+        import numpy as np
+
+        from proxima_platform_spark.streaming.ann_stream import ContinuousAnnIndex
+
+        rng = np.random.RandomState(1)
+        schema = "vec_id long, embedding array<double>"
+        idx = ContinuousAnnIndex(
+            spark, str(tmp_path / "gc_idx"), num_planes=3, num_tables=1,
+            compact_every=2,
+        )
+        rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(20)]
+        idx.update(spark.createDataFrame(rows[:5], schema), batch_id=0)
+        # simulate the crash artifact: an orphan base dir no manifest knows
+        orphan = f"{idx.path}/base/g99"
+        os.makedirs(orphan, exist_ok=True)
+        with open(f"{orphan}/part-junk.parquet", "w") as f:
+            f.write("x")
+        idx.update(spark.createDataFrame(rows[5:10], schema), batch_id=1)  # compacts
+        assert not os.path.exists(orphan)
+        # the live index still answers
+        assert idx.query_df(rows[1][1], k=1).collect()[0].id == 1
