@@ -6706,15 +6706,17 @@ def q_quality_model_score(spark, sf):
     )
 
 
-def _sql_quality_model_score() -> str:
+def _sql_quality_model_ctes() -> str:
+    """CTE chain ``base → feat → z`` computing the fixed-weight logistic
+    quality model per doc (shared by `quality_model_score` and the
+    composed `curation_pipeline`)."""
     from proxima_platform_spark.functions.text import QUALITY_MODEL_WEIGHTS_V1 as W
 
     stop_parts = " + ".join(
         f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
         for m in EN_STOPWORDS
     )
-    return rf"""
-WITH base AS (
+    return rf"""base AS (
     SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
            length(text)::DOUBLE AS n,
            (CASE WHEN length(trim(text)) = 0 THEN 0
@@ -6745,7 +6747,12 @@ WITH base AS (
                  + {W["length_sat"]} * length_sat
                  + {W["dup_word_frac"]} * dup_word_frac, 6) AS logit
     FROM feat
-)
+)"""
+
+
+def _sql_quality_model_score() -> str:
+    return f"""
+WITH {_sql_quality_model_ctes()}
 SELECT doc_id, logit,
        round(1.0 / (1.0 + exp(-logit)), 6) AS score,
        round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
@@ -6935,6 +6942,51 @@ SELECT lang,
        round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6) AS fertility
 FROM enc JOIN documents USING (doc_id)
 GROUP BY lang
+"""
+
+
+def q_semantic_dedup_diverse(spark, sf):
+    """semantic_dedup under the SemDeDup paper's keep policy — of each
+    near-dup pair the member FARTHEST from its centroid survives
+    (diversity keep; d2 comes from the kmeans assignment already in
+    hand, vec_id tiebreak). Same cluster-bounded Arrow scorer, different
+    deterministic priority order; the oracle expresses the rule as a
+    priority-theta pair predicate over the replayed kmeans chain."""
+    from proxima_platform_spark.functions.cluster import semantic_dedup
+
+    emb = _load(spark, sf, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.40, keep="far_centroid")
+
+
+SQL_SEMANTIC_DEDUP_DIVERSE = f"""
+WITH {_SQL_KMEANS_CTES},
+av AS (
+    SELECT a.vec_id, a.cid, a.d2, v.v FROM asg a JOIN v USING (vec_id)
+), nn AS (
+    SELECT vec_id, cid, d2,
+           [floor(x * 1000000.0)::BIGINT for x in v] AS q
+    FROM av
+), nn2 AS (
+    SELECT vec_id, cid, d2, q,
+           list_sum(list_transform(q, x -> x * x))::DOUBLE AS n2
+    FROM nn
+), p AS (
+    SELECT y.vec_id AS id_b,
+           list_sum(list_transform(range(len(x.q)), i -> x.q[i+1] * y.q[i+1]))::DOUBLE
+           / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+    FROM nn2 x JOIN nn2 y
+      ON x.cid = y.cid
+     AND (x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id))
+    WHERE x.n2 > 0 AND y.n2 > 0
+), condemned AS (
+    SELECT id_b, count(*) AS n_near, max(cos) AS max_cos
+    FROM p WHERE cos > 0.40 GROUP BY 1
+)
+SELECT av.vec_id, av.cid AS cluster,
+       c.id_b IS NULL AS kept,
+       coalesce(c.n_near, 0) AS n_near,
+       round(coalesce(c.max_cos, -2.0), 6) AS max_cos
+FROM av LEFT JOIN condemned c ON av.vec_id = c.id_b
 """
 
 
@@ -7129,6 +7181,84 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_curation_pipeline(spark, sf):
+    """Composed r06 curation chain, end to end: model-based quality gate
+    (logistic score ≥ 0.65, ~30th percentile on this fixture — the gate
+    bites) → within-document repeated-span removal →
+    per-source curation summary (docs kept, spans dropped, clean
+    whitespace-token volume, decimal-exact average model score). The
+    r06 analog of training_pipeline: each stage is individually
+    certified; this certifies their composition in one hash. Plan: one
+    zero-shuffle gate projection + the span operator's three keyed
+    shuffles + one source-bounded agg."""
+    from proxima_platform_spark.functions.dedup import self_dedup_spans
+    from proxima_platform_spark.functions.text import (
+        quality_model_score,
+        token_count,
+    )
+
+    docs = _load(spark, sf, "documents")
+    # 0.65 cuts the fixture's score distribution near its 30th percentile
+    # (357 of 500 survive at sf0.01) so the gate is exercised, not vacuous
+    gated = docs.where(
+        quality_model_score(F.col("text")) >= 0.65
+    ).select("doc_id", "source", "text", quality_model_score(F.col("text")).alias("score"))
+    sd = self_dedup_spans(gated, span_tokens=2)
+    joined = gated.join(sd, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_spans") - F.col("n_kept")).alias("spans_dropped"),
+        F.sum(token_count(F.col("text_dedup")).cast("long")).alias("clean_tokens"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+    )
+
+
+def _sql_curation_pipeline(k: int = 2) -> str:
+    return rf"""
+WITH {_sql_quality_model_ctes()},
+gated AS (
+    SELECT d.doc_id, d.source, d.text,
+           round(1.0 / (1.0 + exp(-z.logit)), 6) AS score
+    FROM documents d JOIN z USING (doc_id)
+    WHERE round(1.0 / (1.0 + exp(-z.logit)), 6) >= 0.65
+), t AS (
+    SELECT doc_id, source, score,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM gated
+), sp AS (
+    SELECT doc_id, source, score,
+           [array_to_string(toks[s+1:s+{k}], ' ')
+            for s in range(0, greatest(len(toks), 1), {k})] AS spans
+    FROM t
+), ex AS (
+    SELECT doc_id, unnest(spans) AS span, generate_subscripts(spans, 1) AS pos
+    FROM sp
+), kept AS (
+    SELECT doc_id, span, min(pos) AS pos FROM ex GROUP BY 1, 2
+), re AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS text_dedup
+    FROM kept GROUP BY 1
+), joined AS (
+    SELECT sp.source, sp.score, len(sp.spans) AS n_spans, re.n_kept,
+           re.text_dedup
+    FROM sp JOIN re USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_spans - n_kept) AS BIGINT) AS spans_dropped,
+       CAST(sum(CASE WHEN length(trim(text_dedup)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text_dedup), '\s+')) END)
+            AS BIGINT) AS clean_tokens,
+       round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_score
+FROM joined GROUP BY source
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7207,6 +7337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "ann_knn_join": q_ann_knn_join,
+        "semantic_dedup_diverse": q_semantic_dedup_diverse,
+        "curation_pipeline": q_curation_pipeline,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7436,6 +7568,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
         "ann_knn_join": SQL_ANN_KNN_JOIN,
+        "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
+        "curation_pipeline": _sql_curation_pipeline(),
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "mad_outliers": SQL_MAD_OUTLIERS,

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "self_dedup_spans",
     "dup_ngram_coverage",
     "ann_knn_join",
+    "semantic_dedup_diverse",
+    "curation_pipeline",
 ]
 
 

@@ -680,3 +680,21 @@ class TestR06ExtensionPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Window" in plan
+
+    def test_curation_pipeline_bounded_shuffles(self, spark, sf_dir):
+        # zero-shuffle gate projection + the span operator's keyed aggs +
+        # one source-bounded agg; no cartesian, no window over raw spans
+        df = entry.q_curation_pipeline(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+        assert count_exchanges(df) <= 6
+
+    def test_curation_pipeline_gate_bites(self, spark, sf_dir):
+        # the quality gate must actually drop documents (the q7ish lesson)
+        total = entry._load(spark, sf_dir, "documents").count()
+        kept = entry.q_curation_pipeline(spark, sf_dir).agg(
+            F.sum("n_docs")
+        ).collect()[0][0]
+        assert 0 < kept < total
