@@ -7200,9 +7200,18 @@ def q_curation_pipeline(spark, sf):
     docs = _load(spark, sf, "documents")
     # 0.65 cuts the fixture's score distribution near its 30th percentile
     # (357 of 500 survive at sf0.01) so the gate is exercised, not vacuous
-    gated = docs.where(
-        quality_model_score(F.col("text")) >= 0.65
-    ).select("doc_id", "source", "text", quality_model_score(F.col("text")).alias("score"))
+    # score projected ONCE and the gated frame staged (lazy
+    # localCheckpoint): the filter + projection otherwise both evaluate
+    # the interpreted dup_word_frac stack, and the span chain's three
+    # consumers would re-run the gate per branch
+    gated = (
+        docs.select(
+            "doc_id", "source", "text",
+            quality_model_score(F.col("text")).alias("score"),
+        )
+        .where(F.col("score") >= 0.65)
+        .localCheckpoint(eager=False)
+    )
     sd = self_dedup_spans(gated, span_tokens=2)
     joined = gated.join(sd, "doc_id")
     return joined.groupBy("source").agg(
