@@ -595,7 +595,12 @@ def self_dedup_spans(
     spans = F.transform(
         starts, lambda s: F.array_join(F.slice(t, s + 1, span_tokens), " ")
     )
-    sp = based.select(id_col, spans.alias("__spans"))
+    # staged once (lazy localCheckpoint): the span frame feeds both the
+    # explode chain and the per-doc counts — without it the tokenize +
+    # span-build projection runs per consumer
+    sp = based.select(id_col, spans.alias("__spans")).localCheckpoint(
+        eager=False
+    )
     exploded = sp.select(id_col, F.posexplode("__spans").alias("pos", "span"))
     kept = exploded.groupBy(id_col, "span").agg(F.min("pos").alias("pos"))
     reassembled = kept.groupBy(id_col).agg(
