@@ -526,7 +526,12 @@ def dedup_paragraphs(
         F.transform(F.split(F.col(text_col), delimiter, -1), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    base = docs.select(F.col(id_col), paras.alias("__paras"))
+    # staged once (lazy localCheckpoint): the paragraph frame feeds both
+    # the explode chain and the per-doc counts — the self_dedup_spans
+    # staging lesson applied to its parent operator
+    base = docs.select(F.col(id_col), paras.alias("__paras")).localCheckpoint(
+        eager=False
+    )
     exploded = base.select(
         id_col, F.posexplode("__paras").alias("pos", "para")
     )
