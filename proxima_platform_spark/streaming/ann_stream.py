@@ -61,6 +61,76 @@ def _query_buckets(
     return out
 
 
+def semantic_dedup_stream(
+    stream_emb: DataFrame,
+    index: "ContinuousAnnIndex",
+    sink,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental embedding-level dedup ONLINE — the embedding analog of
+    the fingerprint ``incremental_dedup`` (new batch vs existing corpus):
+    per micro-batch, each vector is checked for a cosine near-dup among
+    the ALREADY ACCEPTED corpus via the maintained LSH index (shared
+    buckets only, exact cosine on candidates — first arrival wins across
+    batches, like ``dropDuplicatesWithinWatermark`` for fingerprints);
+    survivors are appended to the index, and ``sink(verdicts, batch_id)``
+    receives one row per batch vector: ``(id, kept, nbr, cosine)`` with
+    the condemning indexed match (null/−2.0 when kept).
+
+    Within-batch dups are NOT checked here — the batch operators
+    (``embedding_near_dup_pairs`` / ``semantic_dedup``) own intra-batch
+    semantics; this operator's contract is new-vs-accepted, which is what
+    keeps it one bucket equi-join per batch. Delivery is the standard
+    at-least-once foreachBatch contract, and the sink MUST no-op on
+    replayed batch_ids (≤ max committed): the index update is already
+    idempotent, and self-matches are excluded from the check, but a
+    REPLAYED batch meets its own batch-mates in the index, so recomputed
+    replay verdicts are not authoritative — only the first delivery per
+    batch_id is. Returns a ``DataStreamWriter`` — caller adds
+    trigger/checkpoint and ``start()``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ).localCheckpoint()
+        dups = index.near_dups_of(
+            batch_df.select(
+                F.col("vec_id").alias(index.id_col),
+                F.col("embedding").alias(index.vec_col),
+            ),
+            threshold=threshold,
+            exclude_self=True,
+        ).localCheckpoint()
+        verdicts = (
+            batch_df.join(
+                dups, batch_df["vec_id"] == dups["id"], "left"
+            )
+            .select(
+                "vec_id",
+                F.col("id").isNull().alias("kept"),
+                "nbr",
+                F.round(F.coalesce("cosine", F.lit(-2.0)), 6).alias("cosine"),
+            )
+        )
+        survivors = verdicts.where("kept").select("vec_id").join(
+            batch_df, "vec_id"
+        )
+        index.update(
+            survivors.select(
+                F.col("vec_id").alias(index.id_col),
+                F.col("embedding").alias(index.vec_col),
+            ),
+            batch_id=batch_id,
+        )
+        sink(verdicts, batch_id)
+
+    return stream_emb.writeStream.foreachBatch(handle)
+
+
 class ContinuousAnnIndex:
     """``update(batch)`` is usable directly as a ``foreachBatch``
     callback; ``query_df(vec, k)`` returns the top-k bucket mates by
@@ -189,6 +259,47 @@ class ContinuousAnnIndex:
         if not paths:
             raise LookupError("continuous ANN index is empty")
         return self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+
+    def near_dups_of(
+        self, batch: DataFrame, *, threshold: float, exclude_self: bool = False
+    ) -> DataFrame:
+        """Ids of ``batch`` vectors whose cosine against some ALREADY
+        INDEXED vector exceeds ``threshold`` — candidates restricted to
+        shared LSH buckets (the same equi-join shape as the batch
+        ``embedding_near_dup_pairs``), exact cosine on candidates.
+        Returns ``(id, nbr, cosine)`` with the best (cosine desc, nbr
+        asc) indexed match per batch id. Empty result if the index has no
+        generations yet. ``exclude_self`` drops matches where the indexed
+        id equals the batch id (a replayed batch meeting its own accepted
+        copies)."""
+        from pyspark.sql import Window
+
+        try:
+            idx = self._frames()
+        except LookupError:
+            b = self._bucketed(batch)
+            return b.select(
+                F.col("id"), F.col("id").alias("nbr"), F.lit(0.0).alias("cosine")
+            ).where(F.lit(False))
+        b = self._bucketed(batch).select(
+            F.col("id").alias("__qid"), F.col("v").alias("__qv"), "t", "bucket"
+        )
+        cand = b.join(idx, ["t", "bucket"]).dropDuplicates(["__qid", "id"])
+        if exclude_self:
+            cand = cand.where(F.col("__qid") != F.col("id"))
+        scored = cand.select(
+            F.col("__qid").alias("id"),
+            F.col("id").alias("nbr"),
+            F.round(cosine_similarity(F.col("__qv"), F.col("v")), 6).alias(
+                "cosine"
+            ),
+        ).where(F.col("cosine") > threshold)
+        w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def query_df(self, query_vec: list[float], k: int = 10) -> DataFrame:
         """Top-k bucket mates of ``query_vec`` by exact cosine —

@@ -1706,3 +1706,104 @@ class TestContinuousIndexGc:
         assert not os.path.exists(orphan)
         # the live index still answers
         assert idx.query_df(rows[1][1], k=1).collect()[0].id == 1
+
+
+class TestSemanticDedupStream:
+    def test_new_vs_accepted_matches_python_model(self, spark, tmp_path):
+        """Incremental embedding dedup online: per batch, a vector is
+        dropped iff an ALREADY ACCEPTED vector shares an LSH bucket and
+        clears the cosine threshold (first arrival wins across batches;
+        within-batch pairs deliberately unchecked). Pinned against a
+        Python model of exactly that spec."""
+        import math
+
+        import numpy as np
+
+        from proxima_platform_spark.streaming.ann_stream import (
+            ContinuousAnnIndex,
+            _query_buckets,
+            semantic_dedup_stream,
+        )
+
+        rng = np.random.RandomState(23)
+        base_vecs = [rng.randn(6) for _ in range(12)]
+        rows = []
+        vid = 0
+        for b in range(3):
+            for v in base_vecs[b * 4:(b + 1) * 4]:
+                rows.append((b, vid, [float(x) for x in v]))
+                vid += 1
+            # near-copies of earlier vectors → must be dropped in later batches
+            if b > 0:
+                for src in (0, 5):
+                    v = np.asarray(base_vecs[src % len(base_vecs)]) * (1 + 1e-5)
+                    rows.append((b, vid, [float(x) for x in v]))
+                    vid += 1
+
+        src_dir = str(tmp_path / "sds_src")
+        schema = "vec_id long, embedding array<double>"
+        for b in range(3):
+            batch_rows = [(i, v) for (bb, i, v) in rows if bb == b]
+            spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(
+                f"{src_dir}/f{b}"
+            )
+            time.sleep(0.05)
+
+        idx = ContinuousAnnIndex(
+            spark, str(tmp_path / "sds_idx"), num_planes=3, num_tables=2,
+            compact_every=2,
+        )
+        collected = {}
+
+        def sink(verdicts, batch_id):
+            collected[batch_id] = {
+                r.vec_id: (r.kept, r.nbr) for r in verdicts.collect()
+            }
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/f*")
+        )
+        q = (
+            semantic_dedup_stream(stream, idx, sink, threshold=0.99)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # python model over the same batch sequence; batches arrive in
+        # mtime order = written order here
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        def buckets(v):
+            return _query_buckets(v, num_planes=3, num_tables=2)
+
+        accepted = {}
+        want = {}
+        for b in range(3):
+            batch = [(i, v) for (bb, i, v) in rows if bb == b]
+            verdicts = {}
+            for i, v in batch:
+                bs = buckets(v)
+                hit = None
+                for j, (vj, bj) in accepted.items():
+                    if any(x == y for x, y in zip(bs, bj)) and cos(v, vj) > 0.99:
+                        c = round(cos(v, vj), 6)
+                        if hit is None or (-c, j) < (-hit[1], hit[0]):
+                            hit = (j, c)
+                verdicts[i] = (hit is None, hit[0] if hit else None)
+            for i, v in batch:
+                if verdicts[i][0]:
+                    accepted[i] = (v, buckets(v))
+            want[b] = verdicts
+
+        got = {b: collected[b] for b in collected}
+        assert got == want
+        # non-vacuity: later batches must actually drop the near-copies
+        dropped = [i for b in (1, 2) for i, (k, _) in want[b].items() if not k]
+        assert len(dropped) >= 2
