@@ -7164,7 +7164,7 @@ scored AS (
          / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
   FROM cand
   WHERE list_dot_product(va, vb)
-        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > -1.0
+        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > -2.0
 ),
 directed AS (
   SELECT id_a, id_b, cos FROM scored

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from proxima_platform_spark.functions.similarity import dot
+from proxima_platform_spark.functions.similarity import (
+    dot,
+    sign_lsh_buckets_arrow,
+)
 
 
 def _sq_dist(v: Column, c: Column) -> Column:
@@ -92,13 +95,27 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.9,
     keep: str = "min_id",
+    max_cluster_rows: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 2,
 ) -> DataFrame:
     """Embedding-level semantic deduplication — the SemDeDup shape
     (public recipe: cluster the embedding space, then near-dup only
     WITHIN each cluster): :func:`kmeans_lloyd` assigns clusters, exact
     cosine runs over intra-cluster pairs only, and a vector is dropped
-    when a HIGHER-priority vector in its cluster exceeds the threshold
-    (greedy keep-first over a deterministic total order).
+    when a HIGHER-priority vector in its cluster exceeds the threshold.
+
+    Verdicts are PAIRWISE, not greedy-transitive: ANY higher-priority
+    near-dup condemns, including one that is itself condemned. With
+    A~B, B~C, A!~C the kept set here is {A} — the cited SemDeDup
+    keep-first greedy (which skips condemned rows as condemners and
+    would keep {A, C}) is deliberately NOT implemented, because the
+    pairwise rule is a per-pair predicate (order-independent, exactly
+    replayable by a SQL oracle, and parallelizable over row blocks)
+    while kept-only greedy is an inherently sequential scan per
+    cluster. Downstreams wanting more survivors re-run the operator on
+    the kept set (condemned rows gone → their transitive victims
+    return), which converges to the greedy fixpoint in practice.
 
     ``keep`` selects the priority order — which member of a near-dup
     pair survives:
@@ -130,11 +147,20 @@ def semantic_dedup(
     self-join is an equi-join on cluster id, never a cross product across
     clusters, so candidate volume is Σ nᵢ² over cluster sizes instead of
     n². Production sizing picks k ∝ n (SemDeDup runs ~10⁵ clusters over
-    ~10⁸ docs keeping clusters ~10³); for clusters still too large,
-    ``embedding_near_dup_pairs``' sign-LSH bucketing composes INSIDE a
-    cluster by keying on (cluster, bucket). k-means itself is the two
-    shuffles/iteration documented on :func:`kmeans_lloyd`; everything
-    downstream is one equi-join + one per-key agg + one left join."""
+    ~10⁸ docs keeping clusters ~10³). ``max_cluster_rows`` ENFORCES the
+    bound for skewed clusterings: any cluster larger than the bound is
+    sub-keyed by its rows' sign-LSH buckets (``sign_lsh_buckets_arrow``,
+    ``num_tables`` tables of ``num_planes`` planes — the
+    ``embedding_near_dup_pairs`` family), so one applyInPandas group is
+    (cid, table, bucket) ≈ nᵢ/2^planes rows instead of the whole
+    cluster, at the standard LSH recall tradeoff (cross-bucket pairs in
+    oversized clusters are missed; identical/near-identical vectors
+    share buckets and are always found). Pairs found in several tables
+    are de-duplicated before the verdict agg — the integer cosine is
+    bit-identical across tables, so the distinct is exact. k-means
+    itself is the two shuffles/iteration documented on
+    :func:`kmeans_lloyd`; everything downstream is one equi-join + one
+    per-key agg + one left join."""
     import numpy as np
     import pandas as pd
 
@@ -164,7 +190,8 @@ def semantic_dedup(
     scale = 1_000_000
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_b": pd.Series(dtype="int64"),
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
                               "cos": pd.Series(dtype="float64")})
         if len(pdf) < 2:
             return empty
@@ -192,7 +219,7 @@ def semantic_dedup(
                 "embeddings or lower the fixed-point scale"
             )
         rn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-        out_ids, out_cos = [], []
+        out_a, out_ids, out_cos = [], [], []
         B = 1024  # row blocks bound the transient Gram slab to B×n
         col = np.arange(len(ids))
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -204,14 +231,49 @@ def semantic_dedup(
                     i = s + bi
                     m = (col > i) & (rn > 0) & (rn[i] > 0) & (cb[bi] > threshold)
                     if m.any():
+                        out_a.extend([int(ids[i])] * int(m.sum()))
                         out_ids.extend(ids[m].tolist())
                         out_cos.extend(cb[bi][m].tolist())
         if not out_ids:
             return empty
-        return pd.DataFrame({"id_b": np.asarray(out_ids, dtype=np.int64),
+        return pd.DataFrame({"id_a": np.asarray(out_a, dtype=np.int64),
+                             "id_b": np.asarray(out_ids, dtype=np.int64),
                              "cos": np.asarray(out_cos, dtype=np.float64)})
 
-    scored = av.groupBy("cid").applyInPandas(score, "id_b long, cos double")
+    pair_schema = "id_a long, id_b long, cos double"
+    if max_cluster_rows is None:
+        scored = av.groupBy("cid").applyInPandas(score, pair_schema)
+    else:
+        # enforce the per-group bound: oversized clusters are sub-keyed by
+        # sign-LSH bucket so no applyInPandas group exceeds ~n_i/2^planes
+        # rows (see docstring for the recall contract)
+        sizes = av.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+        sized = av.join(F.broadcast(sizes), "cid")  # k rows — broadcast
+        small = sized.where(F.col("__n") <= max_cluster_rows).drop("__n")
+        big = sized.where(F.col("__n") > max_cluster_rows).drop("__n")
+        bucketed = sign_lsh_buckets_arrow(
+            big, vec_col="v", num_planes=num_planes, num_tables=num_tables
+        )
+        tb = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+            for t in range(num_tables)
+        ])
+        big_groups = bucketed.select(
+            "vec_id", "cid", "d2", "v", F.explode(tb).alias("__tb")
+        ).select(
+            "vec_id", "cid", "d2", "v",
+            F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bkt"),
+        )
+        scored = (
+            small.groupBy("cid").applyInPandas(score, pair_schema)
+            .unionByName(
+                big_groups.groupBy("cid", "__t", "__bkt")
+                .applyInPandas(score, pair_schema)
+            )
+            # a pair found in several tables carries a bit-identical
+            # integer cosine → distinct on all three columns is exact
+            .dropDuplicates(["id_a", "id_b"])
+        )
     condemned = scored.groupBy("id_b").agg(
         F.count(F.lit(1)).alias("n_near"), F.max("cos").alias("max_cos")
     )

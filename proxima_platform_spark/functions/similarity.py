@@ -311,7 +311,11 @@ def knn_join_lsh(
         nonzero,
         id_col=id_col,
         vec_col=vec_col,
-        threshold=-1.0,  # keep every scored candidate; ranking cuts to k
+        # keep EVERY scored candidate (ranking cuts to k): the pair filter
+        # is strict (cosine > threshold), so -1.0 would silently drop an
+        # exactly-antipodal bucket mate (cosine == -1.0, e.g. v vs -v);
+        # any value strictly below -1.0 keeps the contract exact
+        threshold=-2.0,
         num_planes=num_planes,
         num_tables=num_tables,
         dim=dim,

@@ -85,12 +85,16 @@ def semantic_dedup_stream(
     semantics; this operator's contract is new-vs-accepted, which is what
     keeps it one bucket equi-join per batch. Delivery is the standard
     at-least-once foreachBatch contract, and the sink MUST no-op on
-    replayed batch_ids (≤ max committed): the index update is already
-    idempotent, and self-matches are excluded from the check, but a
-    REPLAYED batch meets its own batch-mates in the index, so recomputed
-    replay verdicts are not authoritative — only the first delivery per
-    batch_id is. Returns a ``DataStreamWriter`` — caller adds
-    trigger/checkpoint and ``start()``."""
+    replayed batch_ids (≤ max committed). Ordering matters: the sink is
+    called BEFORE ``index.update`` — a crash between the two replays the
+    batch against an UNCHANGED index, reproducing identical verdicts that
+    the sink then dedups on batch_id, and the idempotent update proceeds.
+    (The reverse order has a hole: after a crash between update and sink,
+    the replayed check would see the batch's own accepted vectors in the
+    index, so near-dup batch-mates would condemn each other and the FIRST
+    delivery the sink ever received for that batch_id would be wrong.)
+    Returns a ``DataStreamWriter`` — caller adds trigger/checkpoint and
+    ``start()``."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(
@@ -119,6 +123,11 @@ def semantic_dedup_stream(
         survivors = verdicts.where("kept").select("vec_id").join(
             batch_df, "vec_id"
         )
+        # Sink FIRST, then index update (see docstring): a crash between
+        # the two replays against an unchanged index → identical verdicts
+        # → the sink's batch_id no-op guard holds; the update is
+        # batch_id-idempotent either way.
+        sink(verdicts, batch_id)
         index.update(
             survivors.select(
                 F.col("vec_id").alias(index.id_col),
@@ -126,7 +135,6 @@ def semantic_dedup_stream(
             ),
             batch_id=batch_id,
         )
-        sink(verdicts, batch_id)
 
     return stream_emb.writeStream.foreachBatch(handle)
 
@@ -134,7 +142,18 @@ def semantic_dedup_stream(
 class ContinuousAnnIndex:
     """``update(batch)`` is usable directly as a ``foreachBatch``
     callback; ``query_df(vec, k)`` returns the top-k bucket mates by
-    exact cosine as a DataFrame."""
+    exact cosine as a DataFrame.
+
+    Storage contract: ``path`` must be a SHARED POSIX filesystem mounted
+    identically on the driver and every executor (NFS/Lustre/local in
+    single-node mode). The manifest and GC are driver-local ``os``/
+    ``json``/``shutil`` operations while executors write the parquet
+    generations to the same path — on object stores or HDFS (``s3a://``,
+    ``hdfs://`` checkpoint-style locations) the manifest/GC path would
+    silently break. Porting to those stores means routing the manifest
+    I/O through the Hadoop FileSystem API (``spark._jvm.org.apache.
+    hadoop.fs.FileSystem``), which is deliberately out of scope here;
+    the constructor rejects non-POSIX URIs loudly instead."""
 
     def __init__(
         self,
@@ -154,6 +173,12 @@ class ContinuousAnnIndex:
         self.num_planes = num_planes
         self.num_tables = num_tables
         self.compact_every = compact_every
+        if "://" in path:
+            raise ValueError(
+                f"ContinuousAnnIndex path must be a plain shared-POSIX path "
+                f"(got {path!r}); manifest/GC use driver-local file I/O — "
+                f"see class docstring"
+            )
         os.makedirs(path, exist_ok=True)
 
     # -- manifest (the ContinuousRollup pattern) ----------------------------

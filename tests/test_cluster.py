@@ -188,3 +188,94 @@ class TestSemanticDedup:
         )
         with pytest.raises(ValueError, match="keep policy"):
             semantic_dedup(emb, keep="best")
+
+
+class TestSemanticDedupClusterBound:
+    """max_cluster_rows enforcement (VERDICT r06 #2): oversized clusters
+    are sub-keyed by sign-LSH bucket so no Arrow group spans the whole
+    cluster; identical vectors always share buckets and are still found."""
+
+    def _skewed(self, spark):
+        # one giant cluster (k=1): 100 base vectors + 10 exact duplicates
+        rows = []
+        for i in range(100):
+            # deterministic spread-out directions, dim 4
+            rows.append((i, [
+                float((i * 37 + 11) % 101) - 50.0,
+                float((i * 53 + 7) % 97) - 48.0,
+                float((i * 71 + 3) % 89) - 44.0,
+                float((i * 13 + 29) % 83) - 41.0,
+            ]))
+        for i in range(10):
+            rows.append((100 + i, list(rows[i][1])))  # exact duplicate of i
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_bounded_is_subset_and_finds_exact_dups(self, spark):
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        emb = self._skewed(spark)
+        unbounded = {r.vec_id: r for r in semantic_dedup(
+            emb, k=1, iters=1, threshold=0.95
+        ).collect()}
+        bounded = {r.vec_id: r for r in semantic_dedup(
+            emb, k=1, iters=1, threshold=0.95, max_cluster_rows=30
+        ).collect()}
+        assert len(bounded) == len(unbounded) == 110
+        # bucket sub-keying only ever REMOVES candidate pairs
+        for vid, r in bounded.items():
+            if not r.kept:
+                assert not unbounded[vid].kept, vid
+        # exact duplicates share every LSH bucket → found despite the bound
+        for i in range(10):
+            assert not bounded[100 + i].kept, f"dup {100 + i} not condemned"
+            assert bounded[100 + i].max_cos == 1.0
+
+    def test_bound_actually_splits_the_group(self, spark):
+        """The (cid, table, bucket) sub-key splits the 110-row cluster into
+        groups all smaller than the cluster, and the plan groups the Arrow
+        stage on the bucket columns."""
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+        from proxima_platform_spark.functions.similarity import (
+            sign_lsh_buckets_arrow,
+        )
+
+        emb = self._skewed(spark)
+        staged = sign_lsh_buckets_arrow(
+            emb.select("vec_id", F.col("embedding").alias("v")),
+            vec_col="v", num_planes=8, num_tables=2,
+        )
+        for t in range(2):
+            sizes = [
+                r.n for r in staged.groupBy(f"__b{t}")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            ]
+            assert max(sizes) < 110, f"table {t} did not split: {sizes}"
+        plan = (
+            semantic_dedup(emb, k=1, iters=1, threshold=0.95,
+                           max_cluster_rows=30)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "__bkt" in plan, "bucket sub-key missing from plan"
+
+    def test_unbounded_path_unchanged_when_under_bound(self, spark):
+        """A bound larger than every cluster must reproduce the unbounded
+        verdicts exactly (the small-cluster branch is the same scorer)."""
+        from proxima_platform_spark.functions.cluster import semantic_dedup
+
+        emb = self._skewed(spark)
+        base = sorted(
+            (r.vec_id, r.kept, r.n_near, r.max_cos)
+            for r in semantic_dedup(emb, k=1, iters=1, threshold=0.95).collect()
+        )
+        wide = sorted(
+            (r.vec_id, r.kept, r.n_near, r.max_cos)
+            for r in semantic_dedup(
+                emb, k=1, iters=1, threshold=0.95, max_cluster_rows=100_000
+            ).collect()
+        )
+        assert base == wide
