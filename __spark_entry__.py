@@ -7125,6 +7125,77 @@ LEFT JOIN dup_cov d USING (doc_id)
 """
 
 
+def q_dedup_substrings(spark, sf):
+    """Cross-document exact-substring dedup (functions/dedup.py::
+    dedup_substrings) — the ExactSubstr shape at 8-gram granularity:
+    every 8-gram occurring in >= 2 distinct documents keeps its
+    globally-first occurrence (min (doc_id, pos)) and every other
+    occurrence's window is cut, survivors reassembled in order. The
+    cutter companion to dup_ngram_coverage's measurement (same gram
+    ladder; ~1,000 grams are cross-doc duplicated at sf0.01, so the cut
+    path is non-vacuous). Oracle replays the winner rule and window
+    union verbatim."""
+    from proxima_platform_spark.functions.dedup import dedup_substrings
+
+    docs = _load(spark, sf, "documents")
+    return dedup_substrings(docs, n=8)
+
+
+def _sql_dedup_substrings(n: int = 8) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), counts AS (
+    SELECT doc_id, len(tk) AS n_tokens FROM t
+), occ AS (
+    SELECT doc_id, pos, md5(gram) AS fp
+    FROM (
+        SELECT doc_id,
+               unnest(g) AS gram,
+               generate_subscripts(g, 1) AS pos
+        FROM (SELECT doc_id,
+                     CASE WHEN len(tk) >= {n}
+                          THEN [array_to_string(tk[i:i+{n}-1], ' ')
+                                for i in range(1, len(tk) - {n} + 2)]
+                          ELSE [] END AS g
+              FROM t)
+    )
+), per_doc AS (
+    SELECT fp, doc_id, min(pos) AS mp FROM occ GROUP BY 1, 2
+), winners AS (
+    SELECT fp, min(doc_id) AS wd, arg_min(mp, doc_id) AS wp
+    FROM per_doc GROUP BY fp HAVING count(*) >= 2
+), rem AS (
+    SELECT occ.doc_id, occ.pos
+    FROM occ JOIN winners USING (fp)
+    WHERE NOT (occ.doc_id = winners.wd AND occ.pos = winners.wp)
+), removed AS (
+    SELECT DISTINCT doc_id, rp FROM (
+        SELECT doc_id, unnest([pos + i for i in range(0, {n})]) AS rp
+        FROM rem
+    )
+), tok AS (
+    SELECT doc_id, generate_subscripts(tk, 1) AS tp, unnest(tk) AS tok FROM t
+), kept AS (
+    SELECT k.doc_id, k.tp, k.tok FROM tok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM removed r WHERE r.doc_id = k.doc_id AND r.rp = k.tp
+    )
+), reass AS (
+    SELECT doc_id, count(*) AS n_kept,
+           array_to_string(list(tok ORDER BY tp), ' ') AS text_dedup
+    FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       c.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM counts c LEFT JOIN reass r USING (doc_id)
+"""
+
+
 def q_ann_knn_join(spark, sf):
     """Approximate kNN SELF-join (functions/similarity.py::knn_join_lsh):
     every vector's top-3 cosine neighbors among its 2×8-plane sign-LSH
@@ -7348,6 +7419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": q_ann_knn_join,
         "semantic_dedup_diverse": q_semantic_dedup_diverse,
         "curation_pipeline": q_curation_pipeline,
+        # -- (B') new in r07: certify now -----------------------------------
+        "dedup_substrings": q_dedup_substrings,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7576,6 +7649,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
+        "dedup_substrings": _sql_dedup_substrings(),
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

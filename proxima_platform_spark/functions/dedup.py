@@ -725,6 +725,125 @@ def dup_ngram_coverage(
     )
 
 
+def dedup_substrings(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Cross-document exact-substring deduplication — the ExactSubstr
+    shape (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": remove every duplicated passage, keep its first occurrence)
+    at fixed n-gram granularity: a token n-gram occurring in ≥ 2 DISTINCT
+    documents is duplicated; its globally-first occurrence (lexicographic
+    min (doc_id, pos)) is kept and every other occurrence's n-token
+    window is cut from its document, survivors stitched back in original
+    order. The cross-document cutter that completes the family:
+    :func:`dup_ngram_coverage` MEASURES this overlap, and
+    :func:`self_dedup_spans` cuts the within-document half.
+
+    Returns ``(id_col, n_tokens, n_kept, n_removed, text_dedup)`` — one
+    row per input document.
+
+    Semantics worth pinning: removal windows win over kept windows — if
+    a removed occurrence overlaps the kept first occurrence inside one
+    document (self-overlapping repeats like "a b a b a b"), the shared
+    tokens are still cut; the kept window only guarantees the gram
+    survives SOMEWHERE, not that its tokens are immune. Within-doc-only
+    repeats (one doc, ≥ 2 occurrences, no second doc) are NOT touched —
+    that is :func:`self_dedup_spans`' contract. Cutting can splice
+    previously-distant tokens together, so re-running the operator can
+    find (and cut) NEW duplicated grams — like suffix-array ExactSubstr,
+    it is not idempotent; pipelines iterate to a fixpoint or accept one
+    pass.
+
+    Scale shape (100 TB): every stage is keyed and bounded, no window
+    over raw occurrences, no cartesian, no Python —
+
+      * duplicated-gram detection is the ``dup_ngram_coverage`` two-agg
+        ladder: ``(fp, doc) → min(pos)`` map-side-combines a boilerplate
+        gram repeated 10⁴× within one doc to one row per map task, then
+        one ``fp`` agg both counts distinct docs AND picks the global
+        winner (``min(doc_id)`` + ``min_by(pos, doc_id)`` — algebraic,
+        no sort);
+      * removal windows explode n× over REMOVED occurrences only (dup
+        occurrences minus winners), then distinct on (doc, position) —
+        bounded by n · dup volume, and the key cannot concentrate: one
+        document's removals spread over its positions;
+      * the cut is one left-anti equi-join of the per-token explode
+        against removed positions — linear in corpus tokens, the same
+        reassembly agg ``dedup_paragraphs``/``self_dedup_spans`` ship.
+
+    A gram fingerprint hot across 10⁹ docs skews the ``fp`` equi-join —
+    AQE skew-join territory, same note as ``dup_ngram_coverage``."""
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+    # staged once: occ feeds the (fp,doc) agg AND the removal join — the
+    # tokenize + shingle + md5 subtree is the dominant cost (the
+    # dup_ngram_coverage lesson)
+    occ = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5("gram").alias("__fp"))
+        .localCheckpoint(eager=False)
+    )
+    per_doc = occ.groupBy("__fp", id_col).agg(F.min("pos").alias("__mp"))
+    # winner per duplicated gram: first doc to contain it, earliest
+    # position there. min_by is deterministic here — one row per
+    # (fp, doc), so no doc_id ties.
+    winners = (
+        per_doc.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min(id_col).alias("__wd"),
+            F.min_by("__mp", F.col(id_col)).alias("__wp"),
+        )
+        .where(F.col("__nd") >= 2)
+        .select("__fp", "__wd", "__wp")
+    )
+    rem = occ.join(winners, "__fp").where(
+        ~((F.col(id_col) == F.col("__wd")) & (F.col("pos") == F.col("__wp")))
+    )
+    removed = rem.select(
+        F.col(id_col).alias("__rid"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("__rp"),
+    ).distinct()
+    tok = base.select(F.col(id_col), F.posexplode("__toks").alias("tp", "tok"))
+    kept = tok.join(
+        removed,
+        (tok[id_col] == removed["__rid"]) & (tok["tp"] == removed["__rp"]),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    counts = base.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    return counts.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
     """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
     S-curve pivots closest to the requested Jaccard ``threshold``.

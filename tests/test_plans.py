@@ -698,3 +698,21 @@ class TestR06ExtensionPlans:
             F.sum("n_docs")
         ).collect()[0][0]
         assert 0 < kept < total
+
+
+class TestR07ExtensionPlans:
+    def test_dedup_substrings_keyed_no_cartesian(self, spark, sf_dir):
+        # ExactSubstr cutter: gram ladder (two map-side-combined aggs) →
+        # winner join on fp → removal-window explode + distinct → one
+        # left-anti on (doc, pos) → reassembly; every stage keyed, no
+        # cartesian, no window over raw occurrences, no count(distinct)
+        # Expand, no Python
+        df = entry.q_dedup_substrings(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+        assert "Expand" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert "LeftAnti" in plan

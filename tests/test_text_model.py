@@ -264,3 +264,159 @@ class TestR06ModelParity:
                 covered.update(range(s, s + n))
             want = (len(toks[i]), len(grams[i]), len(dup_occ), len(covered))
             assert got[i] == want, (i, text, got[i], want)
+
+
+class TestDedupSubstrings:
+    def test_first_occurrence_kept_cross_doc(self, spark):
+        """The globally-first occurrence of a shared passage survives; every
+        other document's copy is cut."""
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        shared = "alpha beta gamma delta"
+        d = spark.createDataFrame(
+            [
+                (1, shared + " unique one two three"),
+                (2, "other words here " + shared),
+                (3, "completely different content entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        # doc1 holds the first occurrence (min doc_id): untouched
+        assert (out[1].n_tokens, out[1].n_removed) == (8, 0)
+        assert out[1].text_dedup == shared + " unique one two three"
+        # doc2 loses exactly the 4 shared tokens
+        assert out[2].n_removed == 4
+        assert out[2].text_dedup == "other words here"
+        # doc3 untouched
+        assert out[3].n_removed == 0
+        assert out[3].text_dedup == "completely different content entirely"
+
+    def test_overlapping_windows_cut_union(self, spark):
+        """Overlapping duplicated grams in the loser doc cut the UNION of
+        their windows (no double counting, no gaps)."""
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        seq = "a b c d e"  # grams (a b c d) and (b c d e) both shared
+        d = spark.createDataFrame(
+            [(1, seq + " tail1 x1 y1"), (2, "front2 " + seq + " tail2")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        assert out[1].n_removed == 0  # first occurrences live in doc1
+        assert out[2].n_removed == 5  # union of [1..4] and [2..5]
+        assert out[2].text_dedup == "front2 tail2"
+
+    def test_within_doc_repeat_untouched(self, spark):
+        """A gram repeated only within ONE doc is self_dedup_spans'
+        business, not this operator's."""
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        d = spark.createDataFrame(
+            [(1, "p q r s p q r s"), (2, "totally different words here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        assert out[1].n_removed == 0
+        assert out[2].n_removed == 0
+
+    def test_winner_doc_later_copies_cut(self, spark):
+        """Within the winner doc, occurrences AFTER the first are cut once
+        the gram is cross-doc duplicated."""
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        shared = "m n o p"
+        d = spark.createDataFrame(
+            [
+                (1, shared + " filler words " + shared),
+                (2, "elsewhere " + shared + " too"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        # doc1 keeps the first copy, loses the second
+        assert out[1].n_removed == 4
+        assert out[1].text_dedup == shared + " filler words"
+        assert out[2].n_removed == 4
+        assert out[2].text_dedup == "elsewhere too"
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        d = spark.createDataFrame(
+            [(1, "too short"), (2, ""), (3, "too short")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        assert out[1].n_removed == 0 and out[1].text_dedup == "too short"
+        assert out[2].n_removed == 0 and out[2].text_dedup == ""
+
+    def test_coverage_delta_drops(self, spark):
+        """The before/after contract: duplicated-passage coverage measured
+        by dup_ngram_coverage strictly drops after the cut."""
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings,
+            dup_ngram_coverage,
+        )
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+        rows = [
+            (i, f"doc{i} head words " + shared + f" doc{i} tail words")
+            for i in range(6)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        before = sum(
+            r.covered_tokens for r in dup_ngram_coverage(d, n=8).collect()
+        )
+        after_docs = dedup_substrings(d, n=8).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        )
+        after = sum(
+            r.covered_tokens
+            for r in dup_ngram_coverage(after_docs, n=8).collect()
+        )
+        assert before > 0
+        assert after < before
+
+    def test_matches_python_model(self, spark):
+        """Randomized corpora: operator output equals a direct Python model
+        of the keep-global-first / cut-windows rule."""
+        import random
+
+        from proxima_platform_spark.functions.dedup import dedup_substrings
+
+        rng = random.Random(77)
+        vocab = [f"w{i}" for i in range(12)]
+        n = 3
+        docs = []
+        for did in range(8):
+            toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(2, 25))]
+            docs.append((did, " ".join(toks)))
+
+        # python model (1-based-free: 0-based everywhere)
+        token_lists = {did: t.split(" ") if t else [""] for did, t in docs}
+        occs = {}  # fp -> list[(doc, pos)]
+        for did, tl in token_lists.items():
+            for p in range(len(tl) - n + 1):
+                fp = " ".join(tl[p:p + n])
+                occs.setdefault(fp, []).append((did, p))
+        removed = {did: set() for did, _ in docs}
+        for fp, lst in occs.items():
+            if len({d for d, _ in lst}) < 2:
+                continue
+            winner = min(lst)
+            for (d_, p_) in lst:
+                if (d_, p_) == winner:
+                    continue
+                removed[d_].update(range(p_, p_ + n))
+        want = {}
+        for did, tl in token_lists.items():
+            keep = [t for i, t in enumerate(tl) if i not in removed[did]]
+            want[did] = (len(tl), len(keep), " ".join(keep))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+            for r in dedup_substrings(df, n=n).collect()
+        }
+        assert got == want
