@@ -6906,9 +6906,32 @@ def q_tokenizer_fertility_bytes(spark, sf):
     bytes-per-word until the table learns its byte pairs, which is
     exactly what byte-level measurement (and not codepoint-level) makes
     visible. Same bounded shape as tokenizer_fertility: per-doc encode
-    frame → lang equi-join → language-count-bounded agg."""
+    frame → lang equi-join → language-count-bounded agg.
+
+    Real-model vocabularies: when SPARK_GRAFT_GPT2_MERGES points at a
+    GPT-2-format merges.txt (the published artifact; not shippable in
+    this container — no network, no bundled copy), fertility is measured
+    under the first SPARK_GRAFT_GPT2_MERGES_N (default 128) real merges
+    via bpe.load_gpt2_merges instead of the learned table. The oracle
+    certifies the DEFAULT table only — the env path is for deployments
+    with the artifact (format + conventions are pinned by
+    tests/test_bpe.py::TestGpt2MergeTable)."""
+    import os as _os
+
     docs = _load(spark, sf, "documents")
-    enc = q_bpe_encode_bytes(spark, sf)
+    real = _os.environ.get("SPARK_GRAFT_GPT2_MERGES")
+    if real:
+        from proxima_platform_spark.functions.bpe import (
+            bpe_encode_docs,
+            load_gpt2_merges,
+        )
+
+        cap = int(_os.environ.get("SPARK_GRAFT_GPT2_MERGES_N", "128"))
+        enc = bpe_encode_docs(
+            docs, load_gpt2_merges(real, max_merges=cap), alphabet="byte"
+        )
+    else:
+        enc = q_bpe_encode_bytes(spark, sf)
     return (
         enc.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

@@ -308,3 +308,65 @@ def bpe_learn(
             "enc", _fold_step(F.col("enc"), top["a"], top["b"])
         ).localCheckpoint(eager=False)
     return merges
+
+
+def load_gpt2_merges(
+    source,
+    *,
+    max_merges: int | None = None,
+) -> list[tuple[str, str]]:
+    """Parse a GPT-2-format ``merges.txt`` (the published artifact layout:
+    optional ``#version:`` header, then one space-separated merge pair per
+    line, tokens written in the byte→unicode remap alphabet — ``'Ġ t'``
+    is the rank-0 GPT-2 merge) into the table
+    :func:`bpe_word_encode_expr` consumes with ``alphabet='byte'``.
+
+    ``source`` is a file path or an iterable of lines. ``max_merges``
+    truncates to the first N ranks — a PREFIX of a learned table is
+    itself a valid learned table (rank-monotone), which is what makes
+    truncated real-model tables usable inside expression-size limits.
+
+    Validation is strict: exactly two space-separated tokens per line,
+    every token composed of byte-alphabet chars or earlier merge
+    products, and the whole table rank-monotone (the
+    :func:`bpe_word_encode_expr` precondition — every published learned
+    table satisfies it; hand-edited ones that don't are rejected loudly
+    rather than silently mis-tokenizing).
+
+    This container ships no copy of the real GPT-2 artifact and has no
+    network, so the engine certifies the FORMAT and the conventions
+    (remap, rank order, leftmost-greedy fold) on synthetic tables —
+    see ``tests/test_bpe.py::TestGpt2MergeTable`` — and accepts the real
+    file via ``SPARK_GRAFT_GPT2_MERGES`` wherever a deployment has one
+    (``__spark_entry__.q_tokenizer_fertility_bytes`` picks it up)."""
+    if isinstance(source, (str, bytes)):
+        with open(source, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    else:
+        lines = [ln.rstrip("\n") for ln in source]
+    alphabet_chars = set(byte_alphabet().values())
+    merges: list[tuple[str, str]] = []
+    produced: set[str] = set()
+    for i, ln in enumerate(lines):
+        if not ln.strip() or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"merges line {i}: expected 'tokA tokB', got {ln!r}"
+            )
+        a, b = parts
+        for side in (a, b):
+            if side not in produced and not set(side) <= alphabet_chars:
+                bad = sorted(set(side) - alphabet_chars)
+                raise ValueError(
+                    f"merges line {i}: token {side!r} contains chars "
+                    f"{bad!r} outside the byte alphabet and is not an "
+                    "earlier merge product"
+                )
+        merges.append((a, b))
+        produced.add(a + b)
+        if max_merges is not None and len(merges) >= max_merges:
+            break
+    _check_monotone(merges)
+    return merges
