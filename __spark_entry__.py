@@ -4106,6 +4106,123 @@ SELECT doc_id, ahash, min(doc_id) OVER (PARTITION BY ahash) AS rep_id FROM hx2
 """
 
 
+def q_multimodal_phash_dup(spark, sf):
+    """Image near-dup via DCT pHash (functions/multimodal.py::image_phash,
+    VERDICT r06 #5), with a REAL decode in the path: every 7 consecutive
+    doc_ids share a base image (pixel bytes = md5 of the group id mod
+    101, dims from the group id); each group member applies a
+    brightness/perturbation variant (global +v on every channel, plus a
+    +10 bump on the first channel for odd v). pHash — 32×32 gray →
+    exact int64 DCT (fixed-point basis) → 63 AC bits vs their median —
+    pairs the variants at hamming ≤ 3 through the pigeonhole chunk join,
+    while the variants flip aHash's sampled-pixel bits (the aHash-misses
+    contract is pinned in tests/test_multimodal.py). Output: candidate
+    pairs (id_a, id_b, hamming); the oracle replays synthesis, the DCT
+    from the same 256 table integers, and a brute-force pair scan —
+    cross-group hamming ≥ 20 in this fixture, so candidates == true
+    pairs."""
+    import hashlib
+
+    import numpy as np
+    from proxima_platform_spark.functions.multimodal import (
+        encode_ppm,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    docs = _load(spark, sf, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                did = int(row.doc_id)
+                gid, v = did // 7, did % 7
+                w = 16 + gid % 9
+                h = 12 + gid % 7
+                n = w * h * 3
+                dg = hashlib.md5(str(gid).encode()).digest()
+                # index the digest mod 13 (prime): mod 16 resonates with
+                # the byte stride (w=16 groups become vertically uniform,
+                # degenerate DCTs collide across groups at hamming <= 3)
+                pix = np.array(
+                    [dg[i % 13] % 101 for i in range(n)], dtype=np.int64
+                )
+                pix = pix + v
+                pix[0] += 10 * (v % 2)
+                img = pix.astype(np.uint8).reshape(h, w, 3)
+                rows.append({"doc_id": row.doc_id, "payload": encode_ppm(img)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+    return phash_near_dup_pairs(image_phash(media), hamming_threshold=3)
+
+
+def _sql_phash_dct_literal() -> str:
+    """The 8×32 fixed-point DCT basis as a flat 256-int SQL literal —
+    generated from multimodal.phash_dct_table() so both engines share the
+    exact integers."""
+    from proxima_platform_spark.functions.multimodal import phash_dct_table
+
+    return "[" + ", ".join(str(int(x)) for x in phash_dct_table().flatten()) + "]"
+
+
+# pixel byte k of the synthesized stream: md5 hex byte (k mod 16) mod 101,
+# plus the variant brightness v, plus the k==0 bump for odd v
+_PHASH_GRAY = (
+    "((('0x' || substr(hx, ((i0) % 13) * 2 + 1, 2))::BIGINT % 101)"
+    " + (('0x' || substr(hx, ((i0 + 1) % 13) * 2 + 1, 2))::BIGINT % 101)"
+    " + (('0x' || substr(hx, ((i0 + 2) % 13) * 2 + 1, 2))::BIGINT % 101)"
+    " + 3 * v + CASE WHEN i0 = 0 AND v % 2 = 1 THEN 10 ELSE 0 END) // 3"
+)
+
+SQL_MULTIMODAL_PHASH_DUP = f"""
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 7 AS v,
+           16 + (doc_id // 7) % 9 AS w,
+           12 + (doc_id // 7) % 7 AS h,
+           md5((doc_id // 7)::VARCHAR) AS hx
+    FROM documents
+), tt AS (
+    SELECT {_sql_phash_dct_literal()} AS T
+), g AS (
+    -- G flat row-major 32x32: entry (x,y) samples gray(row (x*h)//32,
+    -- col (y*w)//32); i0 = (row*w + col)*3 is the pixel's byte offset
+    SELECT doc_id,
+           [({_PHASH_GRAY.replace('i0', '((((i//32) * h) // 32) * w + (((i%32) * w) // 32)) * 3')})
+            for i in range(0, 1024)] AS G
+    FROM d
+), p AS (
+    -- P = T x G (8x32), flat u*32+y
+    SELECT doc_id,
+           [list_sum([T[(i//32)*32 + x + 1] * G[x*32 + (i%32) + 1]
+                      for x in range(0, 32)])
+            for i in range(0, 256)] AS P
+    FROM g, tt
+), s AS (
+    -- S = P x T' (8x8), flat u*8+vv; drop DC, median = sorted[32] of 63
+    SELECT doc_id,
+           [list_sum([P[(j//8)*32 + y + 1] * T[(j%8)*32 + y + 1]
+                      for y in range(0, 32)])
+            for j in range(0, 64)][2:64] AS ac
+    FROM p, tt
+), ph AS (
+    SELECT doc_id,
+           list_sum([CASE WHEN ac[i+1] > (list_sort(ac)[32])
+                          THEN (1::BIGINT << (62 - i)) ELSE 0 END
+                     for i in range(0, 63)])::BIGINT AS phv
+    FROM s
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.phv, b.phv)) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phv, b.phv)) <= 3
+"""
+
+
 def q_multimodal_audio_dup(spark, sf):
     """Audio near-dup via perceptual fingerprint, with a REAL decode in the
     path: every 9 consecutive doc_ids share a synthesized waveform (sample
@@ -7444,6 +7561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         # -- (B') new in r07: certify now -----------------------------------
         "dedup_substrings": q_dedup_substrings,
+        "multimodal_phash_dup": q_multimodal_phash_dup,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7673,6 +7791,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
         "dedup_substrings": _sql_dedup_substrings(),
+        "multimodal_phash_dup": SQL_MULTIMODAL_PHASH_DUP,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

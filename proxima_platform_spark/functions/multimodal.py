@@ -359,6 +359,139 @@ def image_ahash(
     return media.mapInPandas(hash_batch, schema=AHASH_SCHEMA)
 
 
+PHASH_SCALE = 1 << 20
+
+
+def phash_dct_table() -> "np.ndarray":
+    """The 8×32 integer DCT-II basis pHash projects onto:
+    ``T[u][x] = floor(cos(π·(2x+1)·u/64) · 2^20)`` — fixed-point so the
+    whole transform is EXACT int64 arithmetic (|S| ≤ 32²·255·2^40 < 2^59)
+    and bit-identical in any engine; the DuckDB oracle embeds these same
+    256 integers as a literal, generated from this function (single
+    source of truth, no cross-engine ``cos()`` ulp risk)."""
+    import math
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                math.floor(math.cos(math.pi * (2 * x + 1) * u / 64) * PHASH_SCALE)
+                for x in range(32)
+            ]
+            for u in range(8)
+        ],
+        dtype=np.int64,
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def image_phash(
+    media: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual DCT-hash (pHash) for image near-dup detection — the
+    robust sibling of :func:`image_ahash`: nearest-neighbor 32×32 gray
+    downsample → 2D DCT-II (low-frequency 8×8 block via the fixed-point
+    integer basis, an exact ``T @ G @ Tᵀ`` int64 matmul) → 63 AC
+    coefficients compared against their median (sorted[31], DC excluded
+    so global brightness shifts cannot move bits) → 63-bit fingerprint
+    packed MSB-first into a non-negative BIGINT.
+
+    pHash survives the brightness/contrast shifts that flip aHash bits
+    (aHash thresholds 64 SAMPLED pixels on their mean — one perturbed
+    sample flips its bit; a DCT coefficient aggregates all 1024 samples,
+    and the median threshold tracks affine luminance changes). Pairing is
+    by hamming distance: :func:`phash_near_dup_pairs` pigeonholes the 63
+    bits exactly like the SimHash pair machinery. Every step is integer
+    math, reproducible from the payload alone."""
+
+    T = phash_dct_table()
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = _decode_image(row[payload_col]).astype(np.int64)
+                h, w, c = img.shape
+                gray = img.sum(axis=2) // c
+                rs = (np.arange(32) * h) // 32
+                cs = (np.arange(32) * w) // 32
+                G = gray[np.ix_(rs, cs)]
+                S = T @ G @ T.T  # exact int64
+                ac = S.flatten()[1:]
+                med = int(np.sort(ac)[31])
+                val = 0
+                for i, a in enumerate(ac):
+                    if int(a) > med:
+                        val |= 1 << (62 - i)
+                rows.append({"doc_id": row[id_col], "phash": val})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.mapInPandas(hash_batch, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    hamming_threshold: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup image pairs by pHash hamming distance — the pigeonhole
+    bucket join :func:`dedup.simhash_candidate_pairs` ships, applied to
+    the 63-bit pHash: fingerprints within hamming ≤ ``threshold`` agree
+    exactly on ≥ 1 of ``chunks`` 16-bit pieces, so candidates are an
+    equi-join on (chunk index, chunk value) — linear in corpus size,
+    never n² — then the exact ``bit_count(xor)`` check runs on candidates
+    only. Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``."""
+    if hamming_threshold > chunks - 1:
+        raise ValueError(
+            f"hamming_threshold={hamming_threshold} needs at least "
+            f"{hamming_threshold + 1} chunks for the pigeonhole guarantee"
+        )
+    bits = 64 // chunks
+    mask = (1 << bits) - 1
+    chunked = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(hash_col, bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("id", "ph", "chunk.ci", "chunk.cv")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= hamming_threshold)
+        .distinct()
+    )
+
+
 def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     """Spec-compliant RIFF/WAVE writer: PCM (format 1), mono, 16-bit
     little-endian. Pure numpy — the audio analog of ``encode_ppm``."""

@@ -271,3 +271,109 @@ class TestImageAHash:
         expect = np.packbits(bits).tobytes().hex()
         # rows 0-3 (values 0..90) are <= mean=105, rows 4-7 (120..210) above
         assert expect == "0000000000ffffff" or bits[:32].sum() == 0
+
+
+class TestImagePhash:
+    """DCT pHash (VERDICT r06 #5): exact-dup hamming 0, robustness to the
+    brightness/perturbation variants that flip aHash bits, pigeonhole
+    pairing == brute force."""
+
+    @staticmethod
+    def _fixture_img(doc_id):
+        import hashlib
+
+        from proxima_platform_spark.functions.multimodal import encode_ppm
+
+        gid, v = doc_id // 7, doc_id % 7
+        w, h = 16 + gid % 9, 12 + gid % 7
+        dg = hashlib.md5(str(gid).encode()).digest()
+        pix = np.array(
+            [dg[i % 13] % 101 for i in range(w * h * 3)], dtype=np.int64
+        )
+        pix = pix + v
+        pix[0] += 10 * (v % 2)
+        return encode_ppm(pix.astype(np.uint8).reshape(h, w, 3))
+
+    def test_exact_duplicates_hash_equal(self, spark):
+        from proxima_platform_spark.functions.multimodal import image_phash
+
+        p = self._fixture_img(0)
+        df = spark.createDataFrame(
+            [(1, bytearray(p)), (2, bytearray(p))],
+            "doc_id long, payload binary",
+        )
+        out = [r.phash for r in image_phash(df).collect()]
+        assert out[0] == out[1] and out[0] >= 0
+
+    def test_phash_pairs_variants_ahash_misses(self, spark):
+        """The headline contract: within the fixture groups, pHash pairs
+        (hamming <= 3) variants whose aHash fingerprints DIFFER."""
+        from proxima_platform_spark.functions.multimodal import (
+            image_ahash,
+            image_phash,
+            phash_near_dup_pairs,
+        )
+
+        rows = [
+            (d, bytearray(self._fixture_img(d))) for d in range(168, 295)
+        ]  # gids 24..42 — the slice where aHash provably splits groups
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        ah = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dup_pairs(
+                image_phash(df), hamming_threshold=3
+            ).collect()
+        }
+        # no cross-group pair survives the threshold
+        assert all(a // 7 == b // 7 for (a, b) in pairs)
+        # and some paired variants have DIFFERENT ahash fingerprints —
+        # the near-dups aHash's exact-key grouping misses
+        missed = [(a, b) for (a, b) in pairs if ah[a] != ah[b]]
+        assert len(missed) > 0, "fixture produced no aHash-missed pairs"
+
+    def test_pigeonhole_equals_brute_force(self, spark):
+        from proxima_platform_spark.functions.multimodal import (
+            image_phash,
+            phash_near_dup_pairs,
+        )
+
+        rows = [(d, bytearray(self._fixture_img(d))) for d in range(28)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        ph = {r.doc_id: r.phash for r in image_phash(df).collect()}
+        brute = {
+            (a, b): bin(ph[a] ^ ph[b]).count("1")
+            for a in ph
+            for b in ph
+            if a < b and bin(ph[a] ^ ph[b]).count("1") <= 3
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dup_pairs(
+                image_phash(df), hamming_threshold=3
+            ).collect()
+        }
+        assert got == brute
+
+    def test_dct_table_is_exact_int64(self):
+        from proxima_platform_spark.functions.multimodal import (
+            PHASH_SCALE,
+            phash_dct_table,
+        )
+
+        T = phash_dct_table()
+        assert T.shape == (8, 32) and T.dtype == np.int64
+        assert (T[0] == PHASH_SCALE).all()  # cos(0) row, exactly scaled
+        # worst-case |S| bound stays inside int64
+        assert 32 * 32 * 255 * PHASH_SCALE * PHASH_SCALE < 2**62
+
+    def test_threshold_needs_enough_chunks(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            phash_near_dup_pairs(df, hamming_threshold=4, chunks=4)

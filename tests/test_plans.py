@@ -716,3 +716,17 @@ class TestR07ExtensionPlans:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
         assert "LeftAnti" in plan
+
+    def test_multimodal_phash_dup_pigeonhole_join(self, spark, sf_dir):
+        # candidates come from the 16-bit pigeonhole chunk equi-join —
+        # never an n^2 image product; the decode/DCT stage is the one
+        # sanctioned Arrow boundary (same contract as image_ahash)
+        df = entry.q_multimodal_phash_dup(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # any EQUI join is fine (tiny sf broadcasts; scale shuffles)
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
