@@ -4802,6 +4802,140 @@ WHERE rn <= 15
 """
 
 
+def q_domain_cap_sample(spark, sf):
+    """URL canonicalization + per-registered-domain cap (functions/
+    urls.py, VERDICT r06 #6 — the CommonCrawl curation shape): URLs are
+    synthesized closed-form from doc_id with realistic messiness
+    (case-mixed hosts, www./news. subdomains, default and non-default
+    ports, utm_*/gclid tracking params, fragments, .co.uk second-level
+    suffixes), canonicalized by the pure-expression stack, reduced to
+    their registered domain, and capped at 20 docs/domain by the
+    deterministic md5 quota rank. 7 domains × ~71 docs at sf0.01 → the
+    cap bites (140 rows). The oracle replays synthesis, every
+    canonicalization regexp, the suffix rule, and the rank verbatim."""
+    from proxima_platform_spark.functions.urls import domain_cap_sample
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    rawhost = F.concat(
+        F.when(d % 3 == 0, F.lit(""))
+        .when(d % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("news.")),
+        F.lit("site"),
+        (d % 7).cast("string"),
+        F.when((d % 7) % 2 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(d % 4 == 0, F.upper(rawhost)).otherwise(rawhost),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.concat(F.lit("/p/"), (d % 23).cast("string")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 13).cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("?id="), (d % 13).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(d % 4 == 2, F.lit("?gclid=abc"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    withu = docs.select("doc_id", url.alias("url"))
+    return domain_cap_sample(
+        withu, url_col="url", key=F.col("doc_id"), cap=20,
+        salt="domain-cap-v1",
+    ).select("doc_id", "domain", "url_canon")
+
+
+SQL_DOMAIN_CAP_SAMPLE = r"""
+WITH parts AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+    (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'news.' END)
+      || 'site' || (doc_id % 7)::VARCHAR
+      || (CASE WHEN (doc_id % 7) % 2 = 0 THEN '.co.uk' ELSE '.com' END)
+      AS rawhost,
+    CASE WHEN doc_id % 5 = 0
+         THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         ELSE '' END AS port,
+    '/p/' || (doc_id % 23)::VARCHAR AS path,
+    CASE doc_id % 4
+      WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 13)::VARCHAR
+      WHEN 1 THEN '?id=' || (doc_id % 13)::VARCHAR || '&utm_campaign=x'
+      WHEN 2 THEN '?gclid=abc' ELSE '' END AS query,
+    CASE WHEN doc_id % 6 = 0 THEN '#sec' || (doc_id % 3)::VARCHAR
+         ELSE '' END AS frag
+  FROM documents
+), urls AS (
+  SELECT doc_id,
+    scheme || '://'
+      || (CASE WHEN doc_id % 4 = 0 THEN upper(rawhost) ELSE rawhost END)
+      || port || path || query || frag AS url
+  FROM parts
+), split1 AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM urls
+), split2 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+           ELSE auth END,
+      '^www\.', '') AS host,
+    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+    array_to_string(
+      list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=')),
+      '&') AS canon_q
+  FROM split1
+), finals AS (
+  SELECT doc_id, host,
+    scheme || '://' || host || path
+      || (CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END)
+      AS url_canon
+  FROM split2
+), dom AS (
+  SELECT doc_id, url_canon,
+    CASE
+      WHEN len(string_split(host, '.')) <= 2 THEN host
+      WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+           IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+               'co.jp','ne.jp','or.jp','co.in','co.nz','com.br','com.cn',
+               'com.mx')
+        THEN string_split(host, '.')[-3] || '.'
+             || string_split(host, '.')[-2] || '.'
+             || string_split(host, '.')[-1]
+      ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+    END AS domain
+  FROM finals
+)
+SELECT doc_id, domain, url_canon FROM (
+  SELECT doc_id, domain, url_canon,
+    row_number() OVER (PARTITION BY domain ORDER BY
+      ('0x' || substr(md5('domain-cap-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000, doc_id) AS rn
+  FROM dom
+) WHERE rn <= 20
+"""
+
+
 def q_weighted_sample(spark, sf):
     """Quality-weighted Bernoulli sampling (functions/sampling.py::
     weighted_sample): per-row keep probability = min(1, n_chars/800) —
@@ -7562,6 +7696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B') new in r07: certify now -----------------------------------
         "dedup_substrings": q_dedup_substrings,
         "multimodal_phash_dup": q_multimodal_phash_dup,
+        "domain_cap_sample": q_domain_cap_sample,
         # -- (C) last green r03 ---------------------------------------------
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -7792,6 +7927,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
         "dedup_substrings": _sql_dedup_substrings(),
         "multimodal_phash_dup": SQL_MULTIMODAL_PHASH_DUP,
+        "domain_cap_sample": SQL_DOMAIN_CAP_SAMPLE,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),
