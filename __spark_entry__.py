@@ -7535,40 +7535,16 @@ def q_curation_pipeline(spark, sf):
     r06 analog of training_pipeline: each stage is individually
     certified; this certifies their composition in one hash. Plan: one
     zero-shuffle gate projection + the span operator's three keyed
-    shuffles + one source-bounded agg."""
-    from proxima_platform_spark.functions.dedup import self_dedup_spans
-    from proxima_platform_spark.functions.text import (
-        quality_model_score,
-        token_count,
-    )
+    shuffles + one source-bounded agg. r07: the chain is now the shared
+    functions/prep.py::curation_pipeline engine, whose streaming twin
+    (curation_pipeline_stream) runs it per micro-batch — same rows per
+    slice, pinned by TestStreamingCuration. 0.65 cuts the fixture's score
+    distribution near its 30th percentile (357 of 500 survive at sf0.01)
+    so the gate is exercised, not vacuous."""
+    from proxima_platform_spark.functions.prep import curation_pipeline
 
     docs = _load(spark, sf, "documents")
-    # 0.65 cuts the fixture's score distribution near its 30th percentile
-    # (357 of 500 survive at sf0.01) so the gate is exercised, not vacuous
-    # score projected ONCE and the gated frame staged (lazy
-    # localCheckpoint): the filter + projection otherwise both evaluate
-    # the interpreted dup_word_frac stack, and the span chain's three
-    # consumers would re-run the gate per branch
-    gated = (
-        docs.select(
-            "doc_id", "source", "text",
-            quality_model_score(F.col("text")).alias("score"),
-        )
-        .where(F.col("score") >= 0.65)
-        .localCheckpoint(eager=False)
-    )
-    sd = self_dedup_spans(gated, span_tokens=2)
-    joined = gated.join(sd, "doc_id")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("n_spans") - F.col("n_kept")).alias("spans_dropped"),
-        F.sum(token_count(F.col("text_dedup")).cast("long")).alias("clean_tokens"),
-        F.round(
-            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_score"),
-    )
+    return curation_pipeline(docs, threshold=0.65, span_tokens=2)
 
 
 def _sql_curation_pipeline(k: int = 2) -> str:

@@ -121,3 +121,73 @@ def pretraining_prep_stream(
         sink(pretraining_prep(batch_df, **prep_kwargs), batch_id)
 
     return stream_docs.writeStream.foreachBatch(handle)
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.65,
+    span_tokens: int = 2,
+) -> DataFrame:
+    """Composed curation chain — model-based quality gate (logistic
+    ``quality_model_score`` ≥ ``threshold``) → within-document
+    repeated-span removal (:func:`dedup.self_dedup_spans`) → per-source
+    summary ``(source, n_docs, spans_dropped, clean_tokens, avg_score)``
+    with a decimal-exact average score.
+
+    The shared engine behind the certified ``curation_pipeline`` query
+    AND :func:`curation_pipeline_stream` — one implementation, two
+    execution modes (the ``pretraining_prep`` pattern). Plan: one
+    zero-shuffle gate projection (staged once via a lazy localCheckpoint
+    so the span chain's consumers don't re-run the interpreted
+    model-score stack), the span operator's keyed shuffles, one
+    source-bounded agg."""
+    from proxima_platform_spark.functions.dedup import self_dedup_spans
+    from proxima_platform_spark.functions.text import (
+        quality_model_score,
+        token_count,
+    )
+
+    gated = (
+        docs.select(
+            "doc_id", "source", "text",
+            quality_model_score(F.col("text")).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .localCheckpoint(eager=False)
+    )
+    sd = self_dedup_spans(gated, span_tokens=span_tokens)
+    joined = gated.join(sd, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_spans") - F.col("n_kept")).alias("spans_dropped"),
+        F.sum(token_count(F.col("text_dedup")).cast("long")).alias(
+            "clean_tokens"
+        ),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+    )
+
+
+def curation_pipeline_stream(
+    stream_docs: DataFrame,
+    sink,
+    **curation_kwargs,
+):
+    """Run the identical gate→span-dedup→summary chain over a documents
+    *stream*: ``sink(summary_df, batch_id)`` receives each micro-batch's
+    per-source summary — the same rows :func:`curation_pipeline` produces
+    on that micro-batch's slice (pinned by TestStreamingCuration).
+    Summaries are batch-local by design (a monitor consumes per-batch
+    curation health; cross-batch totals are one rollup away) — the same
+    seal-at-batch-boundary trade ``pretraining_prep_stream`` makes.
+    Returns a ``DataStreamWriter``; caller adds trigger/checkpoint and
+    ``start()``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(curation_pipeline(batch_df, **curation_kwargs), batch_id)
+
+    return stream_docs.writeStream.foreachBatch(handle)
