@@ -7611,75 +7611,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (VERDICT r05 'Next round' #1): the driver
-    # hash-checks the first ~50 insertion-order entries per round. With
-    # all 175 r05 queries certified, ordering is now OLDEST-LAST-GREEN
-    # FIRST, computed from the CORRECTNESS_r01..r05 union, so every query
-    # re-certifies within ~3.5 rounds and none goes stale:
-    #   (A) last driver-green in r02 (35 queries — the stalest tier);
-    #   (B) NEW r06 queries (never driver-checked) — additions stay capped
-    #       so A+B < the window and the stalest tier always re-certifies;
-    #   (C) last green r03, then r04, then r05 — each tier in its prior
-    #       relative order. Next round: recompute tiers from the union
-    #       including CORRECTNESS_r06 and rotate again.
+    # STALENESS-AWARE ROTATION (r07; VERDICT r06 'Next round' #3): the
+    # driver hash-checks the first ~50 insertion-order entries per round.
+    # Tiers recomputed from the CORRECTNESS_r01..r06 union, ordered
+    # OLDEST-LAST-GREEN FIRST so every query re-certifies within ~3.5
+    # rounds and none goes stale:
+    #   (A) last driver-green in r03 (44 queries -- the stalest tier);
+    #   (B) NEW r07 queries (never driver-checked) -- additions beyond the
+    #       50-window certify next round and become the stalest tier;
+    #   (C) last green r04, then r05, then r06 -- each tier in its prior
+    #       relative order. Next round: recompute from the union
+    #       including CORRECTNESS_r07 and rotate again.
     return {
-        # -- (A) stalest: last driver-green in r02 --------------------------
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "training_pipeline": q_training_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        "tpch_q18ish": q_tpch_q18ish,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_quality_signals": q_text_quality_signals,
-        "bm25_rank": q_bm25_rank,
-        "decontaminate": q_decontaminate,
-        "trigram_lm_score": q_trigram_lm_score,
-        "pii_scrub": q_pii_scrub,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
-        "schema_registry_roundtrip": q_schema_registry_roundtrip,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split": q_corpus_split,
-        "corpus_sample_topk": q_corpus_sample_topk,
-        "impulse_source": q_impulse_source,
-        "map_project": q_map_project,
-        "filter_where": q_filter_where,
-        "flatmap_tokens": q_flatmap_tokens,
-        # -- (B) new in r06: certify now ------------------------------------
-        "quality_model_score": q_quality_model_score,
-        "self_dedup_spans": q_self_dedup_spans,
-        "bpe_encode_bytes": q_bpe_encode_bytes,
-        "semantic_dedup": q_semantic_dedup,
-        "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "ann_knn_join": q_ann_knn_join,
-        "semantic_dedup_diverse": q_semantic_dedup_diverse,
-        "curation_pipeline": q_curation_pipeline,
-        # -- (B') new in r07: certify now -----------------------------------
-        "dedup_substrings": q_dedup_substrings,
-        "multimodal_phash_dup": q_multimodal_phash_dup,
-        "domain_cap_sample": q_domain_cap_sample,
-        # -- (C) last green r03 ---------------------------------------------
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "join_left": q_join_left,
-        "sliding_window_count": q_sliding_window_count,
-        "session_window_stats": q_session_window_stats,
-        "calendar_window_month": q_calendar_window_month,
+        # -- (A) stalest: last driver-green in r03 --------------------
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
         "count_by_key": q_count_by_key,
@@ -7724,7 +7668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
         "multimodal_ahash_dup": q_multimodal_ahash_dup,
         "repetition_signals": q_repetition_signals,
-        # -- (C) last green r04 ---------------------------------------------
+        # -- (B) new in r07: certify now ------------------------------
+        "dedup_substrings": q_dedup_substrings,
+        "multimodal_phash_dup": q_multimodal_phash_dup,
+        "domain_cap_sample": q_domain_cap_sample,
+        # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
         "tpch_q2ish": q_tpch_q2ish,
@@ -7765,7 +7713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "retention_vacuum": q_retention_vacuum,
         "zorder_layout": q_zorder_layout,
-        # -- (C) last green r05 ---------------------------------------------
+        # -- (C) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "topk_per_group": q_topk_per_group,
@@ -7816,6 +7764,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_quantize": q_embedding_quantize,
         "exact_decontaminate": q_exact_decontaminate,
+        # -- (C) last green r06 ---------------------------------------
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "training_pipeline": q_training_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q18ish": q_tpch_q18ish,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
+        "bm25_rank": q_bm25_rank,
+        "decontaminate": q_decontaminate,
+        "trigram_lm_score": q_trigram_lm_score,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_topk": q_corpus_sample_topk,
+        "impulse_source": q_impulse_source,
+        "map_project": q_map_project,
+        "filter_where": q_filter_where,
+        "flatmap_tokens": q_flatmap_tokens,
+        "quality_model_score": q_quality_model_score,
+        "self_dedup_spans": q_self_dedup_spans,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "semantic_dedup": q_semantic_dedup,
+        "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "ann_knn_join": q_ann_knn_join,
+        "semantic_dedup_diverse": q_semantic_dedup_diverse,
+        "curation_pipeline": q_curation_pipeline,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "join_left": q_join_left,
+        "sliding_window_count": q_sliding_window_count,
+        "session_window_stats": q_session_window_stats,
+        "calendar_window_month": q_calendar_window_month,
     }
 
 
