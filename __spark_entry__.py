@@ -7590,6 +7590,249 @@ FROM joined GROUP BY source
 
 
 # ===========================================================================
+# round-7 additions: HLL / KMV distinct sketches, incremental view
+# maintenance, embedding-based decontamination
+# ===========================================================================
+
+from proxima_platform_spark.functions.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+    hll_sql,
+    kmv_build,
+    kmv_set_ops,
+)
+from proxima_platform_spark.operators.ivm import (  # noqa: E402
+    incremental_snapshot_agg,
+)
+
+
+def q_distinct_hll(spark, sf):
+    """HyperLogLog distinct l_partkey per return flag (m=256 registers)
+    over the engine-portable md5 hash family — the DuckDB oracle rebuilds
+    every register and the estimator arithmetic bit-for-bit, so the hash
+    gate certifies the SKETCH, not just row counts. Registers come from
+    one map-side-combining groupBy (≤ m rows per group shuffle — the
+    100 TB shape: per-partition partial registers, max-merged); the
+    harmonic sum is kept integer (order-independent) with doubles only in
+    the final 3-row estimate arithmetic (sketch.py::hll_build/estimate).
+    Fixture cardinality ~11k per group (orders with a line of that flag
+    — per-group hash sets genuinely differ) ≫ 2.5m exercises the raw-estimate
+    branch; `hll_union_distinct` covers the linear-counting branch."""
+    li = _load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_orderkey"
+    )
+    regs = hll_build(li, ["l_orderkey"], group_cols=["grp"], b=8)
+    return hll_estimate(regs, group_cols=["grp"], b=8)
+
+
+SQL_DISTINCT_HLL = hll_sql("lineitem", "l_orderkey", group_expr="l_returnflag", b=8)
+
+
+def q_hll_union_distinct(spark, sf):
+    """HLL MERGE: distinct suppliers over two OVERLAPPING shipdate slices,
+    sketched independently and max-combined (hll_merge) — the mergeability
+    that makes the sketch work at 100 TB (register frames from independent
+    scans / days / streams union with no rescan; merge is associative and
+    idempotent, so the overlap double-counts nothing). ~100 distinct
+    suppliers against m=256 registers lands in the LINEAR-COUNTING branch
+    (m·ln(m/V)), certifying the small-range correction and the ln() parity
+    across engines. Oracle = one build over the UNION ALL of the slices —
+    equal by the merge law."""
+    li = _load(spark, sf, "lineitem")
+    a = li.where(F.col("l_shipdate") < "1998-01-01")
+    b = li.where(F.col("l_shipdate") >= "1997-01-01")
+    regs = hll_merge(
+        hll_build(a, ["l_suppkey"], b=8), hll_build(b, ["l_suppkey"], b=8)
+    )
+    return hll_estimate(regs, b=8)
+
+
+SQL_HLL_UNION_DISTINCT = hll_sql(
+    """(
+  SELECT l_suppkey FROM lineitem WHERE l_shipdate < '1998-01-01'
+  UNION ALL
+  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= '1997-01-01') u""",
+    "l_suppkey",
+    b=8,
+)
+
+
+def q_kmv_set_ops(spark, sf):
+    """Theta-style set-operation estimates from KMV (bottom-k) sketches:
+    orders with a 1996 shipment vs orders with a deep-discount line —
+    distinct / union / intersection cardinalities from two 256-hash
+    sketches (sketch.py::kmv_build/kmv_set_ops, the Druid/Pinot set-sketch
+    family). Each sketch is a TakeOrdered over distinct hashes (k rows per
+    partition partial, one k-row merge — no full key shuffle); set algebra
+    then runs on ≤ 2k rows. Integer to the last division; the oracle
+    replays hashes, bottom-k cuts, and the ρ·est∪ intersection rule
+    exactly."""
+    li = _load(spark, sf, "lineitem")
+    a = kmv_build(
+        li.where(F.year("l_shipdate") == 1996),
+        ["l_orderkey"], k=256, salt="kmv-v1", set_name="a",
+    )
+    b = kmv_build(
+        li.where(F.col("l_discount") > 0.06),
+        ["l_orderkey"], k=256, salt="kmv-v1", set_name="b",
+    )
+    return kmv_set_ops(a, b, k=256)
+
+
+SQL_KMV_SET_OPS = """
+WITH sa AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv-v1' || chr(31) || l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE year(l_shipdate) = 1996),
+ka AS (SELECT h FROM sa ORDER BY h LIMIT 256),
+sb AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv-v1' || chr(31) || l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_discount > 0.06),
+kb AS (SELECT h FROM sb ORDER BY h LIMIT 256),
+uk AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+ea AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+               ELSE 255.0 * 1152921504606846976.0 / max(h) END, 3) AS est_a FROM ka),
+eb AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+               ELSE 255.0 * 1152921504606846976.0 / max(h) END, 3) AS est_b FROM kb),
+eu AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+               ELSE 255.0 * 1152921504606846976.0 / max(h) END, 3) AS est_union FROM uk),
+ov AS (
+  SELECT sum(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         count(*)::BIGINT AS n_union
+  FROM uk LEFT JOIN ka ON uk.h = ka.h LEFT JOIN kb ON uk.h = kb.h)
+SELECT est_a, est_b, est_union,
+       round(n_both / n_union * est_union, 3) AS est_intersection,
+       round(n_both / n_union, 6) AS jaccard_k
+FROM ea, eb, eu, ov
+"""
+
+
+def q_ivm_agg_apply(spark, sf):
+    """Incremental view maintenance: per-event-type (cell count, value
+    total) of the snapshot at T1, maintained from the materialized T0
+    snapshot + ONLY the (T0, T1] changelog slice — never a full-history
+    recompute (operators/ivm.py; the reference's cached-view idea lifted
+    to aggregates, LocalCachedPartitionedView.java:99-121). New state of a
+    changed cell is a compaction of its own old row ∪ delta rows; deletes
+    retract via the shared snapshot() tombstone rules. Contributions
+    accumulate as DECIMAL, so the incremental result is BIT-equal to the
+    oracle's full recompute at T1 — not merely close. Cost at scale:
+    O(|delta|) + a cell-key semi-join against the materialized snapshot +
+    |groups| arithmetic."""
+    clog = _events_changelog(spark, sf)
+    ts0 = F.timestamp_millis(F.lit(T0))
+    ts1 = F.timestamp_millis(F.lit(T1))
+    base_cells = snapshot(clog, at=ts0)
+    delta = clog.where((F.col("stamp") > ts0) & (F.col("stamp") <= ts1))
+    val = F.decode(F.col("value"), "UTF-8").cast("decimal(18,2)")
+    out = incremental_snapshot_agg(
+        base_cells, delta, group_cols=["attribute"], value=val
+    )
+    return out.select(
+        "attribute",
+        "n_cells",
+        F.col("total").cast("double").alias("total_value"),
+    )
+
+
+SQL_IVM_AGG_APPLY = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, value
+  FROM events WHERE epoch_us(ts) <= {T1} * 1000
+  QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+SELECT event_type AS attribute, count(*) AS n_cells,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM s1 GROUP BY 1
+"""
+
+
+def q_semantic_decontaminate(spark, sf):
+    """Embedding-based decontamination: flag TRAIN vectors whose cosine to
+    any EVAL vector clears the threshold — the semantic sibling of the
+    exact/MinHash/Bloom decontaminators, run entirely on the bucketed
+    sign-LSH candidate path (functions/dedup.py::embedding_decontaminate:
+    cross-frame bucket equi-joins, ≈ L·|train|·|eval|/2^k candidates,
+    never a cross product; the eval side is small by nature and hash-joins
+    as the build side). Top eval match per contaminated train vector via
+    one window (cosine DESC, eval id ASC — deterministic). Oracle mirrors
+    the md5 hyperplane buckets, exact cosine, and the QUALIFY verbatim."""
+    from proxima_platform_spark.functions.dedup import embedding_decontaminate
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    hits = embedding_decontaminate(
+        train, ev, threshold=0.40, num_planes=4, num_tables=8, dim=dim
+    )
+    return hits.select(
+        "vec_id", "eval_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+    {_sql_lsh_bucket(4, 0)} AS b0,
+    {_sql_lsh_bucket(4, 4)} AS b1,
+    {_sql_lsh_bucket(4, 8)} AS b2,
+    {_sql_lsh_bucket(4, 12)} AS b3,
+    {_sql_lsh_bucket(4, 16)} AS b4,
+    {_sql_lsh_bucket(4, 20)} AS b5,
+    {_sql_lsh_bucket(4, 24)} AS b6,
+    {_sql_lsh_bucket(4, 28)} AS b7
+  FROM base),
+cand AS (
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b0 = e.b0
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b1 = e.b1
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b2 = e.b2
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b3 = e.b3
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b4 = e.b4
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b5 = e.b5
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b6 = e.b6
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+  UNION
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  FROM b t JOIN b e ON t.b7 = e.b7
+  WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
+),
+scored AS (
+  SELECT vec_id, eval_id,
+         list_dot_product(vt, ve)
+         / (sqrt(list_dot_product(vt, vt)) * sqrt(list_dot_product(ve, ve))) AS cos
+  FROM cand
+  WHERE list_dot_product(vt, ve)
+        / (sqrt(list_dot_product(vt, vt)) * sqrt(list_dot_product(ve, ve))) > 0.40
+)
+SELECT vec_id, eval_id, round(cos, 6) AS cosine
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) = 1
+"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -7672,6 +7915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "multimodal_phash_dup": q_multimodal_phash_dup,
         "domain_cap_sample": q_domain_cap_sample,
+        "distinct_hll": q_distinct_hll,
+        "ivm_agg_apply": q_ivm_agg_apply,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        # (B, beyond the 50-window: first-checked r08, stalest tier then)
+        "hll_union_distinct": q_hll_union_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -7903,6 +8152,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": _sql_dedup_substrings(),
         "multimodal_phash_dup": SQL_MULTIMODAL_PHASH_DUP,
         "domain_cap_sample": SQL_DOMAIN_CAP_SAMPLE,
+        "distinct_hll": SQL_DISTINCT_HLL,
+        "ivm_agg_apply": SQL_IVM_AGG_APPLY,
+        "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
+        "hll_union_distinct": SQL_HLL_UNION_DISTINCT,
+        "kmv_set_ops": SQL_KMV_SET_OPS,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -101,6 +101,14 @@ BENCH_QUERIES = [
     "ann_knn_join",
     "semantic_dedup_diverse",
     "curation_pipeline",
+    "dedup_substrings",
+    "multimodal_phash_dup",
+    "domain_cap_sample",
+    "distinct_hll",
+    "hll_union_distinct",
+    "kmv_set_ops",
+    "ivm_agg_apply",
+    "semantic_decontaminate",
 ]
 
 
@@ -178,26 +186,77 @@ def main() -> None:
         run_once(name)
         timings[name] = round(sorted(run_once(name) for _ in range(5))[2], 3)
 
+    # Isolated re-measure protocol (VERDICT r06 'Next round' #8): any query
+    # whose median lands >2x its recorded clean-box median gets 10 extra
+    # back-to-back runs at the END of the sweep (the box may have been
+    # transiently loaded mid-suite); the isolated median disambiguates
+    # box-load noise from a real regression without a judge investigation.
+    isolated: dict[str, float] = {}
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CLEANBOX.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh).get("queries", {})
+        for name, med in timings.items():
+            if name in ref and ref[name] > 0 and med > 2.0 * ref[name]:
+                runs = sorted(run_once(name) for _ in range(10))
+                isolated[name] = round((runs[4] + runs[5]) / 2, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline-suite wall time, median-of-5 warm runs per query "
-        "(changelog snapshot + windows + stateful + joins + TPC-H-ish + "
-        "LLM dedup/ANN) at sf%s" % sf,
+        "metric": "headline suite, median-of-5 warm sec/query",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        # run-context note: this box shows 1.4-1.6x global / 3-8x per-query
-        # jitter under concurrent load (SCALE.md "Bench notes"); compare
-        # in-driver numbers against BENCH_r*_local.json clean-box runs
-        # before calling a regression
-        "load_note": os.environ.get(
-            "SPARK_GRAFT_LOAD_NOTE",
-            "unknown box load; see SCALE.md noise envelope (1.4-1.6x global)",
-        ),
+        # box-load context: this box shows 1.4-1.6x global / 3-8x per-query
+        # jitter under concurrent load; clean-box medians in BENCH_CLEANBOX
+        # and SCALE.md "Bench notes". 'isolated' holds end-of-sweep
+        # 10-run re-medians for queries >2x their clean-box median.
+        "load_note": os.environ.get("SPARK_GRAFT_LOAD_NOTE", "see SCALE.md"),
     }
+    if isolated:
+        out["isolated"] = isolated
+
+    # Full-precision record for local history (the driver only keeps the
+    # last ~2000 bytes of stdout, so the stdout line below is size-guarded).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_LAST.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1)
+
     spark.stop()
-    print(json.dumps(out))
+    print(_compact_line(out), flush=True)
+
+
+def _compact_line(out: dict, budget: int = 1900) -> str:
+    """One JSON line guaranteed under `budget` bytes.
+
+    The round driver captures only the tail of stdout (~2000 bytes in r06,
+    which truncated the r06 artifact mid-JSON). Degrade gracefully: 3dp ->
+    2dp -> 1dp per-query timings, then keep the slowest queries and fold
+    the remainder into an `other_sum` entry. Full precision always lands in
+    BENCH_LOCAL_LAST.json regardless.
+    """
+    base = dict(out)
+    for nd in (3, 2, 1):
+        base["queries"] = {k: round(v, nd) for k, v in out["queries"].items()}
+        s = json.dumps(base, separators=(",", ":"))
+        if len(s) <= budget:
+            return s
+    # still too long: keep slowest-first until the line fits
+    items = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    keep = len(items)
+    while keep > 1:
+        q = {k: round(v, 1) for k, v in items[:keep]}
+        q["other_sum"] = round(sum(v for _, v in items[keep:]), 1)
+        base["queries"] = q
+        s = json.dumps(base, separators=(",", ":"))
+        if len(s) <= budget:
+            return s
+        keep -= 8
+    base["queries"] = {"other_sum": round(sum(out["queries"].values()), 1)}
+    return json.dumps(base, separators=(",", ":"))
 
 
 if __name__ == "__main__":

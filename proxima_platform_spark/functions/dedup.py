@@ -980,3 +980,85 @@ def fuzzy_decontaminate_stream(stream_docs: DataFrame, eval_docs: DataFrame, sin
         sink(fuzzy_contaminated_doc_ids(batch_df, eval_docs, **kwargs), batch_id)
 
     return stream_docs.writeStream.foreachBatch(handle)
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic decontamination: TRAIN vectors whose cosine to any EVAL
+    vector exceeds ``threshold``, with the best eval match per train
+    vector — ``(id, eval_id, cosine)``.
+
+    The embedding sibling of the exact / MinHash / Bloom decontaminators:
+    candidates come from CROSS-FRAME sign-LSH bucket equi-joins (the
+    integer-exact Arrow bucket stage both frames share with
+    :func:`embedding_near_dup_pairs`), so the pair space is
+    ≈ L·|train|·|eval| / 2^k — never a cross product. The eval side is
+    small by nature (a benchmark suite vs a 100 TB corpus) and is
+    broadcast: the train side never shuffles, each task probes its local
+    bucket map — the runtime-filter shape every decontamination pass at
+    scale wants. Best match per train id via one window (cosine DESC,
+    eval id ASC — fully deterministic, mirrored verbatim by the oracle's
+    QUALIFY).
+
+    Recall follows the sign-LSH collision model (see `lsh_recall_eval`):
+    tune (num_planes, num_tables) to the similarity band that counts as
+    contamination; exact-cosine confirm keeps precision at 1.0.
+    """
+    from pyspark.sql.window import Window
+
+    from proxima_platform_spark.functions.similarity import (
+        dot,
+        l2_norm,
+        sign_lsh_buckets_arrow,
+    )
+
+    def _staged(df: DataFrame, out_id: str) -> DataFrame:
+        s0 = sign_lsh_buckets_arrow(
+            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            vec_col="__v",
+            num_planes=num_planes,
+            num_tables=num_tables,
+        ).withColumn("__n", l2_norm(F.col("__v"), dim=dim))
+        tb = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+            for t in range(num_tables)
+        ])
+        return (
+            s0.select("__id", "__v", "__n", F.explode(tb).alias("__tb"))
+            .select(
+                F.col("__id").alias(out_id),
+                F.col("__v").alias(f"__v_{out_id}"),
+                F.col("__n").alias(f"__n_{out_id}"),
+                F.col("__tb.t").alias("__t"),
+                F.col("__tb.b").alias("__bucket"),
+            )
+        )
+
+    t = _staged(train, "vec_id")
+    e = _staged(eval_df, "eval_id")
+    cand = t.join(F.broadcast(e), ["__t", "__bucket"])
+    denom = F.col("__n_vec_id") * F.col("__n_eval_id")
+    cos = F.when(
+        denom > 0,
+        dot(F.col("__v_vec_id"), F.col("__v_eval_id"), dim=dim) / denom,
+    ).otherwise(F.lit(0.0))
+    scored = cand.select(
+        "vec_id", "eval_id", cos.alias("cosine")
+    ).where(F.col("cosine") > threshold)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -329,3 +329,271 @@ def cms_join_size_estimate(
         F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
     )
     return filled.agg(F.min("ip").alias("est_join_rows"))
+
+
+# -- HyperLogLog ------------------------------------------------------------
+#
+# Mergeable distinct-count registers, built entirely from Catalyst
+# expressions over the engine-portable md5 hash family (the same
+# ``sampling.sample_key`` trick the CMS md5 family uses): the DuckDB
+# oracle can rebuild every register — and therefore the estimate —
+# bit-for-bit, so the correctness gate covers the sketch algorithm
+# itself, not just row counts.
+#
+# Design for determinism (hash-compare across two engines):
+#   * 60-bit hash h = int(md5[:15 hex]) — fits a BIGINT in both engines.
+#   * bucket = top b bits (integer shift), rest = low 60-b bits.
+#   * rho = leading-zeros(rest)+1 computed as (60-b) - length(bin(rest))
+#     + 1 — bin() drops leading zeros in both Spark and DuckDB, so the
+#     string length IS floor(log2)+1 with no floating point anywhere.
+#   * the harmonic sum Σ 2^-reg is kept as the INTEGER Σ 2^(K+1-reg)
+#     (K = 60-b; every term and the total fit a BIGINT) — an integer sum
+#     is summation-order-independent, so Spark's nondeterministic
+#     aggregation order cannot produce a different value than DuckDB's.
+#     Doubles appear only in the final one-row estimate arithmetic on
+#     exact integer inputs.
+#
+# 100 TB scale: the register frame is a map-side-combining groupBy down
+# to at most m=2^b rows per group — the classic "sketch per partition,
+# merge by max" shape; `hll_merge` is the same max-combine, so partial
+# sketches from independent scans / days / streams union for free. The
+# raw-data shuffle is ≤ m rows per group regardless of input rows.
+
+
+def _h60_md5(cols: list[Column], salt: str) -> Column:
+    """Engine-portable 60-bit hash: md5 over salt‖key, top 15 hex digits."""
+    key = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "\x1f"), key)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_build(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """``(group..., bucket, rho)`` register frame, b bits of bucket
+    (m = 2^b registers). One map-side-combining aggregation; output is
+    ≤ m rows per group. Absent buckets mean register value 0."""
+    group_cols = list(group_cols or [])
+    rbits = 60 - b
+    h = _h60_md5([F.col(c) for c in cols], salt)
+    rest = h.bitwiseAND(F.lit((1 << rbits) - 1))
+    rho = (
+        F.when(rest == 0, F.lit(rbits + 1))
+        .otherwise(F.lit(rbits + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftright(h, rbits).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register frames (same b, same group columns): register-wise
+    max — the standard HLL merge, associative and idempotent, so partial
+    sketches from any partitioning of the data combine exactly."""
+    cols = a.columns
+    assert cols == b.columns, "register frames must share schema"
+    keys = [c for c in cols if c != "rho"]
+    return a.unionByName(b).groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register frame: the
+    standard HLL estimator with the small-range linear-counting branch
+    (E_raw ≤ 2.5m and empty registers exist → m·ln(m/V)).
+
+    All aggregation is integer (order-independent); the two doubles — the
+    alpha·m²·2^(K+1) constant and the final division / ln — are computed
+    on exact integers, identically in the SQL oracle."""
+    group_cols = list(group_cols or [])
+    m = 1 << b
+    k1 = 60 - b + 1  # scaled exponent ceiling: empty register => 2^(K+1)
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(2 ** k1)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(k1) - F.col("rho")).cast("long")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    v = F.lit(m) - F.col("m_present")
+    s_total = F.col("s_present") + v * F.lit(2 ** k1).cast("long")
+    e_raw = F.lit(alpha_num) / s_total
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 3).alias("est_distinct"),
+        v.cast("long").alias("v_zeros"),
+        F.col("m_present").cast("long").alias("m_present"),
+    )
+
+
+def hll_sql(
+    table_expr: str,
+    key_expr: str,
+    *,
+    group_expr: str | None = None,
+    b: int = 8,
+    salt: str = "hll-v1",
+) -> str:
+    """DuckDB mirror of hll_build→hll_estimate for the oracle gate:
+    identical hash, identical integer register math, identical final
+    arithmetic (the alpha constant is embedded at full repr precision so
+    both engines divide the same two numbers)."""
+    m = 1 << b
+    rbits = 60 - b
+    k1 = rbits + 1
+    alpha_num = repr(0.7213 / (1.0 + 1.079 / m) * m * m * float(2 ** k1))
+    gsel = f"{group_expr} AS grp," if group_expr else ""
+    ggrp = "grp," if group_expr else ""
+    gout = "grp," if group_expr else ""
+    return f"""
+WITH h AS (
+  SELECT {gsel}
+    ('0x' || substr(md5('{salt}' || chr(31) || ({key_expr})::VARCHAR), 1, 15))::BIGINT AS h60
+  FROM {table_expr}),
+regs AS (
+  SELECT {ggrp} h60 // {1 << rbits} AS bucket,
+    max(CASE WHEN h60 % {1 << rbits} = 0 THEN {k1}
+        ELSE {k1} - length(bin(h60 % {1 << rbits})) END) AS rho
+  FROM h GROUP BY {ggrp} bucket),
+agg AS (
+  SELECT {ggrp}
+    sum(power(2.0, {k1} - rho)::BIGINT) AS s_present,
+    count(*) AS m_present
+  FROM regs GROUP BY {ggrp.rstrip(',') or '()'} )
+SELECT {gout}
+  round(CASE WHEN {alpha_num} / (s_present + ({m} - m_present) * {2 ** k1})
+                  <= {2.5 * m}
+             AND m_present < {m}
+        THEN {float(m)} * ln({m} / ({m} - m_present))
+        ELSE {alpha_num} / (s_present + ({m} - m_present) * {2 ** k1})
+        END, 3) AS est_distinct,
+  ({m} - m_present)::BIGINT AS v_zeros,
+  m_present::BIGINT AS m_present
+FROM agg
+"""
+
+
+# -- KMV (k minimum values / theta-style) set sketches ----------------------
+#
+# Distinct-count + UNION + INTERSECTION estimates from the k smallest
+# hash values per set — the bottom-k / theta-sketch family (Druid/Pinot
+# style set operations). Same portable md5 60-bit hash as HLL, so the
+# oracle replays it exactly. Everything up to the final division is
+# integer (k-th smallest hash, overlap counts), hence order-independent.
+#
+# 100 TB scale: dedupe is a map-side-combined distinct (the shuffle
+# carries per-partition DISTINCT hashes, ∝ cardinality — the price of
+# wanting set ALGEBRA; pure counting should use HLL above, whose shuffle
+# is ≤ m register rows), then the bottom-k is a TakeOrdered: k rows per
+# partition partial, one k-row merge. Union/intersection run on ≤ 2k
+# rows. Steady-state refinement at extreme scale: pre-filter
+# h < c·k·2^60/n̂ from a prior cardinality estimate before the distinct,
+# which drops the shuffle to O(k) — the standard theta-sketch theta-cut.
+
+
+def kmv_build(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 256,
+    salt: str = "kmv-v1",
+    set_name: str = "s",
+) -> DataFrame:
+    """``(set_name, h)`` — the k smallest distinct 60-bit hashes of the
+    key. Distinct first (a hash value enters once), then ascending
+    top-k."""
+    h = _h60_md5([F.col(c) for c in cols], salt)
+    return (
+        df.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .select(F.lit(set_name).alias("s"), "h")
+    )
+
+
+def kmv_estimate(kmv: DataFrame, *, k: int = 256) -> DataFrame:
+    """``(s, est_distinct)`` per set: (k-1) · 2^60 / h_(k). If a set has
+    fewer than k distinct hashes the sketch IS the exact set — estimate =
+    its size."""
+    agg = kmv.groupBy("s").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("n")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(2 ** 60)) / F.col("hk"))
+    return agg.select("s", F.round(est, 3).alias("est_distinct"))
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """One row of set-operation estimates from two KMV sketches:
+    ``(est_a, est_b, est_union, est_intersection, jaccard_k)``.
+
+    Union sketch = k smallest of the merged distinct hashes (a valid KMV
+    of A∪B by construction). Intersection via the standard theta-style
+    rule: ρ = |union-sketch ∩ A-sketch ∩ B-sketch| / k and
+    est∩ = ρ · est∪ — integer overlap count, one final division."""
+    ka = a.select(F.col("h").alias("ha"))
+    kb = b.select(F.col("h").alias("hb"))
+    union_k = (
+        ka.select(F.col("ha").alias("h"))
+        .unionByName(kb.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    # membership of the union sketch's hashes in both input sketches
+    marked = (
+        union_k.join(ka, union_k.h == ka.ha, "left")
+        .join(kb, union_k.h == kb.hb, "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("inboth"),
+        )
+    )
+    ua = kmv_estimate(a.select(F.lit("a").alias("s"), "h"), k=k)
+    ub = kmv_estimate(b.select(F.lit("b").alias("s"), "h"), k=k)
+    uu = kmv_estimate(
+        union_k.select(F.lit("u").alias("s"), "h"), k=k
+    )
+    ov = marked.agg(
+        F.sum(F.col("inboth").cast("long")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return (
+        ua.select(F.col("est_distinct").alias("est_a"))
+        .crossJoin(ub.select(F.col("est_distinct").alias("est_b")))
+        .crossJoin(uu.select(F.col("est_distinct").alias("est_union")))
+        .crossJoin(ov)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("n_both") / F.col("n_union") * F.col("est_union"), 3
+            ).alias("est_intersection"),
+            F.round(F.col("n_both") / F.col("n_union"), 6).alias("jaccard_k"),
+        )
+    )

@@ -243,3 +243,104 @@ class ContinuousHeavyHitters:
         return self._estimate(cands, merged).where(
             F.col("freq_est") >= self.threshold
         )
+
+
+class ContinuousDistinct:
+    """Continuously-maintained HyperLogLog distinct count.
+
+    ``update(batch)`` folds each micro-batch's register frame into the
+    running sketch (``foreachBatch``-compatible); ``estimate()`` returns
+    the current distinct-count estimate, ``registers()`` the merged
+    register frame. Register merge is MAX — associative, commutative and
+    idempotent — so compaction order, replay of a crashed compaction, and
+    overlap across deltas are all harmless by algebra; the only replay
+    hazard left is appending the same batch twice, closed by the same
+    max-committed-batch_id guard as :class:`ContinuousHeavyHitters`.
+
+    State is O(m) register CELLS per generation regardless of key
+    cardinality (m = 2^b, default 256) — the sketch the reference-style
+    continuous rollup wants for COUNT DISTINCT, where the exact answer
+    would require unbounded key state. Same storage contract as the other
+    continuous maintainers here: ``path`` must be one shared POSIX
+    filesystem visible to driver and executors (manifest/GC are
+    driver-local file I/O).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        key_cols: list[str],
+        b: int = 8,
+        salt: str = "hll-v1",
+        compact_every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.b = b
+        self.salt = salt
+        self.compact_every = compact_every
+        os.makedirs(path, exist_ok=True)
+
+    def _manifest(self) -> dict:
+        p = f"{self.path}/manifest.json"
+        if not os.path.exists(p):
+            return {"version": 0, "base": None, "deltas": [], "max_batch_id": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{self.path}/manifest.json")
+
+    def _merged(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        df = self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+        return df.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+    def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from proxima_platform_spark.functions.sketch import hll_build
+
+        m = self._manifest()
+        if batch_id is not None:
+            if m["max_batch_id"] is not None and batch_id <= m["max_batch_id"]:
+                return
+            m["max_batch_id"] = batch_id
+        v = m["version"] + 1
+        delta = f"delta/d{v}"
+        hll_build(batch, self.key_cols, b=self.b, salt=self.salt).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{delta}")
+        m["version"] = v
+        m["deltas"] = m["deltas"] + [delta]
+        self._write_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        m = self._manifest()
+        merged = self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
+        if merged is None:
+            return
+        new_base = f"base/g{m['version']}"
+        merged.write.mode("overwrite").parquet(f"{self.path}/{new_base}")
+        old = ([m["base"]] if m["base"] else []) + m["deltas"]
+        m["base"], m["deltas"] = new_base, []
+        self._write_manifest(m)
+        for p in old:
+            shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
+
+    def registers(self) -> DataFrame | None:
+        m = self._manifest()
+        return self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
+
+    def estimate(self) -> DataFrame | None:
+        from proxima_platform_spark.functions.sketch import hll_estimate
+
+        regs = self.registers()
+        return None if regs is None else hll_estimate(regs, b=self.b)

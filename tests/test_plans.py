@@ -730,3 +730,62 @@ class TestR07ExtensionPlans:
             j in plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         )
+
+    def test_distinct_hll_two_hashaggs_no_expand(self, spark, sf_dir):
+        # register build = one map-side-combining agg (≤ m rows/group out),
+        # estimate = a second tiny agg; no count(distinct) Expand, no
+        # joins, no Python anywhere — the whole sketch is codegen exprs
+        df = entry.q_distinct_hll(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Expand" not in plan
+        assert "Join" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert count_exchanges(df) <= 2  # build agg + estimate agg
+
+    def test_hll_union_registers_single_merge_agg(self, spark, sf_dir):
+        # two slice builds + max-merge: the merge is itself a hash agg on
+        # bucket — the mergeability story; still no Python, no Expand
+        df = entry.q_hll_union_distinct(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Expand" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert "Union" in plan
+
+    def test_kmv_sketches_are_takeordered(self, spark, sf_dir):
+        # bottom-k per set = TakeOrdered (per-partition partial top-k, one
+        # k-row merge) — never a full sort of the distinct keys
+        df = entry.q_kmv_set_ops(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "TakeOrderedAndProject" in plan
+        # (the estimate combiners crossJoin 1-row frames — a broadcast
+        # nested loop over single rows, not a data-scale product; the
+        # k-row sketch joins themselves must stay equi)
+        # the scans push the set predicates down
+        assert "PushedFilters" in plan
+
+    def test_ivm_agg_apply_no_full_history_rescan(self, spark, sf_dir):
+        # the t1 state of changed cells comes from (base ∪ delta) of those
+        # cells only — the plan must not contain a second full-table
+        # snapshot at t1: every events scan is bounded by a pushed stamp
+        # predicate, and the changed-cell restriction is a semi join
+        df = entry.q_ivm_agg_apply(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "LeftSemi" in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_semantic_decontaminate_broadcast_eval_no_cartesian(self, spark, sf_dir):
+        # eval side broadcast into the bucket equi-join: the train corpus
+        # never shuffles; candidates bounded by bucket collisions
+        df = entry.q_semantic_decontaminate(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Window" in plan  # top-1 eval match per train vector
+
+    def test_semantic_decontaminate_not_vacuous(self, spark, sf_dir):
+        n = entry.q_semantic_decontaminate(spark, sf_dir).count()
+        assert n >= 5  # the fixture has real cross-split near-dups

@@ -348,3 +348,83 @@ class TestEmbeddingWhitenEmpty:
         emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with _pytest.raises(ValueError, match="at least 2 rows"):
             embedding_whiten(emb, dim=3)
+
+
+class TestEmbeddingDecontaminate:
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16)).astype("float32")
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+        # eval ids = multiples of 10; plant near-dups of eval vectors in
+        # the train side (slightly perturbed copies)
+        for j, src in enumerate([0, 10, 20, 30]):
+            # 101..104: ids NOT divisible by 10, so the copies stay on the
+            # train side of the %10 split
+            v = base[src] + rng.normal(scale=0.01, size=16).astype("float32")
+            rows.append((101 + j, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_flags_planted_near_dups(self, spark):
+        from proxima_platform_spark.functions.dedup import embedding_decontaminate
+
+        emb = self._emb(spark)
+        train = emb.where(F.col("vec_id") % 10 != 0)
+        ev = emb.where(F.col("vec_id") % 10 == 0)
+        hits = embedding_decontaminate(
+            train, ev, threshold=0.95, num_planes=4, num_tables=4, dim=16
+        ).collect()
+        got = {(r.vec_id, r.eval_id) for r in hits}
+        # the planted copies point at their eval sources (4 planes x 4
+        # tables at cosine ~0.9999: collision probability ~1)
+        for j, src in enumerate([0, 10, 20, 30]):
+            assert (101 + j, src) in got
+        # and nothing else clears 0.95 (independent gaussians in 16-d)
+        assert all(v >= 101 for v, _ in got)
+
+    def test_one_row_per_train_vector(self, spark):
+        from proxima_platform_spark.functions.dedup import embedding_decontaminate
+
+        emb = self._emb(spark)
+        train = emb.where(F.col("vec_id") % 10 != 0)
+        ev = emb.where(F.col("vec_id") % 10 == 0)
+        hits = embedding_decontaminate(
+            train, ev, threshold=0.5, num_planes=2, num_tables=4, dim=16
+        )
+        ids = [r.vec_id for r in hits.collect()]
+        assert len(ids) == len(set(ids))  # window keeps exactly one match
+
+    def test_matches_bruteforce_on_candidates_superset(self, spark):
+        """With enough tables the LSH candidates cover every true pair, so
+        the result equals the brute-force top-1-over-threshold."""
+        from proxima_platform_spark.functions.dedup import embedding_decontaminate
+
+        emb = self._emb(spark)
+        train = emb.where(F.col("vec_id") % 10 != 0)
+        ev = emb.where(F.col("vec_id") % 10 == 0)
+        got = {
+            (r.vec_id, r.eval_id, round(r.cosine, 6))
+            for r in embedding_decontaminate(
+                train, ev, threshold=0.9, num_planes=1, num_tables=8, dim=16
+            ).collect()
+        }
+        t = [(r.vec_id, r.embedding) for r in train.collect()]
+        e = [(r.vec_id, r.embedding) for r in ev.collect()]
+        import numpy as np
+
+        want = set()
+        for ti, tv in t:
+            best = None
+            for ei, evv in e:
+                a, b = np.array(tv, dtype="float64"), np.array(evv, dtype="float64")
+                c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if c > 0.9 and (best is None or c > best[1] or (c == best[1] and ei < best[0])):
+                    best = (ei, c)
+            if best:
+                want.add((ti, best[0]))
+        assert {(a, b) for a, b, _ in got} == want

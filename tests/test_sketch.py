@@ -253,3 +253,122 @@ class TestBitmapAndGini:
         n, tot = len(xs), sum(xs)
         gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * tot)
         assert gini > 0.85
+
+
+class TestHll:
+    """HyperLogLog register frames: accuracy, mergeability, branch
+    coverage, and the integer-register invariants that make the oracle
+    hash-compare sound."""
+
+    def _ids(self, spark, n, start=0):
+        return spark.range(start, start + n).selectExpr("id AS k")
+
+    def test_raw_branch_accuracy(self, spark):
+        from proxima_platform_spark.functions.sketch import hll_build, hll_estimate
+
+        n = 5000  # >> 2.5 * m: raw harmonic-mean branch
+        regs = hll_build(self._ids(spark, n), ["k"], b=8)
+        [r] = hll_estimate(regs, b=8).collect()
+        assert r.v_zeros == 0 or r.m_present > 200
+        # m=256 -> relative std error ~1.04/sqrt(m) = 6.5%; allow 4 sigma
+        assert abs(r.est_distinct - n) / n < 0.26
+
+    def test_linear_counting_branch(self, spark):
+        from proxima_platform_spark.functions.sketch import hll_build, hll_estimate
+
+        n = 40  # << m: linear counting m*ln(m/V)
+        regs = hll_build(self._ids(spark, n), ["k"], b=8)
+        [r] = hll_estimate(regs, b=8).collect()
+        assert r.v_zeros > 0
+        assert abs(r.est_distinct - n) / n < 0.15
+
+    def test_merge_equals_union_build(self, spark):
+        from proxima_platform_spark.functions.sketch import (
+            hll_build,
+            hll_estimate,
+            hll_merge,
+        )
+
+        a = self._ids(spark, 1000)          # 0..999
+        b = self._ids(spark, 1000, 500)     # 500..1499 (overlap 500)
+        merged = hll_merge(hll_build(a, ["k"]), hll_build(b, ["k"]))
+        direct = hll_build(a.unionAll(b), ["k"])
+        got = {(r.bucket, r.rho) for r in merged.collect()}
+        want = {(r.bucket, r.rho) for r in direct.collect()}
+        assert got == want  # register-exact, not just estimate-close
+        [em] = hll_estimate(merged).collect()
+        [ed] = hll_estimate(direct).collect()
+        assert em.est_distinct == ed.est_distinct
+
+    def test_merge_idempotent(self, spark):
+        from proxima_platform_spark.functions.sketch import hll_build, hll_merge
+
+        a = hll_build(self._ids(spark, 300), ["k"])
+        twice = hll_merge(a, a)
+        assert {(r.bucket, r.rho) for r in twice.collect()} == {
+            (r.bucket, r.rho) for r in a.collect()
+        }
+
+    def test_registers_integer_and_bounded(self, spark):
+        from proxima_platform_spark.functions.sketch import hll_build
+
+        regs = hll_build(self._ids(spark, 2000), ["k"], b=8).collect()
+        assert len(regs) <= 256
+        for r in regs:
+            assert 0 <= r.bucket < 256
+            assert 1 <= r.rho <= 53
+
+    def test_group_cols(self, spark):
+        from proxima_platform_spark.functions.sketch import hll_build, hll_estimate
+
+        df = spark.range(4000).selectExpr("id % 2 AS g", "id AS k")
+        est = hll_estimate(
+            hll_build(df, ["k"], group_cols=["g"]), group_cols=["g"]
+        ).collect()
+        assert len(est) == 2
+        for r in est:
+            assert abs(r.est_distinct - 2000) / 2000 < 0.26
+
+
+class TestKmv:
+    def test_exact_when_small(self, spark):
+        from proxima_platform_spark.functions.sketch import kmv_build, kmv_estimate
+
+        df = spark.range(100).selectExpr("id AS k")
+        sk = kmv_build(df, ["k"], k=256)
+        [r] = kmv_estimate(sk, k=256).collect()
+        assert r.est_distinct == 100.0  # fewer than k hashes -> exact
+
+    def test_estimate_accuracy(self, spark):
+        from proxima_platform_spark.functions.sketch import kmv_build, kmv_estimate
+
+        df = spark.range(20000).selectExpr("id AS k")
+        sk = kmv_build(df, ["k"], k=256)
+        assert sk.count() == 256
+        [r] = kmv_estimate(sk, k=256).collect()
+        # RSE ~ 1/sqrt(k-2) = 6.3%; allow 4 sigma
+        assert abs(r.est_distinct - 20000) / 20000 < 0.26
+
+    def test_set_ops(self, spark):
+        from proxima_platform_spark.functions.sketch import kmv_build, kmv_set_ops
+
+        a = spark.range(0, 6000).selectExpr("id AS k")
+        b = spark.range(3000, 9000).selectExpr("id AS k")
+        ka = kmv_build(a, ["k"], k=256, set_name="a")
+        kb = kmv_build(b, ["k"], k=256, set_name="b")
+        [r] = kmv_set_ops(ka, kb, k=256).collect()
+        assert abs(r.est_union - 9000) / 9000 < 0.3
+        assert abs(r.est_intersection - 3000) / 3000 < 0.45
+        assert 0.0 < r.jaccard_k < 1.0
+
+    def test_disjoint_sets(self, spark):
+        from proxima_platform_spark.functions.sketch import kmv_build, kmv_set_ops
+
+        a = spark.range(0, 5000).selectExpr("id AS k")
+        b = spark.range(10000, 15000).selectExpr("id AS k")
+        ka = kmv_build(a, ["k"], k=128, set_name="a")
+        kb = kmv_build(b, ["k"], k=128, set_name="b")
+        [r] = kmv_set_ops(ka, kb, k=128).collect()
+        # overlap count is integer-exact over the sketches: 0 for disjoint
+        # hash sets (md5 collisions across 5k+5k 60-bit hashes: none)
+        assert r.est_intersection == 0.0 and r.jaccard_k == 0.0

@@ -1284,6 +1284,66 @@ class TestContinuousHeavyHitters:
         assert m["base"] is not None
 
 
+class TestContinuousDistinct:
+    def test_streaming_registers_equal_batch_build(self, spark, tmp_path):
+        """Maintained HLL (streaming/sketch_stream.ContinuousDistinct):
+        after any batch sequence — including an overlapping re-delivery of
+        old KEYS (not a replayed batch_id) and a compaction — the merged
+        registers equal the batch hll_build over the union, hence the
+        estimate equals the batch estimate exactly."""
+        from proxima_platform_spark.functions.sketch import (
+            hll_build,
+            hll_estimate,
+        )
+        from proxima_platform_spark.streaming.sketch_stream import (
+            ContinuousDistinct,
+        )
+
+        schema = "k long"
+        batches = [
+            list(range(0, 400)),
+            list(range(300, 800)),   # overlaps the first batch
+            list(range(700, 900)),
+        ]
+        cd = ContinuousDistinct(
+            spark, str(tmp_path / "hll"), key_cols=["k"], b=8, compact_every=2
+        )
+        for i, ks in enumerate(batches):
+            cd.update(spark.createDataFrame([(k,) for k in ks], schema), i)
+
+        full = spark.createDataFrame(
+            [(k,) for b in batches for k in b], schema
+        )
+        want = {
+            (r.bucket, r.rho)
+            for r in hll_build(full, ["k"], b=8).collect()
+        }
+        got = {(r.bucket, r.rho) for r in cd.registers().collect()}
+        assert got == want
+        [es] = cd.estimate().collect()
+        [eb] = hll_estimate(hll_build(full, ["k"], b=8), b=8).collect()
+        assert es.est_distinct == eb.est_distinct
+        assert abs(es.est_distinct - 900) / 900 < 0.26
+        # compaction ran (compact_every=2)
+        assert cd._manifest()["base"] is not None
+
+    def test_replayed_batch_id_is_noop(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.sketch_stream import (
+            ContinuousDistinct,
+        )
+
+        cd = ContinuousDistinct(
+            spark, str(tmp_path / "hll2"), key_cols=["k"], b=8
+        )
+        df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        cd.update(df, 0)
+        before = {(r.bucket, r.rho) for r in cd.registers().collect()}
+        v_before = cd._manifest()["version"]
+        cd.update(df, 0)  # at-least-once replay: must not append a delta
+        assert cd._manifest()["version"] == v_before
+        assert {(r.bucket, r.rho) for r in cd.registers().collect()} == before
+
+
 class TestStreamingAttribution:
     def test_streaming_credit_equals_batch_window(self, spark, tmp_path):
         """Streaming last-touch attribution (functions/timeseries.
