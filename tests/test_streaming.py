@@ -1344,6 +1344,92 @@ class TestContinuousDistinct:
         assert {(r.bucket, r.rho) for r in cd.registers().collect()} == before
 
 
+class TestContinuousSnapshotAgg:
+    def _batch(self, spark, rows):
+        from proxima_platform_spark.changelog import to_changelog
+
+        df = spark.createDataFrame(
+            rows,
+            "key string, attribute string, stamp_ms long, value double, op string",
+        ).select(
+            "key", "attribute",
+            F.timestamp_millis(F.col("stamp_ms")).alias("tsc"),
+            "value", "op",
+            F.monotonically_increasing_id().alias("seq"),
+        )
+        return to_changelog(
+            df, entity="e", key="key", attribute="attribute", stamp="tsc",
+            value=F.encode(F.col("value").cast("string"), "UTF-8"),
+            seq_id="seq",
+            delete=F.col("op") == "delete",
+            delete_wildcard=F.col("op") == "delete_wildcard",
+        )
+
+    def test_maintained_agg_equals_batch_recompute(self, spark, tmp_path):
+        """Retraction-correct streaming aggregate maintainer
+        (streaming/ivm_stream.ContinuousSnapshotAgg): after every batch —
+        through updates, deletes, a wildcard tombstone, and a compaction
+        — current() is BIT-equal to the batch snapshot aggregate of the
+        union so far (decimal accumulation, operators/ivm.py)."""
+        from proxima_platform_spark.changelog import snapshot
+        from proxima_platform_spark.operators.ivm import cell_contributions
+        from proxima_platform_spark.streaming.ivm_stream import (
+            ContinuousSnapshotAgg,
+        )
+
+        val = F.decode(F.col("value"), "UTF-8").cast("decimal(18,2)")
+        batches = [
+            [("u1", "a", 100, 1.00, "upsert"), ("u2", "a", 110, 2.25, "upsert"),
+             ("u1", "m.x", 120, 3.00, "upsert")],
+            [("u1", "a", 200, 5.00, "upsert"),          # update: retract 1.00
+             ("u2", "a", 210, 0.00, "delete"),          # delete: retract 2.25
+             ("u3", "b", 220, 7.50, "upsert")],
+            [("u1", "m.*", 300, 0.00, "delete_wildcard"),  # prefix retract
+             ("u3", "b", 310, 8.00, "upsert")],
+            [("u1", "m.y", 400, 9.00, "upsert")],       # post-tombstone write
+        ]
+        agg = ContinuousSnapshotAgg(
+            spark, str(tmp_path / "csa"),
+            group_cols=["attribute"], value=val, compact_every=2,
+        )
+        union_rows = []
+        for i, rows in enumerate(batches):
+            union_rows += rows
+            agg.update(self._batch(spark, rows), i)
+            got = {
+                (r.attribute, r.n_cells, r.total)
+                for r in agg.current().collect()
+            }
+            want = {
+                (r.attribute, r.n_cells, r.total)
+                for r in cell_contributions(
+                    snapshot(self._batch(spark, union_rows)), val, ["attribute"]
+                ).collect()
+            }
+            assert got == want, f"batch {i}: {got} != {want}"
+        # compaction ran and folded generations
+        assert agg._manifest()["base"] is not None
+
+    def test_replay_is_noop_and_state_consistent(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.ivm_stream import (
+            ContinuousSnapshotAgg,
+        )
+
+        val = F.decode(F.col("value"), "UTF-8").cast("decimal(18,2)")
+        agg = ContinuousSnapshotAgg(
+            spark, str(tmp_path / "csa2"), group_cols=["attribute"], value=val
+        )
+        b0 = self._batch(spark, [("u1", "a", 100, 4.00, "upsert")])
+        agg.update(b0, 0)
+        before = {(r.attribute, r.n_cells, r.total) for r in agg.current().collect()}
+        v = agg._manifest()["version"]
+        agg.update(b0, 0)  # at-least-once replay
+        assert agg._manifest()["version"] == v
+        assert {
+            (r.attribute, r.n_cells, r.total) for r in agg.current().collect()
+        } == before
+
+
 class TestStreamingAttribution:
     def test_streaming_credit_equals_batch_window(self, spark, tmp_path):
         """Streaming last-touch attribution (functions/timeseries.
