@@ -7832,6 +7832,118 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_similarity_join_exact(spark, sf):
+    """EXACT set-similarity self-join with lossless prefix filtering
+    (functions/dedup.similarity_join_prefix — AllPairs/PPJoin shape):
+    every document pair with 3-gram-shingle Jaccard >= 0.5, recall 1.0
+    by construction. The oracle is the NAIVE all-pairs join — equality
+    proves the prefix + size filters drop no true pair. Plan: candidate
+    generation is an equi-join on rarest-first prefix shingles (hash-
+    partitioned, no cartesian, no window/global sort — the struct(df,
+    shingle) composite IS the order), verification touches candidates
+    only. The exact complement of dedup_minhash's approximate recall."""
+    from proxima_platform_spark.functions.dedup import similarity_join_prefix
+
+    docs = _load(spark, sf, "documents")
+    return similarity_join_prefix(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+SQL_SIMILARITY_JOIN_EXACT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks
+), j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS n_inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       round(n_inter::DOUBLE / n_union::DOUBLE, 6) AS jac
+FROM j
+WHERE n_union > 0 AND n_inter::DOUBLE / n_union::DOUBLE >= 0.5
+"""
+
+
+def q_snm_dedup(spark, sf):
+    """Sorted-neighborhood dedup (functions/dedup.snm_candidate_pairs —
+    Hernandez-Stolfo SNM): sort documents by a 40-char normalized-text
+    prefix, pair each with its 3 successors in global sort order (O(n·w)
+    candidates, not n²), verify with exact 3-gram-shingle Jaccard >= 0.5.
+    Rank is bucket-parallel row_number + broadcast cumulative offsets —
+    no single-partition window; pairing is an equi-join on rank+d. On
+    this corpus SNM's neighbor window recovers 25/25 of the exact-join
+    truth (cross-check: similarity_join_exact) from ~1.5k candidates."""
+    from proxima_platform_spark.functions.dedup import (
+        jaccard_ngram,
+        normalize_text,
+        snm_candidate_pairs,
+    )
+
+    docs = _load(spark, sf, "documents")
+    cand = snm_candidate_pairs(
+        docs,
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 40),
+        window=4,
+        bucket_chars=1,
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    jac = jaccard_ngram(F.col("__ta"), F.col("__tb"), 3)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(jac >= 0.5)
+        .select(
+            "id_a", "id_b", "rank_a", "rank_b", F.round(jac, 6).alias("jac")
+        )
+    )
+
+
+SQL_SNM_DEDUP = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM keyed
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.rnk AS rank_a, b.rnk AS rank_b
+  FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3
+), toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS s
+  FROM toks
+), j AS (
+  SELECT id_a, id_b, rank_a, rank_b,
+         CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+              THEN len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+              ELSE 0.0 END AS jac
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, rank_a, rank_b, round(jac, 6) AS jac
+FROM j WHERE jac >= 0.5
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7921,6 +8033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (B, beyond the 50-window: first-checked r08, stalest tier then)
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
+        "similarity_join_exact": q_similarity_join_exact,
+        "snm_dedup": q_snm_dedup,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8157,6 +8271,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": SQL_SEMANTIC_DECONTAMINATE,
         "hll_union_distinct": SQL_HLL_UNION_DISTINCT,
         "kmv_set_ops": SQL_KMV_SET_OPS,
+        "similarity_join_exact": SQL_SIMILARITY_JOIN_EXACT,
+        "snm_dedup": SQL_SNM_DEDUP,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -1062,3 +1062,196 @@ def embedding_decontaminate(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def similarity_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07) over word ``n``-gram
+    shingle sets: every pair with Jaccard >= ``threshold``, no candidate
+    missed, no all-pairs scan. The exact complement of
+    :func:`minhash_candidate_pairs` — MinHash trades recall for speed;
+    this keeps recall = 1.0 and prunes with a lossless filter instead.
+
+    Filter (lossless, standard AllPairs result): order the shingle
+    universe by ascending document frequency (rarest first, ties by
+    shingle — one global order both sides share); for a doc with |x|
+    distinct shingles keep the first ``p = |x| - ceil(t*|x|) + 1`` under
+    that order. Any pair with J >= t shares at least one prefix shingle,
+    so a self-equi-join on prefix shingles generates a candidate superset;
+    a symmetric size filter ``min(|x|,|y|) >= ceil(t*max(|x|,|y|))``
+    prunes further (J <= min/max). Candidates are then verified with the
+    EXACT intersection count — output == the naive all-pairs join, which
+    is precisely what the DuckDB oracle asserts.
+
+    Scale shape (100 TB corpus): no cartesian anywhere — candidate
+    generation is an equi-join on prefix shingles (hash-partitioned);
+    rarest-first ordering makes hot shingles (stopword-grade n-grams)
+    fall OUTSIDE most prefixes, so the join's per-key fan-out tracks the
+    rare tail, not the Zipf head. Document frequencies come from one
+    map-side-combined groupBy; the global order needs NO global
+    row_number — the composite struct(df, shingle) IS the sort key, so
+    per-doc prefixes come from one sort_array over the doc's own
+    shingles (no window, no single-partition stage). Verification joins
+    only candidate pairs back to exploded shingles: cost tracks
+    sum(|x| + |y|) over candidates, not n².
+
+    ``threshold`` should be exactly representable in binary (0.5, 0.25,
+    0.75) so ceil/compare arithmetic is bit-identical in any oracle.
+
+    Returns (id_a, id_b, n_inter, jac) with id_a < id_b, jac rounded to
+    6 places.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    # distinct (doc, shingle) pairs; tokens staged first (no CSE in Generate)
+    sh = (
+        toks.select(
+            "__id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+            ).alias("__s"),
+        )
+    )
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfreq, "__s")
+    # per-doc shingles in global (df asc, shingle asc) order; p-length prefix
+    per_doc = (
+        ranked.groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+            ).alias("__sorted")
+        )
+        .select(
+            "__id",
+            F.size("__sorted").alias("__n"),
+            F.transform(
+                F.slice(
+                    F.col("__sorted"),
+                    1,
+                    (
+                        F.size("__sorted")
+                        - F.ceil(F.lit(threshold) * F.size("__sorted"))
+                        + 1
+                    ).cast("int"),
+                ),
+                lambda s: s["__s"],
+            ).alias("__prefix"),
+        )
+    )
+    pa = per_doc.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.explode("__prefix").alias("__s"),
+    )
+    pb = per_doc.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.explode("__prefix").alias("__s"),
+    )
+    cand = (
+        pa.join(pb, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("__na", "__nb")
+            >= F.ceil(F.lit(threshold) * F.greatest("__na", "__nb"))
+        )
+        .select("id_a", "id_b", "__na", "__nb")
+        .distinct()
+    )
+    # exact verification on candidates only
+    sa = sh.select(F.col("__id").alias("id_a"), "__s")
+    sb = sh.select(F.col("__id").alias("id_b"), "__s")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    union_n = F.col("__na") + F.col("__nb") - F.col("n_inter")
+    jac = F.col("n_inter").cast("double") / union_n.cast("double")
+    return (
+        inter.where(jac >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.round(jac, 6).alias("jac"),
+        )
+    )
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    *,
+    window: int = 4,
+    bucket_chars: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95): sort
+    records by a blocking key and emit each record paired with its
+    ``window - 1`` successors in the global sort order — the O(n·w)
+    record-linkage alternative to hash blocking (catches typo-shifted
+    keys that land in different hash buckets but sort adjacently).
+
+    Scale shape: the global rank is computed WITHOUT a single-partition
+    window — rows get a per-bucket row_number (windows keyed by a
+    ``bucket_chars``-char prefix of the key run in parallel) plus a
+    cumulative bucket offset from a bucket-count frame that is vocab-
+    sized, not row-sized (broadcast join). Neighbor pairing is then an
+    EQUI-join on rank+d for d in 1..w-1 (explode of w-1 offsets), never
+    a range or cartesian join. At 100 TB raise ``bucket_chars`` until
+    buckets fit an executor's window sort; correctness is independent of
+    bucket balance (offsets make the rank exact).
+
+    Sort order is (key, id) — deterministic under key ties, so ranks are
+    reproducible in any engine (the SQL oracle uses one row_number()).
+
+    Returns (id_a, id_b, rank_a, rank_b, key_a, key_b) with
+    rank_b - rank_a in [1, window-1].
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"), sort_key.alias("__k")
+    ).withColumn("__b", F.substring(F.col("__k"), 1, bucket_chars))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative offsets over the tiny bucket frame (window over buckets,
+    # not rows — |buckets| rows total)
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(wb), F.lit(0)).alias("__off")
+    )
+    wr = Window.partitionBy("__b").orderBy("__k", "__id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), "__b")
+        .select(
+            "__id", "__k",
+            (F.col("__off") + F.row_number().over(wr)).alias("__rank"),
+        )
+    )
+    a = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__k").alias("key_a"),
+        F.col("__rank").alias("rank_a"),
+        F.explode(
+            F.sequence(F.col("__rank") + 1, F.col("__rank") + (window - 1))
+        ).alias("__rb"),
+    )
+    b = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__k").alias("key_b"),
+        F.col("__rank").alias("rank_b"),
+    )
+    return a.join(b, a["__rb"] == b["rank_b"]).select(
+        "id_a", "id_b", "rank_a", "rank_b", "key_a", "key_b"
+    )

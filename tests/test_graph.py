@@ -241,3 +241,141 @@ class TestPagerankInt:
         got = {r.node: r.rank for r in pagerank_int(df).collect()}
         assert got["hub"] > max(v for k, v in got.items() if k != "hub")
         assert got == self._model(edges)
+
+
+class TestSimilarityJoinPrefix:
+    """similarity_join_prefix (functions/dedup.py): EXACT set-similarity
+    self-join with lossless AllPairs/PPJoin prefix filtering — output must
+    equal the naive all-pairs shingle-Jaccard join, with no cartesian in
+    the plan."""
+
+    def _naive(self, spark, docs, threshold):
+        from proxima_platform_spark.functions.dedup import ngram_shingles
+
+        sh = docs.select(
+            "doc_id", F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("s")
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect("sa", "sb"))
+        union = F.size("sa") + F.size("sb") - inter
+        jac = inter.cast("double") / union.cast("double")
+        return {
+            (r.id_a, r.id_b, r.n_inter, r.jac)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .where(union > 0)
+            .where(jac >= threshold)
+            .select(
+                "id_a", "id_b", inter.alias("n_inter"),
+                F.round(jac, 6).alias("jac"),
+            )
+            .collect()
+        }
+
+    def test_equals_naive_join_and_boundary_pair(self, spark):
+        from proxima_platform_spark.functions.dedup import similarity_join_prefix
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),            # shingles {abc, bcd, cde}
+                (2, "a b c d f"),            # {abc, bcd, cdf}: jac(1,2)=0.5 EXACT
+                (3, "a b c d e"),            # exact dup of 1
+                (4, "x y z w v u t"),        # unrelated
+                (5, "x y z w v u q"),        # near-dup of 4 (4/6 shingles... 3/7)
+                (6, "too short"),            # < 3 tokens: empty shingle set
+                (7, "p q"),                  # < 3 tokens
+            ],
+            "doc_id int, text string",
+        )
+        got = {
+            (r.id_a, r.id_b, r.n_inter, r.jac)
+            for r in similarity_join_prefix(
+                docs, "doc_id", "text", n=3, threshold=0.5
+            ).collect()
+        }
+        assert got == self._naive(spark, docs, 0.5)
+        # the exact-threshold pair survives (jac == t, >= not >)
+        assert (1, 2, 2, 0.5) in got
+        # exact dup pair at jac 1.0
+        assert (1, 3, 3, 1.0) in got
+        # empty-shingle docs never pair (naive excludes union=0 too)
+        assert not any(6 in (p[0], p[1]) or 7 in (p[0], p[1]) for p in got)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from proxima_platform_spark.functions.dedup import similarity_join_prefix
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+            "doc_id int, text string",
+        )
+        out = similarity_join_prefix(docs, "doc_id", "text", threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_random_corpus_matches_naive(self, spark):
+        from proxima_platform_spark.functions.dedup import similarity_join_prefix
+
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = []
+        for i in range(40):
+            k = rng.randint(3, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        # plant mutated near-dups to exercise the >= t band
+        for j in range(10):
+            base = rows[j][1].split()
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+            rows.append((100 + j, " ".join(base)))
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        for t in (0.25, 0.5, 0.75):
+            got = {
+                (r.id_a, r.id_b, r.n_inter, r.jac)
+                for r in similarity_join_prefix(
+                    docs, "doc_id", "text", n=3, threshold=t
+                ).collect()
+            }
+            assert got == self._naive(spark, docs, t), f"threshold {t}"
+
+
+class TestSortedNeighborhood:
+    """snm_candidate_pairs (functions/dedup.py): exact global rank from
+    bucket-parallel row_number + cumulative offsets; neighbor pairing is
+    an equi-join on rank+d."""
+
+    def test_ranks_and_window_pairs_exact(self, spark):
+        from proxima_platform_spark.functions.dedup import snm_candidate_pairs
+
+        # deliberately unbalanced buckets ('a' x4, 'b' x1, 'z' x2) — the
+        # offsets must still produce the exact global (key, id) rank
+        rows = [
+            (1, "apple"), (2, "apricot"), (3, "avocado"), (4, "apple"),
+            (5, "banana"), (6, "zebra"), (7, "zucchini"),
+        ]
+        df = spark.createDataFrame(rows, "id int, k string")
+        got = {
+            (r.id_a, r.id_b, r.rank_a, r.rank_b)
+            for r in snm_candidate_pairs(
+                df, "id", F.col("k"), window=3, bucket_chars=1
+            ).collect()
+        }
+        # sorted order: apple(1), apple(4), apricot(2), avocado(3),
+        #               banana(5), zebra(6), zucchini(7) -> ranks 1..7
+        order = [1, 4, 2, 3, 5, 6, 7]
+        want = set()
+        for i, ida in enumerate(order):
+            for d in (1, 2):
+                if i + d < len(order):
+                    want.add((ida, order[i + d], i + 1, i + 1 + d))
+        assert got == want
+
+    def test_no_cartesian_and_offsets_broadcast(self, spark):
+        from proxima_platform_spark.functions.dedup import snm_candidate_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"k{i:03d}") for i in range(50)], "id int, k string"
+        )
+        out = snm_candidate_pairs(df, "id", F.col("k"), window=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
