@@ -7944,6 +7944,61 @@ FROM j WHERE jac >= 0.5
 """
 
 
+def q_scd2_history(spark, sf):
+    """SCD2 validity intervals (changelog.history_intervals): every
+    VERSION of each device.<n> cell as [valid_from, valid_to) with
+    is_current — the interval read of the same history
+    wildcard_tombstone_snapshot collapses to a point (tombstones close
+    intervals on every attribute under device.*; same-stamp writes
+    survive via the tombstone-first sort rule). is_current rows ==
+    snapshot() is pinned in tests. One window per cell, no global sort;
+    tombstone expansion broadcasts."""
+    from proxima_platform_spark.changelog import history_intervals
+
+    hist = history_intervals(_device_changelog(spark, sf))
+    return hist.select(
+        "key",
+        "attribute",
+        F.decode(F.col("value"), "UTF-8").alias("value"),
+        _stamp_ms("valid_from").alias("valid_from_ms"),
+        _stamp_ms("valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH inst AS (
+  SELECT user_id::VARCHAR AS key,
+         'device.' || (event_id % 5)::VARCHAR AS attribute,
+         epoch_us(ts) AS stamp_us, event_id AS seq,
+         FALSE AS del, value::VARCHAR AS v, 1 AS prio
+  FROM events WHERE event_type <> 'error'
+), attrs AS (
+  SELECT DISTINCT key, attribute FROM inst
+), tomb AS (
+  SELECT user_id::VARCHAR AS key, epoch_us(ts) AS stamp_us, event_id AS seq
+  FROM events WHERE event_type = 'error'
+), synth AS (
+  SELECT a.key, a.attribute, t.stamp_us, t.seq,
+         TRUE AS del, NULL::VARCHAR AS v, 0 AS prio
+  FROM tomb t JOIN attrs a ON a.key = t.key
+), ev AS (
+  SELECT * FROM inst UNION ALL SELECT * FROM synth
+), led AS (
+  SELECT key, attribute, del, v, stamp_us,
+         lead(stamp_us) OVER (
+             PARTITION BY key, attribute ORDER BY stamp_us, prio, seq
+         ) AS to_us
+  FROM ev
+)
+SELECT key, attribute, v AS value,
+       stamp_us // 1000 AS valid_from_ms,
+       to_us // 1000 AS valid_to_ms,
+       to_us IS NULL AS is_current
+FROM led WHERE NOT del
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8035,6 +8090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
         "snm_dedup": q_snm_dedup,
+        "scd2_history": q_scd2_history,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8273,6 +8329,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": SQL_KMV_SET_OPS,
         "similarity_join_exact": SQL_SIMILARITY_JOIN_EXACT,
         "snm_dedup": SQL_SNM_DEDUP,
+        "scd2_history": SQL_SCD2_HISTORY,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -360,3 +360,74 @@ def snapshot_diff(
         | (F.col("value_from") != F.col("value_to"))
     ).select("entity", "key", "attribute", status.alias("status"),
              "value_from", "value_to")
+
+
+def history_intervals(changelog: DataFrame) -> DataFrame:
+    """SCD2 validity intervals from the changelog: one row per VERSION of
+    each (entity, key, attribute) cell, with ``[valid_from, valid_to)``
+    half-open bounds and an ``is_current`` flag — the slowly-changing-
+    dimension type-2 read of the same history :func:`snapshot` collapses
+    to its endpoint (datamodel.md's stream-table duality, materialized as
+    intervals instead of a point).
+
+    Semantics (mirrors snapshot's tombstone rules):
+
+    * an upsert opens an interval at its stamp; the NEXT event on the
+      same cell (upsert, delete, or applicable wildcard tombstone)
+      closes it;
+    * a direct delete closes the open interval and emits no row;
+    * a ``delete_wildcard`` tombstone acts as a delete on EVERY attribute
+      instance under its ``attribute_base`` for that key, applying to
+      strictly-older writes only — a write at the same stamp survives
+      (the ``stamp >= tombstone`` rule of LocalCachedPartitionedView
+      .java:99-121), which the sort key encodes by ordering tombstones
+      BEFORE same-stamp instance events;
+    * ties between direct events break by seq_id, as in :func:`compact`.
+
+    Invariant (pinned in tests): rows with ``is_current`` reproduce
+    ``snapshot(changelog)`` exactly.
+
+    Scale shape: ONE window per (entity, key, attribute) cell — history
+    windows parallelize across cells, no global sort; wildcard expansion
+    broadcasts the (small by construction) tombstone frame against the
+    distinct live-attribute frame. Nothing rescans history twice.
+    """
+    from pyspark.sql import Window
+
+    direct = changelog.where(~F.col("delete_wildcard")).select(
+        "entity", "key", "attribute", "stamp", "seq_id", "delete", "value",
+        F.lit(1).alias("__prio"),
+    )
+    tombs = changelog.where(F.col("delete_wildcard")).select(
+        "entity", "key", "attribute_base", "stamp", "seq_id"
+    )
+    attrs = (
+        changelog.where(~F.col("delete_wildcard"))
+        .select("entity", "key", "attribute_base", "attribute")
+        .distinct()
+    )
+    synth = F.broadcast(tombs).join(
+        attrs, ["entity", "key", "attribute_base"]
+    ).select(
+        "entity", "key", "attribute", "stamp", "seq_id",
+        F.lit(True).alias("delete"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(0).alias("__prio"),  # same-stamp instance writes survive
+    )
+    events = direct.unionByName(synth)
+    w = Window.partitionBy("entity", "key", "attribute").orderBy(
+        "stamp", "__prio", "seq_id"
+    )
+    to = F.lead("stamp").over(w)
+    return (
+        events.select(
+            "entity", "key", "attribute", "delete", "value",
+            F.col("stamp").alias("valid_from"),
+            to.alias("valid_to"),
+        )
+        .where(~F.col("delete"))
+        .select(
+            "entity", "key", "attribute", "value", "valid_from", "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

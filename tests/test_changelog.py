@@ -339,3 +339,65 @@ class TestSnapshotDiff:
             ("2", "a"): ("deleted", b"x", None),
             ("3", "a"): ("added", None, b"new"),
         }
+
+
+class TestHistoryIntervals:
+    """SCD2 validity intervals (changelog.history_intervals): half-open
+    [valid_from, valid_to) per cell version; deletes and wildcard
+    tombstones close intervals; is_current rows == snapshot()."""
+
+    def _hist(self, spark, rows):
+        from proxima_platform_spark.changelog import history_intervals
+
+        return {
+            (
+                r.key, r.attribute,
+                r.value and bytes(r.value).decode(),
+                int(r.valid_from.timestamp() * 1000),
+                r.valid_to and int(r.valid_to.timestamp() * 1000),
+                r.is_current,
+            )
+            for r in history_intervals(make_changelog(spark, rows)).collect()
+        }
+
+    def test_upsert_delete_and_wildcard_close_intervals(self, spark):
+        rows = [
+            element("e", "k", "a.x", 100, "v1", seq_id=1),
+            element("e", "k", "a.x", 200, "v2", seq_id=2),   # closes v1
+            element("e", "k", "a.y", 150, "w1", seq_id=3),
+            element("e", "k", "a.*", 300, None, delete_wildcard=True, seq_id=4),
+            element("e", "k", "a.y", 300, "w2", seq_id=5),   # same-stamp write survives
+            element("e", "k", "b", 100, "b1", seq_id=6),
+            element("e", "k", "b", 250, None, delete=True, seq_id=7),
+            element("e", "k", "b", 400, "b2", seq_id=8),     # reopens after delete
+        ]
+        assert self._hist(spark, rows) == {
+            ("k", "a.x", "v1", 100, 200, False),
+            ("k", "a.x", "v2", 200, 300, False),   # closed by the tombstone
+            ("k", "a.y", "w1", 150, 300, False),
+            ("k", "a.y", "w2", 300, None, True),   # stamp == tombstone survives
+            ("k", "b", "b1", 100, 250, False),     # closed by direct delete
+            ("k", "b", "b2", 400, None, True),
+        }
+
+    def test_equal_stamp_seq_tiebreak(self, spark):
+        rows = [
+            element("e", "k", "a", 100, "first", seq_id=1),
+            element("e", "k", "a", 100, "second", seq_id=2),
+        ]
+        assert self._hist(spark, rows) == {
+            ("k", "a", "first", 100, 100, False),  # zero-length interval
+            ("k", "a", "second", 100, None, True),
+        }
+
+    def test_is_current_equals_snapshot(self, spark):
+        """The datamodel worked-example fixture: current intervals must
+        reproduce snapshot() cell-for-cell."""
+        from proxima_platform_spark.changelog import history_intervals
+
+        rows = TestDatamodelCompaction().fixture(spark)
+        cur = {
+            (r.entity, r.key, r.attribute, r.value and bytes(r.value).decode())
+            for r in history_intervals(rows).where("is_current").collect()
+        }
+        assert cur == snap_keys(snapshot(rows))
