@@ -7999,6 +7999,45 @@ FROM led WHERE NOT del
 """
 
 
+def q_triangle_counts(spark, sf):
+    """Per-node triangle counts (functions/graph.triangle_counts) over
+    the part co-purchase graph (parts sharing an order, edges from one
+    bounded per-order self-join). Degree-ordered node-iterator (Suri &
+    Vassilvitskii): orientation bounds every wedge fan-out by O(sqrt(m)),
+    so the Zipf-hub skew that makes naive triangle joins explode at
+    graph scale becomes sqrt-bounded; each triangle is found exactly
+    once from its min-(degree,id) corner. The id-oriented DuckDB oracle
+    proves orientation-invariance of the counts."""
+    from proxima_platform_spark.functions.graph import triangle_counts
+
+    li = _load(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return triangle_counts(edges)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_tri FROM nodes GROUP BY node
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8091,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join_exact": q_similarity_join_exact,
         "snm_dedup": q_snm_dedup,
         "scd2_history": q_scd2_history,
+        "triangle_counts": q_triangle_counts,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8330,6 +8370,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join_exact": SQL_SIMILARITY_JOIN_EXACT,
         "snm_dedup": SQL_SNM_DEDUP,
         "scd2_history": SQL_SCD2_HISTORY,
+        "triangle_counts": SQL_TRIANGLE_COUNTS,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -238,3 +238,73 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    degree-ordered node-iterator algorithm (Suri & Vassilvitskii WWW'11,
+    the MapReduce-scale standard): orient every edge from its lower-
+    (degree, id) endpoint to the higher one, build wedges by self-joining
+    oriented edges on their source, and close each wedge with one more
+    equi-join. Every triangle is found EXACTLY once (from its unique
+    minimum-(degree, id) corner), so no /3 or /6 correction is needed and
+    the per-node explode is exact.
+
+    Why orientation matters at 100 TB: with arbitrary orientation a hub
+    of degree d contributes O(d²) wedges; ordering by degree bounds every
+    out-degree by O(sqrt(m)), so wedge volume is O(m^{3/2}) worst case —
+    the optimal bound — and the Zipf-hub key skew moves from one reduce
+    key to sqrt-bounded fan-outs. All three steps are hash equi-joins on
+    node keys; the degree frame is one map-side-combined groupBy.
+
+    ``edges`` must hold each undirected edge once with ``u != v`` (any
+    per-pair canonical order works; duplicates must be pre-dropped).
+    Output orientation does not affect results — an id-ordered oracle
+    produces identical counts.
+
+    Returns (node, n_tri) for every node in >= 1 triangle.
+    """
+    e = edges.select(F.col(u).alias("__a"), F.col(v).alias("__b"))
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionAll(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    da = deg.select(
+        F.col("__n").alias("__a"), F.struct("__d", F.col("__n").alias("__i")).alias("__ka")
+    )
+    db = deg.select(
+        F.col("__n").alias("__b"), F.struct("__d", F.col("__n").alias("__i")).alias("__kb")
+    )
+    keyed = e.join(da, "__a").join(db, "__b")
+    oriented = keyed.select(
+        F.when(F.col("__ka") < F.col("__kb"), F.col("__a"))
+        .otherwise(F.col("__b"))
+        .alias("__src"),
+        F.when(F.col("__ka") < F.col("__kb"), F.col("__b"))
+        .otherwise(F.col("__a"))
+        .alias("__dst"),
+        F.greatest("__ka", "__kb").alias("__kdst"),
+    )
+    w1 = oriented.select(
+        "__src", F.col("__dst").alias("__v"), F.col("__kdst").alias("__kv")
+    )
+    w2 = oriented.select(
+        "__src", F.col("__dst").alias("__w"), F.col("__kdst").alias("__kw")
+    )
+    wedges = (
+        w1.join(w2, "__src")
+        .where(F.col("__kv") < F.col("__kw"))
+        .select("__src", "__v", "__w")
+    )
+    closing = oriented.select(
+        F.col("__src").alias("__v"), F.col("__dst").alias("__w")
+    )
+    tri = wedges.join(closing, ["__v", "__w"])
+    nodes = (
+        tri.select(F.col("__src").alias("node"))
+        .unionAll(tri.select(F.col("__v").alias("node")))
+        .unionAll(tri.select(F.col("__w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

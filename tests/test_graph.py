@@ -379,3 +379,47 @@ class TestSortedNeighborhood:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTriangleCounts:
+    """triangle_counts (functions/graph.py): degree-ordered node-iterator;
+    validated against driver-side brute force."""
+
+    def _brute(self, edges):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        counts = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in [x for x in adj[a] if x > a]:
+                for c in adj[a] & adj[b]:
+                    if c > b:
+                        for n in (a, b, c):
+                            counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    def test_known_graph(self, spark):
+        from proxima_platform_spark.functions.graph import triangle_counts
+
+        # K4 on 1-4 (4 triangles, each node in 3) + pendant 5 + disjoint
+        # triangle 6-7-8
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+                 (6, 7), (6, 8), (7, 8)]
+        df = spark.createDataFrame(edges, "u int, v int")
+        got = {(r.node, r.n_tri) for r in triangle_counts(df).collect()}
+        assert got == {(1, 3), (2, 3), (3, 3), (4, 3), (6, 1), (7, 1), (8, 1)}
+
+    def test_random_graph_matches_brute_force(self, spark):
+        from proxima_platform_spark.functions.graph import triangle_counts
+
+        rng = random.Random(13)
+        edges = set()
+        while len(edges) < 120:
+            a, b = rng.randrange(25), rng.randrange(25)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "u int, v int")
+        got = {(r.node, r.n_tri) for r in triangle_counts(df).collect()}
+        assert got == set(self._brute(sorted(edges)).items())
