@@ -7950,7 +7950,8 @@ def q_scd2_history(spark, sf):
     is_current — the interval read of the same history
     wildcard_tombstone_snapshot collapses to a point (tombstones close
     intervals on every attribute under device.*; same-stamp writes
-    survive via the tombstone-first sort rule). is_current rows ==
+    survive via the tombstone-first sort rule). Extends scd2_intervals
+    (upsert-only lead) with delete + deleteWildcard retraction semantics. is_current rows ==
     snapshot() is pinned in tests. One window per cell, no global sort;
     tombstone expansion broadcasts."""
     from proxima_platform_spark.changelog import history_intervals
