@@ -7881,9 +7881,17 @@ def q_snm_dedup(spark, sf):
     Rank is bucket-parallel row_number + broadcast cumulative offsets —
     no single-partition window; pairing is an equi-join on rank+d. On
     this corpus SNM's neighbor window recovers 25/25 of the exact-join
-    truth (cross-check: similarity_join_exact) from ~1.5k candidates."""
+    truth (cross-check: similarity_join_exact) from ~1.5k candidates.
+
+    Verification shape: shingle arrays are built ONCE per document (the
+    interpreted higher-order transform is the expensive part — it is not
+    whole-stage-codegen'd), staged, and joined to both sides of the
+    candidate frame; the per-pair work is then two codegen'd array
+    set-ops on pre-built arrays. Scoring shingles inline per pair
+    re-evaluates the transform up to 8x per candidate (both sides x
+    intersect/union x filter+project) — measured 60s vs <2s at sf0.1."""
     from proxima_platform_spark.functions.dedup import (
-        jaccard_ngram,
+        ngram_shingles,
         normalize_text,
         snm_candidate_pairs,
     )
@@ -7896,12 +7904,18 @@ def q_snm_dedup(spark, sf):
         window=4,
         bucket_chars=1,
     )
-    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
-    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
-    jac = jaccard_ngram(F.col("__ta"), F.col("__tb"), 3)
+    sh = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("__s"),
+    ).localCheckpoint(eager=False)
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .where(jac >= 0.5)
         .select(
             "id_a", "id_b", "rank_a", "rank_b", F.round(jac, 6).alias("jac")

@@ -1232,12 +1232,16 @@ def snm_candidate_pairs(
         "__b", F.coalesce(F.sum("__cnt").over(wb), F.lit(0)).alias("__off")
     )
     wr = Window.partitionBy("__b").orderBy("__k", "__id")
+    # staged once (lazy localCheckpoint): the ranked frame feeds BOTH
+    # sides of the neighbor equi-join; without staging each side redoes
+    # the bucket-window sort and the offset join.
     ranked = (
         keyed.join(F.broadcast(offsets), "__b")
         .select(
             "__id", "__k",
             (F.col("__off") + F.row_number().over(wr)).alias("__rank"),
         )
+        .localCheckpoint(eager=False)
     )
     a = ranked.select(
         F.col("__id").alias("id_a"),

@@ -241,21 +241,29 @@ def pagerank_int(
 
 
 def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph — the
-    degree-ordered node-iterator algorithm (Suri & Vassilvitskii WWW'11,
-    the MapReduce-scale standard): orient every edge from its lower-
-    (degree, id) endpoint to the higher one, build wedges by self-joining
-    oriented edges on their source, and close each wedge with one more
-    equi-join. Every triangle is found EXACTLY once (from its unique
-    minimum-(degree, id) corner), so no /3 or /6 correction is needed and
-    the per-node explode is exact.
+    """Per-node triangle counts over an undirected simple graph —
+    degree-ordered edge-iterator with adjacency-set intersection (the
+    Suri & Vassilvitskii WWW'11 orientation + the compact-forward
+    closing step): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, collect each node's oriented out-
+    neighborhood as ONE array row, and close triangles per oriented
+    edge (a, b) as ``array_intersect(N+(a), N+(b))``. Every triangle
+    {x < y < z} in (degree, id) order appears exactly once — at edge
+    (x, y) with closing node z — so no /3 or /6 correction is needed,
+    and each corner is credited exactly once (a and b get |C|, each
+    c in C gets 1).
 
-    Why orientation matters at 100 TB: with arbitrary orientation a hub
-    of degree d contributes O(d²) wedges; ordering by degree bounds every
-    out-degree by O(sqrt(m)), so wedge volume is O(m^{3/2}) worst case —
-    the optimal bound — and the Zipf-hub key skew moves from one reduce
-    key to sqrt-bounded fan-outs. All three steps are hash equi-joins on
-    node keys; the degree frame is one map-side-combined groupBy.
+    Why this shape at 100 TB: orientation bounds every out-degree by
+    O(sqrt(m)), so total intersection work is the optimal O(m^{3/2}) —
+    but unlike the wedge-join formulation (self-join then equi-close),
+    the O(m^{3/2}) wedge volume lives as array elements scanned inside
+    one whole-stage-codegen'd stage, never as shuffled rows: the only
+    shuffles are the degree groupBy, the adjacency collect_list (both
+    map-side combined, one row per node out) and two node-keyed equi-
+    joins of the edge frame against the vocab-sized adjacency frame.
+    Measured at sf0.1 (1.2M-edge co-purchase graph, 41M wedges): 172s
+    wedge-join form -> ~15s this form. Per-array memory is bounded by
+    the same sqrt(m) orientation bound (no hub blow-up).
 
     ``edges`` must hold each undirected edge once with ``u != v`` (any
     per-pair canonical order works; duplicates must be pre-dropped).
@@ -278,6 +286,9 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.col("__n").alias("__b"), F.struct("__d", F.col("__n").alias("__i")).alias("__kb")
     )
     keyed = e.join(da, "__a").join(db, "__b")
+    # staged once (lazy localCheckpoint): the oriented edge frame feeds
+    # the adjacency agg AND the per-edge probe; without staging the
+    # edge-distinct + degree joins recompute once per consumer.
     oriented = keyed.select(
         F.when(F.col("__ka") < F.col("__kb"), F.col("__a"))
         .otherwise(F.col("__b"))
@@ -285,26 +296,40 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.when(F.col("__ka") < F.col("__kb"), F.col("__b"))
         .otherwise(F.col("__a"))
         .alias("__dst"),
-        F.greatest("__ka", "__kb").alias("__kdst"),
+    ).localCheckpoint(eager=False)
+    adj = oriented.groupBy("__src").agg(F.collect_list("__dst").alias("__nb"))
+    na = adj.select(F.col("__src").alias("__a2"), F.col("__nb").alias("__na"))
+    nb = adj.select(F.col("__src").alias("__b2"), F.col("__nb").alias("__nbn"))
+    # repartition the probe side: the edge frame is small in BYTES, so
+    # AQE would coalesce it to 1-2 partitions and serialize the whole
+    # intersection workload onto one core (measured 74s -> 35s at sf0.1)
+    probe = oriented.repartition(32)
+    # the intersect is referenced exactly ONCE, inside the Generate — a
+    # multi-reference projection (size filter + corner weights) would be
+    # substituted into every reference by projection collapsing and re-run
+    # the O(m^{3/2}) set-op per reference (measured 35s vs 18s at sf0.1).
+    # explode() also drops empty intersections for free, and the triangle
+    # frame it produces is one row per TRIANGLE — far smaller than the
+    # wedge volume the join formulation shuffles.
+    tri = (
+        probe.join(na, probe["__src"] == na["__a2"])
+        # left join: the max-(degree, id) node of an edge may have no
+        # out-edges at all — it closes nothing, but must not drop the row
+        .join(nb, probe["__dst"] == nb["__b2"], "left")
+        .select(
+            "__src",
+            "__dst",
+            F.explode(
+                F.array_intersect(
+                    # empty-array fallback typed from __na itself — the
+                    # function is generic over the node column's type
+                    "__na",
+                    F.coalesce("__nbn", F.array_except("__na", "__na")),
+                )
+            ).alias("__w"),
+        )
     )
-    w1 = oriented.select(
-        "__src", F.col("__dst").alias("__v"), F.col("__kdst").alias("__kv")
-    )
-    w2 = oriented.select(
-        "__src", F.col("__dst").alias("__w"), F.col("__kdst").alias("__kw")
-    )
-    wedges = (
-        w1.join(w2, "__src")
-        .where(F.col("__kv") < F.col("__kw"))
-        .select("__src", "__v", "__w")
-    )
-    closing = oriented.select(
-        F.col("__src").alias("__v"), F.col("__dst").alias("__w")
-    )
-    tri = wedges.join(closing, ["__v", "__w"])
-    nodes = (
-        tri.select(F.col("__src").alias("node"))
-        .unionAll(tri.select(F.col("__v").alias("node")))
-        .unionAll(tri.select(F.col("__w").alias("node")))
+    nodes = tri.select(
+        F.explode(F.array("__src", "__dst", "__w")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
