@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "kmv_set_ops",
     "ivm_agg_apply",
     "semantic_decontaminate",
+    "similarity_join_exact",
+    "snm_dedup",
+    "scd2_history",
+    "triangle_counts",
 ]
 
 

@@ -1111,7 +1111,10 @@ def similarity_join_prefix(
     toks = df.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     )
-    # distinct (doc, shingle) pairs; tokens staged first (no CSE in Generate)
+    # distinct (doc, shingle) pairs; tokens staged first (no CSE in Generate).
+    # Staged once (lazy localCheckpoint): sh feeds FOUR consumers (the df
+    # groupBy, the rank join, and both verification sides) — without
+    # staging the tokenize+shingle explode recomputes per consumer.
     sh = (
         toks.select(
             "__id",
@@ -1119,7 +1122,7 @@ def similarity_join_prefix(
                 F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
             ).alias("__s"),
         )
-    )
+    ).localCheckpoint(eager=False)
     dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     ranked = sh.join(dfreq, "__s")
     # per-doc shingles in global (df asc, shingle asc) order; p-length prefix
@@ -1146,6 +1149,9 @@ def similarity_join_prefix(
                 lambda s: s["__s"],
             ).alias("__prefix"),
         )
+        # staged once: per_doc feeds both sides of the prefix equi-join;
+        # each side would otherwise redo the df join + per-doc sort agg
+        .localCheckpoint(eager=False)
     )
     pa = per_doc.select(
         F.col("__id").alias("id_a"),
