@@ -8053,6 +8053,209 @@ SELECT node, count(*) AS n_tri FROM nodes GROUP BY node
 """
 
 
+def q_bloom_join_prune(spark, sf):
+    """Bloom-reduced inner join (functions/sketch.bloom_join_reduce —
+    the semi-join-reduction rewrite): revenue of lineitems belonging to
+    Q1-1995 urgent orders. The selective dim predicate lives on the other
+    side of the join's exchange, so a plain join shuffles the FULL fact
+    table; here the dim keys' Bloom bitset (1-row broadcast, codegen bit
+    probes) drops non-matching lineitems inside their own scan stage and
+    only survivors reach the shuffle. The oracle is the PLAIN join —
+    equality proves the bitset dropped no true row (no-false-negative
+    contract; false positives die in the exact join)."""
+    from proxima_platform_spark.functions.sketch import bloom_join_reduce
+
+    orders = (
+        _load(spark, sf, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select(F.col("o_orderkey").alias("k"), "o_orderdate")
+    )
+    li = _load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    joined = bloom_join_reduce(li, orders, "k")
+    return joined.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
+
+
+SQL_BLOOM_JOIN_PRUNE = """
+SELECT o.o_orderdate,
+       count(*) AS n_lines,
+       sum((l.l_extendedprice * (1.0 - l.l_discount))::DECIMAL(18,4))::DOUBLE
+           AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY o.o_orderdate
+"""
+
+
+def q_leakage_safe_split(spark, sf):
+    """Leakage-safe train/validation/test split
+    (functions/sampling.leakage_safe_split): the split key is the
+    EXACT-DUP GROUP key (md5 of normalized text), not the row id, so
+    every member of a duplicate group lands in the same split and a
+    near-verbatim copy of a test document can never sit in train —
+    decontamination by construction, zero shuffle (pure codegen
+    expression over the scan)."""
+    from proxima_platform_spark.functions.dedup import exact_dup_key
+    from proxima_platform_spark.functions.sampling import leakage_safe_split
+
+    docs = _load(spark, sf, "documents")
+    split = leakage_safe_split(
+        docs,
+        group_key=exact_dup_key(F.col("text")),
+        fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+        salt="lsplit-v1",
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+# same cumulative ranges as hash_split, keyed by the dup-group md5:
+# sorted-name order => test [0, 0.1) -> train [0.1, 0.9) -> validation
+SQL_LEAKAGE_SAFE_SPLIT = r"""
+WITH keyed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('lsplit-v1' ||
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ), 1, 15))::BIGINT % 1000000 AS sk
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN sk < 100000 THEN 'test'
+            WHEN sk < 900000 THEN 'train'
+            ELSE 'validation' END AS split
+FROM keyed
+"""
+
+
+def q_negative_sampling(spark, sf):
+    """Deterministic contrastive negatives
+    (functions/sampling.negative_samples): 3 negatives per anchor doc,
+    drawn from one md5-assigned partner bucket (candidate space n/16 per
+    anchor — an equi-join, never all-pairs), ranked by a pair hash, with
+    the anchor's exact-dup group EXCLUDED (a near-duplicate is a false
+    negative). Retry-stable and engine-mirrorable: every draw is a pure
+    md5 expression."""
+    from proxima_platform_spark.functions.dedup import exact_dup_key
+    from proxima_platform_spark.functions.sampling import negative_samples
+
+    docs = _load(spark, sf, "documents")
+    out = negative_samples(
+        docs,
+        id_col="doc_id",
+        k=3,
+        exclude_key=exact_dup_key(F.col("text")),
+        buckets=16,
+        salt="neg-v1",
+    )
+    return out.select(
+        "anchor_id", "negative_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_NEGATIVE_SAMPLING = r"""
+WITH b AS (
+    SELECT doc_id,
+           (('0x' || substr(md5('neg-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000) % 16 AS own,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ex
+    FROM documents
+), pairs AS (
+    SELECT a.doc_id AS anchor_id, c.doc_id AS negative_id,
+           ('0x' || substr(md5('neg-v1' || CAST(a.doc_id AS VARCHAR) || '|'
+                            || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS pk
+    FROM b a JOIN b c ON (a.own + 1) % 16 = c.own AND a.ex <> c.ex
+), r AS (
+    SELECT anchor_id, negative_id,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY pk, negative_id) AS rank
+    FROM pairs
+)
+SELECT anchor_id, negative_id, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_record_linkage(spark, sf):
+    """Record linkage (functions/linkage.record_linkage_pairs — the
+    deterministic Fellegi-Sunter shape): sorted-neighborhood blocking on
+    a 40-char normalized prefix, then a weighted field-agreement score
+    per candidate pair — levenshtein similarity on the 48-char prefix
+    (weight .8) + exact agreement on lang and source (.1 each). Pairs
+    scoring >= 0.8 survive, per-field similarities exposed for the FS
+    match/possible/non-match triage. All comparators are codegen
+    expressions; the pair space is O(n·w) from the blocking, never n²."""
+    from proxima_platform_spark.functions.dedup import normalize_text
+    from proxima_platform_spark.functions.linkage import record_linkage_pairs
+
+    docs = _load(spark, sf, "documents")
+    recs = docs.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 48).alias("prefix"),
+        "lang",
+        "source",
+    )
+    return record_linkage_pairs(
+        recs,
+        "doc_id",
+        block_key=F.substring(F.col("prefix"), 1, 40),
+        fields=[
+            ("prefix", "levenshtein", 0.8),
+            ("lang", "exact", 0.1),
+            ("source", "exact", 0.1),
+        ],
+        threshold=0.8,
+        window=4,
+        bucket_chars=1,
+    )
+
+
+SQL_RECORD_LINKAGE = r"""
+WITH recs AS (
+    SELECT doc_id,
+           substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 48)
+               AS prefix,
+           lang, source
+    FROM documents
+), ranked AS (
+    SELECT doc_id, prefix, lang, source,
+           row_number() OVER (ORDER BY substr(prefix, 1, 40), doc_id) AS rnk
+    FROM recs
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.prefix AS pa, b.prefix AS pb,
+           a.lang AS la, b.lang AS lb,
+           a.source AS sa, b.source AS sb
+    FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3
+), scored AS (
+    SELECT id_a, id_b,
+           round(1.0 - levenshtein(pa, pb)::DOUBLE
+                     / greatest(len(pa), len(pb), 1)::DOUBLE, 6) AS sim_prefix,
+           CASE WHEN la = lb THEN 1.0 ELSE 0.0 END AS sim_lang,
+           CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END AS sim_source,
+           round((0.8 * (1.0 - levenshtein(pa, pb)::DOUBLE
+                             / greatest(len(pa), len(pb), 1)::DOUBLE)
+                  + 0.1 * (CASE WHEN la = lb THEN 1.0 ELSE 0.0 END)
+                  + 0.1 * (CASE WHEN sa = sb THEN 1.0 ELSE 0.0 END)) / 1.0,
+                 6) AS score
+    FROM cand
+)
+SELECT id_a, id_b, sim_prefix, sim_lang, sim_source, score
+FROM scored WHERE score >= 0.8
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8146,6 +8349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_dedup": q_snm_dedup,
         "scd2_history": q_scd2_history,
         "triangle_counts": q_triangle_counts,
+        "bloom_join_prune": q_bloom_join_prune,
+        "leakage_safe_split": q_leakage_safe_split,
+        "negative_sampling": q_negative_sampling,
+        "record_linkage": q_record_linkage,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8386,6 +8593,10 @@ def oracle_sql() -> dict[str, str]:
         "snm_dedup": SQL_SNM_DEDUP,
         "scd2_history": SQL_SCD2_HISTORY,
         "triangle_counts": SQL_TRIANGLE_COUNTS,
+        "bloom_join_prune": SQL_BLOOM_JOIN_PRUNE,
+        "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+        "negative_sampling": SQL_NEGATIVE_SAMPLING,
+        "record_linkage": SQL_RECORD_LINKAGE,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

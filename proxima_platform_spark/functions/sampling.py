@@ -267,3 +267,96 @@ def temperature_mix(
         sample_key(key, salt).cast("double") < F.col("__thr")
     )
     return out.drop("__thr")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    group_key: Column,
+    fractions: Mapping[str, float],
+    salt: str = "",
+) -> Column:
+    """Split assignment keyed by a DEDUP-GROUP key instead of the row id —
+    decontamination by construction: every member of a duplicate group
+    lands in the SAME split, so a near-verbatim copy of a test document
+    can never leak into train (the eval-contamination failure mode that
+    row-keyed splits like :func:`hash_split` cannot rule out; see the
+    exact-substring/fuzzy decontamination operators in functions/dedup.py
+    for the after-the-fact counterpart).
+
+    ``group_key`` is any deterministic canonical key for the duplicate
+    group — ``dedup.exact_dup_key(text)`` (md5 of normalized text) for
+    exact groups, or a precomputed connected-component representative
+    column for fuzzy groups. Same cumulative-range construction as
+    ``hash_split`` (disjoint, exhaustive, pure codegen expression, no
+    shuffle); two rows with equal group keys get equal sampling keys and
+    therefore equal labels, unconditionally."""
+    return hash_split(df, key=group_key, fractions=fractions, salt=salt)
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str,
+    k: int,
+    exclude_key: Column | None = None,
+    buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """``k`` deterministic negative partners per anchor row — the
+    contrastive-training sampler (in-batch negatives made retry-stable
+    and engine-checkable): for each anchor, candidates are the rows of
+    ONE pseudo-randomly assigned partner bucket, ranked by a pair hash;
+    the ``k`` smallest win. ``exclude_key`` (e.g.
+    ``dedup.exact_dup_key(text)``) drops candidates from the anchor's own
+    duplicate group — a near-duplicate is a FALSE negative that teaches
+    the model to push identical content apart.
+
+    Scale shape (100 TB): never all-pairs — the candidate space per
+    anchor is n/``buckets`` rows (one equi-join on the bucket id, hash-
+    partitioned), and the per-anchor top-k is a window over that bounded
+    candidate set. Raise ``buckets`` with corpus size to hold the
+    per-anchor candidate volume constant; every draw is a pure md5
+    expression, so retries and engine mirrors reproduce it exactly.
+
+    Returns (anchor id, negative id, pair rank 1..k).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    aid = F.col(id_col)
+    ex = exclude_key if exclude_key is not None else aid.cast("string")
+    own = F.pmod(sample_key(aid, salt), F.lit(buckets))
+    anchors = df.select(
+        aid.alias("anchor_id"),
+        # partner bucket: shifted by 1 so an anchor never draws from its
+        # own bucket (its own row would rank, and same-bucket anchors
+        # would all share candidate sets)
+        F.pmod(own + 1, F.lit(buckets)).alias("__pb"),
+        ex.alias("__ex_a"),
+    )
+    cands = df.select(
+        aid.alias("negative_id"),
+        own.alias("__cb"),
+        ex.alias("__ex_c"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("__pk", "negative_id")
+    return (
+        anchors.join(cands, anchors["__pb"] == cands["__cb"])
+        .where(F.col("__ex_a") != F.col("__ex_c"))
+        .withColumn(
+            "__pk",
+            sample_key(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("|"),
+                    F.col("negative_id").cast("string"),
+                ),
+                salt,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank")
+    )

@@ -9,9 +9,9 @@ implementation keeps BOTH sides in Catalyst expressions:
 * build — k hash positions per key (``xxhash64(key, seed)`` per seed,
   ``pmod`` into m bits), exploded and ``bit_or``-combined into 64-bit words
   (map-side partial aggregation — the filter build is one shuffle of
-  |keys| × k tiny rows), then collapsed to a SINGLE ROW holding a
-  ``map<long,long>`` of the non-zero words. The collapsed row is
-  O(m/64) ≤ a few KB for eval-suite-sized key sets — broadcastable.
+  |keys| × k tiny rows), then collapsed to a SINGLE ROW holding a DENSE
+  ``array<long>`` of m/64 words (m/8 bytes; O(1) probe indexing — see
+  ``bloom_build`` for why not a sparse map). Broadcastable at KB-MB scale.
 * probe — ``crossJoin(broadcast(filter_row))`` (1-row build side: this is
   a map-side broadcast, NOT a cartesian blow-up) + a ``forall`` over the
   k (word, mask) pairs checking bits with ``element_at`` + bitwise AND.
@@ -45,8 +45,18 @@ def _positions(col: Column, num_bits: int, k: int) -> list[Column]:
 def bloom_build(
     keys: DataFrame, col: str, num_bits: int = 1 << 16, k: int = 5
 ) -> DataFrame:
-    """One-row DataFrame ``{words: map<long,long>, num_bits, k}`` — the
-    Bloom bitset over ``keys[col]`` as sparse 64-bit words."""
+    """One-row DataFrame ``{words: array<long>, num_bits, k}`` — the
+    Bloom bitset over ``keys[col]`` as a DENSE array of num_bits/64
+    64-bit words.
+
+    Dense on purpose: Spark's ``map_from_entries`` map is array-backed,
+    so a sparse ``map<long,long>`` pays a LINEAR scan over its non-zero
+    words per ``element_at`` probe — O(words) × k per probe row, which
+    is exactly the hot path. A dense array probes O(1) by index. Cost is
+    num_bits/8 bytes regardless of fill (128 KB at 2^20 bits) — size
+    ``num_bits`` ~10x the key count, the standard Bloom sizing, and the
+    broadcast stays KB-to-MB scale."""
+    n_words = (num_bits + 63) // 64
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(col), num_bits, k))).alias("pos")
     )
@@ -55,9 +65,17 @@ def bloom_build(
         F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
     )
     per_word = words.groupBy("w").agg(F.bit_or("mask").alias("bits"))
-    return per_word.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("w", "bits")))
+    # densify via a range outer-join (n_words tiny rows, one agg) — NOT a
+    # per-index map lookup, which would scan the array-backed map once per
+    # word and go quadratic in the word count
+    full = keys.sparkSession.range(n_words).select(F.col("id").alias("w"))
+    dense = full.join(per_word, "w", "left").select(
+        "w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"],
         ).alias("words"),
         F.lit(num_bits).alias("num_bits"),
         F.lit(k).alias("k"),
@@ -71,8 +89,9 @@ def bloom_prefilter(
     set). Never drops a true member; keeps a ~(1-e^{-kn/m})^k fraction of
     non-members. The 1-row filter side is broadcast."""
     checks = [
+        # dense bitset: O(1) array indexing (1-based element_at)
         F.expr(
-            f"(coalesce(element_at(__bloom.words, __p{i} DIV 64), 0L)"
+            f"(element_at(__bloom.words, CAST(__p{i} DIV 64 AS INT) + 1)"
             f" & shiftleft(1L, CAST(__p{i} % 64 AS INT))) != 0"
         )
         for i in range(k)
@@ -111,6 +130,38 @@ def bloom_semi_join(
     return candidates.join(
         needles.select(col).distinct(), col, "left_semi"
     )
+
+
+def bloom_join_reduce(
+    fact: DataFrame,
+    dim: DataFrame,
+    col: str,
+    num_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT inner equi-join with a Bloom runtime filter in front of the
+    fact side — the semi-join-reduction rewrite (Bloom-join, Bratbergsengen
+    VLDB'84; what Spark's own runtime row-level filtering does for DPP-
+    ineligible joins, here as an explicit, tunable operator): build the
+    bitset over the (already filtered) dim keys, drop fact rows whose key
+    can't match BEFORE the join's exchange, then run the normal join.
+
+    Result is IDENTICAL to ``fact.join(dim, col)``: the bitset never drops
+    a true member, and its false positives are removed by the exact join —
+    the same two-phase no-false-negative contract as :func:`bloom_semi_join`
+    and the CMS prefilters below.
+
+    Why it matters at 100 TB: a selective dim predicate (say 1% of orders)
+    still makes the plain join SHUFFLE the full fact table — the filter
+    lives on the other side of the exchange. The bitset is a few hundred
+    KB broadcast (num_bits/8 bytes ceiling, sparse map in practice), the
+    probe is whole-stage-codegen bit arithmetic in the fact scan's own
+    stage, and only the ~1% surviving fact rows reach the shuffle. The
+    fact side is pruned ~(1-e^{-kn/m})^k of non-members; size ``num_bits``
+    ~10x the dim key count for a <1% false-positive rate."""
+    bloom = bloom_build(dim.select(col).distinct(), col, num_bits, k)
+    pruned = bloom_prefilter(fact, col, bloom, num_bits, k)
+    return pruned.join(dim, col)
 
 
 # ===========================================================================

@@ -377,3 +377,108 @@ class TestTemperatureMix:
             ).collect()
         )
         assert a == b
+
+
+class TestLeakageSafeSplit:
+    def _docs_with_dups(self, spark):
+        # 300 docs in 100 exact-dup groups of 3 (whitespace variants
+        # normalize to the same group key)
+        from pyspark.sql import functions as F
+
+        base = spark.range(100).select(
+            F.col("id").alias("g"),
+            F.concat(F.lit("doc body "), F.col("id").cast("string")).alias("t"),
+        )
+        # variants that normalize identically: leading/trailing SPACES
+        # (space-only trim) and collapsed internal whitespace runs
+        variants = base.selectExpr("g", "t AS text").unionAll(
+            base.selectExpr("g", "concat('  ', t, ' ') AS text")
+        ).unionAll(base.selectExpr("g", "replace(t, ' ', '\t ') AS text"))
+        return variants.select(
+            F.monotonically_increasing_id().alias("doc_id"), "g", "text"
+        )
+
+    def test_groups_never_straddle_splits(self, spark):
+        from proxima_platform_spark.functions.dedup import exact_dup_key
+        from proxima_platform_spark.functions.sampling import leakage_safe_split
+
+        docs = self._docs_with_dups(spark)
+        split = leakage_safe_split(
+            docs,
+            group_key=exact_dup_key(F.col("text")),
+            fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+            salt="t",
+        )
+        per_group = (
+            docs.select("g", split.alias("split"))
+            .groupBy("g")
+            .agg(F.countDistinct("split").alias("n"))
+        )
+        assert per_group.where(F.col("n") > 1).count() == 0
+
+    def test_all_splits_populated_and_exhaustive(self, spark):
+        from proxima_platform_spark.functions.dedup import exact_dup_key
+        from proxima_platform_spark.functions.sampling import leakage_safe_split
+
+        docs = self._docs_with_dups(spark)
+        split = leakage_safe_split(
+            docs,
+            group_key=exact_dup_key(F.col("text")),
+            fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+            salt="t",
+        )
+        counts = {
+            r["split"]: r["n"]
+            for r in docs.select(split.alias("split"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sum(counts.values()) == 300
+        assert counts.get("train", 0) > counts.get("test", 0)
+
+
+class TestNegativeSamples:
+    def test_k_per_anchor_no_self_no_dupgroup(self, spark):
+        from proxima_platform_spark.functions.dedup import exact_dup_key
+        from proxima_platform_spark.functions.sampling import negative_samples
+
+        # 200 docs, every pair (2i, 2i+1) is an exact-dup group
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body "), (F.col("id") / F.lit(2)).cast("int").cast("string")).alias("text"),
+        )
+        out = negative_samples(
+            docs,
+            id_col="doc_id",
+            k=3,
+            exclude_key=exact_dup_key(F.col("text")),
+            buckets=8,
+            salt="t",
+        ).collect()
+        by_anchor = {}
+        for r in out:
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+            assert r.anchor_id != r.negative_id
+            # dup partner (same group) never sampled
+            assert r.negative_id != (r.anchor_id ^ 1)
+        assert all(len(v) <= 3 for v in by_anchor.values())
+        assert all(sorted(r.rank for r in v) == list(range(1, len(v) + 1))
+                   for v in by_anchor.values())
+
+    def test_deterministic(self, spark):
+        from proxima_platform_spark.functions.sampling import negative_samples
+
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        a = sorted(map(tuple, negative_samples(
+            docs, id_col="doc_id", k=2, buckets=4, salt="s").collect()))
+        b = sorted(map(tuple, negative_samples(
+            docs, id_col="doc_id", k=2, buckets=4, salt="s").collect()))
+        assert a == b and len(a) > 0
+
+    def test_k_validation(self, spark):
+        from proxima_platform_spark.functions.sampling import negative_samples
+
+        docs = spark.range(10).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError):
+            negative_samples(docs, id_col="doc_id", k=0)

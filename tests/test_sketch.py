@@ -53,6 +53,35 @@ class TestBloom:
         )
         assert got == want and len(want) > 0
 
+    def test_join_reduce_equals_plain_join_and_prunes(self, spark):
+        from proxima_platform_spark.functions.sketch import (
+            bloom_join_reduce,
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        fact = spark.range(0, 5000).select(
+            F.col("id").alias("fid"),
+            (F.col("id") % 500).cast("string").alias("k"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        dim = spark.range(0, 10).select(
+            (F.col("id") * 7).cast("string").alias("k"),
+            F.concat(F.lit("d"), F.col("id")).alias("dval"),
+        )
+        got = sorted(
+            map(tuple, bloom_join_reduce(fact, dim, "k").select(
+                "fid", "dval").collect())
+        )
+        want = sorted(
+            map(tuple, fact.join(dim, "k").select("fid", "dval").collect())
+        )
+        assert got == want and len(want) > 0
+        # the prefilter must actually bite: far fewer candidates than fact
+        bloom = bloom_build(dim.select("k").distinct(), "k", 1 << 20, 5)
+        n_cand = bloom_prefilter(fact, "k", bloom, 1 << 20, 5).count()
+        assert n_cand < 0.2 * 5000 and n_cand >= len(want)
+
     def test_plan_broadcast_no_python(self, spark):
         corpus = spark.range(0, 100).select(
             F.concat(F.lit("g"), (F.col("id") % 7)).alias("g")
