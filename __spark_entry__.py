@@ -8256,6 +8256,88 @@ FROM scored WHERE score >= 0.8
 """
 
 
+def q_dsir_resample(spark, sf):
+    """DSIR importance resampling (functions/sampling.dsir_resample —
+    Xie et al. NeurIPS'23): select the 100 raw docs most target-like
+    under hashed word-bigram importance ratios, target = the src0 slice.
+    Feature space is FIXED at 512 buckets regardless of corpus size (two
+    map-side-combined count aggs + one broadcast ratio frame); selection
+    is Gumbel-top-k from the md5 key family (= sampling without
+    replacement proportional to the importance weight, deterministic and
+    engine-replayable); top-k compiles to TakeOrderedAndProject. Scores
+    use the trigram_lm_scores portability recipe: round(ln, 8) ->
+    exact-decimal sum -> double."""
+    from proxima_platform_spark.functions.sampling import dsir_resample
+
+    docs = _load(spark, sf, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_resample(
+        docs,
+        target,
+        id_col="doc_id",
+        text="text",
+        k=100,
+        buckets=512,
+        smooth=1.0,
+        salt="dsir-v1",
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "score")
+
+
+SQL_DSIR_RESAMPLE = r"""
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+                  ELSE [] END) AS g
+    FROM toks
+), keyed AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b
+    FROM grams
+), cr AS (
+    SELECT b, count(*) AS n_raw FROM keyed GROUP BY b
+), ct AS (
+    SELECT b, count(*) AS n_tgt FROM keyed WHERE source = 'src0' GROUP BY b
+), domain AS (
+    SELECT range AS b FROM range(0, 512)
+), joined AS (
+    SELECT d.b,
+           coalesce(ct.n_tgt, 0) AS n_tgt,
+           coalesce(cr.n_raw, 0) AS n_raw
+    FROM domain d LEFT JOIN ct ON ct.b = d.b LEFT JOIN cr ON cr.b = d.b
+), tot AS (
+    SELECT sum(n_tgt) AS t_tot, sum(n_raw) AS r_tot FROM joined
+), lr AS (
+    SELECT b,
+           round(ln(((n_tgt::DOUBLE + 1.0) / (t_tot::DOUBLE + 512.0))
+                  / ((n_raw::DOUBLE + 1.0) / (r_tot::DOUBLE + 512.0))),
+                 8)::DECIMAL(28,10) AS lr
+    FROM joined, tot
+), per_doc AS (
+    SELECT k.doc_id,
+           count(*) AS n_grams,
+           sum(lr.lr) AS logw
+    FROM keyed k JOIN lr ON lr.b = k.b
+    GROUP BY k.doc_id
+), gum AS (
+    SELECT doc_id, n_grams,
+           round(logw::DOUBLE +
+                 round(-ln(-ln(((('0x' || substr(md5('dsir-v1' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+                     + 1)::DOUBLE / 1000001.0)), 8),
+                 6) AS score
+    FROM per_doc
+)
+SELECT doc_id, n_grams, score
+FROM gum ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8353,6 +8435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "negative_sampling": q_negative_sampling,
         "record_linkage": q_record_linkage,
+        "dsir_resample": q_dsir_resample,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8597,6 +8680,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
         "negative_sampling": SQL_NEGATIVE_SAMPLING,
         "record_linkage": SQL_RECORD_LINKAGE,
+        "dsir_resample": SQL_DSIR_RESAMPLE,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

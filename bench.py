@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "snm_dedup",
     "scd2_history",
     "triangle_counts",
+    "bloom_join_prune",
+    "record_linkage",
+    "negative_sampling",
+    "dsir_resample",
 ]
 
 

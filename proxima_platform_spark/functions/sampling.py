@@ -360,3 +360,143 @@ def negative_samples(
         .where(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "rank")
     )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text: str,
+    buckets: int = 1024,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Per-bucket log importance ratios for DSIR (Data Selection via
+    Importance Resampling, Xie et al. NeurIPS'23): hashed word-bigram
+    bag-of-ngrams features, target distribution p over a small curated
+    ``target`` corpus vs raw distribution q over ``raw``, add-``smooth``
+    smoothing on both:
+
+        lr_b = round(ln(p_b / q_b), 8)    (stored as exact decimal)
+
+    p_b = (target_b + smooth)/(target_total + smooth·buckets), q_b same
+    over raw. The 8-decimal rounding + decimal storage is the engine-
+    portability recipe proven by ``trigram_lm_scores``: the one libm op
+    (ln) agrees to well under 1e-8 across engines, and everything after
+    it is exact.
+
+    Scale shape (100 TB raw corpus): feature space is FIXED at ``buckets``
+    rows regardless of corpus size — both count aggs are map-side-combined
+    shuffles of at most ``buckets`` cells, the bucket domain comes from a
+    ``range(buckets)`` frame (absent buckets get pure-smoothing mass), and
+    the result broadcasts everywhere it is used.
+
+    Returns (b, lr) with exactly ``buckets`` rows.
+    """
+    from .dedup import shingles_from_tokens, tokens
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        toks = df.select(tokens(F.col(text)).alias("__t"))
+        # shingles_from_tokens guards the <n-token descending-sequence trap
+        grams = toks.select(
+            F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
+        )
+        b = F.pmod(
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+        return grams.select(b.alias("b")).groupBy("b").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    cr = bucket_counts(raw, "n_raw")
+    ct = bucket_counts(target, "n_tgt")
+    domain = raw.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    joined = (
+        domain.join(ct, "b", "left")
+        .join(cr, "b", "left")
+        .select(
+            "b",
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_tgt").alias("t_tot"), F.sum("n_raw").alias("r_tot")
+    )
+    sm = F.lit(float(smooth))
+    denom_t = F.col("t_tot").cast("double") + sm * F.lit(float(buckets))
+    denom_r = F.col("r_tot").cast("double") + sm * F.lit(float(buckets))
+    p = (F.col("n_tgt").cast("double") + sm) / denom_t
+    q = (F.col("n_raw").cast("double") + sm) / denom_r
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(F.log(p / q), 8).cast("decimal(28,10)").alias("lr")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str,
+    text: str,
+    k: int,
+    buckets: int = 1024,
+    smooth: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """DSIR importance resampling: keep the ``k`` raw documents whose
+    Gumbel-perturbed log importance weight is largest — a deterministic,
+    engine-replayable rendering of "sample k docs ∝ their importance
+    weight w(x) = Π p_b/q_b over hashed n-gram features" (Gumbel-top-k
+    IS sampling-without-replacement ∝ w when the noise is standard
+    Gumbel; here the noise comes from the md5 key family, so retries and
+    oracle mirrors reproduce the draw exactly).
+
+        log_w(d) = Σ over d's bigrams of lr_bucket(g)   (exact decimal)
+        u(d)     = (sample_key(id)+1) / (BUCKETS+1)      in (0, 1)
+        score(d) = round(log_w + -ln(-ln(u)), 6)
+        keep top-k by (score, id)
+
+    Docs with fewer than 2 tokens have no features and are not sampled
+    (log_w undefined, matching the paper's n-gram feature map).
+
+    Scale shape: the ``buckets``-row ratio frame broadcasts; per-doc
+    scoring is one explode + one map-side-combined sum keyed by doc; the
+    top-k compiles to TakeOrderedAndProject (per-partition heaps — the
+    population never globally sorts).
+
+    Returns (id, n_grams, score) for the k winners.
+    """
+    from .dedup import shingles_from_tokens, tokens
+
+    lr = dsir_log_ratios(raw, target, text=text, buckets=buckets, smooth=smooth)
+    toks = raw.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
+    grams = toks.select(
+        "id", F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
+    )
+    keyed = grams.select(
+        "id",
+        F.pmod(
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("b"),
+    )
+    per_doc = (
+        keyed.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("__logw"),
+        )
+    )
+    u = (sample_key(F.col("id"), salt) + 1).cast("double") / float(BUCKETS + 1)
+    gumbel = F.round(-F.log(-F.log(u)), 8)
+    return (
+        per_doc.select(
+            "id",
+            "n_grams",
+            F.round(F.col("__logw").cast("double") + gumbel, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(k)
+    )

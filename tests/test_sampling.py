@@ -482,3 +482,57 @@ class TestNegativeSamples:
         docs = spark.range(10).select(F.col("id").alias("doc_id"))
         with pytest.raises(ValueError):
             negative_samples(docs, id_col="doc_id", k=0)
+
+
+class TestDsirResample:
+    def _corpus(self, spark):
+        # two vocabularies: target domain talks about alpha/beta/gamma,
+        # the rest about delta/epsilon/zeta
+        rows = []
+        for i in range(60):
+            rows.append((i, "alpha beta gamma alpha beta gamma alpha beta", "tgt"))
+        for i in range(60, 400):
+            rows.append((i, "delta epsilon zeta delta epsilon zeta delta", "raw"))
+        # 20 raw docs that LOOK like the target domain — these must win
+        for i in range(400, 420):
+            rows.append((i, "alpha beta gamma beta alpha gamma beta alpha", "raw"))
+        return spark.createDataFrame(rows, ["doc_id", "text", "dom"])
+
+    def test_target_like_docs_win(self, spark):
+        from proxima_platform_spark.functions.sampling import dsir_resample
+
+        docs = self._corpus(spark)
+        out = dsir_resample(
+            docs.where(F.col("dom") == "raw"),
+            docs.where(F.col("dom") == "tgt"),
+            id_col="doc_id",
+            text="text",
+            k=20,
+            buckets=256,
+        ).collect()
+        winners = {r.id for r in out}
+        assert winners == set(range(400, 420))
+
+    def test_deterministic_and_k_bounded(self, spark):
+        from proxima_platform_spark.functions.sampling import dsir_resample
+
+        docs = self._corpus(spark)
+        a = [tuple(r) for r in dsir_resample(
+            docs, docs.where(F.col("dom") == "tgt"),
+            id_col="doc_id", text="text", k=7, buckets=128, salt="s").collect()]
+        b = [tuple(r) for r in dsir_resample(
+            docs, docs.where(F.col("dom") == "tgt"),
+            id_col="doc_id", text="text", k=7, buckets=128, salt="s").collect()]
+        assert a == b and len(a) == 7
+
+    def test_short_docs_have_no_features(self, spark):
+        from proxima_platform_spark.functions.sampling import dsir_resample
+
+        docs = spark.createDataFrame(
+            [(1, "one"), (2, "two tokens here"), (3, "more than one token")],
+            ["doc_id", "text"],
+        )
+        out = dsir_resample(
+            docs, docs, id_col="doc_id", text="text", k=10, buckets=64
+        ).collect()
+        assert {r.id for r in out} == {2, 3}
