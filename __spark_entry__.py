@@ -8338,6 +8338,53 @@ FROM gum ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q_k_core(spark, sf):
+    """3-core of the small-quantity part co-purchase graph
+    (functions/graph.k_core — Seidman'83 round-synchronous peeling):
+    every round removes ALL currently-underdegree nodes at once
+    (one map-side-combined degree agg + two broadcast anti-joins, edge
+    frame lazily checkpointed per round), so convergence takes peel-depth
+    rounds, not node-count. Declared with rounds=8 — the fixed-iteration
+    contract of pagerank_types — so the oracle replays the peels as 8
+    chained CTEs; fixpoint lands by round 3 (sf0.01) / 5 (sf0.1), which
+    the test pins, so 8 rounds IS the k-core."""
+    from proxima_platform_spark.functions.graph import k_core
+
+    li = _load(spark, sf, "lineitem").where(F.col("l_quantity") <= 5)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return k_core(edges, 3, rounds=8)
+
+
+def _sql_k_core(k: int = 3, rounds: int = 8) -> str:
+    # MATERIALIZED: each round references its predecessor 3x (the edge
+    # frame + both degree sides); inlined CTEs would re-expand the chain
+    # 3^rounds times and re-open the parquet thousands of times
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity <= 5 AND b.l_quantity <= 5
+), s0 AS MATERIALIZED (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0)"""
+    parts = [head]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT a, count(*) AS c FROM s{i} GROUP BY a)"
+            f", s{i + 1} AS MATERIALIZED (SELECT s.a, s.b FROM s{i} s"
+            f" JOIN d{i} da ON da.a = s.a JOIN d{i} db ON db.a = s.b"
+            f" WHERE da.c >= {k} AND db.c >= {k})"
+        )
+    parts.append(
+        f"\nSELECT a AS node, count(*) AS deg FROM s{rounds}"
+        f" GROUP BY a HAVING count(*) >= {k}"
+    )
+    return "".join(parts)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8436,6 +8483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "record_linkage": q_record_linkage,
         "dsir_resample": q_dsir_resample,
+        "k_core": q_k_core,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8681,6 +8729,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sampling": SQL_NEGATIVE_SAMPLING,
         "record_linkage": SQL_RECORD_LINKAGE,
         "dsir_resample": SQL_DSIR_RESAMPLE,
+        "k_core": _sql_k_core(),
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "record_linkage",
     "negative_sampling",
     "dsir_resample",
+    "k_core",
 ]
 
 

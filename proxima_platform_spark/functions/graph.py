@@ -333,3 +333,75 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         F.explode(F.array("__src", "__dst", "__w")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    *,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < ``k`` until no such node remains (Seidman'83; the standard
+    distributed rendering peels by ROUNDS — every round removes ALL
+    currently-underdegree nodes at once, so convergence takes O(peel
+    depth) rounds, not O(nodes)).
+
+    ``rounds=None`` (production): loop to the fixpoint, checking an
+    is-there-anything-left-to-peel aggregate per round (one tiny count —
+    the only driver-side value; max_rounds bounds runaway inputs loudly).
+    ``rounds=N`` (declared-query mode): run EXACTLY N peels — the same
+    fixed-iteration contract as ``pagerank_int``, so an engine oracle can
+    replay the rounds as N chained CTEs; at fixture scale N is chosen
+    past the fixpoint and verified there by test.
+
+    Scale shape: each round is one map-side-combined degree agg + two
+    anti-joins keyed by node (hash-partitioned; the underdegree frame is
+    the SMALL side and broadcasts), with the edge frame lazily
+    localCheckpoint-ed per round — the kmeans/pagerank lesson: an
+    uncheckpointed loop re-derives every prior round per action and the
+    plan deepens quadratically.
+
+    ``edges`` holds each undirected edge once (u != v, pre-deduped).
+    Returns (node, deg) for k-core members, deg = degree INSIDE the core
+    (>= k by construction).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(u).alias("__a"), F.col(v).alias("__b"))
+        .unionAll(
+            edges.select(F.col(v).alias("__a"), F.col(u).alias("__b"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_rounds = rounds if rounds is not None else max_rounds
+    for i in range(n_rounds):
+        deg = e.groupBy("__a").agg(F.count(F.lit(1)).alias("__d"))
+        bad = deg.where(F.col("__d") < k).select("__a")
+        if rounds is None and bad.isEmpty():
+            break
+        e = (
+            e.join(F.broadcast(bad), "__a", "left_anti")
+            .join(
+                F.broadcast(bad.select(F.col("__a").alias("__b"))),
+                "__b",
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"k_core did not converge within max_rounds={max_rounds}; "
+                "raise max_rounds (peel depth exceeds the bound)"
+            )
+    return (
+        e.groupBy("__a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= k)
+        .select(F.col("__a").alias("node"), "deg")
+    )

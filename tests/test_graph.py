@@ -423,3 +423,59 @@ class TestTriangleCounts:
         df = spark.createDataFrame(sorted(edges), "u int, v int")
         got = {(r.node, r.n_tri) for r in triangle_counts(df).collect()}
         assert got == set(self._brute(sorted(edges)).items())
+
+
+class TestKCore:
+    def _graph(self, spark):
+        # a 4-clique {1,2,3,4} with pendant chains hanging off it:
+        # 5-6-7 path from node 1, leaf 8 on node 2
+        edges = [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (1, 5), (5, 6), (6, 7), (2, 8),
+        ]
+        return spark.createDataFrame(edges, ["u", "v"])
+
+    def test_three_core_is_the_clique(self, spark):
+        from proxima_platform_spark.functions.graph import k_core
+
+        out = {r.node: r.deg for r in k_core(self._graph(spark), 3).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_fixpoint_equals_fixed_rounds_past_depth(self, spark):
+        from proxima_platform_spark.functions.graph import k_core
+
+        g = self._graph(spark)
+        fix = sorted(map(tuple, k_core(g, 2).collect()))
+        fixed = sorted(map(tuple, k_core(g, 2, rounds=6).collect()))
+        assert fix == fixed
+        # the 2-core keeps the clique only (chains peel leaf-first)
+        assert {n for n, _ in fix} == {1, 2, 3, 4}
+
+    def test_core_is_maximal(self, spark):
+        from proxima_platform_spark.functions.graph import k_core
+        from pyspark.sql import functions as F
+
+        g = self._graph(spark)
+        core = k_core(g, 2)
+        # peeling the core again changes nothing (fixpoint invariant)
+        core_edges = (
+            g.join(core.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(core.select(F.col("node").alias("v")), "v", "left_semi")
+        )
+        again = sorted(map(tuple, k_core(core_edges.select("u", "v"), 2).collect()))
+        assert again == sorted(map(tuple, core.collect()))
+
+    def test_k1_keeps_everything_and_validation(self, spark):
+        from proxima_platform_spark.functions.graph import k_core
+        import pytest as _pytest
+
+        g = self._graph(spark)
+        assert k_core(g, 1).count() == 8
+        with _pytest.raises(ValueError):
+            k_core(g, 0)
+
+    def test_empty_core(self, spark):
+        from proxima_platform_spark.functions.graph import k_core
+
+        chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
+        assert k_core(chain, 2).count() == 0
