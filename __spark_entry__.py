@@ -8385,6 +8385,71 @@ WITH e0 AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_cuped_lift(spark, sf):
+    """CUPED variance-reduced A/B readout
+    (functions/experiment.cuped_adjusted_means — Deng et al. WSDM'13):
+    per-user experiment-period value sum (Jan 15+) residualized on the
+    pre-period sum (Jan 1-14), variant = user_id % 2 (synthetic
+    assignment; X predates it, so the adjustment is unbiased by
+    construction). One conditional agg to the per-user frame, one 1-row
+    pooled moment agg (broadcast), one 2-row per-variant agg; sums exact
+    decimals, θ and means a fixed IEEE double op sequence — bit-replayed
+    by the oracle."""
+    from proxima_platform_spark.functions.experiment import cuped_adjusted_means
+
+    ev = _events(spark, sf)
+    cut = 1705276800000  # 2024-01-15T00:00:00Z epoch ms
+    # decimal cast INSIDE the sum: a double accumulation would be
+    # order-dependent in the last ulp and break the oracle hash
+    units = ev.groupBy(F.col("user_id")).agg(
+        F.sum(
+            F.when(F.col("ts_ms") < cut, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,2)")
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts_ms") >= cut, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,2)")
+        ).alias("y"),
+    ).select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "x", "y")
+    return cuped_adjusted_means(units, variant="variant", x="x", y="y")
+
+
+SQL_CUPED_LIFT = """
+WITH units AS (
+    SELECT user_id % 2 AS variant,
+           sum((CASE WHEN epoch_ms(ts) < 1705276800000
+                     THEN value ELSE 0.0 END)::DECIMAL(18,2)) AS x,
+           sum((CASE WHEN epoch_ms(ts) >= 1705276800000
+                     THEN value ELSE 0.0 END)::DECIMAL(18,2)) AS y
+    FROM events GROUP BY user_id
+), g AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum((x * x)::DECIMAL(24,4)) AS sxx,
+           sum((x * y)::DECIMAL(24,4)) AS sxy
+    FROM units
+), t AS (
+    SELECT n, sx,
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0.0
+                THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                ELSE 0.0 END AS theta
+    FROM g
+), pv AS (
+    SELECT variant, count(*) AS n_units, sum(x) AS sxv, sum(y) AS syv
+    FROM units GROUP BY variant
+)
+SELECT variant, n_units,
+       round(syv::DOUBLE / n_units::DOUBLE, 6) AS mean_y,
+       round(syv::DOUBLE / n_units::DOUBLE
+             - theta * (sxv::DOUBLE / n_units::DOUBLE
+                        - sx::DOUBLE / n::DOUBLE), 6) AS mean_y_adj,
+       round(theta, 6) AS theta
+FROM pv, t
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8484,6 +8549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "dsir_resample": q_dsir_resample,
         "k_core": q_k_core,
+        "cuped_lift": q_cuped_lift,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8730,6 +8796,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": SQL_RECORD_LINKAGE,
         "dsir_resample": SQL_DSIR_RESAMPLE,
         "k_core": _sql_k_core(),
+        "cuped_lift": SQL_CUPED_LIFT,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

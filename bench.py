@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "negative_sampling",
     "dsir_resample",
     "k_core",
+    "cuped_lift",
 ]
 
 
