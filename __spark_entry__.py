@@ -8450,6 +8450,70 @@ FROM pv, t
 """
 
 
+def q_survival_km(spark, sf):
+    """Kaplan-Meier user-retention curve
+    (functions/timeseries.kaplan_meier): per-(user, event_type) observed
+    engagement lifetime in days (first to last event of that type),
+    right-censored at the 2024-01-24 horizon — units still active past
+    it count in every at-risk denominator but never as churn events
+    (dropping them is the classic churn overestimate). The curve frame
+    is |distinct days| rows (one
+    map-side-combined agg from the per-user frame), so the two windows
+    sort ~30 rows, never users. log-survival accumulates as exact
+    decimals via the round(ln,8) recipe; survival is one exp + round."""
+    from proxima_platform_spark.functions.timeseries import kaplan_meier
+
+    ev = _events(spark, sf)
+    horizon = 1706054400000  # 2024-01-24T00:00:00Z epoch ms
+    units = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_ms").alias("__first"),
+        F.max("ts_ms").alias("__last"),
+    ).select(
+        # integer DIV, not a double-divide + cast: cast-of-double rounds
+        # half-away in DuckDB but truncates in Spark
+        F.expr("(__last - __first) DIV 86400000").alias("obs_time"),
+        (F.col("__last") < horizon).cast("int").alias("event"),
+    )
+    return kaplan_meier(units, time_col="obs_time", event_col="event")
+
+
+SQL_SURVIVAL_KM = """
+WITH units AS (
+    SELECT (max(epoch_ms(ts)) - min(epoch_ms(ts))) // 86400000 AS obs_time,
+           CASE WHEN max(epoch_ms(ts)) < 1706054400000 THEN 1 ELSE 0 END
+               AS event
+    FROM events GROUP BY user_id, event_type
+), per_t AS (
+    SELECT obs_time AS t, sum(event) AS d, count(*) AS c
+    FROM units GROUP BY obs_time
+), risked AS (
+    SELECT t, d, c,
+           sum(c) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM per_t
+), steps AS (
+    SELECT t, n, d,
+           CASE WHEN d < n
+                THEN round(ln(1.0 - d::DOUBLE / n::DOUBLE), 8)::DECIMAL(28,10)
+                END AS lf
+    FROM risked WHERE d > 0
+), cum AS (
+    SELECT t, n, d,
+           sum(lf) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+           max(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+    FROM steps
+)
+SELECT t, n::BIGINT AS n_at_risk, d::BIGINT AS n_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(ls::DOUBLE), 6) END AS survival,
+       CASE WHEN dead = 1 THEN NULL ELSE ls END AS log_survival
+FROM cum
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8550,6 +8614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "k_core": q_k_core,
         "cuped_lift": q_cuped_lift,
+        "survival_km": q_survival_km,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8797,6 +8862,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": SQL_DSIR_RESAMPLE,
         "k_core": _sql_k_core(),
         "cuped_lift": SQL_CUPED_LIFT,
+        "survival_km": SQL_SURVIVAL_KM,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

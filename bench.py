@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "k_core",
     "cuped_lift",
+    "survival_km",
 ]
 
 

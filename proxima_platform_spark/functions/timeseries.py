@@ -843,3 +843,91 @@ def twa_stream(
         watermark_delay=watermark_delay,
         api=api,
     )
+
+
+def kaplan_meier(
+    units: DataFrame,
+    *,
+    time_col: str = "obs_time",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival curve (the product-limit estimator — THE
+    retention/churn curve under right-censoring): at every distinct
+    event time t,
+
+        S(t) = Π over event times u <= t of (1 - d_u / n_u)
+
+    with d_u = events at u and n_u = units still at risk (observed time
+    >= u). Censored units (``event_col`` = 0, e.g. users still active at
+    the analysis horizon) contribute to the at-risk denominators up to
+    their observation time but never to the numerators — dropping them
+    instead is the classic churn-rate overestimate this estimator exists
+    to fix.
+
+    Engine portability: the running product is a cumulative SUM of
+    round(ln(1 - d/n), 8) per-step factors held as exact decimals (the
+    ``trigram_lm_scores`` recipe), exposed as ``log_survival``;
+    ``survival`` is one exp + round(6) on top. A step where everyone
+    remaining dies (d = n) pins survival to exactly 0.0 from that time
+    on (ln would be -inf), with ``log_survival`` null.
+
+    Scale shape: one map-side-combined agg to per-time (d, c) counts —
+    the frame is |distinct times| rows, NOT units — then two windows
+    over that tiny frame (reverse cumsum for at-risk, forward cumsum for
+    the product). At 100 TB the unit frame never sorts globally; only
+    the time-domain frame (days/weeks: thousands of rows at most) does.
+
+    Returns (t, n_at_risk, n_events, survival, log_survival) for every
+    distinct EVENT time, ordered cumulative semantics by t.
+    """
+    u = units.select(
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    per_t = u.groupBy("__t").agg(
+        F.sum("__e").alias("__d"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    w_risk = Window.orderBy(F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risked = per_t.withColumn("__n", F.sum("__c").over(w_risk))
+    steps = risked.where(F.col("__d") > 0).select(
+        "__t",
+        "__n",
+        "__d",
+        F.when(
+            F.col("__d") < F.col("__n"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("__d").cast("double") / F.col("__n").cast("double")
+                ),
+                8,
+            ).cast("decimal(28,10)"),
+        ).alias("__lf"),
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # SUM skips a null factor (d == n), so the terminal step is tracked
+    # separately: __dead flags any prior-or-current terminal step and
+    # pins survival to 0.0 / log_survival to null from there on
+    cum = steps.select(
+        "__t",
+        "__n",
+        "__d",
+        F.sum("__lf").over(w_cum).alias("__ls"),
+        F.max((F.col("__lf").isNull()).cast("int")).over(w_cum).alias("__dead"),
+    )
+    return cum.select(
+        F.col("__t").alias("t"),
+        F.col("__n").alias("n_at_risk"),
+        F.col("__d").alias("n_events"),
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("__ls").cast("double")), 6))
+        .alias("survival"),
+        F.when(F.col("__dead") == 1, F.lit(None).cast("decimal(28,10)"))
+        .otherwise(F.col("__ls"))
+        .alias("log_survival"),
+    )

@@ -415,3 +415,49 @@ class TestDriftChi2:
                     extra += 1
             assert got[g][1] == extra
             assert abs(got[g][0] - round(chi2, 6)) < 1e-6, g
+
+
+class TestKaplanMeier:
+    def test_textbook_curve_with_censoring(self, spark):
+        """Classic product-limit example: events at t=1 (1 of 6 at risk),
+        t=3 (1 of 4 — the t=2 censored unit left the risk set), censored
+        at t=2 and t=4+."""
+        from proxima_platform_spark.functions.timeseries import kaplan_meier
+
+        units = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1), (4, 0), (4, 0), (5, 0)],
+            ["obs_time", "event"],
+        )
+        out = {r.t: r for r in kaplan_meier(units).collect()}
+        assert set(out) == {1, 3}
+        assert out[1].n_at_risk == 6 and out[1].n_events == 1
+        assert out[3].n_at_risk == 4 and out[3].n_events == 1
+        import math
+        s1 = round(math.exp(round(math.log(1 - 1 / 6), 8)), 6)
+        s3 = round(
+            math.exp(round(math.log(1 - 1 / 6), 8) + round(math.log(1 - 1 / 4), 8)),
+            6,
+        )
+        assert out[1].survival == s1
+        assert out[3].survival == s3
+
+    def test_censored_never_counted_as_events(self, spark):
+        from proxima_platform_spark.functions.timeseries import kaplan_meier
+
+        units = spark.createDataFrame(
+            [(2, 0), (2, 0), (3, 1)], ["obs_time", "event"]
+        )
+        out = kaplan_meier(units).collect()
+        assert len(out) == 1 and out[0].t == 3
+        # at t=3 only the one surviving unit remains at risk
+        assert out[0].n_at_risk == 1 and out[0].n_events == 1
+
+    def test_everyone_dies_pins_zero(self, spark):
+        from proxima_platform_spark.functions.timeseries import kaplan_meier
+
+        units = spark.createDataFrame(
+            [(1, 1), (2, 1), (2, 1)], ["obs_time", "event"]
+        )
+        out = {r.t: r for r in kaplan_meier(units).collect()}
+        assert out[2].survival == 0.0 and out[2].log_survival is None
+        assert out[1].survival > 0.0
