@@ -8514,6 +8514,80 @@ FROM cum
 """
 
 
+def q_matryoshka_fidelity(spark, sf):
+    """Matryoshka truncation fidelity (Kusupati et al. NeurIPS'22 MRL
+    eval shape): how well the 8/16/32-dim PREFIXES of the 64-dim
+    embeddings preserve full cosine similarity over candidate pairs —
+    the go/no-go measurement before switching an ANN index to truncated
+    vectors (truncation cuts index memory 2-8x; this query prices the
+    recall you pay). Per-pair |cos_k - cos_64| rounds to 8 decimals and
+    accumulates as exact decimals (order-independent mean); all cosine
+    arithmetic is the same zip_with double expression family the ANN
+    queries mirror in SQL. Pair set: consecutive vec_ids — a fixed
+    O(n) probe set, no quadratic pair space."""
+    from proxima_platform_spark.functions.similarity import cosine_similarity
+
+    emb = _load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, a["id_a"] + 1 == b["id_b"])
+    full = cosine_similarity(F.col("va"), F.col("vb"))
+
+    def mad(k: int):
+        ck = cosine_similarity(
+            F.slice(F.col("va"), 1, k), F.slice(F.col("vb"), 1, k)
+        )
+        d = F.round(F.abs(ck - full), 8).cast("decimal(28,10)")
+        return F.round(
+            (F.sum(d).cast("double") / F.count(F.lit(1))), 6
+        ).alias(f"mad_{k}")
+
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        mad(8),
+        mad(16),
+        mad(32),
+        F.round(
+            F.sum(F.round(full, 8).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos_full"),
+    )
+
+
+SQL_MATRYOSHKA_FIDELITY = """
+WITH pairs AS (
+    SELECT a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), scored AS (
+    SELECT
+      list_dot_product(va, vb)
+        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+        AS c_full,
+      list_dot_product(va[1:8], vb[1:8])
+        / (sqrt(list_dot_product(va[1:8], va[1:8]))
+           * sqrt(list_dot_product(vb[1:8], vb[1:8]))) AS c8,
+      list_dot_product(va[1:16], vb[1:16])
+        / (sqrt(list_dot_product(va[1:16], va[1:16]))
+           * sqrt(list_dot_product(vb[1:16], vb[1:16]))) AS c16,
+      list_dot_product(va[1:32], vb[1:32])
+        / (sqrt(list_dot_product(va[1:32], va[1:32]))
+           * sqrt(list_dot_product(vb[1:32], vb[1:32]))) AS c32
+    FROM pairs
+)
+SELECT count(*) AS n_pairs,
+       round(sum(round(abs(c8 - c_full), 8)::DECIMAL(28,10))::DOUBLE
+             / count(*), 6) AS mad_8,
+       round(sum(round(abs(c16 - c_full), 8)::DECIMAL(28,10))::DOUBLE
+             / count(*), 6) AS mad_16,
+       round(sum(round(abs(c32 - c_full), 8)::DECIMAL(28,10))::DOUBLE
+             / count(*), 6) AS mad_32,
+       round(sum(round(c_full, 8)::DECIMAL(28,10))::DOUBLE
+             / count(*), 6) AS mean_cos_full
+FROM scored
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8615,6 +8689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "cuped_lift": q_cuped_lift,
         "survival_km": q_survival_km,
+        "matryoshka_fidelity": q_matryoshka_fidelity,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8863,6 +8938,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _sql_k_core(),
         "cuped_lift": SQL_CUPED_LIFT,
         "survival_km": SQL_SURVIVAL_KM,
+        "matryoshka_fidelity": SQL_MATRYOSHKA_FIDELITY,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

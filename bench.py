@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "k_core",
     "cuped_lift",
     "survival_km",
+    "matryoshka_fidelity",
 ]
 
 
