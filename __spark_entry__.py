@@ -8588,6 +8588,95 @@ FROM scored
 """
 
 
+def _anchor_scored(spark, sf):
+    """(vec_id, score, label01) for all non-anchor embeddings: score =
+    round(cosine to vec_id 0, 6) — rounded BEFORE ranking so tie groups
+    are identical across engines — label01 = same-label-as-anchor."""
+    from proxima_platform_spark.functions.similarity import cosine_similarity
+
+    emb = _load(spark, sf, "embeddings")
+    anchor = emb.where(F.col("vec_id") == 0).first()
+    qv = F.array(*[F.lit(float(x)) for x in anchor["embedding"]])
+    return emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("score"),
+        (F.col("label") == int(anchor["label"])).cast("int").alias("label"),
+    )
+
+
+_SQL_ANCHOR_SCORED = """
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv, label AS ql FROM embeddings WHERE vec_id = 0
+), scored AS (
+    SELECT vec_id AS id,
+           round(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS s,
+           CASE WHEN label = ql THEN 1 ELSE 0 END AS l
+    FROM embeddings, q WHERE vec_id <> 0
+)"""
+
+
+def q_retrieval_auc(spark, sf):
+    """Exact tie-aware Mann-Whitney AUC (functions/evalmetrics.rank_auc)
+    of cosine-to-anchor predicting same-label-as-anchor — the one-number
+    ranking quality of the embedding space, computed via the rank-sum
+    identity with DOUBLED ranks: every quantity is int64 until one final
+    double division (no threshold sweeps, no trapezoids). The rank
+    window runs over |distinct scores| rows, not vectors."""
+    from proxima_platform_spark.functions.evalmetrics import rank_auc
+
+    return rank_auc(_anchor_scored(spark, sf))
+
+
+SQL_RETRIEVAL_AUC = (
+    _SQL_ANCHOR_SCORED
+    + """, g AS (
+    SELECT s, count(*) AS cnt, sum(l) AS pos FROM scored GROUP BY s
+), r AS (
+    SELECT pos, cnt,
+           coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+    FROM g
+), a AS (
+    SELECT sum(pos) AS n_pos, sum(cnt - pos) AS n_neg,
+           sum((2 * below + cnt + 1) * pos) AS rsum2
+    FROM r
+)
+SELECT n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+       round((rsum2 - n_pos * (n_pos + 1))::DOUBLE
+             / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+FROM a
+"""
+)
+
+
+def q_retrieval_precision(spark, sf):
+    """precision@k (functions/evalmetrics.precision_at_k) of the same
+    anchor retrieval at k = 1/5/10/50: fraction of same-label items
+    among the k most-cosine-similar, under the total (score desc, id)
+    order. One rank window serves every k."""
+    from proxima_platform_spark.functions.evalmetrics import precision_at_k
+
+    return precision_at_k(
+        _anchor_scored(spark, sf), [1, 5, 10, 50],
+        id_col="id", score="score", label="label",
+    )
+
+
+SQL_RETRIEVAL_PRECISION = (
+    _SQL_ANCHOR_SCORED
+    + """, ranked AS (
+    SELECT id, l, row_number() OVER (ORDER BY s DESC, id) AS r FROM scored
+)
+SELECT k, sum(l)::BIGINT AS n_hits,
+       round(sum(l)::DOUBLE / count(*), 6) AS precision
+FROM ranked, (SELECT unnest([1, 5, 10, 50]) AS k)
+WHERE r <= k GROUP BY k
+"""
+)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8690,6 +8779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_lift": q_cuped_lift,
         "survival_km": q_survival_km,
         "matryoshka_fidelity": q_matryoshka_fidelity,
+        "retrieval_auc": q_retrieval_auc,
+        "retrieval_precision": q_retrieval_precision,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -8939,6 +9030,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_lift": SQL_CUPED_LIFT,
         "survival_km": SQL_SURVIVAL_KM,
         "matryoshka_fidelity": SQL_MATRYOSHKA_FIDELITY,
+        "retrieval_auc": SQL_RETRIEVAL_AUC,
+        "retrieval_precision": SQL_RETRIEVAL_PRECISION,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "cuped_lift",
     "survival_km",
     "matryoshka_fidelity",
+    "retrieval_auc",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Exact ranking-quality metrics: Mann-Whitney AUC and precision@k.
+
+Extension beyond the reference surface (north star operators). Embedding
+and quality-model pipelines need their rankings SCORED — does
+similarity-to-anchor actually retrieve same-label items, does the quality
+gate rank good documents above bad ones. Both metrics here are exact and
+engine-replayable:
+
+* AUC via the rank-sum identity (Mann-Whitney U): with tie-averaged ranks
+  r_i over the pooled scores,
+
+      AUC = (Σ_{i∈pos} r_i − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+  Every quantity is an integer or a .5-decimal (tie-averaged ranks), so
+  the numerator is EXACT decimal arithmetic; only the final division is
+  a double op. No sampling, no trapezoids over threshold sweeps.
+
+* precision@k: fraction of positives among the k best-scored rows under a
+  total (score desc, id) order — deterministic under score ties.
+
+Scale shape: ranks come from ONE window over the scored frame — if the
+scored population is huge, pre-aggregate to (score, n_pos, n_neg) groups
+first (the rank-sum identity only needs per-distinct-score counts, which
+is what the implementation does: the window runs over |distinct scores|
+rows, not rows). precision@k is a TakeOrderedAndProject-shaped top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rank_auc(
+    scored: DataFrame, *, score: str = "score", label: str = "label"
+) -> DataFrame:
+    """One-row (n_pos, n_neg, auc) — exact tie-aware Mann-Whitney AUC of
+    ``score`` predicting boolean/0-1 ``label``.
+
+    The per-distinct-score tie group [c+1, c+cnt] (c = rows strictly
+    below) has average rank (2c + cnt + 1)/2; the implementation carries
+    DOUBLED ranks so every quantity is a plain int64 —
+
+        auc = (Σ_{pos} 2·r_i − n_pos(n_pos+1)) / (2 · n_pos · n_neg)
+
+    — and the ONLY non-integer op is the final double division.
+    """
+    g = (
+        scored.select(
+            F.col(score).alias("__s"),
+            F.col(label).cast("int").alias("__l"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__l").alias("__pos"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "__pos",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__below"),
+    )
+    rank_x2 = F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1)
+    agg = ranked.agg(
+        F.sum(F.col("__pos")).alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__pos")).alias("n_neg"),
+        F.sum(rank_x2 * F.col("__pos")).alias("__rsum2"),
+    )
+    u2 = F.col("__rsum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            u2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def precision_at_k(
+    scored: DataFrame,
+    ks: Sequence[int],
+    *,
+    id_col: str = "id",
+    score: str = "score",
+    label: str = "label",
+) -> DataFrame:
+    """One row per k in ``ks``: (k, n_hits, precision) of the k
+    best-scored rows under the total (score desc, id) order. A single
+    rank window over the scored frame serves every k; callers with huge
+    populations bound it by pre-filtering to the max(k) candidates per
+    partition (TakeOrdered shape)."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    w = Window.orderBy(F.col("__s").desc(), F.col("__id"))
+    ranked = scored.select(
+        F.col(id_col).alias("__id"),
+        F.col(score).alias("__s"),
+        F.col(label).cast("int").alias("__l"),
+    ).withColumn("__r", F.row_number().over(w))
+    mx = max(ks)
+    top = ranked.where(F.col("__r") <= mx)
+    per_k = None
+    for k in sorted(ks):
+        row = top.where(F.col("__r") <= k).agg(
+            F.lit(k).alias("k"),
+            F.sum("__l").alias("n_hits"),
+            F.round(
+                F.sum("__l").cast("double") / F.count(F.lit(1)), 6
+            ).alias("precision"),
+        )
+        per_k = row if per_k is None else per_k.unionAll(row)
+    return per_k

@@ -1,0 +1,83 @@
+"""Ranking metrics (functions/evalmetrics.py): exact tie-aware AUC vs a
+python model, precision@k ordering semantics."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.evalmetrics import precision_at_k, rank_auc
+
+
+def _auc_model(scores, labels):
+    """Tie-averaged rank-sum AUC, straight from the definition."""
+    scores, labels = np.asarray(scores, float), np.asarray(labels, int)
+    order = np.argsort(scores, kind="mergesort")
+    s, l = scores[order], labels[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0
+        i = j
+    n_pos, n_neg = l.sum(), (1 - l).sum()
+    u = ranks[l == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    return u / (n_pos * n_neg)
+
+
+class TestRankAuc:
+    def test_matches_model_with_ties(self, spark):
+        rng = np.random.RandomState(3)
+        scores = np.round(rng.rand(300), 2)          # heavy ties at 2dp
+        labels = (rng.rand(300) < 0.3 + 0.4 * scores).astype(int)
+        df = spark.createDataFrame(
+            [(float(s), int(l)) for s, l in zip(scores, labels)],
+            ["score", "label"],
+        )
+        out = rank_auc(df).collect()[0]
+        assert out.n_pos == int(labels.sum())
+        assert out.n_neg == int(300 - labels.sum())
+        assert out.auc == pytest.approx(
+            round(_auc_model(scores, labels), 6), abs=1e-6
+        )
+
+    def test_perfect_and_inverted(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), int(i >= 5)) for i in range(10)], ["score", "label"]
+        )
+        assert rank_auc(df).collect()[0].auc == 1.0
+        inv = df.select((F.lit(10.0) - F.col("score")).alias("score"), "label")
+        assert rank_auc(inv).collect()[0].auc == 0.0
+
+    def test_all_tied_is_half(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, i % 2) for i in range(20)], ["score", "label"]
+        )
+        assert rank_auc(df).collect()[0].auc == 0.5
+
+
+class TestPrecisionAtK:
+    def test_ordering_and_values(self, spark):
+        rows = [(i, float(100 - i), int(i < 3 or i == 7)) for i in range(20)]
+        df = spark.createDataFrame(rows, ["id", "score", "label"])
+        out = {r.k: r for r in precision_at_k(df, [1, 5, 10], id_col="id").collect()}
+        assert out[1].precision == 1.0          # top-1 = id 0, positive
+        assert out[5].n_hits == 3               # ids 0,1,2 in the top 5
+        assert out[10].n_hits == 4              # id 7 enters by rank 8
+        assert out[10].precision == 0.4
+
+    def test_tie_break_is_by_id(self, spark):
+        rows = [(1, 5.0, 0), (2, 5.0, 1), (3, 4.0, 1)]
+        df = spark.createDataFrame(rows, ["id", "score", "label"])
+        out = {r.k: r for r in precision_at_k(df, [1, 2], id_col="id").collect()}
+        assert out[1].n_hits == 0               # id 1 wins the tie, negative
+        assert out[2].n_hits == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1.0, 1)], ["id", "score", "label"])
+        with pytest.raises(ValueError):
+            precision_at_k(df, [], id_col="id")
+        with pytest.raises(ValueError):
+            precision_at_k(df, [0], id_col="id")
