@@ -8677,6 +8677,76 @@ WHERE r <= k GROUP BY k
 )
 
 
+def q_contamination_report(spark, sf):
+    """Span-level contamination AUDIT (the report the drop-based
+    decontaminators — exact_decontaminate, fuzzy_decontaminate,
+    semantic_decontaminate — act on blindly): for every (eval doc,
+    train doc) pair sharing >= 3 distinct 3-gram shingles, the shared
+    count and the fraction of the eval doc's grams covered — what a
+    curation team reviews BEFORE deciding drop thresholds. Eval side
+    (doc_id < 25) is vocabulary-sized and broadcasts; the train corpus
+    never shuffles by anything but the gram equi-join key, and pair
+    volume is bounded by shared-gram matches, never |eval|x|train|."""
+    from proxima_platform_spark.functions.dedup import (
+        ngram_shingles,
+        normalize_text,
+    )
+
+    docs = _load(spark, sf, "documents").select(
+        "doc_id",
+        F.array_distinct(ngram_shingles(normalize_text(F.col("text")), 3)).alias(
+            "__g"
+        ),
+    )
+    ev = docs.where(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("__g").alias("__n_eval"),
+        F.explode("__g").alias("__s"),
+    )
+    tr = docs.where(F.col("doc_id") >= 25).select(
+        F.col("doc_id").alias("train_id"), F.explode("__g").alias("__s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "__s")
+        .groupBy("train_id", "eval_id", "__n_eval")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select(
+            "eval_id",
+            "train_id",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("__n_eval"), 6
+            ).alias("eval_frac"),
+        )
+    )
+
+
+SQL_CONTAMINATION_REPORT = r"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       for i in range(1, len(t) - 1)]
+                 ELSE [] END) AS g
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                              ' ') AS t
+          FROM documents)
+), ev AS (
+    SELECT doc_id AS eval_id, len(g) AS n_eval, unnest(g) AS s
+    FROM sh WHERE doc_id < 25
+), tr AS (
+    SELECT doc_id AS train_id, unnest(g) AS s FROM sh WHERE doc_id >= 25
+)
+SELECT eval_id, train_id, count(*) AS n_shared,
+       round(count(*)::DOUBLE / n_eval, 6) AS eval_frac
+FROM tr JOIN ev USING (s)
+GROUP BY train_id, eval_id, n_eval
+HAVING count(*) >= 3
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8781,6 +8851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_fidelity": q_matryoshka_fidelity,
         "retrieval_auc": q_retrieval_auc,
         "retrieval_precision": q_retrieval_precision,
+        "contamination_report": q_contamination_report,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -9032,6 +9103,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_fidelity": SQL_MATRYOSHKA_FIDELITY,
         "retrieval_auc": SQL_RETRIEVAL_AUC,
         "retrieval_precision": SQL_RETRIEVAL_PRECISION,
+        "contamination_report": SQL_CONTAMINATION_REPORT,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),
