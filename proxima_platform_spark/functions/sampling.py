@@ -362,6 +362,65 @@ def negative_samples(
     )
 
 
+def dsir_bucket_counts(
+    df: DataFrame, *, text: str, buckets: int, name: str = "n"
+) -> DataFrame:
+    """Hashed word-bigram bucket counts (b, <name>) over ``df[text]`` —
+    partial buckets only (absent buckets carry no row; join against a
+    range(buckets) domain to densify). One map-side-combined agg of at
+    most ``buckets`` cells; the DSIR feature map, shared by the batch
+    resampler and the streaming maintainer (streaming/dsir_stream.py),
+    whose per-batch deltas are exactly these frames."""
+    from .dedup import shingles_from_tokens, tokens
+
+    toks = df.select(tokens(F.col(text)).alias("__t"))
+    # shingles_from_tokens guards the <n-token descending-sequence trap
+    grams = toks.select(
+        F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    return grams.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias(name)
+    )
+
+
+def dsir_ratios_from_counts(
+    ct: DataFrame,
+    cr: DataFrame,
+    *,
+    buckets: int,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """(b, lr) log importance ratios from pre-computed partial bucket
+    count frames ``ct`` (target: b, n_tgt) and ``cr`` (raw: b, n_raw) —
+    the arithmetic half of :func:`dsir_log_ratios`, reusable against
+    continuously-maintained counts. Exactly ``buckets`` rows out."""
+    domain = ct.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    joined = (
+        domain.join(ct, "b", "left")
+        .join(cr, "b", "left")
+        .select(
+            "b",
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_tgt").alias("t_tot"), F.sum("n_raw").alias("r_tot")
+    )
+    sm = F.lit(float(smooth))
+    denom_t = F.col("t_tot").cast("double") + sm * F.lit(float(buckets))
+    denom_r = F.col("r_tot").cast("double") + sm * F.lit(float(buckets))
+    p = (F.col("n_tgt").cast("double") + sm) / denom_t
+    q = (F.col("n_raw").cast("double") + sm) / denom_r
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(F.log(p / q), 8).cast("decimal(28,10)").alias("lr")
+    )
+
+
 def dsir_log_ratios(
     raw: DataFrame,
     target: DataFrame,
@@ -392,44 +451,44 @@ def dsir_log_ratios(
 
     Returns (b, lr) with exactly ``buckets`` rows.
     """
+    cr = dsir_bucket_counts(raw, text=text, buckets=buckets, name="n_raw")
+    ct = dsir_bucket_counts(target, text=text, buckets=buckets, name="n_tgt")
+    return dsir_ratios_from_counts(ct, cr, buckets=buckets, smooth=smooth)
+
+
+def dsir_doc_log_weights(
+    df: DataFrame,
+    lr: DataFrame,
+    *,
+    id_col: str,
+    text: str,
+    buckets: int,
+) -> DataFrame:
+    """(id, n_grams, logw) per document: the exact-decimal sum of the
+    broadcast ratio frame's lr over the doc's bigram buckets — the
+    scoring half of DSIR, reusable against any ratio frame (batch-built
+    or continuously maintained). Docs with < 2 tokens have no features
+    and no row."""
     from .dedup import shingles_from_tokens, tokens
 
-    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        toks = df.select(tokens(F.col(text)).alias("__t"))
-        # shingles_from_tokens guards the <n-token descending-sequence trap
-        grams = toks.select(
-            F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
-        )
-        b = F.pmod(
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
+    grams = toks.select(
+        "id", F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
+    )
+    keyed = grams.select(
+        "id",
+        F.pmod(
             F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
             F.lit(buckets),
-        )
-        return grams.select(b.alias("b")).groupBy("b").agg(
-            F.count(F.lit(1)).alias(name)
-        )
-
-    cr = bucket_counts(raw, "n_raw")
-    ct = bucket_counts(target, "n_tgt")
-    domain = raw.sparkSession.range(buckets).select(F.col("id").alias("b"))
-    joined = (
-        domain.join(ct, "b", "left")
-        .join(cr, "b", "left")
-        .select(
-            "b",
-            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
-            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
-        )
+        ).alias("b"),
     )
-    tot = joined.agg(
-        F.sum("n_tgt").alias("t_tot"), F.sum("n_raw").alias("r_tot")
-    )
-    sm = F.lit(float(smooth))
-    denom_t = F.col("t_tot").cast("double") + sm * F.lit(float(buckets))
-    denom_r = F.col("r_tot").cast("double") + sm * F.lit(float(buckets))
-    p = (F.col("n_tgt").cast("double") + sm) / denom_t
-    q = (F.col("n_raw").cast("double") + sm) / denom_r
-    return joined.crossJoin(F.broadcast(tot)).select(
-        "b", F.round(F.log(p / q), 8).cast("decimal(28,10)").alias("lr")
+    return (
+        keyed.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("logw"),
+        )
     )
 
 
@@ -467,28 +526,10 @@ def dsir_resample(
 
     Returns (id, n_grams, score) for the k winners.
     """
-    from .dedup import shingles_from_tokens, tokens
-
     lr = dsir_log_ratios(raw, target, text=text, buckets=buckets, smooth=smooth)
-    toks = raw.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
-    grams = toks.select(
-        "id", F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
-    )
-    keyed = grams.select(
-        "id",
-        F.pmod(
-            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
-            F.lit(buckets),
-        ).alias("b"),
-    )
-    per_doc = (
-        keyed.join(F.broadcast(lr), "b")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("lr").alias("__logw"),
-        )
-    )
+    per_doc = dsir_doc_log_weights(
+        raw, lr, id_col=id_col, text=text, buckets=buckets
+    ).withColumnRenamed("logw", "__logw")
     u = (sample_key(F.col("id"), salt) + 1).cast("double") / float(BUCKETS + 1)
     gumbel = F.round(-F.log(-F.log(u)), 8)
     return (

@@ -2025,3 +2025,96 @@ class TestStreamingCuration:
         all_rows = [r for s in collected.values() for r in s]
         assert sum(r[1] for r in all_rows) < sum(len(b) for b in batches)
         assert any(r[2] > 0 for r in all_rows)
+
+
+class TestContinuousDsir:
+    def _corpus(self, spark):
+        target = spark.createDataFrame(
+            [(i, "alpha beta gamma alpha beta") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        batches = [
+            [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+            [(200 + i, "delta epsilon zeta delta epsilon") for i in range(5)],
+            [(300 + i, "alpha beta something else here") for i in range(5)],
+        ]
+        return target, batches
+
+    def test_prequential_scores_and_count_equality(self, spark, tmp_path):
+        """Each batch's sink delivery must equal the BATCH scorer run
+        against ratios built from the prefix corpus (prequential twin),
+        and the maintained bucket counts must equal the batch build over
+        the union."""
+        from proxima_platform_spark.functions.sampling import (
+            dsir_bucket_counts,
+            dsir_doc_log_weights,
+            dsir_ratios_from_counts,
+        )
+        from proxima_platform_spark.streaming.dsir_stream import ContinuousDsir
+
+        target, batches = self._corpus(spark)
+        got = {}
+
+        def sink(df, batch_id):
+            got[batch_id] = sorted(map(tuple, df.collect()))
+
+        cd = ContinuousDsir(
+            spark, str(tmp_path / "dsir"), target,
+            id_col="doc_id", text="text", buckets=64, sink=sink,
+            compact_every=2,
+        )
+        schema = "doc_id long, text string"
+        prefix_rows = []
+        for i, rows in enumerate(batches):
+            bdf = spark.createDataFrame(rows, schema)
+            cd.update(bdf, i)
+            # prequential twin: ratios from the PREFIX corpus only
+            ct = dsir_bucket_counts(target, text="text", buckets=64, name="n_tgt")
+            if prefix_rows:
+                cr = dsir_bucket_counts(
+                    spark.createDataFrame(prefix_rows, schema),
+                    text="text", buckets=64, name="n_raw",
+                )
+            else:
+                cr = spark.createDataFrame([], "b long, n_raw long")
+            lr = dsir_ratios_from_counts(ct, cr, buckets=64)
+            want = sorted(map(tuple, dsir_doc_log_weights(
+                bdf, lr, id_col="doc_id", text="text", buckets=64
+            ).collect()))
+            assert got[i] == want, f"batch {i}"
+            prefix_rows += rows
+
+        # maintained counts == batch build over the union
+        maintained = {
+            r.b: r.n_raw for r in cd._raw_counts(cd._manifest()).collect()
+        }
+        union = spark.createDataFrame(prefix_rows, schema)
+        want_counts = {
+            r.b: r.n
+            for r in dsir_bucket_counts(
+                union, text="text", buckets=64, name="n"
+            ).collect()
+        }
+        assert maintained == want_counts
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.dsir_stream import ContinuousDsir
+
+        target, batches = self._corpus(spark)
+        calls = []
+        cd = ContinuousDsir(
+            spark, str(tmp_path / "dsir2"), target,
+            id_col="doc_id", text="text", buckets=64,
+            sink=lambda df, bid: calls.append(bid),
+        )
+        schema = "doc_id long, text string"
+        bdf = spark.createDataFrame(batches[0], schema)
+        cd.update(bdf, 0)
+        counts_before = sorted(
+            map(tuple, cd._raw_counts(cd._manifest()).collect())
+        )
+        cd.update(bdf, 0)  # replay of a committed batch
+        assert calls == [0]
+        assert sorted(
+            map(tuple, cd._raw_counts(cd._manifest()).collect())
+        ) == counts_before
