@@ -7785,45 +7785,50 @@ b AS (
     {_sql_lsh_bucket(4, 28)} AS b7
   FROM base),
 cand AS (
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
+  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id
   FROM b t JOIN b e ON t.b0 = e.b0
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b1 = e.b1
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b1 = e.b1
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b2 = e.b2
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b2 = e.b2
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b3 = e.b3
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b3 = e.b3
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b4 = e.b4
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b4 = e.b4
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b5 = e.b5
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b5 = e.b5
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b6 = e.b6
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b6 = e.b6
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
   UNION
-  SELECT t.vec_id AS vec_id, e.vec_id AS eval_id, t.v AS vt, e.v AS ve
-  FROM b t JOIN b e ON t.b7 = e.b7
+  SELECT t.vec_id, e.vec_id FROM b t JOIN b e ON t.b7 = e.b7
   WHERE t.vec_id % 10 != 0 AND e.vec_id % 10 = 0
 ),
+-- quantized fixed-point cosine (floor(x*1e6) int64) — the exact-integer
+-- Gram family the Spark Arrow probe computes; order-independent dots
+nn AS (
+  SELECT vec_id,
+         [floor(x * 1000000.0)::BIGINT for x in v] AS q,
+         list_sum(list_transform([floor(x * 1000000.0)::BIGINT for x in v],
+                                 x -> x * x))::DOUBLE AS n2
+  FROM base
+),
 scored AS (
-  SELECT vec_id, eval_id,
-         list_dot_product(vt, ve)
-         / (sqrt(list_dot_product(vt, vt)) * sqrt(list_dot_product(ve, ve))) AS cos
-  FROM cand
-  WHERE list_dot_product(vt, ve)
-        / (sqrt(list_dot_product(vt, vt)) * sqrt(list_dot_product(ve, ve))) > 0.40
+  SELECT c.vec_id, c.eval_id,
+         list_sum(list_transform(range(len(a.q)), i -> a.q[i+1] * b2.q[i+1]))::DOUBLE
+           / (sqrt(a.n2) * sqrt(b2.n2)) AS cos
+  FROM cand c
+  JOIN nn a ON a.vec_id = c.vec_id
+  JOIN nn b2 ON b2.vec_id = c.eval_id
+  WHERE a.n2 > 0 AND b2.n2 > 0
+    AND list_sum(list_transform(range(len(a.q)), i -> a.q[i+1] * b2.q[i+1]))::DOUBLE
+        / (sqrt(a.n2) * sqrt(b2.n2)) > 0.40
 )
 SELECT vec_id, eval_id, round(cos, 6) AS cosine
 FROM scored

