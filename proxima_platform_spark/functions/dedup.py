@@ -1188,6 +1188,13 @@ def similarity_join_prefix(
     Returns (id_a, id_b, n_inter, jac) with id_a < id_b, jac rounded to
     6 places.
     """
+    # spread a narrow scan first: a small parquet reads as 1-2 partitions
+    # and the interpreted shingle transform would run near-serially; at
+    # real scale inputs already have >= parallelism partitions and this
+    # is a no-op (no shuffle added).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     toks = df.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     )
@@ -1252,15 +1259,33 @@ def similarity_join_prefix(
         )
         .select("id_a", "id_b", "__na", "__nb")
         .distinct()
+        # spread before verification: the candidate frame is small in
+        # BYTES (ids + sizes), so AQE coalesces it to 1-2 partitions and
+        # the per-pair array_intersect work below would run near-serially
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    # exact verification on candidates only
-    sa = sh.select(F.col("__id").alias("id_a"), "__s")
-    sb = sh.select(F.col("__id").alias("id_b"), "__s")
+    # exact verification on candidates only — per-doc DISTINCT shingle
+    # ARRAYS joined to both pair sides, one codegen array_intersect per
+    # candidate. (The exploded alternative — re-joining the (doc,
+    # shingle) frame on string keys and counting — re-shuffles the full
+    # shingle corpus per side: measured 2.9s vs 0.5s at sf0.1. The array
+    # row is O(doc shingles), the same bound the prefix sort already
+    # needs, so nothing new blows up at scale.)
+    arr = (
+        sh.groupBy("__id").agg(F.collect_list("__s").alias("__arr"))
+    ).localCheckpoint(eager=False)
+    aa = arr.select(F.col("__id").alias("id_a"), F.col("__arr").alias("__sa"))
+    ab = arr.select(F.col("__id").alias("id_b"), F.col("__arr").alias("__sb"))
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "__s"])
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "__na",
+            "__nb",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+        )
     )
     union_n = F.col("__na") + F.col("__nb") - F.col("n_inter")
     jac = F.col("n_inter").cast("double") / union_n.cast("double")

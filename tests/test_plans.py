@@ -776,14 +776,17 @@ class TestR07ExtensionPlans:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
 
-    def test_semantic_decontaminate_broadcast_eval_no_cartesian(self, spark, sf_dir):
-        # eval side broadcast into the bucket equi-join: the train corpus
-        # never shuffles; candidates bounded by bucket collisions
+    def test_semantic_decontaminate_closure_eval_no_join(self, spark, sf_dir):
+        # r07 Arrow-probe shape: the eval side's quantized bucket matrices
+        # ship in the probe closure, so the scoring path has NO join at
+        # all — the train corpus never shuffles before scoring; the only
+        # exchange is the best-match window's partitioning
         df = entry.q_semantic_decontaminate(spark, sf_dir)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "BroadcastHashJoin" in plan
+        assert "Join" not in plan  # scoring is join-free by construction
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
         assert "Window" in plan  # top-1 eval match per train vector
 
     def test_semantic_decontaminate_not_vacuous(self, spark, sf_dir):
