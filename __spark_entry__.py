@@ -8755,6 +8755,77 @@ HAVING count(*) >= 3
 """
 
 
+def q_clustering_coefficient(spark, sf):
+    """Per-node local clustering coefficient c = 2T / (d(d-1)) over the
+    small-quantity co-purchase graph — the standard graph-cohesion
+    readout composed from the degree-oriented triangle counter
+    (functions/graph.triangle_counts) and one map-side-combined degree
+    agg; left join keeps triangle-free nodes at c = 0. Micro-unit
+    output (round(c·1e6) as bigint) so the division is one fixed double
+    op mirrored exactly."""
+    from proxima_platform_spark.functions.graph import triangle_counts
+
+    li = _load(spark, sf, "lineitem").where(F.col("l_quantity") <= 5)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    c = (
+        F.lit(2.0)
+        * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double"))
+    )
+    return deg.join(tri.withColumnRenamed("node", "node2"),
+                    deg["node"] == F.col("node2"), "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        F.when(F.col("deg") > 1, F.round(c * 1_000_000, 0).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cc_micro"),
+    )
+
+
+SQL_CLUSTERING_COEFFICIENT = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity <= 5 AND b.l_quantity <= 5
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), ntri AS (
+  SELECT node, count(*) AS n_tri FROM nodes GROUP BY node
+)
+SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg > 1
+            THEN round(2.0 * coalesce(t.n_tri, 0)::DOUBLE
+                       / (d.deg::DOUBLE * (d.deg - 1)::DOUBLE)
+                       * 1000000, 0)::BIGINT
+            ELSE 0 END AS cc_micro
+FROM deg d LEFT JOIN ntri t ON t.node = d.node
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8860,6 +8931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_auc": q_retrieval_auc,
         "retrieval_precision": q_retrieval_precision,
         "contamination_report": q_contamination_report,
+        "clustering_coefficient": q_clustering_coefficient,
         # -- (C) last green r04 ---------------------------------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
@@ -9112,6 +9184,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_auc": SQL_RETRIEVAL_AUC,
         "retrieval_precision": SQL_RETRIEVAL_PRECISION,
         "contamination_report": SQL_CONTAMINATION_REPORT,
+        "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
         "ann_knn_join": SQL_ANN_KNN_JOIN,
         "semantic_dedup_diverse": SQL_SEMANTIC_DEDUP_DIVERSE,
         "curation_pipeline": _sql_curation_pipeline(),

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "survival_km",
     "matryoshka_fidelity",
     "retrieval_auc",
+    "clustering_coefficient",
 ]
 
 

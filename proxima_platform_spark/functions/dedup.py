@@ -1098,7 +1098,6 @@ def embedding_decontaminate(
             tcol = pdf["__t"].to_numpy()
             bcol = pdf["__bucket"].to_numpy()
             ids = pdf["__id"].to_numpy()
-            keys = tcol.astype(np.int64) * (1 << 62 - 1) if False else None
             import collections
             groups = collections.defaultdict(list)
             for i, (t, b) in enumerate(zip(tcol, bcol)):
