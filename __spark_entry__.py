@@ -8848,71 +8848,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r07; VERDICT r06 'Next round' #3): the
+    # STALENESS-AWARE ROTATION (r08; VERDICT r07 'Next round' #1): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r06 union, ordered
-    # OLDEST-LAST-GREEN FIRST so every query re-certifies within ~3.5
-    # rounds and none goes stale:
-    #   (A) last driver-green in r03 (44 queries -- the stalest tier);
-    #   (B) NEW r07 queries (never driver-checked) -- additions beyond the
-    #       50-window certify next round and become the stalest tier;
-    #   (C) last green r04, then r05, then r06 -- each tier in its prior
+    # Tiers recomputed from the CORRECTNESS_r01..r07 union, ordered
+    # NEVER-DRIVER-CHECKED FIRST, then OLDEST-LAST-GREEN, so every query
+    # re-certifies within ~3.5 rounds and none goes stale:
+    #   (A) the 19 late-r07 additions never driver-checked (judge-certified
+    #       r07 via oracle_check.py, but the contract wants driver hashes);
+    #   (B) last driver-green in r04 (40 queries -- the stalest green
+    #       tier); 19 + 31 of these fill the 50-window, the last 9
+    #       certify r09;
+    #   (C) NEW r08 queries (never driver-checked) ride just behind so
+    #       they lead the r09 window;
+    #   (D) last green r05, then r06, then r07 -- each tier in its prior
     #       relative order. Next round: recompute from the union
-    #       including CORRECTNESS_r07 and rotate again.
+    #       including CORRECTNESS_r08 and rotate again.
     return {
-        # -- (A) stalest: last driver-green in r03 --------------------
-        "calendar_window_week": q_calendar_window_week,
-        "global_window_agg": q_global_window_agg,
-        "count_by_key": q_count_by_key,
-        "sum_by_key": q_sum_by_key,
-        "average_by_key": q_average_by_key,
-        "combine_min_max": q_combine_min_max,
-        "reduce_fold": q_reduce_fold,
-        "group_reduce_median": q_group_reduce_median,
-        "distinct_pairs": q_distinct_pairs,
-        "distinct_mapper": q_distinct_mapper,
-        "reduce_to_latest": q_reduce_to_latest,
-        "join_inner": q_join_inner,
-        "windowed_join": q_windowed_join,
-        "join_three_way": q_join_three_way,
-        "asof_join_enrich": q_asof_join_enrich,
-        "json_props_extract": q_json_props_extract,
-        "union_names": q_union_names,
-        "sorted_topk": q_sorted_topk,
-        "keyset_pagination": q_keyset_pagination,
-        "rollup_revenue": q_rollup_revenue,
-        "integrate_per_key": q_integrate_per_key,
-        "reduce_value_state": q_reduce_value_state,
-        "retract_join": q_retract_join,
-        "transactions": q_transactions,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "batch_updates_range": q_batch_updates_range,
-        "batch_snapshot": q_batch_snapshot,
-        "snapshot_wide": q_snapshot_wide,
-        "snapshot_with_deletes": q_snapshot_with_deletes,
-        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
-        "random_access_get": q_random_access_get,
-        "multi_get": q_multi_get,
-        "scan_wildcard": q_scan_wildcard,
-        "list_entities": q_list_entities,
-        "union_attributes": q_union_attributes,
-        "proxy_attribute_read": q_proxy_attribute_read,
-        "elementwise_transform": q_elementwise_transform,
-        "with_window": q_with_window,
-        "tumbling_window_sum": q_tumbling_window_sum,
-        "dedup_embedding": q_dedup_embedding,
-        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
-        "multimodal_ahash_dup": q_multimodal_ahash_dup,
-        "repetition_signals": q_repetition_signals,
-        # -- (B) new in r07: certify now ------------------------------
-        "dedup_substrings": q_dedup_substrings,
-        "multimodal_phash_dup": q_multimodal_phash_dup,
-        "domain_cap_sample": q_domain_cap_sample,
-        "distinct_hll": q_distinct_hll,
-        "ivm_agg_apply": q_ivm_agg_apply,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        # (B, beyond the 50-window: first-checked r08, stalest tier then)
+        # -- (A) never driver-checked: late-r07 additions, certify now --
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
@@ -8932,7 +8884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_precision": q_retrieval_precision,
         "contamination_report": q_contamination_report,
         "clustering_coefficient": q_clustering_coefficient,
-        # -- (C) last green r04 ---------------------------------------
+        # -- (B) stalest green: last driver-green in r04 ----------------
         "dedup_best_of_cluster": q_dedup_best_of_cluster,
         "pretraining_prep": q_pretraining_prep,
         "tpch_q2ish": q_tpch_q2ish,
@@ -9075,6 +9027,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
+        # -- (D) freshest: last driver-green in r07 ---------------------
+        "calendar_window_week": q_calendar_window_week,
+        "global_window_agg": q_global_window_agg,
+        "count_by_key": q_count_by_key,
+        "sum_by_key": q_sum_by_key,
+        "average_by_key": q_average_by_key,
+        "combine_min_max": q_combine_min_max,
+        "reduce_fold": q_reduce_fold,
+        "group_reduce_median": q_group_reduce_median,
+        "distinct_pairs": q_distinct_pairs,
+        "distinct_mapper": q_distinct_mapper,
+        "reduce_to_latest": q_reduce_to_latest,
+        "join_inner": q_join_inner,
+        "windowed_join": q_windowed_join,
+        "join_three_way": q_join_three_way,
+        "asof_join_enrich": q_asof_join_enrich,
+        "json_props_extract": q_json_props_extract,
+        "union_names": q_union_names,
+        "sorted_topk": q_sorted_topk,
+        "keyset_pagination": q_keyset_pagination,
+        "rollup_revenue": q_rollup_revenue,
+        "integrate_per_key": q_integrate_per_key,
+        "reduce_value_state": q_reduce_value_state,
+        "retract_join": q_retract_join,
+        "transactions": q_transactions,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "batch_updates_range": q_batch_updates_range,
+        "batch_snapshot": q_batch_snapshot,
+        "snapshot_wide": q_snapshot_wide,
+        "snapshot_with_deletes": q_snapshot_with_deletes,
+        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
+        "random_access_get": q_random_access_get,
+        "multi_get": q_multi_get,
+        "scan_wildcard": q_scan_wildcard,
+        "list_entities": q_list_entities,
+        "union_attributes": q_union_attributes,
+        "proxy_attribute_read": q_proxy_attribute_read,
+        "elementwise_transform": q_elementwise_transform,
+        "with_window": q_with_window,
+        "tumbling_window_sum": q_tumbling_window_sum,
+        "dedup_embedding": q_dedup_embedding,
+        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
+        "multimodal_ahash_dup": q_multimodal_ahash_dup,
+        "repetition_signals": q_repetition_signals,
+        "dedup_substrings": q_dedup_substrings,
+        "multimodal_phash_dup": q_multimodal_phash_dup,
+        "domain_cap_sample": q_domain_cap_sample,
+        "distinct_hll": q_distinct_hll,
+        "ivm_agg_apply": q_ivm_agg_apply,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 
 
