@@ -8434,8 +8434,8 @@ WITH units AS (
     FROM events GROUP BY user_id
 ), g AS (
     SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-           sum((x * x)::DECIMAL(24,4)) AS sxx,
-           sum((x * y)::DECIMAL(24,4)) AS sxy
+           sum((x * x)::DECIMAL(38,4)) AS sxx,
+           sum((x * y)::DECIMAL(38,4)) AS sxy
     FROM units
 ), t AS (
     SELECT n, sx,

@@ -20,6 +20,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` iff its optimizer-
+    estimated size is too small for the file scan to produce that many
+    partitions — a small parquet reads as 1-2 partitions and any
+    interpreted per-row stage over it runs near-serially.
+
+    The estimate comes from Catalyst plan statistics (file-relation
+    ``sizeInBytes`` over ``files.maxPartitionBytes``), NOT from
+    ``df.rdd.getNumPartitions()`` — the RDD probe forces a
+    DataFrame→RDD conversion worth ~1s of driver-side analysis per call
+    (r07 verdict #6; priced at dedup.py's minhash staging note). At real
+    scale sizeInBytes >= parallelism * maxPartitionBytes and this is a
+    no-op (no shuffle added).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        maxpb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        narrow = size < par * maxpb
+    except Exception:
+        # stats unavailable (non-JVM session wrapper etc.): spread
+        # unconditionally — correct either way, costs one small shuffle
+        narrow = True
+    return df.repartition(par) if narrow else df
+
+
 def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
@@ -1016,6 +1047,10 @@ def embedding_decontaminate(
     Recall follows the sign-LSH collision model (see `lsh_recall_eval`):
     tune (num_planes, num_tables) to the similarity band that counts as
     contamination; exact-cosine confirm keeps precision at 1.0.
+
+    Pass ``dim`` to validate vector length on BOTH frames (eval at
+    collection time, train per Arrow batch) — a loud mismatch beats a
+    silent numpy broadcast error deep in the Gram stage.
     """
     from typing import Iterator
 
@@ -1042,11 +1077,21 @@ def embedding_decontaminate(
     # (bounded by the eval-suite size by contract) and closure-shipped
     ev = _bucketed(eval_df).toPandas()
     table: dict[tuple[int, int], tuple] = {}
+    eqmax = 0
     if len(ev):
         EQ_all = np.floor(
             np.stack([np.asarray(x, dtype=np.float64) for x in ev["__v"]])
             * scale
         ).astype(np.int64)
+        if dim is not None and EQ_all.shape[1] != dim:
+            raise ValueError(
+                f"embedding_decontaminate: eval vectors have dim "
+                f"{EQ_all.shape[1]}, expected {dim}"
+            )
+        # eval-side magnitude feeds the Gram terms q_train * q_eval — the
+        # probe guard must bound d * qmax_train * eqmax, not qmax_train^2
+        # (r07 ADVICE #1)
+        eqmax = int(np.abs(EQ_all).max()) if EQ_all.size else 0
         ern_all = np.sqrt((EQ_all * EQ_all).sum(axis=1).astype(np.float64))
         eids_all = ev["__id"].to_numpy()
         for t in range(num_tables):
@@ -1086,12 +1131,19 @@ def embedding_decontaminate(
                 * scale
             ).astype(np.int64)
             d = Q.shape[1]
+            if dim is not None and d != dim:
+                raise ValueError(
+                    f"embedding_decontaminate: train vectors have dim {d}, "
+                    f"expected {dim}"
+                )
             qmax = int(np.abs(Q).max()) if Q.size else 0
-            # loud overflow guard (the semantic_dedup contract)
-            if qmax and d * qmax * qmax >= 2**62:
+            # loud overflow guard (the semantic_dedup contract): Gram terms
+            # are q_train * q_eval, so bound with the EVAL-side max too
+            if qmax and eqmax and d * qmax * eqmax >= 2**62:
                 raise ValueError(
                     f"embedding_decontaminate: |value|*{scale} up to {qmax} "
-                    f"over dim {d} overflows the int64 Gram accumulation"
+                    f"(train) x {eqmax} (eval) over dim {d} overflows the "
+                    "int64 Gram accumulation"
                 )
             rn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
             out_t, out_e, out_c = [], [], []
@@ -1187,13 +1239,10 @@ def similarity_join_prefix(
     Returns (id_a, id_b, n_inter, jac) with id_a < id_b, jac rounded to
     6 places.
     """
-    # spread a narrow scan first: a small parquet reads as 1-2 partitions
-    # and the interpreted shingle transform would run near-serially; at
-    # real scale inputs already have >= parallelism partitions and this
-    # is a no-op (no shuffle added).
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # spread a narrow scan first (plan-stats probe, no RDD conversion):
+    # the interpreted shingle transform would otherwise run near-serially
+    # on a 1-2 partition small-parquet scan
+    df = _spread_narrow_scan(df)
     toks = df.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     )
@@ -1329,6 +1378,11 @@ def snm_candidate_pairs(
     Returns (id_a, id_b, rank_a, rank_b, key_a, key_b) with
     rank_b - rank_a in [1, window-1].
     """
+    if window < 2:
+        # window=1 would hit the descending-sequence trap:
+        # F.sequence(rank+1, rank) yields [rank+1, rank] (a DESCENDING
+        # 2-element range, not empty) and emits a bogus self-pair
+        raise ValueError(f"window must be >= 2, got {window}")
     from pyspark.sql import Window
 
     keyed = df.select(

@@ -66,8 +66,12 @@ def cuped_adjusted_means(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__x").alias("__sx"),
         F.sum("__y").alias("__sy"),
-        F.sum((F.col("__x") * F.col("__x")).cast("decimal(24,4)")).alias("__sxx"),
-        F.sum((F.col("__x") * F.col("__y")).cast("decimal(24,4)")).alias("__sxy"),
+        # decimal(38,4): a (24,4) intermediate overflows to NULL (non-ANSI
+        # Spark) once |x| exceeds ~1e10 and F.sum would silently skip those
+        # rows — (38,4) holds any decimal(18,s)^2 product exactly and both
+        # engines agree on the width (r07 ADVICE #3)
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,4)")).alias("__sxx"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,4)")).alias("__sxy"),
     )
     per_v = u.groupBy("__v").agg(
         F.count(F.lit(1)).alias("n_units"),

@@ -395,10 +395,16 @@ def k_core(
         )
     else:
         if rounds is None:
-            raise RuntimeError(
-                f"k_core did not converge within max_rounds={max_rounds}; "
-                "raise max_rounds (peel depth exceeds the bound)"
-            )
+            # the emptiness check runs at the TOP of each iteration, so a
+            # peel that removes the last under-degree nodes on the final
+            # round would otherwise raise spuriously — re-check the final
+            # edge frame before declaring non-convergence (r07 ADVICE #4)
+            deg = e.groupBy("__a").agg(F.count(F.lit(1)).alias("__d"))
+            if not deg.where(F.col("__d") < k).isEmpty():
+                raise RuntimeError(
+                    f"k_core did not converge within max_rounds={max_rounds}; "
+                    "raise max_rounds (peel depth exceeds the bound)"
+                )
     return (
         e.groupBy("__a")
         .agg(F.count(F.lit(1)).alias("deg"))
