@@ -190,6 +190,22 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def between_queries() -> None:
+        """Contention hygiene (VERDICT r07 #7): mid-suite medians inflated
+        up to 20x vs isolated re-runs because lazy localCheckpoint RDDs
+        and cached frames accumulate across the 97-query sweep and the
+        resulting heap/eviction pressure lands on whoever runs next.
+        Drop Python-side refs (so ContextCleaner can release checkpoint
+        RDDs), clear the DF cache, and hint a JVM GC between queries."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     # steady-state throughput: 1 untimed warmup (codegen + shuffle-file
     # reuse), then median of 5 timed runs — single cold runs on this host
     # vary ±40% from scheduling/JIT noise and measure constants, not the
@@ -199,6 +215,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         run_once(name)
         timings[name] = round(sorted(run_once(name) for _ in range(5))[2], 3)
+        between_queries()
 
     # Isolated re-measure protocol (VERDICT r06 'Next round' #8): any query
     # whose median lands >2x its recorded clean-box median gets 10 extra
@@ -215,6 +232,16 @@ def main() -> None:
                 runs = sorted(run_once(name) for _ in range(10))
                 isolated[name] = round((runs[4] + runs[5]) / 2, 3)
 
+    # which keyed-state engine this artifact certifies (VERDICT r07 #8):
+    # transformWithStateInPandas has never executed in this container (no
+    # protobuf — DELTAS.md #12); record the selected path so every round's
+    # evidence says which implementation it measured.
+    from proxima_platform_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    state_engine = "twsip" if transform_with_state_available(spark) else "apiws"
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline suite, median-of-5 warm sec/query",
@@ -222,6 +249,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "state_engine": state_engine,
         # box-load context: this box shows 1.4-1.6x global / 3-8x per-query
         # jitter under concurrent load; clean-box medians in BENCH_CLEANBOX
         # and SCALE.md "Bench notes". 'isolated' holds end-of-sweep
