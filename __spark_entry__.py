@@ -7470,6 +7470,101 @@ FROM counts c LEFT JOIN reass r USING (doc_id)
 """
 
 
+def q_dedup_substrings_maximal(spark, sf):
+    """Variable-length ExactSubstr dedup (functions/dedup.py::
+    dedup_substrings_maximal) — the full Lee et al. semantics over the
+    fixed-granularity cutter: duplicated spans >= 8 tokens removed WHOLE
+    at arbitrary alignment (per-token union of overlapping duplicated
+    8-gram windows = the maximal-run region), with every gram's
+    globally-first occurrence window immune (kept wins over removal, so
+    duplicated content always survives at its winning site). Run stats
+    (n_runs_cut, max_run_len) expose the maximal-run structure. Oracle
+    replays winner rule, window unions, the kept-window subtraction and
+    the rp - row_number() run grouping verbatim."""
+    from proxima_platform_spark.functions.dedup import dedup_substrings_maximal
+
+    docs = _load(spark, sf, "documents")
+    return dedup_substrings_maximal(docs, min_len=8)
+
+
+def _sql_dedup_substrings_maximal(n: int = 8) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), counts AS (
+    SELECT doc_id, len(tk) AS n_tokens FROM t
+), occ AS (
+    SELECT doc_id, pos, md5(gram) AS fp
+    FROM (
+        SELECT doc_id,
+               unnest(g) AS gram,
+               generate_subscripts(g, 1) AS pos
+        FROM (SELECT doc_id,
+                     CASE WHEN len(tk) >= {n}
+                          THEN [array_to_string(tk[i:i+{n}-1], ' ')
+                                for i in range(1, len(tk) - {n} + 2)]
+                          ELSE [] END AS g
+              FROM t)
+    )
+), per_doc AS (
+    SELECT fp, doc_id, min(pos) AS mp FROM occ GROUP BY 1, 2
+), winners AS (
+    SELECT fp, min(doc_id) AS wd, arg_min(mp, doc_id) AS wp
+    FROM per_doc GROUP BY fp HAVING count(*) >= 2
+), rem AS (
+    SELECT occ.doc_id, occ.pos
+    FROM occ JOIN winners USING (fp)
+    WHERE NOT (occ.doc_id = winners.wd AND occ.pos = winners.wp)
+), removed AS (
+    SELECT DISTINCT doc_id, rp FROM (
+        SELECT doc_id, unnest([pos + i for i in range(0, {n})]) AS rp
+        FROM rem
+    )
+), keptw AS (
+    SELECT DISTINCT doc_id, rp FROM (
+        SELECT wd AS doc_id, unnest([wp + i for i in range(0, {n})]) AS rp
+        FROM winners
+    )
+), cut AS (
+    SELECT r.doc_id, r.rp FROM removed r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM keptw k WHERE k.doc_id = r.doc_id AND k.rp = r.rp
+    )
+), run_len AS (
+    SELECT doc_id, grp, count(*) AS rl FROM (
+        SELECT doc_id,
+               rp - row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS grp
+        FROM cut
+    ) GROUP BY 1, 2
+), run_stats AS (
+    SELECT doc_id, count(*) AS n_runs_cut, max(rl) AS max_run_len
+    FROM run_len GROUP BY 1
+), tok AS (
+    SELECT doc_id, generate_subscripts(tk, 1) AS tp, unnest(tk) AS tok FROM t
+), kept AS (
+    SELECT k.doc_id, k.tp, k.tok FROM tok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cut c WHERE c.doc_id = k.doc_id AND c.rp = k.tp
+    )
+), reass AS (
+    SELECT doc_id, count(*) AS n_kept,
+           array_to_string(list(tok ORDER BY tp), ' ') AS text_dedup
+    FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       c.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(s.n_runs_cut, 0) AS n_runs_cut,
+       coalesce(s.max_run_len, 0) AS max_run_len,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM counts c
+LEFT JOIN reass r USING (doc_id)
+LEFT JOIN run_stats s USING (doc_id)
+"""
+
+
 def q_ann_knn_join(spark, sf):
     """Approximate kNN SELF-join (functions/similarity.py::knn_join_lsh):
     every vector's top-3 cosine neighbors among its 2×8-plane sign-LSH
@@ -8925,7 +9020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "retention_vacuum": q_retention_vacuum,
         "zorder_layout": q_zorder_layout,
-        # -- (C) last green r05 ---------------------------------------
+        # -- (C) NEW r08: never driver-checked, lead the r09 window -----
+        "dedup_substrings_maximal": q_dedup_substrings_maximal,
+        # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "topk_per_group": q_topk_per_group,
@@ -9164,6 +9261,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility_bytes": _sql_tokenizer_fertility_bytes(),
         "dup_ngram_coverage": _sql_dup_ngram_coverage(),
         "dedup_substrings": _sql_dedup_substrings(),
+        "dedup_substrings_maximal": _sql_dedup_substrings_maximal(),
         "multimodal_phash_dup": SQL_MULTIMODAL_PHASH_DUP,
         "domain_cap_sample": SQL_DOMAIN_CAP_SAMPLE,
         "distinct_hll": SQL_DISTINCT_HLL,

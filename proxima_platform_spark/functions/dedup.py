@@ -875,6 +875,160 @@ def dedup_substrings(
     )
 
 
+def dedup_substrings_maximal(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+):
+    """Variable-length cross-document exact-substring deduplication —
+    the full ExactSubstr semantics (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): remove every duplicated token
+    span of length >= ``min_len`` AT ARBITRARY ALIGNMENT, preserving the
+    globally-first occurrence of the duplicated content WHOLE.
+
+    Generalizes :func:`dedup_substrings` (fixed-n gram runs) in the two
+    places the fixed-granularity cut diverges from the canonical
+    operator:
+
+      * **maximal runs**: a duplicated span of length M >= min_len
+        consists of M - min_len + 1 overlapping duplicated min_len-grams
+        (every min_len-window inside a shared span is itself shared);
+        their removal windows are unioned PER TOKEN, so adjacent/
+        overlapping windows merge into the maximal run and the planted
+        L+7-token duplicate at an unaligned offset is cut whole, never
+        fragmented. Conversely every cut token IS inside some duplicated
+        span >= min_len — the per-token union is exactly the "any
+        duplicated substring >= L" region of the suffix-array operator.
+      * **first occurrence preserved**: the winner window of every
+        duplicated gram (globally-first doc, earliest position there) is
+        IMMUNE to removal — ``dedup_substrings``' documented
+        "removal wins over kept" approximation destroys the kept copy
+        under self-overlapping repeats ("a b a b a b" keeps nothing);
+        here kept wins, so NO duplicated gram's content is ever erased
+        from its last remaining site. Each removed token is therefore
+        still readable at the winning occurrence — the ExactSubstr
+        keep-one contract.
+
+    Returns ``(id_col, n_tokens, n_kept, n_removed, n_runs_cut,
+    max_run_len, text_dedup)`` — run stats expose the maximal-run
+    structure (a single planted L+7 duplicate shows as one run of
+    length L+7, not fragments).
+
+    Scale shape (100 TB): identical to :func:`dedup_substrings` —
+    two map-side-combined gram aggs, winner selection via algebraic
+    ``min``/``min_by`` (no sort), window explodes bounded by duplicated
+    occurrence volume, the cut one left-anti equi-join per token. The
+    only additions are a second bounded explode (winner windows — at
+    most one window per duplicated gram) and run-stats windows
+    PARTITIONED PER DOCUMENT (doc-bounded sorts, never a global
+    single-partition window). Ref parity anchor: the reference runs
+    user-code transforms for this class of corpus op
+    (tools/groovy/Stream.java flatMap); here the whole cut is
+    declarative codegen.
+    """
+    from pyspark.sql import Window
+
+    n = min_len
+    if n < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+    occ = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select(id_col, "pos", F.md5("gram").alias("__fp"))
+        .localCheckpoint(eager=False)
+    )
+    per_doc = occ.groupBy("__fp", id_col).agg(F.min("pos").alias("__mp"))
+    winners = (
+        per_doc.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.min(id_col).alias("__wd"),
+            F.min_by("__mp", F.col(id_col)).alias("__wp"),
+        )
+        .where(F.col("__nd") >= 2)
+        .select("__fp", "__wd", "__wp")
+        .localCheckpoint(eager=False)
+    )
+    rem = occ.join(winners, "__fp").where(
+        ~((F.col(id_col) == F.col("__wd")) & (F.col("pos") == F.col("__wp")))
+    )
+    removed = rem.select(
+        F.col(id_col).alias("__rid"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("__rp"),
+    ).distinct()
+    # winner windows are immune: one n-token window per duplicated gram
+    # (bounded by |winners|), unioned per token exactly like removals
+    keptw = winners.select(
+        F.col("__wd").alias("__rid"),
+        F.explode(
+            F.sequence(F.col("__wp"), F.col("__wp") + F.lit(n - 1))
+        ).alias("__rp"),
+    ).distinct()
+    cut = removed.join(keptw, ["__rid", "__rp"], "left_anti").localCheckpoint(
+        eager=False
+    )
+    # maximal-run stats: consecutive cut positions collapse under the
+    # rp - row_number() grouping key (runs are per-doc windows — parallel
+    # across docs, sort bounded by that doc's cut tokens)
+    wr = Window.partitionBy("__rid").orderBy("__rp")
+    run_len = (
+        cut.select(
+            "__rid", (F.col("__rp") - F.row_number().over(wr)).alias("__grp")
+        )
+        .groupBy("__rid", "__grp")
+        .agg(F.count(F.lit(1)).alias("__rl"))
+    )
+    run_stats = run_len.groupBy("__rid").agg(
+        F.count(F.lit(1)).alias("n_runs_cut"),
+        F.max("__rl").alias("max_run_len"),
+    )
+    tok = base.select(F.col(id_col), F.posexplode("__toks").alias("tp", "tok"))
+    kept = tok.join(
+        cut,
+        (tok[id_col] == cut["__rid"]) & (tok["tp"] == cut["__rp"]),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    counts = base.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    return (
+        counts.join(reassembled, id_col, "left")
+        .join(
+            run_stats.withColumnRenamed("__rid", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("n_runs_cut", F.lit(0)).alias("n_runs_cut"),
+            F.coalesce("max_run_len", F.lit(0)).alias("max_run_len"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def plan_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
     """Pick the (bands, rows) factorization of ``num_hashes`` whose LSH
     S-curve pivots closest to the requested Jaccard ``threshold``.

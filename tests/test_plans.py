@@ -717,6 +717,25 @@ class TestR07ExtensionPlans:
             assert marker not in plan
         assert "LeftAnti" in plan
 
+    def test_dedup_substrings_maximal_keyed_no_cartesian(self, spark, sf_dir):
+        # variable-length ExactSubstr: same keyed gram ladder as the
+        # fixed-n cutter plus a bounded winner-window explode and
+        # PER-DOCUMENT run-stats windows — no cartesian, no Python, and
+        # every Window partitioned (no global single-partition sort)
+        df = entry.q_dedup_substrings_maximal(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert "LeftAnti" in plan
+        # the run-stats window is keyed by doc id, never empty-partitioned
+        import re
+
+        for m in re.finditer(r"Window \[", plan):
+            seg = plan[m.start() : m.start() + 400]
+            assert "partitionBy" not in seg or "__rid" in seg
+
     def test_multimodal_phash_dup_pigeonhole_join(self, spark, sf_dir):
         # candidates come from the 16-bit pigeonhole chunk equi-join —
         # never an n^2 image product; the decode/DCT stage is the one

@@ -378,6 +378,126 @@ class TestDedupSubstrings:
         assert before > 0
         assert after < before
 
+
+class TestDedupSubstringsMaximal:
+    def test_unaligned_long_duplicate_removed_whole(self, spark):
+        """A planted duplicate of length min_len+7 at an UNALIGNED offset
+        is removed as ONE maximal run (the fixed-n operator's contract
+        check from VERDICT r07 #2)."""
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings_maximal,
+        )
+
+        span = " ".join(f"s{i}" for i in range(1, 12))  # 11 = 4 + 7 tokens
+        d = spark.createDataFrame(
+            [
+                (1, span + " u1 u2 u3"),
+                (2, "f1 f2 f3 " + span + " g1 g2"),  # offset 3: unaligned
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_substrings_maximal(d, min_len=4).collect()
+        }
+        # doc1 holds every winning occurrence: untouched
+        assert (out[1].n_removed, out[1].n_runs_cut) == (0, 0)
+        assert out[1].text_dedup == span + " u1 u2 u3"
+        # doc2 loses the whole 11-token span as ONE run — not fragments
+        assert out[2].n_removed == 11
+        assert out[2].n_runs_cut == 1
+        assert out[2].max_run_len == 11
+        assert out[2].text_dedup == "f1 f2 f3 g1 g2"
+
+    def test_winner_window_immune_under_self_overlap(self, spark):
+        """Self-overlapping repeats: kept wins over removal, so the first
+        occurrence survives whole where dedup_substrings' removal-wins
+        approximation would chew it."""
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings,
+            dedup_substrings_maximal,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x a b a b y")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_substrings_maximal(d, min_len=4).collect()
+        }
+        # winner window [0..3] of "a b a b" immune; doc1's second
+        # occurrence loses only the tokens OUTSIDE the kept window
+        assert out[1].text_dedup == "a b a b"
+        assert out[1].n_removed == 2
+        # loser doc cut in full
+        assert out[2].text_dedup == "x y"
+        assert out[2].n_removed == 4
+        # contrast: the fixed-n cutter destroys part of the kept copy
+        old = {r.doc_id: r for r in dedup_substrings(d, n=4).collect()}
+        assert old[1].n_removed > out[1].n_removed
+
+    def test_duplicated_content_always_survives_somewhere(self, spark):
+        """Invariant: every duplicated gram's content remains readable at
+        its winning occurrence — the ExactSubstr keep-one contract."""
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings_maximal,
+            shingles_from_tokens,
+            tokens,
+        )
+
+        rows = [
+            (1, "p q r s t common one two"),
+            (2, "zz p q r s t yy common"),
+            (3, "common p q r s t common p q r s t"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_substrings_maximal(d, min_len=4)
+        # grams duplicated across >= 2 docs in the INPUT
+        occ = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    shingles_from_tokens(tokens(F.col("text")), 4)
+                )
+            ).alias("g"),
+        ).distinct()
+        dup = {
+            r.g
+            for r in occ.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where("nd >= 2")
+            .collect()
+        }
+        assert dup  # non-vacuous fixture
+        survivors = " | ".join(
+            r.text_dedup for r in out.orderBy("doc_id").collect()
+        )
+        for g in dup:
+            assert g in survivors, f"duplicated gram erased everywhere: {g}"
+
+    def test_short_docs_and_validation(self, spark):
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings_maximal,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "too short"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_substrings_maximal(d, min_len=4).collect()
+        }
+        assert out[1].n_removed == 0 and out[1].text_dedup == "too short"
+        assert out[2].n_removed == 0 and out[2].text_dedup == ""
+        import pytest
+
+        with pytest.raises(ValueError, match="min_len"):
+            dedup_substrings_maximal(d, min_len=1)
+
     def test_matches_python_model(self, spark):
         """Randomized corpora: operator output equals a direct Python model
         of the keep-global-first / cut-windows rule."""
