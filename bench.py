@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "matryoshka_fidelity",
     "retrieval_auc",
     "clustering_coefficient",
+    "dedup_substrings_maximal",
+    "ann_ivfpq_topk",
 ]
 
 
