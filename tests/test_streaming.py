@@ -2118,3 +2118,125 @@ class TestContinuousDsir:
         assert sorted(
             map(tuple, cd._raw_counts(cd._manifest()).collect())
         ) == counts_before
+
+
+class TestContinuousDomainCap:
+    CAP = 3
+
+    def _batches(self, spark):
+        # 3 batches over 2 registered domains with messy URLs; the cap
+        # (3/domain) bites mid-stream so accepts span batch boundaries
+        rows = [
+            [(1, "http://www.Site0.com/a?utm_source=x"),
+             (2, "https://site0.com:443/b"),
+             (3, "http://news.site1.co.uk/a"),
+             (4, "http://site0.com/c#frag")],
+            [(5, "http://site0.com/d"),          # site0 quota exhausted here
+             (6, "https://www.site1.co.uk/b"),
+             (7, "http://site1.co.uk/c")],
+            [(8, "http://site0.com/e"),          # all rejected: over cap
+             (9, "http://site1.co.uk/d")],
+        ]
+        return [
+            (i, [(doc_id, url) for doc_id, url in batch])
+            for i, batch in enumerate(rows)
+        ]
+
+    def _reference(self, spark, all_rows):
+        """Batch twin: row_number over (domain ORDER BY batch_id,
+        sample_key(url), url) <= cap on the union — domain_cap_sample's
+        quota rule with arrival order as the leading priority."""
+        from pyspark.sql import Window, functions as F
+
+        from proxima_platform_spark.functions.sampling import sample_key
+        from proxima_platform_spark.functions.urls import (
+            registered_domain,
+            url_canonicalize,
+            url_host,
+        )
+
+        df = spark.createDataFrame(
+            all_rows, "batch_id long, doc_id long, url string"
+        )
+        staged = df.withColumn(
+            "url_canon", url_canonicalize(F.col("url"))
+        ).withColumn("domain", registered_domain(url_host(F.col("url_canon"))))
+        w = Window.partitionBy("domain").orderBy(
+            "batch_id", sample_key(F.col("url")), F.col("url")
+        )
+        return {
+            r.doc_id
+            for r in staged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= self.CAP)
+            .collect()
+        }
+
+    def test_streaming_verdicts_match_batch_union(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.domain_cap_stream import (
+            ContinuousDomainCap,
+        )
+
+        got: dict[int, list] = {}
+
+        def sink(df, batch_id):
+            got[batch_id] = sorted(map(tuple, df.collect()))
+
+        cap = ContinuousDomainCap(
+            spark, str(tmp_path / "dcap"), cap=self.CAP, sink=sink,
+            compact_every=2,
+        )
+        all_rows = []
+        for bid, rows in self._batches(spark):
+            bdf = spark.createDataFrame(rows, "doc_id long, url string")
+            cap.update(bdf, bid)
+            all_rows += [(bid, d, u) for d, u in rows]
+
+        accepted = {
+            r[0] for rows in got.values() for r in rows if r[3]
+        }
+        assert accepted == self._reference(spark, all_rows)
+        # the cap actually bites (non-vacuous): some rows rejected
+        rejected = {r[0] for rows in got.values() for r in rows if not r[3]}
+        assert rejected
+        # maintained counts == accepted per domain
+        counts = {r.domain: r.n_acc for r in cap.accepted_counts().collect()}
+        assert sum(counts.values()) == len(accepted)
+        assert all(v <= self.CAP for v in counts.values())
+
+    def test_replay_is_noop_and_first_arrival_wins(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.domain_cap_stream import (
+            ContinuousDomainCap,
+        )
+
+        calls = []
+        cap = ContinuousDomainCap(
+            spark, str(tmp_path / "dcap2"), cap=self.CAP,
+            sink=lambda df, bid: calls.append(bid),
+        )
+        batches = self._batches(spark)
+        bdf0 = spark.createDataFrame(batches[0][1], "doc_id long, url string")
+        cap.update(bdf0, 0)
+        before = sorted(map(tuple, cap.accepted_counts().collect()))
+        cap.update(bdf0, 0)  # replay of a committed batch: full no-op
+        assert calls == [0]
+        assert sorted(map(tuple, cap.accepted_counts().collect())) == before
+        # first-arrival-wins: a later batch cannot displace an accept even
+        # with a smaller sampling key — batch 1's site0 rows all reject
+        got = {}
+        cap.sink = lambda df, bid: got.update({bid: df.collect()})
+        bdf1 = spark.createDataFrame(batches[1][1], "doc_id long, url string")
+        cap.update(bdf1, 1)
+        site0_later = [
+            r for r in got[1] if r.domain == "site0.com"
+        ]
+        assert site0_later and all(not r.accepted for r in site0_later)
+
+    def test_rejects_non_posix_path(self, spark):
+        import pytest
+
+        from proxima_platform_spark.streaming.domain_cap_stream import (
+            ContinuousDomainCap,
+        )
+
+        with pytest.raises(ValueError, match="POSIX"):
+            ContinuousDomainCap(spark, "s3a://bucket/state")
