@@ -811,3 +811,31 @@ class TestR07ExtensionPlans:
     def test_semantic_decontaminate_not_vacuous(self, spark, sf_dir):
         n = entry.q_semantic_decontaminate(spark, sf_dir).count()
         assert n >= 5  # the fixture has real cross-split near-dups
+
+
+class TestNoRddProbe:
+    def test_narrow_scan_spread_never_converts_to_rdd(self, spark, sf_dir, monkeypatch):
+        """VERDICT r07 #6: the spread-narrow-scan guard must read the
+        partition estimate from Catalyst plan stats, never from
+        df.rdd.getNumPartitions() (the RDD conversion costs ~1s of
+        driver-side analysis per call). Poison the .rdd property and
+        build both operators' plans — setup must complete."""
+        from pyspark.sql import DataFrame, functions as F
+
+        from proxima_platform_spark.functions.dedup import (
+            similarity_join_prefix,
+            snm_candidate_pairs,
+        )
+
+        def boom(self):
+            raise AssertionError("DataFrame.rdd accessed during setup")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(boom))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = similarity_join_prefix(docs, id_col="doc_id", text_col="text")
+        b = snm_candidate_pairs(
+            docs, "doc_id", F.substring(F.col("text"), 1, 12)
+        )
+        # plan construction + analysis only — no execution needed to
+        # prove the probe stayed JVM-plan-side
+        assert a.columns and b.columns
