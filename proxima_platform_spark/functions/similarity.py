@@ -271,6 +271,91 @@ def ivf_top_k(
     )
 
 
+def _pq_arrow_stages(
+    pre: DataFrame,
+    probes_pre: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    codebooks,
+    m: int,
+    dsub: int,
+):
+    """Arrow-batched PQ encode + ADC-table stages, bit-identical to the
+    expression twin in :func:`ivfpq_top_k` (int64 squared distances,
+    ``np.argmin``'s first-index tie-break == ``array_position(array_min)``).
+
+    The expression form embeds an m×ks×dsub literal codebook per call
+    site; at m=16/ks=64 Catalyst analysis alone costs ~40 s. Here the
+    codebook ships once in the task closure (m·ks·dsub int64 ≈ 32 KB at
+    the defaults) and the per-batch work is one broadcast-subtract —
+    (batch, m, 1, dsub) − (1, m, ks, dsub) — squared and summed, all
+    int64. Overflow is guarded loudly: dsub·(|q|max+|c|max)² must stay
+    under 2⁶³, same contract as the Gram probes in functions/dedup.py.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, ks, dsub)
+    cmax = int(np.abs(cb).max()) if cb.size else 0
+
+    def _stack(col) -> "np.ndarray":
+        return np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in col], dtype=np.int64
+        )
+
+    def _dists(Q: "np.ndarray") -> "np.ndarray":
+        qmax = int(np.abs(Q).max()) if Q.size else 0
+        if dsub * (qmax + cmax) ** 2 >= 2**62:
+            raise ValueError(
+                f"PQ distance overflow risk: dsub={dsub} qmax={qmax} "
+                f"cmax={cmax} exceeds the int64 budget — lower `scale`"
+            )
+        sub = Q.reshape(len(Q), m, 1, dsub)
+        diff = sub - cb[None, :, :, :]
+        return (diff * diff).sum(axis=3)  # (n, m, ks) int64-exact
+
+    pre_schema = pre.schema
+    code_schema = T.StructType(
+        [pre_schema[id_col], pre_schema["cell"]]
+        + [T.StructField(f"__code{s}", T.IntegerType(), False) for s in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d = _dists(_stack(pdf["__qv"]))
+            out = {id_col: pdf[id_col], "cell": pdf["cell"]}
+            codes = d.argmin(axis=2).astype(np.int32)  # first-index ties
+            for s in range(m):
+                out[f"__code{s}"] = codes[:, s]
+            yield pd.DataFrame(out)
+
+    probes_schema = probes_pre.schema
+    qtab_schema = T.StructType(
+        [probes_schema[query_id_col], probes_schema["cell"]]
+        + [
+            T.StructField(f"__qtab{s}", T.ArrayType(T.LongType()), False)
+            for s in range(m)
+        ]
+    )
+
+    def qtabs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d = _dists(_stack(pdf["__qq"]))
+            out = {query_id_col: pdf[query_id_col], "cell": pdf["cell"]}
+            for s in range(m):
+                out[f"__qtab{s}"] = list(d[:, s, :])
+            yield pd.DataFrame(out)
+
+    return (
+        pre.mapInPandas(encode, code_schema),
+        probes_pre.mapInPandas(qtabs, qtab_schema),
+    )
+
+
 def ivfpq_top_k(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -287,6 +372,7 @@ def ivfpq_top_k(
     shortlist: int = 50,
     train_iters: int = 0,
     scale: int = 1_000_000,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k with exact-rescore refine — the index
     shape that FITS at 10⁹–10¹¹ vectors, where IVF-flat's uncompressed
@@ -318,12 +404,18 @@ def ivfpq_top_k(
          stage moves recall@10 by < 0.02 once the rescore stage is on,
          so the declared query keeps train_iters=0 and the knob is for
          real corpora whose subspace marginals are less uniform.
-      3. encode: per subspace the code is
-         ``array_position(dists, array_min(dists)) - 1`` over a single
-         ``transform`` against the 2-D literal codebook — first-index
-         tie-break, one interpreted-HOF projection, no shuffle, no
-         Python. (At 100 TB the encode pass is the place to swap in an
-         Arrow twin — same justification as quantize_embeddings_arrow.)
+      3. encode: per subspace the code is the first-index argmin of the
+         squared int64 distance to the ks codewords. Two bit-identical
+         implementations, chosen by ``use_arrow``: the default Arrow
+         stage (one ``mapInPandas`` batch matmul-free broadcast-subtract
+         per batch — ``np.argmin`` shares the first-index tie-break) and
+         the expression twin (``array_position(dists, array_min(dists))
+         - 1`` over a ``transform`` against the 2-D literal codebook).
+         The expression form embeds m·ks·dsub literals per call site and
+         Catalyst spends ~40 s ANALYZING the tree at m=16/ks=64 — the
+         Arrow stage's plan is O(columns), which is why it is the
+         default (measured 37 s → ~4 s warm end-to-end at sf0.1);
+         ``tests/test_similarity.py`` pins both paths row-identical.
       4. ADC: per query an m×ks integer distance table (same transform),
          per candidate the approx distance is m ``element_at`` lookups
          summed — int64-exact, no float drift.
@@ -450,51 +542,56 @@ def ivfpq_top_k(
             cols.append(dists)
         return cols
 
-    base = (
-        embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            qv_expr.alias("__qv"),
+    qq_expr = (
+        qv_expr
+        if query_vec_col == vec_col
+        else F.transform(
+            F.col(query_vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
         )
-        .select(
+    )
+    pre = embeddings.select(
+        F.col(id_col),
+        _centroid_assignment(F.col(vec_col), centroids).alias("cell"),
+        qv_expr.alias("__qv"),
+    )
+    probes_pre = queries.select(
+        F.col(query_id_col),
+        qq_expr.alias("__qq"),
+        F.explode(
+            _probe_assignments(F.col(query_vec_col), centroids, n_probe)
+        ).alias("cell"),
+    )
+    if use_arrow:
+        encoded, probes = _pq_arrow_stages(
+            pre, probes_pre, id_col, query_id_col, codebooks, m, dsub
+        )
+    else:
+        base = pre.select(
             id_col,
-            _centroid_assignment(F.col(vec_col), centroids).alias("cell"),
+            "cell",
             *[
                 F.slice("__qv", s * dsub + 1, dsub).alias(f"__sub{s}")
                 for s in range(m)
             ],
+        ).localCheckpoint(eager=False)
+        dist_arrays = _code_cols("__sub")
+        encoded = base.select(
+            id_col,
+            "cell",
+            *[
+                (
+                    F.array_position(dist_arrays[s], F.array_min(dist_arrays[s]))
+                    - 1
+                )
+                .cast("int")
+                .alias(f"__code{s}")
+                for s in range(m)
+            ],
         )
-        .localCheckpoint(eager=False)
-    )
-    dist_arrays = _code_cols("__sub")
-    encoded = base.select(
-        id_col,
-        "cell",
-        *[
-            (F.array_position(dist_arrays[s], F.array_min(dist_arrays[s])) - 1)
-            .cast("int")
-            .alias(f"__code{s}")
-            for s in range(m)
-        ],
-    )
-
-    probes = (
-        queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col).alias("__qvec"),
-            qv_expr.alias("__qq")
-            if query_vec_col == vec_col
-            else F.transform(
-                F.col(query_vec_col),
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(float(scale))
-                ).cast("long"),
-            ).alias("__qq"),
-            F.explode(
-                _probe_assignments(F.col(query_vec_col), centroids, n_probe)
-            ).alias("cell"),
-        )
-        .select(
+        probes = probes_pre.select(
             query_id_col,
             "cell",
             *[
@@ -502,13 +599,12 @@ def ivfpq_top_k(
                 for s in range(m)
             ],
         )
-    )
-    qtabs = _code_cols("__qsub")
-    probes = probes.select(
-        query_id_col,
-        "cell",
-        *[qtabs[s].alias(f"__qtab{s}") for s in range(m)],
-    )
+        qtabs = _code_cols("__qsub")
+        probes = probes.select(
+            query_id_col,
+            "cell",
+            *[qtabs[s].alias(f"__qtab{s}") for s in range(m)],
+        )
 
     adc = None
     for s in range(m):

@@ -120,6 +120,25 @@ class TestIvfPq:
         assert all(r.adc_dist >= 0 for r in out)
         assert out[0].__fields__ == ["query_id", "vec_id", "adc_dist", "cosine"]
 
+    def test_arrow_and_expression_paths_identical(self, spark, sf_dir):
+        """The Arrow encode/ADC stage (default) and the literal-codebook
+        expression twin are bit-identical: int64 squared distances and
+        np.argmin's first-index tie-break == array_position(array_min).
+        The Arrow path exists because Catalyst spends ~40 s just
+        ANALYZING the m=16/ks=64 literal tree; correctness must not
+        depend on which one runs."""
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.similarity import ivfpq_top_k
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = ivfpq_top_k(emb, queries, k=7, use_arrow=True).collect()
+        b = ivfpq_top_k(emb, queries, k=7, use_arrow=False).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_train_iters_refines_deterministically(self, spark, sf_dir):
         """train_iters=1 runs the distributed integer-Lloyd refinement:
         results stay deterministic (same output on re-run) and remain a
