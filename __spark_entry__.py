@@ -3286,6 +3286,86 @@ GROUP BY doc_id
 """
 
 
+def q_winnow_fingerprint_set(spark, sf):
+    """True winnowing (functions/text.py::winnow_fingerprints — the MOSS
+    fingerprinter): every w=4-window of token-3-gram Rabin-Karp hashes
+    selects its minimum with the RIGHTMOST tie-break, one row per distinct
+    (doc, pos, fp). Carries winnowing's detection guarantee (any shared
+    token run >= w+2 shares a fingerprint) at ~2/(w+1) storage density —
+    the local-fingerprint upgrade of doc_rolling_fingerprint's global min."""
+    from proxima_platform_spark.functions.text import winnow_fingerprints
+
+    docs = _load(spark, sf, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", w=4)
+
+
+def _sql_winnow_fingerprints(w: int = 4) -> str:
+    from proxima_platform_spark.functions.text import (
+        ROLLING_B, ROLLING_B2, ROLLING_P,
+    )
+
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           [(('0x' || substr(md5(x), 1, 15))::BIGINT % 1073741824) for x in tk] AS th
+    FROM t
+), g AS (
+    SELECT doc_id,
+           [(th[i] * {ROLLING_B2} + th[i+1] * {ROLLING_B} + th[i+2]) % {ROLLING_P}
+            for i in range(1, len(th) - 1)] AS gr
+    FROM h
+    WHERE len(th) >= 3
+), wins AS (
+    SELECT doc_id,
+           unnest([struct_pack(
+                pos := j + len(gr[j : j + {w - 1}])
+                       - list_position(list_reverse(gr[j : j + {w - 1}]),
+                                       list_min(gr[j : j + {w - 1}])),
+                fp := list_min(gr[j : j + {w - 1}]))
+               for j in range(1, greatest(len(gr) - {w} + 1, 1) + 1)]) AS s
+    FROM g
+)
+SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM wins
+"""
+
+
+def q_winnow_overlap(spark, sf):
+    """Copy-detection pair report (functions/text.py::winnow_overlap):
+    document pairs ranked by shared distinct winnowed fingerprints — the
+    MOSS report. Fingerprints shared by > 64 docs are dropped before
+    pairing (boilerplate stop-gram cut), bounding the candidate join at
+    cap^2/2 per fingerprint bucket; a shared passage >= w+2 tokens is
+    guaranteed to surface (detection theorem), which whole-doc MinHash
+    misses when the rest of the documents differ."""
+    from proxima_platform_spark.functions.text import winnow_overlap
+
+    docs = _load(spark, sf, "documents")
+    return winnow_overlap(
+        docs, "doc_id", "text", w=4, min_shared=2, max_docs_per_fp=64
+    )
+
+
+def _sql_winnow_overlap(
+    w: int = 4, min_shared: int = 2, cap: int = 64
+) -> str:
+    return rf"""
+WITH fps AS (
+    SELECT DISTINCT doc_id, fp FROM ({_sql_winnow_fingerprints(w)})
+), capped AS (
+    SELECT doc_id, fp FROM fps
+    WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {cap})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (functions/text.py::contaminated_doc_ids):
     corpus docs sharing any word n-gram with the eval set (docs 0-4) — the
@@ -9118,6 +9198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (C) NEW r08: never driver-checked, lead the r09 window -----
         "dedup_substrings_maximal": q_dedup_substrings_maximal,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "winnow_fingerprint_set": q_winnow_fingerprint_set,
+        "winnow_overlap": q_winnow_overlap,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9561,4 +9643,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+        "winnow_fingerprint_set": _sql_winnow_fingerprints(),
+        "winnow_overlap": _sql_winnow_overlap(),
     }

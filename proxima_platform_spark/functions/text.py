@@ -197,6 +197,136 @@ def rolling_hash_fingerprint(text: Column, *, k: int = 3) -> Column:
     return F.when(n >= 3, F.array_min(grams)).otherwise(F.lit(None).cast("long"))
 
 
+def winnow_fingerprints(
+    df, id_col: str, text_col: str, *, w: int = 4
+):
+    """True winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinter):
+    the SET of local fingerprints — in every window of ``w`` consecutive
+    token-3-gram hashes select the minimum, breaking ties by the RIGHTMOST
+    position — one row per distinct ``(doc, pos, fp)``.
+
+    Unlike :func:`rolling_hash_fingerprint` (the global min — one value
+    per doc, a whole-doc near-dup key), the winnowed SET carries the
+    **detection guarantee**: any shared token run of length ≥ w + 2
+    (w windows over 3-grams) between two documents shares at least one
+    fingerprint, while storing only ~2/(w+1) of the gram hashes. That is
+    the copy-detection primitive: :func:`winnow_overlap` joins on it.
+
+    Docs with fewer than 3 tokens have no 3-gram and emit nothing; docs
+    with 1 ≤ grams < w emit the min of what exists (one clamped window).
+
+    Scale shape: one projection stages the gram-hash array ONCE (the
+    no-CSE-inside-Generate rule — the window transform references it w
+    times per output element, so it must be a column, not an inline
+    expression), one explode bounded by grams-per-doc, one distinct
+    keyed (doc, pos, fp). No shuffle before the distinct; fingerprint
+    volume ≈ corpus grams × 2/(w+1).
+    """
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    from proxima_platform_spark.functions.dedup import shingle_hash, tokens
+
+    toks = tokens(F.col(text_col))
+    # the >= 3 filter keeps the gram sequence ascending (the documented
+    # descending-sequence trap: sequence(1, n-2) with n < 3); the token-
+    # hash array is staged in its own checkpointed projection so the gram
+    # transform's three element_at references hit a COLUMN, not a
+    # re-evaluated md5 chain (no CSE inside lambdas — dedup.py:156 rule)
+    based = (
+        df.where(F.size(toks) >= 3)
+        .select(
+            F.col(id_col),
+            F.transform(toks, shingle_hash).alias("__th"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = F.col("__th")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(th) - 2),
+        lambda i: (
+            F.element_at(th, i) * F.lit(ROLLING_B2)
+            + F.element_at(th, i + 1) * F.lit(ROLLING_B)
+            + F.element_at(th, i + 2)
+        )
+        % F.lit(ROLLING_P),
+    )
+    staged = based.select(F.col(id_col), grams.alias("__g"))
+    g = F.col("__g")
+
+    def _win(j):
+        return F.slice(g, j, w)
+
+    fps = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(g) - w + 1, F.lit(1))
+        ),
+        lambda j: F.struct(
+            # rightmost min: first position in the REVERSED window
+            (
+                j
+                + F.size(_win(j))
+                - F.array_position(F.reverse(_win(j)), F.array_min(_win(j)))
+            ).cast("int").alias("pos"),
+            F.array_min(_win(j)).alias("fp"),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(fps).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+):
+    """Copy-detection pair report over winnowed fingerprints: document
+    pairs ranked by how many distinct fingerprints they share (the MOSS
+    report shape). Any shared token run ≥ w + 2 is guaranteed to
+    contribute ≥ 1 shared fingerprint (winnowing's detection theorem),
+    so plagiarized/quoted passages surface even when the documents are
+    otherwise unrelated — the property whole-doc MinHash misses.
+
+    ``max_docs_per_fp`` drops fingerprints shared by more than that many
+    documents BEFORE pairing (boilerplate: headers, license blocks) —
+    the standard stop-gram cut. It bounds the candidate join at
+    fps × cap²/2 pairs per fingerprint bucket instead of n²; a pair
+    sharing ONLY boilerplate is deliberately not reported.
+
+    Scale shape: fingerprint set (distinct per doc) → per-fp doc counts
+    (one hash agg, map-side combined) → self-equi-join ON fp over the
+    capped buckets → one count agg per pair. Never an n² product; every
+    stage keys on fp or (doc_a, doc_b).
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    capped = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_docs_per_fp)
+        .select("fp"),
+        "fp",
+    )
+    a = capped.select(F.col(id_col).alias("doc_a"), "fp")
+    b = capped.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 EN_STOPWORDS = [" the ", " and ", " of ", " to ", " is ", " in ", " a ", " that "]
 
 

@@ -540,3 +540,123 @@ class TestDedupSubstringsMaximal:
             for r in dedup_substrings(df, n=n).collect()
         }
         assert got == want
+
+
+class TestWinnowing:
+    """True winnowing (MOSS): local w-window fingerprint sets with the
+    rightmost-min tie-break, and the copy-detection overlap join."""
+
+    def test_detection_guarantee(self, spark):
+        """Any shared token run of length >= w + 2 (one full window of
+        3-grams) shares at least one fingerprint — winnowing's theorem,
+        the property the global-min fingerprint does not give."""
+        from proxima_platform_spark.functions.text import winnow_overlap
+
+        w = 4
+        shared = "alpha beta gamma delta epsilon zeta"  # w + 2 = 6 tokens
+        df = spark.createDataFrame(
+            [
+                (0, f"one two three four {shared} five six seven eight"),
+                (1, f"nine ten eleven twelve {shared} thirteen fourteen"),
+                (2, "totally unrelated words only here nothing common"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in winnow_overlap(
+                df, "doc_id", "text", w=w, min_shared=1
+            ).collect()
+        }
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_positions_point_at_selected_gram(self, spark):
+        """Every reported (pos, fp): recomputing the 3-gram hash at pos
+        reproduces fp (positions are real offsets, not window indices),
+        and pos is the RIGHTMOST minimal gram inside some window."""
+        from proxima_platform_spark.functions.dedup import (
+            normalize_text as _nt,
+        )
+        from proxima_platform_spark.functions.text import (
+            ROLLING_B,
+            ROLLING_B2,
+            ROLLING_P,
+            winnow_fingerprints,
+        )
+        import hashlib
+
+        text = "the cat sat on the mat and the cat sat on the rug again"
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        toks = text.lower().split()
+
+        def h30(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**30
+
+        th = [h30(t) for t in toks]
+        grams = [
+            (th[i] * ROLLING_B2 + th[i + 1] * ROLLING_B + th[i + 2])
+            % ROLLING_P
+            for i in range(len(th) - 2)
+        ]
+        got = winnow_fingerprints(df, "doc_id", "text", w=4).collect()
+        assert len(got) >= 1
+        for r in got:
+            assert grams[r.pos - 1] == r.fp  # pos is 1-based gram offset
+
+    def test_rightmost_tie_break(self, spark):
+        """A window of identical gram hashes selects the RIGHTMOST
+        position (the SWA-paper rule that minimizes fingerprint count
+        across overlapping windows)."""
+        from proxima_platform_spark.functions.text import winnow_fingerprints
+
+        # "x x x x x x" → all 3-grams identical → every window ties
+        df = spark.createDataFrame(
+            [(1, "x x x x x x x")], "doc_id long, text string"
+        )
+        rows = winnow_fingerprints(df, "doc_id", "text", w=4).collect()
+        # 5 grams, windows [1..4],[2..5] → rightmost picks pos 4 and 5
+        assert sorted(r.pos for r in rows) == [4, 5]
+        assert len({r.fp for r in rows}) == 1
+
+    def test_density_and_short_docs(self, spark):
+        """Fingerprint count per doc is bounded by the window count and
+        >= 1 per w windows (density ~2/(w+1)); docs under 3 tokens emit
+        nothing; docs with 1 <= grams < w emit exactly one fingerprint."""
+        from proxima_platform_spark.functions.text import winnow_fingerprints
+
+        long_text = " ".join(f"tok{i % 17}" for i in range(60))
+        df = spark.createDataFrame(
+            [(0, long_text), (1, "just two"), (2, "a b c d")],
+            "doc_id long, text string",
+        )
+        out = winnow_fingerprints(df, "doc_id", "text", w=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert 1 not in by_doc  # < 3 tokens → no grams
+        assert len(by_doc[2]) == 1  # 2 grams < w → one clamped window
+        n_grams, w = 58, 4
+        n_windows = n_grams - w + 1
+        assert 1 <= len(by_doc[0]) <= n_windows
+
+    def test_boilerplate_cap_drops_ubiquitous_fingerprints(self, spark):
+        """max_docs_per_fp: a fingerprint present in every doc (license
+        header) is cut before pairing, so pure-boilerplate pairs vanish
+        while genuinely-shared-content pairs survive."""
+        from proxima_platform_spark.functions.text import winnow_overlap
+
+        header = "licensed under the apache license version two zero"
+        body = "real shared content sentence repeated across two docs"
+        rows = [(i, f"{header} unique{i} filler{i} words{i}") for i in range(6)]
+        rows += [(10, f"{header} {body} tail one"), (11, f"{header} {body} tail two")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in winnow_overlap(
+                df, "doc_id", "text", w=4, min_shared=1, max_docs_per_fp=4
+            ).collect()
+        }
+        assert (10, 11) in pairs
+        # header-only pairs are gone: no pair among docs 0-5
+        assert not any(a < 6 and b < 6 for a, b in pairs)
