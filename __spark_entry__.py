@@ -7977,6 +7977,56 @@ FROM ea, eb, eu, ov
 """
 
 
+def q_quantile_sketch(spark, sf):
+    """Mergeable bottom-k quantile sketch (sketch.py::quantile_sketch_*):
+    per l_returnflag, the k=256 rows with the smallest deterministic
+    md5 row tags form a uniform ROW sample; quantile estimate = type-1
+    sample quantile at integer rank ceil(q_micro*n/1e6). The sketch obeys
+    an EXACT merge law (bottom-k of union == bottom-k of merged bottom-ks
+    — associative, idempotent), pinned in tests/test_sketch.py; the
+    completing member of the sketch family (HLL distinct, KMV/theta sets,
+    CMS frequency, Bloom membership — this is the quantile axis that
+    t-digest/KLL fill in other engines, here with zero randomness so the
+    oracle replays it bit-for-bit)."""
+    from proxima_platform_spark.functions.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    li = _load(spark, sf, "lineitem")
+    sk = quantile_sketch_build(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        group_cols=["l_returnflag"],
+        k=256,
+    )
+    return quantile_sketch_estimate(sk, [0.25, 0.5, 0.75, 0.95])
+
+
+SQL_QUANTILE_SKETCH = """
+WITH tagged AS (
+    SELECT l_returnflag,
+           ('0x' || substr(md5('qsk-v1' || chr(31) || l_orderkey::VARCHAR
+                || chr(31) || l_linenumber::VARCHAR), 1, 15))::BIGINT AS h,
+           l_extendedprice AS v
+    FROM lineitem
+), sk AS (
+    SELECT l_returnflag, h, v FROM (
+        SELECT l_returnflag, h, v,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS r
+        FROM tagged)
+    WHERE r <= 256
+), agg AS (
+    SELECT l_returnflag, list_sort(list(v)) AS vs, count(*) AS n
+    FROM sk GROUP BY l_returnflag
+)
+SELECT l_returnflag, qm / 1000000.0 AS q,
+       vs[greatest((qm * n + 999999) // 1000000, 1)::INT] AS est
+FROM agg, unnest([250000, 500000, 750000, 950000]) AS u(qm)
+"""
+
+
 def q_ivm_agg_apply(spark, sf):
     """Incremental view maintenance: per-event-type (cell count, value
     total) of the snapshot at T1, maintained from the materialized T0
@@ -9200,6 +9250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "winnow_fingerprint_set": q_winnow_fingerprint_set,
         "winnow_overlap": q_winnow_overlap,
+        "quantile_sketch": q_quantile_sketch,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9645,4 +9696,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
         "winnow_fingerprint_set": _sql_winnow_fingerprints(),
         "winnow_overlap": _sql_winnow_overlap(),
+        "quantile_sketch": SQL_QUANTILE_SKETCH,
     }

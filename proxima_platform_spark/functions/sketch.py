@@ -29,7 +29,7 @@ instead of shuffling the full corpus-side key set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -646,5 +646,115 @@ def kmv_set_ops(
                 F.col("n_both") / F.col("n_union") * F.col("est_union"), 3
             ).alias("est_intersection"),
             F.round(F.col("n_both") / F.col("n_union"), 6).alias("jaccard_k"),
+        )
+    )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    tag_cols: list[str],
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    salt: str = "qsk-v1",
+) -> DataFrame:
+    """Mergeable bottom-k quantile sketch: per group, the ``k`` rows whose
+    60-bit md5 tag hashes are smallest, carrying their values —
+    ``(group..., h, v)``. The tag hash is a deterministic uniform random
+    tag over row identity (``tag_cols``), so the kept rows are a uniform
+    ROW sample (value-weighted by row multiplicity, like a real quantile
+    sketch and unlike KMV's distinct-value sample) and the sketch obeys an
+    EXACT merge law: bottom-k of a union == bottom-k of the merged
+    bottom-ks — associative, idempotent, no randomness to reconcile, the
+    same algebra the HLL/KMV family is tested under.
+
+    100 TB shape: the TakeOrdered/partial-top-k pattern — every partition
+    keeps its local k smallest tags (map-side), one shuffle keyed by
+    group reduces to the global k; sketch size is k rows per group
+    regardless of input rows. Rank-error follows the uniform-sample bound
+    (±O(1/√k) quantile error at 95%: k=256 → ~6 percentile points;
+    production sizes k to the error budget, exactly like t-digest/KLL
+    compaction budgets).
+    """
+    group_cols = list(group_cols or [])
+    h = _h60_md5([F.col(c) for c in tag_cols], salt)
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        "h", "v"
+    )
+    return (
+        df.select(
+            *group_cols, h.alias("h"), F.col(value_col).alias("v")
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """Merge two sketch frames (same group columns): bottom-k of the
+    union per group. Exactly equal to building over the concatenated
+    inputs when tags are distinct (deterministic hash over row identity),
+    so partial sketches from any partitioning combine losslessly."""
+    cols = a.columns
+    assert cols == b.columns, "sketch frames must share schema"
+    group_cols = [c for c in cols if c not in ("h", "v")]
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        "h", "v"
+    )
+    return (
+        a.unionByName(b)
+        .dropDuplicates(cols)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from a bottom-k sketch: the type-1
+    (lower) sample quantile — the value at 1-based rank ``ceil(q·n)`` of
+    the value-sorted sample. Integer rank arithmetic on exact micro-units
+    (``ceil(q·1e6·n / 1e6)``), so both engines select the identical
+    element and the result hash-matches bit-for-bit; no interpolation,
+    no float formula to drift.
+
+    Output: ``(group..., q, est)`` — one row per requested quantile.
+    Driver never sees the sample; the selection is one bounded
+    ``sort_array(collect_list)`` per group (≤ k elements by contract).
+    Quantiles are snapped to micro-units DRIVER-side (``round(q·1e6)``)
+    so the rank is ``ceil(q_micro·n / 1e6)`` in pure int64 arithmetic
+    (``(q_micro·n + 999999) div 1e6``) — no float cast whose
+    truncate-vs-round semantics differ between engines.
+    """
+    group_cols = [c for c in sketch.columns if c not in ("h", "v")]
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("v")).alias("__vs"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    qmicros = F.array(*[F.lit(int(round(q * 1_000_000))) for q in qs])
+    # numerator <= 1e6 · k — exact in double, so floor is exact int div
+    rank = F.greatest(
+        F.floor(
+            (F.col("__qm") * F.col("__n") + 999_999) / F.lit(1_000_000.0)
+        ),
+        F.lit(1),
+    ).cast("int")
+    return (
+        agg.select(
+            *group_cols,
+            F.explode(qmicros).alias("__qm"),
+            F.col("__vs"),
+            F.col("__n"),
+        )
+        .select(
+            *group_cols,
+            (F.col("__qm") / F.lit(1_000_000.0)).alias("q"),
+            F.element_at("__vs", rank).alias("est"),
         )
     )

@@ -401,3 +401,100 @@ class TestKmv:
         # overlap count is integer-exact over the sketches: 0 for disjoint
         # hash sets (md5 collisions across 5k+5k 60-bit hashes: none)
         assert r.est_intersection == 0.0 and r.jaccard_k == 0.0
+
+
+class TestQuantileSketch:
+    """Mergeable bottom-k quantile sketch: exact merge law, type-1 rank
+    selection, and sample-bound accuracy."""
+
+    def _df(self, spark, n, start=0, g="a"):
+        return spark.createDataFrame(
+            [(g, i, float((i * 7919) % 1000)) for i in range(start, start + n)],
+            "g string, rid long, v double",
+        )
+
+    def test_merge_law_exact(self, spark):
+        """bottom-k of the union == bottom-k of the merged bottom-ks —
+        EXACTLY (deterministic hash tags), the algebra the HLL/KMV family
+        is held to. Partial sketches from any partitioning combine
+        losslessly."""
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_merge,
+        )
+
+        a = self._df(spark, 400)
+        b = self._df(spark, 400, start=300)  # overlapping rows
+        merged = quantile_sketch_merge(
+            quantile_sketch_build(a, "v", ["rid"], group_cols=["g"], k=64),
+            quantile_sketch_build(b, "v", ["rid"], group_cols=["g"], k=64),
+            k=64,
+        )
+        direct = quantile_sketch_build(
+            a.unionByName(b).dropDuplicates(["rid"]),
+            "v",
+            ["rid"],
+            group_cols=["g"],
+            k=64,
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_exact_when_small(self, spark):
+        """n <= k: the sketch IS the data, so estimates are the exact
+        type-1 quantiles of the full column."""
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+
+        vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+        df = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(vals)],
+            "g string, rid long, v double",
+        )
+        sk = quantile_sketch_build(df, "v", ["rid"], group_cols=["g"], k=64)
+        got = {
+            round(r.q, 2): r.est
+            for r in quantile_sketch_estimate(sk, [0.25, 0.5, 1.0]).collect()
+        }
+        s = sorted(vals)
+        import math
+
+        assert got == {
+            0.25: s[math.ceil(0.25 * 5) - 1],
+            0.5: s[math.ceil(0.5 * 5) - 1],
+            1.0: s[4],
+        }
+
+    def test_sample_accuracy(self, spark):
+        """k=256 over 4000 uniform values: median estimate within ~6
+        percentile points (the 1/sqrt(k) bound the docstring promises)."""
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+
+        df = self._df(spark, 4000)
+        sk = quantile_sketch_build(df, "v", ["rid"], group_cols=["g"], k=256)
+        est = {
+            round(r.q, 2): r.est
+            for r in quantile_sketch_estimate(sk, [0.5]).collect()
+        }[0.5]
+        # values are uniform on [0, 1000); true median ~500
+        assert abs(est - 500.0) < 120.0
+
+    def test_sketch_bounded_and_deterministic(self, spark):
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+        )
+
+        df = self._df(spark, 1000)
+        a = quantile_sketch_build(df, "v", ["rid"], group_cols=["g"], k=32)
+        assert a.count() == 32
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, quantile_sketch_build(
+                df, "v", ["rid"], group_cols=["g"], k=32
+            ).collect())
+        )
