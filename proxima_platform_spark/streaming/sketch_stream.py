@@ -344,3 +344,131 @@ class ContinuousDistinct:
 
         regs = self.registers()
         return None if regs is None else hll_estimate(regs, b=self.b)
+
+
+class ContinuousQuantileSketch:
+    """Continuously-maintained bottom-k quantile sketch
+    (``functions/sketch.quantile_sketch_*`` run online).
+
+    ``update(batch)`` folds each micro-batch's per-group bottom-k frame
+    into the running sketch (``foreachBatch``-compatible);
+    ``quantiles(qs)`` returns the current type-1 sample-quantile
+    estimates, ``sketch()`` the merged ``(group..., h, v)`` frame.
+
+    The merge is bottom-k of the deduplicated union — associative,
+    commutative and idempotent (tags are a deterministic md5 over row
+    identity, so re-delivered ROWS collapse in the dedup and replayed
+    batch_ids are closed by the same max-committed guard as the other
+    maintainers). By the exact merge law the maintained sketch equals the
+    batch build over the union of everything ingested — not just
+    approximately: the streaming and batch estimates are the SAME rows.
+
+    State is ≤ k rows per group per generation regardless of input
+    volume; compaction folds generations back to one bottom-k frame.
+    Same shared-POSIX-path storage contract as the other maintainers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        value_col: str,
+        tag_cols: list[str],
+        group_cols: list[str] | None = None,
+        k: int = 256,
+        salt: str = "qsk-v1",
+        compact_every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.value_col = value_col
+        self.tag_cols = list(tag_cols)
+        self.group_cols = list(group_cols or [])
+        self.k = k
+        self.salt = salt
+        self.compact_every = compact_every
+        os.makedirs(path, exist_ok=True)
+
+    def _manifest(self) -> dict:
+        p = f"{self.path}/manifest.json"
+        if not os.path.exists(p):
+            return {"version": 0, "base": None, "deltas": [], "max_batch_id": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{self.path}/manifest.json")
+
+    def _bottom_k(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *[F.col(g) for g in self.group_cols]
+        ).orderBy("h", "v")
+        return (
+            df.dropDuplicates(df.columns)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= self.k)
+            .drop("__r")
+        )
+
+    def _merged(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        df = self.spark.read.parquet(*[f"{self.path}/{p}" for p in paths])
+        return self._bottom_k(df)
+
+    def update(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+        )
+
+        m = self._manifest()
+        if batch_id is not None:
+            if m["max_batch_id"] is not None and batch_id <= m["max_batch_id"]:
+                return
+            m["max_batch_id"] = batch_id
+        v = m["version"] + 1
+        delta = f"delta/d{v}"
+        quantile_sketch_build(
+            batch,
+            self.value_col,
+            self.tag_cols,
+            group_cols=self.group_cols,
+            k=self.k,
+            salt=self.salt,
+        ).write.mode("overwrite").parquet(f"{self.path}/{delta}")
+        m["version"] = v
+        m["deltas"] = m["deltas"] + [delta]
+        self._write_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        m = self._manifest()
+        merged = self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
+        if merged is None:
+            return
+        new_base = f"base/g{m['version']}"
+        merged.write.mode("overwrite").parquet(f"{self.path}/{new_base}")
+        old = ([m["base"]] if m["base"] else []) + m["deltas"]
+        m["base"], m["deltas"] = new_base, []
+        self._write_manifest(m)
+        for p in old:
+            shutil.rmtree(f"{self.path}/{p}", ignore_errors=True)
+
+    def sketch(self) -> DataFrame | None:
+        m = self._manifest()
+        return self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
+
+    def quantiles(self, qs: list[float]) -> DataFrame | None:
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_estimate,
+        )
+
+        sk = self.sketch()
+        return None if sk is None else quantile_sketch_estimate(sk, qs)

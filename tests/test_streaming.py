@@ -2240,3 +2240,89 @@ class TestContinuousDomainCap:
 
         with pytest.raises(ValueError, match="POSIX"):
             ContinuousDomainCap(spark, "s3a://bucket/state")
+
+
+class TestContinuousQuantileSketch:
+    def test_streaming_sketch_equals_batch_build(self, spark, tmp_path):
+        """Maintained bottom-k quantile sketch: after overlapping batches
+        and a compaction, the merged sketch equals the batch build over
+        the union ROW-FOR-ROW (the exact merge law), hence streaming and
+        batch quantile estimates are identical."""
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+        from proxima_platform_spark.streaming.sketch_stream import (
+            ContinuousQuantileSketch,
+        )
+
+        schema = "g string, rid long, v double"
+
+        def rows(lo, hi):
+            return [
+                ("a" if i % 2 else "b", i, float((i * 31) % 97))
+                for i in range(lo, hi)
+            ]
+
+        batches = [rows(0, 300), rows(200, 600), rows(550, 700)]
+        cq = ContinuousQuantileSketch(
+            spark,
+            str(tmp_path / "qsk"),
+            value_col="v",
+            tag_cols=["rid"],
+            group_cols=["g"],
+            k=64,
+            compact_every=2,
+        )
+        for i, b in enumerate(batches):
+            cq.update(spark.createDataFrame(b, schema), i)
+
+        union = {r for b in batches for r in b}
+        full = spark.createDataFrame(sorted(union), schema)
+        want = sorted(
+            map(
+                tuple,
+                quantile_sketch_build(
+                    full, "v", ["rid"], group_cols=["g"], k=64
+                ).collect(),
+            )
+        )
+        got = sorted(map(tuple, cq.sketch().collect()))
+        assert got == want
+        wq = sorted(
+            map(
+                tuple,
+                quantile_sketch_estimate(
+                    quantile_sketch_build(
+                        full, "v", ["rid"], group_cols=["g"], k=64
+                    ),
+                    [0.5, 0.9],
+                ).collect(),
+            )
+        )
+        gq = sorted(map(tuple, cq.quantiles([0.5, 0.9]).collect()))
+        assert gq == wq
+        assert cq._manifest()["base"] is not None  # compaction ran
+
+    def test_replayed_batch_id_is_noop(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.sketch_stream import (
+            ContinuousQuantileSketch,
+        )
+
+        cq = ContinuousQuantileSketch(
+            spark,
+            str(tmp_path / "qsk2"),
+            value_col="v",
+            tag_cols=["rid"],
+            group_cols=[],
+            k=16,
+        )
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "rid long, v double"
+        )
+        cq.update(df, 0)
+        before = sorted(map(tuple, cq.sketch().collect()))
+        v_before = cq._manifest()["version"]
+        cq.update(df, 0)
+        assert cq._manifest()["version"] == v_before
+        assert sorted(map(tuple, cq.sketch().collect())) == before
