@@ -2326,3 +2326,105 @@ class TestContinuousQuantileSketch:
         cq.update(df, 0)
         assert cq._manifest()["version"] == v_before
         assert sorted(map(tuple, cq.sketch().collect())) == before
+
+
+class TestContinuousWinnowIndex:
+    SHARED = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def _batches(self):
+        s = self.SHARED
+        return [
+            [(0, f"one two three {s} four five"),
+             (1, "completely different words in this document here")],
+            [(2, f"nine ten eleven {s} twelve thirteen"),
+             (3, f"prefix words {s} and a suffix tail here")],
+            [(4, "nothing in common with anyone at all truly")],
+        ]
+
+    def test_accumulated_reports_equal_batch_operator(self, spark, tmp_path):
+        """Exact twin (unsaturated regime): the union of per-batch pair
+        reports — each pair reported once, when its later member arrives,
+        including within-batch pairs — equals winnow_overlap over the
+        union of all documents, shared counts and all."""
+        from proxima_platform_spark.functions.text import winnow_overlap
+        from proxima_platform_spark.streaming.winnow_stream import (
+            ContinuousWinnowIndex,
+        )
+
+        got = set()
+        seen = set()
+
+        def sink(pairs, batch_id):
+            if batch_id in seen:
+                return
+            seen.add(batch_id)
+            got.update((r.doc_a, r.doc_b, r.shared) for r in pairs.collect())
+
+        idx = ContinuousWinnowIndex(
+            spark, str(tmp_path / "wi"),
+            w=4, min_shared=1, max_docs_per_fp=64,
+            sink=sink, compact_every=2,
+        )
+        all_rows = []
+        for bid, rows in enumerate(self._batches()):
+            idx.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"), bid
+            )
+            all_rows += rows
+
+        full = spark.createDataFrame(all_rows, "doc_id long, text string")
+        want = {
+            (r.doc_a, r.doc_b, r.shared)
+            for r in winnow_overlap(
+                full, "doc_id", "text", w=4, min_shared=1, max_docs_per_fp=64
+            ).collect()
+        }
+        assert got == want
+        # non-vacuous: the copied passage produced cross-batch pairs
+        assert any(a == 0 and b in (2, 3) for a, b, _ in got)
+        # within-batch pair (2,3) reported in ITS batch
+        assert any(a == 2 and b == 3 for a, b, _ in got)
+        assert idx._manifest()["base"] is not None  # compaction ran
+
+    def test_replayed_batch_id_is_noop_on_index(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.winnow_stream import (
+            ContinuousWinnowIndex,
+        )
+
+        calls = []
+        idx = ContinuousWinnowIndex(
+            spark, str(tmp_path / "wi2"), min_shared=1,
+            sink=lambda df, bid: calls.append(bid),
+        )
+        rows = self._batches()[0]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        idx.ingest(df, 0)
+        before = sorted(map(tuple, idx.fingerprints().collect()))
+        idx.ingest(df, 0)  # replay: sink sees the duplicate batch_id
+        # (and dedups); the index append no-ops
+        assert calls == [0, 0]
+        assert sorted(map(tuple, idx.fingerprints().collect())) == before
+
+    def test_saturated_fingerprint_stops_contributing(self, spark, tmp_path):
+        """Documented cap divergence: once a fingerprint's doc count
+        crosses max_docs_per_fp, it contributes to no NEW pairs — a later
+        doc sharing only the boilerplate passage reports nothing."""
+        from proxima_platform_spark.streaming.winnow_stream import (
+            ContinuousWinnowIndex,
+        )
+
+        header = "licensed under the apache license version two point zero"
+        got = {}
+        idx = ContinuousWinnowIndex(
+            spark, str(tmp_path / "wi3"),
+            w=4, min_shared=1, max_docs_per_fp=3,
+            sink=lambda df, bid: got.update({bid: df.collect()}),
+        )
+        # batch 0: three docs with the header → fp count hits the cap
+        b0 = [(i, f"{header} unique{i} filler{i} words{i} extra{i}")
+              for i in range(3)]
+        idx.ingest(spark.createDataFrame(b0, "doc_id long, text string"), 0)
+        # batch 1: a fourth header-only doc → count now 4 > cap → no pair
+        b1 = [(10, f"{header} totally fresh trailing content words")]
+        idx.ingest(spark.createDataFrame(b1, "doc_id long, text string"), 1)
+        assert got[1] == []
