@@ -2595,6 +2595,104 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_rrf_fusion(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (functions/ranking.py::
+    rrf_fuse, Cormack et al. SIGIR'09): the BM25 top-50 for ['stream',
+    'data', 'query'] fused with the embedding-cosine top-50 against the
+    vec_id=0 query vector — rrf = Σ 1/(60+rank), the zero-tuning
+    lexical+dense hybrid every retrieval-augmented pipeline runs. Ranks
+    are row_number over the ROUNDED scores with id tie-breaks (the
+    established cross-engine recipe), so the whole fusion replays
+    bit-for-bit in the oracle. The ranking frames are top-N by contract
+    (tiny); the global rank windows never see the corpus."""
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.ranking import bm25_score, rrf_fuse
+    from proxima_platform_spark.functions.similarity import cosine_similarity
+
+    docs = _load(spark, sf, "documents")
+    emb = _load(spark, sf, "embeddings")
+    lex = bm25_score(docs, ["stream", "data", "query"]).select(
+        "doc_id", F.round("score", 4).alias("s")
+    )
+    wl = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    lex_r = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    qvec = [
+        float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    dense = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("embedding"), qlit), 4).alias("c"),
+    )
+    wd = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    dense_r = (
+        dense.withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([lex_r, dense_r], id_col="doc_id", k=60, top=20)
+
+
+SQL_RRF_FUSION = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), d AS (
+    SELECT doc_id, len(t) AS dl,
+           len(list_filter(t, x -> x = 'stream')) AS tf0,
+           len(list_filter(t, x -> x = 'data')) AS tf1,
+           len(list_filter(t, x -> x = 'query')) AS tf2
+    FROM toks
+), stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+    FROM d
+), lex AS (
+    SELECT doc_id,
+           round(
+               ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0::DOUBLE * 2.2) / (tf0::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1::DOUBLE * 2.2) / (tf1::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2::DOUBLE * 2.2) / (tf2::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+           4) AS s
+    FROM d, stats
+), lex_r AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM lex)
+    WHERE rank <= 50
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+    SELECT vec_id AS doc_id,
+           round(
+             list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 4) AS c
+    FROM embeddings, q WHERE vec_id <> 0
+), dense_r AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+        FROM dense)
+    WHERE rank <= 50
+)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 9) AS rrf,
+       count(*) AS n_rankers
+FROM (SELECT * FROM lex_r UNION ALL SELECT * FROM dense_r)
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII detect + redact (functions/text.py). The corpus is clean
     synthetic text, so each doc gets deterministic fake PII appended
@@ -9251,6 +9349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_set": q_winnow_fingerprint_set,
         "winnow_overlap": q_winnow_overlap,
         "quantile_sketch": q_quantile_sketch,
+        "rrf_fusion": q_rrf_fusion,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9697,4 +9796,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_set": _sql_winnow_fingerprints(),
         "winnow_overlap": _sql_winnow_overlap(),
         "quantile_sketch": SQL_QUANTILE_SKETCH,
+        "rrf_fusion": SQL_RRF_FUSION,
     }

@@ -213,3 +213,45 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09): combine
+    any number of rankings of the same id space into one by
+    ``rrf(d) = Σ_r 1/(k + rank_r(d))`` — the standard zero-tuning hybrid
+    of lexical (BM25) and dense (embedding-cosine) retrieval. Each input
+    frame carries ``(id_col, rank)`` with 1-based integer ranks; ids
+    absent from a ranking contribute nothing for it (the usual top-N
+    cutoff semantics).
+
+    Returns ``(id_col, rrf, n_rankers)`` ordered by (rrf desc, id),
+    cut to ``top`` when given (TakeOrderedAndProject — per-partition
+    heaps, no full sort).
+
+    Determinism: contributions are exact doubles 1/(k+rank); the fused
+    sum is rounded to 9 dp so cross-engine aggregation order cannot
+    surface a last-ulp difference (two-ranker sums are order-exact by
+    commutativity; the rounding covers ≥ 3 rankers). Scale shape: one
+    union of the (tiny, pre-cut) ranking frames, one hash aggregation on
+    id — never touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    tagged = None
+    for r in rankings:
+        c = r.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+        tagged = c if tagged is None else tagged.unionByName(c)
+    fused = tagged.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))), 9
+        ).alias("rrf"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    out = fused.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return out.limit(top) if top is not None else out

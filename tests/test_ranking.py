@@ -355,3 +355,38 @@ class TestQualityLangParity:
         )
         out = quality_lang_arrow(df, keep=("source", "text")).collect()[0]
         assert out["source"] == "s0" and out["text"] == "the and of"
+
+
+class TestRrfFusion:
+    def test_fusion_math_and_missing_ids(self, spark):
+        """rrf = sum 1/(k+rank) over the rankings an id appears in; ids
+        absent from one ranking contribute only the other's term; order
+        is (rrf desc, id)."""
+        from proxima_platform_spark.functions.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(2, 1), (3, 2), (4, 3)], "doc_id long, rank int"
+        )
+        got = {
+            r.doc_id: (r.rrf, r.n_rankers)
+            for r in rrf_fuse([a, b], k=60).collect()
+        }
+        assert got[2] == (round(1 / 62 + 1 / 61, 9), 2)
+        assert got[3] == (round(1 / 63 + 1 / 62, 9), 2)
+        assert got[1] == (round(1 / 61, 9), 1)
+        assert got[4] == (round(1 / 63, 9), 1)
+        order = [
+            r.doc_id for r in rrf_fuse([a, b], k=60, top=2).collect()
+        ]
+        assert order == [2, 3]  # both-ranker docs fuse above single-ranker
+
+    def test_requires_rankings(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.ranking import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
