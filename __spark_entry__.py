@@ -2693,6 +2693,91 @@ ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+def q_ndcg_retrieval(spark, sf):
+    """Graded-relevance NDCG@{5,10,20} of the BM25 ranking
+    (functions/evalmetrics.py::ndcg_at_k — the third leg of the
+    retrieval-eval trio next to retrieval_auc / retrieval_precision):
+    relevance = how many of the 3 query terms a document contains (0-3
+    graded), gains 2^rel − 1 exact int64, rankings the total
+    (rounded-score desc, id) / (rel desc, id) orders so both engines
+    pick identical term sets; dcg/idcg/ndcg rounded 6 dp (the bm25/tpch
+    double-sum convention)."""
+    from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+    from proxima_platform_spark.functions.ranking import (
+        bm25_score,
+        term_frequency,
+    )
+    from proxima_platform_spark.functions.dedup import tokens
+
+    docs = _load(spark, sf, "documents")
+    terms = ["stream", "data", "query"]
+    lex = bm25_score(docs, terms).select(
+        "doc_id", F.round("score", 4).alias("s")
+    )
+    rel = docs.select(
+        "doc_id",
+        sum(
+            (term_frequency(tokens(F.col("text")), t) > 0).cast("long")
+            for t in terms
+        ).alias("rel"),
+    )
+    return ndcg_at_k(
+        lex.join(rel, "doc_id"),
+        [5, 10, 20],
+        id_col="doc_id",
+        score="s",
+        rel="rel",
+    )
+
+
+SQL_NDCG_RETRIEVAL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), d AS (
+    SELECT doc_id, len(t) AS dl,
+           len(list_filter(t, x -> x = 'stream')) AS tf0,
+           len(list_filter(t, x -> x = 'data')) AS tf1,
+           len(list_filter(t, x -> x = 'query')) AS tf2
+    FROM toks
+), stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+    FROM d
+), scored AS (
+    SELECT doc_id,
+           round(
+               ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0::DOUBLE * 2.2) / (tf0::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1::DOUBLE * 2.2) / (tf1::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2::DOUBLE * 2.2) / (tf2::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+           4) AS s,
+           (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+            + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+            + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS rel
+    FROM d, stats
+), ranked AS (
+    SELECT doc_id, (1::BIGINT << rel) - 1 AS g,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS r,
+           row_number() OVER (ORDER BY rel DESC, doc_id) AS ri
+    FROM scored
+)
+SELECT k,
+       round(sum(CASE WHEN r <= k THEN g::DOUBLE / log2(r::DOUBLE + 1.0) ELSE 0.0 END), 6) AS dcg,
+       round(sum(CASE WHEN ri <= k THEN g::DOUBLE / log2(ri::DOUBLE + 1.0) ELSE 0.0 END), 6) AS idcg,
+       round(sum(CASE WHEN r <= k THEN g::DOUBLE / log2(r::DOUBLE + 1.0) ELSE 0.0 END)
+             / nullif(sum(CASE WHEN ri <= k THEN g::DOUBLE / log2(ri::DOUBLE + 1.0) ELSE 0.0 END), 0), 6) AS ndcg
+FROM ranked, unnest([5, 10, 20]) AS u(k)
+WHERE r <= 20 OR ri <= 20
+GROUP BY k
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII detect + redact (functions/text.py). The corpus is clean
     synthetic text, so each doc gets deterministic fake PII appended
@@ -9350,6 +9435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "quantile_sketch": q_quantile_sketch,
         "rrf_fusion": q_rrf_fusion,
+        "ndcg_retrieval": q_ndcg_retrieval,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9797,4 +9883,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": _sql_winnow_overlap(),
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
+        "ndcg_retrieval": SQL_NDCG_RETRIEVAL,
     }

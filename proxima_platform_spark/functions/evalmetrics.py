@@ -119,3 +119,81 @@ def precision_at_k(
         )
         per_k = row if per_k is None else per_k.unionAll(row)
     return per_k
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    ks: Sequence[int],
+    *,
+    id_col: str = "id",
+    score: str = "score",
+    rel: str = "rel",
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact NDCG@k with graded relevance — the third leg of the
+    retrieval-eval trio next to :func:`rank_auc` and
+    :func:`precision_at_k`.
+
+    One row per (group, k): ``(group..., k, dcg, idcg, ndcg)`` with
+
+        dcg@k  = Σ_{r ≤ k} (2^rel_r − 1) / log2(r + 1)
+        idcg@k = the same sum over relevance sorted descending
+        ndcg   = dcg / idcg   (NULL when idcg = 0 — no relevant item)
+
+    Determinism: the ranking is the total (score desc, id) order and the
+    ideal ranking the total (rel desc, id) order, so both engines pick
+    identical term sets; gains 2^rel − 1 are exact int64 (rel ≤ 62
+    guarded), and dcg/idcg/ndcg are rounded to 6 dp, absorbing
+    aggregation-order ulps in the double sum (the bm25/tpch rounding
+    convention). Scale shape: two rank windows per group bounded by
+    max(k) rows retained, one aggregation — rankings at eval time are
+    top-N frames by contract, never the corpus.
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    groups = [F.col(g) for g in (group_cols or [])]
+    gnames = list(group_cols or [])
+    base = scored.select(
+        *gnames,
+        F.col(id_col).alias("__id"),
+        F.col(score).alias("__s"),
+        F.col(rel).cast("long").alias("__rel"),
+    ).where(F.col("__rel") < 63)  # 2^rel must fit int64
+    # SQL form: the Python F.shiftleft only takes a literal bit count
+    gain = F.expr("shiftleft(1L, CAST(__rel AS INT)) - 1L")
+    wr = Window.partitionBy(*groups).orderBy(F.col("__s").desc(), "__id")
+    wi = Window.partitionBy(*groups).orderBy(F.col("__rel").desc(), "__id")
+    ranked = base.select(
+        *gnames,
+        gain.alias("__g"),
+        F.row_number().over(wr).alias("__r"),
+        F.row_number().over(wi).alias("__ri"),
+    )
+    mx = max(ks)
+    top = ranked.where((F.col("__r") <= mx) | (F.col("__ri") <= mx))
+    out = None
+    for k in sorted(ks):
+        dcg = F.sum(
+            F.when(
+                F.col("__r") <= k,
+                F.col("__g").cast("double")
+                / F.log2(F.col("__r").cast("double") + 1.0),
+            ).otherwise(F.lit(0.0))
+        )
+        idcg = F.sum(
+            F.when(
+                F.col("__ri") <= k,
+                F.col("__g").cast("double")
+                / F.log2(F.col("__ri").cast("double") + 1.0),
+            ).otherwise(F.lit(0.0))
+        )
+        row = top.groupBy(*groups).agg(
+            F.lit(k).alias("k"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg > 0, dcg / idcg).otherwise(F.lit(None)), 6
+            ).alias("ndcg"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

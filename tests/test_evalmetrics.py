@@ -81,3 +81,70 @@ class TestPrecisionAtK:
             precision_at_k(df, [], id_col="id")
         with pytest.raises(ValueError):
             precision_at_k(df, [0], id_col="id")
+
+
+class TestNdcg:
+    def test_hand_computed(self, spark):
+        """4 items, graded rel: dcg/idcg/ndcg match the textbook formula."""
+        import math
+
+        from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+
+        # ranking by score desc: ids 1(rel2), 2(rel0), 3(rel3), 4(rel1)
+        df = spark.createDataFrame(
+            [(1, 4.0, 2), (2, 3.0, 0), (3, 2.0, 3), (4, 1.0, 1)],
+            "id long, score double, rel int",
+        )
+        got = {
+            r.k: (r.dcg, r.idcg, r.ndcg)
+            for r in ndcg_at_k(df, [2, 4], id_col="id").collect()
+        }
+        g = {1: 3, 2: 0, 3: 7, 4: 1}  # 2^rel - 1
+        dcg2 = g[1] / math.log2(2) + g[2] / math.log2(3)
+        # ideal order by rel desc, id: 3(7), 1(3), 4(1), 2(0)
+        idcg2 = 7 / math.log2(2) + 3 / math.log2(3)
+        assert got[2] == (
+            round(dcg2, 6), round(idcg2, 6), round(dcg2 / idcg2, 6)
+        )
+        dcg4 = dcg2 + g[3] / math.log2(4) + g[4] / math.log2(5)
+        idcg4 = idcg2 + 1 / math.log2(4) + 0 / math.log2(5)
+        assert got[4] == (
+            round(dcg4, 6), round(idcg4, 6), round(dcg4 / idcg4, 6)
+        )
+
+    def test_perfect_ranking_is_one(self, spark):
+        from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            [(i, 10.0 - i, 5 - i) for i in range(1, 6)],
+            "id long, score double, rel int",
+        )
+        for r in ndcg_at_k(df, [3, 5], id_col="id").collect():
+            assert r.ndcg == 1.0
+
+    def test_no_relevant_items_null(self, spark):
+        from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            [(1, 2.0, 0), (2, 1.0, 0)], "id long, score double, rel int"
+        )
+        [row] = ndcg_at_k(df, [2], id_col="id").collect()
+        assert row.ndcg is None and row.dcg == 0.0
+
+    def test_groups_and_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            [("a", 1, 2.0, 1), ("a", 2, 1.0, 0), ("b", 3, 2.0, 0), ("b", 4, 1.0, 2)],
+            "q string, id long, score double, rel int",
+        )
+        got = {
+            (r.q, r.k): r.ndcg
+            for r in ndcg_at_k(df, [1], id_col="id", group_cols=["q"]).collect()
+        }
+        assert got[("a", 1)] == 1.0  # relevant item ranked first
+        assert got[("b", 1)] == 0.0  # relevant item ranked second
+        with pytest.raises(ValueError, match="positive"):
+            ndcg_at_k(df, [], id_col="id")
