@@ -8896,6 +8896,59 @@ WITH e0 AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_label_propagation(spark, sf):
+    """Community detection on the small-quantity part co-purchase graph
+    (functions/graph.label_propagation — Raghavan et al. 2007, the
+    deterministic synchronous rendering): each round every node adopts
+    the most frequent label among neighbors + itself (self-vote damping),
+    ties to the smallest label, so the run has no RNG/visit-order and the
+    oracle replays the rounds as chained MATERIALIZED CTEs (the
+    pagerank_int/k_core fixed-iteration contract). rounds=8 — past the
+    fixture fixpoints (communities stabilize by round 6 at sf0.001 and
+    round 4 at sf0.01, measured; once two consecutive rounds agree the
+    deterministic round map holds the labels forever — pinned in
+    tests/test_graph.py); completes the graph family next to connected
+    components, pagerank, triangles/clustering and k-core."""
+    from proxima_platform_spark.functions.graph import label_propagation
+
+    li = _load(spark, sf, "lineitem").where(F.col("l_quantity") <= 5)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    return label_propagation(edges, rounds=8)
+
+
+def _sql_label_propagation(rounds: int = 8) -> str:
+    # MATERIALIZED for the same reason as _sql_k_core: each round
+    # references its predecessor multiple times
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity <= 5 AND b.l_quantity <= 5
+), s0 AS MATERIALIZED (SELECT u AS n, v AS m FROM e0 UNION ALL SELECT v, u FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT n AS node, n AS lab FROM s0)"""
+    parts = [head]
+    for i in range(rounds):
+        parts.append(
+            f", v{i} AS MATERIALIZED ("
+            f" SELECT s.n AS node, l.lab FROM s0 s JOIN l{i} l ON l.node = s.m"
+            f" UNION ALL SELECT node, lab FROM l{i})"
+            f", c{i} AS MATERIALIZED ("
+            f" SELECT node, lab, count(*) AS c FROM v{i} GROUP BY node, lab)"
+            f", l{i + 1} AS MATERIALIZED ("
+            f" SELECT node, lab FROM ("
+            f"  SELECT node, lab, row_number() OVER"
+            f"   (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c{i})"
+            f" WHERE rn = 1)"
+        )
+    parts.append(f"\nSELECT node, lab AS label FROM l{rounds}")
+    return "".join(parts)
+
+
 def q_cuped_lift(spark, sf):
     """CUPED variance-reduced A/B readout
     (functions/experiment.cuped_adjusted_means — Deng et al. WSDM'13):
@@ -9436,6 +9489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "rrf_fusion": q_rrf_fusion,
         "ndcg_retrieval": q_ndcg_retrieval,
+        "label_propagation": q_label_propagation,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9884,4 +9938,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,
+        "label_propagation": _sql_label_propagation(),
     }

@@ -411,3 +411,66 @@ def k_core(
         .where(F.col("deg") >= k)
         .select(F.col("__a").alias("node"), "deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, the deterministic rendering): every node starts with its own
+    id as label; each round, every node adopts the most frequent label
+    among its neighbors AND itself, breaking ties by the smallest label.
+    Including the node's own current label in the vote is the standard
+    damping that stops 2-coloring oscillation on bipartite regions; the
+    (count desc, label asc) argmax makes the whole run deterministic — no
+    RNG, no visit order — so a SQL oracle replays the rounds as chained
+    CTEs (the ``pagerank_int``/``k_core`` fixed-iteration contract).
+
+    Scale shape per round: one equi-join of the directed edge frame
+    against the label frame (hash-partitioned on node), one
+    map-side-combinable (node, label) count, one min-struct argmax per
+    node — never materializes anything wider than the edge list. The
+    label frame is lazily localCheckpoint-ed per round (the
+    kmeans/pagerank lesson: an uncheckpointed loop re-derives every prior
+    round per action and the plan deepens quadratically).
+
+    ``edges`` holds each undirected edge once (u != v, pre-deduped).
+    Returns ``(node, label)``; a community is a label's node set.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    directed = (
+        edges.select(F.col(u).alias("__n"), F.col(v).alias("__m"))
+        .unionAll(edges.select(F.col(v).alias("__n"), F.col(u).alias("__m")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        directed.select(F.col("__n").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        votes = directed.join(
+            labels.select(F.col("node").alias("__m"), "label"), "__m"
+        ).select(F.col("__n").alias("node"), "label").unionAll(
+            labels.select("node", "label")  # self-vote (damping)
+        )
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("__c")).alias("nc"), "label")).alias(
+                    "__best"
+                )
+            )
+            .select("node", F.col("__best.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -479,3 +479,60 @@ class TestKCore:
 
         chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["u", "v"])
         assert k_core(chain, 2).count() == 0
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: LPA assigns each
+        clique its minimum node id as community label (deterministic
+        min tie-break), and the bridge does not merge them."""
+        from proxima_platform_spark.functions.graph import label_propagation
+
+        clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        edges = spark.createDataFrame(
+            clique1 + clique2 + [(3, 10)], "u long, v long"
+        )
+        got = {
+            r.node: r.label
+            for r in label_propagation(edges, rounds=4).collect()
+        }
+        assert {got[n] for n in range(4)} == {0}
+        assert {got[n] for n in range(10, 14)} == {10}
+
+    def test_fixpoint_by_round_6_on_fixture(self, spark, sf_dir):
+        """The declared query runs rounds=8; communities stabilize by
+        round 6 on the co-purchase fixture (round 4 at sf0.01), and a
+        deterministic round map that agrees on two consecutive rounds
+        holds the labels forever — so 8 rounds IS the fixpoint (the
+        k_core declared-rounds contract)."""
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.graph import label_propagation
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+            F.col("l_quantity") <= 5
+        )
+        a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+        edges = (
+            a.join(b, "o").where(F.col("u") < F.col("v"))
+            .select("u", "v").distinct()
+        )
+        r6 = sorted(map(tuple, label_propagation(edges, rounds=6).collect()))
+        r8 = sorted(map(tuple, label_propagation(edges, rounds=8).collect()))
+        assert r6 == r8
+
+    def test_deterministic_and_validated(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+        )
+        a = sorted(map(tuple, label_propagation(edges, rounds=2).collect()))
+        b = sorted(map(tuple, label_propagation(edges, rounds=2).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="rounds"):
+            label_propagation(edges, rounds=0)
