@@ -2778,6 +2778,37 @@ GROUP BY k
 """
 
 
+def q_char_entropy(spark, sf):
+    """Per-document character-entropy quality signal (functions/text.py::
+    char_entropy): H = log2(N) - (sum n_c*log2(n_c))/N bits/char — the
+    compressibility filter (spam/keyword-stuffing sits low, prose
+    clusters tightly), exactly SQL-replayable where a gzip-ratio is not.
+    One explode + two hash aggs, no Python."""
+    from proxima_platform_spark.functions.text import char_entropy
+
+    docs = _load(spark, sf, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), c2 AS (
+    SELECT doc_id, ch, count(*) AS n FROM chars WHERE len(ch) > 0
+    GROUP BY doc_id, ch
+), per AS (
+    SELECT doc_id, sum(n)::BIGINT AS n_chars,
+           sum(n::DOUBLE * log2(n::DOUBLE)) AS nlogn
+    FROM c2 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_chars, 0) AS n_chars,
+       CASE WHEN per.n_chars > 0
+            THEN round(log2(per.n_chars::DOUBLE) - per.nlogn / per.n_chars::DOUBLE, 6)
+       END AS entropy
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII detect + redact (functions/text.py). The corpus is clean
     synthetic text, so each doc gets deterministic fake PII appended
@@ -9490,6 +9521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "ndcg_retrieval": q_ndcg_retrieval,
         "label_propagation": q_label_propagation,
+        "char_entropy_signal": q_char_entropy,
         # -- (D) last green r05 ---------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9939,4 +9971,5 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,
         "label_propagation": _sql_label_propagation(),
+        "char_entropy_signal": SQL_CHAR_ENTROPY,
     }

@@ -771,3 +771,46 @@ def quality_lang_arrow(
         stage,
         schema=f"{id_col} {id_type}{keep_schema}, quality double, lang_guess string",
     )
+
+
+def char_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the character distribution (bits/
+    char) — the compressibility quality signal: machine-generated spam and
+    keyword-stuffed pages sit at the low end, natural prose clusters
+    tightly, and the signal needs no language model (the cheap stand-in
+    for the gzip-ratio filter in public curation recipes, but exactly
+    SQL-replayable where a codec is not).
+
+        H = log2(N) − (Σ_c n_c·log2(n_c)) / N
+
+    over character counts n_c (the algebraic rewrite keeps one double sum
+    instead of per-char divisions). Returns ``(id, n_chars, entropy)``
+    with entropy rounded 6 dp (the double-sum aggregation-order
+    convention) and NULL for empty documents.
+
+    Scale shape: one explode bounded by corpus characters, one
+    map-side-combinable (doc, char) count, one per-doc aggregation —
+    never wider than the corpus itself; no Python.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "", -1)).alias("__ch"),
+    ).where(F.length("__ch") > 0)
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("n_chars"),
+        F.sum(
+            F.col("__n").cast("double") * F.log2(F.col("__n").cast("double"))
+        ).alias("__nlogn"),
+    )
+    ent = F.log2(F.col("n_chars").cast("double")) - F.col("__nlogn") / F.col(
+        "n_chars"
+    ).cast("double")
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.when(F.col("n_chars") > 0, F.round(ent, 6)).alias("entropy"),
+    )

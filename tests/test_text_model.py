@@ -660,3 +660,34 @@ class TestWinnowing:
         assert (10, 11) in pairs
         # header-only pairs are gone: no pair among docs 0-5
         assert not any(a < 6 and b < 6 for a, b in pairs)
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        """Uniform 4-symbol text → exactly 2 bits/char; single-char text
+        → 0; empty text → NULL with n_chars 0."""
+        from proxima_platform_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(0, "abcd" * 8), (1, "aaaa"), (2, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_chars, r.entropy) for r in
+               char_entropy(df, "doc_id", "text").collect()}
+        assert got[0] == (32, 2.0)
+        assert got[1] == (4, 0.0)
+        assert got[2] == (0, None)
+
+    def test_spam_scores_below_prose(self, spark):
+        """The quality-signal property: repetitive spam has lower
+        character entropy than natural prose."""
+        from proxima_platform_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame(
+            [(0, "The quick brown fox jumps over the lazy dog quietly."),
+             (1, "buy now buy now buy now buy now buy now buy now")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.entropy for r in
+               char_entropy(df, "doc_id", "text").collect()}
+        assert got[0] > got[1]
