@@ -9052,10 +9052,14 @@ def q_survival_km(spark, sf):
     right-censored at the 2024-01-24 horizon — units still active past
     it count in every at-risk denominator but never as churn events
     (dropping them is the classic churn overestimate). The curve frame
-    is |distinct days| rows (one
-    map-side-combined agg from the per-user frame), so the two windows
-    sort ~30 rows, never users. log-survival accumulates as exact
-    decimals via the round(ln,8) recipe; survival is one exp + round."""
+    is |distinct days| rows (one map-side-combined agg from the
+    per-user frame), so the windows sort ~30 rows, never users. The
+    survival product is PURE INTEGER arithmetic (scaled 1e12, per-step
+    round-half-up S' = (2*S*(n-d)+n) DIV (2n) folded over the ordered
+    steps) — no transcendental ever reaches a hashed column; the r08
+    driver red proved round(ln/exp) margins as thin as 7.1e-11 flip
+    under a different libm. DuckDB replays the identical fold with a
+    recursive CTE over HUGEINT."""
     from proxima_platform_spark.functions.timeseries import kaplan_meier
 
     ev = _events(spark, sf)
@@ -9073,7 +9077,7 @@ def q_survival_km(spark, sf):
 
 
 SQL_SURVIVAL_KM = """
-WITH units AS (
+WITH RECURSIVE units AS (
     SELECT (max(epoch_ms(ts)) - min(epoch_ms(ts))) // 86400000 AS obs_time,
            CASE WHEN max(epoch_ms(ts)) < 1706054400000 THEN 1 ELSE 0 END
                AS event
@@ -9087,25 +9091,21 @@ WITH units AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
     FROM per_t
 ), steps AS (
-    SELECT t, n, d,
-           CASE WHEN d < n
-                THEN round(ln(1.0 - d::DOUBLE / n::DOUBLE), 8)::DECIMAL(28,10)
-                END AS lf
+    SELECT row_number() OVER (ORDER BY t) AS rn, t,
+           n::HUGEINT AS n, d::HUGEINT AS d
     FROM risked WHERE d > 0
-), cum AS (
-    SELECT t, n, d,
-           sum(lf) OVER (ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
-           max(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
-               OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
-    FROM steps
+), surv AS (
+    SELECT rn, t, n, d,
+           (2 * 1000000000000::HUGEINT * (n - d) + n) // (2 * n) AS s
+    FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT nx.rn, nx.t, nx.n, nx.d,
+           (2 * surv.s * (nx.n - nx.d) + nx.n) // (2 * nx.n) AS s
+    FROM surv JOIN steps nx ON nx.rn = surv.rn + 1
 )
 SELECT t, n::BIGINT AS n_at_risk, d::BIGINT AS n_events,
-       CASE WHEN dead = 1 THEN 0.0
-            ELSE round(exp(ls::DOUBLE), 6) END AS survival,
-       CASE WHEN dead = 1 THEN NULL ELSE ls END AS log_survival
-FROM cum
+       s::DOUBLE / 1e12 AS survival
+FROM surv
 """
 
 
@@ -9435,84 +9435,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r08; VERDICT r07 'Next round' #1): the
+    # STALENESS-AWARE ROTATION (r09; VERDICT r08 'Next round' #1-2): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r07 union, ordered
-    # NEVER-DRIVER-CHECKED FIRST, then OLDEST-LAST-GREEN, so every query
-    # re-certifies within ~3.5 rounds and none goes stale:
-    #   (A) the 19 late-r07 additions never driver-checked (judge-certified
-    #       r07 via oracle_check.py, but the contract wants driver hashes);
-    #   (B) last driver-green in r04 (40 queries -- the stalest green
-    #       tier); 19 + 31 of these fill the 50-window, the last 9
-    #       certify r09;
-    #   (C) NEW r08 queries (never driver-checked) ride just behind so
-    #       they lead the r09 window;
-    #   (D) last green r05, then r06, then r07 -- each tier in its prior
-    #       relative order. Next round: recompute from the union
-    #       including CORRECTNESS_r08 and rotate again.
+    # Tiers recomputed from the CORRECTNESS_r01..r08 union, ordered
+    # RED FIRST, then NEVER-DRIVER-CHECKED, then OLDEST-LAST-GREEN:
+    #   (A) survival_km -- the one r08 driver-red row, now rebuilt on an
+    #       exact-integer stepwise product (no transcendental reaches a
+    #       hashed column); leads the window per VERDICT #1;
+    #   (B) the 9 r08 additions never driver-checked (judge-certified
+    #       r08 via oracle_check.py, but the contract wants driver rows);
+    #   (C) the 9 r04-stale greens (not re-certified in 4 rounds);
+    #   (D) NEW r09 queries -- in-window so they certify immediately;
+    #   (E) last green r05, then r06, then r07/r08 -- each tier in its
+    #       prior relative order; the r05 tier fills the rest of the
+    #       ~50-window. Next round: recompute from the union including
+    #       CORRECTNESS_r09 and rotate again.
     return {
-        # -- (A) never driver-checked: late-r07 additions, certify now --
-        "hll_union_distinct": q_hll_union_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
-        "similarity_join_exact": q_similarity_join_exact,
-        "snm_dedup": q_snm_dedup,
-        "scd2_history": q_scd2_history,
-        "triangle_counts": q_triangle_counts,
-        "bloom_join_prune": q_bloom_join_prune,
-        "leakage_safe_split": q_leakage_safe_split,
-        "negative_sampling": q_negative_sampling,
-        "record_linkage": q_record_linkage,
-        "dsir_resample": q_dsir_resample,
-        "k_core": q_k_core,
-        "cuped_lift": q_cuped_lift,
+        # -- (A) r08 driver-red, rebuilt: certify first ------------------
         "survival_km": q_survival_km,
-        "matryoshka_fidelity": q_matryoshka_fidelity,
-        "retrieval_auc": q_retrieval_auc,
-        "retrieval_precision": q_retrieval_precision,
-        "contamination_report": q_contamination_report,
-        "clustering_coefficient": q_clustering_coefficient,
-        # -- (B) stalest green: last driver-green in r04 ----------------
-        "dedup_best_of_cluster": q_dedup_best_of_cluster,
-        "pretraining_prep": q_pretraining_prep,
-        "tpch_q2ish": q_tpch_q2ish,
-        "tpch_q8ish": q_tpch_q8ish,
-        "tpch_q9ish": q_tpch_q9ish,
-        "tpch_q11ish": q_tpch_q11ish,
-        "tpch_q13ish": q_tpch_q13ish,
-        "tpch_q15ish": q_tpch_q15ish,
-        "tpch_q16ish": q_tpch_q16ish,
-        "tpch_q17ish": q_tpch_q17ish,
-        "tpch_q19ish": q_tpch_q19ish,
-        "tpch_q21ish": q_tpch_q21ish,
-        "tpch_q22ish": q_tpch_q22ish,
-        "dq_audit": q_dq_audit,
-        "null_safe_join": q_null_safe_join,
-        "lateral_top_lines": q_lateral_top_lines,
-        "rolling_range_revenue": q_rolling_range_revenue,
-        "grouping_sets_sales": q_grouping_sets_sales,
-        "percent_rank_orders": q_percent_rank_orders,
-        "string_agg_nations": q_string_agg_nations,
-        "twa_value": q_twa_value,
-        "corr_price_qty": q_corr_price_qty,
-        "set_intersect_buyers": q_set_intersect_buyers,
-        "set_except_priorities": q_set_except_priorities,
-        "unpivot_metrics": q_unpivot_metrics,
-        "heavy_hitters": q_heavy_hitters,
-        "mad_outliers": q_mad_outliers,
-        "drift_chi2": q_drift_chi2,
-        "join_size_estimate": q_join_size_estimate,
-        "cube_counts": q_cube_counts,
-        "skew_report": q_skew_report,
-        "snapshot_diff": q_snapshot_diff,
-        "bitmap_retention": q_bitmap_retention,
-        "zorder_pruning": q_zorder_pruning,
-        "quartiles_exact": q_quartiles_exact,
-        "key_erasure": q_key_erasure,
-        "vocab_overlap": q_vocab_overlap,
-        "span_corruption": q_span_corruption,
-        "retention_vacuum": q_retention_vacuum,
-        "zorder_layout": q_zorder_layout,
-        # -- (C) NEW r08: never driver-checked, lead the r09 window -----
+        # -- (B) never driver-checked: r08 additions ---------------------
         "dedup_substrings_maximal": q_dedup_substrings_maximal,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "winnow_fingerprint_set": q_winnow_fingerprint_set,
@@ -9522,7 +9463,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_retrieval": q_ndcg_retrieval,
         "label_propagation": q_label_propagation,
         "char_entropy_signal": q_char_entropy,
-        # -- (D) last green r05 ---------------------------------------
+        # -- (C) r04-stale greens: last driver-green 5 rounds ago --------
+        "snapshot_diff": q_snapshot_diff,
+        "bitmap_retention": q_bitmap_retention,
+        "zorder_pruning": q_zorder_pruning,
+        "quartiles_exact": q_quartiles_exact,
+        "key_erasure": q_key_erasure,
+        "vocab_overlap": q_vocab_overlap,
+        "span_corruption": q_span_corruption,
+        "retention_vacuum": q_retention_vacuum,
+        "zorder_layout": q_zorder_layout,
+        # -- (D) NEW r09 queries: certify immediately --------------------
+        # (inserted here as they land this round)
+        # -- (E) last green r05 ------------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "topk_per_group": q_topk_per_group,
@@ -9573,7 +9526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_quantize": q_embedding_quantize,
         "exact_decontaminate": q_exact_decontaminate,
-        # -- (C) last green r06 ---------------------------------------
+        # -- (F) last green r06 ---------------------------------------
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -9624,7 +9577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
-        # -- (D) freshest: last driver-green in r07 ---------------------
+        # -- (F) last green r07 -----------------------------------------
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
         "count_by_key": q_count_by_key,
@@ -9675,6 +9628,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": q_distinct_hll,
         "ivm_agg_apply": q_ivm_agg_apply,
         "semantic_decontaminate": q_semantic_decontaminate,
+        # -- (G) freshest: last driver-green in r08 -----------------------
+        "hll_union_distinct": q_hll_union_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
+        "similarity_join_exact": q_similarity_join_exact,
+        "snm_dedup": q_snm_dedup,
+        "scd2_history": q_scd2_history,
+        "triangle_counts": q_triangle_counts,
+        "bloom_join_prune": q_bloom_join_prune,
+        "leakage_safe_split": q_leakage_safe_split,
+        "negative_sampling": q_negative_sampling,
+        "record_linkage": q_record_linkage,
+        "dsir_resample": q_dsir_resample,
+        "k_core": q_k_core,
+        "cuped_lift": q_cuped_lift,
+        "matryoshka_fidelity": q_matryoshka_fidelity,
+        "retrieval_auc": q_retrieval_auc,
+        "retrieval_precision": q_retrieval_precision,
+        "contamination_report": q_contamination_report,
+        "clustering_coefficient": q_clustering_coefficient,
+        "dedup_best_of_cluster": q_dedup_best_of_cluster,
+        "pretraining_prep": q_pretraining_prep,
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8ish": q_tpch_q8ish,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q21ish": q_tpch_q21ish,
+        "tpch_q22ish": q_tpch_q22ish,
+        "dq_audit": q_dq_audit,
+        "null_safe_join": q_null_safe_join,
+        "lateral_top_lines": q_lateral_top_lines,
+        "rolling_range_revenue": q_rolling_range_revenue,
+        "grouping_sets_sales": q_grouping_sets_sales,
+        "percent_rank_orders": q_percent_rank_orders,
+        "string_agg_nations": q_string_agg_nations,
+        "twa_value": q_twa_value,
+        "corr_price_qty": q_corr_price_qty,
+        "set_intersect_buyers": q_set_intersect_buyers,
+        "set_except_priorities": q_set_except_priorities,
+        "unpivot_metrics": q_unpivot_metrics,
+        "heavy_hitters": q_heavy_hitters,
+        "mad_outliers": q_mad_outliers,
+        "drift_chi2": q_drift_chi2,
+        "join_size_estimate": q_join_size_estimate,
+        "cube_counts": q_cube_counts,
+        "skew_report": q_skew_report,
     }
 
 

@@ -864,21 +864,33 @@ def kaplan_meier(
     instead is the classic churn-rate overestimate this estimator exists
     to fix.
 
-    Engine portability: the running product is a cumulative SUM of
-    round(ln(1 - d/n), 8) per-step factors held as exact decimals (the
-    ``trigram_lm_scores`` recipe), exposed as ``log_survival``;
-    ``survival`` is one exp + round(6) on top. A step where everyone
-    remaining dies (d = n) pins survival to exactly 0.0 from that time
-    on (ln would be -inf), with ``log_survival`` null.
+    Engine portability (the r08 driver-red lesson): NO transcendentals
+    in hashed columns. The earlier form hashed round(ln(1-d/n), 8) and
+    round(exp(Σ), 6) — both evaluated independently by JVM Math and
+    libm, and on the sf0.01 fixture one step factor sat 7.1e-11 from
+    its rounding boundary, so a different libm flipped a digit and the
+    whole-result hash died. Now the running product is PURE INTEGER
+    arithmetic: survival is held scaled by 1e12 and each step applies
+
+        S' = round_half_up(S * (n - d) / n)
+           = (2*S*(n-d) + n) DIV (2*n)
+
+    folded left-to-right over the ordered step list (the ``bpe_encode``
+    aggregate-fold recipe) in decimal(38,0) — every engine computes the
+    identical integer. The d = n terminal step needs no special case:
+    (n-d) = 0 zeroes S exactly and keeps it zero. The exposed
+    ``survival`` is one IEEE-754 double division S/1e12 of two exactly
+    representable values — correctly rounded, bit-identical everywhere.
 
     Scale shape: one map-side-combined agg to per-time (d, c) counts —
     the frame is |distinct times| rows, NOT units — then two windows
-    over that tiny frame (reverse cumsum for at-risk, forward cumsum for
-    the product). At 100 TB the unit frame never sorts globally; only
-    the time-domain frame (days/weeks: thousands of rows at most) does.
+    over that tiny frame (reverse cumsum for at-risk, prefix-list fold
+    for the product; O(T^2) fold work on a T = |distinct times| frame
+    — days/weeks: thousands of rows at most — is trivia). At 100 TB the
+    unit frame never sorts globally; only the time-domain frame does.
 
-    Returns (t, n_at_risk, n_events, survival, log_survival) for every
-    distinct EVENT time, ordered cumulative semantics by t.
+    Returns (t, n_at_risk, n_events, survival) for every distinct EVENT
+    time, ordered cumulative semantics by t.
     """
     u = units.select(
         F.col(time_col).cast("long").alias("__t"),
@@ -892,42 +904,35 @@ def kaplan_meier(
         Window.unboundedPreceding, Window.currentRow
     )
     risked = per_t.withColumn("__n", F.sum("__c").over(w_risk))
-    steps = risked.where(F.col("__d") > 0).select(
-        "__t",
-        "__n",
-        "__d",
-        F.when(
-            F.col("__d") < F.col("__n"),
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    - F.col("__d").cast("double") / F.col("__n").cast("double")
-                ),
-                8,
-            ).cast("decimal(28,10)"),
-        ).alias("__lf"),
-    )
+    steps = risked.where(F.col("__d") > 0).select("__t", "__n", "__d")
     w_cum = Window.orderBy("__t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # SUM skips a null factor (d == n), so the terminal step is tracked
-    # separately: __dead flags any prior-or-current terminal step and
-    # pins survival to 0.0 / log_survival to null from there on
-    cum = steps.select(
-        "__t",
-        "__n",
-        "__d",
-        F.sum("__lf").over(w_cum).alias("__ls"),
-        F.max((F.col("__lf").isNull()).cast("int")).over(w_cum).alias("__dead"),
+    # prefix list of (n, d) steps, folded with the exact-integer
+    # round-half-up product update; all values positive so DIV (trunc)
+    # == floor and matches DuckDB's // exactly
+    cum = steps.withColumn(
+        "__steps",
+        F.collect_list(
+            F.struct(F.col("__n").alias("n"), F.col("__d").alias("d"))
+        ).over(w_cum),
     )
     return cum.select(
         F.col("__t").alias("t"),
         F.col("__n").alias("n_at_risk"),
         F.col("__d").alias("n_events"),
-        F.when(F.col("__dead") == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.col("__ls").cast("double")), 6))
-        .alias("survival"),
-        F.when(F.col("__dead") == 1, F.lit(None).cast("decimal(28,10)"))
-        .otherwise(F.col("__ls"))
-        .alias("log_survival"),
+        (
+            F.expr(
+                """
+                CAST(aggregate(
+                    __steps,
+                    CAST(1000000000000 AS DECIMAL(38, 0)),
+                    (acc, x) -> CAST(
+                        (acc * (x.n - x.d) * 2 + x.n) div (x.n * 2)
+                        AS DECIMAL(38, 0))
+                ) AS DOUBLE)
+                """
+            )
+            / F.lit(1.0e12)
+        ).alias("survival"),
     )

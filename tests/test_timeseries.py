@@ -432,14 +432,15 @@ class TestKaplanMeier:
         assert set(out) == {1, 3}
         assert out[1].n_at_risk == 6 and out[1].n_events == 1
         assert out[3].n_at_risk == 4 and out[3].n_events == 1
-        import math
-        s1 = round(math.exp(round(math.log(1 - 1 / 6), 8)), 6)
-        s3 = round(
-            math.exp(round(math.log(1 - 1 / 6), 8) + round(math.log(1 - 1 / 4), 8)),
-            6,
-        )
-        assert out[1].survival == s1
-        assert out[3].survival == s3
+        # exact-integer stepwise product, scaled by 1e12:
+        # S' = round_half_up(S * (n - d) / n) = (2*S*(n-d) + n) // (2*n)
+        s = 10**12
+        s = (2 * s * (6 - 1) + 6) // (2 * 6)
+        assert out[1].survival == s / 1e12
+        s = (2 * s * (4 - 1) + 4) // (2 * 4)
+        assert out[3].survival == s / 1e12
+        # and the exact fold tracks the true product-limit value closely
+        assert abs(out[3].survival - (5 / 6) * (3 / 4)) < 1e-9
 
     def test_censored_never_counted_as_events(self, spark):
         from proxima_platform_spark.functions.timeseries import kaplan_meier
@@ -459,5 +460,6 @@ class TestKaplanMeier:
             [(1, 1), (2, 1), (2, 1)], ["obs_time", "event"]
         )
         out = {r.t: r for r in kaplan_meier(units).collect()}
-        assert out[2].survival == 0.0 and out[2].log_survival is None
+        # (n - d) = 0 zeroes the integer product exactly — no special case
+        assert out[2].survival == 0.0
         assert out[1].survival > 0.0
