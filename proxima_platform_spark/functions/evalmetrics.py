@@ -142,23 +142,42 @@ def ndcg_at_k(
 
     Determinism: the ranking is the total (score desc, id) order and the
     ideal ranking the total (rel desc, id) order, so both engines pick
-    identical term sets; gains 2^rel − 1 are exact int64 (rel ≤ 62
-    guarded), and dcg/idcg/ndcg are rounded to 6 dp, absorbing
-    aggregation-order ulps in the double sum (the bm25/tpch rounding
-    convention). Scale shape: two rank windows per group bounded by
-    max(k) rows retained, one aggregation — rankings at eval time are
-    top-N frames by contract, never the corpus.
+    identical term sets; gains 2^rel − 1 are exact int64 (rel outside
+    [0, 62] or NULL FAILS LOUDLY — silently dropping such rows would
+    shift every rank below them and diverge from any SQL twin in
+    exactly the regime the guard targets), and dcg/idcg/ndcg are
+    rounded to 6 dp, absorbing aggregation-order ulps in the double sum
+    (the bm25/tpch rounding convention). Scale shape: two rank windows
+    per group bounded by max(k) rows retained, one aggregation —
+    rankings at eval time are top-N frames by contract, never the
+    corpus.
     """
     if not ks or any(k < 1 for k in ks):
         raise ValueError(f"ks must be non-empty positive ints, got {ks}")
     groups = [F.col(g) for g in (group_cols or [])]
     gnames = list(group_cols or [])
+    raw_rel = F.col(rel).cast("long")
     base = scored.select(
         *gnames,
         F.col(id_col).alias("__id"),
         F.col(score).alias("__s"),
-        F.col(rel).cast("long").alias("__rel"),
-    ).where(F.col("__rel") < 63)  # 2^rel must fit int64
+        # 2^rel must fit int64: any NULL / negative / >= 63 relevance is
+        # a data bug — raise per-row instead of silently re-ranking
+        F.when(
+            raw_rel.isNull() | (raw_rel < 0) | (raw_rel >= 63),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ndcg_at_k: {rel} must be a non-null int"
+                        " in [0, 62], got "
+                    ),
+                    F.coalesce(raw_rel.cast("string"), F.lit("NULL")),
+                )
+            ),
+        )
+        .otherwise(raw_rel)
+        .alias("__rel"),
+    )
     # SQL form: the Python F.shiftleft only takes a literal bit count
     gain = F.expr("shiftleft(1L, CAST(__rel AS INT)) - 1L")
     wr = Window.partitionBy(*groups).orderBy(F.col("__s").desc(), "__id")

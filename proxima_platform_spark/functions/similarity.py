@@ -289,8 +289,10 @@ def _pq_arrow_stages(
     codebook ships once in the task closure (m·ks·dsub int64 ≈ 32 KB at
     the defaults) and the per-batch work is one broadcast-subtract —
     (batch, m, 1, dsub) − (1, m, ks, dsub) — squared and summed, all
-    int64. Overflow is guarded loudly: dsub·(|q|max+|c|max)² must stay
-    under 2⁶³, same contract as the Gram probes in functions/dedup.py.
+    int64. Overflow is guarded loudly: the ADC score sums m subspace
+    distances, so the guard is m·dsub·(|q|max+|c|max)² < 2⁶³ (numpy
+    int64 would WRAP silently, not raise) — same contract family as
+    the Gram probes in functions/dedup.py.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -305,9 +307,10 @@ def _pq_arrow_stages(
 
     def _dists(Q: "np.ndarray") -> "np.ndarray":
         qmax = int(np.abs(Q).max()) if Q.size else 0
-        if dsub * (qmax + cmax) ** 2 >= 2**62:
+        # the ADC score is a sum of m subspace distances — bound the SUM
+        if m * dsub * (qmax + cmax) ** 2 >= 2**63:
             raise ValueError(
-                f"PQ distance overflow risk: dsub={dsub} qmax={qmax} "
+                f"PQ distance overflow risk: m={m} dsub={dsub} qmax={qmax} "
                 f"cmax={cmax} exceeds the int64 budget — lower `scale`"
             )
         sub = Q.reshape(len(Q), m, 1, dsub)

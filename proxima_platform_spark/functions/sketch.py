@@ -692,15 +692,20 @@ def quantile_sketch_build(
     )
 
 
-def quantile_sketch_merge(
-    a: DataFrame, b: DataFrame, *, k: int = 256
-) -> DataFrame:
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, *, k: int) -> DataFrame:
     """Merge two sketch frames (same group columns): bottom-k of the
     union per group. Exactly equal to building over the concatenated
     inputs when tags are distinct (deterministic hash over row identity),
-    so partial sketches from any partitioning combine losslessly."""
+    so partial sketches from any partitioning combine losslessly.
+
+    ``k`` is REQUIRED and must equal the build k: a default independent
+    of the build parameter would silently truncate sketches built with
+    a larger k (merge law violated without any error)."""
     cols = a.columns
-    assert cols == b.columns, "sketch frames must share schema"
+    if cols != b.columns:
+        raise ValueError(
+            f"sketch frames must share schema, got {cols} vs {b.columns}"
+        )
     group_cols = [c for c in cols if c not in ("h", "v")]
     w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
         "h", "v"
@@ -731,7 +736,16 @@ def quantile_sketch_estimate(
     so the rank is ``ceil(q_micro·n / 1e6)`` in pure int64 arithmetic
     (``(q_micro·n + 999999) div 1e6``) — no float cast whose
     truncate-vs-round semantics differ between engines.
+
+    Every q must lie in (0, 1]: q > 1 would compute rank > n (a mid-job
+    element_at failure under ANSI, a silent NULL otherwise) and q <= 0
+    would silently clamp to rank 1 — both rejected at call time.
     """
+    bad_qs = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad_qs:
+        raise ValueError(
+            f"quantiles must lie in (0, 1], got {bad_qs}"
+        )
     group_cols = [c for c in sketch.columns if c not in ("h", "v")]
     agg = sketch.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("v")).alias("__vs"),

@@ -148,3 +148,19 @@ class TestNdcg:
         assert got[("b", 1)] == 0.0  # relevant item ranked second
         with pytest.raises(ValueError, match="positive"):
             ndcg_at_k(df, [], id_col="id")
+
+    def test_out_of_range_rel_fails_loudly(self, spark):
+        """rel outside [0, 62] or NULL must RAISE, never silently drop —
+        dropping a top-scored row shifts every rank below it and
+        silently returns a wrong (often perfect-looking) NDCG."""
+        import pytest
+
+        from proxima_platform_spark.functions.evalmetrics import ndcg_at_k
+
+        for bad in (63, -1, None):
+            df = spark.createDataFrame(
+                [(1, 2.0, bad), (2, 1.0, 1)],
+                "id long, score double, rel int",
+            )
+            with pytest.raises(Exception, match="ndcg_at_k"):
+                ndcg_at_k(df, [2], id_col="id").collect()

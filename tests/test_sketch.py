@@ -485,6 +485,37 @@ class TestQuantileSketch:
         # values are uniform on [0, 1000); true median ~500
         assert abs(est - 500.0) < 120.0
 
+    def test_estimate_rejects_out_of_range_q(self, spark):
+        """q > 1 computes rank > n (mid-job ANSI failure / silent NULL)
+        and q <= 0 silently clamps to rank 1 — both rejected loudly."""
+        import pytest
+
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+
+        sk = quantile_sketch_build(
+            self._df(spark, 10), "v", ["rid"], group_cols=["g"], k=8
+        )
+        for bad in ([0.0], [1.5], [-0.1], [0.5, 2.0]):
+            with pytest.raises(ValueError, match=r"\(0, 1\]"):
+                quantile_sketch_estimate(sk, bad)
+
+    def test_merge_schema_mismatch_raises(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.sketch import (
+            quantile_sketch_build,
+            quantile_sketch_merge,
+        )
+
+        a = quantile_sketch_build(
+            self._df(spark, 10), "v", ["rid"], group_cols=["g"], k=8
+        )
+        with pytest.raises(ValueError, match="share schema"):
+            quantile_sketch_merge(a, a.withColumnRenamed("g", "grp"), k=8)
+
     def test_sketch_bounded_and_deterministic(self, spark):
         from proxima_platform_spark.functions.sketch import (
             quantile_sketch_build,
