@@ -8868,11 +8868,11 @@ WITH toks AS (
     GROUP BY k.doc_id
 ), gum AS (
     SELECT doc_id, n_grams,
-           round(logw::DOUBLE +
+           round(logw +
                  round(-ln(-ln(((('0x' || substr(md5('dsir-v1' ||
                      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
-                     + 1)::DOUBLE / 1000001.0)), 8),
-                 6) AS score
+                     + 1)::DOUBLE / 1000001.0)), 8)::DECIMAL(28,10),
+                 6)::DECIMAL(28,6) AS score
     FROM per_doc
 )
 SELECT doc_id, n_grams, score

@@ -513,8 +513,18 @@ def dsir_resample(
 
         log_w(d) = Σ over d's bigrams of lr_bucket(g)   (exact decimal)
         u(d)     = (sample_key(id)+1) / (BUCKETS+1)      in (0, 1)
-        score(d) = round(log_w + -ln(-ln(u)), 6)
+        g(d)     = round(-ln(-ln(u)), 8) quantized to exact decimal
+        score(d) = round(log_w + g, 6)                   (exact decimal)
         keep top-k by (score, id)
+
+    The Gumbel term is QUANTIZED (round(·,8) then decimal(28,10) cast —
+    the trigram/lr recipe) before the sum: tools/margin_check.py found
+    the previous double-arithmetic score sitting 6e-18 from its
+    round(·,6) boundary on the sf0.01 fixture, and double round(·,8)
+    itself is not bit-specified across engines (BigDecimal shortest-repr
+    vs multiply-divide differ by ~1 ulp). After quantization the sum and
+    final 6-dp round are exact decimal arithmetic — ties included,
+    every engine produces the identical digit.
 
     Docs with fewer than 2 tokens have no features and are not sampled
     (log_w undefined, matching the paper's n-gram feature map).
@@ -531,12 +541,14 @@ def dsir_resample(
         raw, lr, id_col=id_col, text=text, buckets=buckets
     ).withColumnRenamed("logw", "__logw")
     u = (sample_key(F.col("id"), salt) + 1).cast("double") / float(BUCKETS + 1)
-    gumbel = F.round(-F.log(-F.log(u)), 8)
+    gumbel = F.round(-F.log(-F.log(u)), 8).cast("decimal(28,10)")
     return (
         per_doc.select(
             "id",
             "n_grams",
-            F.round(F.col("__logw").cast("double") + gumbel, 6).alias("score"),
+            F.round(F.col("__logw") + gumbel, 6)
+            .cast("decimal(28,6)")
+            .alias("score"),
         )
         .orderBy(F.col("score").desc(), "id")
         .limit(k)

@@ -3,7 +3,7 @@
 # produce each round's artifacts (run from the repo root, idle box):
 #
 #   tools/verify_all.sh            # sweep + tests + bench smoke
-#   tools/verify_all.sh sweep      # oracle sweep only (-> stdout; redirect
+#   tools/verify_all.sh sweep      # margin audit + oracle sweep (-> stdout; redirect
 #                                  #   to ORACLE_SWEEP_r{N}.txt)
 #   tools/verify_all.sh tests      # full pytest suite only
 #   tools/verify_all.sh bench      # full bench only (-> stdout JSON line;
@@ -17,6 +17,8 @@ cd "$(dirname "$0")/.."
 stage="${1:-all}"
 
 run_sweep() {
+  echo "== transcendental rounding-margin audit (sf0.01) =="
+  python tools/margin_check.py
   echo "== oracle sweep (every queries() entry vs DuckDB at sf0.01) =="
   python tools/oracle_check.py
 }
