@@ -3547,6 +3547,100 @@ SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp AS fp FROM wins
 """
 
 
+def q_dedup_winnow(spark, sf):
+    """Winnow-based shared-span cut (functions/dedup.py::dedup_winnow) —
+    acting on the winnow_overlap REPORT: spans witnessed by shared
+    winnowed fingerprints are cut, winner-immune (per-fp globally-first
+    occurrence survives), matched positions <= w grams apart bridged
+    into one island (winnowing's density bound: a shared run's interior
+    match gaps are <= w). Catches near-verbatim blocks with small edits
+    that exact-gram dedup misses (an edit every < min_len tokens leaves
+    no duplicated min_len-gram, but every untouched run >= w+2 still
+    shares a fingerprint). No pair join: every stage keys on fp or doc,
+    so the overlap report's quadratic docs-per-fp term never appears and
+    no boilerplate cap is needed. Oracle replays winner rule, island
+    bridging, kept-window subtraction and the run grouping verbatim."""
+    from proxima_platform_spark.functions.dedup import dedup_winnow
+
+    docs = _load(spark, sf, "documents")
+    return dedup_winnow(docs, w=4)
+
+
+def _sql_dedup_winnow(w: int = 4) -> str:
+    return rf"""
+WITH fpset AS (
+    SELECT doc_id, pos, fp FROM ({_sql_winnow_fingerprints(w)})
+), t2 AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), counts AS (
+    SELECT doc_id, len(tk) AS n_tokens FROM t2
+), per_doc AS (
+    SELECT fp, doc_id, min(pos) AS mp FROM fpset GROUP BY 1, 2
+), winners AS (
+    SELECT fp, min(doc_id) AS wd, arg_min(mp, doc_id) AS wp
+    FROM per_doc GROUP BY fp HAVING count(*) >= 2
+), rem AS (
+    SELECT DISTINCT f.doc_id, f.pos
+    FROM fpset f JOIN winners USING (fp)
+    WHERE NOT (f.doc_id = winners.wd AND f.pos = winners.wp)
+), isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos - prev > {w} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM rem
+    )
+), islands AS (
+    SELECT doc_id, isl, min(pos) AS lo, max(pos) AS hi
+    FROM isl GROUP BY 1, 2
+), removed AS (
+    SELECT DISTINCT doc_id, unnest(range(lo, hi + 3)) AS rp FROM islands
+), keptw AS (
+    SELECT DISTINCT wd AS doc_id, unnest(range(wp, wp + 3)) AS rp
+    FROM winners
+), cut AS (
+    SELECT r.doc_id, r.rp FROM removed r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM keptw k WHERE k.doc_id = r.doc_id AND k.rp = r.rp
+    )
+), run_len AS (
+    SELECT doc_id, grp, count(*) AS rl FROM (
+        SELECT doc_id,
+               rp - row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS grp
+        FROM cut
+    ) GROUP BY 1, 2
+), run_stats AS (
+    SELECT doc_id, count(*) AS n_runs_cut, max(rl) AS max_run_len
+    FROM run_len GROUP BY 1
+), tok AS (
+    SELECT doc_id, generate_subscripts(tk, 1) AS tp, unnest(tk) AS tok FROM t2
+), kept AS (
+    SELECT k.doc_id, k.tp, k.tok FROM tok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cut c WHERE c.doc_id = k.doc_id AND c.rp = k.tp
+    )
+), reass AS (
+    SELECT doc_id, count(*) AS n_kept,
+           array_to_string(list(tok ORDER BY tp), ' ') AS text_dedup
+    FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       c.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(s.n_runs_cut, 0) AS n_runs_cut,
+       coalesce(s.max_run_len, 0) AS max_run_len,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM counts c
+LEFT JOIN reass r USING (doc_id)
+LEFT JOIN run_stats s USING (doc_id)
+"""
+
+
 def q_winnow_overlap(spark, sf):
     """Copy-detection pair report (functions/text.py::winnow_overlap):
     document pairs ranked by shared distinct winnowed fingerprints — the
@@ -9474,7 +9568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_vacuum": q_retention_vacuum,
         "zorder_layout": q_zorder_layout,
         # -- (D) NEW r09 queries: certify immediately --------------------
-        # (inserted here as they land this round)
+        "dedup_winnow": q_dedup_winnow,
         # -- (E) last green r05 ------------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -9970,6 +10064,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
         "winnow_fingerprint_set": _sql_winnow_fingerprints(),
         "winnow_overlap": _sql_winnow_overlap(),
+        "dedup_winnow": _sql_dedup_winnow(),
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,

@@ -691,3 +691,87 @@ class TestCharEntropy:
         got = {r.doc_id: r.entropy for r in
                char_entropy(df, "doc_id", "text").collect()}
         assert got[0] > got[1]
+
+
+class TestDedupWinnow:
+    """Winnow-based shared-span cut: the dedup completion of the
+    winnowing tier — near-verbatim blocks with small edits are cut where
+    exact-gram dedup sees nothing."""
+
+    def _planted(self, spark):
+        # doc 1: original 40-token block (+ unique tail). doc 2: the same
+        # block with an edit every 7 tokens — no duplicated 8-gram
+        # survives (exact-gram dedup blind), but every untouched run is
+        # 6 tokens >= w+2, which winnowing at w=4 GUARANTEES to
+        # fingerprint. doc 3: unrelated.
+        block = [f"tok{i}" for i in range(40)]
+        edited = list(block)
+        for j in range(3, 40, 7):
+            edited[j] = f"edit{j}"
+        return spark.createDataFrame(
+            [
+                (1, " ".join(block) + " unique tail one"),
+                (2, " ".join(edited) + " different ending two"),
+                (3, "totally unrelated text with nothing shared at all"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_edited_block_cut_where_exact_gram_blind(self, spark):
+        from proxima_platform_spark.functions.dedup import (
+            dedup_substrings_maximal,
+            dedup_winnow,
+        )
+
+        docs = self._planted(spark)
+        exact = {
+            r.doc_id: r.n_removed
+            for r in dedup_substrings_maximal(docs, min_len=8).collect()
+        }
+        assert exact == {1: 0, 2: 0, 3: 0}  # edits break every 8-gram
+        got = {r.doc_id: r for r in dedup_winnow(docs, w=4).collect()}
+        # first occurrence survives WHOLE (winner immunity)
+        assert got[1].n_removed == 0
+        assert got[1].text_dedup.startswith("tok0 tok1 tok2 tok3")
+        # the edited copy loses its shared runs but keeps most edits
+        # (an edit can be bridged over when matched fingerprints flank
+        # it within <= w grams — the documented conservative cut)
+        assert got[2].n_removed > 10
+        assert got[2].n_runs_cut >= 2
+        surviving = sum(
+            f"edit{j}" in got[2].text_dedup for j in range(3, 40, 7)
+        )
+        assert surviving >= 4
+        assert got[2].text_dedup.endswith("different ending two")
+        # unrelated doc untouched
+        assert got[3].n_removed == 0
+
+    def test_island_bridging_cuts_runs_whole(self, spark):
+        """Two docs sharing one long verbatim run: the non-winner copy's
+        matched fingerprints (<= w apart inside the run) bridge into ONE
+        island, so the run is cut whole — never fragmented at sampled
+        positions."""
+        from proxima_platform_spark.functions.dedup import dedup_winnow
+
+        run = " ".join(f"r{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta " + run + " gamma delta"),
+                (2, "one two three " + run + " four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dedup_winnow(df, w=4).collect()}
+        assert got[1].n_removed == 0  # globally-first copy immune
+        assert got[2].n_runs_cut == 1  # one island, not fragments
+        assert got[2].max_run_len >= 18  # covers (almost) the whole run
+        assert "four five six" in got[2].text_dedup
+
+    def test_w_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.dedup import dedup_winnow
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="w must be"):
+            dedup_winnow(df, w=0)
