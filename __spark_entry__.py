@@ -9512,6 +9512,223 @@ FROM deg d LEFT JOIN ntri t ON t.node = d.node
 # ===========================================================================
 
 
+def q_kneser_ney_score(spark, sf):
+    """Interpolated Kneser-Ney bigram LM fluency per document
+    (functions/ranking.py::kneser_ney_scores) — the KenLM/CCNet-class
+    quality filter with the continuation-probability fix for the
+    unigram-backoff pathology. All counts exact int64, ratios
+    correctly-rounded IEEE doubles, the one ln per bigram immediately
+    quantized (round 8 → decimal, the trigram recipe) and mean'd with a
+    single final double division; tools/margin_check.py audits the ln
+    site. Stats tables bounded by corpus bigram TYPES; scoring is the
+    BM25/tfidf join shape."""
+    from proxima_platform_spark.functions.ranking import kneser_ney_scores
+
+    docs = _load(spark, sf, "documents")
+    return kneser_ney_scores(docs)
+
+
+SQL_KNESER_NEY = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), big AS (
+    SELECT doc_id, tk[i] AS v, tk[i+1] AS w
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t
+          WHERE len(tk) >= 2)
+), c_vw AS (
+    SELECT v, w, count(*) AS cvw FROM big GROUP BY 1, 2
+), c_v AS (
+    SELECT v, sum(cvw) AS cv, count(*) AS n1v FROM c_vw GROUP BY v
+), n1w AS (
+    SELECT w, count(*) AS n1w FROM c_vw GROUP BY w
+), n1pp AS (
+    SELECT count(*) AS n1pp FROM c_vw
+), scored AS (
+    SELECT big.doc_id,
+           round(ln(greatest(cvw - 0.75, 0.0) / cv
+                    + (0.75 * n1v / cv) * (n1w::DOUBLE / n1pp)),
+                 8)::DECIMAL(28,10) AS lp
+    FROM big
+    JOIN c_vw USING (v, w)
+    JOIN c_v USING (v)
+    JOIN n1w USING (w)
+    CROSS JOIN n1pp
+)
+SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS kn_score
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_cohens_kappa(spark, sf):
+    """Cohen's kappa between the two cheap corpus gates (functions/
+    evalmetrics.py::cohens_kappa): does the quality gate (quality >=
+    0.8) agree with the language gate (lang_guess = 'en') beyond
+    chance — the acceptance check run on any labeling/gating pair
+    before its labels feed an eval set. kappa = (N·S − M)/(N² − M) is a
+    ratio of two pure int64 quantities (S = diagonal agreement, M =
+    summed marginal products): the only float op is the final rounded
+    double division. One |categories|²-cell count agg — the corpus
+    never sorts."""
+    from proxima_platform_spark.functions.evalmetrics import cohens_kappa
+    from proxima_platform_spark.functions.text import (
+        language_id,
+        quality_score,
+    )
+
+    docs = _load(spark, sf, "documents")
+    rated = docs.select(
+        (quality_score(F.col("text")) >= 0.8).cast("int").alias("gate_q"),
+        (language_id(F.col("text")) == "en").cast("int").alias("gate_l"),
+    )
+    return cohens_kappa(rated, rater_a="gate_q", rater_b="gate_l")
+
+
+def _sql_cohens_kappa() -> str:
+    return f"""
+WITH {_sql_scored_ctes()},
+rated AS (
+    SELECT CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END AS a,
+           CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS b
+    FROM scored
+), pairs AS (
+    SELECT a, b, count(*) AS c FROM rated GROUP BY 1, 2
+), marg AS (
+    SELECT sum(ra * cb) AS m FROM
+        (SELECT a, sum(c) AS ra FROM pairs GROUP BY a) r
+        JOIN (SELECT b, sum(c) AS cb FROM pairs GROUP BY b) col
+        ON r.a = col.b
+), kb AS (
+    SELECT sum(c) AS n,
+           coalesce(sum(CASE WHEN a = b THEN c END), 0) AS s
+    FROM pairs
+)
+SELECT n::BIGINT AS n_items, s::BIGINT AS observed_agree,
+       CASE WHEN n * n <> m
+            THEN round((n * s - m)::DOUBLE / (n * n - m)::DOUBLE, 6)
+            END AS kappa
+FROM kb, marg
+"""
+
+
+def q_calibration_ece(spark, sf):
+    """Expected calibration error of the quality score against the
+    English gate (functions/evalmetrics.py::calibration_ece) — the
+    check before a model-based gate's scores are trusted as
+    probabilities (a miscalibrated gate silently shifts the kept-corpus
+    mix at any threshold). Binning is pure integer micro-unit
+    arithmetic (no float-boundary floor), conf sums are exact, each
+    bin's term quantizes at 8 dp before the cross-bin decimal sum —
+    the ECE never depends on double summation order. One 10-cell agg."""
+    from proxima_platform_spark.functions.evalmetrics import calibration_ece
+    from proxima_platform_spark.functions.text import (
+        language_id,
+        quality_score,
+    )
+
+    docs = _load(spark, sf, "documents")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("score"),
+        (language_id(F.col("text")) == "en").cast("int").alias("label"),
+    )
+    return calibration_ece(scored, bins=10)
+
+
+def _sql_calibration_ece(bins: int = 10) -> str:
+    return f"""
+WITH {_sql_scored_ctes()},
+binned AS (
+    SELECT least((round(quality * 1000000)::BIGINT * {bins}) // 1000000,
+                 {bins - 1}) AS bin,
+           round(quality * 1000000)::BIGINT AS sm,
+           CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS l
+    FROM scored
+), per_bin AS (
+    SELECT bin, count(*) AS n, sum(sm) AS sms, sum(l) AS pos
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT sum(n) AS nn FROM per_bin
+)
+SELECT nn::BIGINT AS n_items,
+       round(sum(round((n::DOUBLE / nn)
+                       * abs(pos::DOUBLE / n
+                             - sms::DOUBLE / 1000000.0 / n),
+                       8)::DECIMAL(28,10))::DOUBLE, 6) AS ece
+FROM per_bin, tot
+GROUP BY nn
+"""
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps-law vocabulary-growth curve (functions/text.py::
+    vocab_growth): cumulative distinct token types vs cumulative tokens
+    at id-domain checkpoints (every 50 ids) — the "is this source
+    exhausted" corpus diagnostic. First occurrence per token is one
+    algebraic min agg keyed by token; the only window is the cumsum
+    over the |buckets|-row checkpoint frame — no global doc or token
+    sort (what a rank-based checkpointing would require). All exact
+    int64."""
+    from proxima_platform_spark.functions.text import vocab_growth
+
+    docs = _load(spark, sf, "documents")
+    return vocab_growth(docs, "doc_id", "text", every=50)
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH t AS (
+    SELECT doc_id - doc_id % 50 AS b,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), per_bucket AS (
+    SELECT b, count(*) AS docs, sum(len(tk)) AS toks FROM t GROUP BY b
+), first AS (
+    SELECT w, min(b) AS fb FROM (SELECT b, unnest(tk) AS w FROM t) GROUP BY w
+), new_types AS (
+    SELECT fb AS b, count(*) AS nw FROM first GROUP BY fb
+)
+SELECT b + 50 AS checkpoint,
+       (sum(docs) OVER w)::BIGINT AS cum_docs,
+       (sum(toks) OVER w)::BIGINT AS cum_tokens,
+       (sum(coalesce(nw, 0)) OVER w)::BIGINT AS cum_types
+FROM per_bucket LEFT JOIN new_types USING (b)
+WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_exact_quantile_bisect(spark, sf):
+    """EXACT median of l_extendedprice WITHOUT a global sort
+    (functions/selection.py::exact_quantile_bisect) — iterative
+    histogram refinement: each pass one bounded 256-cell count agg over
+    the narrowing BETWEEN window (predicate pushes to parquet min/max
+    pruning), log_256(range) passes total, driver sees only histogram
+    cells. The scale path next to quartiles_exact's sort-based answer —
+    the same exact type-1 micro-unit rank (ceil(q_micro·n/1e6)) the
+    quantile sketch estimates, here exact over the full population."""
+    from proxima_platform_spark.functions.selection import (
+        exact_quantile_bisect,
+    )
+
+    li = _load(spark, sf, "lineitem")
+    return exact_quantile_bisect(li, "l_extendedprice", 0.5)
+
+
+SQL_EXACT_QUANTILE_BISECT = """
+WITH v AS (
+    SELECT round(l_extendedprice::DOUBLE * 1000000)::BIGINT AS v
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+), n AS (
+    SELECT count(*) AS n FROM v
+), r AS (
+    SELECT n, greatest((500000 * n + 999999) // 1000000, 1) AS rank FROM n
+), sel AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+)
+SELECT r.n AS n, r.rank AS rank, sel.v::DOUBLE / 1000000 AS value
+FROM r JOIN sel ON sel.rn = r.rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: changelog → snapshot → per-attribute stats at sf0.001
     (source→compaction→agg, the platform's defining path —
@@ -9569,6 +9786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         # -- (D) NEW r09 queries: certify immediately --------------------
         "dedup_winnow": q_dedup_winnow,
+        "kneser_ney_score": q_kneser_ney_score,
+        "cohens_kappa": q_cohens_kappa,
+        "calibration_ece": q_calibration_ece,
+        "vocab_growth": q_vocab_growth,
+        "exact_quantile_bisect": q_exact_quantile_bisect,
         # -- (E) last green r05 ------------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -10065,6 +10287,11 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_set": _sql_winnow_fingerprints(),
         "winnow_overlap": _sql_winnow_overlap(),
         "dedup_winnow": _sql_dedup_winnow(),
+        "kneser_ney_score": SQL_KNESER_NEY,
+        "cohens_kappa": _sql_cohens_kappa(),
+        "calibration_ece": _sql_calibration_ece(),
+        "vocab_growth": SQL_VOCAB_GROWTH,
+        "exact_quantile_bisect": SQL_EXACT_QUANTILE_BISECT,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,

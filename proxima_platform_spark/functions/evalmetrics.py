@@ -216,3 +216,154 @@ def ndcg_at_k(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cohens_kappa(
+    rated: DataFrame, *, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement between
+    two categorical raters (Cohen'60), THE acceptance gate on labeling
+    runs before labels feed an eval set or a quality model.
+
+    With N items, diagonal agreement count S = Σ_k c_kk and marginal
+    products M = Σ_k row_k · col_k,
+
+        kappa = (p_o − p_e) / (1 − p_e) = (N·S − M) / (N² − M)
+
+    — a ratio of two pure int64 quantities, so the ONLY floating-point
+    op is the final correctly-rounded double division: exact and
+    engine-identical, no intermediate probability ever materializes.
+    Degenerate chance agreement (p_e = 1, i.e. N² = M: both raters
+    constant) returns NULL.
+
+    Output: one row (n_items, observed_agree, kappa).
+
+    Scale shape: one map-side-combined count agg keyed by the label pair
+    (cardinality = |categories|², not items), then an O(|categories|)
+    driver-free reduction — at 100 TB the only shuffle is the tiny pair
+    histogram.
+    """
+    pairs = rated.groupBy(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    rows = pairs.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cols = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    marg = (
+        rows.join(cols, rows["__a"] == cols["__b"])
+        .agg(F.sum(F.col("__ra") * F.col("__cb")).alias("m"))
+    )
+    base = pairs.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias("s"),
+    )
+    return base.crossJoin(F.broadcast(marg)).select(
+        F.col("n").alias("n_items"),
+        F.coalesce("s", F.lit(0)).alias("observed_agree"),
+        F.when(
+            F.col("n") * F.col("n") != F.col("m"),
+            F.round(
+                (
+                    F.col("n") * F.coalesce("s", F.lit(0)) - F.col("m")
+                ).cast("double")
+                / (F.col("n") * F.col("n") - F.col("m")).cast("double"),
+                6,
+            ),
+        ).alias("kappa"),
+    )
+
+
+def _calibration_binned(
+    scored: DataFrame, score: str, label: str, bins: int
+) -> DataFrame:
+    """(bin, __sm, __l) with the pure-integer equal-width bin assignment
+    shared by :func:`calibration_ece` and :func:`calibration_bins`:
+    s_micro = round(score·1e6) int64, bin = min(s_micro·bins div 1e6,
+    bins−1) — integral division, no float floor whose boundary could
+    drift between engines."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    return scored.select(
+        F.round(F.col(score) * 1_000_000).cast("long").alias("__sm"),
+        F.col(label).cast("long").alias("__l"),
+    ).select(
+        F.least(
+            F.expr(f"(__sm * {bins}) div 1000000").cast("int"),
+            F.lit(bins - 1),
+        ).alias("bin"),
+        "__sm",
+        "__l",
+    )
+
+
+def calibration_ece(
+    scored: DataFrame,
+    *,
+    score: str = "score",
+    label: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error of a probabilistic scorer (Naeini'15 /
+    Guo'17 ECE) — the go/no-go check before a model-based quality gate's
+    scores are trusted as probabilities (a miscalibrated gate silently
+    shifts the kept-corpus mix at any fixed threshold):
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    over ``bins`` equal-width score bins. Output is ONE row
+    (n_items, ece); :func:`calibration_bins` returns the per-bin
+    reliability-diagram frame.
+
+    Engine portability: bin assignment is pure integer arithmetic on
+    micro-unit scores (round(score·1e6) int64, bin = min(s_micro·bins
+    div 1e6, bins−1) — no float-boundary floor); conf sums accumulate
+    the micro-units exactly; each bin's term rounds at 8 dp into exact
+    decimals before the cross-bin sum, so the final ECE never depends
+    on double summation order.
+
+    Scale shape: one map-side-combined agg to ``bins`` cells, then an
+    O(bins) reduction. The scored population never sorts.
+    """
+    binned = _calibration_binned(scored, score, label, bins)
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__sm").alias("__sms"),
+        F.sum("__l").alias("__pos"),
+    )
+    tot = per_bin.agg(F.sum("n").alias("nn"))
+    term = F.round(
+        (F.col("n").cast("double") / F.col("nn"))
+        * F.abs(
+            F.col("__pos").cast("double") / F.col("n")
+            - F.col("__sms").cast("double") / F.lit(1_000_000.0) / F.col("n")
+        ),
+        8,
+    ).cast("decimal(28,10)")
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(F.col("nn"), term.alias("__term"))
+        .groupBy("nn")
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("ece"))
+        .select(F.col("nn").alias("n_items"), "ece")
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    *,
+    score: str = "score",
+    label: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram frame for :func:`calibration_ece`: one row per
+    non-empty equal-width score bin — (bin, n, conf, acc). Same integer
+    micro-unit binning and exactness contract as the ECE scalar."""
+    binned = _calibration_binned(scored, score, label, bins)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("__sm").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 6
+        ).alias("conf"),
+        F.round(
+            F.sum("__l").cast("double") / F.count(F.lit(1)), 6
+        ).alias("acc"),
+    )

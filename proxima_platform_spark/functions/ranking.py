@@ -141,6 +141,91 @@ def trigram_lm_scores(
     )
 
 
+def kneser_ney_scores(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM fluency score per document —
+    the KenLM/CCNet-class quality filter (Heafield'11 uses modified KN;
+    this is the single-discount interpolated form, Kneser & Ney'95):
+
+        P(w|v)    = max(c(v,w) − D, 0)/c(v·) + λ(v)·P_cont(w)
+        λ(v)      = D · N1+(v·) / c(v·)
+        P_cont(w) = N1+(·w) / N1+(··)
+
+    with c(v,w) the corpus bigram count, c(v·) the context total,
+    N1+(v·)/N1+(·w) the distinct continuation/preceding type counts and
+    N1+(··) the distinct bigram types. KN's continuation distribution
+    fixes the unigram-backoff pathology (a word frequent only inside
+    one collocation — "Francisco" — stops inflating unseen contexts),
+    which is why it is THE n-gram smoothing for corpus quality scoring.
+
+        score(d) = mean over d's bigrams of round(ln P(w|v), 8)
+
+    Engine portability: every count is exact int64; D = 0.75 and all
+    ratios/products are correctly-rounded IEEE doubles (identical
+    cross-engine for identical inputs); the ONE libm op (ln) is
+    immediately quantized (round 8 → decimal — the trigram recipe) and
+    accumulates exactly, with the final mean one double division.
+    tools/margin_check.py audits the ln site's boundary slack.
+
+    Scale shape: the stats tables are one bigram count agg + three
+    bounded distinct-type aggs (all map-side combined, keyed by word or
+    bigram — cardinality bounded by corpus bigram TYPES, which grows
+    sublinearly in corpus size); scoring joins doc bigram occurrences
+    against them (AQE broadcasts the word-keyed sides when small) and
+    reduces per doc. Never a pairwise product; the BM25/tfidf join
+    shape throughout.
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text)).alias("__t")
+    ).where(F.size("__t") >= 2)
+    big = toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bg")
+    ).select(
+        id_col,
+        F.substring_index("bg", " ", 1).alias("v"),
+        F.substring_index("bg", " ", -1).alias("w"),
+    )
+    c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    c_v = c_vw.groupBy("v").agg(
+        F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    n1w = c_vw.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    n1pp = c_vw.agg(F.count(F.lit(1)).alias("n1pp"))
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("cvw") - d, F.lit(0.0)) / F.col("cv")
+        + (d * F.col("n1v") / F.col("cv"))
+        * (F.col("n1w").cast("double") / F.col("n1pp"))
+    )
+    scored = (
+        big.join(c_vw, ["v", "w"])
+        .join(c_v, "v")
+        .join(n1w, "w")
+        .crossJoin(F.broadcast(n1pp))
+        .select(
+            id_col,
+            F.round(F.log(p), 8).cast("decimal(28,10)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("kn_score")
+    )
+
+
 def bm25_top_k(
     docs: DataFrame,
     query_terms: list[str],

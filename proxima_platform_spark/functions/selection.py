@@ -1,0 +1,119 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+Extension beyond the reference surface (north star). ``quartiles_exact``
+and friends compute exact quantiles by sorting — fine when the frame is
+small, fatal at 100 TB (a global sort of the corpus is the single most
+expensive thing a cluster can do). :func:`exact_quantile_bisect` is the
+scale path: iterative histogram refinement (the classic
+selection-by-bisection used by warehouse engines for exact percentile):
+each pass partitions the CURRENT value range into ``slices`` equal
+integer slices, aggregates one bounded count histogram (map-side
+combined, ``slices`` cells), locates the slice containing the target
+rank, and recurses into it. log_slices(range) passes — 4 passes at 256
+slices cover a 2^32 micro-unit range — each a filtered scan whose
+``BETWEEN`` predicate pushes down to parquet min/max pruning. Driver
+materialization is ≤ ``slices`` counts per pass (bounded, commented).
+
+The result is the EXACT type-1 (lower) sample quantile — the value at
+1-based rank ceil(q_micro·n/1e6) in micro-unit integer rank arithmetic,
+the same convention as ``sketch.quantile_sketch_estimate`` — so a SQL
+oracle replays it by direct rank selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantile_bisect(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    *,
+    scale: int = 1_000_000,
+    slices: int = 256,
+    max_passes: int = 12,
+) -> DataFrame:
+    """One-row (n, rank, value) exact type-1 quantile of ``value_col``
+    by histogram bisection — no global sort, ever.
+
+    Values are quantized to ``scale`` micro-units (round-half-up, the
+    repo's integer convention) — the quantile is exact over the
+    quantized domain. Each refinement pass is one jobs-scan with the
+    narrowing ``BETWEEN`` filter; ``max_passes`` is a loud safety rail
+    (12 passes at 256 slices resolve a 2^96 range — unreachable for
+    int64 micro-units, so hitting it means a logic bug, not data).
+
+    Scale notes (100 TB): the driver sees min/max (2 longs), then
+    ≤ ``slices`` (bucket, count) rows per pass — never data; the scan
+    volume SHRINKS per pass as the BETWEEN window tightens under
+    parquet min/max pruning; and the final in-range distinct-value
+    count is ≤ range ≤ ``slices`` values by the loop exit condition.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must lie in (0, 1], got {q}")
+    if slices < 2:
+        raise ValueError(f"slices must be >= 2, got {slices}")
+    spark = df.sparkSession
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    vals = df.select(v.alias("__v")).where(F.col("__v").isNotNull())
+
+    # one agg: n, min, max (3 longs to the driver)
+    head = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = head.n, head.lo, head.hi
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n long, rank long, value double"
+        )
+    q_micro = int(round(q * 1_000_000))
+    rank = (q_micro * n + 999_999) // 1_000_000  # ceil, pure int
+    rank = max(rank, 1)
+
+    k = rank
+    for _ in range(max_passes):
+        if hi - lo + 1 <= slices:
+            break
+        width = (hi - lo) // slices + 1
+        # <= `slices` (bucket, count) rows to the driver — bounded
+        hist = dict(
+            vals.where(F.col("__v").between(lo, hi))
+            .groupBy(F.expr(f"(__v - {lo}) div {width}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        acc = 0
+        for b in range(slices):
+            c = hist.get(b, 0)
+            if acc + c >= k:
+                k -= acc
+                lo, hi = lo + b * width, min(lo + (b + 1) * width - 1, hi)
+                break
+            acc += c
+        else:  # pragma: no cover — rank <= n guarantees a hit
+            raise RuntimeError("bisection lost the rank — logic bug")
+    else:
+        raise RuntimeError(
+            f"range not resolved in {max_passes} passes — logic bug"
+        )
+
+    # final range spans <= `slices` distinct values: exact per-value
+    # counts (bounded driver frame), pick the k-th in value order
+    final = sorted(
+        vals.where(F.col("__v").between(lo, hi))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    acc = 0
+    for val, c in final:
+        if acc + c >= k:
+            return spark.createDataFrame(
+                [(n, rank, val / scale)], "n long, rank long, value double"
+            )
+        acc += c
+    raise RuntimeError("rank exceeded in-range count — logic bug")

@@ -814,3 +814,72 @@ def char_entropy(df, id_col: str, text_col: str):
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.when(F.col("n_chars") > 0, F.round(ent, 6)).alias("entropy"),
     )
+
+
+def vocab_growth(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    every: int = 100,
+):
+    """Heaps-law vocabulary-growth curve — cumulative distinct token
+    TYPES vs cumulative token COUNT at id-domain checkpoints (every
+    ``every`` ids): the corpus diagnostic behind "is more of this source
+    still adding vocabulary, or just repeating itself" (Heaps'78 —
+    V(n) ≈ K·n^β; a near-flat empirical tail means the source is
+    exhausted and further intake is dedup fodder).
+
+    Checkpoints partition the ID DOMAIN (bucket = id div every), not a
+    global doc rank: first-occurrence per token is one algebraic
+    ``min`` agg keyed by token, per-bucket sums are map-side combined,
+    and the ONLY window is the cumulative sum over the |buckets|-row
+    checkpoint frame — no global sort of docs or tokens anywhere, the
+    property a rank-based checkpointing would destroy at 100 TB.
+
+    Returns (checkpoint, cum_docs, cum_tokens, cum_types) — one row per
+    non-empty bucket, checkpoint = exclusive id upper bound; all exact
+    int64.
+    """
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.dedup import tokens
+
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    base = df.select(
+        (F.col(id_col).cast("long") - (F.col(id_col).cast("long") % every))
+        .alias("__b"),
+        tokens(F.col(text_col)).alias("__t"),
+    ).localCheckpoint(eager=False)
+    per_bucket = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum(F.size("__t")).alias("__toks"),
+    )
+    first = (
+        base.select("__b", F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.min("__b").alias("__fb"))
+    )
+    new_types = first.groupBy(F.col("__fb").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__new")
+    )
+    w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(new_types, "__b", "left")
+        .select(
+            (F.col("__b") + every).alias("checkpoint"),
+            F.col("__b"),
+            "__docs",
+            "__toks",
+            F.coalesce("__new", F.lit(0)).alias("__new"),
+        )
+        .select(
+            "checkpoint",
+            F.sum("__docs").over(w).alias("cum_docs"),
+            F.sum("__toks").over(w).alias("cum_tokens"),
+            F.sum("__new").over(w).alias("cum_types"),
+        )
+    )

@@ -164,3 +164,97 @@ class TestNdcg:
             )
             with pytest.raises(Exception, match="ndcg_at_k"):
                 ndcg_at_k(df, [2], id_col="id").collect()
+
+
+class TestCohensKappa:
+    def _kappa(self, spark, pairs):
+        from proxima_platform_spark.functions.evalmetrics import cohens_kappa
+
+        df = spark.createDataFrame(pairs, "a int, b int")
+        [row] = cohens_kappa(df, rater_a="a", rater_b="b").collect()
+        return row
+
+    def test_perfect_agreement_is_one(self, spark):
+        row = self._kappa(spark, [(0, 0)] * 3 + [(1, 1)] * 5)
+        assert row.kappa == 1.0 and row.observed_agree == 8
+
+    def test_textbook_two_by_two(self, spark):
+        """Cohen's original shape: counts [[20,5],[10,15]] ->
+        po=0.7, pe=(30*25 + 20*25)/2500 = 0.5, kappa = 0.4."""
+        pairs = (
+            [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+        )
+        row = self._kappa(spark, pairs)
+        assert row.n_items == 50 and row.observed_agree == 35
+        assert row.kappa == 0.4
+
+    def test_constant_raters_null(self, spark):
+        """Both raters constant: pe = 1, kappa undefined -> NULL."""
+        row = self._kappa(spark, [(1, 1)] * 4)
+        assert row.kappa is None
+
+    def test_chance_level_is_zero(self, spark):
+        """Statistically independent raters at 50/50: kappa = 0."""
+        pairs = [(i % 2, (i // 2) % 2) for i in range(40)]
+        row = self._kappa(spark, pairs)
+        assert row.kappa == 0.0
+
+
+class TestCalibration:
+    def test_perfectly_calibrated_bins(self, spark):
+        """Scores exactly equal to the per-bin positive rate -> every
+        bin's |acc - conf| = 0 and ECE = 0."""
+        from proxima_platform_spark.functions.evalmetrics import (
+            calibration_bins,
+            calibration_ece,
+        )
+
+        rows = []
+        for bin10 in (1, 5, 9):  # conf 0.15, 0.55, 0.95
+            conf = bin10 / 10 + 0.05
+            n = 20
+            pos = int(round(conf * n))
+            rows += [(conf, 1)] * pos + [(conf, 0)] * (n - pos)
+        df = spark.createDataFrame(rows, "score double, label int")
+        [row] = calibration_ece(df, bins=10).collect()
+        assert row.n_items == 60 and row.ece == 0.0
+        got = {
+            r.bin: (r.n, r.conf, r.acc)
+            for r in calibration_bins(df, bins=10).collect()
+        }
+        assert got[1] == (20, 0.15, 0.15)
+        assert got[9] == (20, 0.95, 0.95)
+
+    def test_overconfident_scorer_penalized(self, spark):
+        from proxima_platform_spark.functions.evalmetrics import (
+            calibration_ece,
+        )
+
+        # score 0.9 but only 50% positives: ECE = |0.5 - 0.9| = 0.4
+        df = spark.createDataFrame(
+            [(0.9, 1)] * 5 + [(0.9, 0)] * 5, "score double, label int"
+        )
+        [row] = calibration_ece(df, bins=10).collect()
+        assert row.ece == 0.4
+
+    def test_score_one_lands_in_top_bin(self, spark):
+        from proxima_platform_spark.functions.evalmetrics import (
+            calibration_bins,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1), (0.999999, 0)], "score double, label int"
+        )
+        got = {r.bin for r in calibration_bins(df, bins=10).collect()}
+        assert got == {9}
+
+    def test_bins_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.evalmetrics import (
+            calibration_ece,
+        )
+
+        df = spark.createDataFrame([(0.5, 1)], "score double, label int")
+        with pytest.raises(ValueError, match="bins"):
+            calibration_ece(df, bins=0)

@@ -390,3 +390,89 @@ class TestRrfFusion:
 
         with pytest.raises(ValueError, match="at least one"):
             rrf_fuse([])
+
+
+class TestKneserNey:
+    """Interpolated Kneser-Ney bigram LM: hand-checked probabilities,
+    the continuation fix, and validation."""
+
+    def test_matches_hand_computation(self, spark):
+        from math import log
+
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney_scores,
+        )
+
+        # corpus: doc 1 "a b a b", doc 2 "a c"
+        # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+        # c(a·)=3, c(b·)=1; N1+(a·)=2, N1+(b·)=1
+        # N1+(·b)=1, N1+(·a)=1, N1+(·c)=1, N1+(··)=3
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+        )
+        D = 0.75
+
+        def p(cvw, cv, n1v, n1w):
+            return max(cvw - D, 0.0) / cv + (D * n1v / cv) * (n1w / 3.0)
+
+        p_ab = p(2, 3, 2, 1)
+        p_ba = p(1, 1, 1, 1)
+        p_ac = p(1, 3, 2, 1)
+        lp = lambda x: round(log(x), 8)  # noqa: E731
+        want1 = round((lp(p_ab) * 2 + lp(p_ba)) / 3, 6)
+        want2 = round(lp(p_ac) / 1, 6)
+        got = {
+            r.doc_id: r.kn_score for r in kneser_ney_scores(df).collect()
+        }
+        assert abs(got[1] - want1) < 1e-9
+        assert abs(got[2] - want2) < 1e-9
+
+    def test_continuation_beats_raw_unigram(self, spark):
+        """The KN property: a word frequent ONLY inside one collocation
+        gets a LOW continuation probability. 'york' appears 5 times but
+        always after 'new'; 'dog' appears twice after two different
+        contexts — P_cont(dog) > P_cont(york) even though c(york) >
+        c(dog), so an unseen-context bigram ending in 'york' scores
+        lower than one ending in 'dog'."""
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney_scores,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "new york new york new york new york new york"),
+                (2, "the dog ran dog"),
+                # probe docs: same context 'ran' before each target
+                (3, "ran york"),
+                (4, "ran dog"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.kn_score
+            for r in kneser_ney_scores(corpus).collect()
+        }
+        assert got[4] > got[3]
+
+    def test_discount_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney_scores,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for bad in (0.0, 1.0, -0.5):
+            with pytest.raises(ValueError, match="discount"):
+                kneser_ney_scores(df, discount=bad)
+
+    def test_single_token_docs_unscored(self, spark):
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alone"), (2, "a b")], "doc_id long, text string"
+        )
+        got = {r.doc_id for r in kneser_ney_scores(df).collect()}
+        assert got == {2}

@@ -775,3 +775,34 @@ class TestDedupWinnow:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError, match="w must be"):
             dedup_winnow(df, w=0)
+
+
+class TestVocabGrowth:
+    def test_cumulative_curve(self, spark):
+        from proxima_platform_spark.functions.text import vocab_growth
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b c"),        # bucket 0: 3 tokens, types a b c
+                (1, "a b"),          # bucket 0: +2 tokens, no new types
+                (2, "c d"),          # bucket 2: +2 tokens, new type d
+                (5, "e e e"),        # bucket 4: +3 tokens, new type e
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.checkpoint: (r.cum_docs, r.cum_tokens, r.cum_types)
+            for r in vocab_growth(df, "doc_id", "text", every=2).collect()
+        }
+        assert got[2] == (2, 5, 3)
+        assert got[4] == (3, 7, 4)
+        assert got[6] == (4, 10, 5)
+
+    def test_every_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.text import vocab_growth
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="every"):
+            vocab_growth(df, "doc_id", "text", every=0)

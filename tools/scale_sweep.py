@@ -35,6 +35,11 @@ HEAVY = [
     "dsir_resample",
     "kmeans_cluster",
     "dedup_minhash",
+    # r09 additions (VERDICT r08 #5): the r08/r09 heavyweights
+    "ann_ivfpq_topk",
+    "dedup_substrings_maximal",
+    "label_propagation",
+    "dedup_winnow",
 ]
 
 SF01 = "/root/testdata/sf0.1"
