@@ -9729,6 +9729,246 @@ FROM r JOIN sel ON sel.rn = r.rank
 """
 
 
+def q_pmi_bigrams(spark, sf):
+    """Top-50 collocations by PMI with a count floor
+    (functions/ranking.py::pmi_bigrams — Church & Hanks) — the phrase-
+    vocabulary / source-overuse diagnostic. Exact int64 counts, one
+    margin-audited rounded ln, (pmi desc, v, w) total order; one bigram
+    agg + two word-keyed marginals + TakeOrderedAndProject — the bigram
+    table never globally sorts."""
+    from proxima_platform_spark.functions.ranking import pmi_bigrams
+
+    docs = _load(spark, sf, "documents")
+    return pmi_bigrams(docs, min_count=5, top_k=50)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH t AS (
+    SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), big AS (
+    SELECT tk[i] AS v, tk[i+1] AS w
+    FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t
+          WHERE len(tk) >= 2)
+), c_vw AS (
+    SELECT v, w, count(*) AS n_vw FROM big GROUP BY 1, 2
+), cv AS (
+    SELECT v, sum(n_vw) AS cv FROM c_vw GROUP BY v
+), cw AS (
+    SELECT w, sum(n_vw) AS cw FROM c_vw GROUP BY w
+), tot AS (
+    SELECT sum(n_vw) AS t FROM c_vw
+)
+SELECT v, w, n_vw,
+       round(ln((n_vw * t)::DOUBLE / (cv * cw)::DOUBLE), 6) AS pmi
+FROM c_vw JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN tot
+WHERE n_vw >= 5
+ORDER BY pmi DESC, v, w LIMIT 50
+"""
+
+
+def q_random_projection(spark, sf):
+    """Sparse Achlioptas random projection 64 → 16 dims
+    (functions/similarity.py::random_projection) — the JL dimension
+    reducer in front of LSH/IVF, EXACT int64 end-to-end: the ±1/0
+    matrix is drawn per-cell from the md5 family (no literal matrix in
+    the plan — the IVF-PQ Catalyst-analysis trap), components quantize
+    to micro-units, projections are exact integer sums. Exploded scalar
+    output (vec_id, dim_j, y); one broadcast crossJoin of a 16-row R
+    frame, zero shuffles."""
+    from proxima_platform_spark.functions.similarity import (
+        random_projection,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    return random_projection(emb, dim=dim, out_dim=16)
+
+
+SQL_RANDOM_PROJECTION = """
+WITH r AS (
+    SELECT j, i,
+           CASE (('0x' || substr(md5('rp-v1|' || i || '|' || j), 1, 15))::BIGINT % 6)
+                WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS s
+    FROM range(16) t1(j), range(64) t2(i)
+), v AS (
+    SELECT vec_id,
+           [round(x * 1000000)::BIGINT for x in embedding::DOUBLE[]] AS vm
+    FROM embeddings WHERE len(embedding) = 64
+)
+SELECT vec_id, j::INT AS dim_j, sum(vm[i + 1] * s)::BIGINT AS y
+FROM v CROSS JOIN r
+GROUP BY vec_id, j
+"""
+
+
+def q_winnow_decontaminate(spark, sf):
+    """Edit-tolerant eval decontamination (functions/text.py::
+    winnow_decontaminate): corpus docs (id >= 5) sharing winnowed
+    fingerprints with the eval set (docs 0-4) — a lightly-edited copy
+    of an eval item shares no exact n-gram, but every untouched run
+    >= w+2 tokens still shares a fingerprint (detection theorem).
+    min_shared=1: decontamination is recall-first (one shared 6-token
+    run is already a flag); the eval side broadcasts, the corpus never
+    shuffles before the (doc, eval) count agg."""
+    from proxima_platform_spark.functions.text import winnow_decontaminate
+
+    docs = _load(spark, sf, "documents")
+    return winnow_decontaminate(
+        docs.where(F.col("doc_id") >= 5),
+        docs.where(F.col("doc_id") < 5),
+        w=4,
+        min_shared=1,
+    )
+
+
+def _sql_winnow_decontaminate(w: int = 4, min_shared: int = 1) -> str:
+    return f"""
+WITH fps AS (
+    SELECT DISTINCT doc_id, fp FROM ({_sql_winnow_fingerprints(w)})
+)
+SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared
+FROM fps c JOIN fps e ON c.fp = e.fp AND e.doc_id < 5 AND c.doc_id >= 5
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def q_hard_negative_mining(spark, sf):
+    """Hard negatives for contrastive training (functions/similarity.py::
+    hard_negative_mining): every anchor's top-3 most-cosine-similar
+    DIFFERENT-label neighbors from the multi-table sign-LSH bucket
+    candidates — the pairs that teach the margin. Same never-n² bucket
+    equi-joins as ann_knn_join with the label filter ahead of the
+    per-anchor window; oracle replays buckets, label join and ranking
+    verbatim."""
+    from proxima_platform_spark.functions.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    return hard_negative_mining(
+        emb, k=3, num_planes=8, num_tables=2, dim=dim
+    )
+
+
+def _sql_hard_negative_mining() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE len(list_filter(embedding::DOUBLE[], x -> x <> 0)) > 0
+),
+b AS (
+  SELECT vec_id, v,
+    {_sql_lsh_bucket(8, 0)} AS b0,
+    {_sql_lsh_bucket(8, 8)} AS b1
+  FROM base),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+  FROM b a JOIN b c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT DISTINCT id_a, id_b,
+         list_dot_product(va, vb)
+         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+  FROM cand
+  WHERE list_dot_product(va, vb)
+        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) > -2.0
+),
+directed AS (
+  SELECT id_a, id_b, cos FROM scored
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, cos FROM scored
+),
+labeled AS (
+  SELECT d.id_a, d.id_b, d.cos,
+         la.label AS anchor_label, lb.label AS negative_label
+  FROM directed d
+  JOIN embeddings la ON la.vec_id = d.id_a
+  JOIN embeddings lb ON lb.vec_id = d.id_b
+  WHERE la.label <> lb.label
+),
+ranked AS (
+  SELECT id_a, id_b, cos, anchor_label, negative_label,
+         row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+  FROM labeled
+)
+SELECT id_a AS vec_id, rank, id_b AS negative_id, round(cos, 6) AS cosine,
+       anchor_label, negative_label
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_perplexity_band_prep(spark, sf):
+    """Composed r09 chain — the CCNet/DSIR-style perplexity-band intake:
+    Kneser-Ney fluency per doc (functions/ranking.py::kneser_ney_scores)
+    → EXACT [q20, q90] band thresholds via histogram bisection
+    (functions/selection.py::exact_quantile_bisect — no global sort;
+    the middle band drops both gibberish and boilerplate tails) →
+    per-source intake summary with a decimal-exact average score. The
+    scored frame is lazily checkpointed so the bisection's bounded
+    histogram passes reuse it instead of re-running the LM; band
+    membership compares integer micro-units, never raw doubles."""
+    from proxima_platform_spark.functions.ranking import kneser_ney_scores
+    from proxima_platform_spark.functions.selection import (
+        exact_quantile_bisect,
+    )
+
+    docs = _load(spark, sf, "documents")
+    kn = kneser_ney_scores(docs).localCheckpoint(eager=False)
+    lo = exact_quantile_bisect(kn, "kn_score", 0.2).collect()[0].value
+    hi = exact_quantile_bisect(kn, "kn_score", 0.9).collect()[0].value
+    lo_m, hi_m = int(round(lo * 1_000_000)), int(round(hi * 1_000_000))
+    band = kn.where(
+        F.round(F.col("kn_score") * 1_000_000)
+        .cast("long")
+        .between(lo_m, hi_m)
+    )
+    return (
+        band.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("kn_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_kn"),
+        )
+    )
+
+
+def _sql_perplexity_band_prep() -> str:
+    return f"""
+WITH kn AS ({SQL_KNESER_NEY}),
+m AS (
+    SELECT doc_id, kn_score,
+           round(kn_score * 1000000)::BIGINT AS sm
+    FROM kn
+), nn AS (
+    SELECT count(*) AS n FROM m
+), sel AS (
+    SELECT sm, row_number() OVER (ORDER BY sm) AS rn FROM m
+), bounds AS (
+    SELECT
+      (SELECT sm FROM sel, nn
+       WHERE rn = greatest((200000 * n + 999999) // 1000000, 1)) AS lo_sm,
+      (SELECT sm FROM sel, nn
+       WHERE rn = greatest((900000 * n + 999999) // 1000000, 1)) AS hi_sm
+), band AS (
+    SELECT doc_id, kn_score FROM m, bounds
+    WHERE sm BETWEEN lo_sm AND hi_sm
+)
+SELECT d.source, count(*) AS n_docs,
+       round(sum(kn_score::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_kn
+FROM band JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: changelog → snapshot → per-attribute stats at sf0.001
     (source→compaction→agg, the platform's defining path —
@@ -9791,6 +10031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": q_calibration_ece,
         "vocab_growth": q_vocab_growth,
         "exact_quantile_bisect": q_exact_quantile_bisect,
+        "pmi_bigrams": q_pmi_bigrams,
+        "random_projection": q_random_projection,
+        "winnow_decontaminate": q_winnow_decontaminate,
+        "hard_negative_mining": q_hard_negative_mining,
+        "perplexity_band_prep": q_perplexity_band_prep,
         # -- (E) last green r05 ------------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -10292,6 +10537,11 @@ def oracle_sql() -> dict[str, str]:
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,
         "exact_quantile_bisect": SQL_EXACT_QUANTILE_BISECT,
+        "pmi_bigrams": SQL_PMI_BIGRAMS,
+        "random_projection": SQL_RANDOM_PROJECTION,
+        "winnow_decontaminate": _sql_winnow_decontaminate(),
+        "hard_negative_mining": _sql_hard_negative_mining(),
+        "perplexity_band_prep": _sql_perplexity_band_prep(),
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,

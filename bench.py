@@ -125,6 +125,26 @@ BENCH_QUERIES = [
     "clustering_coefficient",
     "dedup_substrings_maximal",
     "ann_ivfpq_topk",
+    # r08 late additions
+    "label_propagation",
+    "winnow_fingerprint_set",
+    "winnow_overlap",
+    "quantile_sketch",
+    "rrf_fusion",
+    "ndcg_retrieval",
+    "char_entropy_signal",
+    # r09 additions
+    "dedup_winnow",
+    "kneser_ney_score",
+    "cohens_kappa",
+    "calibration_ece",
+    "vocab_growth",
+    "exact_quantile_bisect",
+    "pmi_bigrams",
+    "random_projection",
+    "winnow_decontaminate",
+    "hard_negative_mining",
+    "perplexity_band_prep",
 ]
 
 

@@ -340,3 +340,79 @@ def rrf_fuse(
     )
     out = fused.orderBy(F.col("rrf").desc(), F.col(id_col))
     return out.limit(top) if top is not None else out
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks'90) — the corpus-analysis primitive behind phrase-vocabulary
+    induction (word2vec phrase passes, tokenizer merge seeding) and
+    "what multi-word units does this source overuse" diagnostics:
+
+        pmi(v,w) = ln( c(v,w)·T / (c(v·)·c(·w)) )
+
+    with c(v,w) the bigram count, c(v·)/c(·w) the marginal first/second
+    component totals over the bigram corpus, T the total bigram tokens.
+    ``min_count`` floors the bigram count first — raw PMI is maximized
+    by hapax pairs (the classic failure), so the floor IS the operator
+    contract, not a knob to hide.
+
+    Every count is exact int64; c(v,w)·T ≤ T² stays far under 2⁶³ for
+    any per-source corpus this runs on per the guard; the single ln is
+    rounded at 6 dp (margin-audited) and the ranking is the total
+    (pmi desc, v, w) order — deterministic under ties.
+
+    Scale shape: one bigram count agg (map-side combined) + two
+    word-keyed marginal aggs joined back on v / w (AQE broadcasts the
+    marginals when small), then a global top-k =
+    TakeOrderedAndProject — per-partition heaps, the bigram table never
+    globally sorts.
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = docs.select(tokens(F.col(text)).alias("__t")).where(
+        F.size("__t") >= 2
+    )
+    big = toks.select(
+        F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bg")
+    ).select(
+        F.substring_index("bg", " ", 1).alias("v"),
+        F.substring_index("bg", " ", -1).alias("w"),
+    )
+    c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_vw"))
+    cv = c_vw.groupBy("v").agg(F.sum("n_vw").alias("__cv"))
+    cw = c_vw.groupBy("w").agg(F.sum("n_vw").alias("__cw"))
+    t = c_vw.agg(F.sum("n_vw").alias("__t"))
+    scored = (
+        c_vw.where(F.col("n_vw") >= min_count)
+        .join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "v",
+            "w",
+            "n_vw",
+            F.round(
+                F.log(
+                    (F.col("n_vw") * F.col("__t")).cast("double")
+                    / (F.col("__cv") * F.col("__cw")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "v", "w"
+    ).limit(top_k)

@@ -1074,3 +1074,179 @@ def embedding_covariance_partials(
     return scaled.mapInPandas(
         stage, "i int, j int, n long, sxi long, sxj long, sxy long"
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    out_dim: int = 16,
+    scale: int = 1_000_000,
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """Sparse random projection (Achlioptas'03 database-friendly JL
+    transform) — EXACT integer arithmetic end-to-end: the dimension
+    reducer that runs in front of LSH/IVF when the raw embedding width
+    is the cost driver (a 64→16 projection cuts every downstream
+    bucket-hash, Gram and ADC stage 4× while preserving pairwise
+    distances within the JL bound, variance 1/out_dim per pair).
+
+    R_ij ∈ {+1, −1, 0} with p = (1/6, 1/6, 2/3), drawn from the md5
+    family (``seed|i|j`` → 60-bit int % 6: 0→+1, 1→−1, else 0) so both
+    engines build the identical matrix from the identical text keys —
+    no literal matrix ships in the plan (the IVF-PQ literal-codebook
+    Catalyst-analysis trap). Components quantize to ``scale``
+    micro-units (round-half-up int64); y_j = Σ_i R_ij·x_i is an exact
+    int64 sum (|y| ≤ d·max|x|·scale ≪ 2⁶³ — guarded). Distances in the
+    projected space carry the implicit factor scale·√(1/ (3·out_dim))⁻¹
+    … callers compare RELATIVE distances, which the constant cancels.
+
+    Output is the exploded scalar form ``(id, dim_j, y)`` — out_dim
+    rows per vector, hash-comparable without array-format drift.
+
+    Scale shape: the R frame is ``out_dim`` rows built from
+    ``range(out_dim)`` and broadcast; the projection is one
+    broadcast-crossJoin (row amplification × out_dim, stated) of pure
+    codegen zip_with/aggregate expressions — no shuffle at all; no
+    Python.
+    """
+    if out_dim < 1 or dim < 1:
+        raise ValueError(f"dim/out_dim must be >= 1, got {dim}/{out_dim}")
+    spark = embeddings.sparkSession
+    sign = lambda i, j: (  # noqa: E731
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(seed), i.cast("string"),
+                                      j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 6
+            == 0,
+            F.lit(1).cast("long"),
+        )
+        .when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(seed), i.cast("string"),
+                                      j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 6
+            == 1,
+            F.lit(-1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    r_frame = spark.range(out_dim).select(
+        F.col("id").cast("int").alias("dim_j"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: sign(i, F.col("id")),
+        ).alias("__r"),
+    )
+    v = F.transform(
+        F.col(vec_col),
+        lambda e: F.round(e.cast("double") * scale).cast("long"),
+    )
+    base = embeddings.select(F.col(id_col), v.alias("__v")).where(
+        F.size("__v") == dim
+    )
+    return base.crossJoin(F.broadcast(r_frame)).select(
+        id_col,
+        "dim_j",
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__r"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("y"),
+    )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-anchor top-k nearest DIFFERENT-label neighbors — hard
+    negatives for contrastive/embedding training (the pairs that teach
+    the margin; random negatives are mostly trivial). The
+    complement of :func:`knn_join_lsh`: same multi-table sign-LSH
+    bucket candidates (never n²), label-filtered BEFORE the per-anchor
+    ranking so the k slots hold only negatives.
+
+    Returns (id_col, rank, negative_id, cosine, anchor_label,
+    negative_label) — (cosine desc, id) deterministic order. Anchors
+    whose buckets hold no other-label vector emit nothing (the
+    documented LSH-recall tradeoff; raise ``num_tables``).
+
+    Scale shape: candidate volume ≈ L·n²/2^planes equi-join rows, the
+    label frame joins by id (broadcast when small), and the ranking is
+    one window bounded by each anchor's candidate count.
+    """
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    nonzero = embeddings.where(
+        F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0)
+    )
+    pairs = embedding_near_dup_pairs(
+        nonzero,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=-2.0,  # keep every scored candidate; ranking cuts to k
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+    )
+    directed = pairs.union(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
+            "cosine",
+        )
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+    )
+    labeled = (
+        directed.join(labels, directed["id_a"] == labels["__lid"])
+        .select("id_a", "id_b", "cosine", F.col("__lab").alias("anchor_label"))
+        .join(labels, F.col("id_b") == labels["__lid"])
+        .select(
+            "id_a", "id_b", "cosine", "anchor_label",
+            F.col("__lab").alias("negative_label"),
+        )
+        .where(F.col("anchor_label") != F.col("negative_label"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            "rank",
+            F.col("id_b").alias("negative_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "anchor_label",
+            "negative_label",
+        )
+    )

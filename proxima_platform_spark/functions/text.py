@@ -883,3 +883,52 @@ def vocab_growth(
             F.sum("__new").over(w).alias("cum_types"),
         )
     )
+
+
+def winnow_decontaminate(
+    corpus,
+    evalset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 4,
+    min_shared: int = 2,
+):
+    """Eval-set decontamination via winnowed fingerprints — the
+    EDIT-TOLERANT member of the decontamination tier (exact n-gram /
+    fuzzy-Jaccard / Bloom / embedding-semantic live in functions/
+    dedup.py): a training document that contains a lightly-EDITED copy
+    of an eval item shares no exact n-gram with it, but winnowing's
+    detection theorem still guarantees a shared fingerprint for every
+    untouched run >= w + 2 tokens, so paraphrase-with-patches leakage
+    surfaces here first.
+
+    Returns (id_col, eval_id, shared): corpus documents sharing >=
+    ``min_shared`` distinct fingerprints with an eval document — the
+    MOSS report shape of :func:`winnow_overlap`, cross-frame. Cut or
+    drop is the caller's policy (report, don't destroy — the
+    contamination_report convention).
+
+    Scale shape: fingerprint sets are doc-local (corpus and eval sides
+    never interact until the final fp equi-join); the eval side is
+    small by contract, so AQE broadcasts it and the corpus never
+    shuffles; one count agg keyed (doc, eval). No docs-per-fp cap
+    needed on the eval side — the join is bounded by eval fingerprint
+    volume.
+    """
+    fps_c = (
+        winnow_fingerprints(corpus, id_col, text_col, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    fps_e = (
+        winnow_fingerprints(evalset, id_col, text_col, w=w)
+        .select(F.col(id_col).alias("eval_id"), "fp")
+        .distinct()
+    )
+    return (
+        fps_c.join(fps_e, "fp")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -476,3 +476,44 @@ class TestKneserNey:
         )
         got = {r.doc_id for r in kneser_ney_scores(df).collect()}
         assert got == {2}
+
+
+class TestPmiBigrams:
+    def test_collocation_outranks_chance_pair(self, spark):
+        """'strong coffee' always co-occurs; 'the'+anything is chance —
+        PMI ranks the collocation first. Hand-check the value."""
+        from math import log
+
+        from proxima_platform_spark.functions.ranking import pmi_bigrams
+
+        docs = spark.createDataFrame(
+            [(i, "strong coffee the cat the dog the fish") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = pmi_bigrams(docs, min_count=5, top_k=10).collect()
+        assert out[0].v == "strong" and out[0].w == "coffee"
+        # T = 35 bigrams (7 per doc x 5); c(strong,coffee)=5,
+        # c(strong .)=5, c(. coffee)=5
+        assert out[0].n_vw == 5
+        assert out[0].pmi == round(log(5 * 35 / (5 * 5)), 6)
+
+    def test_min_count_floors_hapax(self, spark):
+        from proxima_platform_spark.functions.ranking import pmi_bigrams
+
+        docs = spark.createDataFrame(
+            [(1, "rare pair common word common word common word")],
+            "doc_id long, text string",
+        )
+        out = pmi_bigrams(docs, min_count=2, top_k=10).collect()
+        assert all((r.v, r.w) != ("rare", "pair") for r in out)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.ranking import pmi_bigrams
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_bigrams(docs, min_count=0)
+        with pytest.raises(ValueError, match="top_k"):
+            pmi_bigrams(docs, top_k=0)

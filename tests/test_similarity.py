@@ -540,3 +540,127 @@ class TestEmbeddingDecontaminate:
             if best:
                 want.add((ti, best[0]))
         assert {(a, b) for a, b, _ in got} == want
+
+
+class TestRandomProjection:
+    def test_exact_integer_projection(self, spark):
+        """y_j is the exact int64 sum of signed micro-components — verify
+        against a python replay of the md5 sign matrix."""
+        import hashlib
+
+        from proxima_platform_spark.functions.similarity import (
+            random_projection,
+        )
+
+        def sign(i, j, seed="rp-v1"):
+            h = int(hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:15], 16)
+            m = h % 6
+            return 1 if m == 0 else (-1 if m == 1 else 0)
+
+        vecs = [
+            (1, [0.5, -1.25, 2.0, 0.001]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            (r.vec_id, r.dim_j): r.y
+            for r in random_projection(df, dim=4, out_dim=3).collect()
+        }
+        for vid, v in vecs:
+            vm = [round(x * 1_000_000) for x in v]
+            for j in range(3):
+                want = sum(vm[i] * sign(i, j) for i in range(4))
+                assert got[(vid, j)] == want
+
+    def test_distance_preserved_in_expectation(self, spark):
+        """JL sanity: over many projected dims, relative distances are
+        preserved well enough that the nearest neighbor survives."""
+        from proxima_platform_spark.functions.similarity import (
+            random_projection,
+        )
+
+        base = [1.0] * 32
+        near = [1.0] * 31 + [0.5]
+        far = [-1.0] * 32
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)],
+            "vec_id long, embedding array<double>",
+        )
+        proj = {
+            (r.vec_id, r.dim_j): r.y
+            for r in random_projection(df, dim=32, out_dim=16).collect()
+        }
+
+        def d2(a, b):
+            return sum(
+                (proj[(a, j)] - proj[(b, j)]) ** 2 for j in range(16)
+            )
+
+        assert d2(0, 1) < d2(0, 2)
+
+    def test_wrong_dim_rows_excluded_and_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = random_projection(df, dim=2, out_dim=2).collect()
+        assert {r.vec_id for r in out} == {1}
+        with pytest.raises(ValueError, match="dim"):
+            random_projection(df, dim=0, out_dim=2)
+
+
+class TestHardNegativeMining:
+    def _emb(self, spark):
+        # two tight same-label clusters + one cross-label near point
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0, 0.0], 0),
+            (3, [0.98, 0.15, 0.0, 0.0], 1),   # near cluster, other label
+            (4, [-1.0, 0.0, 0.0, 0.0], 1),
+            (5, [0.0, 0.0, 0.0, 0.0], 0),     # zero vector: dropped
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_negatives_are_other_label_and_ranked(self, spark):
+        from proxima_platform_spark.functions.similarity import (
+            hard_negative_mining,
+        )
+
+        out = hard_negative_mining(
+            self._emb(spark), k=3, num_planes=2, num_tables=2, dim=4
+        ).collect()
+        assert out, "LSH buckets must yield at least one negative pair"
+        for r in out:
+            assert r.anchor_label != r.negative_label
+        by_anchor = {}
+        for r in out:
+            by_anchor.setdefault(r.vec_id, []).append(r)
+        # anchor 1 (label 0): hardest negative is vec 3, not vec 4
+        if 1 in by_anchor:
+            first = min(by_anchor[1], key=lambda r: r.rank)
+            assert first.negative_id == 3
+        # ranks are 1..k dense per anchor, cosine non-increasing
+        for rows in by_anchor.values():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r.cosine for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_same_label_never_emitted(self, spark):
+        from proxima_platform_spark.functions.similarity import (
+            hard_negative_mining,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        assert hard_negative_mining(df, k=2, num_planes=1, dim=2).collect() == []

@@ -806,3 +806,52 @@ class TestVocabGrowth:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="every"):
             vocab_growth(df, "doc_id", "text", every=0)
+
+
+class TestWinnowDecontaminate:
+    def test_edited_copy_flagged_exact_ngram_blind(self, spark):
+        """A training doc containing a lightly-edited copy of an eval
+        item shares NO exact 8-gram but IS flagged by winnowing."""
+        from proxima_platform_spark.functions.text import (
+            winnow_decontaminate,
+        )
+
+        block = [f"q{i}" for i in range(30)]
+        edited = list(block)
+        for j in range(3, 30, 7):
+            edited[j] = f"x{j}"
+        evalset = spark.createDataFrame(
+            [(1, " ".join(block))], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (100, "prefix words " + " ".join(edited) + " suffix words"),
+                (101, "completely unrelated training content here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = winnow_decontaminate(
+            corpus, evalset, w=4, min_shared=2
+        ).collect()
+        assert {(r.doc_id, r.eval_id) for r in got} == {(100, 1)}
+        assert got[0].shared >= 2
+
+    def test_min_shared_thresholds(self, spark):
+        from proxima_platform_spark.functions.text import (
+            winnow_decontaminate,
+        )
+
+        evalset = spark.createDataFrame(
+            [(1, "a b c d e f unique eval tail")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(100, "a b c d e f and then different words entirely")],
+            "doc_id long, text string",
+        )
+        low = winnow_decontaminate(corpus, evalset, min_shared=1).collect()
+        assert len(low) == 1
+        high = winnow_decontaminate(
+            corpus, evalset, min_shared=50
+        ).collect()
+        assert high == []
