@@ -57,7 +57,23 @@ def exact_quantile_bisect(
         raise ValueError(f"slices must be >= 2, got {slices}")
     spark = df.sparkSession
     v = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    vals = df.select(v.alias("__v")).where(F.col("__v").isNotNull())
+    # keep the RAW column alongside the micro-quantized one: the exact
+    # BETWEEN runs on __v (an expression — not pushable), so each pass
+    # ALSO filters the raw column on the equivalent widened range, and
+    # THAT predicate reaches the parquet scan (PushedFilters — the
+    # min/max pruning the 100 TB story depends on; plan-asserted)
+    vals = df.select(
+        F.col(value_col).cast("double").alias("__raw"), v.alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    def _in_range(lo: int, hi: int):
+        # v = round(raw*scale) in [lo, hi] implies raw in the widened
+        # bracket [(lo-1)/scale, (hi+1)/scale] — safe, pushable bounds
+        return (
+            (F.col("__raw") >= (lo - 1) / scale)
+            & (F.col("__raw") <= (hi + 1) / scale)
+            & F.col("__v").between(lo, hi)
+        )
 
     # one agg: n, min, max (3 longs to the driver)
     head = vals.agg(
@@ -81,7 +97,7 @@ def exact_quantile_bisect(
         width = (hi - lo) // slices + 1
         # <= `slices` (bucket, count) rows to the driver — bounded
         hist = dict(
-            vals.where(F.col("__v").between(lo, hi))
+            vals.where(_in_range(lo, hi))
             .groupBy(F.expr(f"(__v - {lo}) div {width}").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -104,7 +120,8 @@ def exact_quantile_bisect(
     # final range spans <= `slices` distinct values: exact per-value
     # counts (bounded driver frame), pick the k-th in value order
     final = sorted(
-        vals.where(F.col("__v").between(lo, hi))
+        vals.where(_in_range(lo, hi))
+        .select("__v")
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()

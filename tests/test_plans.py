@@ -839,3 +839,50 @@ class TestNoRddProbe:
         # plan construction + analysis only — no execution needed to
         # prove the probe stayed JVM-plan-side
         assert a.columns and b.columns
+
+
+class TestR09ExtensionPlans:
+    def test_random_projection_zero_shuffles(self, spark, sf_dir):
+        """The JL projection is one broadcast crossJoin of a 16-row R
+        frame over pure codegen expressions — no Exchange anywhere."""
+        df = entry.q_random_projection(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+    def test_pmi_topk_never_globally_sorts(self, spark, sf_dir):
+        plan = physical_plan(entry.q_pmi_bigrams(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_hard_negative_mining_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_hard_negative_mining(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_kneser_ney_no_cartesian(self, spark, sf_dir):
+        """The 1-row N1+(..) total rides a broadcast, the stats joins are
+        hash/broadcast equi-joins — never a cartesian."""
+        plan = physical_plan(entry.q_kneser_ney_score(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_quantile_bisect_pass_filter_pushes_to_scan(self, spark, sf_dir):
+        """Each bisection pass filters the RAW column on the widened
+        range precisely so the predicate reaches the parquet scan —
+        the min/max pruning the operator's 100 TB story depends on.
+        (The exact micro-unit BETWEEN is an expression and cannot push;
+        the raw-range twin filter is the pushable one.)"""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        v = F.round(F.col("l_extendedprice").cast("double") * 1_000_000).cast(
+            "long"
+        )
+        vals = df.select(
+            F.col("l_extendedprice").cast("double").alias("__raw"),
+            v.alias("__v"),
+        ).where(F.col("__v").isNotNull())
+        one_pass = vals.where(
+            (F.col("__raw") >= 2.0)
+            & (F.col("__raw") <= 50_000.0)
+            & F.col("__v").between(2_000_000, 50_000_000_000)
+        )
+        plan = physical_plan(one_pass)
+        assert "GreaterThanOrEqual(l_extendedprice,2.0)" in plan
