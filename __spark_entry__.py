@@ -9760,7 +9760,7 @@ WITH t AS (
     SELECT sum(n_vw) AS t FROM c_vw
 )
 SELECT v, w, n_vw,
-       round(ln((n_vw * t)::DOUBLE / (cv * cw)::DOUBLE), 6) AS pmi
+       round(ln((n_vw::DOUBLE * t::DOUBLE) / (cv::DOUBLE * cw::DOUBLE)), 6) AS pmi
 FROM c_vw JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN tot
 WHERE n_vw >= 5
 ORDER BY pmi DESC, v, w LIMIT 50

@@ -279,11 +279,30 @@ def _calibration_binned(
     shared by :func:`calibration_ece` and :func:`calibration_bins`:
     s_micro = round(score·1e6) int64, bin = min(s_micro·bins div 1e6,
     bins−1) — integral division, no float floor whose boundary could
-    drift between engines."""
+    drift between engines.
+
+    Scores outside [0, 1] (or NULL) FAIL LOUDLY: a calibration score is
+    a probability by contract — silently clamping >1 into the top bin
+    hides the bug being measured, and a NEGATIVE micro value would hit
+    the one true engine divergence here (Spark ``div`` truncates toward
+    zero, SQL ``//`` floors)."""
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    raw = F.col(score).cast("double")
+    checked = F.when(
+        raw.isNull() | (raw < 0.0) | (raw > 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"calibration: {score} must be a non-null"
+                    " probability in [0, 1], got "
+                ),
+                F.coalesce(raw.cast("string"), F.lit("NULL")),
+            )
+        ),
+    ).otherwise(raw)
     return scored.select(
-        F.round(F.col(score) * 1_000_000).cast("long").alias("__sm"),
+        F.round(checked * 1_000_000).cast("long").alias("__sm"),
         F.col(label).cast("long").alias("__l"),
     ).select(
         F.least(

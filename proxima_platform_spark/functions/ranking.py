@@ -362,10 +362,13 @@ def pmi_bigrams(
     by hapax pairs (the classic failure), so the floor IS the operator
     contract, not a knob to hide.
 
-    Every count is exact int64; c(v,w)·T ≤ T² stays far under 2⁶³ for
-    any per-source corpus this runs on per the guard; the single ln is
-    rounded at 6 dp (margin-audited) and the ranking is the total
-    (pmi desc, v, w) order — deterministic under ties.
+    Every count is exact int64; the ratio is computed DOUBLE-FIRST
+    (c(v,w)·T as a double product — int64 c(v,w)·T overflows once T
+    passes ~3·10⁹ bigrams, i.e. any real corpus; each double op is
+    correctly rounded on identical inputs, so the value is still
+    engine-identical); the single ln is rounded at 6 dp
+    (margin-audited) and the ranking is the total (pmi desc, v, w)
+    order — deterministic under ties.
 
     Scale shape: one bigram count agg (map-side combined) + two
     word-keyed marginal aggs joined back on v / w (AQE broadcasts the
@@ -406,8 +409,11 @@ def pmi_bigrams(
             "n_vw",
             F.round(
                 F.log(
-                    (F.col("n_vw") * F.col("__t")).cast("double")
-                    / (F.col("__cv") * F.col("__cw")).cast("double")
+                    (F.col("n_vw").cast("double") * F.col("__t").cast("double"))
+                    / (
+                        F.col("__cv").cast("double")
+                        * F.col("__cw").cast("double")
+                    )
                 ),
                 6,
             ).alias("pmi"),

@@ -1099,7 +1099,10 @@ def random_projection(
     no literal matrix ships in the plan (the IVF-PQ literal-codebook
     Catalyst-analysis trap). Components quantize to ``scale``
     micro-units (round-half-up int64); y_j = Σ_i R_ij·x_i is an exact
-    int64 sum (|y| ≤ d·max|x|·scale ≪ 2⁶³ — guarded). Distances in the
+    int64 sum — |y| ≤ Σ_i|x_i|·scale, guarded PER ROW with a loud
+    raise_error when that bound reaches 2⁶² (one extra codegen
+    aggregate; numpy-style silent int64 wrap is exactly the failure
+    this operator exists to avoid). Distances in the
     projected space carry the implicit factor scale·√(1/ (3·out_dim))⁻¹
     … callers compare RELATIVE distances, which the constant cancels.
 
@@ -1162,7 +1165,25 @@ def random_projection(
     base = embeddings.select(F.col(id_col), v.alias("__v")).where(
         F.size("__v") == dim
     )
-    return base.crossJoin(F.broadcast(r_frame)).select(
+    abs_bound = F.aggregate(
+        F.col("__v"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.abs(x),
+    )
+    guarded = base.select(
+        id_col,
+        F.when(
+            abs_bound >= F.lit(2**62),
+            F.raise_error(
+                F.concat(
+                    F.lit("random_projection: |y| bound exceeds int64 — "
+                          "lower `scale`; sum|x|*scale = "),
+                    abs_bound.cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__v")).alias("__v"),
+    )
+    return guarded.crossJoin(F.broadcast(r_frame)).select(
         id_col,
         "dim_j",
         F.aggregate(

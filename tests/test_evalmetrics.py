@@ -258,3 +258,21 @@ class TestCalibration:
         df = spark.createDataFrame([(0.5, 1)], "score double, label int")
         with pytest.raises(ValueError, match="bins"):
             calibration_ece(df, bins=0)
+
+    def test_out_of_range_score_fails_loudly(self, spark):
+        """Calibration scores are probabilities by contract: >1, <0 or
+        NULL must RAISE (a clamped >1 score hides the very bug being
+        measured; a negative micro value hits the div-vs-floor engine
+        divergence)."""
+        import pytest
+
+        from proxima_platform_spark.functions.evalmetrics import (
+            calibration_ece,
+        )
+
+        for bad in (1.5, -0.1, None):
+            df = spark.createDataFrame(
+                [(bad, 1), (0.5, 0)], "score double, label int"
+            )
+            with pytest.raises(Exception, match="calibration"):
+                calibration_ece(df, bins=10).collect()

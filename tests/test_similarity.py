@@ -614,6 +614,21 @@ class TestRandomProjection:
         with pytest.raises(ValueError, match="dim"):
             random_projection(df, dim=0, out_dim=2)
 
+    def test_overflow_guard_raises(self, spark):
+        """Components whose |x|*scale sum reaches 2^62 must RAISE, not
+        silently wrap in int64."""
+        import pytest
+
+        from proxima_platform_spark.functions.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0e12] * 5)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="random_projection"):
+            random_projection(df, dim=5, out_dim=2).collect()
+
 
 class TestHardNegativeMining:
     def _emb(self, spark):
