@@ -2514,3 +2514,64 @@ class TestContinuousEvalMetrics:
         # re-delivered ROWS under a new batch_id collapse in the dedup
         cm.update(b0, 1)
         assert cm.auc().collect() == want
+
+
+class TestContinuousVocabGrowth:
+    def test_curve_equals_batch_on_union(self, spark, tmp_path):
+        from proxima_platform_spark.functions.text import vocab_growth
+        from proxima_platform_spark.streaming.vocab_stream import (
+            ContinuousVocabGrowth,
+        )
+
+        schema = "doc_id long, text string"
+        rows = [
+            (i, " ".join(f"w{(i * j) % 37}" for j in range(1, 8)))
+            for i in range(120)
+        ]
+        batches = [rows[0:50], rows[40:90], rows[85:120]]  # overlapping
+        cv = ContinuousVocabGrowth(
+            spark, str(tmp_path / "vg"), every=25, compact_every=2
+        )
+        for i, b in enumerate(batches):
+            cv.update(spark.createDataFrame(b, schema), i)
+        union = sorted({r for b in batches for r in b})
+        want = sorted(
+            map(
+                tuple,
+                vocab_growth(
+                    spark.createDataFrame(union, schema),
+                    "doc_id",
+                    "text",
+                    every=25,
+                ).collect(),
+            )
+        )
+        got = sorted(map(tuple, cv.curve().collect()))
+        assert got == want
+
+    def test_replay_and_redelivery_idempotent(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.vocab_stream import (
+            ContinuousVocabGrowth,
+        )
+
+        schema = "doc_id long, text string"
+        cv = ContinuousVocabGrowth(spark, str(tmp_path / "vg2"), every=10)
+        b0 = spark.createDataFrame(
+            [(i, f"alpha beta w{i}") for i in range(30)], schema
+        )
+        cv.update(b0, 0)
+        want = sorted(map(tuple, cv.curve().collect()))
+        cv.update(b0, 0)  # replayed batch_id: guard closes it
+        assert sorted(map(tuple, cv.curve().collect())) == want
+        cv.update(b0, 1)  # re-delivered docs: whole-row dedup
+        assert sorted(map(tuple, cv.curve().collect())) == want
+
+    def test_every_validation(self, spark, tmp_path):
+        import pytest
+
+        from proxima_platform_spark.streaming.vocab_stream import (
+            ContinuousVocabGrowth,
+        )
+
+        with pytest.raises(ValueError, match="every"):
+            ContinuousVocabGrowth(spark, str(tmp_path / "vg3"), every=0)
