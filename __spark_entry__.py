@@ -2798,12 +2798,12 @@ WITH chars AS (
     GROUP BY doc_id, ch
 ), per AS (
     SELECT doc_id, sum(n)::BIGINT AS n_chars,
-           sum(n::DOUBLE * log2(n::DOUBLE)) AS nlogn
+           sum(round(log2(n::DOUBLE), 8)::DECIMAL(18,10) * n::DECIMAL(18,0)) AS nlogn
     FROM c2 GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(per.n_chars, 0) AS n_chars,
        CASE WHEN per.n_chars > 0
-            THEN round(log2(per.n_chars::DOUBLE) - per.nlogn / per.n_chars::DOUBLE, 6)
+            THEN round(log2(per.n_chars::DOUBLE) - per.nlogn::DOUBLE / per.n_chars::DOUBLE, 6)
        END AS entropy
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """

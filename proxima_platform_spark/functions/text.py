@@ -783,10 +783,18 @@ def char_entropy(df, id_col: str, text_col: str):
 
         H = log2(N) − (Σ_c n_c·log2(n_c)) / N
 
-    over character counts n_c (the algebraic rewrite keeps one double sum
-    instead of per-char divisions). Returns ``(id, n_chars, entropy)``
-    with entropy rounded 6 dp (the double-sum aggregation-order
-    convention) and NULL for empty documents.
+    over character counts n_c (the algebraic rewrite keeps one sum
+    instead of per-char divisions). The BARE log2(n_c) quantizes at
+    8 dp into an exact decimal and multiplies the exact integer n_c
+    AFTERWARD (decimal·int is exact — no second rounding), so the sum
+    is order-independent and engine-exact. Quantizing the PRODUCT
+    would be wrong at scale: |n·log2 n| grows unboundedly and the
+    8-dp boundary spacing shrinks relative to its ulps (the margin
+    audit caught exactly that on this fixture at n·log2 n ≈ 414);
+    |log2 n| ≤ 63 keeps the quantization margin wide forever. Raw
+    double summation would instead ride on aggregation order and libm
+    ulps and survive only on rounding slack. Returns ``(id, n_chars,
+    entropy)`` with entropy rounded 6 dp and NULL for empty documents.
 
     Scale shape: one explode bounded by corpus characters, one
     map-side-combinable (doc, char) count, one per-doc aggregation —
@@ -801,13 +809,20 @@ def char_entropy(df, id_col: str, text_col: str):
     )
     per_doc = counts.groupBy(id_col).agg(
         F.sum("__n").alias("n_chars"),
+        # operand widths chosen so the product precision stays <= 38:
+        # (18,10) x (18,0) -> (37,10) EXACT in both engines. A wider
+        # decimal(28,10) x bigint would cap at precision 38 in Spark
+        # and silently REDUCE THE SCALE to 6 (SQLSTATE-less value
+        # corruption the oracle caught as a 1e-6 entropy drift)
         F.sum(
-            F.col("__n").cast("double") * F.log2(F.col("__n").cast("double"))
+            F.round(F.log2(F.col("__n").cast("double")), 8)
+            .cast("decimal(18,10)")
+            * F.col("__n").cast("decimal(18,0)")
         ).alias("__nlogn"),
     )
-    ent = F.log2(F.col("n_chars").cast("double")) - F.col("__nlogn") / F.col(
-        "n_chars"
-    ).cast("double")
+    ent = F.log2(F.col("n_chars").cast("double")) - F.col("__nlogn").cast(
+        "double"
+    ) / F.col("n_chars").cast("double")
     base = df.select(F.col(id_col))
     return base.join(per_doc, id_col, "left").select(
         id_col,
