@@ -311,3 +311,92 @@ class TestTwaProperty:
             for r in time_weighted_average(df, ["user_id"]).collect()
         }
         assert got == model_twa(rows)
+
+
+km_units = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # obs_time
+        st.integers(min_value=0, max_value=1),   # event flag
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def model_km(units):
+    """Kaplan-Meier via the exact integer stepwise product, straight
+    from the definition."""
+    from collections import Counter
+
+    d = Counter(t for t, e in units if e == 1)
+    c = Counter(t for t, _ in units)
+    out = {}
+    s = 10**12
+    at_risk = len(units)
+    for t in sorted(c):
+        n = at_risk
+        if d.get(t, 0) > 0:
+            s = (2 * s * (n - d[t]) + n) // (2 * n)
+            out[t] = (n, d[t], s / 1e12)
+        at_risk -= c[t]
+    return out
+
+
+class TestKaplanMeierProperty:
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(km_units)
+    def test_matches_python_model(self, units):
+        from proxima_platform_spark.functions.timeseries import kaplan_meier
+
+        spark = self.spark
+        df = spark.createDataFrame(units, "obs_time int, event int")
+        got = {
+            r.t: (r.n_at_risk, r.n_events, r.survival)
+            for r in kaplan_meier(df).collect()
+        }
+        assert got == model_km(units)
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
+
+
+class TestQuantileBisectProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**7), max_value=10**7),
+            min_size=1,
+            max_size=60,
+        ),
+        st.sampled_from([0.01, 0.25, 0.5, 0.75, 1.0]),
+    )
+    def test_matches_sorted_rank_selection(self, micros, q):
+        """Bisection == direct type-1 rank selection on the sorted
+        micro values, for arbitrary (negative, duplicated) data."""
+        import math
+
+        from proxima_platform_spark.functions.selection import (
+            exact_quantile_bisect,
+        )
+
+        spark = self.spark
+        vals = [m / 1e6 for m in micros]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        [row] = exact_quantile_bisect(df, "x", q, slices=8).collect()
+        srt = sorted(round(v * 1e6) for v in vals)
+        rank = max(math.ceil(round(q * 1e6) * len(vals) / 1e6), 1)
+        assert row.n == len(vals) and row.rank == rank
+        assert row.value == srt[rank - 1] / 1e6
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        type(self).spark = spark
