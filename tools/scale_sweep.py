@@ -40,6 +40,12 @@ HEAVY = [
     "dedup_substrings_maximal",
     "label_propagation",
     "dedup_winnow",
+    # late-r09 heavyweights
+    "kneser_ney_score",
+    "perplexity_band_prep",
+    "hard_negative_mining",
+    "winnow_decontaminate",
+    "exact_quantile_bisect",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -93,7 +99,15 @@ def main() -> None:
         runs = sorted(once() for _ in range(RUNS))
         return round(runs[len(runs) // 2], 3)
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact = os.path.join(repo, "BENCH_SF1.json")
     out: dict = {"factor": 10, "runs": RUNS, "queries": {}}
+    if sys.argv[1:] and os.path.exists(artifact):
+        # explicit-name run: MERGE into the existing artifact so a
+        # late-round partial sweep doesn't discard the full-set ratios
+        with open(artifact) as fh:
+            out = json.load(fh)
+        out.setdefault("queries", {})
     for name in names:
         t_small = median_sec(name, SF01)
         hygiene()
@@ -109,8 +123,7 @@ def main() -> None:
         print(f"{name}: {t_small}s -> {t_big}s  ({ratio}x){flag}",
               file=sys.stderr)
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SF1.json"), "w") as fh:
+    with open(artifact, "w") as fh:
         json.dump(out, fh, indent=1)
     spark.stop()
     print(json.dumps(out, separators=(",", ":")))
