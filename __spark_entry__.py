@@ -9969,6 +9969,51 @@ GROUP BY d.source
 """
 
 
+def q_containment_pairs(spark, sf):
+    """Asymmetric containment near-dup (functions/dedup.py::
+    containment_pairs — Broder's second measure): ordered pairs with
+    |S(a) ∩ S(b)|/|S(a)| >= 0.5 over distinct word 4-gram shingles —
+    the quote-inclusion / syndication case resemblance dedup
+    structurally misses (a short doc quoted whole inside a long one
+    has tiny Jaccard but containment ~1). Boilerplate-capped candidate
+    join (the winnow_overlap convention), exact int counts, one
+    rounded double division."""
+    from proxima_platform_spark.functions.dedup import containment_pairs
+
+    docs = _load(spark, sf, "documents")
+    return containment_pairs(
+        docs, n=4, threshold=0.5, max_docs_per_shingle=64
+    )
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(tk) >= 4
+                  THEN [array_to_string(tk[i:i+3], ' ') for i in range(1, len(tk) - 2)]
+                  ELSE [] END) AS s
+    FROM t
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), capped AS (
+    SELECT doc_id, s FROM sh
+    WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64)
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, n AS size_a,
+       round(shared::DOUBLE / n::DOUBLE, 6) AS containment
+FROM pairs JOIN sizes ON sizes.doc_id = pairs.doc_a
+WHERE round(shared::DOUBLE / n::DOUBLE, 6) >= 0.5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: changelog → snapshot → per-attribute stats at sf0.001
     (source→compaction→agg, the platform's defining path —
@@ -10036,6 +10081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_decontaminate": q_winnow_decontaminate,
         "hard_negative_mining": q_hard_negative_mining,
         "perplexity_band_prep": q_perplexity_band_prep,
+        "containment_pairs": q_containment_pairs,
         # -- (E) last green r05 ------------------------------------------
         "pit_enrich": q_pit_enrich,
         "bpe_merge_candidates": q_bpe_merge_candidates,
@@ -10542,6 +10588,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_decontaminate": _sql_winnow_decontaminate(),
         "hard_negative_mining": _sql_hard_negative_mining(),
         "perplexity_band_prep": _sql_perplexity_band_prep(),
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "winnow_decontaminate",
     "hard_negative_mining",
     "perplexity_band_prep",
+    "containment_pairs",
 ]
 
 

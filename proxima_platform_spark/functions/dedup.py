@@ -1755,3 +1755,85 @@ def snm_candidate_pairs(
     return a.join(b, a["__rb"] == b["rank_b"]).select(
         "id_a", "id_b", "rank_a", "rank_b", "key_a", "key_b"
     )
+
+
+def containment_pairs(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int = 64,
+):
+    """ASYMMETRIC near-duplicate pairs by shingle containment
+    (Broder'97's second resemblance measure): ordered pairs (a, b) with
+
+        containment(a, b) = |S(a) ∩ S(b)| / |S(a)| >= threshold
+
+    over distinct word n-gram shingle sets. Containment is what
+    resemblance-based dedup (MinHash/Jaccard) structurally MISSES: a
+    short document quoted whole inside a much longer one has tiny
+    Jaccard (the union is dominated by the long doc) but containment
+    ~1 — the quote-inclusion / page-wrapper / syndication case. The
+    report is directional: (a contained-in b) and (b contains a) are
+    different rows with different denominators.
+
+    ``max_docs_per_shingle`` drops shingles shared by more than that
+    many documents BEFORE pairing (boilerplate stop-gram cut — the
+    winnow_overlap convention): it bounds the candidate join at
+    shingles × cap² instead of n²; a pair sharing ONLY boilerplate is
+    deliberately not reported. Denominators |S(a)| are computed on the
+    UNCAPPED sets so the ratio stays the true containment of the
+    surviving evidence.
+
+    Engine portability: shared/size counts are exact int64; the ratio
+    is one correctly-rounded double division, rounded 6 dp.
+
+    Scale shape: distinct (doc, shingle) projection → per-shingle doc
+    counts (map-side combined) → capped self equi-join on the shingle →
+    one (a, b) count agg → broadcast-joinable sizes frame. Never an
+    all-pairs product; every stage keys on shingle or (a, b).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    sh = toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    capped = sh.join(
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") <= max_docs_per_shingle)
+        .select("s"),
+        "s",
+    )
+    a = capped.select(F.col(id_col).alias("doc_a"), "s")
+    b = capped.select(F.col(id_col).alias("doc_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed(id_col, "doc_a"), "doc_a"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("__n").alias("size_a"),
+            F.round(
+                F.col("shared").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -855,3 +855,57 @@ class TestWinnowDecontaminate:
             corpus, evalset, min_shared=50
         ).collect()
         assert high == []
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_found_where_jaccard_tiny(self, spark):
+        """A short doc quoted whole inside a much longer one: Jaccard is
+        tiny (union dominated by the long doc) but containment ~1 — the
+        asymmetric case resemblance dedup structurally misses."""
+        from proxima_platform_spark.functions.dedup import containment_pairs
+
+        quote = " ".join(f"q{i}" for i in range(12))
+        long_doc = (
+            " ".join(f"body{i}" for i in range(80))
+            + " " + quote + " "
+            + " ".join(f"tail{i}" for i in range(40))
+        )
+        df = spark.createDataFrame(
+            [(1, quote), (2, long_doc), (3, "unrelated filler words here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): r
+            for r in containment_pairs(df, n=4, threshold=0.5).collect()
+        }
+        assert (1, 2) in got  # quote contained in the long doc
+        assert got[(1, 2)].containment == 1.0
+        # the reverse direction fails the threshold (long doc is mostly
+        # NOT in the quote) — directionality is the point
+        assert (2, 1) not in got
+
+    def test_boilerplate_cap_drops_universal_shingles(self, spark):
+        from proxima_platform_spark.functions.dedup import containment_pairs
+
+        header = "standard header line for every page"
+        df = spark.createDataFrame(
+            [(i, header + f" unique body {i} content piece") for i in range(6)],
+            "doc_id long, text string",
+        )
+        # the header shingles appear in all 6 docs: cap at 3 cuts them,
+        # and no pair shares anything else
+        out = containment_pairs(
+            df, n=4, threshold=0.1, max_docs_per_shingle=3
+        ).collect()
+        assert out == []
+
+    def test_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.dedup import containment_pairs
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(df, threshold=0.0)
+        with pytest.raises(ValueError, match="n must"):
+            containment_pairs(df, n=0)
