@@ -2575,3 +2575,128 @@ class TestContinuousVocabGrowth:
 
         with pytest.raises(ValueError, match="every"):
             ContinuousVocabGrowth(spark, str(tmp_path / "vg3"), every=0)
+
+
+class TestWatermarkIdlePolicies:
+    """The reference's idle-policy SPI implemented for the driver-owned
+    watermark path (foreachBatch maintainers, latecomer split): idle
+    sources either hold, shift by processing time, or track skewed
+    processing time."""
+
+    def test_not_progressing_holds_global(self):
+        from proxima_platform_spark.streaming.watermarks import (
+            BoundedOutOfOrdernessEstimator,
+            MinimalPartitionWatermark,
+            NotProgressingIdlePolicy,
+        )
+
+        mp = MinimalPartitionWatermark({
+            0: BoundedOutOfOrdernessEstimator(
+                idle_policy=NotProgressingIdlePolicy()
+            ),
+            1: BoundedOutOfOrdernessEstimator(
+                idle_policy=NotProgressingIdlePolicy()
+            ),
+        })
+        mp.update(0, 1_000)
+        mp.update(1, 500)
+        assert mp.watermark() == 500
+        # partition 1 goes quiet: its watermark holds at 500 and keeps
+        # pinning the global min no matter how often idle fires
+        for _ in range(5):
+            mp.idle(1)
+        mp.update(0, 9_000)
+        assert mp.partition_watermark(0) == 9_000
+        assert mp.watermark() == 500
+
+    def test_processing_time_shifting_advances_while_idle(self):
+        from proxima_platform_spark.streaming.watermarks import (
+            BoundedOutOfOrdernessEstimator,
+            ProcessingTimeShiftingIdlePolicy,
+        )
+
+        clock = [10_000]
+        est = BoundedOutOfOrdernessEstimator(
+            idle_policy=ProcessingTimeShiftingIdlePolicy(
+                time_fn=lambda: clock[0]
+            )
+        )
+        est.update(1_000)
+        assert est.watermark() == 1_000
+        est.idle()            # anchors at the current watermark
+        clock[0] += 300
+        est.idle()            # +300ms wall -> +300ms watermark
+        clock[0] += 200
+        est.idle()
+        assert est.watermark() == 1_500
+        # data returns: the shift disarms and event time rules again
+        est.update(1_600)
+        assert est.watermark() == 1_600
+        clock[0] += 10_000
+        est.idle()            # re-anchors at 1_600, no jump
+        assert est.watermark() == 1_600
+
+    def test_skewed_processing_time_follows_clock(self):
+        from proxima_platform_spark.streaming.watermarks import (
+            BoundedOutOfOrdernessEstimator,
+            SkewedProcessingTimeIdlePolicy,
+        )
+
+        clock = [50_000]
+        est = BoundedOutOfOrdernessEstimator(
+            idle_policy=SkewedProcessingTimeIdlePolicy(
+                skew_ms=100, time_fn=lambda: clock[0]
+            )
+        )
+        est.update(1_000)
+        est.idle()
+        assert est.watermark() == 49_900  # now - skew
+        clock[0] += 1_000
+        est.idle()
+        assert est.watermark() == 50_900
+
+    def test_watermark_is_monotonic(self):
+        from proxima_platform_spark.streaming.watermarks import (
+            BoundedOutOfOrdernessEstimator,
+        )
+
+        est = BoundedOutOfOrdernessEstimator(max_out_of_orderness_ms=100)
+        est.update(2_000)
+        assert est.watermark() == 1_900
+        est.update(1_000)  # out-of-order element never lowers the mark
+        assert est.watermark() == 1_900
+
+    def test_idle_feeds_latecomer_split(self, spark):
+        """End-to-end with the engine piece that consumes the tracker:
+        a shifting idle policy advances the driver-owned watermark past
+        buffered stamps, and split_latecomers then routes them late."""
+        from proxima_platform_spark.streaming.stateful import (
+            split_latecomers,
+        )
+        from proxima_platform_spark.streaming.watermarks import (
+            BoundedOutOfOrdernessEstimator,
+            MinimalPartitionWatermark,
+            ProcessingTimeShiftingIdlePolicy,
+        )
+
+        clock = [100_000]
+        mp = MinimalPartitionWatermark({
+            0: BoundedOutOfOrdernessEstimator(
+                idle_policy=ProcessingTimeShiftingIdlePolicy(
+                    time_fn=lambda: clock[0]
+                )
+            ),
+        })
+        mp.update(0, 5_000)
+        batch = spark.createDataFrame(
+            [(4_000, "a"), (6_000, "b")], "stamp long, v string"
+        )
+        on_time, late = split_latecomers(batch, stamp="stamp",
+                                         watermark=mp.watermark())
+        assert late.count() == 1  # 4000 < 5000
+        mp.idle(0)
+        clock[0] += 2_000
+        mp.idle(0)  # watermark shifts 5000 -> 7000 while idle
+        on_time, late = split_latecomers(batch, stamp="stamp",
+                                         watermark=mp.watermark())
+        assert late.count() == 2  # both now late
