@@ -252,3 +252,24 @@ class MinimalPartitionWatermark:
         if est is None:
             raise KeyError(f"no watermark estimator for partition {partition}")
         return est
+
+
+class ShiftedWatermark:
+    """Output watermark held BEHIND a tracker by a fixed shift — the
+    reference's WatermarkShift transform
+    (beam/core/.../transforms/WatermarkShift.java:43-79: a timer-held
+    watermark trailing the input by ``shiftDuration``), re-expressed on
+    the driver-owned path: downstream consumers (latecomer split,
+    maintainer flushes) get ``shift_ms`` of extra slack before anything
+    is declared late. For built-in ``withWatermark`` queries the shift
+    folds into the delay constant instead (DELTAS.md #4)."""
+
+    def __init__(self, inner, shift_ms: int) -> None:
+        if shift_ms < 0:
+            raise ValueError(f"shift_ms must be >= 0, got {shift_ms}")
+        self._inner = inner
+        self.shift_ms = shift_ms
+
+    def watermark(self) -> int:
+        wm = self._inner.watermark()
+        return MIN_WATERMARK if wm == MIN_WATERMARK else wm - self.shift_ms

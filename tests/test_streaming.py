@@ -2700,3 +2700,36 @@ class TestWatermarkIdlePolicies:
         on_time, late = split_latecomers(batch, stamp="stamp",
                                          watermark=mp.watermark())
         assert late.count() == 2  # both now late
+
+    def test_shifted_watermark_trails_by_fixed_duration(self, spark):
+        from proxima_platform_spark.streaming.stateful import (
+            split_latecomers,
+        )
+        from proxima_platform_spark.streaming.watermarks import (
+            MIN_WATERMARK,
+            BoundedOutOfOrdernessEstimator,
+            MinimalPartitionWatermark,
+            ShiftedWatermark,
+        )
+
+        mp = MinimalPartitionWatermark(
+            {0: BoundedOutOfOrdernessEstimator()}
+        )
+        shifted = ShiftedWatermark(mp, shift_ms=1_000)
+        assert shifted.watermark() == MIN_WATERMARK  # no data: stays MIN
+        mp.update(0, 5_000)
+        assert mp.watermark() == 5_000
+        assert shifted.watermark() == 4_000
+        # the extra slack is exactly what downstream consumers see
+        batch = spark.createDataFrame(
+            [(4_500, "x")], "stamp long, v string"
+        )
+        _, late_raw = split_latecomers(batch, stamp="stamp",
+                                       watermark=mp.watermark())
+        _, late_shift = split_latecomers(batch, stamp="stamp",
+                                         watermark=shifted.watermark())
+        assert late_raw.count() == 1 and late_shift.count() == 0
+        import pytest
+
+        with pytest.raises(ValueError, match="shift_ms"):
+            ShiftedWatermark(mp, shift_ms=-1)
