@@ -243,8 +243,22 @@ def cohens_kappa(
     driver-free reduction — at 100 TB the only shuffle is the tiny pair
     histogram.
     """
+    def _checked(col: str, tag: str):
+        # A NULL rater label would be counted in N but fall out of both
+        # the agreement diagonal (NULL == NULL is NULL) and the marginal
+        # join, silently skewing kappa — raise per-row instead, matching
+        # the ndcg_at_k / calibration fail-loud convention.
+        raw = F.col(col)
+        return F.when(
+            raw.isNull(),
+            F.raise_error(
+                F.lit(f"cohens_kappa: {tag} column {col} must be non-null")
+            ),
+        ).otherwise(raw)
+
     pairs = rated.groupBy(
-        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+        _checked(rater_a, "rater_a").alias("__a"),
+        _checked(rater_b, "rater_b").alias("__b"),
     ).agg(F.count(F.lit(1)).alias("__c"))
     rows = pairs.groupBy("__a").agg(F.sum("__c").alias("__ra"))
     cols = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))

@@ -67,11 +67,21 @@ def exact_quantile_bisect(
     ).where(F.col("__v").isNotNull())
 
     def _in_range(lo: int, hi: int):
-        # v = round(raw*scale) in [lo, hi] implies raw in the widened
-        # bracket [(lo-1)/scale, (hi+1)/scale] — safe, pushable bounds
+        # v = round(raw*scale) in [lo, hi] implies raw in
+        # [(lo-0.5)/scale, (hi+0.5)/scale]. The pushable raw bracket
+        # only needs to be a SUPERSET (the exact __v BETWEEN is ANDed),
+        # so widen it by 2/scale PLUS a 1e-12 relative pad: at |raw|
+        # near the 2^53/scale quantization cap a double ulp of the
+        # computed bound (~2e-6 at 9e9) would otherwise exceed the old
+        # 0.5/scale slack and exclude boundary rows (r09 ADVICE). The
+        # relative pad dominates ulp (2.2e-16 relative) by 4 orders.
+        lo_b = (lo - 2) / scale
+        hi_b = (hi + 2) / scale
+        lo_b -= abs(lo_b) * 1e-12
+        hi_b += abs(hi_b) * 1e-12
         return (
-            (F.col("__raw") >= (lo - 1) / scale)
-            & (F.col("__raw") <= (hi + 1) / scale)
+            (F.col("__raw") >= lo_b)
+            & (F.col("__raw") <= hi_b)
             & F.col("__v").between(lo, hi)
         )
 

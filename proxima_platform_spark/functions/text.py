@@ -862,9 +862,23 @@ def vocab_growth(
 
     if every < 1:
         raise ValueError(f"every must be >= 1, got {every}")
+    # id_col must be integral: a NULL or non-numeric id would otherwise
+    # fall out of (or collapse within) the bucketing — raise per-row
+    # with a uniform message instead (fail-loud convention, r09 ADVICE).
+    # try_cast: ANSI mode would otherwise throw its own cast error on
+    # malformed strings before this guard ever sees the NULL.
+    raw_id = F.col(id_col).try_cast("long")
+    checked_id = F.when(
+        raw_id.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"vocab_growth: {id_col} must cast to long, got "),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ),
+    ).otherwise(raw_id)
     base = df.select(
-        (F.col(id_col).cast("long") - (F.col(id_col).cast("long") % every))
-        .alias("__b"),
+        (checked_id - (checked_id % every)).alias("__b"),
         tokens(F.col(text_col)).alias("__t"),
     ).localCheckpoint(eager=False)
     per_bucket = base.groupBy("__b").agg(

@@ -172,7 +172,7 @@ def reduce_value_state_by_key(
     (a null/omitted output row ≈ the reference's "null → no output").
     """
 
-    def apply(key_tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def apply(key_tuple: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         if sorted and stamp is not None:
             pdf = pdf.sort_values(stamp, kind="mergesort")  # stable = seq order tiebreak
         return state_fn(key_tuple[0], pdf)

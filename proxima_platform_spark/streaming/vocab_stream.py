@@ -113,8 +113,27 @@ class ContinuousVocabGrowth:
             m["max_batch_id"] = batch_id
         v = m["version"] + 1
         delta = f"delta/d{v}"
+        # id_col must be integral: a non-numeric id would cast to NULL and
+        # dropDuplicates(['doc_id']) would then collapse every such doc
+        # into one row — raise per-row instead (fail-loud convention,
+        # r09 ADVICE; same guard as batch vocab_growth).
+        raw_id = F.col(self.id_col).try_cast("long")
+        checked_id = F.when(
+            raw_id.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ContinuousVocabGrowth: {self.id_col} must cast"
+                        " to long, got "
+                    ),
+                    F.coalesce(
+                        F.col(self.id_col).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ),
+        ).otherwise(raw_id)
         base = batch.select(
-            F.col(self.id_col).cast("long").alias("doc_id"),
+            checked_id.alias("doc_id"),
             tokens(F.col(self.text_col)).alias("__t"),
         ).localCheckpoint(eager=False)
         per_doc = base.select(

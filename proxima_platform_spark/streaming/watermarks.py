@@ -149,7 +149,16 @@ class ProcessingTimeShiftingIdlePolicy:
 class SkewedProcessingTimeIdlePolicy:
     """While idle, the watermark follows processing time minus a fixed
     skew — the "my clock is roughly event time" sources (IoT feeds,
-    logs shipped near-real-time)."""
+    logs shipped near-real-time).
+
+    Intentional hardening vs the reference
+    (direct/core SkewedProcessingTimeIdlePolicy.java:92): the reference
+    overwrites the idle watermark unconditionally, so a regressing
+    wall clock regresses get_idle_watermark(); here ``idle`` keeps
+    ``max(previous, now - skew)`` so the policy's own output is
+    monotonic even before the estimator's never-decrease guard clamps
+    it. Downstream watermarks are identical (the estimator guard masks
+    the difference); only raw get_idle_watermark parity differs."""
 
     DEFAULT_TIMESTAMP_SKEW_MS = 100
 

@@ -199,6 +199,18 @@ class TestCohensKappa:
         row = self._kappa(spark, pairs)
         assert row.kappa == 0.0
 
+    def test_null_rater_raises(self, spark):
+        """NULL rater labels would skew N vs the diagonal/marginals —
+        fail loud per-row (r09 ADVICE), same convention as ndcg."""
+        import pytest
+
+        from proxima_platform_spark.functions.evalmetrics import cohens_kappa
+
+        for pairs in ([(1, 1), (None, 1)], [(1, 1), (0, None)]):
+            df = spark.createDataFrame(pairs, "a int, b int")
+            with pytest.raises(Exception, match="cohens_kappa"):
+                cohens_kappa(df, rater_a="a", rater_b="b").collect()
+
 
 class TestCalibration:
     def test_perfectly_calibrated_bins(self, spark):

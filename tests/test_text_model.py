@@ -807,6 +807,19 @@ class TestVocabGrowth:
         with pytest.raises(ValueError, match="every"):
             vocab_growth(df, "doc_id", "text", every=0)
 
+    def test_non_numeric_id_raises(self, spark):
+        """A doc id that casts to NULL would silently fall out of the
+        bucketing — fail loud per-row (r09 ADVICE)."""
+        import pytest
+
+        from proxima_platform_spark.functions.text import vocab_growth
+
+        df = spark.createDataFrame(
+            [("doc-x", "a b"), ("7", "c")], "doc_id string, text string"
+        )
+        with pytest.raises(Exception, match="vocab_growth"):
+            vocab_growth(df, "doc_id", "text", every=2).collect()
+
 
 class TestWinnowDecontaminate:
     def test_edited_copy_flagged_exact_ngram_blind(self, spark):
