@@ -9561,6 +9561,62 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_kneser_ney3_score(spark, sf):
+    """Interpolated Kneser-Ney TRIGRAM LM fluency per document
+    (functions/ranking.py::kneser_ney3_scores) — one order up from the
+    bigram filter toward CCNet's 5-gram KenLM, with the full recursive
+    continuation backoff (middle order runs on N1+(·,v,w) continuation
+    counts, lowest on middle-order types). All counts exact int64, the
+    one ln per trigram immediately quantized (round 8 → decimal),
+    margin-audited; stats bounded by corpus trigram TYPES; the
+    BM25/tfidf join shape."""
+    from proxima_platform_spark.functions.ranking import kneser_ney3_scores
+
+    docs = _load(spark, sf, "documents")
+    return kneser_ney3_scores(docs)
+
+
+SQL_KNESER_NEY3 = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), tri AS (
+    SELECT doc_id, tk[i] AS u, tk[i+1] AS v, tk[i+2] AS w
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t
+          WHERE len(tk) >= 3)
+), c3t AS (
+    SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+), c3ctx AS (
+    SELECT u, v, sum(c3) AS c3c, count(*) AS n1uv FROM c3t GROUP BY 1, 2
+), cc2t AS (
+    SELECT v, w, count(*) AS cc2 FROM c3t GROUP BY 1, 2
+), cc2ctx AS (
+    SELECT v, sum(cc2) AS cc2c, count(*) AS n1cv FROM cc2t GROUP BY v
+), nlwt AS (
+    SELECT w, count(*) AS nlw FROM cc2t GROUP BY w
+), ntott AS (
+    SELECT count(*) AS ntot FROM cc2t
+), scored AS (
+    SELECT tri.doc_id,
+           round(ln(greatest(c3 - 0.75, 0.0) / c3c
+                    + (0.75 * n1uv / c3c)
+                      * (greatest(cc2 - 0.75, 0.0) / cc2c
+                         + (0.75 * n1cv / cc2c) * (nlw::DOUBLE / ntot))),
+                 8)::DECIMAL(28,10) AS lp
+    FROM tri
+    JOIN c3t USING (u, v, w)
+    JOIN c3ctx USING (u, v)
+    JOIN cc2t USING (v, w)
+    JOIN cc2ctx USING (v)
+    JOIN nlwt USING (w)
+    CROSS JOIN ntott
+)
+SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS kn3_score
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_cohens_kappa(spark, sf):
     """Cohen's kappa between the two cheap corpus gates (functions/
     evalmetrics.py::cohens_kappa): does the quality gate (quality >=
@@ -10031,77 +10087,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r09; VERDICT r08 'Next round' #1-2): the
+    # STALENESS-AWARE ROTATION (r10; VERDICT r09 'Next round' #1): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r08 union, ordered
-    # RED FIRST, then NEVER-DRIVER-CHECKED, then OLDEST-LAST-GREEN:
-    #   (A) survival_km -- the one r08 driver-red row, now rebuilt on an
-    #       exact-integer stepwise product (no transcendental reaches a
-    #       hashed column); leads the window per VERDICT #1;
-    #   (B) the 9 r08 additions never driver-checked (judge-certified
-    #       r08 via oracle_check.py, but the contract wants driver rows);
-    #   (C) the 9 r04-stale greens (not re-certified in 4 rounds);
-    #   (D) NEW r09 queries -- in-window so they certify immediately;
-    #   (E) last green r05, then r06, then r07/r08 -- each tier in its
-    #       prior relative order; the r05 tier fills the rest of the
-    #       ~50-window. Next round: recompute from the union including
-    #       CORRECTNESS_r09 and rotate again.
+    # Tiers recomputed from the CORRECTNESS_r01..r09 union (r09: 50/50
+    # green through hypertable_rollup), ordered OLDEST-LAST-GREEN FIRST
+    # (no red rows, none never-checked):
+    #   (A) the 31 r05-stale queries — last driver-green 5 rounds ago,
+    #       the only remaining certification debt (VERDICT r09 #1);
+    #   (B) NEW r10 queries — in-window so they certify immediately;
+    #   (C)-(F) last green r06, r07, r08, r09 — each tier in its prior
+    #       relative order; the ~50-window tail lands in the r06 tier,
+    #       advancing the oldest tier r05 -> r06. Next round: recompute
+    #       from the union including CORRECTNESS_r10 and rotate again.
     return {
-        # -- (A) r08 driver-red, rebuilt: certify first ------------------
-        "survival_km": q_survival_km,
-        # -- (B) never driver-checked: r08 additions ---------------------
-        "dedup_substrings_maximal": q_dedup_substrings_maximal,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "winnow_fingerprint_set": q_winnow_fingerprint_set,
-        "winnow_overlap": q_winnow_overlap,
-        "quantile_sketch": q_quantile_sketch,
-        "rrf_fusion": q_rrf_fusion,
-        "ndcg_retrieval": q_ndcg_retrieval,
-        "label_propagation": q_label_propagation,
-        "char_entropy_signal": q_char_entropy,
-        # -- (C) r04-stale greens: last driver-green 5 rounds ago --------
-        "snapshot_diff": q_snapshot_diff,
-        "bitmap_retention": q_bitmap_retention,
-        "zorder_pruning": q_zorder_pruning,
-        "quartiles_exact": q_quartiles_exact,
-        "key_erasure": q_key_erasure,
-        "vocab_overlap": q_vocab_overlap,
-        "span_corruption": q_span_corruption,
-        "retention_vacuum": q_retention_vacuum,
-        "zorder_layout": q_zorder_layout,
-        # -- (D) NEW r09 queries: certify immediately --------------------
-        "dedup_winnow": q_dedup_winnow,
-        "kneser_ney_score": q_kneser_ney_score,
-        "cohens_kappa": q_cohens_kappa,
-        "calibration_ece": q_calibration_ece,
-        "vocab_growth": q_vocab_growth,
-        "exact_quantile_bisect": q_exact_quantile_bisect,
-        "pmi_bigrams": q_pmi_bigrams,
-        "random_projection": q_random_projection,
-        "winnow_decontaminate": q_winnow_decontaminate,
-        "hard_negative_mining": q_hard_negative_mining,
-        "perplexity_band_prep": q_perplexity_band_prep,
-        "containment_pairs": q_containment_pairs,
-        # -- (E) last green r05 ------------------------------------------
-        "pit_enrich": q_pit_enrich,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        "topk_per_group": q_topk_per_group,
-        "ohlc_bars": q_ohlc_bars,
-        "inverted_index": q_inverted_index,
-        "pagerank_types": q_pagerank_types,
-        "ewma_value": q_ewma_value,
-        "anomaly_zscore": q_anomaly_zscore,
-        "attribution": q_attribution,
-        "feature_matrix": q_feature_matrix,
-        "quantile_bins": q_quantile_bins,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "dedup_paragraphs_near": q_dedup_paragraphs_near,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_audio_dup": q_multimodal_audio_dup,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "compressed_ingest": q_compressed_ingest,
-        "range_join_ship_week": q_range_join_ship_week,
-        "hypertable_rollup": q_hypertable_rollup,
+        # -- (A) r05-stale: last driver-green 5 rounds ago — certify first
         "rollup_histogram": q_rollup_histogram,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
@@ -10133,7 +10132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_quantize": q_embedding_quantize,
         "exact_decontaminate": q_exact_decontaminate,
-        # -- (F) last green r06 ---------------------------------------
+        # -- (B) NEW r10 queries: certify immediately
+        "kneser_ney3_score": q_kneser_ney3_score,
+        # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -10184,7 +10185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
-        # -- (F) last green r07 -----------------------------------------
+        # -- (D) last green r07
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
         "count_by_key": q_count_by_key,
@@ -10235,7 +10236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": q_distinct_hll,
         "ivm_agg_apply": q_ivm_agg_apply,
         "semantic_decontaminate": q_semantic_decontaminate,
-        # -- (G) freshest: last driver-green in r08 -----------------------
+        # -- (E) last green r08
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
@@ -10285,6 +10286,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
         "skew_report": q_skew_report,
+        # -- (F) freshest: driver-green in r09
+        "survival_km": q_survival_km,
+        "dedup_substrings_maximal": q_dedup_substrings_maximal,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "winnow_fingerprint_set": q_winnow_fingerprint_set,
+        "winnow_overlap": q_winnow_overlap,
+        "quantile_sketch": q_quantile_sketch,
+        "rrf_fusion": q_rrf_fusion,
+        "ndcg_retrieval": q_ndcg_retrieval,
+        "label_propagation": q_label_propagation,
+        "char_entropy_signal": q_char_entropy,
+        "snapshot_diff": q_snapshot_diff,
+        "bitmap_retention": q_bitmap_retention,
+        "zorder_pruning": q_zorder_pruning,
+        "quartiles_exact": q_quartiles_exact,
+        "key_erasure": q_key_erasure,
+        "vocab_overlap": q_vocab_overlap,
+        "span_corruption": q_span_corruption,
+        "retention_vacuum": q_retention_vacuum,
+        "zorder_layout": q_zorder_layout,
+        "dedup_winnow": q_dedup_winnow,
+        "kneser_ney_score": q_kneser_ney_score,
+        "cohens_kappa": q_cohens_kappa,
+        "calibration_ece": q_calibration_ece,
+        "vocab_growth": q_vocab_growth,
+        "exact_quantile_bisect": q_exact_quantile_bisect,
+        "pmi_bigrams": q_pmi_bigrams,
+        "random_projection": q_random_projection,
+        "winnow_decontaminate": q_winnow_decontaminate,
+        "hard_negative_mining": q_hard_negative_mining,
+        "perplexity_band_prep": q_perplexity_band_prep,
+        "containment_pairs": q_containment_pairs,
+        "pit_enrich": q_pit_enrich,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "topk_per_group": q_topk_per_group,
+        "ohlc_bars": q_ohlc_bars,
+        "inverted_index": q_inverted_index,
+        "pagerank_types": q_pagerank_types,
+        "ewma_value": q_ewma_value,
+        "anomaly_zscore": q_anomaly_zscore,
+        "attribution": q_attribution,
+        "feature_matrix": q_feature_matrix,
+        "quantile_bins": q_quantile_bins,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_paragraphs_near": q_dedup_paragraphs_near,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_audio_dup": q_multimodal_audio_dup,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "compressed_ingest": q_compressed_ingest,
+        "range_join_ship_week": q_range_join_ship_week,
+        "hypertable_rollup": q_hypertable_rollup,
     }
 
 
@@ -10579,6 +10631,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap": _sql_winnow_overlap(),
         "dedup_winnow": _sql_dedup_winnow(),
         "kneser_ney_score": SQL_KNESER_NEY,
+        "kneser_ney3_score": SQL_KNESER_NEY3,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

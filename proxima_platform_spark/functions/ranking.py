@@ -342,6 +342,118 @@ def rrf_fuse(
     return out.limit(top) if top is not None else out
 
 
+def kneser_ney3_scores(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM fluency score per document —
+    one order up from :func:`kneser_ney_scores` toward the 5-gram KenLM
+    that CCNet actually ships (Wenzek'20 uses Heafield'11's modified-KN
+    5-gram; order 3 is where LM filtering starts separating fluent
+    boilerplate from prose). Full recursive continuation backoff
+    (Kneser & Ney'95, single discount D, Chen & Goodman'98 eq. 18):
+
+        P₃(w|u,v) = max(c(u,v,w) − D, 0)/c(u,v,·) + λ(u,v)·P₂(w|v)
+        λ(u,v)    = D · N1+(u,v,·) / c(u,v,·)
+
+    with the MIDDLE order running on continuation counts (the KN
+    recursion: each lower order counts distinct *extensions*, not raw
+    occurrences — c'(v,w) = N1+(·,v,w), the distinct u preceding (v,w)):
+
+        P₂(w|v)   = max(c'(v,w) − D, 0)/c'(v,·) + λ'(v)·P_cont(w)
+        λ'(v)     = D · N1+(v,·)' / c'(v,·)
+        P_cont(w) = N1+(·,w)' / N1+(·,·)'
+
+    where every primed count is over the middle-order (v,w) TYPE table
+    derived from trigram types. Scoring only observed trigrams (corpus
+    self-scoring) means every join hits: the trigram (u,v,w) itself
+    witnesses c'(v,w) ≥ 1, so inner joins are exact, not lossy.
+
+        score(d) = mean over d's trigrams of round(ln P₃(w|u,v), 8)
+
+    Engine portability (the bigram recipe, one order up): every count
+    is exact int64; all ratios/products are correctly-rounded IEEE
+    doubles with identical parenthesization in the DuckDB oracle; the
+    ONE libm op (ln) is immediately quantized (round 8 → decimal) and
+    accumulates exactly; final mean is one double division.
+    tools/margin_check.py audits the ln site's boundary slack.
+
+    Scale shape: stats are one trigram-count agg plus four bounded
+    type-count aggs (map-side combined, keyed by (u,v)/(v,w)/v/w —
+    cardinality bounded by corpus trigram TYPES, sublinear in corpus
+    size); scoring joins doc trigram occurrences against them (AQE
+    broadcasts the small keyed sides) and reduces per doc. Never a
+    pairwise product — the BM25/tfidf join shape, like the bigram form.
+
+    Reference parity anchor: same user-code-transform shape as the
+    console DSL's flatMap scoring (tools/groovy/Stream.java) — a
+    per-element enrichment against broadcast-joined corpus statistics.
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text)).alias("__t")
+    ).where(F.size("__t") >= 3)
+    tri = toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__t"), 3)).alias("tg")
+    ).select(
+        id_col,
+        F.substring_index("tg", " ", 1).alias("u"),
+        F.substring_index(F.substring_index("tg", " ", 2), " ", -1).alias(
+            "v"
+        ),
+        F.substring_index("tg", " ", -1).alias("w"),
+    )
+    # highest order: raw trigram counts + per-(u,v) context totals/types
+    c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    c3ctx = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c3c"), F.count(F.lit(1)).alias("n1uv")
+    )
+    # middle order: continuation counts c'(v,w) = distinct u per (v,w)
+    cc2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cc2"))
+    cc2ctx = cc2.groupBy("v").agg(
+        F.sum("cc2").alias("cc2c"), F.count(F.lit(1)).alias("n1cv")
+    )
+    # lowest order: unigram continuation over the middle-order type table
+    nlw = cc2.groupBy("w").agg(F.count(F.lit(1)).alias("nlw"))
+    ntot = cc2.agg(F.count(F.lit(1)).alias("ntot"))
+    d = F.lit(float(discount))
+    p2 = (
+        F.greatest(F.col("cc2") - d, F.lit(0.0)) / F.col("cc2c")
+        + (d * F.col("n1cv") / F.col("cc2c"))
+        * (F.col("nlw").cast("double") / F.col("ntot"))
+    )
+    p3 = (
+        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c3c")
+        + (d * F.col("n1uv") / F.col("c3c")) * p2
+    )
+    scored = (
+        tri.join(c3, ["u", "v", "w"])
+        .join(c3ctx, ["u", "v"])
+        .join(cc2, ["v", "w"])
+        .join(cc2ctx, "v")
+        .join(nlw, "w")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            id_col,
+            F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("kn3_score")
+    )
+
+
 def pmi_bigrams(
     docs: DataFrame,
     *,

@@ -478,6 +478,101 @@ class TestKneserNey:
         assert got == {2}
 
 
+class TestKneserNey3:
+    """Trigram interpolated KN: hand-checked recursion through the
+    continuation middle order, and the order-3 separation property."""
+
+    def test_matches_hand_computation(self, spark):
+        from math import log
+
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        # doc 1 "a b c a b c": trigrams (a,b,c)x2, (b,c,a), (c,a,b)
+        # doc 2 "a b d": (a,b,d)
+        # c3ctx: (a,b) c3c=3 n1uv=2; (b,c) 1,1; (c,a) 1,1
+        # cc2 (distinct u per (v,w)): (b,c)=1 (c,a)=1 (a,b)=1 (b,d)=1
+        # cc2ctx: b: cc2c=2 n1cv=2; c: 1,1; a: 1,1
+        # nlw: c=1 a=1 b=1 d=1; ntot=4
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+        )
+        D = 0.75
+
+        def p2(cc2, cc2c, n1cv, nw):
+            return max(cc2 - D, 0.0) / cc2c + (D * n1cv / cc2c) * (nw / 4.0)
+
+        def p3(c3, c3c, n1uv, p2v):
+            return max(c3 - D, 0.0) / c3c + (D * n1uv / c3c) * p2v
+
+        p_abc = p3(2, 3, 2, p2(1, 2, 2, 1))
+        p_bca = p3(1, 1, 1, p2(1, 1, 1, 1))
+        p_cab = p3(1, 1, 1, p2(1, 1, 1, 1))
+        p_abd = p3(1, 3, 2, p2(1, 2, 2, 1))
+        lp = lambda x: round(log(x), 8)  # noqa: E731
+        want1 = round((lp(p_abc) * 2 + lp(p_bca) + lp(p_cab)) / 4, 6)
+        want2 = round(lp(p_abd) / 1, 6)
+        got = {
+            r.doc_id: r.kn3_score for r in kneser_ney3_scores(df).collect()
+        }
+        assert abs(got[1] - want1) < 1e-9
+        assert abs(got[2] - want2) < 1e-9
+
+    def test_order3_separates_shuffled_prose(self, spark):
+        """The reason for order 3: a probe doc reusing the corpus's own
+        trigrams scores higher than one built from the same BIGRAMS
+        glued in an order whose trigrams are rarer — a bigram LM sees
+        both probes much closer together."""
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        base = "the cat sat on the mat " * 5
+        corpus = spark.createDataFrame(
+            [
+                (1, base),
+                # fluent probe: in-corpus trigrams
+                (2, "the cat sat on the mat"),
+                # glued probe: valid bigrams (mat the, the cat / sat on)
+                # but novel trigrams
+                (3, "on the cat sat on the"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.kn3_score
+            for r in kneser_ney3_scores(corpus).collect()
+        }
+        assert got[2] > got[3]
+
+    def test_discount_validation(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        for bad in (0.0, 1.0, -0.5):
+            with pytest.raises(ValueError, match="discount"):
+                kneser_ney3_scores(df, discount=bad)
+
+    def test_short_docs_unscored(self, spark):
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alone"), (2, "a b"), (3, "a b c")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id for r in kneser_ney3_scores(df).collect()}
+        assert got == {3}
+
+
 class TestPmiBigrams:
     def test_collocation_outranks_chance_pair(self, spark):
         """'strong coffee' always co-occurs; 'the'+anything is chance —
