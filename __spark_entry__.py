@@ -3326,6 +3326,67 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <
 """
 
 
+def q_ann_multiprobe_topk(spark, sf):
+    """Multi-probe sign-LSH ANN (functions/similarity.py::
+    multiprobe_lsh_top_k, Lv'07 restricted to Hamming-1): ONE corpus
+    bucket assignment (no L-table corpus copies) and each query probes
+    its bucket plus the probes−1 flips of the smallest-|projection|
+    planes. Projections are exact int64 (fixed-point × ±1 md5 planes),
+    so bucket ids, flip ORDER and the candidate set are bit-identical
+    in the DuckDB oracle — hash-green on the actual multi-probe
+    algorithm, not a recall bound. The structural answer to
+    ann_knn_join's sf1 ratio: recall budget spent query-side at
+    ~L/probes of the corpus cost."""
+    from proxima_platform_spark.functions.similarity import (
+        multiprobe_lsh_top_k,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return multiprobe_lsh_top_k(emb, queries, k=5, num_planes=6, probes=3)
+
+
+SQL_ANN_MULTIPROBE_TOPK = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {_sql_lsh_bucket(6, 0)} AS bucket FROM base),
+qp AS (
+  SELECT vec_id AS query_id, v AS qv,
+    list_transform(range(6), p ->
+      list_sum(list_transform(range(len(v)), d ->
+        floor(v[d+1] * 1000000.0)::BIGINT *
+        (CASE WHEN ('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1))::INT >= 8
+              THEN 1 ELSE -1 END)))) AS projs
+  FROM base WHERE vec_id < 5),
+qb AS (
+  SELECT query_id, qv, projs,
+    (list_sum(list_transform(range(6), p ->
+       CASE WHEN projs[p+1] > 0 THEN 2**p ELSE 0 END)))::BIGINT AS bucket
+  FROM qp),
+pr AS (
+  SELECT query_id, qv,
+    unnest(list_concat([bucket],
+      list_transform(
+        list_filter(range(6), p ->
+          len(list_filter(range(6), q -> q <> p AND
+            (abs(projs[q+1]) < abs(projs[p+1])
+             OR (abs(projs[q+1]) = abs(projs[p+1]) AND q < p)))) < 2),
+        p -> xor(bucket, (2**p)::BIGINT)))) AS bucket
+  FROM qb),
+cand AS (
+  SELECT pr.query_id, b.vec_id,
+         round(CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(pr.qv, pr.qv)) > 0
+               THEN list_dot_product(b.v, pr.qv)
+                    / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(pr.qv, pr.qv)))
+               ELSE 0.0 END, 6) AS cosine
+  FROM b JOIN pr USING (bucket))
+SELECT query_id, vec_id, cosine FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 5
+"""
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF-flat ANN (second scale path next to sign-LSH): centroids are a
     deterministic md5-ordered sample, so centroid selection, cell
@@ -10134,6 +10195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_decontaminate": q_exact_decontaminate,
         # -- (B) NEW r10 queries: certify immediately
         "kneser_ney3_score": q_kneser_ney3_score,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -10625,6 +10687,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
         "winnow_fingerprint_set": _sql_winnow_fingerprints(),

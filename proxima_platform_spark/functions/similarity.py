@@ -721,6 +721,169 @@ def knn_join_lsh(
     )
 
 
+def _int_plane_projection(vec: Column, plane: int) -> Column:
+    """Exact-integer projection of ``vec`` onto ±1 plane ``plane`` from
+    the md5-top-bit family (``_plane_sign``): components fixed-pointed to
+    floor(x·10⁶) (exact in doubles), so the sum is an int64 — order-
+    independent and bit-identical cross-engine by construction. The
+    expression form of ``sign_lsh_buckets_arrow``'s plane math, for
+    query-sized inputs."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    sign = lambda i: F.when(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(",", F.lit(str(plane)), i.cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        >= 8,
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            dims,
+            lambda x, i: F.floor(x.cast("double") * LSH_FIXED_SCALE).cast(
+                "long"
+            )
+            * sign(i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def multiprobe_lsh_top_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    probes: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al.'07, restricted to Hamming-1
+    perturbations): ONE table, and each query probes its own bucket plus
+    the ``probes − 1`` neighbor buckets reached by flipping the planes
+    with the smallest |projection| — the bits most likely to be on the
+    wrong side of a near-boundary vector.
+
+    Why this beats L-tables LSH at scale: multi-table recall costs L×
+    the CORPUS — L bucket assignments, L shuffled copies of every
+    vector, L equi-joins. Multi-probe keeps the corpus at exactly one
+    bucket per vector (one Arrow assignment pass, one shuffle) and
+    spends the recall budget on the QUERY side, which is smaller by
+    orders of magnitude; candidate volume per query is ~probes·n/2^planes
+    vs L·n/2^planes with L corpus copies. Same recall knob, ~L/probes
+    of the corpus cost — this is the knob law ann_knn_join's sf1 ratio
+    asks for, applied structurally.
+
+    Exactness: corpus buckets come from ``sign_lsh_buckets_arrow``'s
+    integer-exact plane family; query projections replay the identical
+    int64 math in expression form (:func:`_int_plane_projection`), so
+    bucket ids, flip ORDER (ranked by exact (|proj|, plane) — integer
+    compares, no float tie ambiguity) and therefore the candidate set
+    are all bit-identical cross-engine. Probe buckets are pairwise
+    distinct (bucket ⊕ 2^p), so no candidate dedup pass is needed.
+
+    Output: (query_id, vec_id, cosine round 6), top-k per query by
+    (cosine desc, id asc).
+    """
+    if not 1 <= probes <= num_planes + 1:
+        raise ValueError(
+            f"probes must lie in [1, num_planes+1], got {probes}"
+        )
+    base = sign_lsh_buckets_arrow(
+        embeddings.select(id_col, vec_col),
+        vec_col=vec_col,
+        num_planes=num_planes,
+        num_tables=1,
+    ).withColumnRenamed("__b0", "bucket")
+
+    qvec = F.col(query_vec_col)
+    # materialize the P projections ONCE: referenced P² times by the
+    # flip-rank expressions below, and projection collapsing would
+    # otherwise re-evaluate the P dim-length folds per reference (the
+    # r07 lesson) — localCheckpoint cuts the lineage
+    qp = queries.select(
+        F.col(query_id_col),
+        qvec.alias("__qvec"),
+        F.array(
+            *[
+                _int_plane_projection(qvec, p)
+                for p in range(num_planes)
+            ]
+        ).alias("__projs"),
+    ).localCheckpoint(eager=False)
+
+    projs = [F.element_at("__projs", p + 1) for p in range(num_planes)]
+    bucket = None
+    for p in range(num_planes):
+        term = F.when(projs[p] > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = term if bucket is None else bucket + term
+
+    def flip_rank(p: int):
+        # how many planes q sort strictly before p by (|proj|, index) —
+        # pure int64 compares over the materialized projection array
+        r = F.lit(0)
+        for q in range(num_planes):
+            if q == p:
+                continue
+            before = (F.abs(projs[q]) < F.abs(projs[p])) | (
+                (F.abs(projs[q]) == F.abs(projs[p])) & F.lit(q < p)
+            )
+            r = r + F.when(before, 1).otherwise(0)
+        return r
+
+    flips = F.array(
+        *[
+            F.when(
+                flip_rank(p) < probes - 1,
+                F.col("__bucket").bitwiseXOR(F.lit(1 << p).cast("long")),
+            )
+            for p in range(num_planes)
+        ]
+    )
+    qb = qp.withColumn("__bucket", bucket).select(
+        query_id_col,
+        "__qvec",
+        F.explode(
+            F.concat(
+                F.array(F.col("__bucket")),
+                F.filter(flips, lambda x: x.isNotNull()),
+            )
+        ).alias("bucket"),
+    )
+
+    num = dot(F.col(vec_col), F.col("__qvec"))
+    den = l2_norm(F.col(vec_col)) * l2_norm(F.col("__qvec"))
+    joined = base.join(qb, "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     *,
