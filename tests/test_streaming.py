@@ -2430,6 +2430,135 @@ class TestContinuousWinnowIndex:
         assert got[1] == []
 
 
+class TestContinuousContainmentIndex:
+    """Online asymmetric-containment maintainer: accumulated directional
+    reports == batch containment_pairs over the union (unsaturated),
+    replay idempotence, and the documented cap divergence."""
+
+    QUOTE = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def _batches(self):
+        q = self.QUOTE
+        return [
+            # batch 0: the short quoted doc + an unrelated one
+            [(0, q),
+             (1, "completely different words in this document here today")],
+            # batch 1: a long doc containing the quote whole (containment
+            # of 0 in 2 ≈ 1, but 2 in 0 is small) + a same-batch pair
+            [(2, f"long wrapper starts here {q} and keeps going with much "
+                 f"more trailing content after the quoted block ends"),
+             (3, f"another wrapper also embedding {q} plus its own tail "
+                 f"of extra words")],
+            [(4, "nothing in common with anyone at all truly never")],
+        ]
+
+    def test_accumulated_reports_equal_batch_operator(self, spark, tmp_path):
+        """Exact twin (unsaturated): the union of per-batch directional
+        reports — each ordered pair reported once, when its later member
+        arrives, including within-batch pairs — equals containment_pairs
+        over the union, shared/size/containment and all."""
+        from proxima_platform_spark.functions.dedup import containment_pairs
+        from proxima_platform_spark.streaming.containment_stream import (
+            ContinuousContainmentIndex,
+        )
+
+        got = set()
+        seen = set()
+
+        def sink(pairs, batch_id):
+            if batch_id in seen:
+                return
+            seen.add(batch_id)
+            got.update(
+                (r.doc_a, r.doc_b, r.shared, r.size_a, r.containment)
+                for r in pairs.collect()
+            )
+
+        idx = ContinuousContainmentIndex(
+            spark, str(tmp_path / "ci"),
+            n=4, threshold=0.2, max_docs_per_shingle=64,
+            sink=sink, compact_every=2,
+        )
+        all_rows = []
+        for bid, rows in enumerate(self._batches()):
+            idx.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"), bid
+            )
+            all_rows += rows
+
+        full = spark.createDataFrame(all_rows, "doc_id long, text string")
+        want = {
+            (r.doc_a, r.doc_b, r.shared, r.size_a, r.containment)
+            for r in containment_pairs(
+                full, n=4, threshold=0.2, max_docs_per_shingle=64
+            ).collect()
+        }
+        assert got == want
+        # non-vacuous and DIRECTIONAL: the quote doc 0 is contained in
+        # the later wrappers (containment = 1.0 as doc_a)...
+        assert any(
+            a == 0 and b in (2, 3) and c == 1.0 for a, b, _, _, c in got
+        )
+        # ...including the within-batch wrapper pair, reported in ITS batch
+        assert any(a == 2 and b == 3 for a, b, _, _, c in got)
+        assert idx._manifest()["base"] is not None  # compaction ran
+
+    def test_replayed_batch_id_is_noop_on_index(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.containment_stream import (
+            ContinuousContainmentIndex,
+        )
+
+        calls = []
+        idx = ContinuousContainmentIndex(
+            spark, str(tmp_path / "ci2"), threshold=0.2,
+            sink=lambda df, bid: calls.append(bid),
+        )
+        rows = self._batches()[0]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        idx.ingest(df, 0)
+        before = sorted(map(tuple, idx.shingles().collect()))
+        idx.ingest(df, 0)  # replay: sink sees the duplicate batch_id
+        # (and dedups); the index append no-ops
+        assert calls == [0, 0]
+        assert sorted(map(tuple, idx.shingles().collect())) == before
+
+    def test_saturated_shingle_stops_contributing(self, spark, tmp_path):
+        """Documented cap divergence: once a shingle's doc count crosses
+        max_docs_per_shingle, it contributes to no NEW pairs — a later
+        doc sharing only the boilerplate reports nothing."""
+        from proxima_platform_spark.streaming.containment_stream import (
+            ContinuousContainmentIndex,
+        )
+
+        header = "licensed under the apache license version two point zero"
+        got = {}
+        idx = ContinuousContainmentIndex(
+            spark, str(tmp_path / "ci3"),
+            n=4, threshold=0.1, max_docs_per_shingle=3,
+            sink=lambda df, bid: got.update({bid: df.collect()}),
+        )
+        b0 = [(i, f"{header} unique{i} filler{i} words{i} extra{i}")
+              for i in range(3)]
+        idx.ingest(spark.createDataFrame(b0, "doc_id long, text string"), 0)
+        b1 = [(10, f"{header} totally fresh trailing content words")]
+        idx.ingest(spark.createDataFrame(b1, "doc_id long, text string"), 1)
+        assert got[1] == []
+
+    def test_validation(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.containment_stream import (
+            ContinuousContainmentIndex,
+        )
+
+        with pytest.raises(ValueError, match="threshold"):
+            ContinuousContainmentIndex(
+                spark, str(tmp_path / "ci4"), threshold=0.0
+            )
+        with pytest.raises(ValueError, match="n must"):
+            ContinuousContainmentIndex(
+                spark, str(tmp_path / "ci5"), n=0
+            )
+
+
 class TestContinuousEvalMetrics:
     """Online retrieval-eval maintainer: metrics over the maintained
     labeled set == batch eval trio over the union of everything
