@@ -675,7 +675,14 @@ def knn_join_lsh(
     per-vector window over the candidate set — the shuffle is bounded by
     candidate volume, not n². Vectors whose buckets hold no other vector
     emit nothing (the documented LSH-recall tradeoff; raise num_tables
-    or lower num_planes to tighten)."""
+    or lower num_planes to tighten).
+
+    Scale knob law (priced in BENCH_SF1.json, ``ann_knn_join@planes11``):
+    bucket occupancy is n/2^planes, so hold per-bucket candidate volume
+    constant by raising planes with the corpus — planes += log2(growth)
+    (10× data → +3 planes ≈ linear wall clock); recover the boundary
+    recall the narrower buckets cost via more tables or, cheaper, the
+    query-side multi-probe knob (:func:`multiprobe_lsh_top_k`)."""
     from pyspark.sql import Window
 
     from proxima_platform_spark.functions.dedup import embedding_near_dup_pairs
@@ -1383,6 +1390,11 @@ def hard_negative_mining(
     Scale shape: candidate volume ≈ L·n²/2^planes equi-join rows, the
     label frame joins by id (broadcast when small), and the ranking is
     one window bounded by each anchor's candidate count.
+
+    Scale knob law (priced in BENCH_SF1.json,
+    ``hard_negative_mining@planes11``): same as :func:`knn_join_lsh` —
+    planes += log2(growth) holds per-bucket candidate volume constant
+    (10× data → +3 planes ≈ linear wall clock).
     """
     from pyspark.sql import Window
 
