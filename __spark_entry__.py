@@ -9678,6 +9678,105 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_kneser_ney3_mkn_score(spark, sf):
+    """MODIFIED Kneser-Ney trigram LM fluency per document
+    (functions/ranking.py::kneser_ney3_scores(modified=True)) — the
+    Chen-Goodman three-discount estimator KenLM actually ships: D1/D2/D3+
+    per order from that order's count-of-counts n1..n4 (one 4-long agg,
+    broadcast 1-row frame — no driver round-trip), D selected by each
+    gram's own count class, middle order estimating its discounts from
+    the continuation count-of-counts. Same exactness recipe as the
+    fixed-discount form: int64 counts, fixed IEEE double sequence for
+    the discounts, one quantized ln, margin-audited."""
+    from proxima_platform_spark.functions.ranking import kneser_ney3_scores
+
+    docs = _load(spark, sf, "documents")
+    return kneser_ney3_scores(docs, modified=True)
+
+
+SQL_KNESER_NEY3_MKN = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+), tri AS (
+    SELECT doc_id, tk[i] AS u, tk[i+1] AS v, tk[i+2] AS w
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t
+          WHERE len(tk) >= 3)
+), c3t AS (
+    SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+), cc2t AS (
+    SELECT v, w, count(*) AS cc2 FROM c3t GROUP BY 1, 2
+), nlwt AS (
+    SELECT w, count(*) AS nlw FROM cc2t GROUP BY w
+), ntott AS (
+    SELECT count(*) AS ntot FROM cc2t
+), c3ctx AS (
+    SELECT u, v, sum(c3) AS c3c,
+           count(*) FILTER (WHERE c3 = 1) AS e1uv,
+           count(*) FILTER (WHERE c3 = 2) AS e2uv,
+           count(*) FILTER (WHERE c3 >= 3) AS e3uv
+    FROM c3t GROUP BY 1, 2
+), cc2ctx AS (
+    SELECT v, sum(cc2) AS cc2c,
+           count(*) FILTER (WHERE cc2 = 1) AS e1cv,
+           count(*) FILTER (WHERE cc2 = 2) AS e2cv,
+           count(*) FILTER (WHERE cc2 >= 3) AS e3cv
+    FROM cc2t GROUP BY v
+), cls3 AS (
+    SELECT count(*) FILTER (WHERE c3 = 1) AS n1,
+           count(*) FILTER (WHERE c3 = 2) AS n2,
+           count(*) FILTER (WHERE c3 = 3) AS n3,
+           count(*) FILTER (WHERE c3 = 4) AS n4
+    FROM c3t
+), y3 AS (
+    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls3
+), d3 AS (
+    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o3,
+           2.0 - 3.0 * y * n3 / n2 AS dd2_o3,
+           3.0 - 4.0 * y * n4 / n3 AS dd3_o3
+    FROM y3
+), cls2 AS (
+    SELECT count(*) FILTER (WHERE cc2 = 1) AS n1,
+           count(*) FILTER (WHERE cc2 = 2) AS n2,
+           count(*) FILTER (WHERE cc2 = 3) AS n3,
+           count(*) FILTER (WHERE cc2 = 4) AS n4
+    FROM cc2t
+), y2 AS (
+    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls2
+), d2 AS (
+    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o2,
+           2.0 - 3.0 * y * n3 / n2 AS dd2_o2,
+           3.0 - 4.0 * y * n4 / n3 AS dd3_o2
+    FROM y2
+), scored AS (
+    SELECT tri.doc_id,
+           round(ln(
+             greatest(c3 - (CASE WHEN c3 = 1 THEN dd1_o3
+                                 WHEN c3 = 2 THEN dd2_o3
+                                 ELSE dd3_o3 END), 0.0) / c3c
+             + ((dd1_o3 * e1uv + dd2_o3 * e2uv + dd3_o3 * e3uv) / c3c)
+               * (greatest(cc2 - (CASE WHEN cc2 = 1 THEN dd1_o2
+                                       WHEN cc2 = 2 THEN dd2_o2
+                                       ELSE dd3_o2 END), 0.0) / cc2c
+                  + ((dd1_o2 * e1cv + dd2_o2 * e2cv + dd3_o2 * e3cv) / cc2c)
+                    * (nlw::DOUBLE / ntot))
+           ), 6)::DECIMAL(28,10) AS lp
+    FROM tri
+    JOIN c3t USING (u, v, w)
+    JOIN c3ctx USING (u, v)
+    JOIN cc2t USING (v, w)
+    JOIN cc2ctx USING (v)
+    JOIN nlwt USING (w)
+    CROSS JOIN ntott
+    CROSS JOIN d3
+    CROSS JOIN d2
+)
+SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS kn3_mkn_score
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_cohens_kappa(spark, sf):
     """Cohen's kappa between the two cheap corpus gates (functions/
     evalmetrics.py::cohens_kappa): does the quality gate (quality >=
@@ -10196,6 +10295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) NEW r10 queries: certify immediately
         "kneser_ney3_score": q_kneser_ney3_score,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "kneser_ney3_mkn_score": q_kneser_ney3_mkn_score,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -10695,6 +10795,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow": _sql_dedup_winnow(),
         "kneser_ney_score": SQL_KNESER_NEY,
         "kneser_ney3_score": SQL_KNESER_NEY3,
+        "kneser_ney3_mkn_score": SQL_KNESER_NEY3_MKN,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

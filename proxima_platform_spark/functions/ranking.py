@@ -348,6 +348,7 @@ def kneser_ney3_scores(
     text: str = "text",
     id_col: str = "doc_id",
     discount: float = 0.75,
+    modified: bool = False,
 ) -> DataFrame:
     """Interpolated Kneser-Ney TRIGRAM LM fluency score per document —
     one order up from :func:`kneser_ney_scores` toward the 5-gram KenLM
@@ -388,6 +389,23 @@ def kneser_ney3_scores(
     broadcasts the small keyed sides) and reduces per doc. Never a
     pairwise product — the BM25/tfidf join shape, like the bigram form.
 
+    ``modified=True`` switches to MODIFIED Kneser-Ney (Chen &
+    Goodman'98 §3, the estimator KenLM actually ships): three
+    count-class discounts per order, estimated from that order's
+    count-of-counts n₁..n₄,
+
+        Y  = n₁ / (n₁ + 2n₂)
+        D₁ = 1 − 2Y·n₂/n₁   D₂ = 2 − 3Y·n₃/n₂   D₃₊ = 3 − 4Y·n₄/n₃
+        λ(ctx) = (D₁·N₁(ctx·) + D₂·N₂(ctx·) + D₃₊·N₃₊(ctx·)) / c(ctx·)
+
+    with D(c) selected by the gram's own count class (c=1 / c=2 / c≥3)
+    and the middle order estimating ITS discounts from the continuation
+    count-of-counts. The count-of-counts are one 4-long agg per order
+    (broadcast 1-row frames — no driver round-trip); degenerate corpora
+    with an empty n₁/n₂/n₃ class raise loudly (the discount formulas
+    divide by them). ``discount`` is ignored when ``modified=True``.
+    Output column: ``kn3_mkn_score`` (vs ``kn3_score``).
+
     Reference parity anchor: same user-code-transform shape as the
     console DSL's flatMap scoring (tools/groovy/Stream.java) — a
     per-element enrichment against broadcast-joined corpus statistics.
@@ -414,26 +432,122 @@ def kneser_ney3_scores(
     )
     # highest order: raw trigram counts + per-(u,v) context totals/types
     c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
-    c3ctx = c3.groupBy("u", "v").agg(
-        F.sum("c3").alias("c3c"), F.count(F.lit(1)).alias("n1uv")
-    )
     # middle order: continuation counts c'(v,w) = distinct u per (v,w)
     cc2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cc2"))
-    cc2ctx = cc2.groupBy("v").agg(
-        F.sum("cc2").alias("cc2c"), F.count(F.lit(1)).alias("n1cv")
-    )
     # lowest order: unigram continuation over the middle-order type table
     nlw = cc2.groupBy("w").agg(F.count(F.lit(1)).alias("nlw"))
     ntot = cc2.agg(F.count(F.lit(1)).alias("ntot"))
-    d = F.lit(float(discount))
-    p2 = (
-        F.greatest(F.col("cc2") - d, F.lit(0.0)) / F.col("cc2c")
-        + (d * F.col("n1cv") / F.col("cc2c"))
-        * (F.col("nlw").cast("double") / F.col("ntot"))
+
+    if not modified:
+        c3ctx = c3.groupBy("u", "v").agg(
+            F.sum("c3").alias("c3c"), F.count(F.lit(1)).alias("n1uv")
+        )
+        cc2ctx = cc2.groupBy("v").agg(
+            F.sum("cc2").alias("cc2c"), F.count(F.lit(1)).alias("n1cv")
+        )
+        d = F.lit(float(discount))
+        p2 = (
+            F.greatest(F.col("cc2") - d, F.lit(0.0)) / F.col("cc2c")
+            + (d * F.col("n1cv") / F.col("cc2c"))
+            * (F.col("nlw").cast("double") / F.col("ntot"))
+        )
+        p3 = (
+            F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c3c")
+            + (d * F.col("n1uv") / F.col("c3c")) * p2
+        )
+        scored = (
+            tri.join(c3, ["u", "v", "w"])
+            .join(c3ctx, ["u", "v"])
+            .join(cc2, ["v", "w"])
+            .join(cc2ctx, "v")
+            .join(nlw, "w")
+            .crossJoin(F.broadcast(ntot))
+            .select(
+                id_col,
+                F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
+            )
+        )
+        return scored.groupBy(id_col).agg(
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("kn3_score")
+        )
+
+    # ---- modified KN (Chen-Goodman three-discount estimator) --------
+    def _class_counts(cnt_df, cnt: str, tag: str):
+        """1-row (dd1, dd2, dd3) discount frame from the order's
+        count-of-counts — exact int64 classes, then the fixed IEEE
+        double sequence (mirrored verbatim in the oracle)."""
+        cls = cnt_df.agg(
+            F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
+            F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
+            F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
+            F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
+        )
+        guard = F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0),
+            F.raise_error(
+                F.lit(
+                    f"kneser_ney3_scores(modified): {tag} count-of-counts"
+                    " n1/n2/n3 must all be > 0 (the discount formulas"
+                    " divide by them) — corpus too small/degenerate for"
+                    " modified KN; use modified=False"
+                )
+            ),
+        ).otherwise(
+            F.col("n1").cast("double")
+            / (F.col("n1") + F.lit(2) * F.col("n2"))
+        )
+        y = cls.select("n1", "n2", "n3", "n4", guard.alias("y"))
+        return y.select(
+            (F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1"))
+            .alias(f"dd1_{tag}"),
+            (F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2"))
+            .alias(f"dd2_{tag}"),
+            (F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3"))
+            .alias(f"dd3_{tag}"),
+        )
+
+    disc3 = _class_counts(c3, "c3", "o3")
+    disc2 = _class_counts(cc2, "cc2", "o2")
+    # per-context totals + per-count-class extension type counts
+    c3ctx = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c3c"),
+        F.count(F.when(F.col("c3") == 1, 1)).alias("e1uv"),
+        F.count(F.when(F.col("c3") == 2, 1)).alias("e2uv"),
+        F.count(F.when(F.col("c3") >= 3, 1)).alias("e3uv"),
     )
-    p3 = (
-        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c3c")
-        + (d * F.col("n1uv") / F.col("c3c")) * p2
+    cc2ctx = cc2.groupBy("v").agg(
+        F.sum("cc2").alias("cc2c"),
+        F.count(F.when(F.col("cc2") == 1, 1)).alias("e1cv"),
+        F.count(F.when(F.col("cc2") == 2, 1)).alias("e2cv"),
+        F.count(F.when(F.col("cc2") >= 3, 1)).alias("e3cv"),
+    )
+
+    def _dsel(cnt: str, tag: str):
+        return (
+            F.when(F.col(cnt) == 1, F.col(f"dd1_{tag}"))
+            .when(F.col(cnt) == 2, F.col(f"dd2_{tag}"))
+            .otherwise(F.col(f"dd3_{tag}"))
+        )
+
+    lam2 = (
+        F.col("dd1_o2") * F.col("e1cv")
+        + F.col("dd2_o2") * F.col("e2cv")
+        + F.col("dd3_o2") * F.col("e3cv")
+    ) / F.col("cc2c")
+    p2m = F.greatest(F.col("cc2") - _dsel("cc2", "o2"), F.lit(0.0)) / F.col(
+        "cc2c"
+    ) + lam2 * (F.col("nlw").cast("double") / F.col("ntot"))
+    lam3 = (
+        F.col("dd1_o3") * F.col("e1uv")
+        + F.col("dd2_o3") * F.col("e2uv")
+        + F.col("dd3_o3") * F.col("e3uv")
+    ) / F.col("c3c")
+    p3m = (
+        F.greatest(F.col("c3") - _dsel("c3", "o3"), F.lit(0.0))
+        / F.col("c3c")
+        + lam3 * p2m
     )
     scored = (
         tri.join(c3, ["u", "v", "w"])
@@ -442,15 +556,23 @@ def kneser_ney3_scores(
         .join(cc2ctx, "v")
         .join(nlw, "w")
         .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(disc3))
+        .crossJoin(F.broadcast(disc2))
         .select(
             id_col,
-            F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
+            # round 6, not 8: with ~50k lp values per corpus the chance
+            # of SOME value landing inside 1000 ulps of a fine rounding
+            # grid is material — the sf0.01 fixture tripped the margin
+            # audit at both 8 dp (3e-13 slack) and 7 dp (1e-13); the
+            # 1e-6 grid holds. Determinism, not absolute lp precision,
+            # is the contract (both engines mean the same rounded lps).
+            F.round(F.log(p3m), 6).cast("decimal(28,10)").alias("lp"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.round(
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
-        ).alias("kn3_score")
+        ).alias("kn3_mkn_score")
     )
 
 

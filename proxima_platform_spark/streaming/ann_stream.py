@@ -41,23 +41,32 @@ from proxima_platform_spark.functions.similarity import (
 
 
 def _query_buckets(
-    vec: list[float], *, num_planes: int, num_tables: int
-) -> list[int]:
-    """Bucket of ``vec`` per table — the pure-Python mirror of
+    vec: list[float], *, num_planes: int, num_tables: int, probes: int = 1
+) -> list[list[int]]:
+    """Probe buckets of ``vec`` per table — the pure-Python mirror of
     ``sign_lsh_buckets_arrow``'s integer projection (floor(x·scale) int64
     against ±1 planes; exact, so the driver-side query hashes into
-    exactly the buckets the executors assigned)."""
+    exactly the buckets the executors assigned). With ``probes > 1``,
+    each table additionally probes the ``probes − 1`` Hamming-1
+    neighbor buckets reached by flipping the smallest-|projection|
+    planes (the ``multiprobe_lsh_top_k`` rule — exact integer
+    projections, so the flip order is unambiguous)."""
     q = [math.floor(x * LSH_FIXED_SCALE) for x in vec]
     dim = len(q)
     out = []
     for t in range(num_tables):
+        projs = []
         bucket = 0
         for p in range(num_planes):
             plane = t * num_planes + p
             proj = sum(q[d] * _plane_sign(plane, d) for d in range(dim))
+            projs.append(proj)
             if proj > 0:
                 bucket |= 1 << p
-        out.append(bucket)
+        flips = sorted(range(num_planes), key=lambda p: (abs(projs[p]), p))
+        out.append(
+            [bucket] + [bucket ^ (1 << p) for p in flips[: probes - 1]]
+        )
     return out
 
 
@@ -326,20 +335,33 @@ class ContinuousAnnIndex:
             .drop("__rn")
         )
 
-    def query_df(self, query_vec: list[float], k: int = 10) -> DataFrame:
+    def query_df(
+        self, query_vec: list[float], k: int = 10, *, probes: int = 1
+    ) -> DataFrame:
         """Top-k bucket mates of ``query_vec`` by exact cosine —
         ``(id, cosine)``, deterministic (cosine desc, id asc) order. The
         (t, bucket) disjunction pushes down to the parquet scan, so the
-        read touches candidate buckets only."""
+        read touches candidate buckets only. ``probes > 1`` additionally
+        probes each table's Hamming-1 neighbors of the smallest-
+        |projection| planes (the multi-probe recall knob — more literal
+        (t, bucket) pairs in the SAME pushed-down disjunction, zero
+        extra index state; vs raising num_tables, which re-shuffles and
+        re-stores the whole index)."""
+        if not 1 <= probes <= self.num_planes + 1:
+            raise ValueError(
+                f"probes must lie in [1, num_planes+1], got {probes}"
+            )
         buckets = _query_buckets(
             list(query_vec),
             num_planes=self.num_planes,
             num_tables=self.num_tables,
+            probes=probes,
         )
         cond = None
-        for t, b in enumerate(buckets):
-            c = (F.col("t") == t) & (F.col("bucket") == b)
-            cond = c if cond is None else (cond | c)
+        for t, bs in enumerate(buckets):
+            for b in bs:
+                c = (F.col("t") == t) & (F.col("bucket") == b)
+                cond = c if cond is None else (cond | c)
         qlit = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             self._frames()

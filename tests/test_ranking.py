@@ -573,6 +573,125 @@ class TestKneserNey3:
         assert got == {3}
 
 
+class TestKneserNey3Modified:
+    """Modified KN (Chen-Goodman three-discount): pure-python model
+    parity on a corpus exercising every count class at both orders,
+    and the degenerate-corpus guard."""
+
+    @staticmethod
+    def _model(doc_rows):
+        import math
+        from collections import Counter
+
+        per_doc, tri = {}, []
+        for did, txt in doc_rows:
+            t = txt.split()
+            gs = (
+                [(t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)]
+                if len(t) >= 3
+                else []
+            )
+            per_doc[did] = gs
+            tri += gs
+        c3 = Counter(tri)
+        c3c, e3 = Counter(), {}
+        for (u, v, w), c in c3.items():
+            c3c[(u, v)] += c
+            d = e3.setdefault((u, v), [0, 0, 0])
+            d[0 if c == 1 else 1 if c == 2 else 2] += 1
+        cc2 = Counter((v, w) for (u, v, w) in c3)
+        cc2c, e2 = Counter(), {}
+        for (v, w), c in cc2.items():
+            cc2c[v] += c
+            d = e2.setdefault(v, [0, 0, 0])
+            d[0 if c == 1 else 1 if c == 2 else 2] += 1
+        nlw = Counter(w for (v, w) in cc2)
+        ntot = len(cc2)
+
+        def discounts(counter):
+            n = [
+                sum(1 for c in counter.values() if c == k)
+                for k in (1, 2, 3, 4)
+            ]
+            assert n[0] > 0 and n[1] > 0 and n[2] > 0, (
+                "fixture must exercise count classes 1..3: " + str(n)
+            )
+            y = n[0] / (n[0] + 2 * n[1])
+            return (
+                1.0 - 2.0 * y * n[1] / n[0],
+                2.0 - 3.0 * y * n[2] / n[1],
+                3.0 - 4.0 * y * n[3] / n[2],
+            )
+
+        d3, d2 = discounts(c3), discounts(cc2)
+
+        def dsel(c, ds):
+            return ds[0] if c == 1 else ds[1] if c == 2 else ds[2]
+
+        def p2(v, w):
+            c, cc, e = cc2[(v, w)], cc2c[v], e2[v]
+            lam = (d2[0] * e[0] + d2[1] * e[1] + d2[2] * e[2]) / cc
+            return max(c - dsel(c, d2), 0.0) / cc + lam * (nlw[w] / ntot)
+
+        def p3(u, v, w):
+            c, cc, e = c3[(u, v, w)], c3c[(u, v)], e3[(u, v)]
+            lam = (d3[0] * e[0] + d3[1] * e[1] + d3[2] * e[2]) / cc
+            return max(c - dsel(c, d3), 0.0) / cc + lam * p2(v, w)
+
+        return {
+            # round 6 = the operator's quantization (margin-audit-driven)
+            did: round(
+                sum(round(math.log(p3(*g)), 6) for g in gs) / len(gs), 6
+            )
+            for did, gs in per_doc.items()
+            if gs
+        }
+
+    # repetition plants trigrams at counts 1..4 and several contexts
+    # share (v,w) continuations so both orders have classes 1..3
+    CORPUS = [
+        (1, "a b c a b c a b c a b c"),      # (a,b,c) x4
+        (2, "x b c y b c z b c"),            # cc2(b,c) gains u∈{x,y,z}
+        (3, "p q r p q r p q r"),            # (p,q,r) x3
+        (4, "m q r n q r"),                  # cc2(q,r) += {m,n}
+        (5, "s t u s t u"),                  # (s,t,u) x2
+        (6, "one two three four five six"),  # singletons
+        (7, "two three four seven eight"),
+        (8, "k t u"),                        # cc2(t,u) = {s,k} -> class 2
+    ]
+
+    def test_matches_python_model(self, spark):
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        df = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        want = self._model(self.CORPUS)
+        got = {
+            r.doc_id: r.kn3_mkn_score
+            for r in kneser_ney3_scores(df, modified=True).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+    def test_degenerate_corpus_raises(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney3_scores,
+        )
+
+        # all trigram counts are 1 -> n2 = n3 = 0 at order 3
+        df = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="count-of-counts"):
+            kneser_ney3_scores(df, modified=True).collect()
+
+
 class TestPmiBigrams:
     def test_collocation_outranks_chance_pair(self, spark):
         """'strong coffee' always co-occurs; 'the'+anything is chance —

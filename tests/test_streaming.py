@@ -1775,7 +1775,7 @@ class TestContinuousAnnIndex:
         qb = _query_buckets(qvec, num_planes=4, num_tables=2)
         cand = {
             r["vec_id"] for r in staged
-            if r["__b0"] == qb[0] or r["__b1"] == qb[1]
+            if r["__b0"] == qb[0][0] or r["__b1"] == qb[1][0]
         }
         assert cand, "fixture must produce candidates"
         vecs = dict(all_rows)
@@ -1792,6 +1792,29 @@ class TestContinuousAnnIndex:
             key=lambda t: (-t[1], t[0]),
         )[:5]
         assert got == want
+
+        # multi-probe query path (r10): probes=1 is exactly the base
+        # query; more probes only widen the candidate set — results are
+        # a superset ranked the same way, and the probe set matches the
+        # python flip rule (smallest-|projection| planes first)
+        got1 = {r.id for r in idx.query_df(qvec, k=100, probes=1).collect()}
+        got3 = {r.id for r in idx.query_df(qvec, k=100, probes=3).collect()}
+        assert got1 <= got3
+        qb3 = _query_buckets(qvec, num_planes=4, num_tables=2, probes=3)
+        cand3 = {
+            r["vec_id"] for r in staged
+            if r["__b0"] in qb3[0] or r["__b1"] in qb3[1]
+        }
+        assert got3 == set(
+            i for i, _ in sorted(
+                ((i, round(cos(vecs[i], qvec), 6)) for i in cand3),
+                key=lambda t: (-t[1], t[0]),
+            )[:100]
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="probes"):
+            idx.query_df(qvec, probes=0)
 
     def test_foreachbatch_wiring(self, spark, tmp_path):
         """update() works directly as a writeStream.foreachBatch callback."""
