@@ -1,0 +1,700 @@
+"""IngestService / RetrieveService semantics over the proto wire format.
+
+Reference surface: ``rpc/src/main/proto/rpc.proto`` (IngestService :119-148,
+RetrieveService :387-412) served by
+``direct/ingest-server/src/main/java/cz/o2/proxima/direct/server/
+IngestService.java`` and ``RetrieveService.java``. This module reproduces
+
+- the message set, field numbers and types (registered with the pure-python
+  wire codec in catalog/proto.py, so requests/responses round-trip through
+  real protobuf bytes);
+- the validation/status contract: 400 missing fields
+  (IngestService.java:366-372), 404 unknown entity/attribute (:376-390),
+  412 scheme-invalid value (:393-405), 500 handler error (:338),
+  404 absent key on get (RetrieveService.java:288-293), 204 on reads in an
+  already-terminated transaction (RetrieveService.java:309),
+  400 for limited list requests inside a transaction
+  (RetrieveService.java:129-130);
+- the engine bindings: ingest → commit-log write (the console ``put`` path,
+  env.py), get/list/scan → snapshot random access (sources/batch.py),
+  begin/commit → TransactionManager (transactions.py) with the server-side
+  per-transaction output buffer of the reference's TransactionContext
+  (server/transaction/TransactionContext.java).
+
+Scale note: get/list are point lookups against the compacted snapshot —
+the reference serves them from random-access/cached-view replicas; here
+each call is a keyed Spark filter (partition-prunable on key-partitioned
+replicas). ``scan`` streams the snapshot through ``toLocalIterator`` in
+bounded ScanResult chunks (RetrieveService.java:377-470 does the same with
+gRPC flow control) — the server never materializes the table.
+
+Only the HTTP/2 transport is absent (no grpcio in this environment);
+``LocalChannel.call`` is the in-process stand-in: client dict → request
+bytes → server decode → handler → response dict → response bytes → client
+decode. Swapping it for a real grpc channel is transport plumbing only.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+from proxima_platform_spark.catalog import proto as _proto
+from proxima_platform_spark.catalog.descriptors import (
+    AttributeDescriptor,
+    EntityDescriptor,
+)
+from proxima_platform_spark.catalog.schemes import resolve_scheme
+from proxima_platform_spark.env import AttributeEnv
+from proxima_platform_spark.transactions import (
+    KeyAttribute,
+    TransactionManager,
+    TransactionState,
+    Upsert,
+)
+
+# -- rpc.proto message registry (field numbers match rpc.proto exactly) -----
+
+_P = "proxima.rpc."
+
+
+def _register_messages() -> None:
+    m = _proto.register_message
+    m(_P + "Ingest", {"fields": {
+        1: {"name": "uuid", "type": "string", "default": ""},
+        2: {"name": "entity", "type": "string", "default": ""},
+        3: {"name": "attribute", "type": "string", "default": ""},
+        4: {"name": "key", "type": "string", "default": ""},
+        5: {"name": "value", "type": "bytes", "default": b""},
+        7: {"name": "stamp", "type": "uint64", "default": 0},
+        6: {"name": "delete", "type": "bool", "default": False},
+        8: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "Status", {"fields": {
+        1: {"name": "uuid", "type": "string", "default": ""},
+        2: {"name": "status", "type": "uint32", "default": 0},
+        3: {"name": "statusMessage", "type": "string", "default": ""},
+    }})
+    m(_P + "IngestBulk", {"fields": {
+        1: {"name": "ingest", "type": "message", "message": _P + "Ingest",
+            "repeated": True},
+    }})
+    m(_P + "StatusBulk", {"fields": {
+        1: {"name": "status", "type": "message", "message": _P + "Status",
+            "repeated": True},
+    }})
+    m(_P + "TransactionCommitRequest", {"fields": {
+        1: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    # enum Status { UNKNOWN=0 COMMITTED=1 REJECTED=2 FAILED=3 }
+    m(_P + "TransactionCommitResponse", {"fields": {
+        1: {"name": "status", "type": "enum", "default": 0},
+    }})
+    m(_P + "GetRequest", {"fields": {
+        1: {"name": "entity", "type": "string", "default": ""},
+        2: {"name": "key", "type": "string", "default": ""},
+        3: {"name": "attribute", "type": "string", "default": ""},
+        4: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "GetResponse", {"fields": {
+        1: {"name": "status", "type": "uint32", "default": 0},
+        2: {"name": "statusMessage", "type": "string", "default": ""},
+        3: {"name": "value", "type": "bytes", "default": b""},
+        4: {"name": "stamp", "type": "uint64", "default": 0},
+    }})
+    m(_P + "ListRequest", {"fields": {
+        1: {"name": "entity", "type": "string", "default": ""},
+        2: {"name": "key", "type": "string", "default": ""},
+        3: {"name": "wildcardPrefix", "type": "string", "default": ""},
+        4: {"name": "offset", "type": "string", "default": ""},
+        5: {"name": "limit", "type": "uint32", "default": 0},
+        6: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "ListResponse.AttrValue", {"fields": {
+        1: {"name": "attribute", "type": "string", "default": ""},
+        2: {"name": "value", "type": "bytes", "default": b""},
+        3: {"name": "stamp", "type": "uint64", "default": 0},
+    }})
+    m(_P + "ListResponse", {"fields": {
+        1: {"name": "status", "type": "uint32", "default": 0},
+        2: {"name": "statusMessage", "type": "string", "default": ""},
+        3: {"name": "value", "type": "message",
+            "message": _P + "ListResponse.AttrValue", "repeated": True},
+    }})
+    m(_P + "MultifetchRequest", {"fields": {
+        1: {"name": "getRequest", "type": "message",
+            "message": _P + "GetRequest", "repeated": True},
+        2: {"name": "listRequest", "type": "message",
+            "message": _P + "ListRequest", "repeated": True},
+        3: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "MultifetchResponse", {"fields": {
+        1: {"name": "getResponse", "type": "message",
+            "message": _P + "GetResponse", "repeated": True},
+        2: {"name": "listResponse", "type": "message",
+            "message": _P + "ListResponse", "repeated": True},
+    }})
+    m(_P + "KeyAttribute", {"fields": {
+        1: {"name": "entity", "type": "string", "default": ""},
+        2: {"name": "key", "type": "string", "default": ""},
+        3: {"name": "attribute", "type": "string", "default": ""},
+    }})
+    m(_P + "BeginTransactionRequest", {"fields": {
+        1: {"name": "attributesInvolved", "type": "message",
+            "message": _P + "KeyAttribute", "repeated": True},
+        2: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "BeginTransactionResponse", {"fields": {
+        1: {"name": "transactionId", "type": "string", "default": ""},
+    }})
+    m(_P + "ScanRequest", {"fields": {
+        1: {"name": "entity", "type": "string", "default": ""},
+        2: {"name": "attribute", "type": "string", "repeated": True},
+    }})
+    m(_P + "KeyValue", {"fields": {
+        1: {"name": "key", "type": "string", "default": ""},
+        2: {"name": "attribute", "type": "string", "default": ""},
+        3: {"name": "value", "type": "bytes", "default": b""},
+        4: {"name": "stamp", "type": "uint64", "default": 0},
+    }})
+    # fields 1-4 are `reserved` in rpc.proto (:370-373)
+    m(_P + "ScanResult", {"fields": {
+        5: {"name": "value", "type": "message", "message": _P + "KeyValue",
+            "repeated": True},
+    }})
+
+
+_register_messages()
+
+# TransactionCommitResponse.Status enum values (rpc.proto:106-111)
+TXN_UNKNOWN, TXN_COMMITTED, TXN_REJECTED, TXN_FAILED = 0, 1, 2, 3
+
+
+class RpcError(Exception):
+    """Transport-level error (gRPC onError path, e.g. scan validation —
+    RetrieveService.java:459-469 maps these to INTERNAL/INVALID_ARGUMENT)."""
+
+    def __init__(self, code: str, message: str) -> None:
+        super().__init__(f"{code}: {message}")
+        self.code = code
+        self.message = message
+
+
+# -- scheme validity (ValueSerializer.isValid analog) ------------------------
+
+
+def _value_valid(scheme_uri: str, value: bytes) -> bool:
+    """Python-side mirror of ``attr.getValueSerializer().isValid(bytes)``
+    (IngestService.java:393-397): try to parse the payload under the
+    attribute's scheme. Non-builtin (avro/proto/registry) schemes decode
+    lazily inside Spark, so the façade accepts them here — the reference
+    equivalent of a serializer whose isValid defers to read time."""
+    base = scheme_uri.split(":", 1)[0]
+    try:
+        if base in ("bytes",):
+            return True
+        text = value.decode("utf-8")
+        if base in ("string", "json"):
+            return True
+        if base in ("integer", "int", "long"):
+            int(text)
+            return True
+        if base in ("float", "double"):
+            float(text)
+            return True
+        if base == "boolean":
+            return text.lower() in ("true", "false")
+    except (UnicodeDecodeError, ValueError):
+        return False
+    return True
+
+
+@dataclass
+class _ServerTransaction:
+    """Server-side transaction context: buffered outputs + the engine
+    transaction (reference: server/transaction/TransactionContext.java
+    keeps outputs per transactionId until commit)."""
+
+    txn: object
+    outputs: list = field(default_factory=list)
+    terminated: bool = False
+
+
+class RpcServer:
+    """Both rpc.proto services over one DataOperator.
+
+    Handlers take/return plain dicts shaped like their proto messages;
+    ``LocalChannel`` adds the wire-format boundary.
+    """
+
+    SCAN_CHUNK = 1000  # KeyValues per streamed ScanResult
+
+    def __init__(self, op, txn_manager: TransactionManager | None = None) -> None:
+        self._op = op
+        self._repo = op.repo
+        self._txns = txn_manager or TransactionManager(op.spark)
+        self._open: dict[str, _ServerTransaction] = {}
+
+    # -- shared lookups ------------------------------------------------------
+
+    def _find_entity(self, name: str) -> EntityDescriptor | None:
+        try:
+            return self._repo.entity(name)
+        except KeyError:
+            return None
+
+    @staticmethod
+    def _find_attribute(
+        entity: EntityDescriptor, attribute: str
+    ) -> AttributeDescriptor | None:
+        for a in entity.attributes:
+            if a.matches(attribute):
+                return a
+        return None
+
+    def _attr_env(self, entity: EntityDescriptor, attr: AttributeDescriptor):
+        return AttributeEnv(self._op, entity, attr)
+
+    # == IngestService =======================================================
+
+    def ingest(self, request: dict) -> dict:
+        """Synchronous ingest (rpc.proto:142; IngestService.java:330-348,
+        validation :364-407)."""
+        uuid = request.get("uuid") or ""
+        key = request.get("key") or ""
+        entity_name = request.get("entity") or ""
+        attribute = request.get("attribute") or ""
+        if not key or not entity_name or not attribute:
+            return _status(uuid, 400, "Missing required fields in input message")
+        entity = self._find_entity(entity_name)
+        if entity is None:
+            return _status(uuid, 404, f"Entity {entity_name} not found")
+        attr = self._find_attribute(entity, attribute)
+        if attr is None:
+            return _status(
+                uuid, 404,
+                f"Attribute {attribute} of entity {entity_name} not found",
+            )
+        delete = bool(request.get("delete"))
+        value = request.get("value") or b""
+        # delete is always valid (IngestService.java:393)
+        if not delete and not _value_valid(attr.scheme, value):
+            return _status(
+                uuid, 412, f"Invalid scheme for {entity_name}.{attr.name}"
+            )
+        stamp = int(request.get("stamp") or 0) or _now_ms()
+        txn_id = request.get("transactionId") or ""
+        if txn_id:
+            ctx = self._open.get(txn_id)
+            if ctx is None or ctx.terminated:
+                return _status(uuid, 412, f"Transaction {txn_id} is not open")
+            wildcard_all = delete and attr.is_wildcard and attribute == attr.name
+            ctx.outputs.append(
+                Upsert(
+                    entity=entity_name, key=key, attribute=attribute,
+                    value=None if delete else bytes(value), stamp_ms=stamp,
+                    delete=delete and not wildcard_all,
+                    delete_wildcard=wildcard_all,
+                )
+            )
+            return _status(uuid, 200, "")
+        try:
+            env = self._attr_env(entity, attr)
+            if delete and attr.is_wildcard and attribute == attr.name:
+                env.delete_all(key, stamp_ms=stamp)
+            elif delete:
+                env.delete(key, stamp_ms=stamp, attribute=attribute)
+            else:
+                env.put(key, bytes(value), stamp_ms=stamp, attribute=attribute)
+        except Exception as err:  # writer failure → 500 (IngestService.java:338)
+            return _status(uuid, 500, str(err))
+        return _status(uuid, 200, "")
+
+    def ingest_single(self, requests: Iterable[dict]) -> Iterator[dict]:
+        """stream Ingest → stream Status (rpc.proto:136-139)."""
+        for req in requests:
+            yield self.ingest(req)
+
+    def ingest_bulk(self, bulks: Iterable[dict]) -> Iterator[dict]:
+        """stream IngestBulk → stream StatusBulk (rpc.proto:126-133). The
+        server may regroup statuses arbitrarily (the reference flushes on a
+        timer/size); we flush one StatusBulk per input bulk."""
+        for bulk in bulks:
+            yield {"status": [self.ingest(r) for r in bulk.get("ingest") or []]}
+
+    def commit(self, request: dict) -> dict:
+        """TransactionCommitRequest → TransactionCommitResponse
+        (IngestService.java:436-470): COMMITTED on success, REJECTED on
+        serializable-isolation conflict, FAILED otherwise."""
+        txn_id = request.get("transactionId") or ""
+        ctx = self._open.get(txn_id)
+        if ctx is None:
+            return {"status": TXN_FAILED}
+        if ctx.terminated:
+            return {"status": TXN_FAILED}
+        ctx.terminated = True
+        try:
+            state = self._txns.commit(ctx.txn, ctx.outputs)
+        except Exception:
+            return {"status": TXN_FAILED}
+        if state is not TransactionState.COMMITTED:
+            return {"status": TXN_REJECTED}
+        # committed outputs flow to the target commit logs, exactly like the
+        # reference's TransactionLogObserver replaying committed transactions
+        # into the output families — this gives read-your-committed-writes
+        # through RetrieveService.get
+        for out in ctx.outputs:
+            entity = self._find_entity(out.entity)
+            attr = self._find_attribute(entity, out.attribute)
+            env = self._attr_env(entity, attr)
+            if out.delete_wildcard:
+                env.delete_all(out.key, stamp_ms=out.stamp_ms)
+            elif out.delete:
+                env.delete(out.key, stamp_ms=out.stamp_ms, attribute=out.attribute)
+            else:
+                env.put(out.key, out.value or b"", stamp_ms=out.stamp_ms,
+                        attribute=out.attribute)
+        return {"status": TXN_COMMITTED}
+
+    # == RetrieveService =====================================================
+
+    def begin(self, request: dict) -> dict:
+        """BeginTransactionRequest → BeginTransactionResponse
+        (RetrieveService.java:102-110). ``attributesInvolved`` seeds the
+        read set; the set grows as transactional reads arrive."""
+        read_set = [
+            KeyAttribute(
+                entity=ka.get("entity") or "",
+                key=ka.get("key") or "",
+                attribute=ka.get("attribute") or "",
+            )
+            for ka in request.get("attributesInvolved") or []
+        ]
+        txn = self._txns.begin(read_set)
+        requested = request.get("transactionId") or ""
+        txn_id = requested or txn.txn_id
+        self._open[txn_id] = _ServerTransaction(txn=txn)
+        return {"transactionId": txn_id}
+
+    def _observe_read(self, txn_id: str, entity: str, key: str, attribute: str):
+        """Reads inside a transaction extend its read set
+        (RetrieveService.java:181-208 routes reads through the transaction).
+        Returns an error status tuple or None."""
+        ctx = self._open.get(txn_id)
+        if ctx is None:
+            return 400, f"Unknown transaction {txn_id}"
+        if ctx.terminated:
+            # reference maps Flags.DUPLICATE → 204 (RetrieveService.java:309)
+            return 204, "Already committed transaction"
+        ctx.txn.update([KeyAttribute(entity=entity, key=key, attribute=attribute)])
+        return None
+
+    def get(self, request: dict) -> dict:
+        """GetRequest → GetResponse (RetrieveService.java:253-318)."""
+        entity_name = request.get("entity") or ""
+        key = request.get("key") or ""
+        attribute = request.get("attribute") or ""
+        if not entity_name or not key or not attribute:
+            return {"status": 400, "statusMessage": "Missing some required fields"}
+        entity = self._find_entity(entity_name)
+        if entity is None:
+            return {"status": 404,
+                    "statusMessage": f"Entity {entity_name} not found"}
+        attr = self._find_attribute(entity, attribute)
+        if attr is None:
+            return {"status": 404,
+                    "statusMessage":
+                        f"Attribute {attribute} of entity {entity_name} not found"}
+        txn_id = request.get("transactionId") or ""
+        if txn_id:
+            err = self._observe_read(txn_id, entity_name, key, attribute)
+            if err is not None:
+                return {"status": err[0], "statusMessage": err[1]}
+        try:
+            row = self._attr_env(entity, attr).get(key, attribute)
+        except Exception as ex:  # pragma: no cover - storage failure
+            return {"status": 500, "statusMessage": str(ex)}
+        if row is None:
+            return {"status": 404,
+                    "statusMessage":
+                        f"Key {key} and/or attribute {attribute} not found"}
+        d = row.asDict()
+        return {
+            "status": 200,
+            "value": bytes(d.get("value") or b""),
+            "stamp": _ms(d.get("stamp")),
+        }
+
+    def list_attributes(self, request: dict) -> dict:
+        """ListRequest → ListResponse (RetrieveService.java:113-171):
+        keyset pagination by `offset` (exclusive), `limit <= 0` unlimited;
+        limited list inside a transaction is rejected 400 (:129-130)."""
+        entity_name = request.get("entity") or ""
+        key = request.get("key") or ""
+        prefix = request.get("wildcardPrefix") or ""
+        if not entity_name or not key or not prefix:
+            return {"status": 400, "statusMessage": "Missing some required fields"}
+        limit = int(request.get("limit") or 0)
+        txn_id = request.get("transactionId") or ""
+        if txn_id and limit > 0:
+            return {"status": 400,
+                    "statusMessage":
+                        "Unsupported: transactions do not support limited"
+                        " list requests, currently"}
+        entity = self._find_entity(entity_name)
+        if entity is None:
+            return {"status": 404,
+                    "statusMessage": f"Entity {entity_name} not found"}
+        wildcard = prefix if prefix.endswith(".*") else prefix + ".*"
+        attr = self._find_attribute(entity, wildcard)
+        if attr is None or not attr.is_wildcard:
+            return {"status": 404,
+                    "statusMessage":
+                        f"Attribute {prefix}.* of entity {entity_name} not found"}
+        if txn_id:
+            err = self._observe_read(txn_id, entity_name, key, wildcard)
+            if err is not None:
+                return {"status": err[0], "statusMessage": err[1]}
+        rows = self._attr_env(entity, attr).list(
+            key,
+            limit=limit if limit > 0 else None,
+            offset=request.get("offset") or None,
+        )
+        return {
+            "status": 200,
+            "value": [
+                {
+                    "attribute": r["attribute"],
+                    "value": bytes(r["value"] or b""),
+                    "stamp": _ms(r["stamp"]),
+                }
+                for r in rows
+            ],
+        }
+
+    def multifetch(self, request: dict) -> dict:
+        """MultifetchRequest → MultifetchResponse (RetrieveService.java:
+        323-372): responses in request order; the shared transactionId is
+        applied to every sub-request (rpc.proto requires sub-request ids
+        empty)."""
+        txn_id = request.get("transactionId") or ""
+
+        def with_txn(r: dict) -> dict:
+            return {**r, "transactionId": txn_id} if txn_id else r
+
+        return {
+            "getResponse": [
+                self.get(with_txn(r)) for r in request.get("getRequest") or []
+            ],
+            "listResponse": [
+                self.list_attributes(with_txn(r))
+                for r in request.get("listRequest") or []
+            ],
+        }
+
+    def scan(self, request: dict) -> Iterator[dict]:
+        """ScanRequest → stream ScanResult (RetrieveService.java:377-470).
+
+        Streams the compacted snapshot of the requested attributes in
+        SCAN_CHUNK-sized ScanResult messages via ``toLocalIterator`` —
+        Spark computes partitions on demand; the driver holds one chunk at
+        a time (the reference's flow-controlled onNext loop)."""
+        entity_name = request.get("entity") or ""
+        attributes = list(request.get("attribute") or [])
+        if not entity_name or not attributes:
+            raise RpcError("INVALID_ARGUMENT", "Missing some required fields")
+        entity = self._find_entity(entity_name)
+        if entity is None:
+            raise RpcError("INVALID_ARGUMENT", f"Entity {entity_name} not found")
+        names = []
+        for a in attributes:
+            attr = self._find_attribute(entity, a)
+            if attr is None:
+                raise RpcError(
+                    "INVALID_ARGUMENT",
+                    f"Attribute {a} of entity {entity_name} not found",
+                )
+            names.append(attr.name)
+        snap = self._op.batch_snapshot(entity_name, names)
+        it = snap.select("key", "attribute", "value", "stamp").toLocalIterator()
+        chunk: list[dict] = []
+        for row in it:
+            chunk.append({
+                "key": row["key"],
+                "attribute": row["attribute"],
+                "value": bytes(row["value"] or b""),
+                "stamp": _ms(row["stamp"]),
+            })
+            if len(chunk) >= self.SCAN_CHUNK:
+                yield {"value": chunk}
+                chunk = []
+        if chunk:
+            yield {"value": chunk}
+
+
+def _status(uuid: str, code: int, message: str) -> dict:
+    return {"uuid": uuid, "status": code, "statusMessage": message}
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def _ms(stamp) -> int:
+    """datetime → epoch ms (proto uint64 stamps are milliseconds)."""
+    if stamp is None:
+        return 0
+    from datetime import timezone
+
+    if stamp.tzinfo is None:
+        stamp = stamp.replace(tzinfo=timezone.utc)
+    return int(stamp.timestamp() * 1000)
+
+
+# -- transport stand-in ------------------------------------------------------
+
+#: (service, method) → (request message, response message, streaming kind)
+_METHODS: dict[tuple[str, str], tuple[str, str, str]] = {
+    ("IngestService", "ingest"): (_P + "Ingest", _P + "Status", "unary"),
+    ("IngestService", "ingestSingle"): (_P + "Ingest", _P + "Status", "stream"),
+    ("IngestService", "ingestBulk"): (
+        _P + "IngestBulk", _P + "StatusBulk", "stream"),
+    ("IngestService", "commit"): (
+        _P + "TransactionCommitRequest", _P + "TransactionCommitResponse",
+        "unary"),
+    ("RetrieveService", "get"): (_P + "GetRequest", _P + "GetResponse", "unary"),
+    ("RetrieveService", "listAttributes"): (
+        _P + "ListRequest", _P + "ListResponse", "unary"),
+    ("RetrieveService", "multifetch"): (
+        _P + "MultifetchRequest", _P + "MultifetchResponse", "unary"),
+    ("RetrieveService", "begin"): (
+        _P + "BeginTransactionRequest", _P + "BeginTransactionResponse",
+        "unary"),
+    ("RetrieveService", "scan"): (
+        _P + "ScanRequest", _P + "ScanResult", "server_stream"),
+}
+
+_HANDLERS = {
+    ("IngestService", "ingest"): "ingest",
+    ("IngestService", "ingestSingle"): "ingest_single",
+    ("IngestService", "ingestBulk"): "ingest_bulk",
+    ("IngestService", "commit"): "commit",
+    ("RetrieveService", "get"): "get",
+    ("RetrieveService", "listAttributes"): "list_attributes",
+    ("RetrieveService", "multifetch"): "multifetch",
+    ("RetrieveService", "begin"): "begin",
+    ("RetrieveService", "scan"): "scan",
+}
+
+
+class LocalChannel:
+    """In-process transport: every call serializes the request to protobuf
+    wire bytes, dispatches, and deserializes the response bytes — the
+    full gRPC data path minus HTTP/2 framing."""
+
+    def __init__(self, server: RpcServer) -> None:
+        self._server = server
+
+    def unary(self, service: str, method: str, request: dict) -> dict:
+        req_msg, resp_msg, kind = _METHODS[(service, method)]
+        if kind != "unary":
+            raise RpcError("UNIMPLEMENTED", f"{method} is not unary")
+        handler = getattr(self._server, _HANDLERS[(service, method)])
+        wire = _proto.encode(_proto.resolve_message(req_msg), request)
+        resp = handler(_proto.decode(_proto.resolve_message(req_msg), wire))
+        out = _proto.encode(_proto.resolve_message(resp_msg), resp)
+        return _proto.decode(_proto.resolve_message(resp_msg), out)
+
+    def stream(
+        self, service: str, method: str, requests: Iterable[dict]
+    ) -> Iterator[dict]:
+        req_msg, resp_msg, kind = _METHODS[(service, method)]
+        handler = getattr(self._server, _HANDLERS[(service, method)])
+        req_desc = _proto.resolve_message(req_msg)
+        resp_desc = _proto.resolve_message(resp_msg)
+        if kind == "server_stream":
+            wire = _proto.encode(req_desc, next(iter(requests)))
+            responses = handler(_proto.decode(req_desc, wire))
+        else:  # bidirectional stream
+            decoded = (
+                _proto.decode(req_desc, _proto.encode(req_desc, r))
+                for r in requests
+            )
+            responses = handler(decoded)
+        for resp in responses:
+            yield _proto.decode(resp_desc, _proto.encode(resp_desc, resp))
+
+
+class IngestClient:
+    """Typed client of IngestService (the reference ships generated stubs;
+    this is their hand-written python analog)."""
+
+    def __init__(self, channel: LocalChannel) -> None:
+        self._ch = channel
+
+    def ingest(self, *, entity: str, key: str, attribute: str,
+               value: bytes = b"", stamp: int = 0, delete: bool = False,
+               transaction_id: str = "", uuid: str | None = None) -> dict:
+        return self._ch.unary("IngestService", "ingest", {
+            "uuid": uuid or str(_uuid.uuid4()),
+            "entity": entity, "key": key, "attribute": attribute,
+            "value": value, "stamp": stamp, "delete": delete,
+            "transactionId": transaction_id,
+        })
+
+    def ingest_single(self, requests: Iterable[dict]) -> Iterator[dict]:
+        return self._ch.stream("IngestService", "ingestSingle", requests)
+
+    def ingest_bulk(self, bulks: Iterable[dict]) -> Iterator[dict]:
+        return self._ch.stream("IngestService", "ingestBulk", bulks)
+
+    def commit(self, transaction_id: str) -> int:
+        resp = self._ch.unary("IngestService", "commit",
+                              {"transactionId": transaction_id})
+        return int(resp["status"])
+
+
+class RetrieveClient:
+    """Typed client of RetrieveService."""
+
+    def __init__(self, channel: LocalChannel) -> None:
+        self._ch = channel
+
+    def get(self, *, entity: str, key: str, attribute: str,
+            transaction_id: str = "") -> dict:
+        return self._ch.unary("RetrieveService", "get", {
+            "entity": entity, "key": key, "attribute": attribute,
+            "transactionId": transaction_id,
+        })
+
+    def list_attributes(self, *, entity: str, key: str, wildcard_prefix: str,
+                        offset: str = "", limit: int = 0,
+                        transaction_id: str = "") -> dict:
+        return self._ch.unary("RetrieveService", "listAttributes", {
+            "entity": entity, "key": key, "wildcardPrefix": wildcard_prefix,
+            "offset": offset, "limit": limit, "transactionId": transaction_id,
+        })
+
+    def multifetch(self, *, gets: Iterable[dict] = (),
+                   lists: Iterable[dict] = (),
+                   transaction_id: str = "") -> dict:
+        return self._ch.unary("RetrieveService", "multifetch", {
+            "getRequest": list(gets), "listRequest": list(lists),
+            "transactionId": transaction_id,
+        })
+
+    def begin(self, attributes_involved: Iterable[dict] = (),
+              transaction_id: str = "") -> str:
+        resp = self._ch.unary("RetrieveService", "begin", {
+            "attributesInvolved": list(attributes_involved),
+            "transactionId": transaction_id,
+        })
+        return resp["transactionId"]
+
+    def scan(self, *, entity: str, attributes: Iterable[str]) -> Iterator[dict]:
+        return self._ch.stream("RetrieveService", "scan", [{
+            "entity": entity, "attribute": list(attributes),
+        }])

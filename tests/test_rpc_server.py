@@ -1,0 +1,281 @@
+"""Ingest/retrieve RPC façade (reference: rpc/src/main/proto/rpc.proto,
+direct/ingest-server/.../IngestService.java, RetrieveService.java).
+
+Every call here crosses the protobuf wire format through LocalChannel —
+requests and responses are encoded to bytes and decoded back, so the
+message descriptors (field numbers, types, nesting) are exercised exactly
+as a real gRPC transport would."""
+
+import pytest
+
+from proxima_platform_spark.catalog import proto as pproto
+from proxima_platform_spark.catalog.repository import Repository
+from proxima_platform_spark.changelog import CHANGELOG_SCHEMA
+from proxima_platform_spark.server import (
+    IngestClient,
+    LocalChannel,
+    RetrieveClient,
+    RpcError,
+    RpcServer,
+)
+from proxima_platform_spark.server.rpc import (
+    TXN_COMMITTED,
+    TXN_FAILED,
+    TXN_REJECTED,
+)
+from proxima_platform_spark.sources.registry import DataOperator
+
+
+def config():
+    return {
+        "entities": {
+            "user": {
+                "attributes": {
+                    "status": {"scheme": "string"},
+                    "score": {"scheme": "integer"},
+                    "device.*": {"scheme": "bytes"},
+                }
+            }
+        },
+        "attributeFamilies": {
+            "user-log": {
+                "entity": "user",
+                "attributes": ["*"],
+                "storage": "inmem://user-log",
+                "type": "primary",
+                "access": ["commit-log", "batch-updates"],
+            }
+        },
+    }
+
+
+@pytest.fixture()
+def rig(spark):
+    repo = Repository.of(config())
+    op = DataOperator(repo, spark)
+    op.register_inmem("user-log", spark.createDataFrame([], CHANGELOG_SCHEMA))
+    server = RpcServer(op)
+    ch = LocalChannel(server)
+    return IngestClient(ch), RetrieveClient(ch), server
+
+
+class TestWireFormat:
+    def test_ingest_roundtrip_bytes(self):
+        desc = pproto.resolve_message("proxima.rpc.Ingest")
+        msg = {
+            "uuid": "u-1", "entity": "user", "attribute": "device.1",
+            "key": "k", "value": b"\x00\xffpayload", "stamp": 1234567890123,
+            "delete": True, "transactionId": "t-9",
+        }
+        assert pproto.decode(desc, pproto.encode(desc, msg)) == msg
+
+    def test_nested_repeated_messages(self):
+        desc = pproto.resolve_message("proxima.rpc.MultifetchResponse")
+        msg = {
+            "getResponse": [
+                {"status": 200, "statusMessage": "", "value": b"a",
+                 "stamp": 5},
+                {"status": 404, "statusMessage": "missing", "value": b"",
+                 "stamp": 0},
+            ],
+            "listResponse": [
+                {"status": 200, "statusMessage": "", "value": [
+                    {"attribute": "device.1", "value": b"x", "stamp": 7},
+                ]},
+            ],
+        }
+        assert pproto.decode(desc, pproto.encode(desc, msg)) == msg
+
+    def test_scan_result_reserved_field_numbers(self):
+        # rpc.proto reserves 1-4 in ScanResult; the payload rides on 5
+        desc = pproto.resolve_message("proxima.rpc.ScanResult")
+        wire = pproto.encode(desc, {"value": [{"key": "k", "attribute": "a",
+                                               "value": b"v", "stamp": 1}]})
+        # first tag must be field 5, length-delimited
+        assert wire[0] == (5 << 3) | 2
+
+
+class TestIngestService:
+    def test_ingest_then_get(self, rig):
+        ingest, retrieve, _ = rig
+        st = ingest.ingest(entity="user", key="u1", attribute="status",
+                           value=b"active", stamp=1000, uuid="q1")
+        assert (st["uuid"], st["status"]) == ("q1", 200)
+        got = retrieve.get(entity="user", key="u1", attribute="status")
+        assert got["status"] == 200
+        assert got["value"] == b"active"
+        assert got["stamp"] == 1000
+
+    def test_missing_fields_400(self, rig):
+        ingest, _, _ = rig
+        st = ingest.ingest(entity="user", key="", attribute="status")
+        assert st["status"] == 400
+
+    def test_unknown_entity_404(self, rig):
+        ingest, _, _ = rig
+        st = ingest.ingest(entity="ghost", key="k", attribute="status")
+        assert st["status"] == 404
+        assert "ghost" in st["statusMessage"]
+
+    def test_unknown_attribute_404(self, rig):
+        ingest, _, _ = rig
+        st = ingest.ingest(entity="user", key="k", attribute="nope")
+        assert st["status"] == 404
+
+    def test_invalid_scheme_412(self, rig):
+        ingest, _, _ = rig
+        st = ingest.ingest(entity="user", key="k", attribute="score",
+                           value=b"not-a-number")
+        assert st["status"] == 412
+        # deletes are always valid (IngestService.java:393)
+        st = ingest.ingest(entity="user", key="k", attribute="score",
+                           delete=True)
+        assert st["status"] == 200
+
+    def test_wildcard_delete_clears_instances(self, rig):
+        ingest, retrieve, _ = rig
+        for i in (1, 2, 3):
+            ingest.ingest(entity="user", key="u1", attribute=f"device.{i}",
+                          value=b"d%d" % i, stamp=10 * i)
+        listed = retrieve.list_attributes(entity="user", key="u1",
+                                          wildcard_prefix="device")
+        assert [v["attribute"] for v in listed["value"]] == [
+            "device.1", "device.2", "device.3"]
+        # deleteWildcard via attribute == "device.*" + delete
+        st = ingest.ingest(entity="user", key="u1", attribute="device.*",
+                           delete=True, stamp=100)
+        assert st["status"] == 200
+        listed = retrieve.list_attributes(entity="user", key="u1",
+                                          wildcard_prefix="device")
+        assert listed["value"] == []
+
+    def test_ingest_bulk_stream(self, rig):
+        ingest, _, _ = rig
+        bulks = [
+            {"ingest": [
+                {"uuid": "a", "entity": "user", "key": "k1",
+                 "attribute": "status", "value": b"x"},
+                {"uuid": "b", "entity": "user", "key": "",
+                 "attribute": "status", "value": b"y"},
+            ]},
+            {"ingest": [
+                {"uuid": "c", "entity": "nope", "key": "k",
+                 "attribute": "status", "value": b"z"},
+            ]},
+        ]
+        out = list(ingest.ingest_bulk(bulks))
+        statuses = {s["uuid"]: s["status"] for b in out for s in b["status"]}
+        assert statuses == {"a": 200, "b": 400, "c": 404}
+
+
+class TestRetrieveService:
+    def test_get_missing_key_404(self, rig):
+        _, retrieve, _ = rig
+        got = retrieve.get(entity="user", key="absent", attribute="status")
+        assert got["status"] == 404
+
+    def test_get_missing_fields_400(self, rig):
+        _, retrieve, _ = rig
+        assert retrieve.get(entity="user", key="", attribute="status")[
+            "status"] == 400
+
+    def test_list_pagination(self, rig):
+        ingest, retrieve, _ = rig
+        for i in range(5):
+            ingest.ingest(entity="user", key="u1", attribute=f"device.{i}",
+                          value=b"v", stamp=1)
+        page1 = retrieve.list_attributes(entity="user", key="u1",
+                                         wildcard_prefix="device", limit=2)
+        names1 = [v["attribute"] for v in page1["value"]]
+        assert names1 == ["device.0", "device.1"]
+        page2 = retrieve.list_attributes(entity="user", key="u1",
+                                         wildcard_prefix="device",
+                                         offset=names1[-1], limit=2)
+        assert [v["attribute"] for v in page2["value"]] == [
+            "device.2", "device.3"]
+
+    def test_multifetch_preserves_order(self, rig):
+        ingest, retrieve, _ = rig
+        ingest.ingest(entity="user", key="u1", attribute="status", value=b"a",
+                      stamp=1)
+        resp = retrieve.multifetch(gets=[
+            {"entity": "user", "key": "zzz", "attribute": "status"},
+            {"entity": "user", "key": "u1", "attribute": "status"},
+        ], lists=[
+            {"entity": "user", "key": "u1", "wildcardPrefix": "device"},
+        ])
+        assert [g["status"] for g in resp["getResponse"]] == [404, 200]
+        assert resp["getResponse"][1]["value"] == b"a"
+        assert resp["listResponse"][0]["status"] == 200
+
+    def test_scan_streams_chunks(self, rig):
+        ingest, retrieve, server = rig
+        server.SCAN_CHUNK = 2
+        for i in range(5):
+            ingest.ingest(entity="user", key=f"u{i}", attribute="status",
+                          value=b"s%d" % i, stamp=1)
+        chunks = list(retrieve.scan(entity="user", attributes=["status"]))
+        assert [len(c["value"]) for c in chunks] == [2, 2, 1]
+        seen = {kv["key"]: kv["value"] for c in chunks for kv in c["value"]}
+        assert seen == {f"u{i}": b"s%d" % i for i in range(5)}
+
+    def test_scan_unknown_attribute_errors(self, rig):
+        _, retrieve, _ = rig
+        with pytest.raises(RpcError):
+            list(retrieve.scan(entity="user", attributes=["nope"]))
+
+
+class TestRpcTransactions:
+    def test_begin_ingest_commit_then_visible(self, rig):
+        ingest, retrieve, _ = rig
+        txn = retrieve.begin([{"entity": "user", "key": "u1",
+                               "attribute": "status"}])
+        st = ingest.ingest(entity="user", key="u1", attribute="status",
+                           value=b"committed", stamp=5, transaction_id=txn)
+        assert st["status"] == 200
+        # buffered, not yet visible
+        assert retrieve.get(entity="user", key="u1",
+                            attribute="status")["status"] == 404
+        assert ingest.commit(txn) == TXN_COMMITTED
+        got = retrieve.get(entity="user", key="u1", attribute="status")
+        assert (got["status"], got["value"]) == (200, b"committed")
+
+    def test_conflicting_commit_rejected(self, rig):
+        ingest, retrieve, _ = rig
+        t1 = retrieve.begin()
+        t2 = retrieve.begin()
+        # both transactions read u1.status …
+        retrieve.get(entity="user", key="u1", attribute="status",
+                     transaction_id=t1)
+        retrieve.get(entity="user", key="u1", attribute="status",
+                     transaction_id=t2)
+        # … and both write it; first commit wins, second is rejected
+        ingest.ingest(entity="user", key="u1", attribute="status",
+                      value=b"t1", stamp=1, transaction_id=t1)
+        ingest.ingest(entity="user", key="u1", attribute="status",
+                      value=b"t2", stamp=2, transaction_id=t2)
+        assert ingest.commit(t1) == TXN_COMMITTED
+        assert ingest.commit(t2) == TXN_REJECTED
+
+    def test_read_after_commit_204(self, rig):
+        ingest, retrieve, _ = rig
+        txn = retrieve.begin()
+        assert ingest.commit(txn) == TXN_COMMITTED
+        got = retrieve.get(entity="user", key="u1", attribute="status",
+                           transaction_id=txn)
+        assert got["status"] == 204
+
+    def test_commit_unknown_or_duplicate_failed(self, rig):
+        ingest, retrieve, _ = rig
+        assert ingest.commit("no-such-txn") == TXN_FAILED
+        txn = retrieve.begin()
+        assert ingest.commit(txn) == TXN_COMMITTED
+        assert ingest.commit(txn) == TXN_FAILED
+
+    def test_limited_list_in_transaction_400(self, rig):
+        _, retrieve, _ = rig
+        txn = retrieve.begin()
+        resp = retrieve.list_attributes(entity="user", key="u1",
+                                        wildcard_prefix="device", limit=3,
+                                        transaction_id=txn)
+        assert resp["status"] == 400
