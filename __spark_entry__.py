@@ -2895,6 +2895,71 @@ def q_dedup_minhash(spark, sf):
     ).select(F.col("id_a"), F.col("id_b"))
 
 
+def q_dedup_minhash_oph(spark, sf):
+    """One-Permutation-Hashing MinHash candidate pairs (Li-Owen-Zhang'12,
+    rotation densification Shrivastava-Li'14): each shingle hashed ONCE,
+    min per (h mod 8) bin, empty bins borrow cyclically with offset t·2^30,
+    then the same 4-band LSH self-join as dedup_minhash. The 100 TB path:
+    one hash pass over the shingle stream instead of num_hashes."""
+    from proxima_platform_spark.functions.dedup import oph_candidate_pairs
+
+    docs = _load(spark, sf, "documents")
+    return oph_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_bins=8, bands=4
+    ).select(F.col("id_a"), F.col("id_b"))
+
+
+def _sql_dedup_minhash_oph() -> str:
+    """Oracle: identical OPH pipeline — per-doc shingle hash list, list_min
+    per (h % 8) bin (NULL when empty), rotation-densified coalesce chain,
+    md5 band keys, banded self-join."""
+    base = "(('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)"
+    k, c = 8, 1073741824
+    bm = ",\n           ".join(
+        f"list_min([x for x in hh if x % {k} = {j}]) AS m{j}" for j in range(k)
+    )
+    dens = ",\n           ".join(
+        "coalesce("
+        + ", ".join(
+            f"m{(j + t) % k}" + (f" + {t * c}" if t else "") for t in range(k)
+        )
+        + f") AS s{j}"
+        for j in range(k)
+    )
+    bands = ",\n               ".join(
+        f"md5('{b}|' || s{2 * b}::VARCHAR || '|' || s{2 * b + 1}::VARCHAR)"
+        for b in range(4)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                ELSE [] END AS shingles
+    FROM toks
+), hs AS (
+    SELECT doc_id, [{base} for s in shingles] AS hh
+    FROM sh WHERE len(shingles) > 0
+), bm AS (
+    SELECT doc_id,
+           {bm}
+    FROM hs
+), dens AS (
+    SELECT doc_id,
+           {dens}
+    FROM bm
+), banded AS (
+    SELECT doc_id, unnest([{bands}]) AS band FROM dens
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
 def q_dedup_groups(spark, sf):
     """Transitive dedup groups: MinHash/LSH candidate pairs collapsed by
     distributed connected components (alternating large-star/small-star,
@@ -10296,6 +10361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney3_score": q_kneser_ney3_score,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "kneser_ney3_mkn_score": q_kneser_ney3_mkn_score,
+        "dedup_minhash_oph": q_dedup_minhash_oph,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -10796,6 +10862,7 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_score": SQL_KNESER_NEY,
         "kneser_ney3_score": SQL_KNESER_NEY3,
         "kneser_ney3_mkn_score": SQL_KNESER_NEY3_MKN,
+        "dedup_minhash_oph": _sql_dedup_minhash_oph(),
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

@@ -302,6 +302,108 @@ def minhash_candidate_pairs(
     )
 
 
+#: rotation-densification offset constant: strictly above the 30-bit base
+#: hash range, so a borrowed value can never collide with a native one from
+#: a different distance (Shrivastava & Li ICML'14, the C in H_j = M + t*C)
+OPH_DENSIFY_C = 2**30
+
+
+def oph_signature_df(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_bins: int = 8,
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signature (Li, Owen & Zhang NIPS'12;
+    densification per Shrivastava & Li ICML'14 rotation scheme).
+
+    Classic k-hash MinHash evaluates k hash functions per shingle — our
+    exploded form ships #shingles × k rows into the signature aggregation
+    (minhash_signatures_df) or evaluates k affine hashes per shingle row
+    (minhash_candidate_pairs). OPH hashes each shingle ONCE, partitions the
+    hash range into ``num_bins`` bins (bin = h mod k), and takes the min
+    base hash within each bin; an empty bin j borrows cyclically from the
+    first non-empty bin j+t with offset t·C ("rotation densification",
+    which restores the unbiased Jaccard collision estimate). At 100 TB this
+    is the difference between one hash pass over the shingle stream and k:
+    shuffle volume drops k× (only (doc, h) rows move), and the aggregation
+    buffer stays the same fixed-width k-column layout.
+
+    Output: one row per doc, sig_0..sig_{k-1} bigint columns. Docs with
+    fewer than ``n`` tokens have no shingles and drop out (same contract as
+    minhash_candidate_pairs).
+    """
+    tokenized = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    hashed = tokenized.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
+    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
+    # all bins in ONE hash aggregation: fixed-width buffer, map-side combine
+    binned = hashed.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("h") % num_bins == j, F.col("h"))).alias(f"b{j}")
+            for j in range(num_bins)
+        ]
+    )
+    dense = [
+        F.coalesce(
+            *[
+                F.col(f"b{(j + t) % num_bins}") + F.lit(t * OPH_DENSIFY_C)
+                for t in range(num_bins)
+            ]
+        ).alias(f"sig_{j}")
+        for j in range(num_bins)
+    ]
+    return binned.select("id", *dense)
+
+
+def oph_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_bins: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from the OPH signature — the same
+    banded self-join as minhash_candidate_pairs (rows_per_band =
+    num_bins/bands, md5 band keys), built from one hash pass instead of
+    ``num_hashes`` affine evaluations per shingle."""
+    sig = oph_signature_df(docs, id_col, text_col, n=n, num_bins=num_bins)
+    rows_per_band = num_bins // bands
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(b),
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_keys).alias("band")).persist()
+    _BANDED_CACHE.append(banded)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity between two texts (use on LSH
     candidates, never all pairs)."""

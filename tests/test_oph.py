@@ -1,0 +1,110 @@
+"""One-Permutation-Hashing MinHash (functions/dedup.py::oph_signature_df)
+vs a pure-python model: Li-Owen-Zhang'12 binned mins + Shrivastava-Li'14
+rotation densification, bit-exact."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from proxima_platform_spark.functions.dedup import (
+    OPH_DENSIFY_C,
+    oph_candidate_pairs,
+    oph_signature_df,
+)
+
+K = 8
+
+
+def model_signature(text: str, k: int = K, n: int = 3) -> list[int] | None:
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    if len(toks) < n:
+        return None
+    shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**30
+        for s in shingles
+    ]
+    mins = [
+        min((h for h in hs if h % k == j), default=None) for j in range(k)
+    ]
+    sig = []
+    for j in range(k):
+        for t in range(k):
+            v = mins[(j + t) % k]
+            if v is not None:
+                sig.append(v + t * OPH_DENSIFY_C)
+                break
+    return sig
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content about spark execution engines"),
+    (4, "one two three"),  # exactly one shingle → 7 empty bins densified
+    (5, "too short"),  # < n tokens → drops out
+    (6, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+class TestOphSignature:
+    def test_matches_python_model(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {
+            r["id"]: [r[f"sig_{j}"] for j in range(K)]
+            for r in oph_signature_df(df, "doc_id", "text", num_bins=K).collect()
+        }
+        expected = {
+            i: model_signature(t) for i, t in DOCS if model_signature(t)
+        }
+        assert got == expected
+
+    def test_short_docs_drop_out(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        ids = {r["id"] for r in oph_signature_df(df, "doc_id", "text").collect()}
+        assert 5 not in ids
+
+    def test_densification_borrows_with_offset(self):
+        # one shingle → its hash lands in exactly one bin; every other bin
+        # must read that value + t*C for its borrow distance t
+        sig = model_signature("one two three")
+        base_positions = [j for j in range(K) if sig[j] < OPH_DENSIFY_C]
+        assert len(base_positions) == 1
+        j0 = base_positions[0]
+        for j in range(K):
+            t = (j0 - j) % K
+            assert sig[j] == sig[j0] + t * OPH_DENSIFY_C
+
+
+class TestOphPairs:
+    def test_pairs_match_model_banding(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in oph_candidate_pairs(df, "doc_id", "text").collect()
+        }
+        # model: band b key = (b, sig[2b], sig[2b+1]); pair iff any band matches
+        sigs = {i: model_signature(t) for i, t in DOCS if model_signature(t)}
+        expected = set()
+        ids = sorted(sigs)
+        for i in ids:
+            for j in ids:
+                if i < j and any(
+                    sigs[i][2 * b : 2 * b + 2] == sigs[j][2 * b : 2 * b + 2]
+                    for b in range(4)
+                ):
+                    expected.add((i, j))
+        assert (1, 6) in expected  # exact dups always collide
+        assert got == expected
+
+    def test_near_dup_recall_vs_distinct(self, spark):
+        # 1 vs 2 differ by one trailing token — most shingles shared; the
+        # deterministic model decides whether they band-collide, and the
+        # engine must agree. 3 shares nothing with 1 and must never pair.
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in oph_candidate_pairs(df, "doc_id", "text").collect()
+        }
+        assert (1, 3) not in got and (2, 3) not in got
