@@ -2909,6 +2909,178 @@ def q_dedup_minhash_oph(spark, sf):
     ).select(F.col("id_a"), F.col("id_b"))
 
 
+def q_naive_bayes_langid(spark, sf):
+    """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
+    doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
+    ln — training/inference exact end-to-end; the counting-classifier
+    archetype of fastText-style lang/quality gates in data pipelines."""
+    from proxima_platform_spark.functions.classify import naive_bayes_classify
+
+    docs = _load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(
+        train, test, id_col="doc_id", text_col="text", label_col="lang"
+    )
+
+
+SQL_NAIVE_BAYES_LANGID = r"""
+WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr_tok AS (
+    SELECT lang AS c,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM tr
+),
+cwc AS (SELECT c, w, count(*) AS cnt FROM tr_tok GROUP BY 1, 2),
+ctok AS (SELECT c, sum(cnt) AS tc FROM cwc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM cwc),
+cdocs AS (SELECT lang AS c, count(*) AS nc FROM tr GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM tr),
+classes AS (
+    SELECT c, tc, v,
+           round(ln(nc / nd), 8)::DECIMAL(28,10) AS log_prior,
+           round(ln(1.0 / (tc + v)), 8)::DECIMAL(28,10) AS lp_unseen
+    FROM cdocs CROSS JOIN nd JOIN ctok USING (c) CROSS JOIN vocab
+),
+model AS (
+    SELECT c, w,
+           round(ln((cnt + 1) / (tc + v)), 8)::DECIMAL(28,10) AS lp
+    FROM cwc JOIN ctok USING (c) CROSS JOIN vocab
+),
+te_tok AS (
+    SELECT id, w, count(*) AS n FROM (
+        SELECT doc_id AS id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM te
+    ) GROUP BY 1, 2
+),
+ll AS (
+    SELECT t.id, cl.c,
+           sum(t.n * coalesce(m.lp, cl.lp_unseen)) AS ll
+    FROM te_tok t
+    CROSS JOIN classes cl
+    LEFT JOIN model m ON m.c = cl.c AND m.w = t.w
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT id, c AS pred, (ll + log_prior)::DOUBLE AS score,
+           row_number() OVER (
+               PARTITION BY id ORDER BY (ll + log_prior) DESC, c ASC
+           ) AS rn
+    FROM ll JOIN classes USING (c)
+)
+SELECT te.doc_id AS id, te.lang AS label, b.pred, b.score
+FROM te JOIN best b ON b.id = te.doc_id AND b.rn = 1
+"""
+
+
+def q_bleu_dedup_verify(spark, sf):
+    """log-BLEU-2 (Papineni'02) of each MinHash-LSH candidate pair —
+    candidate-pair verification: modified 1/2-gram clipped precision with
+    brevity penalty, all in log space (ln BP = least(0, 1-r/c) is exact
+    rational; each ln p_n quantized at 8dp). High log-BLEU confirms a true
+    near-verbatim pair; low exposes a banding false positive."""
+    from proxima_platform_spark.functions.evalmetrics import log_bleu2_pairs
+
+    docs = _load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    return log_bleu2_pairs(pairs, docs)
+
+
+def _sql_bleu_dedup_verify() -> str:
+    return f"""
+WITH {_sql_minhash_ctes("documents")},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), g1 AS (
+    SELECT doc_id, unnest(t) AS g FROM toks
+), c1 AS (
+    SELECT doc_id, g, count(*) AS cnt FROM g1 GROUP BY 1, 2
+), g2 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN [array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]
+                       ELSE [] END) AS g
+    FROM toks
+), c2 AS (
+    SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2
+), lens AS (
+    SELECT doc_id, len(t) AS l FROM toks
+), s1 AS (
+    SELECT p.id_a, p.id_b,
+           sum(least(cb.cnt, coalesce(ca.cnt, 0)))::BIGINT AS clip1,
+           sum(cb.cnt)::BIGINT AS tot1
+    FROM pairs p
+    JOIN c1 cb ON cb.doc_id = p.id_b
+    LEFT JOIN c1 ca ON ca.doc_id = p.id_a AND ca.g = cb.g
+    GROUP BY 1, 2
+), s2 AS (
+    SELECT p.id_a, p.id_b,
+           sum(least(cb.cnt, coalesce(ca.cnt, 0)))::BIGINT AS clip2,
+           sum(cb.cnt)::BIGINT AS tot2
+    FROM pairs p
+    JOIN c2 cb ON cb.doc_id = p.id_b
+    LEFT JOIN c2 ca ON ca.doc_id = p.id_a AND ca.g = cb.g
+    GROUP BY 1, 2
+)
+SELECT s1.id_a, s1.id_b, clip1, tot1, clip2, tot2,
+       round(least(0.0, 1.0 - ra.l / rb.l)
+             + ((round(ln(clip1 / tot1), 8)::DECIMAL(18,10)
+                 + round(ln(clip2 / tot2), 8)::DECIMAL(18,10))::DOUBLE
+                / 2.0), 6) AS log_bleu2
+FROM s1
+JOIN s2 ON s2.id_a = s1.id_a AND s2.id_b = s1.id_b
+JOIN lens ra ON ra.doc_id = s1.id_a
+JOIN lens rb ON rb.doc_id = s1.id_b
+WHERE clip1 > 0 AND clip2 > 0
+"""
+
+
+def q_zipf_slope(spark, sf):
+    """Zipf rank-frequency OLS fit over the top-100 corpus terms: slope of
+    ln(freq) on ln(rank) (Zipf predicts ~ -1) — corpus-health diagnostic;
+    quantized-ln decimals, exact OLS sums, double closed form."""
+    from proxima_platform_spark.functions.text import zipf_slope
+
+    return zipf_slope(_load(spark, sf, "documents"), top_r=100)
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH counts AS (
+    SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ) GROUP BY 1
+), top AS (
+    SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 100
+), ranked AS (
+    SELECT row_number() OVER (ORDER BY cnt DESC, w) AS r, cnt FROM top
+), xy AS (
+    SELECT round(ln(r), 8)::DECIMAL(18,10) AS x,
+           round(ln(cnt), 8)::DECIMAL(18,10) AS y
+    FROM ranked
+), s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM xy
+), sd AS (
+    SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+           sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd
+    FROM s
+), fin AS (
+    SELECT n, nd, sxd, syd,
+           (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS sl
+    FROM sd
+)
+SELECT n AS n_terms, round(sl, 6) AS slope,
+       round((syd - sl * sxd) / nd, 6) AS intercept
+FROM fin
+"""
+
+
 def _sql_dedup_minhash_oph() -> str:
     """Oracle: identical OPH pipeline — per-doc shingle hash list, list_min
     per (h % 8) bin (NULL when empty), rotation-densified coalesce chain,
@@ -10362,6 +10534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "kneser_ney3_mkn_score": q_kneser_ney3_mkn_score,
         "dedup_minhash_oph": q_dedup_minhash_oph,
+        "naive_bayes_langid": q_naive_bayes_langid,
+        "bleu_dedup_verify": q_bleu_dedup_verify,
+        "zipf_slope": q_zipf_slope,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -10863,6 +11038,9 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney3_score": SQL_KNESER_NEY3,
         "kneser_ney3_mkn_score": SQL_KNESER_NEY3_MKN,
         "dedup_minhash_oph": _sql_dedup_minhash_oph(),
+        "naive_bayes_langid": SQL_NAIVE_BAYES_LANGID,
+        "bleu_dedup_verify": _sql_bleu_dedup_verify(),
+        "zipf_slope": SQL_ZIPF_SLOPE,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

@@ -1,0 +1,121 @@
+"""Count-based text classification: multinomial Naive Bayes.
+
+Extension beyond the reference surface (north star: LLM training-data
+pipelines). A fastText/CLD-class language or quality classifier reduced to
+its exactly-reproducible core: multinomial Naive Bayes with Laplace
+smoothing (McCallum & Nigam AAAI'98 workshop) is pure counting —
+class priors from document counts, per-class token likelihoods from token
+counts — which makes it the one classifier family whose training AND
+inference are exact integer/decimal arithmetic end-to-end (engine-portable,
+oracle-checkable), while still being the standard first-pass lang-ID /
+domain-filter in data pipelines.
+
+Scale shape:
+  * training is two token-stream aggregations — groupBy(class, token) and
+    groupBy(class) — both map-side combined; the model size is bounded by
+    |classes| x |vocab|, independent of corpus size;
+  * scoring joins the test token stream against the model on (token, class)
+    after a x|classes| expansion. |classes| is small for lang-ID/quality
+    gates (<= tens); for large label spaces prune the model to per-class
+    top-K features first;
+  * every ln is quantized (round 8dp -> decimal(18,10); with the count
+    factor at decimal(9,0) the product stays inside precision 38, so Spark
+    never triggers its silent overflow scale-reduction) before summation —
+    scores are exact decimals, order-independent, identical cross-engine
+    (the margin audit in tools/margin_check.py covers the rounding sites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from proxima_platform_spark.functions.dedup import tokens
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train multinomial NB on ``train`` and classify ``test``.
+
+    Model (Laplace add-1):
+        log P(c)   = ln(docs_c / docs_total)
+        log P(w|c) = ln((count(w,c) + 1) / (tokens_c + V))
+    with V = |train vocabulary|; a test token unseen in class c (or in the
+    whole vocabulary) takes the unseen likelihood ln(1 / (tokens_c + V)).
+    score(d,c) = log P(c) + sum_w n_w(d) * log P(w|c); prediction is the
+    argmax, ties broken by smallest label.
+
+    Returns one row per test doc: (id, label (true), pred, score) where
+    score is the winning class's log-score as double.
+    """
+    tr_tok = train.select(
+        F.col(label_col).alias("c"), F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    cwc = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    class_tokens = cwc.groupBy("c").agg(F.sum("cnt").alias("tc"))
+    vocab = cwc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    class_docs = train.groupBy(F.col(label_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    total_docs = train.agg(F.count(F.lit(1)).alias("nd"))
+
+    # per-class frame: prior + unseen likelihood (|classes| rows, broadcast)
+    classes = (
+        class_docs.crossJoin(F.broadcast(total_docs))
+        .join(class_tokens, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "c", "tc", "v",
+            F.round(F.log(F.col("nc") / F.col("nd")), 8)
+            .cast("decimal(18,10)").alias("log_prior"),
+            F.round(F.log(F.lit(1.0) / (F.col("tc") + F.col("v"))), 8)
+            .cast("decimal(18,10)").alias("lp_unseen"),
+        )
+    )
+    # per-(class, token) log likelihood
+    model = (
+        cwc.join(class_tokens, "c")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "c", "w",
+            F.round(F.log((F.col("cnt") + 1) / (F.col("tc") + F.col("v"))), 8)
+            .cast("decimal(18,10)").alias("lp"),
+        )
+    )
+
+    te_tok = (
+        test.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("id", "w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(classes.select("c", "lp_unseen")))
+        .join(model, ["c", "w"], "left")
+        .select(
+            "id", "c",
+            (F.col("n").cast("decimal(9,0)")
+             * F.coalesce(F.col("lp"), F.col("lp_unseen")))
+            .alias("term"),
+        )
+        .groupBy("id", "c").agg(F.sum("term").alias("ll"))
+        .join(classes.select("c", "log_prior"), "c")
+        .select("id", "c", (F.col("ll") + F.col("log_prior")).alias("score"))
+    )
+    # argmax with smallest-label tiebreak: min over (-score, label)
+    best = scored.groupBy("id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b")
+    ).select(
+        "id",
+        F.col("b.c").alias("pred"),
+        (-F.col("b.ns")).cast("double").alias("score"),
+    )
+    return (
+        test.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
+        .join(best, "id")
+    )

@@ -400,3 +400,100 @@ def calibration_bins(
             F.sum("__l").cast("double") / F.count(F.lit(1)), 6
         ).alias("acc"),
     )
+
+
+def log_bleu2_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """log-BLEU-2 of candidate ``id_b`` against reference ``id_a`` for each
+    pair (Papineni et al. ACL'02) — the verification metric for near-dup
+    candidate pairs: a high modified-n-gram precision confirms the LSH
+    candidate as a true near-verbatim pair; a low one exposes a banding
+    false positive.
+
+        p_n   = clipped n-gram matches / candidate n-gram count (n = 1, 2)
+        BP    = min(1, e^(1 - r/c))  (r = ref length, c = cand length)
+        log BLEU-2 = ln BP + (ln p_1 + ln p_2) / 2
+
+    The score stays in LOG space: ln BP = least(0, 1 - r/c) is exact
+    rational arithmetic (no transcendental), and each ln p_n quantizes to
+    8dp decimal before the mean — deterministic, engine-portable doubles.
+    Pairs with zero bigram overlap (ln undefined) are dropped; exact
+    duplicates score 0.
+
+    Scale shape: per-doc n-gram multisets come from one explode→groupBy
+    per order; the pair scoring joins candidate grams to the (bounded) pair
+    list first and left-joins reference counts — work is
+    O(Σ_pairs |grams(cand)|), never corpus-quadratic (pairs are LSH
+    candidates by construction).
+
+    Output: (id_a, id_b, clip1, tot1, clip2, tot2, log_bleu2).
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        src = toked.select(
+            "id",
+            F.explode(
+                F.col("__toks") if n == 1
+                else shingles_from_tokens(F.col("__toks"), n)
+            ).alias("g"),
+        )
+        return src.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+
+    lens = toked.select("id", F.size("__toks").alias("len"))
+    p = pairs.select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b"))
+
+    def order_stats(n: int, clip_name: str, tot_name: str) -> DataFrame:
+        grams = gram_counts(n)
+        cand = p.join(grams.withColumnRenamed("id", "id_b"), "id_b").select(
+            "id_a", "id_b", "g", F.col("cnt").alias("cb")
+        )
+        ref = grams.select(
+            F.col("id").alias("id_a"), "g", F.col("cnt").alias("ca")
+        )
+        return (
+            cand.join(ref, ["id_a", "g"], "left")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(F.least(F.col("cb"), F.coalesce(F.col("ca"), F.lit(0))))
+                .alias(clip_name),
+                F.sum("cb").alias(tot_name),
+            )
+        )
+    s1 = order_stats(1, "clip1", "tot1")
+    s2 = order_stats(2, "clip2", "tot2")
+    joined = (
+        s1.join(s2, ["id_a", "id_b"])
+        .join(lens.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("len", "rlen"), "id_a")
+        .join(lens.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("len", "clen"), "id_b")
+        .where((F.col("clip1") > 0) & (F.col("clip2") > 0))
+    )
+    lp1 = F.round(F.log(F.col("clip1") / F.col("tot1")), 8).cast(
+        "decimal(18,10)"
+    )
+    lp2 = F.round(F.log(F.col("clip2") / F.col("tot2")), 8).cast(
+        "decimal(18,10)"
+    )
+    bp_log = F.least(F.lit(0.0), F.lit(1.0) - F.col("rlen") / F.col("clen"))
+    return joined.select(
+        "id_a", "id_b", "clip1", "tot1", "clip2", "tot2",
+        F.round(
+            bp_log + ((lp1 + lp2).cast("double") / F.lit(2.0)), 6
+        ).alias("log_bleu2"),
+    )

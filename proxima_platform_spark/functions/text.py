@@ -961,3 +961,65 @@ def winnow_decontaminate(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_r: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) over the ``top_r`` most frequent terms (Zipf's law
+    predicts slope ~ -1; strong deviation flags synthetic/boilerplate or
+    tokenizer-mangled corpora — a standard corpus-health diagnostic).
+
+    Exactness: x = round(ln rank, 8) and y = round(ln freq, 8) quantize to
+    decimal(18,10); all OLS sums (Sx, Sy, Sxy, Sxx) are exact decimal
+    arithmetic (products stay inside precision 38); only the closed-form
+    slope/intercept divisions are double ops — deterministic cross-engine.
+
+    Scale shape: one token-count aggregation (map-side combined, bounded by
+    vocabulary size not corpus size), then a TakeOrdered top-``top_r`` by
+    (freq desc, term) — no global sort of the vocabulary; the rank window
+    runs over top_r rows only. Output: one row
+    (n_terms, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.dedup import tokens as _toks
+
+    counts = (
+        docs.select(F.explode(_toks(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w")).limit(top_r)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
+        .alias("r"),
+        "cnt",
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("r")), 8).cast("decimal(18,10)").alias("x"),
+        F.round(F.log(F.col("cnt")), 8).cast("decimal(18,10)").alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -288,3 +288,51 @@ class TestCalibration:
             )
             with pytest.raises(Exception, match="calibration"):
                 calibration_ece(df, bins=10).collect()
+
+
+class TestLogBleu2Pairs:
+    def test_hand_computed_pair(self, spark):
+        from decimal import Decimal
+        import math
+
+        from proxima_platform_spark.functions.evalmetrics import log_bleu2_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),     # reference (6 tokens)
+                (2, "the cat sat on the"),         # candidate (5 tokens)
+                (3, "entirely different words"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a long, id_b long"
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): r
+            for r in log_bleu2_pairs(pairs, docs).collect()
+        }
+        # (1,3): zero overlap at both orders -> dropped
+        assert (1, 3) not in rows
+        r = rows[(1, 2)]
+        # unigrams of cand all present in ref with enough multiplicity
+        assert (r["clip1"], r["tot1"]) == (5, 5)
+        # bigrams: 4 of 4 shared ("the cat","cat sat","sat on","on the")
+        assert (r["clip2"], r["tot2"]) == (4, 4)
+        # p1 = p2 = 1 -> ln p = 0; BP = 1 - 6/5 = -0.2
+        q = lambda x: Decimal(repr(round(math.log(x), 8)))
+        expected = round(
+            min(0.0, 1.0 - 6 / 5) + float(q(1.0) + q(1.0)) / 2.0, 6
+        )
+        assert r["log_bleu2"] == expected
+
+    def test_exact_duplicate_scores_zero(self, spark):
+        from proxima_platform_spark.functions.evalmetrics import log_bleu2_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        [r] = log_bleu2_pairs(pairs, docs).collect()
+        assert r["log_bleu2"] == 0.0

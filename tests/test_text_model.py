@@ -922,3 +922,30 @@ class TestContainmentPairs:
             containment_pairs(df, threshold=0.0)
         with pytest.raises(ValueError, match="n must"):
             containment_pairs(df, n=0)
+
+
+class TestZipfSlope:
+    def test_matches_python_ols(self, spark):
+        import math
+        from decimal import Decimal
+
+        from proxima_platform_spark.functions.text import zipf_slope
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a b b b c c d"), (2, "a a b c d e f g")],
+            "doc_id long, text string",
+        )
+        [row] = zipf_slope(docs, top_r=5).collect()
+        # counts: a=6 b=4 c=3 d=2 e=1 f=1 g=1 -> top5 by (cnt desc, w):
+        # a6 b4 c3 d2 e1
+        q = lambda v: Decimal(repr(round(math.log(v), 8)))
+        pts = [(q(r), q(c)) for r, c in [(1, 6), (2, 4), (3, 3), (4, 2), (5, 1)]]
+        n = float(len(pts))
+        sx = float(sum(p[0] for p in pts)); sy = float(sum(p[1] for p in pts))
+        sxy = float(sum(p[0] * p[1] for p in pts))
+        sxx = float(sum(p[0] * p[0] for p in pts))
+        sl = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert row["n_terms"] == 5
+        assert row["slope"] == round(sl, 6)
+        assert row["intercept"] == round((sy - sl * sx) / n, 6)
+        assert row["slope"] < 0  # frequency decreasing in rank
