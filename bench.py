@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     # r10 additions
     "kneser_ney3_score",
     "ann_multiprobe_topk",
+    "dedup_minhash_oph",
+    "naive_bayes_langid",
+    "bleu_dedup_verify",
+    "zipf_slope",
 ]
 
 
