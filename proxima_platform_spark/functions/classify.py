@@ -10,6 +10,12 @@ inference are exact integer/decimal arithmetic end-to-end (engine-portable,
 oracle-checkable), while still being the standard first-pass lang-ID /
 domain-filter in data pipelines.
 
+The model factors into SUFFICIENT STATISTICS (token counts per (class,
+token) and document counts per class — both additive) plus a scoring step;
+:func:`nb_counts` / :func:`nb_classify_from_counts` expose that split so
+the streaming maintainer (streaming/classify_stream.py) folds micro-batches
+into the same count frames and classifies identically to the batch path.
+
 Scale shape:
   * training is two token-stream aggregations — groupBy(class, token) and
     groupBy(class) — both map-side combined; the model size is bounded by
@@ -32,15 +38,38 @@ from pyspark.sql import DataFrame, functions as F
 from proxima_platform_spark.functions.dedup import tokens
 
 
-def naive_bayes_classify(
+def nb_counts(
     train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> tuple[DataFrame, DataFrame]:
+    """The model's sufficient statistics: (cwc, cdocs) where cwc =
+    (c, w, cnt) token counts per (class, token) and cdocs = (c, nc)
+    document counts per class. Both are ADDITIVE — a union of corpora sums
+    them — which is what makes the streaming maintainer exact."""
+    tr_tok = train.select(
+        F.col(label_col).alias("c"), F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    cwc = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cdocs = train.groupBy(F.col(label_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    return cwc, cdocs
+
+
+def nb_classify_from_counts(
+    cwc: DataFrame,
+    cdocs: DataFrame,
     test: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
 ) -> DataFrame:
-    """Train multinomial NB on ``train`` and classify ``test``.
+    """Classify ``test`` from the sufficient-statistic frames.
 
     Model (Laplace add-1):
         log P(c)   = ln(docs_c / docs_total)
@@ -53,21 +82,13 @@ def naive_bayes_classify(
     Returns one row per test doc: (id, label (true), pred, score) where
     score is the winning class's log-score as double.
     """
-    tr_tok = train.select(
-        F.col(label_col).alias("c"), F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("w"),
-    )
-    cwc = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
     class_tokens = cwc.groupBy("c").agg(F.sum("cnt").alias("tc"))
     vocab = cwc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
-    class_docs = train.groupBy(F.col(label_col).alias("c")).agg(
-        F.count(F.lit(1)).alias("nc")
-    )
-    total_docs = train.agg(F.count(F.lit(1)).alias("nd"))
+    total_docs = cdocs.agg(F.sum("nc").alias("nd"))
 
     # per-class frame: prior + unseen likelihood (|classes| rows, broadcast)
     classes = (
-        class_docs.crossJoin(F.broadcast(total_docs))
+        cdocs.crossJoin(F.broadcast(total_docs))
         .join(class_tokens, "c")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -118,4 +139,24 @@ def naive_bayes_classify(
     return (
         test.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
         .join(best, "id")
+    )
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train multinomial NB on ``train`` and classify ``test`` (the one-shot
+    batch form; see :func:`nb_counts` / :func:`nb_classify_from_counts` for
+    the factored path the streaming maintainer shares)."""
+    cwc, cdocs = nb_counts(
+        train, id_col=id_col, text_col=text_col, label_col=label_col
+    )
+    return nb_classify_from_counts(
+        cwc, cdocs, test, id_col=id_col, text_col=text_col,
+        label_col=label_col,
     )

@@ -2885,3 +2885,65 @@ class TestWatermarkIdlePolicies:
 
         with pytest.raises(ValueError, match="shift_ms"):
             ShiftedWatermark(mp, shift_ms=-1)
+
+
+class TestContinuousNaiveBayes:
+    TRAIN = [
+        (1, "spark spark shuffle", "tech"),
+        (2, "spark join agg", "tech"),
+        (3, "goal match score", "sport"),
+        (4, "match match goal", "sport"),
+        (5, "window agg shuffle", "tech"),
+        (6, "score goal referee", "sport"),
+    ]
+    TEST = [
+        (10, "spark shuffle shuffle", "tech"),
+        (11, "goal goal match", "sport"),
+        (12, "unseen words only", "tech"),
+    ]
+
+    def _maintainer(self, spark, tmp_path, **kw):
+        from proxima_platform_spark.streaming.classify_stream import (
+            ContinuousNaiveBayes,
+        )
+
+        return ContinuousNaiveBayes(spark, str(tmp_path / "nb"), **kw)
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_union_equality_across_batches(self, spark, tmp_path):
+        from proxima_platform_spark.functions.classify import (
+            naive_bayes_classify,
+        )
+
+        nb = self._maintainer(spark, tmp_path, compact_every=2)
+        # three batches, middle one triggers a compaction
+        for i, lo in enumerate([(0, 2), (2, 4), (4, 6)]):
+            nb.update(self._df(spark, self.TRAIN[lo[0]:lo[1]]), batch_id=i)
+        test = self._df(spark, self.TEST)
+        got = sorted(
+            tuple(r) for r in nb.classify(test).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in naive_bayes_classify(
+                self._df(spark, self.TRAIN), test
+            ).collect()
+        )
+        assert got == want
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        nb = self._maintainer(spark, tmp_path)
+        b = self._df(spark, self.TRAIN[:3])
+        nb.update(b, batch_id=0)
+        before = sorted(tuple(r) for r in nb.counts()[0].collect())
+        nb.update(b, batch_id=0)  # replay: must not double-count
+        after = sorted(tuple(r) for r in nb.counts()[0].collect())
+        assert before == after
+
+    def test_empty_state_returns_none(self, spark, tmp_path):
+        nb = self._maintainer(spark, tmp_path)
+        assert nb.classify(self._df(spark, self.TEST)) is None
