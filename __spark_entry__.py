@@ -2909,6 +2909,152 @@ def q_dedup_minhash_oph(spark, sf):
     ).select(F.col("id_a"), F.col("id_b"))
 
 
+def q_kneser_ney5_score(spark, sf):
+    """Interpolated Kneser-Ney 5-GRAM LM fluency per document — the full
+    KenLM order CCNet's filter runs: recursion through orders 5..1 with
+    continuation counts below the top; exact int64 counts, one quantized
+    ln, margin-audited (functions/ranking.py::kneser_ney5_scores)."""
+    from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+
+    return kneser_ney5_scores(_load(spark, sf, "documents"))
+
+
+def q_kneser_ney5_mkn_score(spark, sf):
+    """MODIFIED Kneser-Ney 5-gram (Chen-Goodman three-discount estimator at
+    every order 5..2, the estimator KenLM ships) — count-of-count discounts
+    as broadcast 1-row frames, D by count class, loud degenerate guard."""
+    from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+
+    return kneser_ney5_scores(_load(spark, sf, "documents"), modified=True)
+
+
+def _sql_kneser_ney5(modified: bool) -> str:
+    """Oracle generator mirroring kneser_ney5_scores' exact expression
+    tree (same parenthesization, same quantization) at order 5."""
+    N = 5
+    W = [f"w{i}" for i in range(1, N + 1)]
+    cnt = {5: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
+    keys = {k: W[N - k:] for k in range(1, N + 1)}
+    ctx_keys = {k: W[N - k: N - 1] for k in range(2, N + 1)}
+
+    ctes = [
+        r"""t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+)""",
+        """g AS (
+    SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
+           tk[i+3] AS w4, tk[i+4] AS w5
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t
+          WHERE len(tk) >= 5)
+)""",
+        # AS MATERIALIZED: each count table is referenced 3-4 times (next
+        # order, its ctx, its count-of-counts, the scored join); DuckDB
+        # would otherwise inline-re-evaluate the whole upstream chain per
+        # reference — multiplicative blowup across 5 orders
+        f"""c5t AS MATERIALIZED (
+    SELECT {', '.join(W)}, count(*) AS c5 FROM g GROUP BY ALL
+)""",
+    ]
+    for k in range(N - 1, 0, -1):
+        ctes.append(
+            f"""{cnt[k]}t AS MATERIALIZED (
+    SELECT {', '.join(keys[k])}, count(*) AS {cnt[k]}
+    FROM {cnt[k + 1]}t GROUP BY ALL
+)"""
+        )
+    ctes.append("ntott AS (\n    SELECT count(*) AS ntot FROM cc2t\n)")
+    for k in range(2, N + 1):
+        if modified:
+            extra = (
+                f"count(*) FILTER (WHERE {cnt[k]} = 1) AS e1_{k},\n"
+                f"           count(*) FILTER (WHERE {cnt[k]} = 2) AS e2_{k},\n"
+                f"           count(*) FILTER (WHERE {cnt[k]} >= 3) AS e3_{k}"
+            )
+        else:
+            extra = f"count(*) AS n1_{k}"
+        ctes.append(
+            f"""ctx{k} AS (
+    SELECT {', '.join(ctx_keys[k])}, sum({cnt[k]}) AS tot{k},
+           {extra}
+    FROM {cnt[k]}t GROUP BY ALL
+)"""
+        )
+    if modified:
+        for k in range(2, N + 1):
+            ctes.append(
+                f"""cls{k} AS (
+    SELECT count(*) FILTER (WHERE {cnt[k]} = 1) AS n1,
+           count(*) FILTER (WHERE {cnt[k]} = 2) AS n2,
+           count(*) FILTER (WHERE {cnt[k]} = 3) AS n3,
+           count(*) FILTER (WHERE {cnt[k]} = 4) AS n4
+    FROM {cnt[k]}t
+), y{k} AS (
+    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls{k}
+), d{k} AS (
+    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o{k},
+           2.0 - 3.0 * y * n3 / n2 AS dd2_o{k},
+           3.0 - 4.0 * y * n4 / n3 AS dd3_o{k}
+    FROM y{k}
+)"""
+            )
+
+    p = "(cc1::DOUBLE / ntot)"
+    for k in range(2, N + 1):
+        c = cnt[k]
+        if modified:
+            dsel = (
+                f"(CASE WHEN {c} = 1 THEN dd1_o{k} "
+                f"WHEN {c} = 2 THEN dd2_o{k} ELSE dd3_o{k} END)"
+            )
+            lam = (
+                f"((dd1_o{k} * e1_{k} + dd2_o{k} * e2_{k}"
+                f" + dd3_o{k} * e3_{k}) / tot{k})"
+            )
+            p = (
+                f"(greatest({c} - {dsel}, 0.0) / tot{k}\n"
+                f"              + {lam} * {p})"
+            )
+        else:
+            p = (
+                f"(greatest({c} - 0.75, 0.0) / tot{k}\n"
+                f"              + (0.75 * n1_{k} / tot{k}) * {p})"
+            )
+    # strip the outermost parens so ln(...) wraps the same tree
+    p = p[1:-1]
+    dp = 6 if modified else 8
+    out = "kn5_mkn_score" if modified else "kn5_score"
+    joins = ["FROM g", f"    JOIN c5t USING ({', '.join(W)})"]
+    for k in range(N, 1, -1):
+        if k < N:
+            joins.append(f"    JOIN {cnt[k]}t USING ({', '.join(keys[k])})")
+        joins.append(f"    JOIN ctx{k} USING ({', '.join(ctx_keys[k])})")
+    joins.append("    JOIN cc1t USING (w5)")
+    joins.append("    CROSS JOIN ntott")
+    if modified:
+        for k in range(2, N + 1):
+            joins.append(f"    CROSS JOIN d{k}")
+    m = 10 ** (dp - 6)
+    return (
+        "\nWITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT g.doc_id,
+           round(ln({p}), {dp})::DECIMAL(28,10) AS lp
+    {chr(10).join(joins)}
+),
+per AS (
+    SELECT doc_id, (sum(lp) * {10 ** dp})::BIGINT AS su, count(*) AS cnt
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN su < 0 THEN -1 ELSE 1 END)
+       * ((2 * abs(su) + {m} * cnt) // (2 * {m} * cnt)) / 1000000.0 AS {out}
+FROM per
+"""
+    )
+
+
 def q_naive_bayes_langid(spark, sf):
     """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
     doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
@@ -10537,6 +10683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes_langid": q_naive_bayes_langid,
         "bleu_dedup_verify": q_bleu_dedup_verify,
         "zipf_slope": q_zipf_slope,
+        "kneser_ney5_score": q_kneser_ney5_score,
+        "kneser_ney5_mkn_score": q_kneser_ney5_mkn_score,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11041,6 +11189,8 @@ def oracle_sql() -> dict[str, str]:
         "naive_bayes_langid": SQL_NAIVE_BAYES_LANGID,
         "bleu_dedup_verify": _sql_bleu_dedup_verify(),
         "zipf_slope": SQL_ZIPF_SLOPE,
+        "kneser_ney5_score": _sql_kneser_ney5(False),
+        "kneser_ney5_mkn_score": _sql_kneser_ney5(True),
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

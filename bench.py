@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "naive_bayes_langid",
     "bleu_dedup_verify",
     "zipf_slope",
+    "kneser_ney5_score",
+    "kneser_ney5_mkn_score",
 ]
 
 

@@ -656,3 +656,184 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi").desc(), "v", "w"
     ).limit(top_k)
+
+
+def kneser_ney5_scores(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    modified: bool = False,
+) -> DataFrame:
+    """Interpolated Kneser-Ney 5-GRAM LM fluency score per document — the
+    full KenLM order (Heafield'11) that CCNet's quality filter actually
+    runs (Wenzek'20). The complete recursion of :func:`kneser_ney3_scores`
+    extended through orders 5→4→3→2→1: the top order runs on raw 5-gram
+    counts; every lower order k runs on CONTINUATION counts — the distinct
+    left-extension types of the (k+1)-order TYPE table (Kneser & Ney'95;
+    Chen & Goodman'98 eq. 18):
+
+        P_k(w|ctx) = max(c_k(ctx,w) − D, 0)/c_k(ctx·)
+                     + D·N1+(ctx·)/c_k(ctx·) · P_{k-1}(w|ctx′)
+        P_1(w)     = N1+(·,w) / N1+(··)     (over bigram types)
+
+    Scoring only observed 5-grams (corpus self-scoring) keeps every join
+    exact: each observed 5-gram witnesses all of its suffix type entries.
+
+        score(d) = mean over d's 5-grams of round(ln P₅, 8)
+
+    ``modified=True`` applies the Chen-Goodman'98 three-discount estimator
+    at EVERY order 5..2 (the estimator KenLM ships): D₁/D₂/D₃₊ per order
+    from that order's count-of-counts n₁..n₄ (broadcast 1-row frames),
+    D selected by each gram's own count class, λ(ctx) =
+    (D₁N₁(ctx·)+D₂N₂(ctx·)+D₃₊N₃₊(ctx·))/c(ctx·); degenerate corpora
+    (an empty n₁/n₂/n₃ class at any order) raise loudly. Output column
+    ``kn5_mkn_score`` (vs ``kn5_score``); modified rounds lp at 6 dp
+    (the kn3_mkn margin rationale — fine grids trip the 1000-ulp audit).
+
+    Engine portability: exact int64 counts, one quantized ln, fixed IEEE
+    parenthesization mirrored in the oracle, margin-audited.
+
+    Scale shape: one 5-gram count agg plus eight bounded type/context
+    aggs — every table keyed by gram/context TYPES (sublinear in corpus
+    size); scoring joins doc 5-gram occurrences against them (AQE
+    broadcasts the bounded sides) and reduces per doc. Nine keyed joins,
+    zero pairwise products — the deepest instance of the BM25 join shape.
+    """
+    from proxima_platform_spark.functions.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    N = 5
+    W = [f"w{i}" for i in range(1, N + 1)]
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text)).alias("__t")
+    ).where(F.size("__t") >= N)
+    grams = toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__t"), N)).alias("g")
+    ).select(
+        id_col,
+        *[
+            F.element_at(F.split("g", " ", -1), i + 1).alias(W[i])
+            for i in range(N)
+        ],
+    )
+    # order-k count tables: raw at k=N, continuation (type-left-extension
+    # counts over the (k+1)-order type table) below
+    cnt_col = {N: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
+    tables = {N: grams.groupBy(*W).agg(F.count(F.lit(1)).alias("c5"))}
+    for k in range(N - 1, 0, -1):
+        keys = W[N - k:]  # the last k gram positions
+        tables[k] = tables[k + 1].groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(cnt_col[k])
+        )
+    ntot = tables[2].agg(F.count(F.lit(1)).alias("ntot"))
+
+    if modified:
+        def _disc(cnt_df, cnt: str, tag: str):
+            cls = cnt_df.agg(
+                F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
+                F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
+                F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
+                F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
+            )
+            guard = F.when(
+                (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0),
+                F.raise_error(
+                    F.lit(
+                        f"kneser_ney5_scores(modified): {tag} count-of-"
+                        "counts n1/n2/n3 must all be > 0 (the discount"
+                        " formulas divide by them) — corpus too small/"
+                        "degenerate for modified KN; use modified=False"
+                    )
+                ),
+            ).otherwise(
+                F.col("n1").cast("double")
+                / (F.col("n1") + F.lit(2) * F.col("n2"))
+            )
+            y = cls.select("n1", "n2", "n3", "n4", guard.alias("y"))
+            return y.select(
+                (F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1"))
+                .alias(f"dd1_{tag}"),
+                (F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2"))
+                .alias(f"dd2_{tag}"),
+                (F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3"))
+                .alias(f"dd3_{tag}"),
+            )
+
+        discs = {k: _disc(tables[k], cnt_col[k], f"o{k}") for k in range(2, N + 1)}
+        ctxs = {
+            k: tables[k].groupBy(*W[N - k: N - 1]).agg(
+                F.sum(cnt_col[k]).alias(f"tot{k}"),
+                F.count(F.when(F.col(cnt_col[k]) == 1, 1)).alias(f"e1_{k}"),
+                F.count(F.when(F.col(cnt_col[k]) == 2, 1)).alias(f"e2_{k}"),
+                F.count(F.when(F.col(cnt_col[k]) >= 3, 1)).alias(f"e3_{k}"),
+            )
+            for k in range(2, N + 1)
+        }
+    else:
+        ctxs = {
+            k: tables[k].groupBy(*W[N - k: N - 1]).agg(
+                F.sum(cnt_col[k]).alias(f"tot{k}"),
+                F.count(F.lit(1)).alias(f"n1_{k}"),
+            )
+            for k in range(2, N + 1)
+        }
+
+    # probability expression, built bottom-up with the kn3 parenthesization
+    p = F.col("cc1").cast("double") / F.col("ntot")
+    d = F.lit(float(discount))
+    for k in range(2, N + 1):
+        cnt = F.col(cnt_col[k])
+        tot = F.col(f"tot{k}")
+        if modified:
+            dsel = (
+                F.when(cnt == 1, F.col(f"dd1_o{k}"))
+                .when(cnt == 2, F.col(f"dd2_o{k}"))
+                .otherwise(F.col(f"dd3_o{k}"))
+            )
+            lam = (
+                F.col(f"dd1_o{k}") * F.col(f"e1_{k}")
+                + F.col(f"dd2_o{k}") * F.col(f"e2_{k}")
+                + F.col(f"dd3_o{k}") * F.col(f"e3_{k}")
+            ) / tot
+            p = F.greatest(cnt - dsel, F.lit(0.0)) / tot + lam * p
+        else:
+            p = (
+                F.greatest(cnt - d, F.lit(0.0)) / tot
+                + (d * F.col(f"n1_{k}") / tot) * p
+            )
+
+    scored = grams
+    for k in range(N, 1, -1):
+        scored = scored.join(tables[k], W[N - k:])
+        scored = scored.join(ctxs[k], W[N - k: N - 1])
+    scored = scored.join(tables[1], W[N - 1:]).crossJoin(F.broadcast(ntot))
+    if modified:
+        for k in range(2, N + 1):
+            scored = scored.crossJoin(F.broadcast(discs[k]))
+        out_col, dp = "kn5_mkn_score", 6
+    else:
+        out_col, dp = "kn5_score", 8
+    scored = scored.select(
+        id_col, F.round(F.log(p), dp).cast("decimal(28,10)").alias("lp")
+    )
+    # ENGINE-STABLE MEAN: each lp is an exact multiple of 10^-dp, so the
+    # per-doc sum is an exact integer at that scale; the 6dp mean is then
+    # pure integer round-half-away (the survival_km recipe) instead of
+    # round(double, 6) — whose boundary behavior differs between engines
+    # and flipped one sf0.01 doc for the modified variant.
+    m = 10 ** (dp - 6)  # lp scale units per output micro-unit
+    per = scored.groupBy(id_col).agg(
+        (F.sum("lp") * F.lit(10 ** dp)).cast("long").alias("su"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    q = F.expr(f"(2 * abs(su) + {m} * cnt) DIV (2 * {m} * cnt)")
+    sign = F.when(F.col("su") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return per.select(
+        id_col, ((sign * q) / F.lit(1000000.0)).alias(out_col)
+    )

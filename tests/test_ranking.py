@@ -731,3 +731,156 @@ class TestPmiBigrams:
             pmi_bigrams(docs, min_count=0)
         with pytest.raises(ValueError, match="top_k"):
             pmi_bigrams(docs, top_k=0)
+
+
+def _kn5_model(rows, discount=0.75, modified=False):
+    """Pure-python replay of kneser_ney5_scores: full 5..1 recursion,
+    quantized lps, exact-integer round-half-away mean."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    grams_per_doc = {}
+    c5 = Counter()
+    for did, txt in rows:
+        t = txt.split()
+        gs = [tuple(t[i: i + 5]) for i in range(len(t) - 4)] if len(t) >= 5 else []
+        grams_per_doc[did] = gs
+        c5.update(gs)
+    tables = {5: c5}
+    for k in (4, 3, 2, 1):
+        tk = Counter()
+        for g in tables[k + 1]:
+            tk[g[1:]] += 1
+        tables[k] = tk
+    ntot = len(tables[2])
+    tot, n1, ecls = {}, {}, {}
+    for k in range(2, 6):
+        tot[k], n1[k] = defaultdict(int), defaultdict(int)
+        ecls[k] = defaultdict(lambda: [0, 0, 0])
+        for g, c in tables[k].items():
+            ctx = g[:-1]
+            tot[k][ctx] += c
+            n1[k][ctx] += 1
+            ecls[k][ctx][min(c, 3) - 1] += 1
+    dd = {}
+    if modified:
+        for k in range(2, 6):
+            cls = Counter(tables[k].values())
+            nn = [cls.get(i, 0) for i in (1, 2, 3, 4)]
+            if nn[0] == 0 or nn[1] == 0 or nn[2] == 0:
+                raise ValueError("degenerate")
+            y = nn[0] / (nn[0] + 2 * nn[1])
+            dd[k] = (
+                1.0 - 2.0 * y * nn[1] / nn[0],
+                2.0 - 3.0 * y * nn[2] / nn[1],
+                3.0 - 4.0 * y * nn[3] / nn[2],
+            )
+    dp = 6 if modified else 8
+    out = {}
+    for did, gs in grams_per_doc.items():
+        if not gs:
+            continue
+        su = Decimal(0)
+        for g in gs:
+            p = tables[1][g[4:]] / ntot
+            for k in range(2, 6):
+                sub = g[5 - k:]
+                ctx = sub[:-1]
+                c = tables[k][sub]
+                t_ = tot[k][ctx]
+                if modified:
+                    d1, d2, d3 = dd[k]
+                    dsel = d1 if c == 1 else (d2 if c == 2 else d3)
+                    e1, e2, e3 = ecls[k][ctx]
+                    lam = (d1 * e1 + d2 * e2 + d3 * e3) / t_
+                    p = max(c - dsel, 0.0) / t_ + lam * p
+                else:
+                    p = (
+                        max(c - discount, 0.0) / t_
+                        + (discount * n1[k][ctx] / t_) * p
+                    )
+            su += Decimal(repr(round(math.log(p), dp)))
+        cnt = len(gs)
+        m = 10 ** (dp - 6)
+        su_i = int(su * 10 ** dp)
+        q = (2 * abs(su_i) + m * cnt) // (2 * m * cnt)
+        out[did] = (-q if su_i < 0 else q) / 1e6
+    return out
+
+
+class TestKneserNey5:
+    """Order-5 interpolated KN: pure-python full-recursion parity (both
+    variants), short-doc dropout, degenerate guard."""
+
+    @staticmethod
+    def _corpus():
+        # deterministic pseudo-random base (vocab 40: rich order-2/3 count
+        # classes) + crafted repeats that populate the order-4/5 classes the
+        # modified estimator divides by (n1/n2/n3 per order)
+        rows, x = [], 12345
+        for did in range(50):
+            toks = []
+            for _ in range(80):
+                x ^= (x << 13) & 0xFFFFFFFF
+                x ^= x >> 17
+                x ^= (x << 5) & 0xFFFFFFFF
+                toks.append(f"w{x % 40}")
+            rows.append((did, " ".join(toks)))
+        rows += [
+            (100, "qa qb qc qd qe"),  # 5-gram count 2  -> o5 n2
+            (101, "qa qb qc qd qe"),
+            (102, "ra rb rc rd re"),  # 5-gram count 3  -> o5 n3
+            (103, "ra rb rc rd re"),
+            (104, "ra rb rc rd re"),
+            (105, "xa sa sb sc sd"),  # 3 lefts of (sa..sd) -> o4 n3
+            (106, "xb sa sb sc sd"),
+            (107, "xc sa sb sc sd"),
+            (108, "ya ta tb tc td"),  # 2 lefts -> o4 n2
+            (109, "yb ta tb tc td"),
+            (110, "za ma ua ub uc"),  # 3 distinct w2 of (ua,ub,uc) -> o3 n3
+            (111, "za mb ua ub uc"),
+            (112, "za mc ua ub uc"),
+        ]
+        rows.append((999, "a b c"))  # < 5 tokens: drops out
+        return rows
+
+    def test_matches_python_model(self, spark):
+        from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["kn5_score"]
+            for r in kneser_ney5_scores(df).collect()
+        }
+        want = _kn5_model(rows)
+        assert set(got) == set(want)
+        assert 999 not in got
+        for did in want:
+            assert abs(got[did] - want[did]) < 1e-9, did
+
+    def test_modified_matches_python_model(self, spark):
+        from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["kn5_mkn_score"]
+            for r in kneser_ney5_scores(df, modified=True).collect()
+        }
+        want = _kn5_model(rows, modified=True)
+        assert set(got) == set(want)
+        for did in want:
+            assert abs(got[did] - want[did]) < 1e-9, did
+
+    def test_modified_degenerate_guard(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string"
+        )
+        with _pytest.raises(Exception, match="count-of-"):
+            kneser_ney5_scores(df, modified=True).collect()
