@@ -2990,13 +2990,18 @@ def _sql_kneser_ney5(modified: bool) -> str:
            count(*) FILTER (WHERE {cnt[k]} = 3) AS n3,
            count(*) FILTER (WHERE {cnt[k]} = 4) AS n4
     FROM {cnt[k]}t
-), y{k} AS (
-    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls{k}
 ), d{k} AS (
-    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o{k},
-           2.0 - 3.0 * y * n3 / n2 AS dd2_o{k},
-           3.0 - 4.0 * y * n4 / n3 AS dd3_o{k}
-    FROM y{k}
+    -- degenerate order -> KenLM --discount_fallback defaults
+    SELECT CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.5
+                ELSE 1.0 - 2.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n2 / n1
+           END AS dd1_o{k},
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.0
+                ELSE 2.0 - 3.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n3 / n2
+           END AS dd2_o{k},
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.5
+                ELSE 3.0 - 4.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n4 / n3
+           END AS dd3_o{k}
+    FROM cls{k}
 )"""
             )
 

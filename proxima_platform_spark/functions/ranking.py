@@ -687,19 +687,23 @@ def kneser_ney5_scores(
     at EVERY order 5..2 (the estimator KenLM ships): D₁/D₂/D₃₊ per order
     from that order's count-of-counts n₁..n₄ (broadcast 1-row frames),
     D selected by each gram's own count class, λ(ctx) =
-    (D₁N₁(ctx·)+D₂N₂(ctx·)+D₃₊N₃₊(ctx·))/c(ctx·); degenerate corpora
-    (an empty n₁/n₂/n₃ class at any order) raise loudly. Output column
-    ``kn5_mkn_score`` (vs ``kn5_score``); modified rounds lp at 6 dp
-    (the kn3_mkn margin rationale — fine grids trip the 1000-ulp audit).
+    (D₁N₁(ctx·)+D₂N₂(ctx·)+D₃₊N₃₊(ctx·))/c(ctx·). An order whose n₁/n₂/n₃
+    class is empty takes KenLM's ``--discount_fallback`` defaults
+    (D₁=0.5, D₂=1.0, D₃₊=1.5) — degeneracy is NOT a small-corpus
+    artifact: order-2 continuation counts saturate past count 4 on LARGE
+    corpora (observed at sf0.1), so the estimator must be total. Output
+    column ``kn5_mkn_score`` (vs ``kn5_score``); modified rounds lp at
+    6 dp (the kn3_mkn margin rationale — fine grids trip the audit).
 
     Engine portability: exact int64 counts, one quantized ln, fixed IEEE
     parenthesization mirrored in the oracle, margin-audited.
 
     Scale shape: one 5-gram count agg plus eight bounded type/context
     aggs — every table keyed by gram/context TYPES (sublinear in corpus
-    size); scoring joins doc 5-gram occurrences against them (AQE
-    broadcasts the bounded sides) and reduces per doc. Nine keyed joins,
-    zero pairwise products — the deepest instance of the BM25 join shape.
+    size). The nine stats joins assemble ln P₅ per 5-gram TYPE (bounded
+    table × bounded tables; AQE broadcasts); the occurrence stream then
+    crosses exactly ONE join — grams → (type, lp) — and reduces per doc.
+    Zero pairwise products — the deepest instance of the BM25 join shape.
     """
     from proxima_platform_spark.functions.dedup import (
         shingles_from_tokens,
@@ -735,33 +739,39 @@ def kneser_ney5_scores(
 
     if modified:
         def _disc(cnt_df, cnt: str, tag: str):
+            # a count-of-counts class hitting zero makes the Chen-Goodman
+            # estimates undefined at that order; KenLM's --discount_fallback
+            # substitutes fixed discounts (0.5 / 1.0 / 1.5) — an order can
+            # go degenerate at ANY corpus size (order-2 continuation counts
+            # saturate past count 4 on large corpora: observed live at
+            # sf0.1), so raising would make the operator partial
             cls = cnt_df.agg(
                 F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
                 F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
                 F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
                 F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
             )
-            guard = F.when(
-                (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0),
-                F.raise_error(
-                    F.lit(
-                        f"kneser_ney5_scores(modified): {tag} count-of-"
-                        "counts n1/n2/n3 must all be > 0 (the discount"
-                        " formulas divide by them) — corpus too small/"
-                        "degenerate for modified KN; use modified=False"
-                    )
-                ),
-            ).otherwise(
-                F.col("n1").cast("double")
-                / (F.col("n1") + F.lit(2) * F.col("n2"))
+            degenerate = (
+                (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0)
             )
-            y = cls.select("n1", "n2", "n3", "n4", guard.alias("y"))
-            return y.select(
-                (F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1"))
+            y = F.col("n1").cast("double") / (
+                F.col("n1") + F.lit(2) * F.col("n2")
+            )
+            return cls.select(
+                F.when(degenerate, F.lit(0.5))
+                .otherwise(
+                    F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1")
+                )
                 .alias(f"dd1_{tag}"),
-                (F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2"))
+                F.when(degenerate, F.lit(1.0))
+                .otherwise(
+                    F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2")
+                )
                 .alias(f"dd2_{tag}"),
-                (F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3"))
+                F.when(degenerate, F.lit(1.5))
+                .otherwise(
+                    F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3")
+                )
                 .alias(f"dd3_{tag}"),
             )
 
@@ -808,20 +818,25 @@ def kneser_ney5_scores(
                 + (d * F.col(f"n1_{k}") / tot) * p
             )
 
-    scored = grams
+    # assemble lp per 5-gram TYPE first (the 9 stats joins run on the
+    # bounded type table), then ONE occurrence-level join: at scale the
+    # occurrence stream crosses a join exactly once instead of nine times
+    lp_tab = tables[N]
     for k in range(N, 1, -1):
-        scored = scored.join(tables[k], W[N - k:])
-        scored = scored.join(ctxs[k], W[N - k: N - 1])
-    scored = scored.join(tables[1], W[N - 1:]).crossJoin(F.broadcast(ntot))
+        if k < N:
+            lp_tab = lp_tab.join(tables[k], W[N - k:])
+        lp_tab = lp_tab.join(ctxs[k], W[N - k: N - 1])
+    lp_tab = lp_tab.join(tables[1], W[N - 1:]).crossJoin(F.broadcast(ntot))
     if modified:
         for k in range(2, N + 1):
-            scored = scored.crossJoin(F.broadcast(discs[k]))
+            lp_tab = lp_tab.crossJoin(F.broadcast(discs[k]))
         out_col, dp = "kn5_mkn_score", 6
     else:
         out_col, dp = "kn5_score", 8
-    scored = scored.select(
-        id_col, F.round(F.log(p), dp).cast("decimal(28,10)").alias("lp")
+    lp_tab = lp_tab.select(
+        *W, F.round(F.log(p), dp).cast("decimal(28,10)").alias("lp")
     )
+    scored = grams.join(lp_tab, W).select(id_col, "lp")
     # ENGINE-STABLE MEAN: each lp is an exact multiple of 10^-dp, so the
     # per-doc sum is an exact integer at that scale; the 6dp mean is then
     # pure integer round-half-away (the survival_km recipe) instead of

@@ -769,13 +769,14 @@ def _kn5_model(rows, discount=0.75, modified=False):
             cls = Counter(tables[k].values())
             nn = [cls.get(i, 0) for i in (1, 2, 3, 4)]
             if nn[0] == 0 or nn[1] == 0 or nn[2] == 0:
-                raise ValueError("degenerate")
-            y = nn[0] / (nn[0] + 2 * nn[1])
-            dd[k] = (
-                1.0 - 2.0 * y * nn[1] / nn[0],
-                2.0 - 3.0 * y * nn[2] / nn[1],
-                3.0 - 4.0 * y * nn[3] / nn[2],
-            )
+                dd[k] = (0.5, 1.0, 1.5)  # KenLM --discount_fallback
+            else:
+                y = nn[0] / (nn[0] + 2 * nn[1])
+                dd[k] = (
+                    1.0 - 2.0 * y * nn[1] / nn[0],
+                    2.0 - 3.0 * y * nn[2] / nn[1],
+                    3.0 - 4.0 * y * nn[3] / nn[2],
+                )
     dp = 6 if modified else 8
     out = {}
     for did, gs in grams_per_doc.items():
@@ -874,13 +875,19 @@ class TestKneserNey5:
         for did in want:
             assert abs(got[did] - want[did]) < 1e-9, did
 
-    def test_modified_degenerate_guard(self, spark):
-        import pytest as _pytest
-
+    def test_modified_degenerate_fallback(self, spark):
+        # every order's count-of-counts is degenerate on this corpus ->
+        # all orders take KenLM's --discount_fallback (0.5/1.0/1.5);
+        # the result must match the python model running the same fallback
         from proxima_platform_spark.functions.ranking import kneser_ney5_scores
 
-        df = spark.createDataFrame(
-            [(1, "a b c d e a b c d e")], "doc_id long, text string"
-        )
-        with _pytest.raises(Exception, match="count-of-"):
-            kneser_ney5_scores(df, modified=True).collect()
+        rows = [(1, "a b c d e a b c d e"), (2, "a b c d e f g")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["kn5_mkn_score"]
+            for r in kneser_ney5_scores(df, modified=True).collect()
+        }
+        want = _kn5_model(rows, modified=True)
+        assert got.keys() == want.keys()
+        for did in want:
+            assert abs(got[did] - want[did]) < 1e-9, did
