@@ -3060,6 +3060,54 @@ FROM per
     )
 
 
+def q_domain_jsd(spark, sf):
+    """Jensen-Shannon divergence of each source's unigram distribution from
+    the corpus distribution (Lin'91) — bounded, symmetric mixture-drift
+    diagnostic next to drift_chi2 (functions/text.py::source_jsd)."""
+    from proxima_platform_spark.functions.text import source_jsd
+
+    return source_jsd(_load(spark, sf, "documents"))
+
+
+SQL_DOMAIN_JSD = r"""
+WITH tok AS (
+    SELECT source AS s,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+), sw AS (
+    SELECT s, w, count(*) AS cs FROM tok GROUP BY 1, 2
+), stot AS (
+    SELECT s, sum(cs) AS ts FROM sw GROUP BY 1
+), cw AS (
+    SELECT w, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+    SELECT sum(c) AS t FROM cw
+), grid AS (
+    SELECT stot.s, cw.w, stot.ts, tot.t,
+           coalesce(sw.cs, 0) AS cs, cw.c
+    FROM cw CROSS JOIN stot
+    LEFT JOIN sw ON sw.s = stot.s AND sw.w = cw.w
+    CROSS JOIN tot
+), terms AS (
+    SELECT s, ts, t,
+           CASE WHEN cs > 0
+                THEN cs::DECIMAL(12,0)
+                     * round(ln((cs / ts) / (((cs / ts) + (c / t)) / 2.0)), 8)::DECIMAL(18,10)
+                ELSE 0::DECIMAL(31,10) END AS term1,
+           c::DECIMAL(12,0)
+           * round(ln((c / t) / (((cs / ts) + (c / t)) / 2.0)), 8)::DECIMAL(18,10) AS term2
+    FROM grid
+), agg AS (
+    SELECT s, count(*) AS n_words, sum(term1) AS s1, sum(term2) AS s2,
+           min(ts) AS ts, min(t) AS t
+    FROM terms GROUP BY s
+)
+SELECT s AS source, n_words,
+       round(0.5 * (s1::DOUBLE / ts + s2::DOUBLE / t), 6) AS jsd
+FROM agg
+"""
+
+
 def q_naive_bayes_langid(spark, sf):
     """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
     doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
@@ -10690,6 +10738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "kneser_ney5_score": q_kneser_ney5_score,
         "kneser_ney5_mkn_score": q_kneser_ney5_mkn_score,
+        "domain_jsd": q_domain_jsd,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11196,6 +11245,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": SQL_ZIPF_SLOPE,
         "kneser_ney5_score": _sql_kneser_ney5(False),
         "kneser_ney5_mkn_score": _sql_kneser_ney5(True),
+        "domain_jsd": SQL_DOMAIN_JSD,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

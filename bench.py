@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "kneser_ney5_score",
     "kneser_ney5_mkn_score",
+    "domain_jsd",
 ]
 
 

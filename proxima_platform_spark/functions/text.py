@@ -1023,3 +1023,81 @@ def zipf_slope(
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+def source_jsd(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution from
+    the corpus distribution (Lin'91) — the drift/mixture diagnostic next to
+    the chi-square test (drift_chi2): JSD is bounded [0, ln 2], symmetric,
+    and defined even where supports differ, which is what makes it the
+    standard corpus-mixture health metric in data-pipeline monitoring.
+
+        JSD(p_s, q) = 0.5·Σ_w p_s(w)·ln(p_s(w)/m(w))
+                    + 0.5·Σ_w q(w)·ln(q(w)/m(w)),   m = (p_s + q)/2
+
+    Exactness: each ln argument is a ratio of IEEE-exact count ratios
+    (identical operation order in the oracle); every ln quantizes to 8dp
+    decimal(18,10) and scales by its integer count (decimal(12,0) factor —
+    products stay inside precision 38), so both sums are exact decimals;
+    the final 0.5·(S1/T_s + S2/T) is a fixed double sequence.
+
+    Scale shape: two token aggregations (per-(source,word) and per-word,
+    both map-side combined, bounded by |sources|x|vocab| and |vocab|), one
+    vocab x sources grid join (sources are few; the corpus side broadcasts
+    its 1-row total), one aggregation per source. Zero-count source terms
+    contribute exactly 0 (p·ln(p/m) → 0 as p → 0), handled by a guard, so
+    support mismatch never produces NULLs.
+
+    Output: one row per source — (source, n_words, jsd).
+    """
+    from proxima_platform_spark.functions.dedup import tokens as _toks
+
+    tok = docs.select(
+        F.col(group_col).alias("s"),
+        F.explode(_toks(F.col(text_col))).alias("w"),
+    )
+    sw = tok.groupBy("s", "w").agg(F.count(F.lit(1)).alias("cs"))
+    stot = sw.groupBy("s").agg(F.sum("cs").alias("ts"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cw.agg(F.sum("c").alias("t"))
+
+    grid = (
+        cw.crossJoin(F.broadcast(stot))
+        .join(sw, ["s", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s", "w", "ts", "t",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            "c",
+        )
+    )
+    p = F.col("cs") / F.col("ts")
+    q = F.col("c") / F.col("t")
+    m = (p + q) / F.lit(2.0)
+    term1 = F.when(
+        F.col("cs") > 0,
+        F.col("cs").cast("decimal(12,0)")
+        * F.round(F.log(p / m), 8).cast("decimal(18,10)"),
+    ).otherwise(F.lit(0).cast("decimal(31,10)"))
+    term2 = F.col("c").cast("decimal(12,0)") * F.round(F.log(q / m), 8).cast(
+        "decimal(18,10)"
+    )
+    agg = grid.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(term1).alias("s1"),
+        F.sum(term2).alias("s2"),
+        F.min("ts").alias("ts"),
+        F.min("t").alias("t"),
+    )
+    jsd = F.lit(0.5) * (
+        F.col("s1").cast("double") / F.col("ts")
+        + F.col("s2").cast("double") / F.col("t")
+    )
+    return agg.select(
+        F.col("s").alias("source"), "n_words", F.round(jsd, 6).alias("jsd")
+    )

@@ -949,3 +949,61 @@ class TestZipfSlope:
         assert row["slope"] == round(sl, 6)
         assert row["intercept"] == round((sy - sl * sx) / n, 6)
         assert row["slope"] < 0  # frequency decreasing in rank
+
+
+class TestSourceJsd:
+    def _model(self, rows):
+        import math
+        from collections import Counter
+        from decimal import Decimal
+
+        per_s, corpus = {}, Counter()
+        import re as _re
+        for s, txt in rows:
+            toks = _re.sub(r"\s+", " ", txt.strip().lower()).split(" ")
+            per_s.setdefault(s, Counter()).update(toks)
+            corpus.update(toks)
+        t = sum(corpus.values())
+        out = {}
+        q8 = lambda x: Decimal(repr(round(math.log(x), 8)))
+        for s, cnts in per_s.items():
+            ts = sum(cnts.values())
+            s1 = s2 = Decimal(0)
+            for w, c in corpus.items():
+                cs = cnts.get(w, 0)
+                p, q = cs / ts, c / t
+                m = (p + q) / 2.0
+                if cs > 0:
+                    s1 += cs * q8(p / m)
+                s2 += c * q8(q / m)
+            out[s] = round(0.5 * (float(s1) / ts + float(s2) / t), 6)
+        return out
+
+    def test_matches_python_model(self, spark):
+        from proxima_platform_spark.functions.text import source_jsd
+
+        rows = [
+            ("a", "x y z x y"),
+            ("a", "x x w"),
+            ("b", "u v u v w"),
+            ("c", "x y z w u v"),
+        ]
+        df = spark.createDataFrame(
+            [(i, s, t) for i, (s, t) in enumerate(rows)],
+            "doc_id long, source string, text string",
+        )
+        got = {r["source"]: r["jsd"] for r in source_jsd(df).collect()}
+        want = self._model(rows)
+        assert got == want
+        # bounded by ln 2
+        assert all(0.0 <= v <= 0.6931472 for v in got.values())
+
+    def test_identical_distribution_is_zero(self, spark):
+        from proxima_platform_spark.functions.text import source_jsd
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y z"), (2, "b", "x y z")],
+            "doc_id long, source string, text string",
+        )
+        got = {r["source"]: r["jsd"] for r in source_jsd(df).collect()}
+        assert got == {"a": 0.0, "b": 0.0}
