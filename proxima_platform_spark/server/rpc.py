@@ -190,6 +190,8 @@ def _value_valid(scheme_uri: str, value: bytes) -> bool:
     attribute's scheme. Non-builtin (avro/proto/registry) schemes decode
     lazily inside Spark, so the façade accepts them here — the reference
     equivalent of a serializer whose isValid defers to read time."""
+    import re as _re
+
     base = scheme_uri.split(":", 1)[0]
     try:
         if base in ("bytes",):
@@ -197,15 +199,23 @@ def _value_valid(scheme_uri: str, value: bytes) -> bool:
         text = value.decode("utf-8")
         if base in ("string", "json"):
             return True
+        # validity must mirror what the Spark-side decode (cast from the
+        # UTF-8 string form, schemes.py) will accept — python's int()/
+        # float() are LOOSER (underscore separators, 'nan', 'infinity'),
+        # and accepting here what decode later nulls would turn a 412 into
+        # silent data loss
         if base in ("integer", "int", "long"):
-            int(text)
-            return True
+            return _re.fullmatch(r"[+-]?\d+", text) is not None
         if base in ("float", "double"):
-            float(text)
-            return True
+            return (
+                _re.fullmatch(
+                    r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", text
+                )
+                is not None
+            )
         if base == "boolean":
             return text.lower() in ("true", "false")
-    except (UnicodeDecodeError, ValueError):
+    except UnicodeDecodeError:
         return False
     return True
 

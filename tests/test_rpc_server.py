@@ -279,3 +279,22 @@ class TestRpcTransactions:
                                         wildcard_prefix="device", limit=3,
                                         transaction_id=txn)
         assert resp["status"] == 400
+
+
+class TestSchemeValidity:
+    def test_numeric_validity_mirrors_spark_cast(self):
+        from proxima_platform_spark.server.rpc import _value_valid
+
+        assert _value_valid("integer", b"42")
+        assert _value_valid("integer", b"-7")
+        assert not _value_valid("integer", b"1_0")   # python-int-only form
+        assert not _value_valid("integer", b"4.2")
+        assert not _value_valid("integer", b"")
+        assert _value_valid("double", b"3.14")
+        assert _value_valid("double", b"-1e9")
+        assert not _value_valid("double", b"nan")    # python-float-only form
+        assert not _value_valid("double", b"infinity")
+        assert _value_valid("boolean", b"True")
+        assert not _value_valid("boolean", b"1")
+        assert not _value_valid("string", b"\xff\xfe")  # not utf-8
+        assert _value_valid("bytes", b"\xff\xfe")
