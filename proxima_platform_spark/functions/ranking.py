@@ -209,16 +209,17 @@ def kneser_ney_scores(
         + (d * F.col("n1v") / F.col("cv"))
         * (F.col("n1w").cast("double") / F.col("n1pp"))
     )
-    scored = (
-        big.join(c_vw, ["v", "w"])
-        .join(c_v, "v")
+    # lp per bigram TYPE, one occurrence-level join (the kn5 plan shape)
+    lp_tab = (
+        c_vw.join(c_v, "v")
         .join(n1w, "w")
         .crossJoin(F.broadcast(n1pp))
         .select(
-            id_col,
+            "v", "w",
             F.round(F.log(p), 8).cast("decimal(28,10)").alias("lp"),
         )
     )
+    scored = big.join(lp_tab, ["v", "w"]).select(id_col, "lp")
     return scored.groupBy(id_col).agg(
         F.round(
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
@@ -455,18 +456,20 @@ def kneser_ney3_scores(
             F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c3c")
             + (d * F.col("n1uv") / F.col("c3c")) * p2
         )
-        scored = (
-            tri.join(c3, ["u", "v", "w"])
-            .join(c3ctx, ["u", "v"])
+        # lp per trigram TYPE (stats joins on bounded tables), then ONE
+        # occurrence-level join — the kn5 plan shape, result-identical
+        lp_tab = (
+            c3.join(c3ctx, ["u", "v"])
             .join(cc2, ["v", "w"])
             .join(cc2ctx, "v")
             .join(nlw, "w")
             .crossJoin(F.broadcast(ntot))
             .select(
-                id_col,
+                "u", "v", "w",
                 F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
             )
         )
+        scored = tri.join(lp_tab, ["u", "v", "w"]).select(id_col, "lp")
         return scored.groupBy(id_col).agg(
             F.round(
                 F.sum("lp").cast("double") / F.count(F.lit(1)), 6
@@ -549,9 +552,8 @@ def kneser_ney3_scores(
         / F.col("c3c")
         + lam3 * p2m
     )
-    scored = (
-        tri.join(c3, ["u", "v", "w"])
-        .join(c3ctx, ["u", "v"])
+    lp_tab = (
+        c3.join(c3ctx, ["u", "v"])
         .join(cc2, ["v", "w"])
         .join(cc2ctx, "v")
         .join(nlw, "w")
@@ -559,7 +561,7 @@ def kneser_ney3_scores(
         .crossJoin(F.broadcast(disc3))
         .crossJoin(F.broadcast(disc2))
         .select(
-            id_col,
+            "u", "v", "w",
             # round 6, not 8: with ~50k lp values per corpus the chance
             # of SOME value landing inside 1000 ulps of a fine rounding
             # grid is material — the sf0.01 fixture tripped the margin
@@ -569,6 +571,8 @@ def kneser_ney3_scores(
             F.round(F.log(p3m), 6).cast("decimal(28,10)").alias("lp"),
         )
     )
+    # lp per trigram TYPE, one occurrence-level join (the kn5 plan shape)
+    scored = tri.join(lp_tab, ["u", "v", "w"]).select(id_col, "lp")
     return scored.groupBy(id_col).agg(
         F.round(
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
