@@ -3060,6 +3060,84 @@ FROM per
     )
 
 
+def q_tpch_q12ish(spark, sf):
+    """Shipping-priority split (TPC-H Q12 shape, reshaped onto the subset
+    schema: l_linestatus stands in for l_shipmode): per line status over
+    one shipdate year, count high-priority (1-URGENT/2-HIGH) vs lower
+    orders. Broadcast-free orderkey equi-join, map-side-combinable
+    conditional counts."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_Q12ISH = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q20ish(spark, sf):
+    """Excess-supply suppliers (TPC-H Q20 shape, reshaped: no partsupp in
+    the subset, so 'stock' = shipped quantity): suppliers of PROMO-type
+    parts whose total 1997 shipped quantity exceeds a threshold, restricted
+    to even-numbered nations by a broadcast semi-join — the
+    nested-subquery → semi-join chain that defines Q20."""
+    li = _load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _load(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    supplier = _load(spark, sf, "supplier")
+    nation = _load(spark, sf, "nation")
+    qual = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > 450)
+    )
+    nkeys = nation.where(F.col("n_nationkey") % 2 == 0).select("n_nationkey")
+    return (
+        supplier.join(F.broadcast(nkeys),
+                      supplier["s_nationkey"] == nkeys["n_nationkey"], "semi")
+        .join(qual, supplier["s_suppkey"] == qual["l_suppkey"], "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q20ISH = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0)
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity::DECIMAL(18,2)) > 450)
+ORDER BY s_suppkey
+"""
+
+
 def q_domain_jsd(spark, sf):
     """Jensen-Shannon divergence of each source's unigram distribution from
     the corpus distribution (Lin'91) — bounded, symmetric mixture-drift
@@ -10739,6 +10817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney5_score": q_kneser_ney5_score,
         "kneser_ney5_mkn_score": q_kneser_ney5_mkn_score,
         "domain_jsd": q_domain_jsd,
+        "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q20ish": q_tpch_q20ish,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11246,6 +11326,8 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney5_score": _sql_kneser_ney5(False),
         "kneser_ney5_mkn_score": _sql_kneser_ney5(True),
         "domain_jsd": SQL_DOMAIN_JSD,
+        "tpch_q12ish": SQL_TPCH_Q12ISH,
+        "tpch_q20ish": SQL_TPCH_Q20ISH,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,
