@@ -714,8 +714,6 @@ def kneser_ney5_scores(
         tokens,
     )
 
-    if not 0.0 < discount < 1.0:
-        raise ValueError(f"discount must be in (0,1), got {discount}")
     N = 5
     W = [f"w{i}" for i in range(1, N + 1)]
     toks = docs.select(
@@ -730,10 +728,34 @@ def kneser_ney5_scores(
             for i in range(N)
         ],
     )
+    c5 = grams.groupBy(*W).agg(F.count(F.lit(1)).alias("c5"))
+    return kn5_scores_from_counts(
+        c5, grams, id_col=id_col, discount=discount, modified=modified
+    )
+
+
+def kn5_scores_from_counts(
+    c5: DataFrame,
+    grams: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    modified: bool = False,
+) -> DataFrame:
+    """The KN-5 recursion from its one sufficient statistic: ``c5`` =
+    (w1..w5, c5) raw 5-gram counts (ADDITIVE across corpora — what the
+    streaming maintainer merges) and ``grams`` = (id_col, w1..w5) the
+    occurrences to score. Every derived table (continuation counts,
+    context totals, discounts) is a pure function of the count table, so
+    batch and maintained-model scoring share this code verbatim."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    N = 5
+    W = [f"w{i}" for i in range(1, N + 1)]
     # order-k count tables: raw at k=N, continuation (type-left-extension
     # counts over the (k+1)-order type table) below
     cnt_col = {N: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
-    tables = {N: grams.groupBy(*W).agg(F.count(F.lit(1)).alias("c5"))}
+    tables = {N: c5}
     for k in range(N - 1, 0, -1):
         keys = W[N - k:]  # the last k gram positions
         tables[k] = tables[k + 1].groupBy(*keys).agg(

@@ -2947,3 +2947,71 @@ class TestContinuousNaiveBayes:
     def test_empty_state_returns_none(self, spark, tmp_path):
         nb = self._maintainer(spark, tmp_path)
         assert nb.classify(self._df(spark, self.TEST)) is None
+
+
+class TestContinuousKneserNey:
+    DOCS = [
+        (1, "a b c d e a b c d e a b"),
+        (2, "a b c d f a b c d f g h"),
+        (3, "x y z w v u t s r q p o"),
+        (4, "a b c d e f g h i j k l"),
+        (5, "short doc"),  # < 5 tokens: contributes nothing
+        (6, "b c d e a b c d e a b c"),
+    ]
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_union_equality_across_batches(self, spark, tmp_path):
+        from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        lm = ContinuousKneserNey(spark, str(tmp_path / "kn"), compact_every=2)
+        for i, sl in enumerate([(0, 2), (2, 4), (4, 6)]):
+            lm.update(self._df(spark, self.DOCS[sl[0]:sl[1]]), batch_id=i)
+        union = self._df(spark, self.DOCS)
+        got = sorted(tuple(r) for r in lm.score(union).collect())
+        want = sorted(tuple(r) for r in kneser_ney5_scores(union).collect())
+        assert got == want
+
+    def test_modified_union_equality(self, spark, tmp_path):
+        from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        lm = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        for i, sl in enumerate([(0, 3), (3, 6)]):
+            lm.update(self._df(spark, self.DOCS[sl[0]:sl[1]]), batch_id=i)
+        union = self._df(spark, self.DOCS)
+        got = sorted(
+            tuple(r) for r in lm.score(union, modified=True).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in kneser_ney5_scores(union, modified=True).collect()
+        )
+        assert got == want
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        lm = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        b = self._df(spark, self.DOCS[:3])
+        lm.update(b, batch_id=0)
+        before = sorted(tuple(r) for r in lm.counts().collect())
+        lm.update(b, batch_id=0)
+        after = sorted(tuple(r) for r in lm.counts().collect())
+        assert before == after
+
+    def test_empty_state_returns_none(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        lm = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        assert lm.score(self._df(spark, self.DOCS)) is None
