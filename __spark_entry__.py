@@ -3186,6 +3186,64 @@ FROM agg
 """
 
 
+def q_dedup_minhash_bbit(spark, sf):
+    """b-bit MinHash candidate pairs (Li-König'10): lowest 4 bits of each
+    of 8 MinHash values — a 4-BYTE signature per doc (64/b× storage cut,
+    the dominant artifact at 100 TB) with the 2^-b chance-collision floor
+    compensated by 4-row bands (random-band collision ~2^-16)."""
+    from proxima_platform_spark.functions.dedup import bbit_minhash_pairs
+
+    docs = _load(spark, sf, "documents")
+    return bbit_minhash_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, b=4, bands=2
+    ).select(F.col("id_a"), F.col("id_b"))
+
+
+def _sql_dedup_minhash_bbit() -> str:
+    """Oracle: the minhash CTE chain with each signature value truncated
+    to its low 4 bits and two 4-row md5 band keys."""
+    from proxima_platform_spark.functions.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_PRIME,
+    )
+
+    base = "(('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824)"
+    sig_items = ",\n               ".join(
+        f"list_min([({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_PRIME}"
+        f" for s in shingles]) % 16"
+        for i in range(8)
+    )
+    band_items = ",\n               ".join(
+        "md5('{b}|' || {vals})".format(
+            b=bd,
+            vals=" || '|' || ".join(
+                f"sg[{bd * 4 + r + 1}]::VARCHAR" for r in range(4)
+            ),
+        )
+        for bd in range(2)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                ELSE [] END AS shingles
+    FROM toks
+), sig AS (
+    SELECT doc_id,
+           [{sig_items}] AS sg
+    FROM sh WHERE len(shingles) > 0
+), banded AS (
+    SELECT doc_id, unnest([{band_items}]) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
 def q_naive_bayes_langid(spark, sf):
     """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
     doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
@@ -10819,6 +10877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_jsd": q_domain_jsd,
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q20ish": q_tpch_q20ish,
+        "dedup_minhash_bbit": q_dedup_minhash_bbit,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11328,6 +11387,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_jsd": SQL_DOMAIN_JSD,
         "tpch_q12ish": SQL_TPCH_Q12ISH,
         "tpch_q20ish": SQL_TPCH_Q20ISH,
+        "dedup_minhash_bbit": _sql_dedup_minhash_bbit(),
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

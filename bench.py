@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "kneser_ney5_score",
     "kneser_ney5_mkn_score",
     "domain_jsd",
+    "tpch_q12ish",
+    "tpch_q20ish",
+    "dedup_minhash_bbit",
 ]
 
 

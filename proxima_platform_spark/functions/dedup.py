@@ -404,6 +404,85 @@ def oph_candidate_pairs(
     )
 
 
+def bbit_minhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    b: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from b-BIT MinHash signatures
+    (Li & König WWW'10): store only the lowest ``b`` bits of each MinHash
+    value. At 100 TB the signature table is often the dominant artifact —
+    b-bit cuts it 64/b× (8 hashes × 4 bits = 4 BYTES per doc here) at a
+    known accuracy cost: per-hash collision probability becomes
+    ``P_b ≈ 2^-b + (1 - 2^-b)·J``, i.e. a 1/16 chance-collision floor at
+    b=4, compensated by widening bands (``num_hashes/bands`` rows per band
+    vs classic 2) so random 4-row bands collide at ~2^-16.
+
+    Same exploded-aggregation shape as minhash_candidate_pairs (one hash
+    aggregation computes all mins; fixed-width buffer, map-side combine);
+    the banded self-join is hash-partitioned, never all-pairs. Docs with
+    fewer than ``n`` tokens drop out.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    tokenized = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    hashed = tokenized.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
+    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # the b-bit truncation: keep the low b bits of each min value
+    sig = mins.select(
+        "id",
+        *[
+            (F.col(f"m{i}") % F.lit(2**b)).alias(f"s{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(bd),
+                    *[
+                        F.col(f"s{bd * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for bd in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_keys).alias("band")).persist()
+    _BANDED_CACHE.append(banded)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
+    a, bb = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(bb, on="band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_ngram(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity between two texts (use on LSH
     candidates, never all pairs)."""

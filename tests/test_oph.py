@@ -108,3 +108,62 @@ class TestOphPairs:
             for r in oph_candidate_pairs(df, "doc_id", "text").collect()
         }
         assert (1, 3) not in got and (2, 3) not in got
+
+
+class TestBbitMinhash:
+    def model_pairs(self, rows, b=4, num_hashes=8, bands=2):
+        import hashlib
+
+        from proxima_platform_spark.functions.dedup import (
+            MINHASH_A, MINHASH_B, MINHASH_PRIME,
+        )
+        sigs = {}
+        for did, text in rows:
+            import re as _re
+            t = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            if len(t) < 3:
+                continue
+            sh = [" ".join(t[i: i + 3]) for i in range(len(t) - 2)]
+            hs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**30
+                for s in sh
+            ]
+            sigs[did] = [
+                min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_PRIME
+                    for h in hs) % 2**b
+                for i in range(num_hashes)
+            ]
+        rpb = num_hashes // bands
+        out = set()
+        ids = sorted(sigs)
+        for i in ids:
+            for j in ids:
+                if i < j and any(
+                    sigs[i][bd * rpb: (bd + 1) * rpb]
+                    == sigs[j][bd * rpb: (bd + 1) * rpb]
+                    for bd in range(bands)
+                ):
+                    out.add((i, j))
+        return out
+
+    def test_pairs_match_model(self, spark):
+        from proxima_platform_spark.functions.dedup import bbit_minhash_pairs
+
+        rows = DOCS  # reuse the OPH corpus (has exact dups + near dups)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in bbit_minhash_pairs(df, "doc_id", "text").collect()
+        }
+        want = self.model_pairs(rows)
+        assert (1, 6) in want  # exact dups always share every band
+        assert got == want
+
+    def test_band_width_guard(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.dedup import bbit_minhash_pairs
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bbit_minhash_pairs(df, "doc_id", "text", num_hashes=8, bands=3)
