@@ -753,14 +753,20 @@ def kn5_scores_from_counts(
     N = 5
     W = [f"w{i}" for i in range(1, N + 1)]
     # order-k count tables: raw at k=N, continuation (type-left-extension
-    # counts over the (k+1)-order type table) below
+    # counts over the (k+1)-order type table) below. Each table is
+    # referenced by 3-4 downstream branches (next order, its context agg,
+    # its count-of-counts, the lp join) and Catalyst re-derives the whole
+    # upstream chain per branch — localCheckpoint(eager=False) pins each
+    # once-computed (the DuckDB oracle needed the same idea as
+    # AS MATERIALIZED; here worth ~20% at sf0.1 — the type tables are
+    # cheap relative to the lp join fan-in, unlike DuckDB's full re-inline)
     cnt_col = {N: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
-    tables = {N: c5}
+    tables = {N: c5.localCheckpoint(eager=False)}
     for k in range(N - 1, 0, -1):
         keys = W[N - k:]  # the last k gram positions
         tables[k] = tables[k + 1].groupBy(*keys).agg(
             F.count(F.lit(1)).alias(cnt_col[k])
-        )
+        ).localCheckpoint(eager=False)
     ntot = tables[2].agg(F.count(F.lit(1)).alias("ntot"))
 
     if modified:
