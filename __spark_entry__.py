@@ -3244,6 +3244,53 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
 
+def q_unimax_mixture(spark, sf):
+    """UniMax token-budget allocation across sources (Chung'23): uniform
+    water-filling under per-source epoch caps, closed form over the sorted
+    capacity ladder (functions/sampling.py::unimax_mixture)."""
+    from proxima_platform_spark.functions.sampling import unimax_mixture
+
+    return unimax_mixture(_load(spark, sf, "documents"), budget_factor=1.5)
+
+
+SQL_UNIMAX_MIXTURE = r"""
+WITH counts AS (
+    SELECT source,
+           sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+), capped AS (
+    SELECT source, n_tokens,
+           1 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 3) AS epoch_cap,
+           (1 + (('0x' || substr(md5(source), 1, 15))::BIGINT % 3)) * n_tokens AS capacity
+    FROM counts
+), total AS (
+    SELECT sum(n_tokens)::DOUBLE * 1.5 AS b, count(*) AS k FROM counts
+), ranked AS (
+    SELECT capped.*, total.b, total.k,
+           row_number() OVER (ORDER BY capacity, source) AS r,
+           coalesce(sum(capacity) OVER (
+               ORDER BY capacity, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS csum_prev
+    FROM capped CROSS JOIN total
+), flagged AS (
+    SELECT *, (b - csum_prev) / (k - r + 1) AS u,
+           capacity > (b - csum_prev) / (k - r + 1) AS viol
+    FROM ranked
+), t_row AS (
+    SELECT min(r) AS t_r,
+           min_by(u, r) AS t_u
+    FROM flagged WHERE viol
+)
+SELECT source, n_tokens, epoch_cap, capacity,
+       round(CASE WHEN t_r IS NULL OR r < t_r
+                  THEN capacity::DOUBLE ELSE t_u END, 6) AS allocation,
+       round(round(CASE WHEN t_r IS NULL OR r < t_r
+                        THEN capacity::DOUBLE ELSE t_u END, 6) / n_tokens,
+             6) AS epochs
+FROM flagged CROSS JOIN t_row
+"""
+
+
 def q_naive_bayes_langid(spark, sf):
     """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
     doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
@@ -10878,6 +10925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q20ish": q_tpch_q20ish,
         "dedup_minhash_bbit": q_dedup_minhash_bbit,
+        "unimax_mixture": q_unimax_mixture,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11388,6 +11436,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12ish": SQL_TPCH_Q12ISH,
         "tpch_q20ish": SQL_TPCH_Q20ISH,
         "dedup_minhash_bbit": _sql_dedup_minhash_bbit(),
+        "unimax_mixture": SQL_UNIMAX_MIXTURE,
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "tpch_q12ish",
     "tpch_q20ish",
     "dedup_minhash_bbit",
+    "unimax_mixture",
 ]
 
 

@@ -553,3 +553,110 @@ def dsir_resample(
         .orderBy(F.col("score").desc(), "id")
         .limit(k)
     )
+
+
+def unimax_mixture(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_factor: float = 1.5,
+    epoch_caps: Column | None = None,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. ICLR'23): distribute a total
+    token budget across sources as UNIFORMLY as possible subject to
+    per-source repetition caps — the principled alternative to temperature
+    sampling for multi-source pretraining (temperature_mix's neighbor).
+
+    Water-filling has a closed form over sources sorted ascending by
+    capacity c_s = epochs_cap_s × n_s: with csum the running capacity sum
+    and r the 1-based rank among k sources,
+
+        u_r     = (B − csum_{<r}) / (k − r + 1)
+        alloc_s = c_s            if  c_s ≤ u_r   (source exhausts its cap)
+                  u_t            otherwise       (uniform share at the
+                                                  first violation rank t)
+
+    because exhausting every smaller-capacity source leaves the remaining
+    budget split evenly over the rest. ``budget_factor`` sets
+    B = factor × total corpus tokens; ``epoch_caps`` is a per-source cap
+    expression (default ``1 + source-hash mod 3`` — deterministic, varied,
+    so both the capped and the uniform regime are exercised on any corpus).
+
+    Exactness: token counts and capacities are exact int64; the u ladder is
+    a fixed IEEE double sequence over the (tiny) sorted source list,
+    identical cross-engine; outputs round at 6dp.
+
+    Scale shape: the only corpus-scale work is one map-side-combined token
+    count per source; everything after runs on |sources| rows (windows over
+    a frame that is small BY DEFINITION — mixture design is per-source).
+
+    Output: (source, n_tokens, epoch_cap, capacity, allocation, epochs).
+    """
+    from pyspark.sql import Window
+
+    from proxima_platform_spark.functions.dedup import tokens as _toks
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.size(_toks(F.col(text_col))).alias("__n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__n").alias("n_tokens"))
+    )
+    # default cap varies by the md5-derived source hash (engine-portable,
+    # the shingle_hash recipe) so capped and uniform regimes both appear
+    cap = (
+        epoch_caps
+        if epoch_caps is not None
+        else F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(3)
+    )
+    capped = counts.select(
+        "source", "n_tokens",
+        cap.cast("long").alias("epoch_cap"),
+        (cap.cast("long") * F.col("n_tokens")).alias("capacity"),
+    )
+    total = counts.agg(
+        (F.sum("n_tokens").cast("double") * F.lit(float(budget_factor)))
+        .alias("b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w = Window.orderBy("capacity", "source")
+    ranked = capped.crossJoin(F.broadcast(total)).select(
+        "*",
+        F.row_number().over(w).alias("r"),
+        F.coalesce(
+            F.sum("capacity").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("csum_prev"),
+    )
+    u = (F.col("b") - F.col("csum_prev")) / (F.col("k") - F.col("r") + 1)
+    flagged = ranked.select("*", u.alias("u"),
+                            (F.col("capacity") > u).alias("viol"))
+    # uniform share at the first violation (1-row broadcast; NULL when no
+    # source violates — then every source exhausts its cap)
+    t_row = flagged.where("viol").agg(
+        F.min(F.struct("r", "u")).alias("t")
+    ).select(
+        F.col("t.r").alias("t_r"), F.col("t.u").alias("t_u")
+    )
+    out = flagged.crossJoin(F.broadcast(t_row)).select(
+        "source", "n_tokens", "epoch_cap", "capacity",
+        F.round(
+            F.when(
+                F.col("t_r").isNull() | (F.col("r") < F.col("t_r")),
+                F.col("capacity").cast("double"),
+            ).otherwise(F.col("t_u")),
+            6,
+        ).alias("allocation"),
+    )
+    return out.select(
+        "*",
+        F.round(F.col("allocation") / F.col("n_tokens"), 6).alias("epochs"),
+    )

@@ -536,3 +536,55 @@ class TestDsirResample:
             docs, docs, id_col="doc_id", text="text", k=10, buckets=64
         ).collect()
         assert {r.id for r in out} == {2, 3}
+
+
+class TestUnimaxMixture:
+    def test_matches_hand_waterfill(self, spark):
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.sampling import unimax_mixture
+
+        # explicit caps: capacities 10, 40, 60; budget = 1.5 * 55 = 82.5
+        # ladder: r1 c=10 u=27.5 -> cap (10); r2 c=40 u=36.25 -> VIOLATION
+        # -> r2, r3 take the uniform share 36.25
+        docs = spark.createDataFrame(
+            [
+                (1, "a", " ".join(["w"] * 10)),
+                (2, "b", " ".join(["w"] * 20)),
+                (3, "c", " ".join(["w"] * 25)),
+            ],
+            "doc_id long, source string, text string",
+        )
+        caps = (
+            F.when(F.col("source") == "a", 1)
+            .when(F.col("source") == "b", 2)
+            .otherwise(F.lit(60) / F.lit(25))
+        )
+        got = {
+            r["source"]: (r["capacity"], r["allocation"], r["epochs"])
+            for r in unimax_mixture(
+                docs, budget_factor=1.5, epoch_caps=caps
+            ).collect()
+        }
+        assert got["a"] == (10, 10.0, 1.0)
+        u = round((82.5 - 10) / 2, 6)
+        assert got["b"] == (40, u, round(u / 20, 6))
+        assert got["c"] == (50, u, round(u / 25, 6))
+
+    def test_all_capped_when_budget_exceeds_capacity(self, spark):
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.sampling import unimax_mixture
+
+        docs = spark.createDataFrame(
+            [(1, "a", "w w w"), (2, "b", "w w")],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            r["source"]: r["allocation"]
+            for r in unimax_mixture(
+                docs, budget_factor=10.0, epoch_caps=F.lit(2)
+            ).collect()
+        }
+        # budget 50 > total capacity 10: every source exhausts its cap
+        assert got == {"a": 6.0, "b": 4.0}
