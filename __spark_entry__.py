@@ -10348,26 +10348,36 @@ WITH t AS (
            count(*) FILTER (WHERE c3 = 3) AS n3,
            count(*) FILTER (WHERE c3 = 4) AS n4
     FROM c3t
-), y3 AS (
-    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls3
 ), d3 AS (
-    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o3,
-           2.0 - 3.0 * y * n3 / n2 AS dd2_o3,
-           3.0 - 4.0 * y * n4 / n3 AS dd3_o3
-    FROM y3
+    -- degenerate order -> KenLM --discount_fallback defaults
+    SELECT CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.5
+                ELSE 1.0 - 2.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n2 / n1
+           END AS dd1_o3,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.0
+                ELSE 2.0 - 3.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n3 / n2
+           END AS dd2_o3,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.5
+                ELSE 3.0 - 4.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n4 / n3
+           END AS dd3_o3
+    FROM cls3
 ), cls2 AS (
     SELECT count(*) FILTER (WHERE cc2 = 1) AS n1,
            count(*) FILTER (WHERE cc2 = 2) AS n2,
            count(*) FILTER (WHERE cc2 = 3) AS n3,
            count(*) FILTER (WHERE cc2 = 4) AS n4
     FROM cc2t
-), y2 AS (
-    SELECT n1, n2, n3, n4, (n1::DOUBLE) / (n1 + 2 * n2) AS y FROM cls2
 ), d2 AS (
-    SELECT 1.0 - 2.0 * y * n2 / n1 AS dd1_o2,
-           2.0 - 3.0 * y * n3 / n2 AS dd2_o2,
-           3.0 - 4.0 * y * n4 / n3 AS dd3_o2
-    FROM y2
+    -- degenerate order -> KenLM --discount_fallback defaults
+    SELECT CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.5
+                ELSE 1.0 - 2.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n2 / n1
+           END AS dd1_o2,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.0
+                ELSE 2.0 - 3.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n3 / n2
+           END AS dd2_o2,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 1.5
+                ELSE 3.0 - 4.0 * ((n1::DOUBLE) / (n1 + 2 * n2)) * n4 / n3
+           END AS dd3_o2
+    FROM cls2
 ), scored AS (
     SELECT tri.doc_id,
            round(ln(

@@ -402,9 +402,11 @@ def kneser_ney3_scores(
     with D(c) selected by the gram's own count class (c=1 / c=2 / c≥3)
     and the middle order estimating ITS discounts from the continuation
     count-of-counts. The count-of-counts are one 4-long agg per order
-    (broadcast 1-row frames — no driver round-trip); degenerate corpora
-    with an empty n₁/n₂/n₃ class raise loudly (the discount formulas
-    divide by them). ``discount`` is ignored when ``modified=True``.
+    (broadcast 1-row frames — no driver round-trip); an order with an
+    empty n₁/n₂/n₃ class takes KenLM's ``--discount_fallback`` defaults
+    (D₁=0.5, D₂=1.0, D₃₊=1.5 — totality over raising: continuation
+    counts can saturate on large corpora, the kn5 lesson).
+    ``discount`` is ignored when ``modified=True``.
     Output column: ``kn3_mkn_score`` (vs ``kn3_score``).
 
     Reference parity anchor: same user-code-transform shape as the
@@ -480,34 +482,38 @@ def kneser_ney3_scores(
     def _class_counts(cnt_df, cnt: str, tag: str):
         """1-row (dd1, dd2, dd3) discount frame from the order's
         count-of-counts — exact int64 classes, then the fixed IEEE
-        double sequence (mirrored verbatim in the oracle)."""
+        double sequence (mirrored verbatim in the oracle). An order with
+        an empty n1/n2/n3 class takes KenLM's --discount_fallback defaults
+        (0.5/1.0/1.5) — degeneracy happens on LARGE corpora too
+        (continuation counts saturate; the kn5 lesson), so the estimator
+        must be total rather than raise."""
         cls = cnt_df.agg(
             F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
             F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
             F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
             F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
         )
-        guard = F.when(
-            (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0),
-            F.raise_error(
-                F.lit(
-                    f"kneser_ney3_scores(modified): {tag} count-of-counts"
-                    " n1/n2/n3 must all be > 0 (the discount formulas"
-                    " divide by them) — corpus too small/degenerate for"
-                    " modified KN; use modified=False"
-                )
-            ),
-        ).otherwise(
-            F.col("n1").cast("double")
-            / (F.col("n1") + F.lit(2) * F.col("n2"))
+        degenerate = (
+            (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0)
         )
-        y = cls.select("n1", "n2", "n3", "n4", guard.alias("y"))
-        return y.select(
-            (F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1"))
+        y = F.col("n1").cast("double") / (
+            F.col("n1") + F.lit(2) * F.col("n2")
+        )
+        return cls.select(
+            F.when(degenerate, F.lit(0.5))
+            .otherwise(
+                F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1")
+            )
             .alias(f"dd1_{tag}"),
-            (F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2"))
+            F.when(degenerate, F.lit(1.0))
+            .otherwise(
+                F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2")
+            )
             .alias(f"dd2_{tag}"),
-            (F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3"))
+            F.when(degenerate, F.lit(1.5))
+            .otherwise(
+                F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3")
+            )
             .alias(f"dd3_{tag}"),
         )
 

@@ -677,19 +677,27 @@ class TestKneserNey3Modified:
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
 
-    def test_degenerate_corpus_raises(self, spark):
-        import pytest
+    def test_degenerate_corpus_takes_fallback_discounts(self, spark):
+        from decimal import Decimal
+        from math import log
 
         from proxima_platform_spark.functions.ranking import (
             kneser_ney3_scores,
         )
 
-        # all trigram counts are 1 -> n2 = n3 = 0 at order 3
+        # all trigram counts are 1 -> n2 = n3 = 0 at BOTH orders -> every
+        # order takes KenLM --discount_fallback (D1=0.5); replay by hand:
+        # each trigram: c3=1 ctx(c3c=1,e1=1) cc2=1 cc2ctx(cc2c=1,e1=1)
+        # nlw=1 ntot=3
         df = spark.createDataFrame(
             [(1, "a b c d e")], "doc_id long, text string"
         )
-        with pytest.raises(Exception, match="count-of-counts"):
-            kneser_ney3_scores(df, modified=True).collect()
+        [row] = kneser_ney3_scores(df, modified=True).collect()
+        p2 = max(1 - 0.5, 0.0) / 1 + (0.5 * 1 / 1) * (1 / 3)
+        p3 = max(1 - 0.5, 0.0) / 1 + (0.5 * 1 / 1) * p2
+        lp = Decimal(repr(round(log(p3), 6)))
+        want = round(float(lp * 3) / 3, 6)
+        assert abs(row["kn3_mkn_score"] - want) < 1e-9
 
 
 class TestPmiBigrams:
