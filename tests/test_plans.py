@@ -886,3 +886,54 @@ class TestR09ExtensionPlans:
         )
         plan = physical_plan(one_pass)
         assert "GreaterThanOrEqual(l_extendedprice,2.0)" in plan
+
+
+class TestR10ExtensionPlans:
+    def test_oph_pairs_no_cartesian(self, spark, sf_dir):
+        # candidate pairs must come from the band-key equi-join; a nested
+        # loop on id_a < id_b is the all-pairs regression
+        plan = physical_plan(entry.q_dedup_minhash_oph(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bbit_pairs_no_cartesian(self, spark, sf_dir):
+        plan = physical_plan(entry.q_dedup_minhash_bbit(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_naive_bayes_model_joins_are_equi(self, spark, sf_dir):
+        # scoring joins the token stream on (class, token); the only
+        # nested-loop allowed is the broadcast of 1-row / |classes|-row
+        # frames (priors, vocab size)
+        plan = physical_plan(entry.q_naive_bayes_langid(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_bleu_pair_scoring_no_cartesian(self, spark, sf_dir):
+        # per-pair gram work must ride the pair equi-join; nested loop
+        # over pairs x grams is the corpus-quadratic failure
+        plan = physical_plan(entry.q_bleu_dedup_verify(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_zipf_top_terms_is_take_ordered(self, spark, sf_dir):
+        # top-100 terms must be a TakeOrdered, never a global sort of the
+        # vocabulary
+        plan = physical_plan(entry.q_zipf_slope(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_kn5_occurrence_stream_single_join(self, spark, sf_dir):
+        # the type-table plan: the occurrence stream carries id_col and
+        # crosses exactly ONE join (grams -> (type, lp)); the stats joins
+        # run on type tables only. Count joins whose output includes the
+        # doc id — the occurrence side.
+        plan = physical_plan(entry.q_kneser_ney5_score(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_unimax_corpus_work_is_one_aggregation(self, spark, sf_dir):
+        # only the per-source token count touches corpus-scale data; the
+        # ladder runs on |sources| rows with broadcast 1-row totals
+        plan = physical_plan(entry.q_unimax_mixture(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_domain_jsd_grid_is_equi_join(self, spark, sf_dir):
+        plan = physical_plan(entry.q_domain_jsd(spark, sf_dir))
+        assert "CartesianProduct" not in plan
