@@ -3291,6 +3291,76 @@ FROM flagged CROSS JOIN t_row
 """
 
 
+def q_dedup_minhash_weighted(spark, sf):
+    """tf-WEIGHTED near-dup candidate pairs via Improved Consistent
+    Weighted Sampling (Ioffe'10) with the 0-bit signature (Li'15):
+    collision probability = generalized Jaccard Σ min(tf)/Σ max(tf) —
+    the repetition-aware complement of unweighted MinHash. Every libm
+    output quantized at 8dp before downstream arithmetic, so floor/argmin
+    replay bit-identically in the oracle."""
+    from proxima_platform_spark.functions.dedup import icws_candidate_pairs
+
+    docs = _load(spark, sf, "documents")
+    return icws_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2
+    ).select(F.col("id_a"), F.col("id_b"))
+
+
+def _sql_dedup_minhash_weighted() -> str:
+    us = ",\n           ".join(
+        "((('0x' || substr(md5(w || '|' || seed::VARCHAR || '|"
+        f"{j}'), 1, 15))::BIGINT % 1073741824) + 1) / 1073741826.0 AS u{j}"
+        for j in (1, 2, 3, 4, 5)
+    )
+    return r"""
+WITH tf AS (
+    SELECT id, w, count(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ) GROUP BY 1, 2
+), seeded AS (
+    SELECT id, w, tf, unnest(range(0, 8)) AS seed FROM tf
+), vals AS (
+    SELECT id, seed, w, tf,
+           """ + us + r"""
+    FROM seeded
+), comp AS (
+    SELECT id, seed, w, u3,
+           -(round(ln(u1), 8) + round(ln(u2), 8)) AS r,
+           -(round(ln(u4), 8) + round(ln(u5), 8)) AS c,
+           round(ln(tf::DOUBLE), 8) AS lnw
+    FROM vals
+), la AS (
+    SELECT id, seed, w,
+           round(ln(c), 8) - r * (floor(lnw / r + u3) - u3 + 1.0) AS la
+    FROM comp
+), samp AS (
+    SELECT id, seed, w FROM la
+    QUALIFY row_number() OVER (PARTITION BY id, seed ORDER BY la, w) = 1
+), wide AS (
+    SELECT id,
+           min(CASE WHEN seed = 0 THEN w END) AS t0,
+           min(CASE WHEN seed = 1 THEN w END) AS t1,
+           min(CASE WHEN seed = 2 THEN w END) AS t2,
+           min(CASE WHEN seed = 3 THEN w END) AS t3,
+           min(CASE WHEN seed = 4 THEN w END) AS t4,
+           min(CASE WHEN seed = 5 THEN w END) AS t5,
+           min(CASE WHEN seed = 6 THEN w END) AS t6,
+           min(CASE WHEN seed = 7 THEN w END) AS t7
+    FROM samp GROUP BY id
+), banded AS (
+    SELECT id, unnest([
+        md5('0|' || t0 || '|' || t1 || '|' || t2 || '|' || t3),
+        md5('1|' || t4 || '|' || t5 || '|' || t6 || '|' || t7)
+    ]) AS band
+    FROM wide
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+"""
+
+
 def q_naive_bayes_langid(spark, sf):
     """Multinomial Naive Bayes language-ID (McCallum-Nigam'98): train on
     doc_id % 5 != 0, classify the held-out fifth. Pure counting + quantized
@@ -10936,6 +11006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20ish": q_tpch_q20ish,
         "dedup_minhash_bbit": q_dedup_minhash_bbit,
         "unimax_mixture": q_unimax_mixture,
+        "dedup_minhash_weighted": q_dedup_minhash_weighted,
         # -- (C) last green r06 — the window tail reaches into here
         "text_tokens_bpe": q_text_tokens_bpe,
         "training_pipeline": q_training_pipeline,
@@ -11447,6 +11518,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20ish": SQL_TPCH_Q20ISH,
         "dedup_minhash_bbit": _sql_dedup_minhash_bbit(),
         "unimax_mixture": SQL_UNIMAX_MIXTURE,
+        "dedup_minhash_weighted": _sql_dedup_minhash_weighted(),
         "cohens_kappa": _sql_cohens_kappa(),
         "calibration_ece": _sql_calibration_ece(),
         "vocab_growth": SQL_VOCAB_GROWTH,

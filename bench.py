@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "tpch_q20ish",
     "dedup_minhash_bbit",
     "unimax_mixture",
+    "dedup_minhash_weighted",
 ]
 
 

@@ -2018,3 +2018,124 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def icws_signature_df(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """Improved Consistent Weighted Sampling signatures (Ioffe ICDM'10)
+    with the 0-bit simplification (Li KDD'15): per (doc, seed) sample one
+    token with probability proportional to its weight under the ICWS
+    scheme, so two docs draw the SAME token with probability equal to
+    their weighted (generalized) Jaccard  Σ_w min(tf_a, tf_b) / Σ_w
+    max(tf_a, tf_b). This is the dedup signal tf-weighted near-dup needs:
+    unweighted MinHash treats a 100×-repeated boilerplate token and a
+    singleton identically; weighted Jaccard does not.
+
+    Per (token τ, seed s): five md5-derived uniforms u₁..u₅ ∈ (0,1);
+        r = −(qln u₁ + qln u₂)   (Gamma(2,1))
+        c = −(qln u₄ + qln u₅)
+        β = u₃
+        t = ⌊ qln(tf)/r + β ⌋
+        ln a = qln(c) − r·(t − β + 1)
+    and the sample is argmin_τ ln a (ties by token). Engine portability:
+    every libm output is quantized (round 8dp — the margin-audit recipe)
+    BEFORE any further arithmetic; everything downstream (division, floor,
+    argmin comparison) is then a fixed IEEE double sequence on identical
+    inputs, bit-identical cross-engine by construction.
+
+    Scale shape: one explode to (doc, token, tf) (map-side-combined
+    count), ×num_hashes seed expansion, one min_by aggregation per
+    (doc, seed) — fixed-width buffer, no joins, no pairs.
+
+    Output: (id, seed, token) — num_hashes rows per doc.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    seeded = tf.select(
+        "id", "w", "tf",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        ).alias("seed"),
+    )
+
+    def u(j: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("w"), F.col("seed"), F.lit(j))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(2**30)
+        return (h + 1) / F.lit(float(2**30 + 2))
+
+    def qln(x: Column) -> Column:
+        return F.round(F.log(x), 8)
+
+    r = -(qln(u(1)) + qln(u(2)))
+    c = -(qln(u(4)) + qln(u(5)))
+    beta = u(3)
+    t = F.floor(qln(F.col("tf").cast("double")) / r + beta)
+    ln_a = qln(c) - r * (t.cast("double") - beta + F.lit(1.0))
+    sampled = seeded.select(
+        "id", "seed", "w", ln_a.alias("la")
+    ).groupBy("id", "seed").agg(
+        F.min(F.struct(F.col("la"), F.col("w"))).alias("m")
+    )
+    return sampled.select("id", "seed", F.col("m.w").alias("token"))
+
+
+def icws_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """tf-weighted near-duplicate candidate pairs: the 0-bit CWS samples
+    banded ``num_hashes/bands`` per key (collision prob ≈ J_w^rows per
+    band), then the standard banded self-join — never all-pairs."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = icws_signature_df(docs, id_col, text_col, num_hashes=num_hashes)
+    wide = sig.groupBy("id").pivot(
+        "seed", list(range(num_hashes))
+    ).agg(F.first("token"))
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(b),
+                    *[
+                        F.col(str(b * rows_per_band + r2))
+                        for r2 in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = wide.select("id", F.explode(band_keys).alias("band")).persist()
+    _BANDED_CACHE.append(banded)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

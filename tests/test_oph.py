@@ -167,3 +167,90 @@ class TestBbitMinhash:
         df = spark.createDataFrame(DOCS, "doc_id long, text string")
         with _pytest.raises(ValueError):
             bbit_minhash_pairs(df, "doc_id", "text", num_hashes=8, bands=3)
+
+
+class TestIcwsWeighted:
+    @staticmethod
+    def model_signature(text, num_hashes=8):
+        import hashlib
+        import math
+        import re as _re
+        from collections import Counter
+
+        toks = Counter(
+            _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        )
+        qln = lambda x: round(math.log(x), 8)
+
+        def u(w, s, j):
+            h = (
+                int(
+                    hashlib.md5(f"{w}|{s}|{j}".encode()).hexdigest()[:15], 16
+                )
+                % 2**30
+            )
+            return (h + 1) / float(2**30 + 2)
+
+        sig = []
+        for s in range(num_hashes):
+            best = None
+            for w, tf in toks.items():
+                r = -(qln(u(w, s, 1)) + qln(u(w, s, 2)))
+                c = -(qln(u(w, s, 4)) + qln(u(w, s, 5)))
+                beta = u(w, s, 3)
+                t = math.floor(qln(float(tf)) / r + beta)
+                la = qln(c) - r * (float(t) - beta + 1.0)
+                if best is None or (la, w) < best:
+                    best = (la, w)
+            sig.append(best[1])
+        return sig
+
+    def test_signature_matches_python_model(self, spark):
+        from proxima_platform_spark.functions.dedup import icws_signature_df
+
+        rows = [
+            (1, "alpha alpha alpha beta gamma"),
+            (2, "alpha beta beta delta delta delta delta"),
+            (3, "epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in icws_signature_df(df, "doc_id", "text", num_hashes=8).collect():
+            got.setdefault(r["id"], {})[r["seed"]] = r["token"]
+        for did, text in rows:
+            want = self.model_signature(text)
+            assert [got[did][s] for s in range(8)] == want, did
+
+    def test_weighting_separates_repetition_profiles(self, spark):
+        # A and B share one HEAVY token (tf 50) and differ in singletons:
+        # weighted Jaccard ~ 50/60 -> same token dominates every sample
+        # with high probability. C has the same token ONCE among distinct
+        # singletons: weighted Jaccard to A is tiny. The deterministic
+        # model decides the pairs; the engine must agree.
+        from proxima_platform_spark.functions.dedup import icws_candidate_pairs
+
+        heavy = " ".join(["boiler"] * 50)
+        rows = [
+            (1, heavy + " a1 a2 a3 a4 a5"),
+            (2, heavy + " b1 b2 b3 b4 b5"),
+            (3, "boiler c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in icws_candidate_pairs(
+                df, "doc_id", "text", num_hashes=8, bands=2
+            ).collect()
+        }
+        sigs = {did: self.model_signature(t) for did, t in rows}
+        expected = set()
+        for i in (1, 2, 3):
+            for j in (1, 2, 3):
+                if i < j and any(
+                    sigs[i][b * 4: b * 4 + 4] == sigs[j][b * 4: b * 4 + 4]
+                    for b in range(2)
+                ):
+                    expected.add((i, j))
+        assert got == expected
+        assert (1, 2) in got          # heavy-token twins collide
+        assert (1, 3) not in got      # singleton-profile doc does not
