@@ -2922,7 +2922,9 @@ def q_kneser_ney5_score(spark, sf):
 def q_kneser_ney5_mkn_score(spark, sf):
     """MODIFIED Kneser-Ney 5-gram (Chen-Goodman three-discount estimator at
     every order 5..2, the estimator KenLM ships) — count-of-count discounts
-    as broadcast 1-row frames, D by count class, loud degenerate guard."""
+    as broadcast 1-row frames, D by count class; an order whose n1/n2/n3
+    count-of-counts class is empty takes KenLM's --discount_fallback
+    defaults (D1=0.5, D2=1.0, D3+=1.5) so the estimator is total."""
     from proxima_platform_spark.functions.ranking import kneser_ney5_scores
 
     return kneser_ney5_scores(_load(spark, sf, "documents"), modified=True)
@@ -3350,9 +3352,10 @@ WITH tf AS (
            min(CASE WHEN seed = 7 THEN w END) AS t7
     FROM samp GROUP BY id
 ), banded AS (
+    -- tokens md5-hashed before '|'-joining (a raw token may contain '|')
     SELECT id, unnest([
-        md5('0|' || t0 || '|' || t1 || '|' || t2 || '|' || t3),
-        md5('1|' || t4 || '|' || t5 || '|' || t6 || '|' || t7)
+        md5('0|' || md5(t0) || '|' || md5(t1) || '|' || md5(t2) || '|' || md5(t3)),
+        md5('1|' || md5(t4) || '|' || md5(t5) || '|' || md5(t6) || '|' || md5(t7))
     ]) AS band
     FROM wide
 )

@@ -196,6 +196,14 @@ def lsh_band_keys(
     )
 
 
+# Module-level LRU of persisted (id, band) frames shared by the banded
+# candidate-pair operators. Eviction contract: insertion-ordered, capacity
+# _BANDED_CACHE_KEEP; inserting beyond capacity unpersists and drops the
+# OLDEST entry (its downstream DataFrames stay correct — Spark just
+# recomputes on next use). Consequence: a session running more than
+# _BANDED_CACHE_KEEP banded dedups CONCURRENTLY will thrash (persist →
+# evict → recompute), and cached frames hold executor storage memory for
+# the life of the module; both are deliberate bounds, not leaks.
 _BANDED_CACHE: list = []
 _BANDED_CACHE_KEEP = 4
 
@@ -374,6 +382,8 @@ def oph_candidate_pairs(
     banded self-join as minhash_candidate_pairs (rows_per_band =
     num_bins/bands, md5 band keys), built from one hash pass instead of
     ``num_hashes`` affine evaluations per shingle."""
+    if num_bins % bands:
+        raise ValueError("bands must divide num_bins")
     sig = oph_signature_df(docs, id_col, text_col, n=n, num_bins=num_bins)
     rows_per_band = num_bins // bands
     band_keys = F.array(
@@ -2113,6 +2123,11 @@ def icws_candidate_pairs(
     wide = sig.groupBy("id").pivot(
         "seed", list(range(num_hashes))
     ).agg(F.first("token"))
+    # each sampled token is md5-hashed BEFORE '|'-joining the band key:
+    # raw tokens may themselves contain '|', so two different signatures
+    # could otherwise concatenate to the same band string (e.g.
+    # ['a|b','c'] vs ['a','b|c']) and emit spurious candidate pairs; the
+    # integer-signature variants (OPH/b-bit) need no such step
     band_keys = F.array(
         *[
             F.md5(
@@ -2120,7 +2135,7 @@ def icws_candidate_pairs(
                     "|",
                     F.lit(b),
                     *[
-                        F.col(str(b * rows_per_band + r2))
+                        F.md5(F.col(str(b * rows_per_band + r2)))
                         for r2 in range(rows_per_band)
                     ],
                 )

@@ -353,18 +353,28 @@ class RpcServer:
         # committed outputs flow to the target commit logs, exactly like the
         # reference's TransactionLogObserver replaying committed transactions
         # into the output families — this gives read-your-committed-writes
-        # through RetrieveService.get
-        for out in ctx.outputs:
-            entity = self._find_entity(out.entity)
-            attr = self._find_attribute(entity, out.attribute)
-            env = self._attr_env(entity, attr)
-            if out.delete_wildcard:
-                env.delete_all(out.key, stamp_ms=out.stamp_ms)
-            elif out.delete:
-                env.delete(out.key, stamp_ms=out.stamp_ms, attribute=out.attribute)
-            else:
-                env.put(out.key, out.value or b"", stamp_ms=out.stamp_ms,
-                        attribute=out.attribute)
+        # through RetrieveService.get. The replay is guarded: the ledger has
+        # already recorded COMMITTED, so a storage failure mid-loop must NOT
+        # escape the handler as a raw exception — the reference maps any
+        # commit-path error to a well-formed FAILED response
+        # (IngestService.java:436-470); partially-applied outputs are then a
+        # replication catch-up concern, not a protocol violation.
+        try:
+            for out in ctx.outputs:
+                entity = self._find_entity(out.entity)
+                attr = self._find_attribute(entity, out.attribute)
+                env = self._attr_env(entity, attr)
+                if out.delete_wildcard:
+                    env.delete_all(out.key, stamp_ms=out.stamp_ms)
+                elif out.delete:
+                    env.delete(out.key, stamp_ms=out.stamp_ms,
+                               attribute=out.attribute)
+                else:
+                    env.put(out.key, out.value or b"", stamp_ms=out.stamp_ms,
+                            attribute=out.attribute)
+        except Exception:  # storage failure during replay
+            return {"status": TXN_FAILED,
+                    "statusMessage": "commit replay to storage failed"}
         return {"status": TXN_COMMITTED}
 
     # == RetrieveService =====================================================
@@ -437,17 +447,39 @@ class RpcServer:
         }
 
     def list_attributes(self, request: dict) -> dict:
-        """ListRequest → ListResponse (RetrieveService.java:113-171):
-        keyset pagination by `offset` (exclusive), `limit <= 0` unlimited;
-        limited list inside a transaction is rejected 400 (:129-130)."""
+        """ListRequest → ListResponse (RetrieveService.java:113-228):
+        keyset pagination by `offset` (exclusive), `limit <= 0` unlimited.
+
+        Contract mirrored from the reference:
+          * a trailing ``.*`` on ``wildcardPrefix`` is stripped first
+            (RetrieveService.java:117-120), required-fields checked after;
+          * a transactional list with a non-empty ``offset`` OR positive
+            ``limit`` is rejected 400 (:126-130);
+          * ``offset`` (defaulted to the raw request prefix when empty)
+            must start with the raw ``wildcardPrefix`` — else 400
+            (:186-196);
+          * when the prefix is LONGER than the wildcard attribute's own
+            prefix (e.g. ``device.1a`` against ``device.*``), returned
+            rows are filtered to ``startswith(prefix)`` (:152-156). The
+            reference's unlimited prefixed scan pages internally at 100
+            rows per round but keeps looping until the first
+            non-matching row, so its final result is ALL matching rows
+            (:197-227) — matching rows are contiguous in attribute
+            order, which is also why filter-then-limit below equals the
+            reference's fill-to-limit loop.
+        """
         entity_name = request.get("entity") or ""
         key = request.get("key") or ""
-        prefix = request.get("wildcardPrefix") or ""
+        raw = request.get("wildcardPrefix") or ""
+        # strip '.*' like the reference; 'device.*' and 'device' are the
+        # same request
+        prefix = raw[: -2] if raw.endswith(".*") else raw
         if not entity_name or not key or not prefix:
             return {"status": 400, "statusMessage": "Missing some required fields"}
         limit = int(request.get("limit") or 0)
+        offset = request.get("offset") or ""
         txn_id = request.get("transactionId") or ""
-        if txn_id and limit > 0:
+        if txn_id and (offset or limit > 0):
             return {"status": 400,
                     "statusMessage":
                         "Unsupported: transactions do not support limited"
@@ -456,21 +488,36 @@ class RpcServer:
         if entity is None:
             return {"status": 404,
                     "statusMessage": f"Entity {entity_name} not found"}
-        wildcard = prefix if prefix.endswith(".*") else prefix + ".*"
-        attr = self._find_attribute(entity, wildcard)
+        attr = self._find_attribute(entity, prefix + ".*")
         if attr is None or not attr.is_wildcard:
             return {"status": 404,
                     "statusMessage":
-                        f"Attribute {prefix}.* of entity {entity_name} not found"}
+                        f"Entity {entity_name} does not have wildcard"
+                        f" attribute {prefix}"}
+        effective_offset = offset or raw
+        if not effective_offset.startswith(raw):
+            return {"status": 400,
+                    "statusMessage":
+                        "Offset must have prefix given by wildcardPrefix,"
+                        f" got {effective_offset} and {raw}"}
         if txn_id:
-            err = self._observe_read(txn_id, entity_name, key, wildcard)
+            err = self._observe_read(txn_id, entity_name, key, attr.name)
             if err is not None:
                 return {"status": err[0], "statusMessage": err[1]}
+        # filter only when the request prefix is strictly longer than the
+        # attribute's own prefix (reference predicate, :152-156); fetch
+        # unlimited, filter, then cap — equivalent to the reference's
+        # paged fill-to-limit loop because matches are contiguous
+        prefixed = prefix not in (attr.prefix, attr.prefix.rstrip("."))
         rows = self._attr_env(entity, attr).list(
             key,
-            limit=limit if limit > 0 else None,
-            offset=request.get("offset") or None,
+            limit=limit if (limit > 0 and not prefixed) else None,
+            offset=effective_offset,
         )
+        if prefixed:
+            rows = [r for r in rows if r["attribute"].startswith(prefix)]
+            if limit > 0:
+                rows = rows[:limit]
         return {
             "status": 200,
             "value": [

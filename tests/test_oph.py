@@ -254,3 +254,44 @@ class TestIcwsWeighted:
         assert got == expected
         assert (1, 2) in got          # heavy-token twins collide
         assert (1, 3) not in got      # singleton-profile doc does not
+
+
+class TestBandKeyHygiene:
+    def test_oph_bands_must_divide_bins(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            oph_candidate_pairs(df, "doc_id", "text", num_bins=8, bands=3)
+
+    def test_icws_pipe_tokens_do_not_alias_bands(self, spark):
+        # Band keys md5 each sampled token before '|'-joining: without
+        # that, two DIFFERENT signature tuples can concatenate to the
+        # same band string and emit a spurious candidate pair. This pair
+        # is a deterministic witness (verified against the python model):
+        #   doc 1 = 'a|b' ×4           -> every seed samples 'a|b';
+        #           band 1 tuple ('a|b','a|b'), raw join '1|a|b|a|b'
+        #   doc 2 = 'a b|a|b'          -> seeds 2,3 sample ('a','b|a|b');
+        #           band 1 tuple ('a','b|a|b'), raw join '1|a|b|a|b'
+        # Same raw string, ZERO shared tokens — raw-concat banding emits
+        # (1,2); token-hashed banding must not.
+        from proxima_platform_spark.functions.dedup import icws_candidate_pairs
+
+        rows = [
+            (1, " ".join(["a|b"] * 4)),
+            (2, "a b|a|b"),
+        ]
+        # precondition: the aliasing really is present in the sampled
+        # signatures (guards against drift in the hash family)
+        s1 = TestIcwsWeighted.model_signature(rows[0][1])
+        s2 = TestIcwsWeighted.model_signature(rows[1][1])
+        assert (s1[2], s1[3]) == ("a|b", "a|b")
+        assert (s2[2], s2[3]) == ("a", "b|a|b")
+        assert "|".join(s1[2:4]) == "|".join(s2[2:4])  # raw join aliases
+        assert not set(s1) & set(s2)                   # no shared token
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = icws_candidate_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+        assert all((r["id_a"], r["id_b"]) != (1, 2) for r in got)

@@ -194,6 +194,44 @@ class TestRetrieveService:
         assert [v["attribute"] for v in page2["value"]] == [
             "device.2", "device.3"]
 
+    def test_list_prefix_longer_than_attribute_filters(self, rig):
+        # RetrieveService.java:152-156 — 'device.1a' against 'device.*'
+        # must return only instances with the requested longer prefix
+        ingest, retrieve, _ = rig
+        for name in ("1a.x", "1a.y", "1b.x", "2"):
+            ingest.ingest(entity="user", key="u1",
+                          attribute=f"device.{name}", value=b"v", stamp=1)
+        listed = retrieve.list_attributes(entity="user", key="u1",
+                                          wildcard_prefix="device.1a")
+        assert [v["attribute"] for v in listed["value"]] == [
+            "device.1a.x", "device.1a.y"]
+        # limit applies after the prefix filter
+        limited = retrieve.list_attributes(entity="user", key="u1",
+                                           wildcard_prefix="device.1a",
+                                           limit=1)
+        assert [v["attribute"] for v in limited["value"]] == ["device.1a.x"]
+
+    def test_list_strips_wildcard_suffix(self, rig):
+        # 'device.*' and 'device' are the same request (:117-120)
+        ingest, retrieve, _ = rig
+        ingest.ingest(entity="user", key="u1", attribute="device.7",
+                      value=b"v", stamp=1)
+        a = retrieve.list_attributes(entity="user", key="u1",
+                                     wildcard_prefix="device.*")
+        b = retrieve.list_attributes(entity="user", key="u1",
+                                     wildcard_prefix="device")
+        assert a["status"] == b["status"] == 200
+        assert a["value"] == b["value"]
+
+    def test_list_offset_must_extend_prefix_400(self, rig):
+        # :186-196 — offset not starting with wildcardPrefix is rejected
+        _, retrieve, _ = rig
+        resp = retrieve.list_attributes(entity="user", key="u1",
+                                        wildcard_prefix="device",
+                                        offset="elsewhere.1")
+        assert resp["status"] == 400
+        assert "Offset must have prefix" in resp["statusMessage"]
+
     def test_multifetch_preserves_order(self, rig):
         ingest, retrieve, _ = rig
         ingest.ingest(entity="user", key="u1", attribute="status", value=b"a",
@@ -279,6 +317,27 @@ class TestRpcTransactions:
                                         wildcard_prefix="device", limit=3,
                                         transaction_id=txn)
         assert resp["status"] == 400
+        # an offset inside a transaction is equally rejected
+        # (RetrieveService.java:126-130 checks offset OR limit)
+        resp = retrieve.list_attributes(entity="user", key="u1",
+                                        wildcard_prefix="device",
+                                        offset="device.1",
+                                        transaction_id=txn)
+        assert resp["status"] == 400
+
+    def test_commit_replay_failure_returns_failed(self, rig, monkeypatch):
+        # a storage failure while replaying committed outputs must yield a
+        # well-formed FAILED response, never a raw exception
+        ingest, retrieve, server = rig
+        txn = retrieve.begin()
+        ingest.ingest(entity="user", key="u1", attribute="status",
+                      value=b"x", stamp=1, transaction_id=txn)
+
+        def boom(*a, **k):
+            raise RuntimeError("storage down")
+
+        monkeypatch.setattr(server, "_attr_env", boom)
+        assert ingest.commit(txn) == TXN_FAILED
 
 
 class TestSchemeValidity:
