@@ -10949,72 +10949,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r10; VERDICT r09 'Next round' #1): the
+    # STALENESS-AWARE ROTATION (r11; VERDICT r10 'Next round' #1): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r09 union (r09: 50/50
-    # green through hypertable_rollup), ordered OLDEST-LAST-GREEN FIRST
-    # (no red rows, none never-checked):
-    #   (A) the 31 r05-stale queries — last driver-green 5 rounds ago,
-    #       the only remaining certification debt (VERDICT r09 #1);
-    #   (B) NEW r10 queries — in-window so they certify immediately;
-    #   (C)-(F) last green r06, r07, r08, r09 — each tier in its prior
-    #       relative order; the ~50-window tail lands in the r06 tier,
-    #       advancing the oldest tier r05 -> r06. Next round: recompute
-    #       from the union including CORRECTNESS_r10 and rotate again.
+    # Tiers recomputed from the CORRECTNESS_r01..r10 union (r10: 50/50
+    # green; histogram r06:46 r07:50 r08:49 r09:50 r10:50), ordered
+    # OLDEST-LAST-GREEN FIRST (no red rows, none never-checked):
+    #   (A) the 46 r06-stale queries — last driver-green 5 rounds ago;
+    #   (B) NEW r11 queries — in-window so they certify immediately;
+    #   (C)-(F) last green r07, r08, r09, r10 — each tier in its prior
+    #       relative order; the ~50-window tail lands in the r07 tier,
+    #       advancing the oldest tier r06 -> r07. Full cycle at 245+ / 50
+    #       ≈ 5 rounds (SURVEY §8 tracks the cycle length). Next round:
+    #       recompute from the union including CORRECTNESS_r11 and rotate.
     return {
-        # -- (A) r05-stale: last driver-green 5 rounds ago — certify first
-        "rollup_histogram": q_rollup_histogram,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "gapfill_locf": q_gapfill_locf,
-        "rollup_distinct": q_rollup_distinct,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "kmeans_cluster": q_kmeans_cluster,
-        "source_quota_sample": q_source_quota_sample,
-        "weighted_sample": q_weighted_sample,
-        "user_paths": q_user_paths,
-        "event_transitions": q_event_transitions,
-        "session_ids": q_session_ids,
-        "scd2_intervals": q_scd2_intervals,
-        "rollup_quantile": q_rollup_quantile,
-        "incremental_dedup": q_incremental_dedup,
-        "bpe_encode": q_bpe_encode,
-        "token_budget_pack": q_token_budget_pack,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "embedding_covariance": q_embedding_covariance,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "ngram_novelty": q_ngram_novelty,
-        "temperature_mix": q_temperature_mix,
-        "minhash_recall_eval": q_minhash_recall_eval,
-        "lsh_recall_eval": q_lsh_recall_eval,
-        "tpch_q7ish": q_tpch_q7ish,
-        "tpch_q10ish": q_tpch_q10ish,
-        "chunk_documents": q_chunk_documents,
-        "sequence_pack": q_sequence_pack,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "embedding_quantize": q_embedding_quantize,
-        "exact_decontaminate": q_exact_decontaminate,
-        # -- (B) NEW r10 queries: certify immediately
-        "kneser_ney3_score": q_kneser_ney3_score,
-        "ann_multiprobe_topk": q_ann_multiprobe_topk,
-        "kneser_ney3_mkn_score": q_kneser_ney3_mkn_score,
-        "dedup_minhash_oph": q_dedup_minhash_oph,
-        "naive_bayes_langid": q_naive_bayes_langid,
-        "bleu_dedup_verify": q_bleu_dedup_verify,
-        "zipf_slope": q_zipf_slope,
-        "kneser_ney5_score": q_kneser_ney5_score,
-        "kneser_ney5_mkn_score": q_kneser_ney5_mkn_score,
-        "domain_jsd": q_domain_jsd,
-        "tpch_q12ish": q_tpch_q12ish,
-        "tpch_q20ish": q_tpch_q20ish,
-        "dedup_minhash_bbit": q_dedup_minhash_bbit,
-        "unimax_mixture": q_unimax_mixture,
-        "dedup_minhash_weighted": q_dedup_minhash_weighted,
-        # -- (C) last green r06 — the window tail reaches into here
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "training_pipeline": q_training_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "tpch_q3": q_tpch_q3,
+        # -- (A) r06-stale: last driver-green 5 rounds ago — certify first
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
@@ -11061,7 +11009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_count": q_sliding_window_count,
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
-        # -- (D) last green r07
+        # -- (B) NEW r11 queries: certify immediately
+        # (inserted by the r11 build: ccnet_pipeline et al.)
+        # -- (C) last green r07
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
         "count_by_key": q_count_by_key,
@@ -11112,7 +11062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": q_distinct_hll,
         "ivm_agg_apply": q_ivm_agg_apply,
         "semantic_decontaminate": q_semantic_decontaminate,
-        # -- (E) last green r08
+        # -- (D) last green r08
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
@@ -11162,7 +11112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
         "skew_report": q_skew_report,
-        # -- (F) freshest: driver-green in r09
+        # -- (E) last green r09
         "survival_km": q_survival_km,
         "dedup_substrings_maximal": q_dedup_substrings_maximal,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -11213,6 +11163,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_ingest": q_compressed_ingest,
         "range_join_ship_week": q_range_join_ship_week,
         "hypertable_rollup": q_hypertable_rollup,
+        # -- (F) last green r10
+        "rollup_histogram": q_rollup_histogram,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "gapfill_locf": q_gapfill_locf,
+        "rollup_distinct": q_rollup_distinct,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "kmeans_cluster": q_kmeans_cluster,
+        "source_quota_sample": q_source_quota_sample,
+        "weighted_sample": q_weighted_sample,
+        "user_paths": q_user_paths,
+        "event_transitions": q_event_transitions,
+        "session_ids": q_session_ids,
+        "scd2_intervals": q_scd2_intervals,
+        "rollup_quantile": q_rollup_quantile,
+        "incremental_dedup": q_incremental_dedup,
+        "bpe_encode": q_bpe_encode,
+        "token_budget_pack": q_token_budget_pack,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "embedding_covariance": q_embedding_covariance,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "ngram_novelty": q_ngram_novelty,
+        "temperature_mix": q_temperature_mix,
+        "minhash_recall_eval": q_minhash_recall_eval,
+        "lsh_recall_eval": q_lsh_recall_eval,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q10ish": q_tpch_q10ish,
+        "chunk_documents": q_chunk_documents,
+        "sequence_pack": q_sequence_pack,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_quantize": q_embedding_quantize,
+        "exact_decontaminate": q_exact_decontaminate,
+        "kneser_ney3_score": q_kneser_ney3_score,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "kneser_ney3_mkn_score": q_kneser_ney3_mkn_score,
+        "dedup_minhash_oph": q_dedup_minhash_oph,
+        "naive_bayes_langid": q_naive_bayes_langid,
+        "bleu_dedup_verify": q_bleu_dedup_verify,
+        "zipf_slope": q_zipf_slope,
+        "kneser_ney5_score": q_kneser_ney5_score,
+        "kneser_ney5_mkn_score": q_kneser_ney5_mkn_score,
+        "domain_jsd": q_domain_jsd,
+        "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q20ish": q_tpch_q20ish,
+        "dedup_minhash_bbit": q_dedup_minhash_bbit,
+        "unimax_mixture": q_unimax_mixture,
+        "dedup_minhash_weighted": q_dedup_minhash_weighted,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "training_pipeline": q_training_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "tpch_q3": q_tpch_q3,
     }
 
 
