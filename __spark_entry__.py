@@ -2930,9 +2930,16 @@ def q_kneser_ney5_mkn_score(spark, sf):
     return kneser_ney5_scores(_load(spark, sf, "documents"), modified=True)
 
 
-def _sql_kneser_ney5(modified: bool) -> str:
+def _sql_kneser_ney5(
+    modified: bool, *, source: str = "documents", inner: bool = False
+) -> str:
     """Oracle generator mirroring kneser_ney5_scores' exact expression
-    tree (same parenthesization, same quantization) at order 5."""
+    tree (same parenthesization, same quantization) at order 5.
+
+    ``source``: relation providing (doc_id, text) — a table or an
+    earlier CTE. ``inner=True`` returns a WITH-less CTE-fragment string
+    ending in a ``kn`` CTE of (doc_id, kn5_score|kn5_mkn_score), for
+    embedding into composed oracles (ccnet_pipeline)."""
     N = 5
     W = [f"w{i}" for i in range(1, N + 1)]
     cnt = {5: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
@@ -2940,10 +2947,10 @@ def _sql_kneser_ney5(modified: bool) -> str:
     ctx_keys = {k: W[N - k: N - 1] for k in range(2, N + 1)}
 
     ctes = [
-        r"""t AS (
+        rf"""t AS (
     SELECT doc_id,
            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
-    FROM documents
+    FROM {source}
 )""",
         """g AS (
     SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3,
@@ -3043,8 +3050,7 @@ def _sql_kneser_ney5(modified: bool) -> str:
         for k in range(2, N + 1):
             joins.append(f"    CROSS JOIN d{k}")
     m = 10 ** (dp - 6)
-    return (
-        "\nWITH " + ",\n".join(ctes) + f""",
+    body = ",\n".join(ctes) + f""",
 scored AS (
     SELECT g.doc_id,
            round(ln({p}), {dp})::DECIMAL(28,10) AS lp
@@ -3053,13 +3059,14 @@ scored AS (
 per AS (
     SELECT doc_id, (sum(lp) * {10 ** dp})::BIGINT AS su, count(*) AS cnt
     FROM scored GROUP BY doc_id
-)
-SELECT doc_id,
+)"""
+    final = f"""SELECT doc_id,
        (CASE WHEN su < 0 THEN -1 ELSE 1 END)
        * ((2 * abs(su) + {m} * cnt) // (2 * {m} * cnt)) / 1000000.0 AS {out}
-FROM per
-"""
-    )
+FROM per"""
+    if inner:
+        return body + f",\nkn AS (\n{final}\n)"
+    return "\nWITH " + body + "\n" + final + "\n"
 
 
 def q_tpch_q12ish(spark, sf):
@@ -10932,6 +10939,142 @@ WHERE round(shared::DOUBLE / n::DOUBLE, 6) >= 0.5
 """
 
 
+def q_ccnet_pipeline(spark, sf):
+    """The CCNet flagship (Wenzek'20; functions/prep.py::ccnet_pipeline),
+    composed from individually-certified operators into ONE hash, in
+    CCNet's order: paragraph-level exact dedup with reassembly (the
+    fixture carries no newlines, so 10-token paragraphs are synthesized
+    exactly as dedup_paragraphs' query does) → Naive Bayes language-ID
+    over the CLEANED text, model trained on the labeled doc_id % 5 != 0
+    split of the raw corpus (the pretrained-fastText stand-in) → 5-gram
+    interpolated Kneser-Ney fluency (the KenLM order CCNet runs) with
+    EXACT global [q30, q70] thresholds via histogram bisection splitting
+    head / middle / tail → per-(predicted lang, bucket) intake summary.
+    Streaming twin: ccnet_pipeline_stream (TestStreamingCcnet)."""
+    from proxima_platform_spark.functions.prep import ccnet_pipeline
+
+    docs = _load(spark, sf, "documents")
+    trimmed = F.trim(F.lower(F.col("text")))
+    toks = F.split(trimmed, r"\s+", -1)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(10))
+    text2 = F.array_join(
+        F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, 10), " ")),
+        "\n",
+    )
+    seg = docs.select("doc_id", text2.alias("text"), "lang")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    return ccnet_pipeline(seg, train, lo_q=0.3, hi_q=0.7)
+
+
+def _sql_ccnet_pipeline() -> str:
+    return rf"""
+WITH tk AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+), st AS (
+    SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 10)) AS s
+    FROM tk
+), seg AS (
+    SELECT doc_id, s // 10 AS pos, array_to_string(toks[s+1:s+10], ' ') AS para
+    FROM st
+), nz AS (
+    SELECT * FROM seg WHERE len(para) > 0
+), kkeep AS (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+    FROM nz
+), dd AS MATERIALIZED (
+    -- deduped + reassembled text; docs with zero kept paragraphs drop out
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+    FROM kkeep WHERE rn = 1 GROUP BY doc_id
+),
+-- NB language model trained on the ORIGINAL labeled corpus (train split)
+tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+tr_tok AS (
+    SELECT lang AS c,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM tr
+),
+cwc AS (SELECT c, w, count(*) AS cnt FROM tr_tok GROUP BY 1, 2),
+ctok AS (SELECT c, sum(cnt) AS tc FROM cwc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM cwc),
+cdocs AS (SELECT lang AS c, count(*) AS nc FROM tr GROUP BY 1),
+nd AS (SELECT count(*) AS nd FROM tr),
+classes AS (
+    SELECT c, tc, v,
+           round(ln(nc / nd), 8)::DECIMAL(28,10) AS log_prior,
+           round(ln(1.0 / (tc + v)), 8)::DECIMAL(28,10) AS lp_unseen
+    FROM cdocs CROSS JOIN nd JOIN ctok USING (c) CROSS JOIN vocab
+),
+model AS (
+    SELECT c, w,
+           round(ln((cnt + 1) / (tc + v)), 8)::DECIMAL(28,10) AS lp
+    FROM cwc JOIN ctok USING (c) CROSS JOIN vocab
+),
+te_tok AS (
+    SELECT id, w, count(*) AS n FROM (
+        SELECT doc_id AS id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM dd
+    ) GROUP BY 1, 2
+),
+ll AS (
+    SELECT t.id, cl.c,
+           sum(t.n * coalesce(m.lp, cl.lp_unseen)) AS ll
+    FROM te_tok t
+    CROSS JOIN classes cl
+    LEFT JOIN model m ON m.c = cl.c AND m.w = t.w
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT id, c AS pred,
+           row_number() OVER (
+               PARTITION BY id ORDER BY (ll + log_prior) DESC, c ASC
+           ) AS rn
+    FROM ll JOIN classes USING (c)
+),
+-- 5-gram interpolated Kneser-Ney over the DEDUPED text
+{{kn5}},
+m5 AS (
+    SELECT doc_id, kn5_score,
+           round(kn5_score * 1000000)::BIGINT AS sm
+    FROM kn
+), nn5 AS (
+    SELECT count(*) AS n FROM m5
+), sel5 AS (
+    SELECT sm, row_number() OVER (ORDER BY sm) AS rn FROM m5
+), bounds AS (
+    SELECT
+      (SELECT sm FROM sel5, nn5
+       WHERE rn = greatest((300000 * n + 999999) // 1000000, 1)) AS lo_sm,
+      (SELECT sm FROM sel5, nn5
+       WHERE rn = greatest((700000 * n + 999999) // 1000000, 1)) AS hi_sm
+), bucketed AS (
+    SELECT doc_id, kn5_score,
+           CASE WHEN sm > hi_sm THEN 'head'
+                WHEN sm >= lo_sm THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM m5, bounds
+), ntok AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+    FROM dd
+)
+SELECT b.pred AS pred_lang, bk.bucket,
+       count(*) AS n_docs,
+       sum(ntok.n_tok)::BIGINT AS clean_tokens,
+       round(sum(bk.kn5_score::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_kn5
+FROM bucketed bk
+JOIN best b ON b.id = bk.doc_id AND b.rn = 1
+JOIN ntok USING (doc_id)
+GROUP BY 1, 2
+""".replace("{kn5}", _sql_kneser_ney5(False, source="dd", inner=True))
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: changelog → snapshot → per-attribute stats at sf0.001
     (source→compaction→agg, the platform's defining path —
@@ -11010,7 +11153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "calendar_window_month": q_calendar_window_month,
         # -- (B) NEW r11 queries: certify immediately
-        # (inserted by the r11 build: ccnet_pipeline et al.)
+        "ccnet_pipeline": q_ccnet_pipeline,
         # -- (C) last green r07
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
@@ -11532,6 +11675,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_decontaminate": _sql_winnow_decontaminate(),
         "hard_negative_mining": _sql_hard_negative_mining(),
         "perplexity_band_prep": _sql_perplexity_band_prep(),
+        "ccnet_pipeline": _sql_ccnet_pipeline(),
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,

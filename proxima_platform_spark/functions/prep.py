@@ -172,6 +172,144 @@ def curation_pipeline(
     )
 
 
+def ccnet_pipeline(
+    docs: DataFrame,
+    lang_train: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    lo_q: float = 0.3,
+    hi_q: float = 0.7,
+) -> DataFrame:
+    """The CCNet curation chain (Wenzek'20), end to end in one plan —
+    the signature modern-LLM corpus-curation recipe, composed from the
+    individually-certified operators in this package, in CCNet's order:
+
+      1. paragraph-level exact dedup with reassembly
+         (:func:`dedup.dedup_paragraphs`); documents whose every
+         paragraph was a corpus-wide duplicate drop out;
+      2. language identification over the DEDUPED text via multinomial
+         Naive Bayes (:func:`classify.nb_counts` /
+         ``nb_classify_from_counts``) trained on ``lang_train`` — the
+         stand-in for CCNet's pretrained fastText model (training uses
+         the ORIGINAL labeled text; classification sees only cleaned
+         text, like CCNet classifies post-dedup);
+      3. 5-gram Kneser-Ney fluency per deduped document
+         (:func:`ranking.kneser_ney5_scores` — the KenLM order CCNet
+         runs), then EXACT ``[lo_q, hi_q]`` global thresholds via
+         histogram bisection (:func:`selection.exact_quantile_bisect`,
+         no global sort) split the corpus into CCNet's head / middle /
+         tail perplexity buckets (head = most fluent; membership
+         compares integer micro-units, never raw doubles);
+      4. per-(predicted language, bucket) intake summary —
+         ``(pred_lang, bucket, n_docs, clean_tokens, avg_kn5)`` with a
+         decimal-exact average score.
+
+    Scale shape: dedup is three keyed shuffles; NB is two bounded-model
+    joins (model frames bounded by classes×vocab, broadcast); KN5 is
+    nine type-bounded stats joins + ONE occurrence join; the bisection
+    reads ≤256-cell histograms driver-side; the final agg is bounded by
+    langs×3. Docs shorter than 5 tokens after dedup carry no 5-gram and
+    drop out of the banded summary (same contract as
+    ``kneser_ney5_scores``)."""
+    from proxima_platform_spark.functions.classify import (
+        nb_classify_from_counts,
+        nb_counts,
+    )
+    from proxima_platform_spark.functions.dedup import dedup_paragraphs
+    from proxima_platform_spark.functions.ranking import kneser_ney5_scores
+    from proxima_platform_spark.functions.selection import (
+        exact_quantile_bisect,
+    )
+    from proxima_platform_spark.functions.text import token_count
+
+    dd = dedup_paragraphs(docs, id_col=id_col, text_col=text_col)
+    # staged once: the cleaned frame feeds NB scoring, the KN5 gram
+    # explosion, AND the summary token counts — without the checkpoint
+    # Catalyst re-derives the whole dedup chain per consumer
+    clean = (
+        dd.where(F.col("n_kept") > 0)
+        .select(F.col(id_col), F.col("text_dedup").alias(text_col))
+        .localCheckpoint(eager=False)
+    )
+
+    cwc, cdocs = nb_counts(
+        lang_train, id_col=id_col, text_col=text_col, label_col=label_col
+    )
+    # the classifier input needs no true label (CCNet classifies raw
+    # crawl text); when docs happen to carry one it rides through the
+    # classify frame unused
+    if label_col in docs.columns:
+        labeled = clean.join(
+            docs.select(F.col(id_col), F.col(label_col)), id_col
+        )
+    else:
+        labeled = clean.withColumn(label_col, F.lit(""))
+    pred = nb_classify_from_counts(
+        cwc, cdocs, labeled,
+        id_col=id_col, text_col=text_col, label_col=label_col,
+    ).select(F.col("id").alias(id_col), "pred")
+
+    kn = kneser_ney5_scores(clean, id_col=id_col, text=text_col)
+    kn = kn.localCheckpoint(eager=False)
+    lo = exact_quantile_bisect(kn, "kn5_score", lo_q).collect()[0].value
+    hi = exact_quantile_bisect(kn, "kn5_score", hi_q).collect()[0].value
+    lo_m, hi_m = int(round(lo * 1_000_000)), int(round(hi * 1_000_000))
+    sm = F.round(F.col("kn5_score") * 1_000_000).cast("long")
+    bucketed = kn.select(
+        id_col,
+        "kn5_score",
+        F.when(sm > hi_m, F.lit("head"))
+        .when(sm >= lo_m, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        bucketed.join(pred, id_col)
+        .join(clean, id_col)
+        .groupBy(F.col("pred").alias("pred_lang"), F.col("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias(
+                "clean_tokens"
+            ),
+            F.round(
+                F.sum(F.col("kn5_score").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_kn5"),
+        )
+    )
+
+
+def ccnet_pipeline_stream(
+    stream_docs: DataFrame,
+    lang_train: DataFrame,
+    sink,
+    **ccnet_kwargs,
+):
+    """Run the identical dedup→lang-ID→perplexity-band chain over a
+    documents *stream*: ``sink(summary_df, batch_id)`` receives each
+    micro-batch's per-(lang, bucket) summary — the same rows
+    :func:`ccnet_pipeline` produces on that micro-batch's slice (pinned
+    by TestStreamingCcnet). ``lang_train`` is the fixed labeled corpus
+    (CCNet's model is pretrained — it does NOT drift with the stream);
+    dedup scope and band thresholds are batch-local by design, the same
+    seal-at-batch-boundary trade the other ``*_stream`` twins make. For
+    cross-batch maintained models see ``ContinuousNaiveBayes`` and
+    ``ContinuousKneserNey``, which maintain both models' sufficient
+    statistics exactly over the union. Returns a ``DataStreamWriter``;
+    caller adds trigger/checkpoint and ``start()``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(ccnet_pipeline(batch_df, lang_train, **ccnet_kwargs), batch_id)
+
+    return stream_docs.writeStream.foreachBatch(handle)
+
+
 def curation_pipeline_stream(
     stream_docs: DataFrame,
     sink,
