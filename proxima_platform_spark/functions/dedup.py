@@ -2105,7 +2105,7 @@ def icws_signature_df(
     return sampled.select("id", "seed", F.col("m.w").alias("token"))
 
 
-def icws_candidate_pairs(
+def icws_band_rows(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -2113,9 +2113,10 @@ def icws_candidate_pairs(
     num_hashes: int = 6,
     bands: int = 3,
 ) -> DataFrame:
-    """tf-weighted near-duplicate candidate pairs: the 0-bit CWS samples
-    banded ``num_hashes/bands`` per key (collision prob ≈ J_w^rows per
-    band), then the standard banded self-join — never all-pairs."""
+    """``(id, band)`` LSH band keys from the 0-bit ICWS samples — the
+    shared banding stage of :func:`icws_candidate_pairs` and the
+    streaming ``ContinuousIcwsIndex`` (one expression path, so batch
+    and maintained banding are identical by construction)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
@@ -2143,7 +2144,23 @@ def icws_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = wide.select("id", F.explode(band_keys).alias("band")).persist()
+    return wide.select("id", F.explode(band_keys).alias("band"))
+
+
+def icws_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """tf-weighted near-duplicate candidate pairs: the 0-bit CWS samples
+    banded ``num_hashes/bands`` per key (collision prob ≈ J_w^rows per
+    band), then the standard banded self-join — never all-pairs."""
+    banded = icws_band_rows(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands
+    ).persist()
     _BANDED_CACHE.append(banded)
     while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
         _BANDED_CACHE.pop(0).unpersist()
