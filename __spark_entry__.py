@@ -3437,6 +3437,39 @@ FROM te JOIN best b ON b.id = te.doc_id AND b.rn = 1
 """
 
 
+def q_naive_bayes_topk_langid(spark, sf):
+    """Naive Bayes lang-ID with the model PRUNED to each class's top-16
+    features (ties by smallest token; the fixture's per-class vocab is
+    ~31 tokens, so the prune cuts the model roughly in half — the gate
+    genuinely bites) — the web-scale path for large
+    label spaces (functions/classify.py::nb_counts top_k_features knob):
+    the model frame shrinks from classes×vocab to classes×K and every
+    downstream statistic (class token mass, vocabulary, unseen
+    likelihood) derives from the pruned frame, so tokens outside the
+    kept features score as unseen. One bounded window over the cwc
+    frame; otherwise the exact naive_bayes_langid plan."""
+    from proxima_platform_spark.functions.classify import naive_bayes_classify
+
+    docs = _load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(
+        train, test, id_col="doc_id", text_col="text", label_col="lang",
+        top_k_features=16,
+    )
+
+
+# same oracle with the cwc frame pruned to per-class top-64 (the QUALIFY
+# mirrors the Spark row_number window: cnt desc, token asc)
+SQL_NAIVE_BAYES_TOPK_LANGID = SQL_NAIVE_BAYES_LANGID.replace(
+    "cwc AS (SELECT c, w, count(*) AS cnt FROM tr_tok GROUP BY 1, 2),",
+    "cwc AS (SELECT c, w, count(*) AS cnt FROM tr_tok GROUP BY 1, 2\n"
+    "        QUALIFY row_number() OVER ("
+    "PARTITION BY c ORDER BY cnt DESC, w ASC) <= 16),",
+)
+
+
+
 def q_bleu_dedup_verify(spark, sf):
     """log-BLEU-2 (Papineni'02) of each MinHash-LSH candidate pair —
     candidate-pair verification: modified 1/2-gram clipped precision with
@@ -11154,6 +11187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_window_month": q_calendar_window_month,
         # -- (B) NEW r11 queries: certify immediately
         "ccnet_pipeline": q_ccnet_pipeline,
+        "naive_bayes_topk_langid": q_naive_bayes_topk_langid,
         # -- (C) last green r07
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
@@ -11676,6 +11710,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negative_mining": _sql_hard_negative_mining(),
         "perplexity_band_prep": _sql_perplexity_band_prep(),
         "ccnet_pipeline": _sql_ccnet_pipeline(),
+        "naive_bayes_topk_langid": SQL_NAIVE_BAYES_TOPK_LANGID,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,

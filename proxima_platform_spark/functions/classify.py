@@ -44,16 +44,46 @@ def nb_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    top_k_features: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The model's sufficient statistics: (cwc, cdocs) where cwc =
     (c, w, cnt) token counts per (class, token) and cdocs = (c, nc)
     document counts per class. Both are ADDITIVE — a union of corpora sums
-    them — which is what makes the streaming maintainer exact."""
+    them — which is what makes the streaming maintainer exact.
+
+    ``top_k_features``: prune the model to each class's K most frequent
+    tokens (ties by smallest token — a total order, so the pruned model
+    is deterministic). This is the web-scale path for large label
+    spaces: the model frame shrinks from |classes|×|vocab| to
+    |classes|×K, and everything downstream (class token totals,
+    vocabulary size, unseen likelihood) derives from the PRUNED frame,
+    so the pruned model is self-consistent — a test token outside the
+    kept features scores as unseen. One bounded window over the cwc
+    frame (partitioned by class), nothing corpus-sized. NOTE: pruned
+    counts are NOT additive (top-K of a union ≠ union of top-Ks) — a
+    streaming maintainer must merge RAW counts and prune after the
+    merge, which is what ``ContinuousNaiveBayes`` does when given the
+    knob."""
     tr_tok = train.select(
         F.col(label_col).alias("c"), F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
     cwc = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    if top_k_features is not None:
+        if top_k_features < 1:
+            raise ValueError(
+                f"top_k_features must be >= 1, got {top_k_features}"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c").orderBy(
+            F.col("cnt").desc(), F.col("w").asc()
+        )
+        cwc = (
+            cwc.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top_k_features)
+            .drop("__rn")
+        )
     cdocs = train.groupBy(F.col(label_col).alias("c")).agg(
         F.count(F.lit(1)).alias("nc")
     )
@@ -149,12 +179,16 @@ def naive_bayes_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    top_k_features: int | None = None,
 ) -> DataFrame:
     """Train multinomial NB on ``train`` and classify ``test`` (the one-shot
     batch form; see :func:`nb_counts` / :func:`nb_classify_from_counts` for
-    the factored path the streaming maintainer shares)."""
+    the factored path the streaming maintainer shares).
+    ``top_k_features`` prunes the model to per-class top-K tokens — the
+    web-scale path for large label spaces (see :func:`nb_counts`)."""
     cwc, cdocs = nb_counts(
-        train, id_col=id_col, text_col=text_col, label_col=label_col
+        train, id_col=id_col, text_col=text_col, label_col=label_col,
+        top_k_features=top_k_features,
     )
     return nb_classify_from_counts(
         cwc, cdocs, test, id_col=id_col, text_col=text_col,

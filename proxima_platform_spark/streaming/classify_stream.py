@@ -137,13 +137,37 @@ class ContinuousNaiveBayes:
         m = self._manifest()
         return self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
 
-    def classify(self, test: DataFrame) -> DataFrame | None:
+    def classify(
+        self, test: DataFrame, *, top_k_features: int | None = None
+    ) -> DataFrame | None:
         """Classify from the current model — exactly the batch classifier
-        trained on the union of every ingested batch."""
+        trained on the union of every ingested batch.
+
+        ``top_k_features`` prunes the MERGED model to each class's K
+        most frequent tokens before scoring (ties by smallest token).
+        Pruning happens here — after the merge — because pruned counts
+        are not additive (top-K of a union ≠ union of top-Ks); the
+        maintained state stays raw, so the pruned classification equals
+        batch ``nb_counts(union, top_k_features=K)`` exactly."""
         merged = self.counts()
         if merged is None:
             return None
         cwc, cdocs = merged
+        if top_k_features is not None:
+            if top_k_features < 1:
+                raise ValueError(
+                    f"top_k_features must be >= 1, got {top_k_features}"
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("c").orderBy(
+                F.col("cnt").desc(), F.col("w").asc()
+            )
+            cwc = (
+                cwc.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= top_k_features)
+                .drop("__rn")
+            )
         return nb_classify_from_counts(
             cwc, cdocs, test, id_col=self.id_col, text_col=self.text_col,
             label_col=self.label_col,

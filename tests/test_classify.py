@@ -82,3 +82,48 @@ class TestNaiveBayes:
         test = spark.createDataFrame(TEST[:2], "doc_id long, text string, lang string")
         got = {r["id"]: r["pred"] for r in naive_bayes_classify(train, test).collect()}
         assert got == {10: "tech", 11: "sport"}
+
+
+class TestNbTopKFeatures:
+    def test_pruned_model_matches_hand_model(self, spark):
+        # K=1 keeps only each class's most frequent token; every other
+        # statistic (token mass, vocab, unseen likelihood) derives from
+        # the PRUNED frame — the hand model uses exactly those dicts
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string, lang string")
+        test = spark.createDataFrame(TEST, "doc_id long, text string, lang string")
+        got = {
+            r["id"]: (r["pred"], r["score"])
+            for r in naive_bayes_classify(
+                train, test, top_k_features=1
+            ).collect()
+        }
+        cls_tokens = {"tech": {"spark": 3}, "sport": {"match": 3}}
+        cls_docs = {"tech": 2, "sport": 2}
+        vocab = 2
+        for doc_id, text, label in TEST:
+            scores = model_score(text, cls_tokens, cls_docs, vocab)
+            pred = min(scores, key=lambda c: (-scores[c], c))
+            assert got[doc_id][0] == pred
+            assert abs(got[doc_id][1] - scores[pred]) < 1e-9
+
+    def test_prune_ties_break_by_smallest_token(self, spark):
+        # tech's count-1 tokens are {agg, join, shuffle}: K=2 keeps
+        # spark(3) then 'agg' (smallest of the tied tail)
+        from proxima_platform_spark.functions.classify import nb_counts
+
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string, lang string")
+        cwc, _ = nb_counts(train, top_k_features=2)
+        kept = {
+            (r["c"], r["w"]) for r in cwc.collect()
+        }
+        assert kept == {("tech", "spark"), ("tech", "agg"),
+                        ("sport", "match"), ("sport", "goal")}
+
+    def test_k_must_be_positive(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.classify import nb_counts
+
+        train = spark.createDataFrame(TRAIN, "doc_id long, text string, lang string")
+        with pytest.raises(ValueError):
+            nb_counts(train, top_k_features=0)

@@ -3133,6 +3133,35 @@ class TestContinuousNaiveBayes:
         after = sorted(tuple(r) for r in nb.counts()[0].collect())
         assert before == after
 
+    def test_topk_pruned_classify_equals_batch_pruned_union(
+        self, spark, tmp_path
+    ):
+        """Pruned counts are not additive, so the maintainer prunes the
+        MERGED model at classify time: the result must equal the batch
+        classifier trained on the union with the same knob."""
+        from proxima_platform_spark.functions.classify import (
+            naive_bayes_classify,
+        )
+
+        nb = self._maintainer(spark, tmp_path, compact_every=2)
+        for i, lo in enumerate([(0, 2), (2, 4), (4, 6)]):
+            nb.update(self._df(spark, self.TRAIN[lo[0]:lo[1]]), batch_id=i)
+        test = self._df(spark, self.TEST)
+        got = sorted(
+            tuple(r)
+            for r in nb.classify(test, top_k_features=2).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in naive_bayes_classify(
+                self._df(spark, self.TRAIN), test, top_k_features=2
+            ).collect()
+        )
+        assert got == want
+        # non-vacuous: the pruned model really differs from the raw one
+        raw = sorted(tuple(r) for r in nb.classify(test).collect())
+        assert raw != got
+
     def test_empty_state_returns_none(self, spark, tmp_path):
         nb = self._maintainer(spark, tmp_path)
         assert nb.classify(self._df(spark, self.TEST)) is None
