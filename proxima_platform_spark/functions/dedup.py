@@ -334,10 +334,14 @@ def oph_signature_df(
     hash range into ``num_bins`` bins (bin = h mod k), and takes the min
     base hash within each bin; an empty bin j borrows cyclically from the
     first non-empty bin j+t with offset t·C ("rotation densification",
-    which restores the unbiased Jaccard collision estimate). At 100 TB this
-    is the difference between one hash pass over the shingle stream and k:
-    shuffle volume drops k× (only (doc, h) rows move), and the aggregation
-    buffer stays the same fixed-width k-column layout.
+    which restores the unbiased Jaccard collision estimate). At 100 TB the
+    win is one hash+bin probe per shingle instead of k affine+min updates
+    (compute), and — against the exploded per-(doc, seed) signature form
+    ``minhash_signatures_df`` (the skew-safe path for huge docs) — k×
+    fewer shuffled signature rows (measured at sf1: 400k → 50k rows,
+    SCALE.md r11 shuffle table). The BANDED candidate paths map-side-
+    combine to ~1 row/doc/partition either way, so their shuffle bytes
+    are at parity — measured, not assumed.
 
     Output: one row per doc, sig_0..sig_{k-1} bigint columns. Docs with
     fewer than ``n`` tokens have no shingles and drop out (same contract as
