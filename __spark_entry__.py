@@ -3662,6 +3662,75 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_cluster_keep_best(spark, sf):
+    """Canonical-document selection per near-dup cluster — the standard
+    C4/RealNews-style finishing step after transitive dedup grouping:
+    MinHash/LSH candidate pairs → connected components (dedup_groups's
+    alternating-star CC) → within each cluster keep the HIGHEST-QUALITY
+    member (quality_model_score; ties by smallest doc_id). Output one row
+    per clustered doc: (doc_id, group_id, score, keep). The keeper is an
+    argmax via one map-side-combinable struct-max agg per group — no
+    window funnels a hot cluster through a single reducer (the
+    dedup_paragraphs winner-agg lesson at cluster granularity)."""
+    from proxima_platform_spark.functions.text import quality_model_score
+
+    docs = _load(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4
+    )
+    groups = dedup_groups(pairs, "id_a", "id_b")
+    scored = docs.select(
+        "doc_id", quality_model_score(F.col("text")).alias("score")
+    )
+    g = groups.select(F.col("id").alias("doc_id"), "group_id").join(
+        scored, "doc_id"
+    )
+    best = g.groupBy("group_id").agg(
+        F.max(
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
+        ).alias("b")
+    )
+    return g.join(best, "group_id").select(
+        "doc_id",
+        "group_id",
+        "score",
+        (F.col("doc_id") == -F.col("b.nid")).alias("keep"),
+    )
+
+
+def _sql_dedup_cluster_keep_best() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes("documents")},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    WHERE r.label < e.v
+), grp AS (
+    SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node
+), {_sql_quality_model_ctes()},
+scored AS (
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z.logit)), 6) AS score FROM z
+), j AS (
+    SELECT g.doc_id, g.group_id, s.score
+    FROM grp g JOIN scored s USING (doc_id)
+)
+SELECT doc_id, group_id, score,
+       (row_number() OVER (
+            PARTITION BY group_id ORDER BY score DESC, doc_id ASC
+        ) = 1) AS keep
+FROM j
+"""
+
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash document fingerprints (60-bit; md5-derived token hashes),
     via the exploded hash-aggregation shape (explode → 60 conditional-sum
@@ -11188,6 +11257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (B) NEW r11 queries: certify immediately
         "ccnet_pipeline": q_ccnet_pipeline,
         "naive_bayes_topk_langid": q_naive_bayes_topk_langid,
+        "dedup_cluster_keep_best": q_dedup_cluster_keep_best,
         # -- (C) last green r07
         "calendar_window_week": q_calendar_window_week,
         "global_window_agg": q_global_window_agg,
@@ -11711,6 +11781,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_band_prep": _sql_perplexity_band_prep(),
         "ccnet_pipeline": _sql_ccnet_pipeline(),
         "naive_bayes_topk_langid": SQL_NAIVE_BAYES_TOPK_LANGID,
+        "dedup_cluster_keep_best": _sql_dedup_cluster_keep_best(),
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "quantile_sketch": SQL_QUANTILE_SKETCH,
         "rrf_fusion": SQL_RRF_FUSION,
