@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "dedup_minhash_bbit",
     "unimax_mixture",
     "dedup_minhash_weighted",
+    # r11 additions
+    "ccnet_pipeline",
+    "naive_bayes_topk_langid",
+    "dedup_cluster_keep_best",
 ]
 
 
