@@ -268,6 +268,42 @@ class RpcServer:
 
     # == IngestService =======================================================
 
+    def _validate_ingest(self, request: dict):
+        """Validation half of the ingest path (IngestService.java:364-407):
+        returns ``(error_status, None)`` or ``(None, (entity, attr))``."""
+        uuid = request.get("uuid") or ""
+        key = request.get("key") or ""
+        entity_name = request.get("entity") or ""
+        attribute = request.get("attribute") or ""
+        if not key or not entity_name or not attribute:
+            return (
+                _status(uuid, 400, "Missing required fields in input message"),
+                None,
+            )
+        entity = self._find_entity(entity_name)
+        if entity is None:
+            return _status(uuid, 404, f"Entity {entity_name} not found"), None
+        attr = self._find_attribute(entity, attribute)
+        if attr is None:
+            return (
+                _status(
+                    uuid, 404,
+                    f"Attribute {attribute} of entity {entity_name} not found",
+                ),
+                None,
+            )
+        delete = bool(request.get("delete"))
+        value = request.get("value") or b""
+        # delete is always valid (IngestService.java:393)
+        if not delete and not _value_valid(attr.scheme, value):
+            return (
+                _status(
+                    uuid, 412, f"Invalid scheme for {entity_name}.{attr.name}"
+                ),
+                None,
+            )
+        return None, (entity, attr)
+
     def ingest(self, request: dict) -> dict:
         """Synchronous ingest (rpc.proto:142; IngestService.java:330-348,
         validation :364-407)."""
@@ -275,24 +311,12 @@ class RpcServer:
         key = request.get("key") or ""
         entity_name = request.get("entity") or ""
         attribute = request.get("attribute") or ""
-        if not key or not entity_name or not attribute:
-            return _status(uuid, 400, "Missing required fields in input message")
-        entity = self._find_entity(entity_name)
-        if entity is None:
-            return _status(uuid, 404, f"Entity {entity_name} not found")
-        attr = self._find_attribute(entity, attribute)
-        if attr is None:
-            return _status(
-                uuid, 404,
-                f"Attribute {attribute} of entity {entity_name} not found",
-            )
+        err, parsed = self._validate_ingest(request)
+        if err is not None:
+            return err
+        entity, attr = parsed
         delete = bool(request.get("delete"))
         value = request.get("value") or b""
-        # delete is always valid (IngestService.java:393)
-        if not delete and not _value_valid(attr.scheme, value):
-            return _status(
-                uuid, 412, f"Invalid scheme for {entity_name}.{attr.name}"
-            )
         stamp = int(request.get("stamp") or 0) or _now_ms()
         txn_id = request.get("transactionId") or ""
         if txn_id:
@@ -329,9 +353,45 @@ class RpcServer:
     def ingest_bulk(self, bulks: Iterable[dict]) -> Iterator[dict]:
         """stream IngestBulk → stream StatusBulk (rpc.proto:126-133). The
         server may regroup statuses arbitrarily (the reference flushes on a
-        timer/size); we flush one StatusBulk per input bulk."""
+        timer/size); we flush one StatusBulk per input bulk, statuses in
+        request order.
+
+        Transactional writes in a bulk are grouped per transactionId and
+        validated ALL-OR-NOTHING (IngestService.java:231-255): one invalid
+        write keeps its own error status, every VALID write of the group
+        gets 412 'Invalid update was part of transaction <id>', and the
+        transaction is rolled back (a later commit returns FAILED).
+        Non-transactional writes process independently."""
+        from proxima_platform_spark.transactions import TransactionState
+
         for bulk in bulks:
-            yield {"status": [self.ingest(r) for r in bulk.get("ingest") or []]}
+            reqs = list(bulk.get("ingest") or [])
+            statuses: dict[int, dict] = {}
+            groups: dict[str, list[int]] = {}
+            for i, r in enumerate(reqs):
+                groups.setdefault(r.get("transactionId") or "", []).append(i)
+            for txn_id, idxs in groups.items():
+                if not txn_id:
+                    for i in idxs:
+                        statuses[i] = self.ingest(reqs[i])
+                    continue
+                validated = [(i, self._validate_ingest(reqs[i])[0]) for i in idxs]
+                if any(err is not None for _, err in validated):
+                    for i, err in validated:
+                        statuses[i] = err if err is not None else _status(
+                            reqs[i].get("uuid") or "",
+                            412,
+                            "Invalid update was part of transaction "
+                            + txn_id,
+                        )
+                    ctx = self._open.get(txn_id)
+                    if ctx is not None and not ctx.terminated:
+                        ctx.terminated = True
+                        ctx.txn.state = TransactionState.ABORTED
+                else:
+                    for i, _ in validated:
+                        statuses[i] = self.ingest(reqs[i])
+            yield {"status": [statuses[i] for i in range(len(reqs))]}
 
     def commit(self, request: dict) -> dict:
         """TransactionCommitRequest → TransactionCommitResponse

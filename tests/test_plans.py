@@ -937,3 +937,30 @@ class TestR10ExtensionPlans:
     def test_domain_jsd_grid_is_equi_join(self, spark, sf_dir):
         plan = physical_plan(entry.q_domain_jsd(spark, sf_dir))
         assert "CartesianProduct" not in plan
+
+
+class TestR11ExtensionPlans:
+    def test_keep_best_uses_agg_not_window(self, spark, sf_dir):
+        # the keeper argmax must be a map-side-combinable struct-max agg,
+        # never a per-group window (a hot cluster would funnel through
+        # one reducer); and the pair machinery stays equi-join
+        plan = physical_plan(entry.q_dedup_cluster_keep_best(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+
+    def test_nb_topk_prune_is_bounded_window(self, spark, sf_dir):
+        # the prune window runs over the classes x vocab model frame —
+        # allowed; the corpus-scale scoring side must stay equi-join
+        plan = physical_plan(entry.q_naive_bayes_topk_langid(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+    def test_ccnet_pipeline_no_cartesian(self, spark, sf_dir):
+        # the composed chain inherits each stage's plan contract: no
+        # all-pairs anywhere — dedup is explode->agg->agg->join, NB model
+        # joins are equi/broadcast, KN5 crosses the occurrence stream
+        # once. BroadcastNestedLoopJoin appears ONLY as the NB/KN bounded
+        # 1-row / |classes|-row crossJoins (priors, vocab, totals) — the
+        # same allowance the naive_bayes plan assert makes.
+        plan = physical_plan(entry.q_ccnet_pipeline(spark, sf_dir))
+        assert "CartesianProduct" not in plan

@@ -167,6 +167,50 @@ class TestIngestService:
         statuses = {s["uuid"]: s["status"] for b in out for s in b["status"]}
         assert statuses == {"a": 200, "b": 400, "c": 404}
 
+    def test_bulk_transactional_group_is_all_or_nothing(self, rig):
+        # IngestService.java:231-255 — one invalid write in a bulk's
+        # transactional group keeps its own status, every VALID write of
+        # the group gets 412 'Invalid update was part of transaction',
+        # and the transaction rolls back (commit -> FAILED); an unrelated
+        # non-transactional write in the same bulk is untouched
+        ingest, retrieve, _ = rig
+        txn = retrieve.begin()
+        bulk = {"ingest": [
+            {"uuid": "t1", "entity": "user", "key": "k1",
+             "attribute": "status", "value": b"ok", "transactionId": txn},
+            {"uuid": "t2", "entity": "user", "key": "k2",
+             "attribute": "score", "value": b"not-a-number",
+             "transactionId": txn},
+            {"uuid": "n1", "entity": "user", "key": "k3",
+             "attribute": "status", "value": b"plain"},
+        ]}
+        [out] = list(ingest.ingest_bulk([bulk]))
+        st = {s["uuid"]: s for s in out["status"]}
+        assert st["t2"]["status"] == 412            # its own failure
+        assert "Invalid scheme" in st["t2"]["statusMessage"]
+        assert st["t1"]["status"] == 412            # poisoned group member
+        assert "part of transaction" in st["t1"]["statusMessage"]
+        assert st["n1"]["status"] == 200            # independent write
+        assert ingest.commit(txn) == TXN_FAILED     # rolled back
+        # nothing from the transactional group reached storage
+        assert retrieve.get(entity="user", key="k1",
+                            attribute="status")["status"] == 404
+
+    def test_bulk_transactional_group_all_valid_buffers(self, rig):
+        ingest, retrieve, _ = rig
+        txn = retrieve.begin()
+        bulk = {"ingest": [
+            {"uuid": "u1", "entity": "user", "key": "k1",
+             "attribute": "status", "value": b"a", "transactionId": txn},
+            {"uuid": "u2", "entity": "user", "key": "k1",
+             "attribute": "score", "value": b"7", "transactionId": txn},
+        ]}
+        [out] = list(ingest.ingest_bulk([bulk]))
+        assert all(s["status"] == 200 for s in out["status"])
+        assert ingest.commit(txn) == TXN_COMMITTED
+        got = retrieve.get(entity="user", key="k1", attribute="score")
+        assert (got["status"], got["value"]) == (200, b"7")
+
 
 class TestRetrieveService:
     def test_get_missing_key_404(self, rig):
