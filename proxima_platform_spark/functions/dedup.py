@@ -373,7 +373,7 @@ def oph_signature_df(
     return binned.select("id", *dense)
 
 
-def oph_candidate_pairs(
+def oph_band_rows(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -382,10 +382,9 @@ def oph_candidate_pairs(
     num_bins: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs from the OPH signature — the same
-    banded self-join as minhash_candidate_pairs (rows_per_band =
-    num_bins/bands, md5 band keys), built from one hash pass instead of
-    ``num_hashes`` affine evaluations per shingle."""
+    """``(id, band)`` LSH band keys from the OPH signature — the shared
+    banding stage of :func:`oph_candidate_pairs` and the streaming
+    ``ContinuousOphIndex`` (one expression path, batch == maintained)."""
     if num_bins % bands:
         raise ValueError("bands must divide num_bins")
     sig = oph_signature_df(docs, id_col, text_col, n=n, num_bins=num_bins)
@@ -405,7 +404,25 @@ def oph_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", F.explode(band_keys).alias("band")).persist()
+    return sig.select("id", F.explode(band_keys).alias("band"))
+
+
+def oph_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_bins: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from the OPH signature — the same
+    banded self-join as minhash_candidate_pairs (rows_per_band =
+    num_bins/bands, md5 band keys), built from one hash pass instead of
+    ``num_hashes`` affine evaluations per shingle."""
+    banded = oph_band_rows(
+        docs, id_col, text_col, n=n, num_bins=num_bins, bands=bands
+    ).persist()
     _BANDED_CACHE.append(banded)
     while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
         _BANDED_CACHE.pop(0).unpersist()
@@ -418,7 +435,7 @@ def oph_candidate_pairs(
     )
 
 
-def bbit_minhash_pairs(
+def bbit_band_rows(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -428,20 +445,10 @@ def bbit_minhash_pairs(
     b: int = 4,
     bands: int = 2,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs from b-BIT MinHash signatures
-    (Li & König WWW'10): store only the lowest ``b`` bits of each MinHash
-    value. At 100 TB the signature table is often the dominant artifact —
-    b-bit cuts it 64/b× (8 hashes × 4 bits = 4 BYTES per doc here) at a
-    known accuracy cost: per-hash collision probability becomes
-    ``P_b ≈ 2^-b + (1 - 2^-b)·J``, i.e. a 1/16 chance-collision floor at
-    b=4, compensated by widening bands (``num_hashes/bands`` rows per band
-    vs classic 2) so random 4-row bands collide at ~2^-16.
-
-    Same exploded-aggregation shape as minhash_candidate_pairs (one hash
-    aggregation computes all mins; fixed-width buffer, map-side combine);
-    the banded self-join is hash-partitioned, never all-pairs. Docs with
-    fewer than ``n`` tokens drop out.
-    """
+    """``(id, band)`` LSH band keys from b-bit-truncated MinHash values —
+    the shared banding stage of :func:`bbit_minhash_pairs` and the
+    streaming ``ContinuousBbitIndex`` (one expression path, batch ==
+    maintained)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
@@ -484,7 +491,36 @@ def bbit_minhash_pairs(
             for bd in range(bands)
         ]
     )
-    banded = sig.select("id", F.explode(band_keys).alias("band")).persist()
+    return sig.select("id", F.explode(band_keys).alias("band"))
+
+
+def bbit_minhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    b: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from b-BIT MinHash signatures
+    (Li & König WWW'10): store only the lowest ``b`` bits of each MinHash
+    value. At 100 TB the signature table is often the dominant artifact —
+    b-bit cuts it 64/b× (8 hashes × 4 bits = 4 BYTES per doc here) at a
+    known accuracy cost: per-hash collision probability becomes
+    ``P_b ≈ 2^-b + (1 - 2^-b)·J``, i.e. a 1/16 chance-collision floor at
+    b=4, compensated by widening bands (``num_hashes/bands`` rows per band
+    vs classic 2) so random 4-row bands collide at ~2^-16.
+
+    Same exploded-aggregation shape as minhash_candidate_pairs (one hash
+    aggregation computes all mins; fixed-width buffer, map-side combine);
+    the banded self-join is hash-partitioned, never all-pairs. Docs with
+    fewer than ``n`` tokens drop out.
+    """
+    banded = bbit_band_rows(
+        docs, id_col, text_col, n=n, num_hashes=num_hashes, b=b, bands=bands
+    ).persist()
     _BANDED_CACHE.append(banded)
     while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
         _BANDED_CACHE.pop(0).unpersist()

@@ -40,25 +40,19 @@ shared-POSIX-path storage contract as the other maintainers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from proxima_platform_spark.streaming.winnow_stream import (
-    ContinuousWinnowIndex,
+from proxima_platform_spark.streaming.band_stream import (
+    ContinuousBandIndex,
 )
 
 
-class ContinuousIcwsIndex(ContinuousWinnowIndex):
+class ContinuousIcwsIndex(ContinuousBandIndex):
     """Append-only ``(doc_id, fp)`` band-key index with base+delta
-    parquet generations (manifest machinery inherited from
-    :class:`ContinuousWinnowIndex`), replay-safe via the
-    max-committed-batch_id guard.
-
-    ``ingest(batch_df, batch_id)`` runs the full online step — band the
-    batch with the batch operator's own expression stage, report every
-    tf-weighted candidate pair in which at least one member is in THIS
-    batch to ``sink(pairs_df, batch_id)``, fold the batch's band rows
-    into the index — and is usable directly as a ``foreachBatch``
-    callback."""
+    parquet generations; the generic online step (band the batch with
+    the batch operator's own expression stage, probe batch-vs-union,
+    sink, fold) lives in :class:`ContinuousBandIndex` — this instance
+    supplies the ICWS banding stage."""
 
     def __init__(
         self,
@@ -85,49 +79,16 @@ class ContinuousIcwsIndex(ContinuousWinnowIndex):
         self.num_hashes = num_hashes
         self.bands = bands
 
-    def band_rows(self) -> DataFrame | None:
-        """The maintained distinct ``(doc_id, fp)`` band-key index."""
-        return self.fingerprints()
-
-    def ingest(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        """One online step: band the batch, report every (id_a, id_b)
-        candidate pair (id_a < id_b, distinct) in which at least one
-        member is in THIS batch — new-vs-accepted AND within-batch, the
-        module docstring's exact-twin argument — to
-        ``sink(pairs_df, batch_id)``, then fold the batch's band rows
-        into the index."""
+    def _band_rows(self, batch_df: DataFrame) -> DataFrame:
         from proxima_platform_spark.functions.dedup import icws_band_rows
 
-        bands_b = (
-            icws_band_rows(
-                batch_df,
-                self.id_col,
-                self.text_col,
-                num_hashes=self.num_hashes,
-                bands=self.bands,
-            )
-            .select(F.col("id").alias(self.id_col), F.col("band").alias("fp"))
-            .distinct()
-            .localCheckpoint(eager=False)
+        return icws_band_rows(
+            batch_df,
+            self.id_col,
+            self.text_col,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
         )
-        idx = self.fingerprints()
-        probe = bands_b if idx is None else idx.unionByName(bands_b).distinct()
-        a = probe.select(F.col(self.id_col).alias("__pa"), "fp")
-        b = bands_b.select(F.col(self.id_col).alias("__pb"), "fp")
-        pairs = (
-            a.join(b, "fp")
-            .where(F.col("__pa") != F.col("__pb"))
-            .select(
-                F.least("__pa", "__pb").alias("id_a"),
-                F.greatest("__pa", "__pb").alias("id_b"),
-            )
-            .distinct()
-        )
-        # sink BEFORE update: a replayed batch probes an unchanged index
-        # and reproduces identical rows; the sink dedups on batch_id
-        if self.sink is not None:
-            self.sink(pairs, batch_id)
-        self.update(bands_b, batch_id)
 
 
 def icws_pairs_stream(

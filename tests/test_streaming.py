@@ -2239,6 +2239,105 @@ class TestContinuousIcwsIndex:
             )
 
 
+class TestContinuousBandFamily:
+    """The generic band-index family (streaming/band_stream.py): every
+    BANDED batch dedup operator has an online twin sharing its banding
+    stage. One exact-twin law, three instances (ICWS has its own class
+    above); prefix equality after EVERY batch pins it per instance."""
+
+    BATCHES = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (3, "wholly different words live in this document here now yes")],
+        [(4, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+         (5, "other unrelated vocabulary entirely separate from anything")],
+        [(6, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+    ]
+
+    def _run(self, spark, tmp_path, make_index, batch_pairs):
+        got, seen = set(), set()
+
+        def sink(pairs, batch_id):
+            if batch_id in seen:
+                return
+            seen.add(batch_id)
+            got.update((r.id_a, r.id_b) for r in pairs.collect())
+
+        idx = make_index(sink)
+        prefix = []
+        for bid, rows in enumerate(self.BATCHES):
+            idx.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"), bid
+            )
+            prefix += rows
+            want = {
+                (r.id_a, r.id_b)
+                for r in batch_pairs(
+                    spark.createDataFrame(prefix, "doc_id long, text string")
+                ).collect()
+            }
+            assert got == want, f"prefix divergence after batch {bid}"
+        # non-vacuous: the identical docs pair within-batch (1,2) and
+        # cross-batch (1,6)
+        assert (1, 2) in got and (1, 6) in got
+        # replay no-op on the index
+        before = sorted(map(tuple, idx.band_rows().collect()))
+        idx.ingest(
+            spark.createDataFrame(
+                self.BATCHES[-1], "doc_id long, text string"
+            ),
+            len(self.BATCHES) - 1,
+        )
+        assert sorted(map(tuple, idx.band_rows().collect())) == before
+
+    def test_oph_instance(self, spark, tmp_path):
+        from proxima_platform_spark.functions.dedup import oph_candidate_pairs
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousOphIndex,
+        )
+
+        self._run(
+            spark, tmp_path,
+            lambda sink: ContinuousOphIndex(
+                spark, str(tmp_path / "oi"), num_bins=8, bands=4,
+                sink=sink, compact_every=2,
+            ),
+            lambda df: oph_candidate_pairs(
+                df, "doc_id", "text", num_bins=8, bands=4
+            ),
+        )
+
+    def test_bbit_instance(self, spark, tmp_path):
+        from proxima_platform_spark.functions.dedup import bbit_minhash_pairs
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousBbitIndex,
+        )
+
+        self._run(
+            spark, tmp_path,
+            lambda sink: ContinuousBbitIndex(
+                spark, str(tmp_path / "bi"), num_hashes=8, b=4, bands=2,
+                sink=sink, compact_every=2,
+            ),
+            lambda df: bbit_minhash_pairs(
+                df, "doc_id", "text", num_hashes=8, b=4, bands=2
+            ),
+        )
+
+    def test_knob_guards(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousBbitIndex,
+            ContinuousOphIndex,
+        )
+
+        with pytest.raises(ValueError):
+            ContinuousOphIndex(spark, str(tmp_path / "g1"), num_bins=8,
+                               bands=3)
+        with pytest.raises(ValueError):
+            ContinuousBbitIndex(spark, str(tmp_path / "g2"), num_hashes=8,
+                                bands=3)
+
+
 class TestContinuousDsir:
     def _corpus(self, spark):
         target = spark.createDataFrame(
