@@ -494,6 +494,54 @@ def bbit_band_rows(
     return sig.select("id", F.explode(band_keys).alias("band"))
 
 
+def bbit_signature_df(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    b: int = 4,
+) -> DataFrame:
+    """PACKED b-bit MinHash signatures: one row per doc, one integer
+    column ``sig`` carrying all ``num_hashes`` truncated values
+    (hash i in bits [i·b, (i+1)·b)). This is the artifact the 64/b×
+    storage claim is about — 8 hashes × 4 bits = one int32 per doc vs
+    8 int64s for the classic signature table (measured at sf1 in
+    SCALE.md's r11 storage note). ``num_hashes·b`` must fit 63 bits.
+    Unpack hash i as ``(sig >> (i*b)) & (2^b - 1)`` — the banding in
+    :func:`bbit_band_rows` stays on the unpacked columns (identical
+    keys either way); pack for STORAGE, unpack to band."""
+    if num_hashes * b > 63:
+        raise ValueError("num_hashes * b must fit in 63 bits")
+    tokenized = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    hashed = tokenized.select(
+        "id",
+        F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
+    ).select("id", shingle_hash(F.col("shingle")).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    packed = mins.select(
+        "id",
+        sum(
+            ((F.col(f"m{i}") % F.lit(2**b)) * F.lit(2 ** (i * b)))
+            for i in range(num_hashes)
+        ).alias("sig"),
+    )
+    if num_hashes * b <= 31:
+        packed = packed.select("id", F.col("sig").cast("int").alias("sig"))
+    return packed
+
+
 def bbit_minhash_pairs(
     docs: DataFrame,
     id_col: str,

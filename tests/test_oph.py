@@ -295,3 +295,52 @@ class TestBandKeyHygiene:
             df, "doc_id", "text", num_hashes=8, bands=4
         ).collect()
         assert all((r["id_a"], r["id_b"]) != (1, 2) for r in got)
+
+
+class TestBbitPackedSignature:
+    def test_pack_unpack_matches_banding_columns(self, spark):
+        # the packed artifact and the banding columns are the same
+        # values: unpacking hash i of `sig` must equal the classic
+        # affine-min MinHash value truncated to its low b bits
+        from proxima_platform_spark.functions.dedup import (
+            MINHASH_A, MINHASH_B, MINHASH_PRIME, bbit_signature_df,
+        )
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {r["id"]: r["sig"] for r in
+               bbit_signature_df(df, "doc_id", "text", num_hashes=8, b=4)
+               .collect()}
+        for did, text in DOCS:
+            t = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            if len(t) < 3:
+                assert did not in got
+                continue
+            sh = [" ".join(t[i: i + 3]) for i in range(len(t) - 2)]
+            hs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**30
+                for s in sh
+            ]
+            packed = 0
+            for i in range(8):
+                m = min(
+                    (MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_PRIME
+                    for h in hs
+                )
+                packed |= (m % 16) << (i * 4)
+            assert got[did] == packed, did
+
+    def test_int32_when_it_fits(self, spark):
+        from proxima_platform_spark.functions.dedup import bbit_signature_df
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        sig = bbit_signature_df(df, "doc_id", "text", num_hashes=7, b=4)
+        assert dict(sig.dtypes)["sig"] == "int"
+
+    def test_width_guard(self, spark):
+        import pytest as _pytest
+
+        from proxima_platform_spark.functions.dedup import bbit_signature_df
+
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bbit_signature_df(df, "doc_id", "text", num_hashes=16, b=4)
