@@ -2338,6 +2338,124 @@ class TestContinuousBandFamily:
                                 bands=3)
 
 
+class TestMaintainedCcnetGate:
+    def test_live_gate_equals_batch_models_on_union(self, spark, tmp_path):
+        """The LIVE CCNet gate composed from the maintained models: lang
+        prediction from ContinuousNaiveBayes (labeled batches folded in)
+        and fluency from ContinuousKneserNey (reference-corpus batches
+        folded in) must gate an incoming document set exactly as the
+        batch models trained on the respective unions would — the
+        cross-batch complement of the batch-local ccnet_pipeline_stream
+        twin (each pinned equality composes, and this pins the
+        COMPOSITION)."""
+        from proxima_platform_spark.functions.classify import (
+            naive_bayes_classify,
+        )
+        from proxima_platform_spark.functions.ranking import (
+            kneser_ney5_scores,
+        )
+        from proxima_platform_spark.streaming.classify_stream import (
+            ContinuousNaiveBayes,
+        )
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        label_batches = [
+            [(900, "en", "the cat sat on the mat near the door"),
+             (901, "fr", "le chat dort sur le tapis pres de la porte")],
+            [(902, "en", "the dog ran across the field to the door"),
+             (903, "fr", "le chien court dans le jardin vert calme")],
+        ]
+        corpus_batches = [
+            [(800, "the cat sat on the mat near the door today"),
+             (801, "the dog ran across the wide green field again")],
+            [(802, "the cat sat on the mat near the old tree"),
+             (803, "the bird flew over the tall old tree today")],
+        ]
+        nb = ContinuousNaiveBayes(spark, str(tmp_path / "nb"))
+        lm = ContinuousKneserNey(spark, str(tmp_path / "lm"))
+        for i, rows in enumerate(label_batches):
+            nb.update(
+                spark.createDataFrame(
+                    rows, "doc_id long, lang string, text string"
+                ),
+                batch_id=i,
+            )
+        for i, rows in enumerate(corpus_batches):
+            lm.update(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                batch_id=i,
+            )
+
+        incoming = spark.createDataFrame(
+            [(1, "zz", "the cat sat on the mat near the door today"),
+             (2, "zz", "the dog ran across the wide green field again"),
+             (3, "zz", "le chat dort sur le tapis pres de la porte")],
+            "doc_id long, lang string, text string",
+        )
+        # live gate: maintained prediction + maintained fluency
+        pred = nb.classify(incoming).select("id", "pred")
+        kn = lm.score(incoming.select("doc_id", "text"))
+        live = sorted(
+            tuple(r)
+            for r in pred.join(
+                kn.withColumnRenamed("doc_id", "id"), "id"
+            ).collect()
+        )
+        # batch gate: the same models trained on the unions
+        train = spark.createDataFrame(
+            [r for b in label_batches for r in b],
+            "doc_id long, lang string, text string",
+        )
+        corpus = spark.createDataFrame(
+            [r for b in corpus_batches for r in b],
+            "doc_id long, text string",
+        )
+        b_pred = naive_bayes_classify(train, incoming).select("id", "pred")
+        # self-scoring contract: score incoming against the corpus by
+        # counting corpus 5-grams, scoring incoming's observed ones
+        from proxima_platform_spark.functions.ranking import (
+            kn5_scores_from_counts,
+        )
+        from proxima_platform_spark.functions.dedup import (
+            shingles_from_tokens,
+            tokens,
+        )
+        from pyspark.sql import functions as F2
+
+        W = [f"w{i}" for i in range(1, 6)]
+
+        def grams(df):
+            toks = df.select(
+                F2.col("doc_id").alias("id"),
+                tokens(F2.col("text")).alias("__t"),
+            ).where(F2.size("__t") >= 5)
+            return toks.select(
+                "id",
+                F2.explode(shingles_from_tokens(F2.col("__t"), 5)).alias("g"),
+            ).select(
+                "id",
+                *[
+                    F2.element_at(F2.split("g", " ", -1), i + 1).alias(W[i])
+                    for i in range(5)
+                ],
+            )
+
+        c5 = grams(corpus).groupBy(*W).agg(F2.count(F2.lit(1)).alias("c5"))
+        b_kn = kn5_scores_from_counts(c5, grams(incoming), id_col="id")
+        batch = sorted(
+            tuple(r) for r in b_pred.join(b_kn, "id").collect()
+        )
+        assert live == batch
+        # non-vacuous: the en docs score (their 5-grams are in the
+        # maintained corpus), the fr doc drops out of the LM frame
+        live_ids = {t[0] for t in live}
+        assert {1, 2} <= live_ids and 3 not in live_ids
+        preds = {t[0]: t[1] for t in live}
+        assert preds[1] == "en" and preds[2] == "en"
+
+
 class TestContinuousDsir:
     def _corpus(self, spark):
         target = spark.createDataFrame(
