@@ -465,7 +465,14 @@ class RpcServer:
         if ctx is None:
             return 400, f"Unknown transaction {txn_id}"
         if ctx.terminated:
-            # reference maps Flags.DUPLICATE → 204 (RetrieveService.java:309)
+            from proxima_platform_spark.transactions import TransactionState
+
+            # reference maps TransactionRejectedException to 204 only for
+            # Flags.DUPLICATE (an already-committed txn), 412 otherwise —
+            # e.g. a transaction rolled back by a poisoned bulk
+            # (RetrieveService.java:307-312)
+            if ctx.txn.state is TransactionState.ABORTED:
+                return 412, f"Transaction {txn_id} rejected"
             return 204, "Already committed transaction"
         ctx.txn.update([KeyAttribute(entity=entity, key=key, attribute=attribute)])
         return None
@@ -483,9 +490,11 @@ class RpcServer:
                     "statusMessage": f"Entity {entity_name} not found"}
         attr = self._find_attribute(entity, attribute)
         if attr is None:
+            # reference wording (RetrieveService.java:266-276)
             return {"status": 404,
                     "statusMessage":
-                        f"Attribute {attribute} of entity {entity_name} not found"}
+                        f"Entity {entity_name} does not have attribute"
+                        f" {attribute}"}
         txn_id = request.get("transactionId") or ""
         if txn_id:
             err = self._observe_read(txn_id, entity_name, key, attribute)
@@ -616,7 +625,16 @@ class RpcServer:
         Streams the compacted snapshot of the requested attributes in
         SCAN_CHUNK-sized ScanResult messages via ``toLocalIterator`` —
         Spark computes partitions on demand; the driver holds one chunk at
-        a time (the reference's flow-controlled onNext loop)."""
+        a time (the reference's flow-controlled onNext loop).
+
+        Two deliberate relaxations vs the reference: (1) it rejects scans
+        whose attributes span multiple batch-snapshot families
+        (Preconditions at :404-408) — here the snapshot engine unions
+        families natively, so such scans are served rather than refused;
+        (2) chunk boundaries are row-counted rather than the reference's
+        ~64 KiB serialized-size estimate (:428-434) — chunking is a
+        transport detail with no observable semantics (clients
+        concatenate)."""
         entity_name = request.get("entity") or ""
         attributes = list(request.get("attribute") or [])
         if not entity_name or not attributes:

@@ -191,6 +191,11 @@ class TestIngestService:
         assert st["t1"]["status"] == 412            # poisoned group member
         assert "part of transaction" in st["t1"]["statusMessage"]
         assert st["n1"]["status"] == 200            # independent write
+        # a read inside the rolled-back transaction is rejected 412
+        # (reference: non-DUPLICATE TransactionRejectedException)
+        got = retrieve.get(entity="user", key="k1", attribute="status",
+                           transaction_id=txn)
+        assert got["status"] == 412
         assert ingest.commit(txn) == TXN_FAILED     # rolled back
         # nothing from the transactional group reached storage
         assert retrieve.get(entity="user", key="k1",
