@@ -406,3 +406,64 @@ class TestSchemeValidity:
         assert not _value_valid("boolean", b"1")
         assert not _value_valid("string", b"\xff\xfe")  # not utf-8
         assert _value_valid("bytes", b"\xff\xfe")
+
+
+class TestListContractProperty:
+    """Property check of the listAttributes contract against a pure-python
+    model of RetrieveService.java:113-228: strip trailing '.*', default
+    offset to the raw prefix, validate offset extends the raw prefix
+    (400), exclusive keyset pagination, filter by a longer-than-attribute
+    prefix, limit after the filter."""
+
+    INSTANCES = ["1", "1a", "1a.x", "1a.y", "1b", "2", "2a", "30"]
+
+    @staticmethod
+    def model(instances, raw, offset, limit):
+        prefix = raw[:-2] if raw.endswith(".*") else raw
+        eff = offset or raw
+        if not eff.startswith(raw):
+            return 400, None
+        names = sorted(f"device.{i}" for i in instances)
+        rows = [a for a in names if a > eff]
+        if prefix not in ("device", "device."):
+            rows = [a for a in rows if a.startswith(prefix)]
+        if limit > 0:
+            rows = rows[:limit]
+        return 200, rows
+
+    def test_matches_model(self, rig):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ingest, retrieve, _ = rig
+        for i in self.INSTANCES:
+            ingest.ingest(entity="user", key="u1", attribute=f"device.{i}",
+                          value=b"v", stamp=1)
+
+        raw_st = st.sampled_from(
+            ["device", "device.*", "device.1", "device.1a", "device.1a.*",
+             "device.2", "device.3"])
+        offset_st = st.sampled_from(
+            ["", "device", "device.1", "device.1a", "device.1a.x",
+             "device.2", "elsewhere.9", "dev"])
+        limit_st = st.sampled_from([0, 1, 2, 3, 100])
+
+        @settings(
+            max_examples=40, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(raw=raw_st, offset=offset_st, limit=limit_st)
+        def check(raw, offset, limit):
+            want_status, want_rows = self.model(
+                self.INSTANCES, raw, offset, limit
+            )
+            resp = retrieve.list_attributes(
+                entity="user", key="u1", wildcard_prefix=raw,
+                offset=offset, limit=limit,
+            )
+            assert resp["status"] == want_status, (raw, offset, limit)
+            if want_status == 200:
+                got = [v["attribute"] for v in resp["value"]]
+                assert got == want_rows, (raw, offset, limit)
+
+        check()
