@@ -253,7 +253,19 @@ def ccnet_pipeline(
 
     kn = kneser_ney5_scores(clean, id_col=id_col, text=text_col)
     kn = kn.localCheckpoint(eager=False)
-    lo = exact_quantile_bisect(kn, "kn5_score", lo_q).collect()[0].value
+    lo_rows = exact_quantile_bisect(kn, "kn5_score", lo_q).collect()
+    if not lo_rows:
+        # every document dropped before scoring (empty input, fully
+        # duplicate corpus, or all docs < 5 tokens after dedup) — a
+        # realistic micro-batch for the streaming twin: return the
+        # empty summary with the output schema instead of crashing on
+        # the quantile collect
+        return docs.sparkSession.createDataFrame(
+            [],
+            "pred_lang string, bucket string, n_docs bigint,"
+            " clean_tokens bigint, avg_kn5 double",
+        )
+    lo = lo_rows[0].value
     hi = exact_quantile_bisect(kn, "kn5_score", hi_q).collect()[0].value
     lo_m, hi_m = int(round(lo * 1_000_000)), int(round(hi * 1_000_000))
     sm = F.round(F.col("kn5_score") * 1_000_000).cast("long")

@@ -1007,3 +1007,44 @@ class TestSourceJsd:
         )
         got = {r["source"]: r["jsd"] for r in source_jsd(df).collect()}
         assert got == {"a": 0.0, "b": 0.0}
+
+
+class TestCcnetDegenerateBatch:
+    def test_all_docs_drop_before_scoring(self, spark):
+        """A micro-batch whose every document dies before KN5 (here: all
+        docs shorter than 5 tokens after paragraph dedup) must yield the
+        EMPTY summary with the output schema — not crash on the quantile
+        collect (the streaming twin feeds ccnet_pipeline arbitrary
+        slices)."""
+        from proxima_platform_spark.functions.prep import ccnet_pipeline
+
+        train = spark.createDataFrame(
+            [(900, "en", "the cat sat on the mat near the door")],
+            "doc_id long, lang string, text string",
+        )
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "also tiny")],
+            "doc_id long, text string",
+        )
+        out = ccnet_pipeline(docs, train)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "pred_lang", "bucket", "n_docs", "clean_tokens", "avg_kn5"]
+
+    def test_schema_matches_nonempty_output(self, spark):
+        from proxima_platform_spark.functions.prep import ccnet_pipeline
+
+        train = spark.createDataFrame(
+            [(900, "en", "the cat sat on the mat near the door today ok")],
+            "doc_id long, lang string, text string",
+        )
+        full = spark.createDataFrame(
+            [(1, "the cat sat on the mat near the door today ok"),
+             (2, "too short")],
+            "doc_id long, text string",
+        )
+        empty_in = full.where("doc_id = 2")
+        a = ccnet_pipeline(full, train)
+        b = ccnet_pipeline(empty_in, train)
+        assert [(f.name, f.dataType) for f in a.schema.fields] == [
+            (f.name, f.dataType) for f in b.schema.fields]
