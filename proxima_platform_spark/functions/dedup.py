@@ -653,6 +653,33 @@ def simhash_signatures_df(df, id_col: str, text: str):
     return v.select("id", total.alias("sim"))
 
 
+def simhash_chunk_rows(df, id_col: str, text: str, *, chunks: int = 4):
+    """``(id, sim, ci, cv)`` pigeonhole chunk rows of the SimHash
+    fingerprint — the shared bucketing stage of
+    :func:`simhash_candidate_pairs` and the streaming
+    ``ContinuousSimhashIndex`` (one expression path, batch ==
+    maintained). ``sim`` rides along for the exact hamming check on
+    candidates."""
+    bits = 60 // chunks
+    mask = (1 << bits) - 1
+    sims = simhash_signatures_df(df, id_col, text)
+    return sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("sim", bits * i).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("id", "sim", "chunk.ci", "chunk.cv")
+
+
 def simhash_candidate_pairs(
     df,
     id_col: str,
@@ -675,24 +702,7 @@ def simhash_candidate_pairs(
             f"hamming_threshold={hamming_threshold} needs at least "
             f"{hamming_threshold + 1} chunks for the pigeonhole guarantee"
         )
-    bits = 60 // chunks
-    mask = (1 << bits) - 1
-    sims = simhash_signatures_df(df, id_col, text)
-    chunked = sims.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("sim", bits * i).bitwiseAND(F.lit(mask)).alias("cv"),
-                    )
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("chunk"),
-    ).select("id", "sim", "chunk.ci", "chunk.cv")
+    chunked = simhash_chunk_rows(df, id_col, text, chunks=chunks)
     # the self-join would evaluate the (wide: 60 aggregates/row) simhash
     # expression on both sides — persist the tiny chunked fingerprints,
     # bounded-FIFO like the MinHash banded cache

@@ -169,3 +169,81 @@ def band_pairs_stream(stream_docs: DataFrame, index: ContinuousBandIndex):
     a ``DataStreamWriter`` — caller adds trigger/checkpoint and
     ``start()``."""
     return stream_docs.writeStream.foreachBatch(index.ingest)
+
+
+class ContinuousSimhashIndex(ContinuousBandIndex):
+    """Online twin of ``dedup.simhash_candidate_pairs`` — the
+    hamming-space member of the family. State rows are
+    ``(doc_id, sim, ci, cv)`` (the fingerprint rides along so the exact
+    hamming check runs on candidates); pairs are the batch operator's
+    ``(id_a, id_b, hamming)``. The exact-twin argument is the module's:
+    fingerprint and chunk values are pure per-doc, there is no cap
+    regime, and the pigeonhole candidate join + hamming filter are
+    computed by the batch operator's own stages."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        hamming_threshold: int = 3,
+        chunks: int = 4,
+        sink=None,
+        compact_every: int = 4,
+    ) -> None:
+        if hamming_threshold > chunks - 1:
+            raise ValueError(
+                f"hamming_threshold={hamming_threshold} needs at least "
+                f"{hamming_threshold + 1} chunks for the pigeonhole"
+                " guarantee"
+            )
+        super().__init__(
+            spark, path,
+            id_col=id_col, text_col=text_col,
+            sink=sink, compact_every=compact_every,
+        )
+        self.hamming_threshold = hamming_threshold
+        self.chunks = chunks
+
+    def ingest(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        from proxima_platform_spark.functions.dedup import (
+            hamming64,
+            simhash_chunk_rows,
+        )
+
+        rows_b = (
+            simhash_chunk_rows(
+                batch_df, self.id_col, self.text_col, chunks=self.chunks
+            )
+            .select(
+                F.col("id").alias(self.id_col), "sim", "ci", "cv"
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        idx = self.fingerprints()
+        probe = rows_b if idx is None else idx.unionByName(rows_b).distinct()
+        a = probe.select(
+            F.col(self.id_col).alias("__pa"), F.col("sim").alias("__sa"),
+            "ci", "cv",
+        )
+        b = rows_b.select(
+            F.col(self.id_col).alias("__pb"), F.col("sim").alias("__sb"),
+            "ci", "cv",
+        )
+        pairs = (
+            a.join(b, ["ci", "cv"])
+            .where(F.col("__pa") != F.col("__pb"))
+            .select(
+                F.least("__pa", "__pb").alias("id_a"),
+                F.greatest("__pa", "__pb").alias("id_b"),
+                hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"),
+            )
+            .where(F.col("hamming") <= self.hamming_threshold)
+            .distinct()
+        )
+        if self.sink is not None:
+            self.sink(pairs, batch_id)
+        self.update(rows_b, batch_id)

@@ -2324,10 +2324,60 @@ class TestContinuousBandFamily:
             ),
         )
 
+    def test_simhash_instance(self, spark, tmp_path):
+        """The hamming-space member: pairs carry the exact hamming
+        distance, so the twin equality covers the fingerprint, the
+        pigeonhole chunk join, AND the hamming filter."""
+        from proxima_platform_spark.functions.dedup import (
+            simhash_candidate_pairs,
+        )
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousSimhashIndex,
+        )
+
+        got, seen = set(), set()
+
+        def sink(pairs, batch_id):
+            if batch_id in seen:
+                return
+            seen.add(batch_id)
+            got.update((r.id_a, r.id_b, r.hamming) for r in pairs.collect())
+
+        idx = ContinuousSimhashIndex(
+            spark, str(tmp_path / "si"),
+            hamming_threshold=3, chunks=4, sink=sink, compact_every=2,
+        )
+        prefix = []
+        for bid, rows in enumerate(self.BATCHES):
+            idx.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"), bid
+            )
+            prefix += rows
+            want = {
+                (r.id_a, r.id_b, r.hamming)
+                for r in simhash_candidate_pairs(
+                    spark.createDataFrame(prefix, "doc_id long, text string"),
+                    "doc_id", "text", hamming_threshold=3, chunks=4,
+                ).collect()
+            }
+            assert got == want, f"prefix divergence after batch {bid}"
+        # identical docs: hamming 0, within-batch and cross-batch
+        assert (1, 2, 0) in got and (1, 6, 0) in got
+        # replay no-op
+        before = sorted(map(tuple, idx.band_rows().collect()))
+        idx.ingest(
+            spark.createDataFrame(
+                self.BATCHES[-1], "doc_id long, text string"
+            ),
+            len(self.BATCHES) - 1,
+        )
+        assert sorted(map(tuple, idx.band_rows().collect())) == before
+
     def test_knob_guards(self, spark, tmp_path):
         from proxima_platform_spark.streaming.band_stream import (
             ContinuousBbitIndex,
             ContinuousOphIndex,
+            ContinuousSimhashIndex,
         )
 
         with pytest.raises(ValueError):
@@ -2336,6 +2386,9 @@ class TestContinuousBandFamily:
         with pytest.raises(ValueError):
             ContinuousBbitIndex(spark, str(tmp_path / "g2"), num_hashes=8,
                                 bands=3)
+        with pytest.raises(ValueError):
+            ContinuousSimhashIndex(spark, str(tmp_path / "g3"),
+                                   hamming_threshold=4, chunks=4)
 
 
 class TestMaintainedCcnetGate:
