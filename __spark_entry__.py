@@ -3671,7 +3671,13 @@ def q_dedup_cluster_keep_best(spark, sf):
     per clustered doc: (doc_id, group_id, score, keep). The keeper is an
     argmax via one map-side-combinable struct-max agg per group — no
     window funnels a hot cluster through a single reducer (the
-    dedup_paragraphs winner-agg lesson at cluster granularity)."""
+    dedup_paragraphs winner-agg lesson at cluster granularity).
+
+    Deliberate sibling of ``dedup_best_of_cluster``, which reports one
+    row PER GROUP (keeper_id + best heuristic quality_score) — the
+    monitoring view; this one emits the per-document keep/drop frame a
+    pipeline actually joins against to filter rows, scored by the
+    MODEL-based gate (quality_model_score) the curation chain uses."""
     from proxima_platform_spark.functions.text import quality_model_score
 
     docs = _load(spark, sf, "documents")
