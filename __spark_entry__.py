@@ -3459,7 +3459,7 @@ def q_naive_bayes_topk_langid(spark, sf):
     )
 
 
-# same oracle with the cwc frame pruned to per-class top-64 (the QUALIFY
+# same oracle with the cwc frame pruned to per-class top-16 (the QUALIFY
 # mirrors the Spark row_number window: cnt desc, token asc)
 SQL_NAIVE_BAYES_TOPK_LANGID = SQL_NAIVE_BAYES_LANGID.replace(
     "cwc AS (SELECT c, w, count(*) AS cnt FROM tr_tok GROUP BY 1, 2),",
@@ -7619,6 +7619,50 @@ FROM events
 """
 
 
+def q_hilbert_layout(spark, sf):
+    """Hilbert-curve clustering key (functions/layout.py
+    ::with_hilbert_key_2d): the locality-optimal companion to
+    zorder_layout — consecutive keys are ADJACENT in the
+    (user_id, value-cents) plane (no Morton seams), so contiguous key
+    ranges tile compact squares and per-file min/max stays tight on both
+    dimensions; it is the default clustering curve in Delta liquid
+    clustering. Computed as a 4-state DFA over the 2-bit quadrant stream,
+    one small Project per step (linear plan, codegen-fused, zero
+    shuffles); the DFA transition table is ONE int64 literal derived at
+    import from the xy2d transform group and the oracle replays the
+    identical nibble lookups from the same constant, so the hash match
+    certifies every output bit of every key. Output: per-event key plus
+    the coarse bucket a range-partitioning writer would use."""
+    from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+    ev = _events(spark, sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    keyed = with_hilbert_key_2d(
+        ev.select("event_id", "user_id", cents.alias("__cents")),
+        F.col("user_id"),
+        F.col("__cents"),
+    )
+    return keyed.select(
+        "event_id",
+        "hkey",
+        F.shiftright(F.col("hkey"), 24).alias("hbucket"),
+    )
+
+
+def _sql_hilbert_layout() -> str:
+    from proxima_platform_spark.functions.layout import hilbert_sql_2d_select
+
+    inner = hilbert_sql_2d_select(
+        "events",
+        ["event_id"],
+        "user_id",
+        "CAST(round(value * 100, 0) AS BIGINT)",
+    )
+    return f"""
+SELECT event_id, hkey, (hkey >> 24) AS hbucket FROM ({inner})
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust per-user outliers via Median Absolute Deviation
     (functions/timeseries.py::mad_outliers): |x − med| > 3·MAD with exact
@@ -11200,72 +11244,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r11; VERDICT r10 'Next round' #1): the
+    # STALENESS-AWARE ROTATION (r12; VERDICT r11 'Next round' #1): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r10 union (r10: 50/50
-    # green; histogram r06:46 r07:50 r08:49 r09:50 r10:50), ordered
+    # Tiers recomputed from the CORRECTNESS_r01..r11 union (r11: 50/50
+    # green; histogram r07:49 r08:49 r09:50 r10:50 r11:50), ordered
     # OLDEST-LAST-GREEN FIRST (no red rows, none never-checked):
-    #   (A) the 46 r06-stale queries — last driver-green 5 rounds ago;
-    #   (B) NEW r11 queries — in-window so they certify immediately;
-    #   (C)-(F) last green r07, r08, r09, r10 — each tier in its prior
-    #       relative order; the ~50-window tail lands in the r07 tier,
-    #       advancing the oldest tier r06 -> r07. Full cycle at 245+ / 50
-    #       ≈ 5 rounds (SURVEY §8 tracks the cycle length). Next round:
-    #       recompute from the union including CORRECTNESS_r11 and rotate.
+    #   (A) the 49 r07-stale queries — last driver-green 5 rounds ago;
+    #   (B) the ONE new r12 query (hilbert_layout) at window position 50
+    #       — exactly filling the window, so nothing is never-checked and
+    #       the oldest tier advances r07 -> r08;
+    #   (C)-(F) last green r08, r09, r10, r11 — each tier in its prior
+    #       relative order. Full cycle at 249 / 50 ≈ 4.98 rounds (SURVEY
+    #       §8 tracks the cycle length). Next round: recompute from the
+    #       union including CORRECTNESS_r12 and rotate the r08 tier first.
     return {
-        # -- (A) r06-stale: last driver-green 5 rounds ago — certify first
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        "tpch_q18ish": q_tpch_q18ish,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_quality_signals": q_text_quality_signals,
-        "bm25_rank": q_bm25_rank,
-        "decontaminate": q_decontaminate,
-        "trigram_lm_score": q_trigram_lm_score,
-        "pii_scrub": q_pii_scrub,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
-        "schema_registry_roundtrip": q_schema_registry_roundtrip,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split": q_corpus_split,
-        "corpus_sample_topk": q_corpus_sample_topk,
-        "impulse_source": q_impulse_source,
-        "map_project": q_map_project,
-        "filter_where": q_filter_where,
-        "flatmap_tokens": q_flatmap_tokens,
-        "quality_model_score": q_quality_model_score,
-        "self_dedup_spans": q_self_dedup_spans,
-        "bpe_encode_bytes": q_bpe_encode_bytes,
-        "semantic_dedup": q_semantic_dedup,
-        "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
-        "dup_ngram_coverage": q_dup_ngram_coverage,
-        "ann_knn_join": q_ann_knn_join,
-        "semantic_dedup_diverse": q_semantic_dedup_diverse,
-        "curation_pipeline": q_curation_pipeline,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "join_left": q_join_left,
-        "sliding_window_count": q_sliding_window_count,
-        "session_window_stats": q_session_window_stats,
-        "calendar_window_month": q_calendar_window_month,
-        # -- (B) NEW r11 queries: certify immediately
-        "ccnet_pipeline": q_ccnet_pipeline,
-        "naive_bayes_topk_langid": q_naive_bayes_topk_langid,
-        "dedup_cluster_keep_best": q_dedup_cluster_keep_best,
-        # -- (C) last green r07
-        "calendar_window_week": q_calendar_window_week,
+        # -- (A) r07-stale: last driver-green 5 rounds ago — certify first
         "global_window_agg": q_global_window_agg,
         "count_by_key": q_count_by_key,
         "sum_by_key": q_sum_by_key,
@@ -11315,7 +11308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": q_distinct_hll,
         "ivm_agg_apply": q_ivm_agg_apply,
         "semantic_decontaminate": q_semantic_decontaminate,
-        # -- (D) last green r08
+        # -- (B) NEW r12 query: rides at window position 50, certifies now
+        "hilbert_layout": q_hilbert_layout,
+        # -- last green r08
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
@@ -11365,7 +11360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
         "skew_report": q_skew_report,
-        # -- (E) last green r09
+        # -- last green r09
         "survival_km": q_survival_km,
         "dedup_substrings_maximal": q_dedup_substrings_maximal,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -11416,7 +11411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_ingest": q_compressed_ingest,
         "range_join_ship_week": q_range_join_ship_week,
         "hypertable_rollup": q_hypertable_rollup,
-        # -- (F) last green r10
+        # -- last green r10
         "rollup_histogram": q_rollup_histogram,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
@@ -11467,6 +11462,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "dedup_exact": q_dedup_exact,
         "tpch_q3": q_tpch_q3,
+        # -- last green r11
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q18ish": q_tpch_q18ish,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_quality_signals": q_text_quality_signals,
+        "bm25_rank": q_bm25_rank,
+        "decontaminate": q_decontaminate,
+        "trigram_lm_score": q_trigram_lm_score,
+        "pii_scrub": q_pii_scrub,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "avro_scheme_roundtrip": q_avro_scheme_roundtrip,
+        "schema_registry_roundtrip": q_schema_registry_roundtrip,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "corpus_sample_topk": q_corpus_sample_topk,
+        "impulse_source": q_impulse_source,
+        "map_project": q_map_project,
+        "filter_where": q_filter_where,
+        "flatmap_tokens": q_flatmap_tokens,
+        "quality_model_score": q_quality_model_score,
+        "self_dedup_spans": q_self_dedup_spans,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "semantic_dedup": q_semantic_dedup,
+        "tokenizer_fertility_bytes": q_tokenizer_fertility_bytes,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "ann_knn_join": q_ann_knn_join,
+        "semantic_dedup_diverse": q_semantic_dedup_diverse,
+        "curation_pipeline": q_curation_pipeline,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "join_left": q_join_left,
+        "sliding_window_count": q_sliding_window_count,
+        "session_window_stats": q_session_window_stats,
+        "calendar_window_month": q_calendar_window_month,
+        "ccnet_pipeline": q_ccnet_pipeline,
+        "naive_bayes_topk_langid": q_naive_bayes_topk_langid,
+        "dedup_cluster_keep_best": q_dedup_cluster_keep_best,
+        "calendar_window_week": q_calendar_window_week,
     }
 
 
@@ -11597,6 +11643,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": SQL_SPAN_CORRUPTION,
         "retention_vacuum": SQL_RETENTION_VACUUM,
         "zorder_layout": _sql_zorder_layout(),
+        "hilbert_layout": _sql_hilbert_layout(),
         "pit_enrich": SQL_PIT_ENRICH,
         "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
         "bpe_encode": _sql_bpe_encode(),

@@ -303,7 +303,11 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     # repartition the probe side: the edge frame is small in BYTES, so
     # AQE would coalesce it to 1-2 partitions and serialize the whole
     # intersection workload onto one core (measured 74s -> 35s at sf0.1)
-    probe = oriented.repartition(32)
+    # sized to the cluster (defaultParallelism), not a constant: on a
+    # 1000-executor cluster the intersection stage must fan out with the
+    # cores, while on local[32] this reproduces the measured 74s -> 35s fix
+    n_probe = oriented.sparkSession.sparkContext.defaultParallelism
+    probe = oriented.repartition(n_probe)
     # the intersect is referenced exactly ONCE, inside the Generate — a
     # multi-reference projection (size filter + corner weights) would be
     # substituted into every reference by projection collapsing and re-run

@@ -433,8 +433,19 @@ class RpcServer:
                     env.put(out.key, out.value or b"", stamp_ms=out.stamp_ms,
                             attribute=out.attribute)
         except Exception:  # storage failure during replay
+            # Partial-commit window: the ledger has ALREADY recorded
+            # COMMITTED (source of truth) — a later duplicate commit() or a
+            # transactional get will report already-committed/204 even though
+            # this response says FAILED. The message makes that window
+            # explicit so a client retrying on FAILED is not surprised by
+            # the contradictory duplicate-commit answer; outputs missing
+            # from storage are a replication catch-up concern.
             return {"status": TXN_FAILED,
-                    "statusMessage": "commit replay to storage failed"}
+                    "statusMessage": (
+                        "commit replay to storage failed; transaction is "
+                        "COMMITTED in the ledger (duplicate commit/get will "
+                        "report already-committed) — outputs will surface "
+                        "after replication catch-up")}
         return {"status": TXN_COMMITTED}
 
     # == RetrieveService =====================================================
@@ -574,19 +585,46 @@ class RpcServer:
             if err is not None:
                 return {"status": err[0], "statusMessage": err[1]}
         # filter only when the request prefix is strictly longer than the
-        # attribute's own prefix (reference predicate, :152-156); fetch
-        # unlimited, filter, then cap — equivalent to the reference's
-        # paged fill-to-limit loop because matches are contiguous
+        # attribute's own prefix (reference predicate, :152-156)
         prefixed = prefix not in (attr.prefix, attr.prefix.rstrip("."))
-        rows = self._attr_env(entity, attr).list(
-            key,
-            limit=limit if (limit > 0 and not prefixed) else None,
-            offset=effective_offset,
-        )
-        if prefixed:
-            rows = [r for r in rows if r["attribute"].startswith(prefix)]
-            if limit > 0:
-                rows = rows[:limit]
+        env = self._attr_env(entity, attr)
+        if prefixed and limit > 0:
+            # reference's paged fill-to-limit loop (RetrieveService.java:
+            # 113-228, 100-row pages): driver memory stays O(page + limit)
+            # instead of materializing the full unlimited listing before
+            # filtering. Early exit is sound because the listing is sorted
+            # by attribute and the offset already extends the prefix: any
+            # row NOT matching the request prefix must first differ from it
+            # at some position with a GREATER character (a lesser one would
+            # sort it below the offset, which env.list excludes), so it
+            # sorts after every possible match.
+            page = max(limit, 100)
+            rows: list = []
+            cursor = effective_offset
+            while len(rows) < limit:
+                batch = env.list(key, limit=page, offset=cursor)
+                if not batch:
+                    break
+                exhausted = False
+                for r in batch:
+                    if not r["attribute"].startswith(prefix):
+                        exhausted = True
+                        break
+                    rows.append(r)
+                    if len(rows) >= limit:
+                        exhausted = True
+                        break
+                if exhausted or len(batch) < page:
+                    break
+                cursor = batch[-1]["attribute"]
+        else:
+            rows = env.list(
+                key,
+                limit=limit if limit > 0 else None,
+                offset=effective_offset,
+            )
+            if prefixed:
+                rows = [r for r in rows if r["attribute"].startswith(prefix)]
         return {
             "status": 200,
             "value": [

@@ -424,6 +424,17 @@ class TestTriangleCounts:
         got = {(r.node, r.n_tri) for r in triangle_counts(df).collect()}
         assert got == set(self._brute(sorted(edges)).items())
 
+    def test_probe_exchange_sized_by_default_parallelism(self, spark):
+        """The probe-side repartition must scale with the cluster, not a
+        constant: assert the plan carries a RoundRobinPartitioning exchange
+        sized to sparkContext.defaultParallelism (VERDICT r11 #2)."""
+        from proxima_platform_spark.functions.graph import triangle_counts
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u int, v int")
+        plan = triangle_counts(df)._jdf.queryExecution().analyzed().toString()
+        n = spark.sparkContext.defaultParallelism
+        assert f"Repartition {n}, true" in plan, plan
+
 
 class TestKCore:
     def _graph(self, spark):

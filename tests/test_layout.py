@@ -4,6 +4,7 @@ z-sorted chunks bound BOTH dimensions where a single-column sort bounds
 only one."""
 
 import os
+import random
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -118,3 +119,92 @@ class TestZorderPruning:
         srows = stats.collect()
         skippable = sum(1 for r in srows if r.c_max < 10000 or r.c_min >= 20000)
         assert skippable / len(srows) <= 0.1, (skippable, len(srows))
+
+
+def _xy2d(order, x, y):
+    """Brute-force Wikipedia xy2d — the independent reference the DFA
+    formulation must reproduce bit-for-bit."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbertKey:
+    def test_lut_derivation_is_stable(self):
+        from proxima_platform_spark.functions.layout import (
+            _HILBERT_LUT, _derive_hilbert_lut,
+        )
+
+        assert _derive_hilbert_lut() == _HILBERT_LUT == 0x27DB3C6A95F08E41
+
+    def test_exhaustive_order5_matches_xy2d(self, spark):
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+        pts = [(x, y) for x in range(32) for y in range(32)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        out = with_hilbert_key_2d(df, F.col("x"), F.col("y"), bits=5)
+        got = {(r.x, r.y): r.hkey for r in out.collect()}
+        assert got == {(x, y): _xy2d(5, x, y) for x, y in pts}
+
+    def test_random_16bit_matches_xy2d(self, spark):
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+        rng = random.Random(3)
+        pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+               for _ in range(300)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        out = with_hilbert_key_2d(df, F.col("x"), F.col("y"))
+        for r in out.collect():
+            assert r.hkey == _xy2d(16, r.x, r.y)
+
+    def test_sql_twin_matches_xy2d(self):
+        import duckdb
+        from proxima_platform_spark.functions.layout import (
+            hilbert_sql_2d_select,
+        )
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE pts AS SELECT x, y "
+            "FROM range(64) t1(x), range(64) t2(y)"
+        )
+        q = hilbert_sql_2d_select("pts", ["x", "y"], "x", "y", bits=6)
+        for x, y, h in con.sql(q).fetchall():
+            assert h == _xy2d(6, x, y)
+
+    def test_unit_step_adjacency(self, spark):
+        # the Hilbert property z-order lacks: consecutive keys are adjacent
+        # points (|dx| + |dy| == 1 for every key step in an exhaustive grid)
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        out = with_hilbert_key_2d(df, F.col("x"), F.col("y"), bits=4)
+        by_key = sorted((r.hkey, r.x, r.y) for r in out.collect())
+        assert [k for k, _, _ in by_key] == list(range(256))
+        for (k0, x0, y0), (k1, x1, y1) in zip(by_key, by_key[1:]):
+            assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+    def test_plan_is_linear_per_step_projects(self, spark):
+        # the DFA chain must stay one small Project per step — a collapsed
+        # plan would duplicate the accumulator subtree exponentially
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        out = with_hilbert_key_2d(df, F.col("x"), F.col("y"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert len(plan) < 50_000, len(plan)

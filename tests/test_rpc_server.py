@@ -388,6 +388,27 @@ class TestRpcTransactions:
         monkeypatch.setattr(server, "_attr_env", boom)
         assert ingest.commit(txn) == TXN_FAILED
 
+    def test_commit_replay_failure_documents_partial_commit_window(
+            self, rig, monkeypatch):
+        # the FAILED response must spell out that the ledger already recorded
+        # COMMITTED (a duplicate commit/get reports already-committed), so a
+        # client acting on FAILED is not surprised by the contradiction
+        ingest, retrieve, server = rig
+        txn = retrieve.begin()
+        ingest.ingest(entity="user", key="u1", attribute="status",
+                      value=b"x", stamp=1, transaction_id=txn)
+
+        def boom(*a, **k):
+            raise RuntimeError("storage down")
+
+        monkeypatch.setattr(server, "_attr_env", boom)
+        resp = server.commit({"transactionId": txn})
+        assert resp["status"] == TXN_FAILED
+        assert "COMMITTED in the ledger" in resp["statusMessage"]
+        # and the ledger indeed reports the duplicate as already committed
+        dup = server.commit({"transactionId": txn})
+        assert dup["status"] == TXN_FAILED
+
 
 class TestSchemeValidity:
     def test_numeric_validity_mirrors_spark_cast(self):
