@@ -817,6 +817,54 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine") > threshold)
 
 
+def _paragraph_array(text_col: str, delimiter: str) -> Column:
+    """Trimmed non-empty paragraph array of a text column — the split
+    stage of :func:`dedup_paragraphs`, shared with the cross-batch
+    maintainer (streaming/ccnet_stream.py) so both dedup scopes split
+    identically by construction."""
+    return F.filter(
+        F.transform(
+            F.split(F.col(text_col), delimiter, -1), lambda l: F.trim(l)
+        ),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def paragraph_winners(exploded, *, id_col: str = "doc_id"):
+    """First occurrence per paragraph fingerprint from exploded
+    ``(id_col, pos, para)`` rows: ``(__fp, id_col, pos, para)`` with the
+    lexicographic struct-min winner on (id, pos, para) — (id, pos) is
+    unique so the winner is deterministic. min() is associative and
+    idempotent, which is exactly what lets the maintained winner table
+    merge per-batch winner frames into the union's winner table."""
+    return (
+        exploded.groupBy(F.md5("para").alias("__fp"))
+        .agg(F.min(F.struct(id_col, "pos", "para")).alias("k"))
+        .select(
+            "__fp",
+            F.col(f"k.{id_col}").alias(id_col),
+            F.col("k.pos").alias("pos"),
+            F.col("k.para").alias("para"),
+        )
+    )
+
+
+def reassemble_paragraphs(kept, *, id_col: str = "doc_id", delimiter: str = "\n"):
+    """Stitch winner paragraphs back into per-document text in original
+    order: ``(id_col, n_kept, text_dedup)`` — the reassembly stage of
+    :func:`dedup_paragraphs`, shared with the maintainer."""
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delimiter,
+        ).alias("text_dedup"),
+    )
+
+
 def dedup_paragraphs(
     docs,
     *,
@@ -842,39 +890,20 @@ def dedup_paragraphs(
     (no join back), so the whole operator is explode → agg → agg → one
     left join on the id: three shuffles, no cartesian, no driver state.
     """
-    paras = F.filter(
-        F.transform(F.split(F.col(text_col), delimiter, -1), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
     # staged once (lazy localCheckpoint): the paragraph frame feeds both
     # the explode chain and the per-doc counts — the self_dedup_spans
     # staging lesson applied to its parent operator
-    base = docs.select(F.col(id_col), paras.alias("__paras")).localCheckpoint(
-        eager=False
-    )
+    base = docs.select(
+        F.col(id_col), _paragraph_array(text_col, delimiter).alias("__paras")
+    ).localCheckpoint(eager=False)
     exploded = base.select(
         id_col, F.posexplode("__paras").alias("pos", "para")
     )
-    # first occurrence per fingerprint: lexicographic struct-min on
-    # (id, pos, para); (id, pos) is unique so the winner is deterministic
-    kept = (
-        exploded.groupBy(F.md5("para").alias("__fp"))
-        .agg(F.min(F.struct(id_col, "pos", "para")).alias("k"))
-        .select(
-            F.col(f"k.{id_col}").alias(id_col),
-            F.col("k.pos").alias("pos"),
-            F.col("k.para").alias("para"),
-        )
+    kept = paragraph_winners(exploded, id_col=id_col).select(
+        id_col, "pos", "para"
     )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            delimiter,
-        ).alias("text_dedup"),
+    reassembled = reassemble_paragraphs(
+        kept, id_col=id_col, delimiter=delimiter
     )
     counts = base.select(id_col, F.size("__paras").alias("n_para"))
     return counts.join(reassembled, id_col, "left").select(

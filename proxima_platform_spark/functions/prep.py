@@ -252,6 +252,36 @@ def ccnet_pipeline(
     ).select(F.col("id").alias(id_col), "pred")
 
     kn = kneser_ney5_scores(clean, id_col=id_col, text=text_col)
+    return ccnet_summary_from_scores(
+        clean, pred, kn, lo_q=lo_q, hi_q=hi_q,
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def ccnet_summary_from_scores(
+    clean: DataFrame,
+    pred: DataFrame,
+    kn: DataFrame,
+    *,
+    lo_q: float,
+    hi_q: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Steps 3b-4 of the CCNet chain from already-built frames: exact
+    global ``[lo_q, hi_q]`` thresholds over ``kn.kn5_score`` via histogram
+    bisection, head/middle/tail bucketing in integer micro-units, and the
+    per-(predicted language, bucket) intake summary. Shared VERBATIM by
+    batch :func:`ccnet_pipeline` and the cross-batch maintained
+    ``streaming/ccnet_stream.ContinuousCcnet`` — the banding/summary
+    stage is identical by construction, so the maintained summary can
+    only differ from batch-on-union through its input frames (which the
+    maintainer pins equal in tests)."""
+    from proxima_platform_spark.functions.selection import (
+        exact_quantile_bisect,
+    )
+    from proxima_platform_spark.functions.text import token_count
+
     kn = kn.localCheckpoint(eager=False)
     lo_rows = exact_quantile_bisect(kn, "kn5_score", lo_q).collect()
     if not lo_rows:
@@ -260,7 +290,7 @@ def ccnet_pipeline(
         # realistic micro-batch for the streaming twin: return the
         # empty summary with the output schema instead of crashing on
         # the quantile collect
-        return docs.sparkSession.createDataFrame(
+        return clean.sparkSession.createDataFrame(
             [],
             "pred_lang string, bucket string, n_docs bigint,"
             " clean_tokens bigint, avg_kn5 double",

@@ -3503,3 +3503,160 @@ class TestContinuousKneserNey:
 
         lm = ContinuousKneserNey(spark, str(tmp_path / "kn"))
         assert lm.score(self._df(spark, self.DOCS)) is None
+
+
+class TestContinuousCcnet:
+    """Cross-batch maintained CCNet (streaming/ccnet_stream.py): the
+    summary recomputed from maintained state must equal batch
+    ccnet_pipeline on the union of every ingested batch — EXACT equality
+    (union-wide thresholds, cross-batch dedup scope), the property
+    ccnet_pipeline_stream trades away per batch."""
+
+    LANG_TRAIN = [
+        (900, "en", "the cat sat on the mat near the door"),
+        (901, "fr", "le chat dort sur le tapis pres de la porte"),
+        (902, "en", "the dog ran across the field to the door"),
+        (903, "fr", "le chien court dans le jardin vert calme"),
+    ]
+    # duplicate paragraphs cross batch boundaries; doc 4 is too short to
+    # score; doc 5 is entirely duplicates (drops from the corpus)
+    BATCHES = [
+        [(1, "the cat sat on the mat\nthe dog ran across the field today"),
+         (2, "the cat sat on the mat\nthe bird flew over the tree house")],
+        [(3, "the dog ran across the field today\nthe fish swam under the old bridge quickly"),
+         (4, "tiny")],
+        [(5, "the bird flew over the tree house\nthe cat sat on the mat"),
+         (6, "le chat dort sur le tapis pres de la porte aujourd hui\nle chien court dans le jardin")],
+    ]
+
+    def _build(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.ccnet_stream import (
+            ContinuousCcnet,
+        )
+        from proxima_platform_spark.streaming.classify_stream import (
+            ContinuousNaiveBayes,
+        )
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        nb = ContinuousNaiveBayes(spark, str(tmp_path / "nb"))
+        nb.update(
+            spark.createDataFrame(
+                self.LANG_TRAIN, "doc_id long, lang string, text string"
+            ),
+            batch_id=0,
+        )
+        kn = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        cc = ContinuousCcnet(
+            spark, str(tmp_path / "ccnet"), nb=nb, kn=kn,
+        )
+        return cc
+
+    def _batch_summary(self, spark):
+        from proxima_platform_spark.functions.prep import ccnet_pipeline
+
+        union = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            self.LANG_TRAIN, "doc_id long, lang string, text string"
+        )
+        return sorted(
+            tuple(r) for r in ccnet_pipeline(union, train).collect()
+        )
+
+    def test_summary_equals_batch_on_union(self, spark, tmp_path):
+        cc = self._build(spark, tmp_path)
+        for i, rows in enumerate(self.BATCHES):
+            cc.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                batch_id=i,
+            )
+        got = sorted(tuple(r) for r in cc.summary().collect())
+        assert got == self._batch_summary(spark)
+        assert len(got) > 0
+
+    def test_clean_corpus_equals_batch_dedup(self, spark, tmp_path):
+        from proxima_platform_spark.functions.dedup import dedup_paragraphs
+        from pyspark.sql import functions as F2
+
+        cc = self._build(spark, tmp_path)
+        for i, rows in enumerate(self.BATCHES):
+            cc.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                batch_id=i,
+            )
+        union = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], "doc_id long, text string"
+        )
+        want = sorted(
+            tuple(r)
+            for r in dedup_paragraphs(union)
+            .where(F2.col("n_kept") > 0)
+            .select("doc_id", F2.col("text_dedup").alias("text"))
+            .collect()
+        )
+        got = sorted(tuple(r) for r in cc.clean_corpus().collect())
+        assert got == want
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        cc = self._build(spark, tmp_path)
+        for i, rows in enumerate(self.BATCHES):
+            cc.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                batch_id=i,
+            )
+        before = sorted(tuple(r) for r in cc.summary().collect())
+        # replay the last committed batch id: both the ccnet winner-table
+        # manifest and the propagated KN gate guard must make it a no-op
+        cc.ingest(
+            spark.createDataFrame(
+                self.BATCHES[-1], "doc_id long, text string"
+            ),
+            batch_id=len(self.BATCHES) - 1,
+        )
+        assert sorted(tuple(r) for r in cc.summary().collect()) == before
+
+    def test_single_ingest_equals_batch_pipeline(self, spark, tmp_path):
+        # degenerate maintained case: everything in one batch must also
+        # reproduce the batch pipeline (no cross-batch machinery engaged)
+        cc = self._build(spark, tmp_path)
+        union = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b], "doc_id long, text string"
+        )
+        cc.ingest(union, batch_id=0)
+        got = sorted(tuple(r) for r in cc.summary().collect())
+        assert got == self._batch_summary(spark)
+
+    def test_compaction_preserves_summary(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.ccnet_stream import (
+            ContinuousCcnet,
+        )
+        from proxima_platform_spark.streaming.classify_stream import (
+            ContinuousNaiveBayes,
+        )
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        nb = ContinuousNaiveBayes(spark, str(tmp_path / "nb"))
+        nb.update(
+            spark.createDataFrame(
+                self.LANG_TRAIN, "doc_id long, lang string, text string"
+            ),
+            batch_id=0,
+        )
+        kn = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        cc = ContinuousCcnet(
+            spark, str(tmp_path / "ccnet"), nb=nb, kn=kn, compact_every=2,
+        )
+        for i, rows in enumerate(self.BATCHES):
+            cc.ingest(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                batch_id=i,
+            )
+        m = cc._manifest()
+        assert m["base"] is not None  # compaction fired
+        got = sorted(tuple(r) for r in cc.summary().collect())
+        assert got == self._batch_summary(spark)
