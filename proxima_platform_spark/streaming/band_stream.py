@@ -20,7 +20,15 @@ over the union with NO divergence case. Pinned per instance in
 
 Delivery is the family's at-least-once foreachBatch contract: sink
 BEFORE ``update`` (a replayed batch probes an unchanged index and
-reproduces identical rows; the sink dedups on batch_id).
+reproduces identical rows; the sink dedups on batch_id). Beyond that,
+this family also tolerates re-delivery under a NEW batch id (ADVICE
+r11): batch band rows are anti-joined against the index before probing,
+so already-accepted (id, band) rows re-report nothing — safe exactly
+because these pairs carry no counts. The count-carrying members of the
+wider maintainer family (winnow ``shared``, containment fractions)
+cannot take this fix (a partially-updated document's counts would be
+computed over its fresh rows only) and keep the unique-doc-id delivery
+contract documented on their ``ingest``.
 
 At scale: state is O(docs · bands) strings — the smallest per-doc
 state of any maintainer family; the per-batch probe is one equi-join
@@ -60,7 +68,19 @@ class ContinuousBandIndex(ContinuousWinnowIndex):
         member is in THIS batch — new-vs-accepted AND within-batch, the
         module docstring's exact-twin argument — to
         ``sink(pairs_df, batch_id)``, then fold the batch's band rows
-        into the index."""
+        into the index.
+
+        Duplicate-delivery hardening (ADVICE r11): the batch's band rows
+        are anti-joined against the index before probing, so a document
+        RE-DELIVERED under a new batch id (its (id, band) rows already
+        accepted) re-reports nothing — pair reports are exactly-once per
+        pair even for non-set-accumulating sinks. This is safe precisely
+        because the family's pairs carry no counts: a genuinely UPDATED
+        same-id document's new band rows still probe, and a pair needs
+        only one member on the probe's batch side. Replay under the SAME
+        batch id keeps the original contract: if the earlier sink call
+        failed, the index was never advanced (sink-before-update), so the
+        replay reproduces identical rows."""
         bands_b = (
             self._band_rows(batch_df)
             .select(F.col("id").alias(self.id_col), F.col("band").alias("fp"))
@@ -68,9 +88,16 @@ class ContinuousBandIndex(ContinuousWinnowIndex):
             .localCheckpoint(eager=False)
         )
         idx = self.fingerprints()
-        probe = bands_b if idx is None else idx.unionByName(bands_b).distinct()
+        if idx is None:
+            fresh = bands_b
+            probe = bands_b
+        else:
+            fresh = bands_b.join(
+                idx, [self.id_col, "fp"], "left_anti"
+            ).localCheckpoint(eager=False)
+            probe = idx.unionByName(fresh).distinct()
         a = probe.select(F.col(self.id_col).alias("__pa"), "fp")
-        b = bands_b.select(F.col(self.id_col).alias("__pb"), "fp")
+        b = fresh.select(F.col(self.id_col).alias("__pb"), "fp")
         pairs = (
             a.join(b, "fp")
             .where(F.col("__pa") != F.col("__pb"))
@@ -224,12 +251,24 @@ class ContinuousSimhashIndex(ContinuousBandIndex):
             .localCheckpoint(eager=False)
         )
         idx = self.fingerprints()
-        probe = rows_b if idx is None else idx.unionByName(rows_b).distinct()
+        # duplicate-delivery hardening (ADVICE r11, base-class rationale):
+        # anti-join on the FULL state row — sound here because `sim` rides
+        # on every chunk row, so an updated document (sim changed) keeps
+        # ALL its rows fresh and its hamming pairs intact, while identical
+        # re-delivery drops every row and re-reports nothing
+        if idx is None:
+            fresh = rows_b
+            probe = rows_b
+        else:
+            fresh = rows_b.join(
+                idx, [self.id_col, "sim", "ci", "cv"], "left_anti"
+            ).localCheckpoint(eager=False)
+            probe = idx.unionByName(fresh).distinct()
         a = probe.select(
             F.col(self.id_col).alias("__pa"), F.col("sim").alias("__sa"),
             "ci", "cv",
         )
-        b = rows_b.select(
+        b = fresh.select(
             F.col(self.id_col).alias("__pb"), F.col("sim").alias("__sb"),
             "ci", "cv",
         )

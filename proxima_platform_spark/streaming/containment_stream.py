@@ -105,7 +105,15 @@ class ContinuousContainmentIndex(ContinuousWinnowIndex):
         least one member is in THIS batch (new-vs-accepted AND
         within-batch — module docstring's exact-twin argument) to
         ``sink(pairs_df, batch_id)``, then fold the batch's shingles
-        into the index."""
+        into the index.
+
+        Delivery caveat (ADVICE r11): pair reports are exactly-once only
+        for UNIQUE doc ids — a committed document re-delivered under a
+        NEW batch id re-reports its containment rows; non-set sinks must
+        dedup on (doc_a, doc_b). The band family's anti-join fix does
+        not transfer here: containment fractions need the batch side's
+        FULL shingle set as denominator, which an anti-join would
+        truncate for partially-updated documents."""
         from proxima_platform_spark.functions.dedup import (
             shingles_from_tokens,
             tokens,

@@ -146,7 +146,16 @@ class ContinuousWinnowIndex:
         argument) to ``sink(pairs_df, batch_id)``, then fold the batch's
         fingerprints into the index. The sink must no-op on replayed
         batch_ids (≤ max committed) — at-least-once foreachBatch
-        discipline; ``ingest`` itself is a valid foreachBatch callback."""
+        discipline; ``ingest`` itself is a valid foreachBatch callback.
+
+        Delivery caveat (ADVICE r11): pair reports are exactly-once only
+        for UNIQUE doc ids — a committed document re-delivered under a
+        NEW batch id re-reports all of its pairs, so a
+        non-set-accumulating sink must dedup on (doc_a, doc_b) or the
+        upstream must dedup deliveries. The band family's anti-join fix
+        does not transfer here: ``shared`` is counted over the batch
+        side's fingerprint rows, and an anti-join would count a
+        partially-updated document over its fresh rows only."""
         from proxima_platform_spark.functions.text import winnow_fingerprints
 
         fps_b = (

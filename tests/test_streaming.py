@@ -3660,3 +3660,101 @@ class TestContinuousCcnet:
         assert m["base"] is not None  # compaction fired
         got = sorted(tuple(r) for r in cc.summary().collect())
         assert got == self._batch_summary(spark)
+
+
+class TestBandIndexDuplicateDelivery:
+    """ADVICE r11 hardening: a committed document re-delivered under a
+    NEW batch id must re-report nothing (its (id, band) rows are
+    anti-joined away before the probe), while a genuinely UPDATED
+    same-id document still pairs via its fresh rows."""
+
+    def _sink(self):
+        calls = []
+
+        def sink(pairs, batch_id):
+            calls.append((batch_id, {(r.id_a, r.id_b) for r in pairs.collect()}))
+
+        return sink, calls
+
+    def test_redelivery_new_batch_id_reports_nothing(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousOphIndex,
+        )
+
+        sink, calls = self._sink()
+        idx = ContinuousOphIndex(
+            spark, str(tmp_path / "oi"), num_bins=8, bands=4, sink=sink,
+        )
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ]
+        idx.ingest(spark.createDataFrame(rows, "doc_id long, text string"), 0)
+        assert calls[-1][1] == {(1, 2)}
+        # identical re-delivery under a NEW batch id: zero pair reports —
+        # a non-set-accumulating sink no longer double-counts
+        idx.ingest(spark.createDataFrame(rows, "doc_id long, text string"), 1)
+        assert calls[-1][1] == set()
+        # index state unchanged by the redelivery (distinct-union fold)
+        assert idx.band_rows().count() > 0
+
+    def test_updated_document_still_pairs(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousOphIndex,
+        )
+
+        sink, calls = self._sink()
+        idx = ContinuousOphIndex(
+            spark, str(tmp_path / "oi2"), num_bins=8, bands=4, sink=sink,
+        )
+        idx.ingest(
+            spark.createDataFrame(
+                [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        # doc 2 arrives as a near-copy, then is RE-delivered updated to a
+        # copy of doc 1's text under a new batch id: the fresh rows must
+        # still probe and find (1, 2)
+        idx.ingest(
+            spark.createDataFrame(
+                [(2, "wholly different words live in this document here now")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+        assert calls[-1][1] == set()
+        idx.ingest(
+            spark.createDataFrame(
+                [(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+                "doc_id long, text string",
+            ),
+            2,
+        )
+        assert (1, 2) in calls[-1][1]
+
+    def test_simhash_redelivery_new_batch_id(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.band_stream import (
+            ContinuousSimhashIndex,
+        )
+
+        reported = []
+
+        def sink(pairs, batch_id):
+            reported.append(
+                (batch_id, {(r.id_a, r.id_b) for r in pairs.collect()})
+            )
+
+        idx = ContinuousSimhashIndex(
+            spark, str(tmp_path / "si"), hamming_threshold=3, chunks=4,
+            sink=sink,
+        )
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ]
+        idx.ingest(spark.createDataFrame(rows, "doc_id long, text string"), 0)
+        assert reported[-1][1] == {(1, 2)}
+        idx.ingest(spark.createDataFrame(rows, "doc_id long, text string"), 1)
+        assert reported[-1][1] == set()
