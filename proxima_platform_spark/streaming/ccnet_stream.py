@@ -34,12 +34,14 @@ is row-for-row equal to ``ccnet_pipeline`` on the union of every
 ingested batch — EXACT equality, not modulo threshold seals — pinned by
 ``TestContinuousCcnet`` across batch splits and replays.
 
-Ordering contract: batches must arrive in nondecreasing ``id_col`` order
-(commit-log order — the reference's defining ingest property). The
+Ordering contract: batches must arrive in strictly increasing ``id_col``
+order (commit-log order — the reference's defining ingest property). The
 winner-table min-merge itself is order-independent, but the KN5 gram
 folds are decided at ingest time: a batch document's deduped text is
 final only when no LATER batch can beat its paragraphs, which increasing
-ids guarantee. Re-delivering a committed batch under its own batch_id is
+ids guarantee. The contract is ENFORCED, not just documented: ``ingest``
+tracks the id high-water mark in the manifest and raises on a batch
+whose min id does not exceed it. Re-delivering a committed batch under its own batch_id is
 a no-op (manifest guard, applied to this maintainer and propagated to
 the KN gate); re-delivery under a NEW batch id is a contract violation —
 the same at-least-once boundary every count-based maintainer draws
@@ -115,7 +117,7 @@ class ContinuousCcnet:
         p = f"{self.path}/manifest.json"
         if not os.path.exists(p):
             return {"version": 0, "base": None, "deltas": [],
-                    "max_batch_id": None}
+                    "max_batch_id": None, "max_id": None}
         with open(p) as f:
             return json.load(f)
 
@@ -173,6 +175,25 @@ class ContinuousCcnet:
             if m["max_batch_id"] is not None and batch_id <= m["max_batch_id"]:
                 return
             m["max_batch_id"] = batch_id
+        # ENFORCE the ordering contract instead of only documenting it: a
+        # batch carrying an id at or below the committed high-water mark
+        # could beat an existing paragraph winner, silently corrupting the
+        # already-folded KN gram counts — fail loudly up front (ids must be
+        # strictly increasing across batches; JSON-storable, i.e. numeric
+        # or string)
+        bounds = batch.agg(
+            F.min(self.id_col).alias("lo"), F.max(self.id_col).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            if m.get("max_id") is not None and bounds["lo"] <= m["max_id"]:
+                raise ValueError(
+                    f"ContinuousCcnet: batch min {self.id_col}="
+                    f"{bounds['lo']!r} does not exceed the committed "
+                    f"high-water mark {m['max_id']!r} — batches must arrive "
+                    "in strictly increasing id order (commit-log order) for "
+                    "the batch-on-union equality to hold"
+                )
+            m["max_id"] = bounds["hi"]
         wins = self._batch_winners(batch).localCheckpoint(eager=False)
         prior = self._merged(([m["base"]] if m["base"] else []) + m["deltas"])
         if prior is None:

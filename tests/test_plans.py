@@ -342,6 +342,17 @@ class TestLateR04Plans:
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan
 
+    def test_hilbert_layout_pure_codegen(self, spark, sf_dir):
+        # the DFA step chain must stay narrow JVM bit arithmetic: zero
+        # exchanges, zero python eval nodes, linear plan (no exponential
+        # accumulator inlining from projection collapsing)
+        df = entry.q_hilbert_layout(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        plan = physical_plan(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
+        assert len(plan) < 100_000, len(plan)
+
     def test_mad_joins_reuse_key_partitioning(self, spark, sf_dir):
         plan = physical_plan(entry.q_mad_outliers(spark, sf_dir))
         assert "CartesianProduct" not in plan

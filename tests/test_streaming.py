@@ -3661,6 +3661,25 @@ class TestContinuousCcnet:
         got = sorted(tuple(r) for r in cc.summary().collect())
         assert got == self._batch_summary(spark)
 
+    def test_out_of_order_batch_raises(self, spark, tmp_path):
+        # the ordering contract is enforced: a batch at or below the id
+        # high-water mark could beat an existing paragraph winner and
+        # silently corrupt the folded KN counts — it must fail loudly
+        cc = self._build(spark, tmp_path)
+        cc.ingest(
+            spark.createDataFrame(
+                self.BATCHES[0], "doc_id long, text string"
+            ),
+            batch_id=0,
+        )
+        with pytest.raises(ValueError, match="strictly increasing"):
+            cc.ingest(
+                spark.createDataFrame(
+                    [(1, "any text at all here")], "doc_id long, text string"
+                ),
+                batch_id=1,
+            )
+
 
 class TestBandIndexDuplicateDelivery:
     """ADVICE r11 hardening: a committed document re-delivered under a
