@@ -5333,6 +5333,89 @@ FROM s
 """
 
 
+def q_wordpiece_fertility(spark, sf):
+    """WordPiece budget summary per document (functions/wordpiece.py) —
+    DECLARED IN r13 (built and oracle-validated in r12; kept out of the
+    r12 queries() dict so the driver window stays exactly full with zero
+    never-checked entries). Greedy longest-match-first encoding against
+    the deterministic frequency vocabulary built from the SAME corpus
+    (self-encoding → zero UNK by the coverage guarantee; the UNK path is
+    pinned in tests): the greedy loop runs as shrinking vocab-frame
+    joins on the distinct-word frame (vocab never collects, no UDFs);
+    the oracle replays it as a recursive CTE whose per-step state is
+    (word, pos, n_pieces) with the longest vocab prefix chosen by a
+    grouped max over candidate lengths — integer/string arithmetic only,
+    one closing 6-dp rounded division."""
+    from proxima_platform_spark.functions.wordpiece import (
+        wordpiece_fertility,
+        wordpiece_vocab,
+    )
+
+    docs = _load(spark, sf, "documents")
+    vocab = wordpiece_vocab(docs, text_col="text", vocab_size=200,
+                            max_piece_len=8)
+    return wordpiece_fertility(docs, vocab)
+
+
+SQL_WORDPIECE_FERTILITY = r"""
+WITH RECURSIVE tok AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+), occ AS (
+    SELECT doc_id, w, count(*) AS n FROM tok WHERE len(w) > 0 GROUP BY 1, 2
+), words AS (
+    SELECT w, sum(n) AS wc FROM occ GROUP BY w
+), subs AS (
+    SELECT unnest(flatten([[CASE WHEN s = 1 THEN substr(w, s, e - s + 1)
+                                 ELSE '##' || substr(w, s, e - s + 1) END
+                            for e in range(s, least(len(w), s + 7) + 1)]
+                           for s in range(1, len(w) + 1)])) AS piece,
+           wc
+    FROM words
+), counts AS (
+    SELECT piece, sum(wc) AS cnt FROM subs GROUP BY piece
+), vocab AS (
+    SELECT piece FROM counts WHERE len(regexp_replace(piece, '^##', '')) = 1
+    UNION
+    SELECT piece FROM (
+        SELECT piece FROM counts
+        WHERE len(regexp_replace(piece, '^##', '')) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT 200
+    )
+), enc(w, pos, n_pieces, unk) AS (
+    SELECT w, 1::BIGINT, 0::BIGINT, len(w) > 64 FROM words
+    UNION ALL
+    SELECT w,
+           CASE WHEN plen IS NULL THEN pos ELSE pos + plen END,
+           CASE WHEN plen IS NULL THEN 1 ELSE n_pieces + 1 END,
+           plen IS NULL
+    FROM (
+        SELECT e.w, e.pos, e.n_pieces,
+               max(CASE WHEN v.piece IS NOT NULL THEN t.l END) AS plen
+        FROM enc e
+        CROSS JOIN (SELECT unnest(range(1, 9)) AS l) t
+        LEFT JOIN vocab v
+          ON e.pos + t.l - 1 <= len(e.w)
+         AND v.piece = CASE WHEN e.pos = 1 THEN substr(e.w, e.pos, t.l)
+                            ELSE '##' || substr(e.w, e.pos, t.l) END
+        WHERE NOT e.unk AND e.pos <= len(e.w)
+        GROUP BY e.w, e.pos, e.n_pieces
+    )
+), terminal AS (
+    SELECT w, CASE WHEN unk THEN 1 ELSE n_pieces END AS n_pieces, unk
+    FROM enc WHERE unk OR pos > len(w)
+)
+SELECT o.doc_id,
+       sum(o.n)::BIGINT AS n_words,
+       sum(o.n * t.n_pieces)::BIGINT AS n_pieces,
+       sum(CASE WHEN t.unk THEN o.n ELSE 0 END)::BIGINT AS n_unk_words,
+       round(sum(o.n * t.n_pieces) / sum(o.n), 6) AS fertility
+FROM occ o JOIN terminal t USING (w)
+GROUP BY o.doc_id
+"""
+
+
 def q_tokenizer_fertility(spark, sf):
     """Tokenizer fertility by language — BPE tokens per word, the standard
     multilingual tokenizer-quality diagnostic (a language the merge table
