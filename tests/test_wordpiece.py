@@ -187,3 +187,48 @@ class TestWordpieceFertility:
         # with per-char coverage nothing is UNK and fertility >= 1
         assert all(r.n_unk_words == 0 for r in rows)
         assert all(r.fertility >= 1.0 for r in rows)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_piece_st = st.text(alphabet="abcd", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pieces=st.sets(_piece_st, min_size=1, max_size=12),
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=10),
+        min_size=1, max_size=15, unique=True,
+    ),
+)
+def test_random_vocab_matches_reference_model(spark, pieces, words):
+    """Property: for ANY vocabulary (random initial + continuation forms)
+    and ANY words, the join-loop encoder equals the python greedy
+    longest-match reference — including all-or-nothing UNK."""
+    from proxima_platform_spark.functions.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    vocab = set()
+    for p in pieces:
+        vocab.add(p)
+        vocab.add("##" + p)
+    vdf = spark.createDataFrame([(p,) for p in sorted(vocab)], "piece string")
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    out = {
+        r.w: (list(r.pieces), r.is_unk)
+        for r in wordpiece_encode_words(
+            wdf, vdf, max_piece_len=4
+        ).collect()
+    }
+    for w in words:
+        ref = _ref_encode(w, vocab, max_piece_len=4)
+        if ref is None:
+            assert out[w] == ([], True), (w, out[w], sorted(vocab))
+        else:
+            assert out[w] == (ref, False), (w, out[w], ref, sorted(vocab))
