@@ -107,8 +107,9 @@ def _viterbi(word: str, lp: dict, max_piece_len: int):
     """Best segmentation by (sum lp desc, n_pieces asc, pieces lex asc).
     Returns (pieces tuple, total lp) or None when unsegmentable."""
     n = len(word)
-    # best[i] = (neg_badness tuple) for prefix of length i:
-    # (lp_sum, -n_pieces, neg_lex...) — carry (lp, n, pieces) and compare
+    # best[i] = (lp_sum, n_pieces, pieces) for the prefix of length i;
+    # the tie order is a prefix-composable total order, so local
+    # dominance is globally valid (equal-n suffix extensions preserve it)
     best = [None] * (n + 1)
     best[0] = (0.0, 0, ())
     for i in range(1, n + 1):

@@ -98,6 +98,20 @@ class ContinuousCcnet:
         delimiter: str = "\n",
         compact_every: int = 4,
     ) -> None:
+        # the gates run over OUR clean frames: their column contracts must
+        # agree up front, not fail deep inside a summary plan
+        if (nb.id_col, nb.text_col, nb.label_col) != (id_col, text_col,
+                                                      label_col):
+            raise ValueError(
+                "ContinuousCcnet: nb gate columns "
+                f"{(nb.id_col, nb.text_col, nb.label_col)} != "
+                f"{(id_col, text_col, label_col)}"
+            )
+        if (kn.id_col, kn.text_col) != (id_col, text_col):
+            raise ValueError(
+                "ContinuousCcnet: kn gate columns "
+                f"{(kn.id_col, kn.text_col)} != {(id_col, text_col)}"
+            )
         self.spark = spark
         self.path = path
         self.nb = nb

@@ -3777,3 +3777,26 @@ class TestBandIndexDuplicateDelivery:
         assert reported[-1][1] == {(1, 2)}
         idx.ingest(spark.createDataFrame(rows, "doc_id long, text string"), 1)
         assert reported[-1][1] == set()
+
+
+class TestContinuousCcnetContract:
+    def test_mismatched_gate_columns_raise(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.ccnet_stream import (
+            ContinuousCcnet,
+        )
+        from proxima_platform_spark.streaming.classify_stream import (
+            ContinuousNaiveBayes,
+        )
+        from proxima_platform_spark.streaming.lm_stream import (
+            ContinuousKneserNey,
+        )
+
+        nb = ContinuousNaiveBayes(spark, str(tmp_path / "nb"), id_col="id")
+        kn = ContinuousKneserNey(spark, str(tmp_path / "kn"))
+        with pytest.raises(ValueError, match="nb gate columns"):
+            ContinuousCcnet(spark, str(tmp_path / "cc"), nb=nb, kn=kn)
+        nb2 = ContinuousNaiveBayes(spark, str(tmp_path / "nb2"))
+        kn2 = ContinuousKneserNey(spark, str(tmp_path / "kn2"),
+                                  text_col="body")
+        with pytest.raises(ValueError, match="kn gate columns"):
+            ContinuousCcnet(spark, str(tmp_path / "cc2"), nb=nb2, kn=kn2)
