@@ -208,3 +208,42 @@ class TestHilbertKey:
         out = with_hilbert_key_2d(df, F.col("x"), F.col("y"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert len(plan) < 50_000, len(plan)
+
+    def test_hilbert_chunks_tighter_than_morton(self, spark):
+        """The claim that justifies shipping BOTH curves, quantified: at
+        power-of-4-ALIGNED chunks both curves tile perfect quadrants, so
+        the comparison uses 24-key chunks (a file writer's chunk size is
+        never curve-aligned) — there Morton's seam jumps cost ~1.7x the
+        total bounding-box area (measured 480 vs 288 on the 16x16 grid)
+        and a 3x worse worst chunk (96 vs 32)."""
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import (
+            morton_key_2d,
+            with_hilbert_key_2d,
+        )
+
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        h = {r.hkey: (r.x, r.y) for r in with_hilbert_key_2d(
+            df, F.col("x"), F.col("y"), bits=4
+        ).collect()}
+        m = {r.zkey: (r.x, r.y) for r in df.select(
+            "x", "y", morton_key_2d(F.col("x"), F.col("y")).alias("zkey")
+        ).collect()}
+
+        def chunk_area(keys):
+            total = 0
+            worst = 0
+            ordered = [keys[k] for k in sorted(keys)]
+            for c in range(0, 256, 24):
+                xs = [p[0] for p in ordered[c:c + 24]]
+                ys = [p[1] for p in ordered[c:c + 24]]
+                a = (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+                total += a
+                worst = max(worst, a)
+            return total, worst
+
+        h_total, h_worst = chunk_area(h)
+        m_total, m_worst = chunk_area(m)
+        assert h_total == 288 and m_total == 480, (h_total, m_total)
+        assert h_worst == 32 and m_worst == 96, (h_worst, m_worst)
