@@ -219,10 +219,6 @@ def ccnet_pipeline(
     )
     from proxima_platform_spark.functions.dedup import dedup_paragraphs
     from proxima_platform_spark.functions.ranking import kneser_ney5_scores
-    from proxima_platform_spark.functions.selection import (
-        exact_quantile_bisect,
-    )
-    from proxima_platform_spark.functions.text import token_count
 
     dd = dedup_paragraphs(docs, id_col=id_col, text_col=text_col)
     # staged once: the cleaned frame feeds NB scoring, the KN5 gram
