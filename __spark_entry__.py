@@ -5416,6 +5416,138 @@ GROUP BY o.doc_id
 """
 
 
+def q_unigram_fertility(spark, sf):
+    """Unigram-LM (SentencePiece) budget summary per document
+    (functions/unigram.py) — PRE-BUILT FOR A FUTURE ROUND (r14+, when a
+    window slot opens; oracle-validated side-by-side in r12, NOT yet in
+    queries()). Viterbi segmentation against the frequency seed model
+    with log-probs QUANTIZED to round(ln, 8) exact decimals: the DP sums
+    decimals exactly on both engines, so the argmax (and therefore every
+    n_pieces) is engine-replayable; ties break (fewer pieces, lex-least
+    sequence) — a total order. The oracle unrolls the position DP as 16
+    generated chained CTEs (one best-state row per word per prefix
+    length). NOTE for the declaring round: the model's round(ln(cnt/t),8)
+    site must enter tools/margin_check.py's audit."""
+    from proxima_platform_spark.functions.dedup import tokens as _tokens
+    from proxima_platform_spark.functions.unigram import (
+        unigram_seed_probs,
+        unigram_viterbi_encode,
+    )
+
+    docs = _load(spark, sf, "documents")
+    probs = unigram_seed_probs(
+        docs, text_col="text", seed_size=100, max_piece_len=4
+    ).select(
+        "piece", F.round("lp", 8).cast("decimal(18,10)").alias("lp")
+    )
+    occ = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = unigram_viterbi_encode(
+        occ.select("w").distinct(), probs,
+        max_piece_len=4, max_word_chars=16,
+    )
+    return (
+        occ.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).cast("bigint").alias(
+                "n_pieces"
+            ),
+            F.sum(F.when(F.col("is_unk"), F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_unk_words"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_pieces"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _sql_unigram_fertility(max_len: int = 16, max_piece: int = 4) -> str:
+    """The oracle twin of q_unigram_fertility: the Viterbi DP unrolled as
+    one generated CTE per prefix length (best (lp, n, pieces) state per
+    word, pruned by the same total order — prefix dominance makes the
+    stepwise argmax exact), over the same quantized-decimal model."""
+    steps = []
+    sep = "chr(31)"
+    for i in range(1, max_len + 1):
+        cands = []
+        for j in range(max(0, i - max_piece), i):
+            src = "s0" if j == 0 else f"s{j}"
+            cands.append(
+                f"SELECT p.w, p.lp + m.lp AS lp, p.n + 1 AS n,"
+                f" CASE WHEN p.pieces = '' THEN m.piece"
+                f" ELSE p.pieces || {sep} || m.piece END AS pieces"
+                f" FROM {src} p JOIN model m"
+                f" ON m.piece = substr(p.w, {j + 1}, {i - j})"
+                f" WHERE len(p.w) >= {i}"
+            )
+        union = " UNION ALL ".join(cands)
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT w, lp, n, pieces FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY w"
+            f" ORDER BY lp DESC, n ASC, pieces ASC) AS rn"
+            f" FROM ({union})) WHERE rn = 1)"
+        )
+    terms = " UNION ALL ".join(
+        f"SELECT w, n FROM s{i} WHERE len(w) = {i}"
+        for i in range(1, max_len + 1)
+    )
+    return rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+), occ AS MATERIALIZED (
+    SELECT doc_id, w, count(*) AS n FROM tok WHERE len(w) > 0 GROUP BY 1, 2
+), words AS MATERIALIZED (
+    SELECT w, sum(n) AS wc FROM occ GROUP BY w
+), subs AS (
+    SELECT unnest(flatten([[substr(w, s, e - s + 1)
+                            for e in range(s, least(len(w), s + {max_piece - 1}) + 1)]
+                           for s in range(1, len(w) + 1)])) AS piece,
+           wc
+    FROM words
+), counts AS (
+    SELECT piece, sum(wc) AS cnt FROM subs GROUP BY piece
+), sel AS (
+    SELECT piece, cnt FROM counts WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM counts WHERE len(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT 100
+    )
+), model AS MATERIALIZED (
+    SELECT piece, round(ln(cnt / t), 8)::DECIMAL(18,10) AS lp
+    FROM sel CROSS JOIN (SELECT sum(cnt) AS t FROM sel)
+), s0 AS MATERIALIZED (
+    SELECT w, 0::DECIMAL(28,10) AS lp, 0 AS n, '' AS pieces
+    FROM words WHERE len(w) <= {max_len}
+), {", ".join(steps)}, term AS (
+    {terms}
+), enc AS (
+    SELECT w, n AS n_pieces, false AS unk FROM term
+    UNION ALL
+    SELECT w, 1, true FROM words
+    WHERE len(w) > {max_len} OR w NOT IN (SELECT w FROM term)
+)
+SELECT o.doc_id,
+       sum(o.n)::BIGINT AS n_words,
+       sum(o.n * e.n_pieces)::BIGINT AS n_pieces,
+       sum(CASE WHEN e.unk THEN o.n ELSE 0 END)::BIGINT AS n_unk_words,
+       round(sum(o.n * e.n_pieces) / sum(o.n), 6) AS fertility
+FROM occ o JOIN enc e USING (w)
+GROUP BY o.doc_id
+"""
+
+
 def q_tokenizer_fertility(spark, sf):
     """Tokenizer fertility by language — BPE tokens per word, the standard
     multilingual tokenizer-quality diagnostic (a language the merge table

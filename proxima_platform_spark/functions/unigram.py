@@ -105,13 +105,25 @@ def unigram_seed_probs(
 
 def _viterbi(word: str, lp: dict, max_piece_len: int):
     """Best segmentation by (sum lp desc, n_pieces asc, pieces lex asc).
-    Returns (pieces tuple, total lp) or None when unsegmentable."""
+    Returns (pieces tuple, total lp) or None when unsegmentable.
+
+    Works over float OR ``decimal.Decimal`` log-probs: with decimals the
+    sums are EXACT, so the argmax is engine-replayable (a SQL oracle
+    summing the same quantized decimals makes identical choices) — the
+    float path keeps the plain in-python tokenizer fast."""
+    from decimal import Decimal
+
     n = len(word)
     # best[i] = (lp_sum, n_pieces, pieces) for the prefix of length i;
     # the tie order is a prefix-composable total order, so local
     # dominance is globally valid (equal-n suffix extensions preserve it)
     best = [None] * (n + 1)
-    best[0] = (0.0, 0, ())
+    zero = (
+        Decimal(0)
+        if lp and isinstance(next(iter(lp.values())), Decimal)
+        else 0.0
+    )
+    best[0] = (zero, 0, ())
     for i in range(1, n + 1):
         cand = None
         for j in range(max(0, i - max_piece_len), i):
@@ -152,7 +164,10 @@ def unigram_viterbi_encode(
     import pandas as pd
 
     spark = words.sparkSession
-    model = {r["piece"]: float(r["lp"]) for r in probs.collect()}
+    # preserve the lp column's type: DecimalType collects as Decimal and
+    # switches the DP to exact arithmetic (see _viterbi); DoubleType
+    # collects as float and keeps the fast path
+    model = {r["piece"]: r["lp"] for r in probs.collect()}
     bc = spark.sparkContext.broadcast(model)
     wc = word_col
 
@@ -170,7 +185,9 @@ def unigram_viterbi_encode(
                 if r is None:
                     out.append((w, [], 1, None, True))
                 else:
-                    out.append((w, list(r[0]), len(r[0]), r[1], False))
+                    # float() is exact for doubles and correctly-rounded
+                    # for decimals — deterministic either way
+                    out.append((w, list(r[0]), len(r[0]), float(r[1]), False))
             yield pd.DataFrame(
                 out, columns=[wc, "pieces", "n_pieces", "lp", "is_unk"]
             )
