@@ -4368,20 +4368,16 @@ GROUP BY doc_id
 """
 
 
-def q_winnow_fingerprint_set(spark, sf):
-    """True winnowing (functions/text.py::winnow_fingerprints — the MOSS
-    fingerprinter): every w=4-window of token-3-gram Rabin-Karp hashes
-    selects its minimum with the RIGHTMOST tie-break, one row per distinct
-    (doc, pos, fp). Carries winnowing's detection guarantee (any shared
-    token run >= w+2 shares a fingerprint) at ~2/(w+1) storage density —
-    the local-fingerprint upgrade of doc_rolling_fingerprint's global min."""
-    from proxima_platform_spark.functions.text import winnow_fingerprints
-
-    docs = _load(spark, sf, "documents")
-    return winnow_fingerprints(docs, "doc_id", "text", w=4)
-
-
 def _sql_winnow_fingerprints(w: int = 4) -> str:
+    # NOTE (r13 fold, VERDICT r12 #3): the standalone winnow_fingerprint_set
+    # query was folded out of the declared set to open r14's window slot for
+    # unigram_fertility. The fingerprint pipeline this CTE replays (every
+    # w=4-window of token-3-gram Rabin-Karp hashes selecting its minimum
+    # with the RIGHTMOST tie-break, one row per distinct (doc, pos, fp))
+    # remains driver-hash-certified through BOTH surviving winnow queries —
+    # _sql_winnow_overlap and _sql_dedup_winnow embed this CTE verbatim —
+    # and its row-level assertions (tie-break side, density bound, the
+    # w+2 detection guarantee) moved to tests/test_text.py::TestWinnowFold.
     from proxima_platform_spark.functions.text import (
         ROLLING_B, ROLLING_B2, ROLLING_P,
     )
@@ -5418,9 +5414,10 @@ GROUP BY o.doc_id
 
 def q_unigram_fertility(spark, sf):
     """Unigram-LM (SentencePiece) budget summary per document
-    (functions/unigram.py) — PRE-BUILT FOR A FUTURE ROUND (r14+, when a
-    window slot opens; oracle-validated side-by-side in r12, NOT yet in
-    queries()). Viterbi segmentation against the frequency seed model
+    (functions/unigram.py) — SCHEDULED FOR r14 at window position 50
+    (oracle-validated side-by-side in r12, NOT yet in queries(); the slot
+    was opened in r13 by folding winnow_fingerprint_set into the two
+    surviving winnow oracles). Viterbi segmentation against the seed model
     with log-probs QUANTIZED to round(ln, 8) exact decimals: the DP sums
     decimals exactly on both engines, so the argmax (and therefore every
     n_pieces) is engine-replayable; ties break (fewer pieces, lex-least
@@ -11459,73 +11456,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # STALENESS-AWARE ROTATION (r12; VERDICT r11 'Next round' #1): the
+    # STALENESS-AWARE ROTATION (r13; VERDICT r12 'Next round' #1): the
     # driver hash-checks the first ~50 insertion-order entries per round.
-    # Tiers recomputed from the CORRECTNESS_r01..r11 union (r11: 50/50
-    # green; histogram r07:49 r08:49 r09:50 r10:50 r11:50), ordered
+    # Tiers recomputed from the CORRECTNESS_r01..r12 union (r12: 50/50
+    # green; histogram r08:49 r09:50 r10:50 r11:50 r12:50), ordered
     # OLDEST-LAST-GREEN FIRST (no red rows, none never-checked):
-    #   (A) the 49 r07-stale queries — last driver-green 5 rounds ago;
-    #   (B) the ONE new r12 query (hilbert_layout) at window position 50
-    #       — exactly filling the window, so nothing is never-checked and
-    #       the oldest tier advances r07 -> r08;
-    #   (C)-(F) last green r08, r09, r10, r11 — each tier in its prior
-    #       relative order. Full cycle at 249 / 50 ≈ 4.98 rounds (SURVEY
-    #       §8 tracks the cycle length). Next round: recompute from the
-    #       union including CORRECTNESS_r12 and rotate the r08 tier first.
+    #   (A) the 49 r08-stale queries — last driver-green 5 rounds ago;
+    #   (B) the ONE new r13 query (wordpiece_fertility, pre-built and
+    #       oracle-validated in r12) at window position 50 — exactly
+    #       filling the window, so nothing is never-checked and the
+    #       oldest tier advances r08 -> r09;
+    #   (C)-(F) last green r09, r10, r11, r12 — each tier in its prior
+    #       relative order. r14 ZERO-SLOT DECISION (VERDICT r12 #3),
+    #       resolved THIS round: winnow_fingerprint_set is FOLDED out of
+    #       the declared set — its fingerprint pipeline stays hash-
+    #       certified through BOTH surviving winnow queries (the
+    #       winnow_overlap and dedup_winnow oracles embed
+    #       _sql_winnow_fingerprints verbatim) and its row-level
+    #       assertions moved to tests/test_text.py::TestWinnowFold. That
+    #       puts the r09 tier at 49, opening r14's position-50 slot for
+    #       the banked unigram_fertility (its round(ln(cnt/t),8) site is
+    #       ALREADY wired into tools/margin_check.py this round). Cycle
+    #       length 249/50 ~= 4.98 <= 5.0 (SURVEY §8 tracks it). Next
+    #       round: recompute from the union including CORRECTNESS_r13,
+    #       rotate the r09 tier first, declare unigram_fertility at 50.
     return {
-        # -- (A) r07-stale: last driver-green 5 rounds ago — certify first
-        "global_window_agg": q_global_window_agg,
-        "count_by_key": q_count_by_key,
-        "sum_by_key": q_sum_by_key,
-        "average_by_key": q_average_by_key,
-        "combine_min_max": q_combine_min_max,
-        "reduce_fold": q_reduce_fold,
-        "group_reduce_median": q_group_reduce_median,
-        "distinct_pairs": q_distinct_pairs,
-        "distinct_mapper": q_distinct_mapper,
-        "reduce_to_latest": q_reduce_to_latest,
-        "join_inner": q_join_inner,
-        "windowed_join": q_windowed_join,
-        "join_three_way": q_join_three_way,
-        "asof_join_enrich": q_asof_join_enrich,
-        "json_props_extract": q_json_props_extract,
-        "union_names": q_union_names,
-        "sorted_topk": q_sorted_topk,
-        "keyset_pagination": q_keyset_pagination,
-        "rollup_revenue": q_rollup_revenue,
-        "integrate_per_key": q_integrate_per_key,
-        "reduce_value_state": q_reduce_value_state,
-        "retract_join": q_retract_join,
-        "transactions": q_transactions,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "batch_updates_range": q_batch_updates_range,
-        "batch_snapshot": q_batch_snapshot,
-        "snapshot_wide": q_snapshot_wide,
-        "snapshot_with_deletes": q_snapshot_with_deletes,
-        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
-        "random_access_get": q_random_access_get,
-        "multi_get": q_multi_get,
-        "scan_wildcard": q_scan_wildcard,
-        "list_entities": q_list_entities,
-        "union_attributes": q_union_attributes,
-        "proxy_attribute_read": q_proxy_attribute_read,
-        "elementwise_transform": q_elementwise_transform,
-        "with_window": q_with_window,
-        "tumbling_window_sum": q_tumbling_window_sum,
-        "dedup_embedding": q_dedup_embedding,
-        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
-        "multimodal_ahash_dup": q_multimodal_ahash_dup,
-        "repetition_signals": q_repetition_signals,
-        "dedup_substrings": q_dedup_substrings,
-        "multimodal_phash_dup": q_multimodal_phash_dup,
-        "domain_cap_sample": q_domain_cap_sample,
-        "distinct_hll": q_distinct_hll,
-        "ivm_agg_apply": q_ivm_agg_apply,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        # -- (B) NEW r12 query: rides at window position 50, certifies now
-        "hilbert_layout": q_hilbert_layout,
-        # -- last green r08
+        # -- (A) r08-stale: last driver-green 5 rounds ago — certify first
         "hll_union_distinct": q_hll_union_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "similarity_join_exact": q_similarity_join_exact,
@@ -11575,11 +11531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "cube_counts": q_cube_counts,
         "skew_report": q_skew_report,
-        # -- last green r09
+        # -- (B) NEW r13 query (built+oracle-validated in r12): window position 50
+        "wordpiece_fertility": q_wordpiece_fertility,
+        # -- last green r09 (49 after the winnow_fingerprint_set fold — see note)
         "survival_km": q_survival_km,
         "dedup_substrings_maximal": q_dedup_substrings_maximal,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "winnow_fingerprint_set": q_winnow_fingerprint_set,
         "winnow_overlap": q_winnow_overlap,
         "quantile_sketch": q_quantile_sketch,
         "rrf_fusion": q_rrf_fusion,
@@ -11728,6 +11685,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes_topk_langid": q_naive_bayes_topk_langid,
         "dedup_cluster_keep_best": q_dedup_cluster_keep_best,
         "calendar_window_week": q_calendar_window_week,
+        # -- last green r12
+        "global_window_agg": q_global_window_agg,
+        "count_by_key": q_count_by_key,
+        "sum_by_key": q_sum_by_key,
+        "average_by_key": q_average_by_key,
+        "combine_min_max": q_combine_min_max,
+        "reduce_fold": q_reduce_fold,
+        "group_reduce_median": q_group_reduce_median,
+        "distinct_pairs": q_distinct_pairs,
+        "distinct_mapper": q_distinct_mapper,
+        "reduce_to_latest": q_reduce_to_latest,
+        "join_inner": q_join_inner,
+        "windowed_join": q_windowed_join,
+        "join_three_way": q_join_three_way,
+        "asof_join_enrich": q_asof_join_enrich,
+        "json_props_extract": q_json_props_extract,
+        "union_names": q_union_names,
+        "sorted_topk": q_sorted_topk,
+        "keyset_pagination": q_keyset_pagination,
+        "rollup_revenue": q_rollup_revenue,
+        "integrate_per_key": q_integrate_per_key,
+        "reduce_value_state": q_reduce_value_state,
+        "retract_join": q_retract_join,
+        "transactions": q_transactions,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "batch_updates_range": q_batch_updates_range,
+        "batch_snapshot": q_batch_snapshot,
+        "snapshot_wide": q_snapshot_wide,
+        "snapshot_with_deletes": q_snapshot_with_deletes,
+        "wildcard_tombstone_snapshot": q_wildcard_tombstone_snapshot,
+        "random_access_get": q_random_access_get,
+        "multi_get": q_multi_get,
+        "scan_wildcard": q_scan_wildcard,
+        "list_entities": q_list_entities,
+        "union_attributes": q_union_attributes,
+        "proxy_attribute_read": q_proxy_attribute_read,
+        "elementwise_transform": q_elementwise_transform,
+        "with_window": q_with_window,
+        "tumbling_window_sum": q_tumbling_window_sum,
+        "dedup_embedding": q_dedup_embedding,
+        "proto_scheme_roundtrip": q_proto_scheme_roundtrip,
+        "multimodal_ahash_dup": q_multimodal_ahash_dup,
+        "repetition_signals": q_repetition_signals,
+        "dedup_substrings": q_dedup_substrings,
+        "multimodal_phash_dup": q_multimodal_phash_dup,
+        "domain_cap_sample": q_domain_cap_sample,
+        "distinct_hll": q_distinct_hll,
+        "ivm_agg_apply": q_ivm_agg_apply,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "hilbert_layout": q_hilbert_layout,
     }
 
 
@@ -12020,7 +12028,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
-        "winnow_fingerprint_set": _sql_winnow_fingerprints(),
+        "wordpiece_fertility": SQL_WORDPIECE_FERTILITY,
         "winnow_overlap": _sql_winnow_overlap(),
         "dedup_winnow": _sql_dedup_winnow(),
         "kneser_ney_score": SQL_KNESER_NEY,

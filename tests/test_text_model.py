@@ -662,7 +662,37 @@ class TestWinnowing:
         assert not any(a < 6 and b < 6 for a, b in pairs)
 
 
-class TestCharEntropy:
+class TestWinnowFold:
+    """r13 fold (VERDICT r12 'Next round' #3): winnow_fingerprint_set left
+    the declared query set to open r14's window slot for unigram_fertility.
+    This test preserves the certification the driver hash used to provide:
+    the EXACT (doc_id, pos, fp) row set of Spark winnow_fingerprints vs the
+    DuckDB oracle (_sql_winnow_fingerprints — still embedded verbatim in
+    the surviving winnow_overlap and dedup_winnow oracles) on the real
+    sf0.001 documents table."""
+
+    def test_spark_matches_duckdb_oracle_on_testdata(self, spark, sf_dir):
+        import duckdb
+        import os
+
+        from proxima_platform_spark.functions.text import winnow_fingerprints
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        docs = spark.read.parquet(path)
+        got = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(docs, "doc_id", "text", w=4).collect()
+        }
+
+        import __spark_entry__ as entry
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        want = set(map(tuple, con.sql(entry._sql_winnow_fingerprints()).fetchall()))
+        assert len(got) > 100  # real data, non-trivial fingerprint set
+        assert got == want
     def test_known_values(self, spark):
         """Uniform 4-symbol text → exactly 2 bits/char; single-char text
         → 0; empty text → NULL with n_chars 0."""
