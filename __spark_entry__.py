@@ -5471,7 +5471,16 @@ def _sql_unigram_fertility(max_len: int = 16, max_piece: int = 4) -> str:
     """The oracle twin of q_unigram_fertility: the Viterbi DP unrolled as
     one generated CTE per prefix length (best (lp, n, pieces) state per
     word, pruned by the same total order — prefix dominance makes the
-    stepwise argmax exact), over the same quantized-decimal model."""
+    stepwise argmax exact), over the same quantized-decimal model.
+
+    Tie-parity scope (r12 ADVICE): the lex-least tie-break here orders
+    chr(31)-JOINED piece strings, while the Python _viterbi orders piece
+    TUPLES — these diverge only when a piece contains a codepoint below
+    0x1F (control chars survive the whitespace-split tokenizer). Tied
+    states share lp AND n_pieces by construction, and ONLY n_pieces
+    reaches the hashed output, so engine parity of this oracle is
+    airtight regardless; the piece SEQUENCE itself is parity-guaranteed
+    only for control-char-free pieces and is never surfaced."""
     steps = []
     sep = "chr(31)"
     for i in range(1, max_len + 1):
@@ -12064,4 +12073,17 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_retrieval": SQL_NDCG_RETRIEVAL,
         "label_propagation": _sql_label_propagation(),
         "char_entropy_signal": SQL_CHAR_ENTROPY,
+    }
+
+
+def banked_oracle_sql() -> dict[str, str]:
+    """Oracles BUILT AND VALIDATED but not yet in oracle_sql() (awaiting a
+    driver-window slot under the <= 5.0-round rotation-cycle cap). The
+    margin audit (tools/margin_check.py) includes these so a thin
+    transcendental rounding margin is caught BEFORE the declaring round,
+    not by the driver box (the r12 ADVICE forcing function: the
+    round(ln(cnt/t),8) unigram model site is audited from r13 on, while
+    the query itself declares in r14)."""
+    return {
+        "unigram_fertility": _sql_unigram_fertility(),
     }

@@ -156,6 +156,15 @@ def with_hilbert_key_2d(
     before the write, exactly like :func:`morton_key_2d`.
     """
     acc = "__hilbert_acc"
+    # fail fast on working-column collisions: select('*', ...) with a
+    # duplicate name yields ambiguous columns downstream, not an error
+    # at the point of cause (r12 ADVICE)
+    clash = {"__ha", "__hb", acc, out}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_hilbert_key_2d: input already has column(s) "
+            f"{sorted(clash)} — rename them or pass a different out="
+        )
     cur = df.select(
         "*",
         col_a.cast("long").bitwiseAND(F.lit((1 << bits) - 1)).alias("__ha"),

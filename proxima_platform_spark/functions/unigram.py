@@ -313,7 +313,11 @@ def unigram_em_train(
     → ``iters`` full EM iterations → deterministic prune to all single
     characters + the top ``vocab_size`` multi-char pieces by expected
     count (ties by piece) → one final EM step on the pruned vocabulary to
-    renormalize. Returns the bounded ``(piece, lp)`` model frame.
+    renormalize. Returns the bounded ``(piece, lp)`` model frame. Every
+    single character OBSERVED in the corpus is kept (hard coverage, the
+    SentencePiece required-chars rule): chars the EM steps zeroed out —
+    chars occurring only in overlong words — re-enter at the final
+    model's floor score, so encodability never regresses under pruning.
 
     Each iteration is one distinct-word UDF pass + one bounded decimal
     agg (module docstring); the corpus is never reshuffled."""
@@ -330,10 +334,11 @@ def unigram_em_train(
         .agg(F.count(F.lit(1)).alias("wc"))
         .localCheckpoint(eager=False)
     )
-    probs = unigram_seed_probs(
+    seed = unigram_seed_probs(
         docs, text_col=text_col, seed_size=seed_size,
         max_piece_len=max_piece_len,
-    )
+    ).localCheckpoint(eager=False)
+    probs = seed
     for _ in range(iters):
         # materialize the bounded EC frame per round: the model is
         # collected next round anyway, and this keeps lineage flat
@@ -351,7 +356,12 @@ def unigram_em_train(
         # em_step returns lp ∝ ln(ec/t); ranking by lp IS ranking by ec
         .withColumnRenamed("lp", "rank_lp")
     )
-    chars = ec.where(F.length("piece") == 1).select("piece")
+    # coverage keep comes from the SEED model (every observed single
+    # char), not the E-step output: each EM step drops zero-expected-
+    # count pieces, so a char whose every containing word is overlong
+    # (> max_word_chars) or unsegmentable would silently vanish and turn
+    # those words UNK after pruning (r12 ADVICE)
+    chars = seed.where(F.length("piece") == 1).select("piece")
     multi = (
         ec.where(F.length("piece") > 1)
         .orderBy(F.col("rank_lp").desc(), F.col("piece").asc())
@@ -361,10 +371,22 @@ def unigram_em_train(
     kept = chars.unionByName(multi).distinct()
     pruned = probs.join(kept, "piece")
     # final renormalizing EM step on the pruned vocabulary
-    return unigram_em_step(
+    final = unigram_em_step(
         words, pruned, max_piece_len=max_piece_len,
         max_word_chars=max_word_chars,
     )
+    # hard coverage (SentencePiece's required-chars rule): observed single
+    # chars the EM steps zeroed out re-enter at the model's FLOOR score —
+    # deterministic, and it keeps "every word over observed chars is
+    # encodable" true unconditionally. The 0.0 fallback only fires in the
+    # fully-degenerate corpus (no segmentable word at all).
+    floor = final.agg(F.coalesce(F.min("lp"), F.lit(0.0)).alias("flp"))
+    missing = (
+        chars.join(final.select("piece"), "piece", "left_anti")
+        .crossJoin(F.broadcast(floor))
+        .select("piece", F.col("flp").alias("lp"))
+    )
+    return final.unionByName(missing)
 
 
 def unigram_corpus_loglik(

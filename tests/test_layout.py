@@ -198,6 +198,22 @@ class TestHilbertKey:
         for (k0, x0, y0), (k1, x1, y1) in zip(by_key, by_key[1:]):
             assert abs(x1 - x0) + abs(y1 - y0) == 1
 
+    def test_working_column_collision_fails_fast(self, spark):
+        # r12 ADVICE: an input frame already carrying a working column or
+        # the out name must error at the call, not produce ambiguity later
+        import pytest
+        from pyspark.sql import functions as F
+        from proxima_platform_spark.functions.layout import with_hilbert_key_2d
+
+        for bad in ("__ha", "__hb", "__hilbert_acc", "hkey"):
+            df = spark.createDataFrame([(1, 2, 0)], f"x long, y long, {bad} long")
+            with pytest.raises(ValueError, match=bad):
+                with_hilbert_key_2d(df, F.col("x"), F.col("y"))
+        # a custom out= that collides is equally rejected
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError, match="x"):
+            with_hilbert_key_2d(df, F.col("x"), F.col("y"), out="x")
+
     def test_plan_is_linear_per_step_projects(self, spark):
         # the DFA chain must stay one small Project per step — a collapsed
         # plan would duplicate the accumulator subtree exponentially

@@ -229,6 +229,26 @@ class TestEmTraining:
         assert chars <= pieces
         assert len([p for p in pieces if len(p) > 1]) <= 5
 
+    def test_prune_coverage_survives_overlong_only_chars(self, spark):
+        """A seeded single char whose EVERY containing word is overlong
+        (> max_word_chars, so the E-step assigns it zero expected count)
+        must still survive the prune — the coverage keep reads the
+        pre-prune model, not the E-step output (r12 ADVICE)."""
+        from proxima_platform_spark.functions.unigram import unigram_em_train
+
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps high"),
+             (1, "the lazy dog sleeps " + "z" * 80)],
+            "doc_id long, text string",
+        )
+        model = unigram_em_train(
+            docs, vocab_size=5, seed_size=60, max_piece_len=4, iters=1,
+            max_word_chars=16,
+        )
+        pieces = {r.piece for r in model.collect()}
+        # 'z' occurs ONLY inside the 80-char word, which the DP skips
+        assert "z" in pieces
+
     def test_knob_guards(self, spark):
         from proxima_platform_spark.functions.unigram import (
             unigram_em_train,

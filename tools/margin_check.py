@@ -192,11 +192,18 @@ def main() -> int:
     con.execute(MACRO)
 
     oracles = entry.oracle_sql()
+    # banked-but-undeclared oracles are audited too (r12 ADVICE): a thin
+    # margin must surface BEFORE the round that declares the query
+    for bname, bsql in getattr(entry, "banked_oracle_sql", dict)().items():
+        assert bname not in oracles, f"banked {bname} already declared"
+        oracles[f"{bname} [banked]"] = bsql
     failures: list[str] = []
     checked = 0
+    clean = 0
     for name in sorted(oracles):
         sql = oracles[name]
         if not TRANS.search(sql):
+            clean += 1  # scanned and transcendental-free — reported below
             continue
         new_sql, flagged, unflagged = rewrite(name, sql)
         if flagged == 0:
@@ -227,7 +234,8 @@ def main() -> int:
                     f"{name}: rewrite broke the oracle — {msg.splitlines()[0]}"
                 )
     print(f"\n{checked} transcendental quer{'y' if checked == 1 else 'ies'} "
-          f"audited at the {MARGIN_ULPS:.0f}-ulp margin")
+          f"audited at the {MARGIN_ULPS:.0f}-ulp margin; "
+          f"{clean} scanned transcendental-free of {len(oracles)} total")
     if failures:
         print("\nFAILURES:")
         for f in failures:
