@@ -70,8 +70,26 @@ def wordpiece_vocab(
     TakeOrderedAndProject-shaped selection, never a global sort of the
     corpus.
     """
-    if vocab_size < 0:
-        raise ValueError(f"vocab_size must be >= 0, got {vocab_size}")
+    return wordpiece_select_vocab(
+        wordpiece_substring_counts(
+            docs, text_col=text_col, max_piece_len=max_piece_len
+        ),
+        vocab_size=vocab_size,
+    )
+
+
+def wordpiece_substring_counts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """The vocabulary's sufficient statistic: ``(piece, cnt)`` — every
+    initial/``##``-continuation substring up to ``max_piece_len``, weighted
+    by word occurrence counts. ADDITIVE across corpus slices (cnt is a
+    plain weighted count), which is exactly what lets
+    ``ContinuousWordpieceVocab`` maintain it as summed base+delta
+    generations with batch-on-union equality by construction."""
     if max_piece_len < 1:
         raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     from proxima_platform_spark.functions.dedup import tokens
@@ -101,7 +119,19 @@ def wordpiece_vocab(
         .alias("piece"),
         "wc",
     )
-    counts = subs.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    return subs.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+
+
+def wordpiece_select_vocab(
+    counts: DataFrame, *, vocab_size: int = 1000
+) -> DataFrame:
+    """Deterministic selection over a ``(piece, cnt)`` frame: all single
+    characters (initial and ``##`` forms) plus the top ``vocab_size``
+    multi-char pieces by (cnt desc, piece asc) — a pure function of the
+    counts, so any maintainer that merges counts additively reproduces
+    the batch vocabulary exactly."""
+    if vocab_size < 0:
+        raise ValueError(f"vocab_size must be >= 0, got {vocab_size}")
     chars = counts.where(
         F.length(F.regexp_replace("piece", "^##", "")) == 1
     ).select("piece")
