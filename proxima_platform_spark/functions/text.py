@@ -1055,15 +1055,37 @@ def source_jsd(
 
     Output: one row per source — (source, n_words, jsd).
     """
+    return source_jsd_from_counts(
+        source_word_counts(docs, group_col=group_col, text_col=text_col)
+    )
+
+
+def source_word_counts(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The JSD's sufficient statistic: per-(source, word) token counts
+    ``(s, w, cs)``. ADDITIVE across corpus slices, which is what lets
+    ``ContinuousDomainJsd`` maintain it as summed base+delta generations
+    with batch-on-union equality by construction."""
     from proxima_platform_spark.functions.dedup import tokens as _toks
 
     tok = docs.select(
         F.col(group_col).alias("s"),
         F.explode(_toks(F.col(text_col))).alias("w"),
     )
-    sw = tok.groupBy("s", "w").agg(F.count(F.lit(1)).alias("cs"))
+    return tok.groupBy("s", "w").agg(F.count(F.lit(1)).alias("cs"))
+
+
+def source_jsd_from_counts(sw: DataFrame) -> DataFrame:
+    """JSD per source from the ``(s, w, cs)`` statistic — a pure function
+    of the counts (per-source totals, corpus-wide word counts and total
+    all derive from ``sw``), so any maintainer that merges counts
+    additively reproduces the batch result exactly."""
     stot = sw.groupBy("s").agg(F.sum("cs").alias("ts"))
-    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cw = sw.groupBy("w").agg(F.sum("cs").alias("c"))
     tot = cw.agg(F.sum("c").alias("t"))
 
     grid = (

@@ -3279,6 +3279,61 @@ class TestContinuousWordpieceVocab:
             )
 
 
+class TestContinuousDomainJsd:
+    """r13 maintainer: per-source JSD maintained as summed base+delta
+    (s, w, cs) generations. Count-carrying member: disjoint slices
+    required; same-batch-id replay is a no-op."""
+
+    def _rows(self, lo, hi):
+        srcs = ["web", "books", "code"]
+        return [
+            (i, srcs[i % 3], f"alpha beta w{i % 11} gamma{i % 5} delta")
+            for i in range(lo, hi)
+        ]
+
+    def test_jsd_equals_batch_on_union(self, spark, tmp_path):
+        from proxima_platform_spark.functions.text import source_jsd
+        from proxima_platform_spark.streaming.jsd_stream import (
+            ContinuousDomainJsd,
+        )
+
+        schema = "doc_id long, source string, text string"
+        batches = [self._rows(0, 40), self._rows(40, 75), self._rows(75, 120)]
+        cj = ContinuousDomainJsd(
+            spark, str(tmp_path / "jsd"),
+            compact_every=2,  # compaction fires mid-run: invariance covered
+        )
+        for i, b in enumerate(batches):
+            cj.update(spark.createDataFrame(b, schema), i)
+        union = spark.createDataFrame([r for b in batches for r in b], schema)
+        want = sorted(map(tuple, source_jsd(union).collect()))
+        got = sorted(map(tuple, cj.jsd().collect()))
+        assert got == want
+        assert len(got) == 3 and all(j > 0 for _, _, j in got)  # non-vacuous
+
+    def test_replay_same_batch_id_is_noop(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.jsd_stream import (
+            ContinuousDomainJsd,
+        )
+
+        schema = "doc_id long, source string, text string"
+        cj = ContinuousDomainJsd(spark, str(tmp_path / "jsd2"))
+        b0 = spark.createDataFrame(self._rows(0, 30), schema)
+        cj.update(b0, 0)
+        want = sorted((r.s, r.w, r.cs) for r in cj.counts().collect())
+        cj.update(b0, 0)  # replayed batch_id: guard closes it
+        assert sorted((r.s, r.w, r.cs) for r in cj.counts().collect()) == want
+        assert cj.jsd() is not None
+
+    def test_empty_state(self, spark, tmp_path):
+        from proxima_platform_spark.streaming.jsd_stream import (
+            ContinuousDomainJsd,
+        )
+
+        cj = ContinuousDomainJsd(spark, str(tmp_path / "jsd3"))
+        assert cj.jsd() is None and cj.counts() is None
+
+
 class TestWatermarkIdlePolicies:
     """The reference's idle-policy SPI implemented for the driver-owned
     watermark path (foreachBatch maintainers, latecomer split): idle
