@@ -46,6 +46,9 @@ HEAVY = [
     "hard_negative_mining",
     "winnow_decontaminate",
     "exact_quantile_bisect",
+    # r13 addition: the tokenizer tier's heavy member (greedy vocab-frame
+    # join loop over the distinct-word frame)
+    "wordpiece_fertility",
 ]
 
 SF01 = "/root/testdata/sf0.1"
