@@ -66,6 +66,94 @@ def zorder_sql_2d(a_expr: str, b_expr: str) -> str:
     return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
 
 
+# -- N-dimensional Morton ------------------------------------------------------
+#
+# A scan that filters on THREE attributes (entity key x amount x time is the
+# canonical triple) wants all three bounded per file; Delta's
+# `OPTIMIZE ZORDER BY (a, b, c)` is exactly k-column Morton. The 2D
+# magic-mask spread generalizes: to place bit i of a `bits`-wide value at
+# position i*k, iterate shift s over halving powers of two — at each step
+# blocks of s bits move apart by s*(k-1) and a mask keeps runs of s every
+# s*k positions (for k=2, bits=16 this DERIVES the classic 0x00FF00FF /
+# 0x0F0F0F0F / 0x33333333 / 0x55555555 constants, which pins the
+# generalization to the hand-written 2D path in tests).
+
+
+def _nd_spread_steps(bits: int, k: int) -> list[tuple[int, int]]:
+    """(shift, mask) steps spreading a ``bits``-wide value to stride ``k``
+    (bit i -> position i*k). Derived, not hard-coded; shared by the
+    Column and SQL builders so the two specs cannot drift."""
+    steps = []
+    s = 1
+    while s < bits:
+        s <<= 1
+    s >>= 1
+    while s >= 1:
+        mask = 0
+        pos = 0
+        while pos < bits:
+            run = min(s, bits - pos)
+            mask |= ((1 << run) - 1) << (pos * k)
+            pos += s
+        steps.append((s * (k - 1), mask))
+        s >>= 1
+    return steps
+
+
+def morton_key_nd(cols: list[Column], *, bits: int = 16) -> Column:
+    """Morton key interleaving the low ``bits`` bits of ``k`` columns —
+    column i's bit j lands at output position ``j*k + i`` (for k=2 this
+    is bit-identical to :func:`morton_key_2d`). Pure int64 shift/mask
+    codegen, zero shuffles; pair with ``repartitionByRange(N, key)
+    .sortWithinPartitions(key)`` at write time like the 2D key.
+
+    ``k * bits`` must stay <= 63 so the key is a nonnegative int64
+    (range partitioning orders signed longs)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"morton_key_nd needs >= 2 columns, got {k}")
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    if k * bits > 63:
+        raise ValueError(
+            f"k*bits must be <= 63 to fit a nonnegative int64, got "
+            f"{k}*{bits} = {k * bits}"
+        )
+    steps = _nd_spread_steps(bits, k)
+
+    def spread(c: Column) -> Column:
+        x = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for shift, mask in steps:
+            x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        return x
+
+    out = spread(cols[0])
+    for i, c in enumerate(cols[1:], start=1):
+        out = out.bitwiseOR(F.shiftleft(spread(c), i))
+    return out
+
+
+def zorder_sql_nd(exprs: list[str], *, bits: int = 16) -> str:
+    """The same k-column Morton key as SQL (DuckDB dialect) — generated
+    from the SAME derived step table as :func:`morton_key_nd`."""
+    k = len(exprs)
+    if k < 2 or bits < 1 or k * bits > 63:
+        raise ValueError(f"invalid nd-morton shape: k={k}, bits={bits}")
+    steps = _nd_spread_steps(bits, k)
+
+    def spread(e: str) -> str:
+        x = f"(({e}) & {(1 << bits) - 1})"
+        for shift, mask in steps:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    parts = [spread(exprs[0])]
+    parts += [
+        f"({spread(e)} << {i})" for i, e in enumerate(exprs[1:], start=1)
+    ]
+    return "(" + " | ".join(parts) + ")"
+
+
 # -- Hilbert curve layout -----------------------------------------------------
 #
 # Z-order's weakness is its "seams": consecutive Morton keys can jump across

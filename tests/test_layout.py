@@ -25,6 +25,107 @@ def _morton_model(a, b):
     return _spread_model(a) | (_spread_model(b) << 1)
 
 
+def _interleave_model(vals, bits, k):
+    """Direct bit-placement reference for k-column Morton: column i's
+    bit j at output position j*k + i — independent of the shift/mask
+    derivation under test."""
+    out = 0
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for j in range(bits):
+            out |= ((v >> j) & 1) << (j * k + i)
+    return out
+
+
+class TestMortonNd:
+    """k-column Morton (Delta's multi-column ZORDER BY): the derived
+    shift/mask generalization vs direct bit placement, the k=2 identity
+    with the hand-written 2D path, and the SQL twin."""
+
+    def test_k2_equals_morton_2d(self, spark):
+        from proxima_platform_spark.functions.layout import morton_key_nd
+
+        rng = random.Random(7)
+        pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+               for _ in range(200)]
+        df = spark.createDataFrame(pts, "a long, b long")
+        rows = df.select(
+            morton_key_nd([F.col("a"), F.col("b")]).alias("nd"),
+            morton_key_2d(F.col("a"), F.col("b")).alias("d2"),
+        ).collect()
+        assert all(r.nd == r.d2 for r in rows)
+
+    def test_3d_matches_direct_placement_exhaustive(self, spark):
+        # bits=3 exhaustive over the full 8x8x8 cube, plus a NON-power-
+        # of-two width (bits=5) sampled — the mask derivation's tail case
+        from proxima_platform_spark.functions.layout import morton_key_nd
+
+        pts = [(a, b, c) for a in range(8) for b in range(8)
+               for c in range(8)]
+        df = spark.createDataFrame(pts, "a long, b long, c long")
+        cols = [F.col("a"), F.col("b"), F.col("c")]
+        rows = df.select(
+            "a", "b", "c", morton_key_nd(cols, bits=3).alias("z")
+        ).collect()
+        for r in rows:
+            assert r.z == _interleave_model([r.a, r.b, r.c], 3, 3)
+        # keys cover 0..511 exactly once (bijection on the cube)
+        assert sorted(r.z for r in rows) == list(range(512))
+
+        rng = random.Random(11)
+        pts5 = [tuple(rng.randrange(1 << 5) for _ in range(3))
+                for _ in range(120)]
+        df5 = spark.createDataFrame(pts5, "a long, b long, c long")
+        for r in df5.select(
+            "a", "b", "c", morton_key_nd(cols, bits=5).alias("z")
+        ).collect():
+            assert r.z == _interleave_model([r.a, r.b, r.c], 5, 3)
+
+    def test_4d_16bit_random(self, spark):
+        from proxima_platform_spark.functions.layout import morton_key_nd
+
+        rng = random.Random(13)
+        pts = [tuple(rng.randrange(1 << 15) for _ in range(4))
+               for _ in range(100)]
+        df = spark.createDataFrame(pts, "a long, b long, c long, d long")
+        cols = [F.col(c) for c in "abcd"]
+        for r in df.select(
+            "a", "b", "c", "d", morton_key_nd(cols, bits=15).alias("z")
+        ).collect():
+            assert r.z == _interleave_model([r.a, r.b, r.c, r.d], 15, 4)
+
+    def test_sql_twin_matches(self):
+        import duckdb
+
+        from proxima_platform_spark.functions.layout import zorder_sql_nd
+
+        con = duckdb.connect()
+        q = zorder_sql_nd(["x", "y", "z"], bits=4)
+        rows = con.sql(
+            "SELECT x, y, z, " + q + " AS k FROM range(16) t1(x),"
+            " range(16) t2(y), range(16) t3(z)"
+        ).fetchall()
+        for x, y, z, k in rows:
+            assert k == _interleave_model([x, y, z], 4, 3)
+
+    def test_guards(self, spark):
+        import pytest
+
+        from proxima_platform_spark.functions.layout import (
+            morton_key_nd,
+            zorder_sql_nd,
+        )
+
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            morton_key_nd([F.col("a")])
+        with pytest.raises(ValueError, match="<= 63"):
+            morton_key_nd([F.col("a")] * 4, bits=16)  # 64 bits
+        with pytest.raises(ValueError, match="bits"):
+            morton_key_nd([F.col("a"), F.col("b")], bits=0)
+        with pytest.raises(ValueError, match="shape"):
+            zorder_sql_nd(["x"], bits=4)
+
+
 class TestMortonKey:
     def test_spread_matches_model(self, spark):
         vals = [0, 1, 2, 3, 255, 256, 0xFFFF, 0x12345, 54321]

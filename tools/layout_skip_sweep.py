@@ -143,8 +143,47 @@ def main() -> int:
             for c in dims:
                 bands[c].append({c: window(c, frac, gi)})
 
+    # 3D section (r13, morton_key_nd): a third predicate dimension
+    # (event_id — the arrival-order axis) and three-predicate boxes.
+    # The 2D layouts leave event_id unbounded per file; only the
+    # 3-column interleave bounds all three.
+    from proxima_platform_spark.functions.layout import morton_key_nd
+
+    dims3 = ["user_id", "cents", "event_id"]
+    bounds3 = ev.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in dims3],
+        *[F.max(c).alias(f"hi_{c}") for c in dims3],
+    ).first()
+
+    def window3(c: str, frac: float, g: int) -> tuple[float, float]:
+        lo, hi = bounds3[f"lo_{c}"], bounds3[f"hi_{c}"]
+        span = (hi - lo) * frac
+        start = lo + (hi - lo - span) * g / max(GRID - 1, 1)
+        return (start, start + span)
+
+    boxes3 = [
+        {c: window3(c, frac, g) for c, g in zip(dims3, (gi, gj, gk))}
+        for frac in (0.25, 0.5)
+        for gi in range(GRID)
+        for gj in range(GRID)
+        for gk in range(GRID)
+    ]
+    layouts3 = {
+        "sort_user_id": layouts["sort_user_id"],
+        "morton_2d": layouts["morton"],
+        "hilbert_2d": layouts["hilbert"],
+        "morton_3d": base.withColumn(
+            "k",
+            morton_key_nd(
+                [F.col("user_id"), F.col("cents"), F.col("event_id")],
+                bits=17,
+            ),
+        ),
+    }
+
     work = tempfile.mkdtemp(prefix="layout_skip_")
     results = {}
+    results3 = {}
     files = {}
     try:
         for name, df in layouts.items():
@@ -165,6 +204,17 @@ def main() -> int:
                     for c in dims
                 },
             }
+        for name, df in layouts3.items():
+            path = os.path.join(work, f"d3_{name}")
+            (
+                df.repartitionByRange(N_FILES, "k")
+                .sortWithinPartitions("k")
+                .drop("k")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            stats = file_stats(path, dims3)
+            results3[name] = round(skip_fraction(stats, boxes3), 4)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -177,6 +227,7 @@ def main() -> int:
                 "n_rects": len(rects),
                 "query_fracs": list(QUERY_FRACS),
                 "skip_fraction": results,
+                "skip_fraction_3pred": results3,
             }
         )
     )
