@@ -127,7 +127,10 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     # r08 late additions
     "label_propagation",
-    "winnow_fingerprint_set",
+    # winnow_fingerprint_set folded out r13 (VERDICT r12 #3) — its
+    # pipeline is timed inside winnow_overlap/dedup_winnow; the suite
+    # is 134 queries from r13 on (cleanbox_shared intersects by name,
+    # so cross-round ratios stay well-defined)
     "winnow_overlap",
     "quantile_sketch",
     "rrf_fusion",
