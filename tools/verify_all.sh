@@ -2,10 +2,12 @@
 # Single-command verification for the whole repo — the exact commands that
 # produce each round's artifacts (run from the repo root, idle box):
 #
-#   tools/verify_all.sh            # sweep + tests + bench smoke
+#   tools/verify_all.sh            # sweep + tests + plans + bench smoke
 #   tools/verify_all.sh sweep      # margin audit + oracle sweep (-> stdout; redirect
 #                                  #   to ORACLE_SWEEP_r{N}.txt)
 #   tools/verify_all.sh tests      # full pytest suite only
+#   tools/verify_all.sh plans      # plan-regression check of every declared
+#                                  #   query vs the committed PLAN_INVENTORY.json
 #   tools/verify_all.sh bench      # full bench only (-> stdout JSON line;
 #                                  #   redirect to BENCH_r{N}.json)
 #
@@ -28,6 +30,11 @@ run_tests() {
   python -m pytest tests/ -q
 }
 
+run_plans() {
+  echo "== plan-regression check (every declared query vs PLAN_INVENTORY.json) =="
+  python tools/plan_inventory.py --check
+}
+
 run_bench() {
   echo "== bench (headline suite, sf0.1, median-of-5 warm) ==" >&2
   python bench.py
@@ -36,7 +43,8 @@ run_bench() {
 case "$stage" in
   sweep) run_sweep ;;
   tests) run_tests ;;
+  plans) run_plans ;;
   bench) run_bench ;;
-  all)   run_sweep && run_tests && run_bench ;;
+  all)   run_sweep && run_tests && run_plans && run_bench ;;
   *) echo "usage: $0 [sweep|tests|bench|all]" >&2; exit 2 ;;
 esac
