@@ -197,15 +197,46 @@ def lsh_band_keys(
 
 
 # Module-level LRU of persisted (id, band) frames shared by the banded
-# candidate-pair operators. Eviction contract: insertion-ordered, capacity
+# candidate-pair operators. Eviction contract: recency-ordered, capacity
 # _BANDED_CACHE_KEEP; inserting beyond capacity unpersists and drops the
-# OLDEST entry (its downstream DataFrames stay correct — Spark just
-# recomputes on next use). Consequence: a session running more than
-# _BANDED_CACHE_KEEP banded dedups CONCURRENTLY will thrash (persist →
-# evict → recompute), and cached frames hold executor storage memory for
-# the life of the module; both are deliberate bounds, not leaks.
+# LEAST-RECENTLY-USED entry (its downstream DataFrames stay correct —
+# Spark just recomputes on next use). Consequence: a session running more
+# than _BANDED_CACHE_KEEP banded dedups CONCURRENTLY will thrash (persist
+# → evict → recompute), and cached frames hold executor storage memory
+# for the life of the module; both are deliberate bounds, not leaks.
+#
+# Rebuild-dedup is REQUIRED, not an optimization: Spark's CacheManager
+# matches persist()/unpersist() calls by canonicalized plan, so N
+# identical rebuilds (a bench loop, an oracle sweep, a pipeline invoked
+# per batch) alias ONE underlying cache entry. A plain FIFO of aliases
+# then self-destructs at capacity: the evicted "oldest" alias unpersists
+# the shared entry while newer aliases still sit in the list, and every
+# later persist-then-evict pair cancels itself — the frame is never
+# cached again and each run silently recomputes the full signature
+# pipeline twice (measured 0.8s → 9s per run at sf0.1 on the 5th+
+# identical icws_candidate_pairs build). _banded_cache_put therefore
+# reuses the existing entry (moved to MRU) whenever the new frame's
+# canonicalized plan matches a live one.
 _BANDED_CACHE: list = []
 _BANDED_CACHE_KEEP = 4
+
+
+def _banded_cache_put(df: DataFrame) -> DataFrame:
+    """Persist ``df`` into the bounded banded-frame cache and return the
+    frame to use: the already-persisted equivalent entry (same
+    canonicalized plan — refreshed to most-recently-used) when one is
+    live, else ``df`` itself, persisted, with the LRU entry evicted past
+    capacity."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    for i, old in enumerate(_BANDED_CACHE):
+        if old._jdf.queryExecution().analyzed().sameResult(analyzed):
+            _BANDED_CACHE.append(_BANDED_CACHE.pop(i))
+            return old
+    df = df.persist()
+    _BANDED_CACHE.append(df)
+    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
+        _BANDED_CACHE.pop(0).unpersist()
+    return df
 
 
 def _banded_from_tokenized(
@@ -293,14 +324,12 @@ def minhash_candidate_pairs(
     )
     # the self-join would recompute the whole signature pipeline on both
     # sides — persist the (tiny: one row per doc per band) banded signatures.
-    # Bounded FIFO hygiene: keep the most recent few so interleaved
-    # pipelines (build A, build B, run A) don't thrash each other's cache,
-    # while repeated builds (bench loops, oracle sweeps) can't pin storage
-    # memory indefinitely
-    banded = banded.persist()
-    _BANDED_CACHE.append(banded)
-    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-        _BANDED_CACHE.pop(0).unpersist()
+    # Bounded LRU hygiene with rebuild-dedup: keep the most recent few so
+    # interleaved pipelines (build A, build B, run A) don't thrash each
+    # other's cache, while repeated identical builds (bench loops, oracle
+    # sweeps) reuse ONE entry instead of self-evicting it (see
+    # _banded_cache_put)
+    banded = _banded_cache_put(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")
@@ -422,10 +451,8 @@ def oph_candidate_pairs(
     ``num_hashes`` affine evaluations per shingle."""
     banded = oph_band_rows(
         docs, id_col, text_col, n=n, num_bins=num_bins, bands=bands
-    ).persist()
-    _BANDED_CACHE.append(banded)
-    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-        _BANDED_CACHE.pop(0).unpersist()
+    )
+    banded = _banded_cache_put(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")
@@ -568,10 +595,8 @@ def bbit_minhash_pairs(
     """
     banded = bbit_band_rows(
         docs, id_col, text_col, n=n, num_hashes=num_hashes, b=b, bands=bands
-    ).persist()
-    _BANDED_CACHE.append(banded)
-    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-        _BANDED_CACHE.pop(0).unpersist()
+    )
+    banded = _banded_cache_put(banded)
     a, bb = banded.alias("a"), banded.alias("b")
     return (
         a.join(bb, on="band")
@@ -706,10 +731,7 @@ def simhash_candidate_pairs(
     # the self-join would evaluate the (wide: 60 aggregates/row) simhash
     # expression on both sides — persist the tiny chunked fingerprints,
     # bounded-FIFO like the MinHash banded cache
-    chunked = chunked.persist()
-    _BANDED_CACHE.append(chunked)
-    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-        _BANDED_CACHE.pop(0).unpersist()
+    chunked = _banded_cache_put(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(b, on=["ci", "cv"])
@@ -783,10 +805,8 @@ def embedding_near_dup_pairs(
         ).select(
             "__id", "__v", "__n",
             F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"),
-        ).persist()
-        _BANDED_CACHE.append(staged)
-        while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-            _BANDED_CACHE.pop(0).unpersist()
+        )
+        staged = _banded_cache_put(staged)
         a = staged.select(
             F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
             F.col("__n").alias("__na"), "__t", "__bucket",
@@ -2287,10 +2307,8 @@ def icws_candidate_pairs(
     band), then the standard banded self-join — never all-pairs."""
     banded = icws_band_rows(
         docs, id_col, text_col, num_hashes=num_hashes, bands=bands
-    ).persist()
-    _BANDED_CACHE.append(banded)
-    while len(_BANDED_CACHE) > _BANDED_CACHE_KEEP:
-        _BANDED_CACHE.pop(0).unpersist()
+    )
+    banded = _banded_cache_put(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on="band")

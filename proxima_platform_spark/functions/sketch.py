@@ -238,18 +238,46 @@ def cms_estimate(
 ) -> DataFrame:
     """``probe`` + a ``freq_est`` column: min over the key's depth counters
     (0 for never-seen keys). 1-row broadcast crossJoin (map-side, not a
-    cartesian blow-up); the lookup is least() over element_at — codegen."""
+    cartesian blow-up); the lookup is least() over element_at — codegen.
+
+    The sketch map is DENSIFIED to an ``array<long>`` of length
+    width·depth before the join: ``map_from_entries`` maps are
+    array-backed, so ``element_at`` on the map itself is a LINEAR scan of
+    up to width·depth entries per probe — depth probes per row made the
+    estimate pass O(rows·depth·width·depth) (measured ~1s of the 2.5s
+    heavy_hitters median at sf0.1). The one-time densify costs
+    O((width·depth)²) scans on the single sketch row (~milliseconds);
+    array element_at is O(1) per probe, and the 8K-long broadcast is
+    64 KB. The densify itself is a RANGE OUTER-JOIN (grid of all
+    width·depth cell ids left-joined to the exploded map entries), never
+    a per-index map lookup — a transform(sequence(...), i ->
+    element_at(map, i)) measured 28 SECONDS for one 8K-cell row on the
+    interpreted higher-order path (the documented map-densify trap), vs
+    milliseconds for the join over ≤8K-row frames."""
     key = [F.col(c) for c in cols]
     cells = _cms_cells(key, width, depth)
-    lookups = [
-        F.coalesce(
-            F.element_at(F.col("__cms.cells"), c.cast("int")), F.lit(0).cast("long")
+    grid = cms.sparkSession.range(width * depth).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    entries = cms.select(F.explode("cells").alias("cell", "n"))
+    dense_cms = (
+        grid.join(entries, "cell", "left")
+        .select("cell", F.coalesce("n", F.lit(0).cast("long")).alias("n"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cell", "n"))),
+                lambda s: s["n"],
+            ).alias("cells")
         )
-        for c in cells
+        .select(F.struct("cells").alias("__cms"))
+    )
+    # element_at on arrays is 1-based; cell ids are 0-based grid offsets
+    lookups = [
+        F.element_at(F.col("__cms.cells"), (c + 1).cast("int")) for c in cells
     ]
     est = lookups[0] if depth == 1 else F.least(*lookups)
     return (
-        probe.crossJoin(F.broadcast(cms.select(F.struct("cells").alias("__cms"))))
+        probe.crossJoin(F.broadcast(dense_cms))
         .withColumn(out, est)
         .drop("__cms")
     )
