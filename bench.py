@@ -287,6 +287,11 @@ def main() -> None:
         for name, med in timings.items():
             trig = name in ref and ref[name] > 0 and med >= 1.8 * ref[name]
             if trig or name in force_isolate:
+                # same pre-state hygiene as the sweep loop, so an isolated
+                # median is comparable to an in-suite one (r13: an
+                # end-of-sweep isolation block otherwise inherits whatever
+                # heap/cache state the full suite left behind)
+                between_queries()
                 runs = sorted(run_once(name) for _ in range(10))
                 isolated[name] = round((runs[4] + runs[5]) / 2, 3)
 
