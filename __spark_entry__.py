@@ -5707,23 +5707,23 @@ def q_multimodal_phash_dup(spark, sf):
     def encode(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                did = int(row.doc_id)
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
                 gid, v = did // 7, did % 7
                 w = 16 + gid % 9
                 h = 12 + gid % 7
                 n = w * h * 3
-                dg = hashlib.md5(str(gid).encode()).digest()
+                dg = np.frombuffer(
+                    hashlib.md5(str(gid).encode()).digest(), dtype=np.uint8
+                )
                 # index the digest mod 13 (prime): mod 16 resonates with
                 # the byte stride (w=16 groups become vertically uniform,
                 # degenerate DCTs collide across groups at hamming <= 3)
-                pix = np.array(
-                    [dg[i % 13] % 101 for i in range(n)], dtype=np.int64
-                )
+                pix = dg[np.arange(n) % 13].astype(np.int64) % 101
                 pix = pix + v
                 pix[0] += 10 * (v % 2)
                 img = pix.astype(np.uint8).reshape(h, w, 3)
-                rows.append({"doc_id": row.doc_id, "payload": encode_ppm(img)})
+                rows.append({"doc_id": did, "payload": encode_ppm(img)})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     media = docs.select("doc_id").mapInPandas(
@@ -11212,13 +11212,14 @@ def q_perplexity_band_prep(spark, sf):
     membership compares integer micro-units, never raw doubles."""
     from proxima_platform_spark.functions.ranking import kneser_ney_scores
     from proxima_platform_spark.functions.selection import (
-        exact_quantile_bisect,
+        exact_quantiles_bisect,
     )
 
     docs = _load(spark, sf, "documents")
     kn = kneser_ney_scores(docs).localCheckpoint(eager=False)
-    lo = exact_quantile_bisect(kn, "kn_score", 0.2).collect()[0].value
-    hi = exact_quantile_bisect(kn, "kn_score", 0.9).collect()[0].value
+    # both band ends from ONE lockstep bisection (half the histogram
+    # scans/round-trips; value-identical — selection.py)
+    lo, hi = exact_quantiles_bisect(kn, "kn_score", [0.2, 0.9])
     lo_m, hi_m = int(round(lo * 1_000_000)), int(round(hi * 1_000_000))
     band = kn.where(
         F.round(F.col("kn_score") * 1_000_000)

@@ -274,13 +274,16 @@ def ccnet_summary_from_scores(
     only differ from batch-on-union through its input frames (which the
     maintainer pins equal in tests)."""
     from proxima_platform_spark.functions.selection import (
-        exact_quantile_bisect,
+        exact_quantiles_bisect,
     )
     from proxima_platform_spark.functions.text import token_count
 
     kn = kn.localCheckpoint(eager=False)
-    lo_rows = exact_quantile_bisect(kn, "kn5_score", lo_q).collect()
-    if not lo_rows:
+    # both band ends from ONE lockstep bisection — half the histogram
+    # scans and driver round-trips of two sequential bisect calls,
+    # value-identical by construction (selection.exact_quantiles_bisect)
+    band = exact_quantiles_bisect(kn, "kn5_score", [lo_q, hi_q])
+    if band is None:
         # every document dropped before scoring (empty input, fully
         # duplicate corpus, or all docs < 5 tokens after dedup) — a
         # realistic micro-batch for the streaming twin: return the
@@ -291,8 +294,7 @@ def ccnet_summary_from_scores(
             "pred_lang string, bucket string, n_docs bigint,"
             " clean_tokens bigint, avg_kn5 double",
         )
-    lo = lo_rows[0].value
-    hi = exact_quantile_bisect(kn, "kn5_score", hi_q).collect()[0].value
+    lo, hi = band
     lo_m, hi_m = int(round(lo * 1_000_000)), int(round(hi * 1_000_000))
     sm = F.round(F.col("kn5_score") * 1_000_000).cast("long")
     bucketed = kn.select(

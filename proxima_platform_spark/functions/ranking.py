@@ -181,7 +181,7 @@ def kneser_ney_scores(
     shape throughout.
     """
     from proxima_platform_spark.functions.dedup import (
-        shingles_from_tokens,
+        gram_structs_from_tokens,
         tokens,
     )
 
@@ -191,12 +191,11 @@ def kneser_ney_scores(
         F.col(id_col), tokens(F.col(text)).alias("__t")
     ).where(F.size("__t") >= 2)
     big = toks.select(
-        id_col, F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bg")
-    ).select(
         id_col,
-        F.substring_index("bg", " ", 1).alias("v"),
-        F.substring_index("bg", " ", -1).alias("w"),
-    )
+        F.explode(
+            gram_structs_from_tokens(F.col("__t"), ["v", "w"])
+        ).alias("bg"),
+    ).select(id_col, "bg.v", "bg.w")
     c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
     c_v = c_vw.groupBy("v").agg(
         F.sum("cvw").alias("cv"), F.count(F.lit(1)).alias("n1v")
@@ -414,7 +413,7 @@ def kneser_ney3_scores(
     per-element enrichment against broadcast-joined corpus statistics.
     """
     from proxima_platform_spark.functions.dedup import (
-        shingles_from_tokens,
+        gram_structs_from_tokens,
         tokens,
     )
 
@@ -424,15 +423,11 @@ def kneser_ney3_scores(
         F.col(id_col), tokens(F.col(text)).alias("__t")
     ).where(F.size("__t") >= 3)
     tri = toks.select(
-        id_col, F.explode(shingles_from_tokens(F.col("__t"), 3)).alias("tg")
-    ).select(
         id_col,
-        F.substring_index("tg", " ", 1).alias("u"),
-        F.substring_index(F.substring_index("tg", " ", 2), " ", -1).alias(
-            "v"
-        ),
-        F.substring_index("tg", " ", -1).alias("w"),
-    )
+        F.explode(
+            gram_structs_from_tokens(F.col("__t"), ["u", "v", "w"])
+        ).alias("tg"),
+    ).select(id_col, "tg.u", "tg.v", "tg.w")
     # highest order: raw trigram counts + per-(u,v) context totals/types
     c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
     # middle order: continuation counts c'(v,w) = distinct u per (v,w)
@@ -621,7 +616,7 @@ def pmi_bigrams(
     globally sorts.
     """
     from proxima_platform_spark.functions.dedup import (
-        shingles_from_tokens,
+        gram_structs_from_tokens,
         tokens,
     )
 
@@ -633,11 +628,10 @@ def pmi_bigrams(
         F.size("__t") >= 2
     )
     big = toks.select(
-        F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bg")
-    ).select(
-        F.substring_index("bg", " ", 1).alias("v"),
-        F.substring_index("bg", " ", -1).alias("w"),
-    )
+        F.explode(
+            gram_structs_from_tokens(F.col("__t"), ["v", "w"])
+        ).alias("bg")
+    ).select("bg.v", "bg.w")
     c_vw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_vw"))
     cv = c_vw.groupBy("v").agg(F.sum("n_vw").alias("__cv"))
     cw = c_vw.groupBy("w").agg(F.sum("n_vw").alias("__cw"))
@@ -716,7 +710,7 @@ def kneser_ney5_scores(
     Zero pairwise products — the deepest instance of the BM25 join shape.
     """
     from proxima_platform_spark.functions.dedup import (
-        shingles_from_tokens,
+        gram_structs_from_tokens,
         tokens,
     )
 
@@ -726,14 +720,9 @@ def kneser_ney5_scores(
         F.col(id_col), tokens(F.col(text)).alias("__t")
     ).where(F.size("__t") >= N)
     grams = toks.select(
-        id_col, F.explode(shingles_from_tokens(F.col("__t"), N)).alias("g")
-    ).select(
         id_col,
-        *[
-            F.element_at(F.split("g", " ", -1), i + 1).alias(W[i])
-            for i in range(N)
-        ],
-    )
+        F.explode(gram_structs_from_tokens(F.col("__t"), W)).alias("g"),
+    ).select(id_col, *[f"g.{w}" for w in W])
     c5 = grams.groupBy(*W).agg(F.count(F.lit(1)).alias("c5"))
     return kn5_scores_from_counts(
         c5, grams, id_col=id_col, discount=discount, modified=modified

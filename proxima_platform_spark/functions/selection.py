@@ -144,3 +144,179 @@ def exact_quantile_bisect(
             )
         acc += c
     raise RuntimeError("rank exceeded in-range count — logic bug")
+
+
+def exact_quantiles_bisect(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    scale: int = 1_000_000,
+    slices: int = 256,
+    max_passes: int = 12,
+) -> list[float] | None:
+    """Several exact type-1 quantiles of ``value_col`` in ONE bisection:
+    the :func:`exact_quantile_bisect` recursion run for every rank in
+    lockstep, with each refinement pass aggregating ONE combined
+    histogram scan instead of one scan per rank.
+
+    The banded pipelines (ccnet_pipeline, perplexity_band_prep) need
+    BOTH ends of a [lo_q, hi_q] band; calling the single-rank bisector
+    twice reads the corpus 2·passes times and pays 2·passes sequential
+    driver round-trips. Here every pass filters to the UNION of the
+    still-open ranges (each target's raw-column bracket still reaches
+    the parquet scan — the OR of pushable ranges is pushable) and
+    CASE-assigns each row to (range index, bucket), so k ranks cost the
+    same number of scans as one. Ranges are pairwise equal-or-disjoint
+    by construction (all targets subdivide the same initial [min, max]
+    into aligned slices), so the CASE assignment is total and
+    unambiguous; equal ranges share one histogram.
+
+    Per-rank arithmetic (micro-unit quantization, ceil-rank, slice
+    selection, final in-range value pick) is IDENTICAL to the
+    single-rank bisector — the returned values match
+    ``exact_quantile_bisect(df, c, q).collect()[0].value`` exactly.
+
+    Returns the quantile values aligned with ``qs``, or ``None`` when
+    the frame has no non-null rows (callers branch to their empty
+    schema, mirroring the single-rank empty frame)."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must lie in (0, 1], got {q}")
+    if slices < 2:
+        raise ValueError(f"slices must be >= 2, got {slices}")
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    vals = df.select(
+        F.col(value_col).cast("double").alias("__raw"), v.alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    def _in_range(lo: int, hi: int):
+        # identical pushdown bracket to exact_quantile_bisect
+        lo_b = (lo - 2) / scale
+        hi_b = (hi + 2) / scale
+        lo_b -= abs(lo_b) * 1e-12
+        hi_b += abs(hi_b) * 1e-12
+        return (
+            (F.col("__raw") >= lo_b)
+            & (F.col("__raw") <= hi_b)
+            & F.col("__v").between(lo, hi)
+        )
+
+    head = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    n, lo0, hi0 = head.n, head.lo, head.hi
+    if n == 0:
+        return None
+
+    targets = []
+    for q in qs:
+        q_micro = int(round(q * 1_000_000))
+        rank = max((q_micro * n + 999_999) // 1_000_000, 1)
+        targets.append({"lo": lo0, "hi": hi0, "k": rank})
+
+    def _grouped(active):
+        """active targets grouped by (lo, hi) — ranges are pairwise
+        equal-or-disjoint, so a group shares one histogram."""
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for t in active:
+            groups.setdefault((t["lo"], t["hi"]), []).append(t)
+        return groups
+
+    for _ in range(max_passes):
+        active = [t for t in targets if t["hi"] - t["lo"] + 1 > slices]
+        if not active:
+            break
+        groups = _grouped(active)
+        keys = sorted(groups)
+        widths = {
+            (lo, hi): (hi - lo) // slices + 1 for (lo, hi) in keys
+        }
+        cond = None
+        bucket = None
+        for i, (lo, hi) in enumerate(keys):
+            r = _in_range(lo, hi)
+            cond = r if cond is None else (cond | r)
+            w = widths[(lo, hi)]
+            assign = F.struct(
+                F.lit(i).alias("ri"),
+                F.expr(f"(__v - {lo}) div {w}").alias("b"),
+            )
+            bucket = (
+                F.when(F.col("__v").between(lo, hi), assign)
+                if bucket is None
+                else bucket.when(F.col("__v").between(lo, hi), assign)
+            )
+        # <= slices * len(keys) (range, bucket, count) rows — bounded
+        hist: dict[tuple[int, int], int] = {}
+        for row in (
+            vals.where(cond)
+            .groupBy(bucket.alias("rb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            hist[(row.rb.ri, row.rb.b)] = row.c
+        for i, (lo, hi) in enumerate(keys):
+            w = widths[(lo, hi)]
+            for t in groups[(lo, hi)]:
+                acc = 0
+                for b in range(slices):
+                    c = hist.get((i, b), 0)
+                    if acc + c >= t["k"]:
+                        t["k"] -= acc
+                        t["lo"] = lo + b * w
+                        t["hi"] = min(lo + (b + 1) * w - 1, hi)
+                        break
+                    acc += c
+                else:  # pragma: no cover — rank <= n guarantees a hit
+                    raise RuntimeError(
+                        "bisection lost a rank — logic bug"
+                    )
+    else:
+        if any(t["hi"] - t["lo"] + 1 > slices for t in targets):
+            raise RuntimeError(
+                f"range not resolved in {max_passes} passes — logic bug"
+            )
+
+    # final ranges span <= slices distinct values each: ONE scan of
+    # exact per-value counts across the union (bounded driver frame)
+    groups = _grouped(targets)
+    keys = sorted(groups)
+    cond = None
+    ridx = None
+    for i, (lo, hi) in enumerate(keys):
+        r = _in_range(lo, hi)
+        cond = r if cond is None else (cond | r)
+        ridx = (
+            F.when(F.col("__v").between(lo, hi), F.lit(i))
+            if ridx is None
+            else ridx.when(F.col("__v").between(lo, hi), F.lit(i))
+        )
+    finals: dict[int, list] = {i: [] for i in range(len(keys))}
+    for row in (
+        vals.where(cond)
+        .groupBy(ridx.alias("ri"), F.col("__v").alias("mv"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        finals[row.ri].append((row.mv, row.c))
+    out: list[float] = []
+    for t in targets:
+        i = keys.index((t["lo"], t["hi"]))
+        acc = 0
+        val = None
+        for vv, c in sorted(finals[i]):
+            if acc + c >= t["k"]:
+                val = vv / scale
+                break
+            acc += c
+        if val is None:
+            raise RuntimeError(
+                "rank exceeded in-range count — logic bug"
+            )
+        out.append(val)
+    return out

@@ -79,23 +79,18 @@ class ContinuousKneserNey:
     @staticmethod
     def _grams(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from proxima_platform_spark.functions.dedup import (
-            shingles_from_tokens,
+            gram_structs_from_tokens,
             tokens,
         )
 
+        W = [f"w{i}" for i in range(1, 6)]
         toks = batch.select(
             F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
         ).where(F.size("__t") >= 5)
         return toks.select(
             "id",
-            F.explode(shingles_from_tokens(F.col("__t"), 5)).alias("g"),
-        ).select(
-            "id",
-            *[
-                F.element_at(F.split("g", " ", -1), i + 1).alias(f"w{i + 1}")
-                for i in range(5)
-            ],
-        )
+            F.explode(gram_structs_from_tokens(F.col("__t"), W)).alias("g"),
+        ).select("id", *[f"g.{w}" for w in W])
 
     # -- updates -------------------------------------------------------------
 

@@ -51,3 +51,52 @@ class TestExactQuantileBisect:
                 exact_quantile_bisect(df, "x", bad)
         empty = spark.createDataFrame([], "x double")
         assert exact_quantile_bisect(empty, "x", 0.5).count() == 0
+
+
+class TestExactQuantilesBisectMulti:
+    """The lockstep multi-rank bisector must return exactly what the
+    single-rank bisector returns for every rank — the r13 optimization
+    (one combined histogram scan per pass for the banded pipelines)
+    must be value-invisible."""
+
+    def _both(self, spark, values, qs, scale=1_000_000):
+        from proxima_platform_spark.functions.selection import (
+            exact_quantile_bisect,
+            exact_quantiles_bisect,
+        )
+
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        multi = exact_quantiles_bisect(df, "x", qs, scale=scale)
+        single = [
+            exact_quantile_bisect(df, "x", q, scale=scale)
+            .collect()[0]
+            .value
+            for q in qs
+        ]
+        assert multi == single
+        return multi
+
+    def test_band_ends_match_single(self, spark):
+        vals = [float((i * 7919) % 100_000) + (i % 3) * 0.25
+                for i in range(2_000)]
+        self._both(spark, vals, [0.2, 0.9])  # diverging ranges
+        self._both(spark, vals, [0.3, 0.7])  # ccnet's band
+        self._both(spark, vals, [0.5, 0.5])  # equal ranges share a scan
+        self._both(spark, vals, [0.001, 0.25, 0.5, 0.9, 1.0])
+
+    def test_narrow_range_no_passes(self, spark):
+        # whole domain fits one histogram: final scan only
+        self._both(spark, [5.0, 1.0, 9.0, 3.0, 7.0], [0.25, 0.75])
+
+    def test_validation_and_empty(self, spark):
+        from proxima_platform_spark.functions.selection import (
+            exact_quantiles_bisect,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="q must"):
+            exact_quantiles_bisect(df, "x", [0.5, 0.0])
+        with pytest.raises(ValueError, match="qs must"):
+            exact_quantiles_bisect(df, "x", [])
+        empty = spark.createDataFrame([], "x double")
+        assert exact_quantiles_bisect(empty, "x", [0.5, 0.9]) is None
