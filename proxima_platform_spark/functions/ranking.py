@@ -474,46 +474,47 @@ def kneser_ney3_scores(
         )
 
     # ---- modified KN (Chen-Goodman three-discount estimator) --------
-    def _class_counts(cnt_df, cnt: str, tag: str):
-        """1-row (dd1, dd2, dd3) discount frame from the order's
-        count-of-counts — exact int64 classes, then the fixed IEEE
-        double sequence (mirrored verbatim in the oracle). An order with
-        an empty n1/n2/n3 class takes KenLM's --discount_fallback defaults
-        (0.5/1.0/1.5) — degeneracy happens on LARGE corpora too
-        (continuation counts saturate; the kn5 lesson), so the estimator
-        must be total rather than raise."""
-        cls = cnt_df.agg(
-            F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
-            F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
-            F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
-            F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
-        )
-        degenerate = (
-            (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0)
-        )
-        y = F.col("n1").cast("double") / (
-            F.col("n1") + F.lit(2) * F.col("n2")
-        )
-        return cls.select(
+    # Both orders' discounts from ONE 1-row frame (the kn5 recipe): the
+    # order-tagged union of the two count tables aggregates every
+    # count-of-counts class in one scan, and ntot (= order-2 type count
+    # = rows with o=2) rides along — one broadcast crossJoin on the lp
+    # table instead of three, and one re-derivation of the c3/cc2 chain
+    # instead of three broadcast subqueries each rebuilding it. Exact
+    # int64 classes, then the fixed IEEE double sequence (mirrored
+    # verbatim in the oracle). An order with an empty n1/n2/n3 class
+    # takes KenLM's --discount_fallback defaults (0.5/1.0/1.5) —
+    # degeneracy happens on LARGE corpora too (continuation counts
+    # saturate; the kn5 lesson), so the estimator must be total rather
+    # than raise.
+    cls_union = c3.select(
+        F.lit(3).alias("o"), F.col("c3").alias("cnt")
+    ).union(cc2.select(F.lit(2).alias("o"), F.col("cc2").alias("cnt")))
+    agg_exprs = [F.count(F.when(F.col("o") == 2, 1)).alias("ntot")]
+    for k in (2, 3):
+        for j in (1, 2, 3, 4):
+            agg_exprs.append(
+                F.count(
+                    F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
+                ).alias(f"n{j}_o{k}")
+            )
+    cls = cls_union.agg(*agg_exprs)
+    dd_cols = [F.col("ntot")]
+    for k in (2, 3):
+        n1, n2, n3, n4 = (F.col(f"n{j}_o{k}") for j in (1, 2, 3, 4))
+        degenerate = (n1 == 0) | (n2 == 0) | (n3 == 0)
+        y = n1.cast("double") / (n1 + F.lit(2) * n2)
+        dd_cols += [
             F.when(degenerate, F.lit(0.5))
-            .otherwise(
-                F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1")
-            )
-            .alias(f"dd1_{tag}"),
+            .otherwise(F.lit(1.0) - F.lit(2.0) * y * n2 / n1)
+            .alias(f"dd1_o{k}"),
             F.when(degenerate, F.lit(1.0))
-            .otherwise(
-                F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2")
-            )
-            .alias(f"dd2_{tag}"),
+            .otherwise(F.lit(2.0) - F.lit(3.0) * y * n3 / n2)
+            .alias(f"dd2_o{k}"),
             F.when(degenerate, F.lit(1.5))
-            .otherwise(
-                F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3")
-            )
-            .alias(f"dd3_{tag}"),
-        )
-
-    disc3 = _class_counts(c3, "c3", "o3")
-    disc2 = _class_counts(cc2, "cc2", "o2")
+            .otherwise(F.lit(3.0) - F.lit(4.0) * y * n4 / n3)
+            .alias(f"dd3_o{k}"),
+        ]
+    discs = cls.select(*dd_cols)
     # per-context totals + per-count-class extension type counts
     c3ctx = c3.groupBy("u", "v").agg(
         F.sum("c3").alias("c3c"),
@@ -558,9 +559,7 @@ def kneser_ney3_scores(
         .join(cc2, ["v", "w"])
         .join(cc2ctx, "v")
         .join(nlw, "w")
-        .crossJoin(F.broadcast(ntot))
-        .crossJoin(F.broadcast(disc3))
-        .crossJoin(F.broadcast(disc2))
+        .crossJoin(F.broadcast(discs))  # ntot + both orders' discounts
         .select(
             "u", "v", "w",
             # round 6, not 8: with ~50k lp values per corpus the chance
@@ -765,44 +764,57 @@ def kn5_scores_from_counts(
     ntot = tables[2].agg(F.count(F.lit(1)).alias("ntot"))
 
     if modified:
-        def _disc(cnt_df, cnt: str, tag: str):
-            # a count-of-counts class hitting zero makes the Chen-Goodman
-            # estimates undefined at that order; KenLM's --discount_fallback
-            # substitutes fixed discounts (0.5 / 1.0 / 1.5) — an order can
-            # go degenerate at ANY corpus size (order-2 continuation counts
-            # saturate past count 4 on large corpora: observed live at
-            # sf0.1), so raising would make the operator partial
-            cls = cnt_df.agg(
-                F.count(F.when(F.col(cnt) == 1, 1)).alias("n1"),
-                F.count(F.when(F.col(cnt) == 2, 1)).alias("n2"),
-                F.count(F.when(F.col(cnt) == 3, 1)).alias("n3"),
-                F.count(F.when(F.col(cnt) == 4, 1)).alias("n4"),
+        # Chen-Goodman discounts for ALL orders from ONE 1-row frame: the
+        # four per-order count-of-counts aggs used to be four separate
+        # 1-row frames — four SinglePartition funnels + four broadcast
+        # crossJoins on the lp table (measured ~1.5s of fixed per-job
+        # overhead at sf0.1, and four extra driver-coordinated broadcast
+        # builds at any scale). The order-tagged UNION of the (already
+        # checkpointed) type tables aggregates every class count in one
+        # scan; ntot (= order-2 type count = rows with o=2) rides along,
+        # so the modified lp join crosses ONE bounded broadcast, not five.
+        # A count-of-counts class hitting zero makes the estimates
+        # undefined at that order; KenLM's --discount_fallback
+        # substitutes fixed discounts (0.5 / 1.0 / 1.5) — an order can
+        # go degenerate at ANY corpus size (order-2 continuation counts
+        # saturate past count 4 on large corpora: observed live at
+        # sf0.1), so raising would make the operator partial. Per-order
+        # arithmetic is EXACTLY the old frames' expression shape — same
+        # IEEE doubles.
+        cls_union = None
+        for k in range(2, N + 1):
+            part = tables[k].select(
+                F.lit(k).alias("o"), F.col(cnt_col[k]).alias("cnt")
             )
-            degenerate = (
-                (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("n3") == 0)
-            )
-            y = F.col("n1").cast("double") / (
-                F.col("n1") + F.lit(2) * F.col("n2")
-            )
-            return cls.select(
+            cls_union = part if cls_union is None else cls_union.union(part)
+        agg_exprs = [
+            F.count(F.when(F.col("o") == 2, 1)).alias("ntot")
+        ]
+        for k in range(2, N + 1):
+            for j in (1, 2, 3, 4):
+                agg_exprs.append(
+                    F.count(
+                        F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
+                    ).alias(f"n{j}_o{k}")
+                )
+        cls = cls_union.agg(*agg_exprs)
+        dd_cols = [F.col("ntot")]
+        for k in range(2, N + 1):
+            n1, n2, n3, n4 = (F.col(f"n{j}_o{k}") for j in (1, 2, 3, 4))
+            degenerate = (n1 == 0) | (n2 == 0) | (n3 == 0)
+            y = n1.cast("double") / (n1 + F.lit(2) * n2)
+            dd_cols += [
                 F.when(degenerate, F.lit(0.5))
-                .otherwise(
-                    F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1")
-                )
-                .alias(f"dd1_{tag}"),
+                .otherwise(F.lit(1.0) - F.lit(2.0) * y * n2 / n1)
+                .alias(f"dd1_o{k}"),
                 F.when(degenerate, F.lit(1.0))
-                .otherwise(
-                    F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2")
-                )
-                .alias(f"dd2_{tag}"),
+                .otherwise(F.lit(2.0) - F.lit(3.0) * y * n3 / n2)
+                .alias(f"dd2_o{k}"),
                 F.when(degenerate, F.lit(1.5))
-                .otherwise(
-                    F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3")
-                )
-                .alias(f"dd3_{tag}"),
-            )
-
-        discs = {k: _disc(tables[k], cnt_col[k], f"o{k}") for k in range(2, N + 1)}
+                .otherwise(F.lit(3.0) - F.lit(4.0) * y * n4 / n3)
+                .alias(f"dd3_o{k}"),
+            ]
+        discs = cls.select(*dd_cols)
         ctxs = {
             k: tables[k].groupBy(*W[N - k: N - 1]).agg(
                 F.sum(cnt_col[k]).alias(f"tot{k}"),
@@ -853,12 +865,13 @@ def kn5_scores_from_counts(
         if k < N:
             lp_tab = lp_tab.join(tables[k], W[N - k:])
         lp_tab = lp_tab.join(ctxs[k], W[N - k: N - 1])
-    lp_tab = lp_tab.join(tables[1], W[N - 1:]).crossJoin(F.broadcast(ntot))
+    lp_tab = lp_tab.join(tables[1], W[N - 1:])
     if modified:
-        for k in range(2, N + 1):
-            lp_tab = lp_tab.crossJoin(F.broadcast(discs[k]))
+        # ntot rides inside the consolidated discount frame
+        lp_tab = lp_tab.crossJoin(F.broadcast(discs))
         out_col, dp = "kn5_mkn_score", 6
     else:
+        lp_tab = lp_tab.crossJoin(F.broadcast(ntot))
         out_col, dp = "kn5_score", 8
     lp_tab = lp_tab.select(
         *W, F.round(F.log(p), dp).cast("decimal(28,10)").alias("lp")
