@@ -90,16 +90,16 @@ def nb_counts(
     return cwc, cdocs
 
 
-def nb_classify_from_counts(
+def nb_best_from_counts(
     cwc: DataFrame,
     cdocs: DataFrame,
     test: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    label_col: str = "lang",
 ) -> DataFrame:
-    """Classify ``test`` from the sufficient-statistic frames.
+    """Score ``test`` from the sufficient-statistic frames — the label-free
+    core of :func:`nb_classify_from_counts`.
 
     Model (Laplace add-1):
         log P(c)   = ln(docs_c / docs_total)
@@ -109,9 +109,11 @@ def nb_classify_from_counts(
     score(d,c) = log P(c) + sum_w n_w(d) * log P(w|c); prediction is the
     argmax, ties broken by smallest label.
 
-    Returns one row per test doc: (id, label (true), pred, score) where
-    score is the winning class's log-score as double.
-    """
+    Returns one row per scoreable test doc: (id, pred, score) with score
+    the winning class's log-score as double. Pipelines that never surface
+    the true label (ccnet classifies unlabeled crawl text) call this
+    directly and skip the corpus-sized label passthrough join
+    :func:`nb_classify_from_counts` adds."""
     class_tokens = cwc.groupBy("c").agg(F.sum("cnt").alias("tc"))
     vocab = cwc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     total_docs = cdocs.agg(F.sum("nc").alias("nd"))
@@ -159,12 +161,30 @@ def nb_classify_from_counts(
         .select("id", "c", (F.col("ll") + F.col("log_prior")).alias("score"))
     )
     # argmax with smallest-label tiebreak: min over (-score, label)
-    best = scored.groupBy("id").agg(
+    return scored.groupBy("id").agg(
         F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b")
     ).select(
         "id",
         F.col("b.c").alias("pred"),
         (-F.col("b.ns")).cast("double").alias("score"),
+    )
+
+
+def nb_classify_from_counts(
+    cwc: DataFrame,
+    cdocs: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Classify ``test`` from the sufficient-statistic frames (see
+    :func:`nb_best_from_counts` for the model): one row per test doc —
+    (id, label (true), pred, score) — the label riding through for
+    accuracy evaluation."""
+    best = nb_best_from_counts(
+        cwc, cdocs, test, id_col=id_col, text_col=text_col
     )
     return (
         test.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))

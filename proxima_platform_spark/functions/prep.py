@@ -214,7 +214,7 @@ def ccnet_pipeline(
     drop out of the banded summary (same contract as
     ``kneser_ney5_scores``)."""
     from proxima_platform_spark.functions.classify import (
-        nb_classify_from_counts,
+        nb_best_from_counts,
         nb_counts,
     )
     from proxima_platform_spark.functions.dedup import dedup_paragraphs
@@ -233,18 +233,13 @@ def ccnet_pipeline(
     cwc, cdocs = nb_counts(
         lang_train, id_col=id_col, text_col=text_col, label_col=label_col
     )
-    # the classifier input needs no true label (CCNet classifies raw
-    # crawl text); when docs happen to carry one it rides through the
-    # classify frame unused
-    if label_col in docs.columns:
-        labeled = clean.join(
-            docs.select(F.col(id_col), F.col(label_col)), id_col
-        )
-    else:
-        labeled = clean.withColumn(label_col, F.lit(""))
-    pred = nb_classify_from_counts(
-        cwc, cdocs, labeled,
-        id_col=id_col, text_col=text_col, label_col=label_col,
+    # the classifier needs no true label (CCNet classifies raw crawl
+    # text) and this pipeline never surfaces one — the label-free
+    # scoring core skips both the docs-label passthrough join and the
+    # final label re-attach join (two corpus-sized joins that carried a
+    # column the summary discards; r13)
+    pred = nb_best_from_counts(
+        cwc, cdocs, clean, id_col=id_col, text_col=text_col
     ).select(F.col("id").alias(id_col), "pred")
 
     kn = kneser_ney5_scores(clean, id_col=id_col, text=text_col)
