@@ -4695,13 +4695,15 @@ FROM documents
 
 
 def q_text_quality(spark, sf):
-    """Quality scoring + language-ID heuristic over documents."""
+    """Quality scoring + language-ID heuristic over documents — via the
+    Arrow fast path (bit-identical to the quality_score/language_id
+    expression forms, pinned by TestQualityLangParity; the ~25 full-text
+    replace/regex scans per doc become one Python pass per batch — the
+    training_pipeline precedent)."""
+    from proxima_platform_spark.functions.text import quality_lang_arrow
+
     docs = _load(spark, sf, "documents")
-    return docs.select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        language_id(F.col("text")).alias("lang_guess"),
-    )
+    return quality_lang_arrow(docs).select("doc_id", "quality", "lang_guess")
 
 
 def _sql_scored_ctes() -> str:
@@ -5814,12 +5816,12 @@ def q_multimodal_audio_dup(spark, sf):
     def synth(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                gid = int(row.doc_id) // 9
+            for did in pdf["doc_id"].to_numpy():
+                gid = int(did) // 9
                 n = 128 + (gid % 4) * 64
                 i = np.arange(n, dtype=np.int64)
                 samples = ((gid + 1) * 2654435761 * (i + 1)) % 65536 - 32768
-                rows.append({"doc_id": row.doc_id, "payload": encode_wav(samples)})
+                rows.append({"doc_id": did, "payload": encode_wav(samples)})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     media = docs.select("doc_id").mapInPandas(synth, "doc_id long, payload binary")
@@ -6877,11 +6879,16 @@ def q_dedup_best_of_cluster(spark, sf):
     'keep the best copy' policy, vs dedup_groups' min-id keeper. One
     broadcast-friendly join of the (small) grouped-doc set against per-doc
     quality, then a single hash aggregation."""
+    from proxima_platform_spark.functions.text import quality_lang_arrow
+
     docs = _load(spark, sf, "documents")
     pairs = minhash_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
     groups = dedup_groups(pairs, "id_a", "id_b")
-    scored = docs.select(
-        F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("quality")
+    # quality via the Arrow fast path (bit-identical to quality_score —
+    # TestQualityLangParity); one batch pass replaces the per-doc
+    # replace/regex scan stack
+    scored = quality_lang_arrow(docs).select(
+        F.col("doc_id").alias("id"), "quality"
     )
     j = groups.join(scored, "id")
     return j.groupBy("group_id").agg(
@@ -8895,7 +8902,9 @@ def q_self_dedup_spans(spark, sf):
 
     docs = _load(spark, sf, "documents")
     sd = self_dedup_spans(docs, span_tokens=2)
-    joined = docs.join(sd, "doc_id")
+    # only (doc_id, text) from the docs side survives the select below —
+    # project before the join exchange (lang/source/n_chars are ballast)
+    joined = docs.select("doc_id", "text").join(sd, "doc_id")
     return joined.select(
         "doc_id",
         "n_spans",
@@ -10870,15 +10879,15 @@ def q_cohens_kappa(spark, sf):
     double division. One |categories|²-cell count agg — the corpus
     never sorts."""
     from proxima_platform_spark.functions.evalmetrics import cohens_kappa
-    from proxima_platform_spark.functions.text import (
-        language_id,
-        quality_score,
-    )
+    from proxima_platform_spark.functions.text import quality_lang_arrow
 
     docs = _load(spark, sf, "documents")
-    rated = docs.select(
-        (quality_score(F.col("text")) >= 0.8).cast("int").alias("gate_q"),
-        (language_id(F.col("text")) == "en").cast("int").alias("gate_l"),
+    # both gates from the Arrow fast path (bit-identical to the
+    # quality_score/language_id expression forms — TestQualityLangParity)
+    scored = quality_lang_arrow(docs)
+    rated = scored.select(
+        (F.col("quality") >= 0.8).cast("int").alias("gate_q"),
+        (F.col("lang_guess") == "en").cast("int").alias("gate_l"),
     )
     return cohens_kappa(rated, rater_a="gate_q", rater_b="gate_l")
 
@@ -10920,15 +10929,14 @@ def q_calibration_ece(spark, sf):
     bin's term quantizes at 8 dp before the cross-bin decimal sum —
     the ECE never depends on double summation order. One 10-cell agg."""
     from proxima_platform_spark.functions.evalmetrics import calibration_ece
-    from proxima_platform_spark.functions.text import (
-        language_id,
-        quality_score,
-    )
+    from proxima_platform_spark.functions.text import quality_lang_arrow
 
     docs = _load(spark, sf, "documents")
-    scored = docs.select(
-        quality_score(F.col("text")).alias("score"),
-        (language_id(F.col("text")) == "en").cast("int").alias("label"),
+    # score + label from the Arrow fast path (bit-identical to the
+    # quality_score/language_id expression forms — TestQualityLangParity)
+    scored = quality_lang_arrow(docs).select(
+        F.col("quality").alias("score"),
+        (F.col("lang_guess") == "en").cast("int").alias("label"),
     )
     return calibration_ece(scored, bins=10)
 

@@ -339,8 +339,9 @@ def image_ahash(
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                img = _decode_image(row[payload_col]).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            for did, payload in zip(ids, pdf[payload_col]):
+                img = _decode_image(payload).astype(np.int64)
                 h, w, c = img.shape
                 gray = img.sum(axis=2) // c
                 ys = (np.arange(8) * h) // 8
@@ -350,7 +351,7 @@ def image_ahash(
                 bits = (sel > mean).astype(np.uint8).flatten()
                 rows.append(
                     {
-                        "doc_id": row[id_col],
+                        "doc_id": did,
                         "ahash": np.packbits(bits).tobytes().hex(),
                     }
                 )
@@ -633,19 +634,35 @@ def wav_fingerprint(
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                samples, _rate = decode_wav(bytes(row[payload_col]))
+            ids = pdf[id_col].to_numpy()
+            for did, payload in zip(ids, pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
                 absx = np.abs(samples.astype(np.int64))
                 n = len(absx)
-                bounds = [(k * n) // n_windows for k in range(n_windows + 1)]
-                sums = np.asarray(
-                    [int(absx[bounds[k]:bounds[k + 1]].sum()) for k in range(n_windows)],
-                    dtype=np.int64,
-                )
+                bounds = (
+                    np.arange(n_windows + 1, dtype=np.int64) * n
+                ) // n_windows
+                if n >= n_windows:
+                    # bounds strictly increase when n >= n_windows, so
+                    # reduceat's segments are exactly the index-range
+                    # windows — one vectorized pass instead of n_windows
+                    # Python slice-sums per row
+                    sums = np.add.reduceat(absx, bounds[:-1])
+                else:
+                    # short streams repeat bounds (empty windows must sum
+                    # to 0; reduceat would misreport those) — keep the
+                    # explicit slice walk on this cold path
+                    sums = np.asarray(
+                        [
+                            int(absx[bounds[k]:bounds[k + 1]].sum())
+                            for k in range(n_windows)
+                        ],
+                        dtype=np.int64,
+                    )
                 mean = int(sums.sum()) // n_windows
                 bits = (sums > mean).astype(np.uint8)
                 rows.append(
-                    {"doc_id": row[id_col], "afp": np.packbits(bits).tobytes().hex()}
+                    {"doc_id": did, "afp": np.packbits(bits).tobytes().hex()}
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "afp"])
 

@@ -157,7 +157,11 @@ def curation_pipeline(
         .localCheckpoint(eager=False)
     )
     sd = self_dedup_spans(gated, span_tokens=span_tokens)
-    joined = gated.join(sd, "doc_id")
+    # project the gate frame to the three columns the summary consumes
+    # before the join — the raw text would otherwise ride the join
+    # exchange only to be dropped by the aggregate (guide §2.3: project
+    # before the exchange; the span operator still sees full text via sd)
+    joined = gated.select("doc_id", "source", "score").join(sd, "doc_id")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_spans") - F.col("n_kept")).alias("spans_dropped"),
@@ -300,15 +304,20 @@ def ccnet_summary_from_scores(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    # per-doc token counts BEFORE the join: the summary only ever sums
+    # them, so the two id-keyed joins exchange (id, long) instead of the
+    # full cleaned text (guide §2.3 — shuffle metadata, not payloads)
+    tc = clean.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("__tc"),
+    )
     return (
         bucketed.join(pred, id_col)
-        .join(clean, id_col)
+        .join(tc, id_col)
         .groupBy(F.col("pred").alias("pred_lang"), F.col("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(F.col(text_col)).cast("long")).alias(
-                "clean_tokens"
-            ),
+            F.sum("__tc").alias("clean_tokens"),
             F.round(
                 F.sum(F.col("kn5_score").cast("decimal(18,6)")).cast(
                     "double"
