@@ -256,10 +256,15 @@ def cohens_kappa(
             ),
         ).otherwise(raw)
 
+    # the |categories|²-cell histogram is consumed by THREE branches
+    # (row marginals, col marginals, the N/S base agg); without the pin
+    # Catalyst inlines the whole upstream — scan, gates, any Arrow
+    # stage — into each branch, tripling the corpus scans (observed as
+    # arrow=3 in the plan guard). Bounded frame: safe to checkpoint.
     pairs = rated.groupBy(
         _checked(rater_a, "rater_a").alias("__a"),
         _checked(rater_b, "rater_b").alias("__b"),
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    ).agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=False)
     rows = pairs.groupBy("__a").agg(F.sum("__c").alias("__ra"))
     cols = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
     marg = (
@@ -357,11 +362,14 @@ def calibration_ece(
     O(bins) reduction. The scored population never sorts.
     """
     binned = _calibration_binned(scored, score, label, bins)
+    # the bins-cell frame feeds both the total agg and the term select;
+    # pin it so the corpus-sized binning subtree runs once, not per
+    # branch (the cohens_kappa duplication shape). Bounded: bins rows.
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__sm").alias("__sms"),
         F.sum("__l").alias("__pos"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_bin.agg(F.sum("n").alias("nn"))
     term = F.round(
         (F.col("n").cast("double") / F.col("nn"))
