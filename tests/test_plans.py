@@ -66,12 +66,17 @@ class TestShuffleCounts:
 
 
 class TestCodegen:
-    def test_text_quality_stays_in_codegen(self, spark, sf_dir):
-        # regression guard: language_id once grew an exponential expression
-        # tree that broke janino compilation and fell back to interpreted
+    def test_text_quality_arrow_stage_narrow(self, spark, sf_dir):
+        # r13: text_quality scores through quality_lang_arrow, the
+        # parity-pinned Arrow twin of the expression stack (the old
+        # guard asserted the expression tree stayed in codegen; with no
+        # expression tree left, the invariants are: the sanctioned
+        # vectorized path, zero scalar Python UDFs, and a narrow stage —
+        # no exchange feeds the projection)
         plan = physical_plan(entry.q_text_quality(spark, sf_dir))
-        # executedPlan().toString() marks codegen stages with a "*(n)" prefix
-        assert plan.lstrip().startswith("*(")
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
 
     def test_minhash_signature_hash_aggregates(self, spark, sf_dir):
         # integer min-hash buffers must hash-aggregate; SortAggregate here
