@@ -246,6 +246,18 @@ _BANDED_CACHE: list = []
 _BANDED_CACHE_KEEP = 4
 
 
+def clear_banded_cache() -> None:
+    """Unpersist and drop every cached banded frame. Tooling hook: the
+    plan-inventory guard calls this before building each query so the
+    captured plan is the cache-independent COLD plan (a warm cache
+    truncates the visible plan at an InMemoryTableScan, making the
+    exchange count depend on which banded queries happened to build
+    earlier in the same session — capture-order noise, not plan shape).
+    Not used on query paths; the cache stays warm across a bench loop."""
+    while _BANDED_CACHE:
+        _BANDED_CACHE.pop().unpersist()
+
+
 def _banded_cache_put(df: DataFrame) -> DataFrame:
     """Persist ``df`` into the bounded banded-frame cache and return the
     frame to use: the already-persisted equivalent entry (same

@@ -134,6 +134,7 @@ def build_inventory(only: list[str]) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+    from proxima_platform_spark.functions.dedup import clear_banded_cache
 
     qs = entrymod.queries()
     names = only or list(qs)
@@ -141,6 +142,11 @@ def build_inventory(only: list[str]) -> dict:
     errors = 0
     for name in names:
         t0 = time.time()
+        # Capture the cache-independent COLD plan: a banded frame left
+        # persisted by an earlier build truncates this query's visible
+        # plan at an InMemoryTableScan, making the exchange count a
+        # function of build order / cache capacity instead of the query.
+        clear_banded_cache()
         try:
             m = plan_metrics(physical_plan(qs[name](spark, SF_DIR)))
         except Exception as e:  # a query that cannot BUILD is a hard fail
