@@ -9681,8 +9681,10 @@ def q_snm_dedup(spark, sf):
     )
     # repartition first: the sf0.1 documents parquet scans as ONE
     # partition, and the interpreted shingle transform would run
-    # single-threaded (5.6s -> 1.0s measured)
-    sh = docs.repartition(32).select(
+    # single-threaded (5.6s -> 1.0s measured); sized to the cluster
+    # (defaultParallelism), not a constant — same rule as the
+    # triangle_counts probe (functions/graph.py)
+    sh = docs.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("doc_id").alias("__id"),
         F.array_distinct(ngram_shingles(F.col("text"), 3)).alias("__s"),
     ).localCheckpoint(eager=False)

@@ -1470,7 +1470,13 @@ def dedup_winnow(
     # (re-tokenizing a joined token list is the identity), so the
     # fingerprint positions align with base's token positions without
     # paying an array_join + re-tokenize pass (~10% at sf0.1)
-    fps = winnow_fingerprints(docs, id_col, text_col, w=w)
+    # staged once: the fingerprint set feeds BOTH the winner aggregation
+    # and the rem join — without the pin the explode+distinct pipeline
+    # (the heaviest stage) executes once per consumer (measured ~1s of
+    # the query at sf0.1; r13)
+    fps = winnow_fingerprints(docs, id_col, text_col, w=w).localCheckpoint(
+        eager=False
+    )
     per_doc = fps.groupBy("fp", id_col).agg(F.min("pos").alias("__mp"))
     winners = (
         per_doc.groupBy("fp")
