@@ -4,11 +4,14 @@ IVF coarse-quantizer training; the assignment step is what
 ``similarity.ivf_top_k`` consumes).
 
 Scale design, per Lloyd iteration:
-* assignment — centroids are a k-row frame BROADCAST into a crossJoin
-  (k ≪ partitions; the k× row blow-up is filtered to 1 per vector by a
-  map-side-combined ``min(struct(d2, cid))`` argmin, deterministic
-  tie-break on centroid id), distances are the expression-only
-  ``similarity.dot`` fold — no Python boundary, whole-stage codegen.
+* assignment — the k centroids collapse to ONE broadcast row carrying
+  ``array<struct<cid, c>>``; the argmin is ``array_min`` over a per-row
+  ``transform`` — a pure projection with ZERO exchange (deterministic
+  tie-break on centroid id via struct order), distances are the
+  expression-only ``similarity.dot`` fold — no Python boundary.
+  (The dim-unrolled codegen dot chain was A/B-measured 3× WORSE here:
+  3 dots × k candidates × 64 dims exceeds whole-stage-codegen limits —
+  the same trap recorded on ``semantic_dedup``'s cosine.)
 * update — ``posexplode`` to (cluster, dim) pairs and a map-side-combined
   decimal-sum aggregate: one shuffle of k×d tiny partial rows per
   executor, never a per-cluster vector buffer. Decimal accumulation makes
@@ -19,7 +22,8 @@ Scale design, per Lloyd iteration:
 * the loop builds ONE lazy plan (no driver materialization between
   iterations); iteration count is fixed by the caller, so there is no
   driver-synchronized convergence barrier — at 100 TB each iteration is
-  two shuffles and the chain is scheduled as a single job.
+  one shuffle (the k×d update partials) and the chain is scheduled as a
+  single job.
 """
 
 from __future__ import annotations
@@ -42,24 +46,45 @@ def _sq_dist(v: Column, c: Column) -> Column:
 
 def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: ``vecs(id_col…, v)`` × broadcast
-    ``centroids(cid, c)`` → one row per vector with ``cid`` and ``d2``.
+    centroid ARRAY → one row per vector with ``cid`` and ``d2``.
     Ties break on the lower centroid id (total order → deterministic).
 
-    The argmin is ``min(struct(d2, cid))`` — an algebraic aggregate, so the
-    k candidate rows (all produced in the vector's own partition by the
-    broadcast crossJoin) collapse map-side to ONE row per vector before any
-    exchange. A row_number window here would instead shuffle and sort all
-    k·n scored rows. ``first(v)`` is deterministic: every candidate row of
-    a vec_id carries the identical vector."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        F.struct(_sq_dist(F.col("v"), F.col("c")).alias("d2"), "cid").alias("__sc"),
+    The k centroids are collapsed to ONE broadcast row carrying
+    ``array<struct<cid, c>>`` and the argmin is ``array_min`` over a
+    per-row ``transform`` — a pure projection, so assignment ships ZERO
+    bytes through an exchange. The previous formulation (k-row broadcast
+    crossJoin + ``min(struct(d2, cid))`` groupBy) was algebraically
+    identical but re-shuffled the full vector frame once per assignment:
+    vec_ids are already unique per row, so its map-side combine reduced
+    nothing and the exchange carried every vector verbatim. struct
+    comparison (d2, then cid) is the same total order in both forms —
+    bit-identical output (A/B-verified). An empty centroid frame yields
+    a NULL argmin; the filter reproduces the old empty-join result.
+
+    The argmin struct is routed through a single-element explode so the
+    distance chain evaluates ONCE per row — extracting ``cid``/``d2``
+    straight off the expression re-evaluates the whole ``array_min``
+    per referenced field under projection collapsing (the r07 trap)."""
+    carr = centroids.agg(F.collect_list(F.struct("cid", "c")).alias("__cs"))
+    m = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                _sq_dist(F.col("v"), s["c"]).alias("d2"),
+                s["cid"].alias("cid"),
+            ),
+        )
     )
-    return scored.groupBy("vec_id").agg(
-        F.min("__sc").alias("__m"), F.first("v").alias("v")
-    ).select(
-        "vec_id", F.col("__m.cid").alias("cid"), F.col("__m.d2").alias("d2"), "v"
+    return (
+        vecs.crossJoin(F.broadcast(carr))
+        .select("vec_id", "v", F.explode(F.array(m)).alias("__m"))
+        .select(
+            "vec_id",
+            F.col("__m.cid").alias("cid"),
+            F.col("__m.d2").alias("d2"),
+            "v",
+        )
+        .where(F.col("cid").isNotNull())
     )
 
 

@@ -2183,17 +2183,28 @@ def containment_pairs(
     toks = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     )
-    sh = toks.select(
-        id_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("s")
-    ).distinct()
+    # staged once (lazy localCheckpoint): the distinct (doc, shingle)
+    # frame feeds THREE consumers — the per-doc sizes, the per-shingle
+    # doc-count cap, and the capped pair join — and the tokenize +
+    # shingle + distinct subtree otherwise re-executes per consumer
+    # (the dup_ngram_coverage / kmv_set_ops lesson)
+    sh = (
+        toks.select(
+            id_col, F.explode(shingles_from_tokens(F.col("__t"), n)).alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    # capped feeds both sides of the pair join — staged so the cap join
+    # over the fingerprint volume runs once, not per side
     capped = sh.join(
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("__d"))
         .where(F.col("__d") <= max_docs_per_shingle)
         .select("s"),
         "s",
-    )
+    ).localCheckpoint(eager=False)
     a = capped.select(F.col(id_col).alias("doc_a"), "s")
     b = capped.select(F.col(id_col).alias("doc_b"), "s")
     pairs = (
