@@ -3688,8 +3688,16 @@ def q_dedup_cluster_keep_best(spark, sf):
     scored = docs.select(
         "doc_id", quality_model_score(F.col("text")).alias("score")
     )
-    g = groups.select(F.col("id").alias("doc_id"), "group_id").join(
-        scored, "doc_id"
+    # staged once (lazy localCheckpoint): g feeds BOTH the per-group
+    # argmax and the final keep join — without the pin the CC label agg
+    # AND the quality_model_score expression stack over the corpus text
+    # execute once per consumer (the kmv_set_ops lesson; CC's edge set
+    # is already pinned inside connected_components, but its label agg
+    # and this join are not)
+    g = (
+        groups.select(F.col("id").alias("doc_id"), "group_id")
+        .join(scored, "doc_id")
+        .localCheckpoint(eager=False)
     )
     best = g.groupBy("group_id").agg(
         F.max(

@@ -272,12 +272,20 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
 
     Returns (node, n_tri) for every node in >= 1 triangle.
     """
-    e = edges.select(F.col(u).alias("__a"), F.col(v).alias("__b"))
+    # staged once (lazy localCheckpoint): the caller's edge frame (often
+    # an expensive self-join + distinct) is referenced by the degree
+    # union (twice) and the keyed probe — without the pin the build
+    # re-executes per reference inside the orientation job. The degree
+    # frame likewise feeds both endpoint joins.
+    e = edges.select(
+        F.col(u).alias("__a"), F.col(v).alias("__b")
+    ).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("__a").alias("__n"))
         .unionAll(e.select(F.col("__b").alias("__n")))
         .groupBy("__n")
         .agg(F.count(F.lit(1)).alias("__d"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(
         F.col("__n").alias("__a"), F.struct("__d", F.col("__n").alias("__i")).alias("__ka")
@@ -297,7 +305,11 @@ def triangle_counts(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         .otherwise(F.col("__a"))
         .alias("__dst"),
     ).localCheckpoint(eager=False)
-    adj = oriented.groupBy("__src").agg(F.collect_list("__dst").alias("__nb"))
+    # adj feeds both the source and destination neighborhood joins —
+    # pinned so the collect_list agg over the oriented edges runs once
+    adj = oriented.groupBy("__src").agg(
+        F.collect_list("__dst").alias("__nb")
+    ).localCheckpoint(eager=False)
     na = adj.select(F.col("__src").alias("__a2"), F.col("__nb").alias("__na"))
     nb = adj.select(F.col("__src").alias("__b2"), F.col("__nb").alias("__nbn"))
     # repartition the probe side: the edge frame is small in BYTES, so

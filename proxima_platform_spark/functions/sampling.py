@@ -328,18 +328,25 @@ def negative_samples(
     aid = F.col(id_col)
     ex = exclude_key if exclude_key is not None else aid.cast("string")
     own = F.pmod(sample_key(aid, salt), F.lit(buckets))
-    anchors = df.select(
-        aid.alias("anchor_id"),
+    # keyed once (lazy localCheckpoint, the oracle's `b` CTE shape): both
+    # self-join sides need (id, own bucket, exclude key) — without the
+    # staging each side re-runs the full-text exclude-key md5 over the
+    # corpus (2x the normalize+hash pass)
+    keyed = df.select(
+        aid.alias("__kid"), own.alias("__own"), ex.alias("__ex")
+    ).localCheckpoint(eager=False)
+    anchors = keyed.select(
+        F.col("__kid").alias("anchor_id"),
         # partner bucket: shifted by 1 so an anchor never draws from its
         # own bucket (its own row would rank, and same-bucket anchors
         # would all share candidate sets)
-        F.pmod(own + 1, F.lit(buckets)).alias("__pb"),
-        ex.alias("__ex_a"),
+        F.pmod(F.col("__own") + 1, F.lit(buckets)).alias("__pb"),
+        F.col("__ex").alias("__ex_a"),
     )
-    cands = df.select(
-        aid.alias("negative_id"),
-        own.alias("__cb"),
-        ex.alias("__ex_c"),
+    cands = keyed.select(
+        F.col("__kid").alias("negative_id"),
+        F.col("__own").alias("__cb"),
+        F.col("__ex").alias("__ex_c"),
     )
     w = Window.partitionBy("anchor_id").orderBy("__pk", "negative_id")
     return (

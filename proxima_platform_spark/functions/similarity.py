@@ -707,7 +707,10 @@ def knn_join_lsh(
         num_planes=num_planes,
         num_tables=num_tables,
         dim=dim,
-    )
+    ).localCheckpoint(eager=False)
+    # staged once: the directed union references the scored pair frame
+    # twice — without the pin the candidate equi-join + cosine + distinct
+    # execute per reference (the hard_negative_mining twin)
     directed = pairs.union(
         pairs.select(
             F.col("id_b").alias("id_a"),
@@ -1405,6 +1408,11 @@ def hard_negative_mining(
     nonzero = embeddings.where(
         F.exists(F.col(vec_col), lambda x: x.cast("double") != 0.0)
     )
+    # staged once (lazy localCheckpoint): the directed union references
+    # the scored pair frame TWICE — the bucket stage is cached inside
+    # embedding_near_dup_pairs, but the candidate equi-join + cosine +
+    # distinct (the L·n²/2^planes work) would still execute per
+    # reference without the pin (the kmv_set_ops lesson)
     pairs = embedding_near_dup_pairs(
         nonzero,
         id_col=id_col,
@@ -1413,7 +1421,7 @@ def hard_negative_mining(
         num_planes=num_planes,
         num_tables=num_tables,
         dim=dim,
-    )
+    ).localCheckpoint(eager=False)
     directed = pairs.union(
         pairs.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
