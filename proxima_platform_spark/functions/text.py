@@ -261,10 +261,14 @@ def winnow_fingerprints(
             F.lit(1), F.greatest(F.size(g) - w + 1, F.lit(1))
         ),
         lambda j: F.struct(
-            # rightmost min: first position in the REVERSED window
+            # rightmost min: first position in the REVERSED window.
+            # window length = least(w, size(g) - j + 1) — arithmetic,
+            # not size(slice(...)): every _win(j) reference re-slices
+            # O(w) per window (no CSE inside lambdas), so the length is
+            # derived without the 4th slice pass
             (
                 j
-                + F.size(_win(j))
+                + F.least(F.lit(w), F.size(g) - j + 1)
                 - F.array_position(F.reverse(_win(j)), F.array_min(_win(j)))
             ).cast("int").alias("pos"),
             F.array_min(_win(j)).alias("fp"),
