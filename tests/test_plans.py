@@ -790,15 +790,38 @@ class TestR07ExtensionPlans:
 
     def test_kmv_sketches_are_takeordered(self, spark, sf_dir):
         # bottom-k per set = TakeOrdered (per-partition partial top-k, one
-        # k-row merge) — never a full sort of the distinct keys
-        df = entry.q_kmv_set_ops(spark, sf_dir)
-        plan = physical_plan(df)
-        assert "TakeOrderedAndProject" in plan
+        # k-row merge) — never a full sort of the distinct keys. The
+        # combiner pins each sketch behind a localCheckpoint (r13), which
+        # truncates the combined query's VISIBLE plan at the pins — so the
+        # shape is asserted on the sketch-build frames themselves, exactly
+        # as the query constructs them.
+        from pyspark.sql import functions as F
+
+        from proxima_platform_spark.functions.sketch import kmv_build
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        for sk in (
+            kmv_build(
+                li.where(F.year("l_shipdate") == 1996),
+                ["l_orderkey"], k=256, salt="kmv-v1", set_name="a",
+            ),
+            kmv_build(
+                li.where(F.col("l_discount") > 0.06),
+                ["l_orderkey"], k=256, salt="kmv-v1", set_name="b",
+            ),
+        ):
+            plan = physical_plan(sk)
+            assert "TakeOrderedAndProject" in plan
+            # the scans push the set predicates down
+            assert "PushedFilters" in plan
         # (the estimate combiners crossJoin 1-row frames — a broadcast
         # nested loop over single rows, not a data-scale product; the
-        # k-row sketch joins themselves must stay equi)
-        # the scans push the set predicates down
-        assert "PushedFilters" in plan
+        # k-row sketch joins themselves must stay equi) — the combined
+        # query must still not re-sort anything at data scale: the only
+        # Sorts allowed are the ≤ k-row union-sketch cut
+        df = entry.q_kmv_set_ops(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan
 
     def test_ivm_agg_apply_no_full_history_rescan(self, spark, sf_dir):
         # the t1 state of changed cells comes from (base ∪ delta) of those
