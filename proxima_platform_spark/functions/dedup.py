@@ -1174,12 +1174,16 @@ def dedup_substrings(
         winner (``min(doc_id)`` + ``min_by(pos, doc_id)`` — algebraic,
         no sort);
       * removal windows explode n× over REMOVED occurrences only (dup
-        occurrences minus winners), then distinct on (doc, position) —
-        bounded by n · dup volume, and the key cannot concentrate: one
-        document's removals spread over its positions;
-      * the cut is one left-anti equi-join of the per-token explode
-        against removed positions — linear in corpus tokens, the same
-        reassembly agg ``dedup_paragraphs``/``self_dedup_spans`` ship.
+        occurrences minus winners), then collapse to ONE position-set row
+        per affected document (map-side-combined ``collect_set`` —
+        bounded by n · dup volume, and a document's removed-position set
+        is bounded by its own token count);
+      * the cut is a pure array projection: ``array_except(sequence(0,
+        n_tokens−1), removed_set)`` preserves first-array order, so kept
+        tokens come straight off the pinned token array by index — the
+        corpus-token explode, the (doc, pos) anti-join and the
+        collect_list/array_sort reassembly shuffle (two corpus-token
+        exchanges) are gone; only the bounded removed sets shuffle.
 
     A gram fingerprint hot across 10⁹ docs skews the ``fp`` equi-join —
     AQE skew-join territory, same note as ``dup_ngram_coverage``."""
@@ -1216,37 +1220,47 @@ def dedup_substrings(
     rem = occ.join(winners, "__fp").where(
         ~((F.col(id_col) == F.col("__wd")) & (F.col("pos") == F.col("__wp")))
     )
-    removed = rem.select(
-        F.col(id_col).alias("__rid"),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-        ).alias("__rp"),
-    ).distinct()
-    tok = base.select(F.col(id_col), F.posexplode("__toks").alias("tp", "tok"))
-    kept = tok.join(
-        removed,
-        (tok[id_col] == removed["__rid"]) & (tok["tp"] == removed["__rp"]),
-        "left_anti",
+    removed = (
+        rem.select(
+            F.col(id_col).alias("__rid"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("__rp"),
+        )
+        .groupBy("__rid")
+        .agg(F.collect_set("__rp").alias("__rem"))
     )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                lambda s: s["tok"],
+    empty_i = F.array().cast("array<int>")
+    joined = base.join(
+        removed, base[id_col] == removed["__rid"], "left"
+    )
+    all_pos = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(empty_i)
+    kept_pos = F.array_except(all_pos, F.coalesce(F.col("__rem"), empty_i))
+    # kept_pos routed through a single-element explode so the
+    # array_except evaluates ONCE per row — the kmeans/r07
+    # projection-collapse idiom (three consumers below)
+    return (
+        joined.select(
+            base[id_col].alias(id_col),
+            F.col("__toks"),
+            F.explode(F.array(kept_pos)).alias("__kp"),
+        )
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            F.size("__kp").cast("long").alias("n_kept"),
+            (F.size("__toks") - F.size("__kp")).cast("long").alias(
+                "n_removed"
             ),
-            " ",
-        ).alias("text_dedup"),
-    )
-    counts = base.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
-    return counts.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.array_join(
+                F.transform(
+                    "__kp", lambda p: F.element_at(F.col("__toks"), p + 1)
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
     )
 
 
@@ -1294,17 +1308,17 @@ def dedup_substrings_maximal(
     Scale shape (100 TB): identical to :func:`dedup_substrings` —
     two map-side-combined gram aggs, winner selection via algebraic
     ``min``/``min_by`` (no sort), window explodes bounded by duplicated
-    occurrence volume, the cut one left-anti equi-join per token. The
-    only additions are a second bounded explode (winner windows — at
-    most one window per duplicated gram) and run-stats windows
-    PARTITIONED PER DOCUMENT (doc-bounded sorts, never a global
-    single-partition window). Ref parity anchor: the reference runs
+    occurrence volume, the cut a pure ``array_except`` projection off
+    ONE bounded position-set row per affected doc (no corpus-token
+    explode, no anti-join, no reassembly shuffle). The only additions
+    are a second bounded explode (winner windows — at most one window
+    per duplicated gram) and run stats computed straight off the sorted
+    position array (consecutive-run detection is an array expression,
+    not a per-doc window sort). Ref parity anchor: the reference runs
     user-code transforms for this class of corpus op
     (tools/groovy/Stream.java flatMap); here the whole cut is
     declarative codegen.
     """
-    from pyspark.sql import Window
-
     n = min_len
     if n < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
@@ -1350,56 +1364,85 @@ def dedup_substrings_maximal(
             F.sequence(F.col("__wp"), F.col("__wp") + F.lit(n - 1))
         ).alias("__rp"),
     ).distinct()
-    cut = removed.join(keptw, ["__rid", "__rp"], "left_anti").localCheckpoint(
-        eager=False
-    )
-    # maximal-run stats: consecutive cut positions collapse under the
-    # rp - row_number() grouping key (runs are per-doc windows — parallel
-    # across docs, sort bounded by that doc's cut tokens)
-    wr = Window.partitionBy("__rid").orderBy("__rp")
-    run_len = (
-        cut.select(
-            "__rid", (F.col("__rp") - F.row_number().over(wr)).alias("__grp")
+    cut = removed.join(keptw, ["__rid", "__rp"], "left_anti")
+    # ONE sorted position-set row per affected doc (map-side-combined
+    # collect_set, bounded by dup volume / the doc's own token count);
+    # the sorted array is routed through a single-element explode so
+    # array_sort evaluates once per row despite the multiple references
+    # below (the r07 projection-collapse idiom)
+    cutsets = (
+        cut.groupBy("__rid")
+        .agg(F.collect_set("__rp").alias("__cs"))
+        .select(
+            "__rid", F.explode(F.array(F.array_sort("__cs"))).alias("__rs")
         )
-        .groupBy("__rid", "__grp")
-        .agg(F.count(F.lit(1)).alias("__rl"))
     )
-    run_stats = run_len.groupBy("__rid").agg(
-        F.count(F.lit(1)).alias("n_runs_cut"),
-        F.max("__rl").alias("max_run_len"),
+    # maximal-run stats straight off the sorted array: run starts are
+    # the 0-based indices i with rs[i] != rs[i-1] + 1 — same grouping
+    # the old rp - row_number() window computed, without the per-doc
+    # exchange+sort or the two follow-up aggregations
+    run_starts = F.filter(
+        F.sequence(F.lit(0), F.size("__rs") - 1),
+        lambda i: (i == F.lit(0))
+        | (
+            F.element_at(F.col("__rs"), i + 1)
+            != F.element_at(F.col("__rs"), i) + 1
+        ),
     )
-    tok = base.select(F.col(id_col), F.posexplode("__toks").alias("tp", "tok"))
-    kept = tok.join(
-        cut,
-        (tok[id_col] == cut["__rid"]) & (tok["tp"] == cut["__rp"]),
-        "left_anti",
-    )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
+    cutstats = cutsets.select(
+        "__rid",
+        "__rs",
+        F.explode(F.array(run_starts)).alias("__st"),
+    ).select(
+        "__rid",
+        "__rs",
+        F.size("__st").cast("long").alias("__n_runs"),
+        F.array_max(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text_dedup"),
+                "__st",
+                lambda s, j: F.when(
+                    j < F.size("__st") - 1,
+                    F.element_at(F.col("__st"), j + 2),
+                ).otherwise(F.size("__rs"))
+                - s,
+            )
+        ).cast("long").alias("__max_run"),
     )
-    counts = base.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    # the cut is the same bounded-set array projection dedup_substrings
+    # ships: kept positions come straight off the pinned token array —
+    # the corpus-token explode, the (doc, pos) anti-join and the
+    # collect_list reassembly shuffle are gone
+    empty_i = F.array().cast("array<int>")
+    joined = base.join(
+        cutstats, base[id_col] == cutstats["__rid"], "left"
+    )
+    all_pos = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(empty_i)
+    kept_pos = F.array_except(all_pos, F.coalesce(F.col("__rs"), empty_i))
     return (
-        counts.join(reassembled, id_col, "left")
-        .join(
-            run_stats.withColumnRenamed("__rid", id_col), id_col, "left"
+        joined.select(
+            base[id_col].alias(id_col),
+            F.col("__toks"),
+            F.col("__n_runs"),
+            F.col("__max_run"),
+            F.explode(F.array(kept_pos)).alias("__kp"),
         )
         .select(
             id_col,
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            F.size("__toks").alias("n_tokens"),
+            F.size("__kp").cast("long").alias("n_kept"),
+            (F.size("__toks") - F.size("__kp")).cast("long").alias(
                 "n_removed"
             ),
-            F.coalesce("n_runs_cut", F.lit(0)).alias("n_runs_cut"),
-            F.coalesce("max_run_len", F.lit(0)).alias("max_run_len"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("__n_runs", F.lit(0)).alias("n_runs_cut"),
+            F.coalesce("__max_run", F.lit(0)).alias("max_run_len"),
+            F.array_join(
+                F.transform(
+                    "__kp", lambda p: F.element_at(F.col("__toks"), p + 1)
+                ),
+                " ",
+            ).alias("text_dedup"),
         )
     )
 

@@ -718,11 +718,14 @@ class TestR06ExtensionPlans:
 
 class TestR07ExtensionPlans:
     def test_dedup_substrings_keyed_no_cartesian(self, spark, sf_dir):
-        # ExactSubstr cutter: gram ladder (two map-side-combined aggs) →
-        # winner join on fp → removal-window explode + distinct → one
-        # left-anti on (doc, pos) → reassembly; every stage keyed, no
-        # cartesian, no window over raw occurrences, no count(distinct)
-        # Expand, no Python
+        # ExactSubstr cutter (r13 shape): gram ladder (two map-side-
+        # combined aggs) → winner join on fp → removal-window explode →
+        # ONE bounded collect_set row per affected doc → LEFT OUTER join
+        # back onto the pinned token frame → pure array_except
+        # projection. The corpus-token explode, the (doc,pos) LeftAnti
+        # and the collect_list reassembly shuffle are GONE; every
+        # remaining stage keyed, no cartesian, no window over raw
+        # occurrences, no count(distinct) Expand, no Python
         df = entry.q_dedup_substrings(spark, sf_dir)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
@@ -731,26 +734,29 @@ class TestR07ExtensionPlans:
         assert "Expand" not in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
-        assert "LeftAnti" in plan
+        assert "LeftAnti" not in plan  # the corpus-token anti-join is gone
+        assert "LeftOuter" in plan  # bounded removed-set attach
+        assert "collect_set" in plan  # one position-set row per doc
 
     def test_dedup_substrings_maximal_keyed_no_cartesian(self, spark, sf_dir):
-        # variable-length ExactSubstr: same keyed gram ladder as the
-        # fixed-n cutter plus a bounded winner-window explode and
-        # PER-DOCUMENT run-stats windows — no cartesian, no Python, and
-        # every Window partitioned (no global single-partition sort)
+        # variable-length ExactSubstr (r13 shape): same keyed gram
+        # ladder as the fixed-n cutter plus a bounded winner-window
+        # explode; the cut is the bounded collect_set position-set row
+        # LEFT OUTER joined onto the pinned token frame, run stats are
+        # array expressions over the sorted set — no cartesian, no
+        # Python, no corpus-token anti-join, no run-stats Window at all
         df = entry.q_dedup_substrings_maximal(spark, sf_dir)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
-        assert "LeftAnti" in plan
-        # the run-stats window is keyed by doc id, never empty-partitioned
-        import re
-
-        for m in re.finditer(r"Window \[", plan):
-            seg = plan[m.start() : m.start() + 400]
-            assert "partitionBy" not in seg or "__rid" in seg
+        # the one remaining LeftAnti is the bounded winner-window
+        # immunity join (removed minus kept windows) — dup-volume sized
+        assert plan.count("LeftAnti") == 1
+        assert "LeftOuter" in plan  # bounded cut-set attach
+        assert "collect_set" in plan  # one position-set row per doc
+        assert "Window" not in plan  # run stats are array expressions
 
     def test_multimodal_phash_dup_pigeonhole_join(self, spark, sf_dir):
         # candidates come from the 16-bit pigeonhole chunk equi-join —
