@@ -1710,9 +1710,27 @@ def fuzzy_contaminated_doc_ids(
     # exact confirm on the (small) candidate set: distinct-shingle Jaccard.
     # Integer micro-units — size() counts are exact ints, one fixed
     # double division + round, so the oracle replays the value bit-for-bit.
-    corpus_sh = corpus_tok.select(
-        "id",
-        F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sa"),
+    # Shingle ONLY candidate docs: broadcast the (bounded — eval-sized ×
+    # near-dup fanout) candidate pairs onto the raw corpus scan and build
+    # the shingle array ABOVE the join, routed through a single-element
+    # explode so it evaluates once per matched row (the r07 idiom). The
+    # corpus is tokenized+shingled once (in the banding pass), not twice —
+    # at scale this halves the corpus shingle passes (the dsir_resample
+    # single-pass-keying lesson); cand stays single-consumer, so no pin.
+    matched_sh = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cand), "id")
+        .select(
+            "id",
+            "eval_id",
+            F.explode(
+                F.array(
+                    F.array_distinct(
+                        shingles_from_tokens(tokens(F.col("__t")), n)
+                    )
+                )
+            ).alias("sa"),
+        )
     )
     eval_sh = eval_tok.select(
         F.col("id").alias("eval_id"),
@@ -1723,8 +1741,7 @@ def fuzzy_contaminated_doc_ids(
         / F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
     )
     confirmed = (
-        cand.join(corpus_sh, "id")
-        .join(F.broadcast(eval_sh), "eval_id")
+        matched_sh.join(F.broadcast(eval_sh), "eval_id")
         .select(
             "id",
             "eval_id",

@@ -76,6 +76,15 @@ def incremental_snapshot_agg(
     ``base_cells`` (the steady-state deployment shape); computed from
     ``base_cells`` when absent.
     """
+    # staged once (lazy localCheckpoint): base_cells is a FULL snapshot
+    # build (compact agg + tombstone agg + resolve join) and feeds three
+    # consumers (both changed-cell semi-joins and, when base_agg is not
+    # supplied, the base contributions agg); delta feeds three (direct
+    # keys, wildcard keys, the compaction union). Without the pins
+    # Catalyst inlines each subtree once per consumer — the kmv_set_ops
+    # lesson applied to the IVM step
+    base_cells = base_cells.localCheckpoint(eager=False)
+    delta = delta.localCheckpoint(eager=False)
     direct_keys = delta.select(*CELL_KEY).distinct()
     old_direct = base_cells.join(direct_keys, CELL_KEY, "left_semi")
     # a wildcard tombstone in the delta touches every base cell under its
@@ -88,8 +97,14 @@ def incremental_snapshot_agg(
         .distinct()
     )
     old_wc = base_cells.join(wc_keys, ["entity", "key", "attribute_base"], "left_semi")
-    # a base cell is unique per CELL_KEY, so dropDuplicates is exact here
-    old_rows = old_direct.unionByName(old_wc).dropDuplicates(CELL_KEY)
+    # a base cell is unique per CELL_KEY, so dropDuplicates is exact here;
+    # pinned: old_rows (changed cells only — small) feeds the new-state
+    # compaction AND the minus contributions agg
+    old_rows = (
+        old_direct.unionByName(old_wc)
+        .dropDuplicates(CELL_KEY)
+        .localCheckpoint(eager=False)
+    )
     # new state of changed cells: compact each cell's (old row ∪ delta
     # rows) — snapshot() applies the same winner + tombstone rules as a
     # full rebuild, restricted to exactly these cells' own rows
