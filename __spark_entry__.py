@@ -7430,17 +7430,20 @@ def q_inverted_index(spark, sf):
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).where(F.length("term") >= 3)
-    return (
-        toks.groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("tf"),
-            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias(
-                "postings_csv"
-            ),
-        )
-        .where(F.col("df") >= 5)
+    # df comes from the SAME collect_set the postings need — a separate
+    # countDistinct would plan a second (term, doc_id) dedup aggregation
+    # pair, shuffling the corpus-token stream twice (plan measured: 2
+    # exchanges + 4 agg passes → 1 + 2)
+    agg = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_set("doc_id")).alias("__postings"),
     )
+    return agg.select(
+        "term",
+        F.size("__postings").cast("long").alias("df"),
+        "tf",
+        F.concat_ws(",", "__postings").alias("postings_csv"),
+    ).where(F.col("df") >= 5)
 
 
 SQL_INVERTED_INDEX = r"""
