@@ -59,6 +59,29 @@ def cell_contributions(
     )
 
 
+def changed_cell_rows(base_cells: DataFrame, delta: DataFrame) -> DataFrame:
+    """Old (t0) state of exactly the cells the delta touches: a semi-join
+    of the base snapshot against the delta's direct cell keys, plus — for
+    wildcard tombstones — a semi-join on the attribute PREFIX (those cells
+    never appear as direct delta keys, so without the second branch their
+    retraction would be silently skipped). A base cell is unique per
+    CELL_KEY, so the dropDuplicates between the branches is exact. This is
+    the operator's changed-cell restriction in the raw — the caller pins
+    the result; plan tests assert the LeftSemi shape HERE because the pin
+    truncates it out of the combined query's visible plan."""
+    direct_keys = delta.select(*CELL_KEY).distinct()
+    old_direct = base_cells.join(direct_keys, CELL_KEY, "left_semi")
+    wc_keys = (
+        delta.where(F.col("delete_wildcard"))
+        .select("entity", "key", "attribute_base")
+        .distinct()
+    )
+    old_wc = base_cells.join(
+        wc_keys, ["entity", "key", "attribute_base"], "left_semi"
+    )
+    return old_direct.unionByName(old_wc).dropDuplicates(CELL_KEY)
+
+
 def incremental_snapshot_agg(
     base_cells: DataFrame,
     delta: DataFrame,
@@ -85,25 +108,10 @@ def incremental_snapshot_agg(
     # lesson applied to the IVM step
     base_cells = base_cells.localCheckpoint(eager=False)
     delta = delta.localCheckpoint(eager=False)
-    direct_keys = delta.select(*CELL_KEY).distinct()
-    old_direct = base_cells.join(direct_keys, CELL_KEY, "left_semi")
-    # a wildcard tombstone in the delta touches every base cell under its
-    # attribute PREFIX — those cells never appear as direct delta keys, so
-    # they must be pulled into the changed set via attribute_base or their
-    # retraction would be silently skipped
-    wc_keys = (
-        delta.where(F.col("delete_wildcard"))
-        .select("entity", "key", "attribute_base")
-        .distinct()
-    )
-    old_wc = base_cells.join(wc_keys, ["entity", "key", "attribute_base"], "left_semi")
-    # a base cell is unique per CELL_KEY, so dropDuplicates is exact here;
     # pinned: old_rows (changed cells only — small) feeds the new-state
     # compaction AND the minus contributions agg
-    old_rows = (
-        old_direct.unionByName(old_wc)
-        .dropDuplicates(CELL_KEY)
-        .localCheckpoint(eager=False)
+    old_rows = changed_cell_rows(base_cells, delta).localCheckpoint(
+        eager=False
     )
     # new state of changed cells: compact each cell's (old row ∪ delta
     # rows) — snapshot() applies the same winner + tombstone rules as a

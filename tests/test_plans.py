@@ -832,11 +832,28 @@ class TestR07ExtensionPlans:
     def test_ivm_agg_apply_no_full_history_rescan(self, spark, sf_dir):
         # the t1 state of changed cells comes from (base ∪ delta) of those
         # cells only — the plan must not contain a second full-table
-        # snapshot at t1: every events scan is bounded by a pushed stamp
-        # predicate, and the changed-cell restriction is a semi join
+        # snapshot at t1: the changed-cell restriction is a semi join.
+        # r13 pinned base_cells/delta/old_rows behind lazy localCheckpoints
+        # (one snapshot build per step instead of three), which truncates
+        # the combined query's VISIBLE plan at the pins — so the LeftSemi
+        # shape is asserted on the operator's own pre-pin frame
+        # (ivm.changed_cell_rows), exactly as incremental_snapshot_agg
+        # builds it (the kmv_set_ops precedent).
+        from proxima_platform_spark.changelog import snapshot
+        from proxima_platform_spark.operators.ivm import changed_cell_rows
+
+        clog = entry._events_changelog(spark, sf_dir)
+        ts0 = F.timestamp_millis(F.lit(entry.T0))
+        ts1 = F.timestamp_millis(F.lit(entry.T1))
+        base_cells = snapshot(clog, at=ts0)
+        delta = clog.where((F.col("stamp") > ts0) & (F.col("stamp") <= ts1))
+        plan = physical_plan(changed_cell_rows(base_cells, delta))
+        # the direct-key semi join; the wildcard-prefix branch constant-
+        # folds away here (this changelog has delete_wildcard = lit(false))
+        # — its semantics are pinned by tests/test_ivm.py's wildcard case
+        assert "LeftSemi" in plan
         df = entry.q_ivm_agg_apply(spark, sf_dir)
         plan = physical_plan(df)
-        assert "LeftSemi" in plan
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
 
