@@ -204,6 +204,11 @@ def pagerank_int(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # pinned: the node frame is referenced by the initial ranks AND
+        # by every iteration's teleport left-join — without the pin the
+        # endpoint-union distinct re-derives (iterations + 1) times per
+        # run (r13: 2.42 -> 1.87s at sf0.1, 6/6 interleaved pairs)
+        .localCheckpoint(eager=False)
     )
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # lazy checkpoint: the weighted edge list is consumed once per
