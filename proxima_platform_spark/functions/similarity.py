@@ -176,39 +176,49 @@ def lsh_top_k(
     )
 
 
+def _centroid_dist_sql(vec_sql: str, cvec: list[float]) -> str:
+    """One centroid's squared-L2 distance as SQL text. The expression is
+    token-for-token the old Column-API form (zip_with + aggregate, same
+    cast placement, same IEEE op order — results bit-identical); it is
+    BUILT as one string because the Column form cost one py4j round-trip
+    per literal — n_centroids x dim x 2 JVM calls ≈ 1.5s of pure driver
+    time per ivfpq build at 8x64 (r13; the bench rebuilds per run).
+    Components render as CAST('<repr>' AS DOUBLE): repr round-trips the
+    Python float exactly and string→double is correctly rounded, so the
+    parsed literal is the same double F.lit produced."""
+    lits = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cvec)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}),"
+        f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _centroid_assignment(
-    vec: Column, centroids: list[tuple[int, list[float]]]
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """array_min over (squared-distance, centroid_id) structs → nearest
     centroid id. Expression-only: each distance is one zip_with/aggregate
-    against a literal centroid array, so assignment runs inside codegen."""
-    pairs = []
-    for cid, cvec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        pairs.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
-    return F.array_min(F.array(*pairs))["c"]
+    against a literal centroid array, so assignment runs inside codegen.
+    ``vec_sql`` is the vector column as SQL text (backtick-quoted name)."""
+    pairs = ",".join(
+        f"named_struct('d', {_centroid_dist_sql(vec_sql, cvec)}, 'c', {cid})"
+        for cid, cvec in centroids
+    )
+    return F.expr(f"array_min(array({pairs})).c")
 
 
 def _probe_assignments(
-    vec: Column, centroids: list[tuple[int, list[float]]], n_probe: int
+    vec_sql: str, centroids: list[tuple[int, list[float]]], n_probe: int
 ) -> Column:
     """The n_probe nearest centroid ids (array_sort on (dist, id) structs)."""
-    pairs = []
-    for cid, cvec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        pairs.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
-    ordered = F.array_sort(F.array(*pairs))
-    return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["c"])
+    pairs = ",".join(
+        f"named_struct('d', {_centroid_dist_sql(vec_sql, cvec)}, 'c', {cid})"
+        for cid, cvec in centroids
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({pairs})), 1, {n_probe}), s -> s.c)"
+    )
 
 
 def ivf_top_k(
@@ -249,13 +259,13 @@ def ivf_top_k(
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        _centroid_assignment(F.col(vec_col), centroids).alias("cell"),
+        _centroid_assignment(f"`{vec_col}`", centroids).alias("cell"),
     )
     probes = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).alias("__qvec"),
         F.explode(
-            _probe_assignments(F.col(query_vec_col), centroids, n_probe)
+            _probe_assignments(f"`{query_vec_col}`", centroids, n_probe)
         ).alias("cell"),
     )
     joined = base.join(probes, on="cell").select(
@@ -557,14 +567,14 @@ def ivfpq_top_k(
     )
     pre = embeddings.select(
         F.col(id_col),
-        _centroid_assignment(F.col(vec_col), centroids).alias("cell"),
+        _centroid_assignment(f"`{vec_col}`", centroids).alias("cell"),
         qv_expr.alias("__qv"),
     )
     probes_pre = queries.select(
         F.col(query_id_col),
         qq_expr.alias("__qq"),
         F.explode(
-            _probe_assignments(F.col(query_vec_col), centroids, n_probe)
+            _probe_assignments(f"`{query_vec_col}`", centroids, n_probe)
         ).alias("cell"),
     )
     if use_arrow:
