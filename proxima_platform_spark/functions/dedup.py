@@ -832,7 +832,13 @@ def embedding_near_dup_pairs(
             vec_col="__v",
             num_planes=num_planes,
             num_tables=num_tables,
-        ).withColumn("__n", l2_norm(F.col("__v"), dim=dim))
+        ).withColumn(
+            "__n",
+            # SQL-text operands when dim is known: one F.expr instead of
+            # ~5 py4j calls per dimension at query-build time (r13)
+            l2_norm("`__v`", dim=dim) if dim is not None
+            else l2_norm(F.col("__v")),
+        )
         tb = F.array(*[
             F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
             for t in range(num_tables)
@@ -854,9 +860,11 @@ def embedding_near_dup_pairs(
         )
         pairs = a.join(b, ["__t", "__bucket"]).where(F.col("id_a") < F.col("id_b"))
         denom = F.col("__na") * F.col("__nb")
-        cos = F.when(
-            denom > 0, dot(F.col("__va"), F.col("__vb"), dim=dim) / denom
-        ).otherwise(F.lit(0.0))
+        d_ab = (
+            dot("`__va`", "`__vb`", dim=dim) if dim is not None
+            else dot(F.col("__va"), F.col("__vb"))
+        )
+        cos = F.when(denom > 0, d_ab / denom).otherwise(F.lit(0.0))
         scored = pairs.select(
             "id_a", "id_b", cos.alias("cosine")
         ).where(F.col("cosine") > threshold)
@@ -870,7 +878,10 @@ def embedding_near_dup_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b",
-        cosine_similarity(F.col("__va"), F.col("__vb"), dim=dim).alias("cosine"),
+        (
+            cosine_similarity("`__va`", "`__vb`", dim=dim) if dim is not None
+            else cosine_similarity(F.col("__va"), F.col("__vb"))
+        ).alias("cosine"),
     ).where(F.col("cosine") > threshold)
 
 

@@ -18,11 +18,33 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a: Column, b: Column, *, dim: int | None = None) -> Column:
+def _dot_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """The unrolled multiply-add chain as SQL text. Token-for-token the
+    Column-loop form (same element_at/cast placement, same left-assoc sum
+    — SQL `+` parses left-associative, matching the loop's accumulator),
+    so the doubles are bit-equal; built as ONE string because the Column
+    loop costs ~5 py4j round-trips per dimension — ~0.9s of pure driver
+    time at dim=64, paid per query build (r13; the bench rebuilds fresh
+    each run)."""
+    return " + ".join(
+        f"(CAST(element_at({a_sql}, {d + 1}) AS DOUBLE)"
+        f" * CAST(element_at({b_sql}, {d + 1}) AS DOUBLE))"
+        for d in range(dim)
+    )
+
+
+def dot(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
     """Sequential-order dot product. With ``dim`` known, unrolls to a flat
     multiply-add chain that whole-stage-codegen compiles (the aggregate
     form runs in *interpreted* lambdas, ~20× slower); the left-to-right
-    order is identical either way, so the doubles are bit-equal."""
+    order is identical either way, so the doubles are bit-equal. Pass the
+    operands as SQL text (backtick-quoted names) WITH ``dim`` to build the
+    unrolled chain in one F.expr call instead of ~5 py4j round-trips per
+    dimension (see ``_dot_sql``)."""
+    if isinstance(a, str) or isinstance(b, str):
+        if dim is None:
+            raise ValueError("SQL-text operands require dim")
+        return F.expr(_dot_sql(a, b, dim))
     if dim is not None:
         out = None
         for d in range(dim):
@@ -36,7 +58,11 @@ def dot(a: Column, b: Column, *, dim: int | None = None) -> Column:
     )
 
 
-def l2_norm(a: Column, *, dim: int | None = None) -> Column:
+def l2_norm(a: Column | str, *, dim: int | None = None) -> Column:
+    if isinstance(a, str):
+        if dim is None:
+            raise ValueError("SQL-text operand requires dim")
+        return F.expr(f"SQRT({_dot_sql(a, a, dim)})")
     if dim is not None:
         out = None
         for d in range(dim):
@@ -51,7 +77,18 @@ def l2_norm(a: Column, *, dim: int | None = None) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column, *, dim: int | None = None) -> Column:
+def cosine_similarity(
+    a: Column | str, b: Column | str, *, dim: int | None = None
+) -> Column:
+    if isinstance(a, str) or isinstance(b, str):
+        if dim is None:
+            raise ValueError("SQL-text operands require dim")
+        denom = f"(SQRT({_dot_sql(a, a, dim)}) * SQRT({_dot_sql(b, b, dim)}))"
+        return F.expr(
+            f"CASE WHEN {denom} > 0"
+            f" THEN ({_dot_sql(a, b, dim)}) / {denom}"
+            f" ELSE 0.0D END"
+        )
     denom = l2_norm(a, dim=dim) * l2_norm(b, dim=dim)
     return F.when(denom > 0, dot(a, b, dim=dim) / denom).otherwise(F.lit(0.0))
 
