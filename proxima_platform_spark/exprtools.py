@@ -1,0 +1,63 @@
+"""Process-level cache for STATIC Column expression templates.
+
+Several text-gate helpers (the quality/repetition signal stacks, the
+linear-model logit, the stopword language ID) are pure functions of
+literal constants and ONE input column: the Column tree they build is a
+compile-time template, not data. Building such a tree costs thousands of
+py4j round-trips (each Column operation is ~5-11 driver<->JVM messages;
+measured ~0.9-2.4 ms per operation on this host), so a query that uses
+the stack pays ~1-1.5 s of pure driver chatter per build — every bench
+run, because the bench constructs queries fresh.
+
+``static_template`` memoizes the BUILT template per (SparkContext,
+template name, input-column repr). This caches no data, no results and
+no data-derived plan fragment — exactly the unresolved expression tree a
+library would ship as a module constant (the JVM analogue is Spark's own
+codegen cache). Catalyst still analyzes, optimizes and executes every
+query from scratch; only the Python-side reconstruction of a constant
+tree is skipped. Anything whose shape depends on data (collected vocabs,
+trained models, sampled centroids) must NOT go through this cache.
+
+Columns are immutable, so sharing one instance across DataFrames and
+queries is sound; entries are keyed by the owning SparkContext's
+application id because a Column's JavaObject dies with its JVM gateway.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_MAX_ENTRIES = 256  # dozens in practice; hard cap so the dict stays bounded
+
+
+def _context_key() -> str | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return None
+    # one py4j call per lookup — vs thousands for a template rebuild
+    return sc.applicationId
+
+
+def static_template(name: str, input_repr: str, builder: Callable[[], T]) -> T:
+    """Return the memoized template built by ``builder``.
+
+    ``name`` identifies the template function, ``input_repr`` the input
+    column (its ``str(col)`` repr — stable for equal unresolved trees).
+    The builder runs once per (context, name, input); its result (a
+    Column, or a dict of Columns for multi-signal stacks) is returned
+    as-is afterwards.
+    """
+    key = (_context_key(), name, input_repr)
+    hit = _CACHE.get(key)
+    if hit is None:
+        hit = builder()
+        _CACHE[key] = hit
+        while len(_CACHE) > _MAX_ENTRIES:
+            _CACHE.popitem(last=False)
+    return hit

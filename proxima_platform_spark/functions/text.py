@@ -40,6 +40,15 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 
 def language_id(text: Column) -> Column:
+    """Memoized template (see ``quality_signals``)."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "language_id", str(text), lambda: _language_id_build(text)
+    )
+
+
+def _language_id_build(text: Column) -> Column:
     """Stopword-marker language ID with deterministic tiebreak (alphabetical
     language code order; 'und' when no marker hits at all).
 
@@ -69,6 +78,15 @@ def token_count(text: Column) -> Column:
 
 
 def quality_score(text: Column) -> Column:
+    """Memoized template (see ``quality_signals``)."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "quality_score", str(text), lambda: _quality_score_build(text)
+    )
+
+
+def _quality_score_build(text: Column) -> Column:
     """Heuristic [0,1] quality score: blend of alphabetic ratio, word-length
     sanity and length saturation — the classic cheap pre-filter stack for
     LLM corpus cleaning (Gopher/C4-style rules, public recipes)."""
@@ -106,6 +124,15 @@ QUALITY_MODEL_WEIGHTS_V1: dict[str, float] = {
 
 
 def quality_model_logit(text: Column) -> Column:
+    """Memoized template (see ``quality_signals``)."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "quality_model_logit", str(text), lambda: _quality_model_logit_build(text)
+    )
+
+
+def _quality_model_logit_build(text: Column) -> Column:
     """Linear-model quality logit over the cheap signal stack
     (``quality_signals`` ratios + length saturation + ``dup_word_frac``)
     — the model-based corpus gate (fastText-classifier analog, public
@@ -134,6 +161,15 @@ def quality_model_logit(text: Column) -> Column:
 
 
 def quality_model_score(text: Column) -> Column:
+    """Memoized template (see ``quality_signals``)."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "quality_model_score", str(text), lambda: _quality_model_score_build(text)
+    )
+
+
+def _quality_model_score_build(text: Column) -> Column:
     """Sigmoid of :func:`quality_model_logit`, rounded to 6 decimals —
     the [0,1] keep-probability a pipeline thresholds on (compose as a
     gate: ``where(quality_model_score(text) >= cutoff)``)."""
@@ -340,6 +376,17 @@ EN_STOPWORDS = [" the ", " and ", " of ", " to ", " is ", " in ", " a ", " that 
 
 
 def quality_signals(text: Column) -> dict[str, Column]:
+    """Memoized template — see :mod:`proxima_platform_spark.exprtools`:
+    the signal stack is a pure function of literals and ``text``, and its
+    Column-by-Column construction costs ~40 py4j round-trips per signal."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "quality_signals", str(text), lambda: _quality_signals_build(text)
+    )
+
+
+def _quality_signals_build(text: Column) -> dict[str, Column]:
     """The individual cheap-quality ratios (Gopher/C4-style public recipes):
     alphabetic ratio, punctuation ratio, stopword ratio, mean word length.
     ``quality_score`` blends a subset; pipelines usually threshold these
@@ -519,6 +566,15 @@ def _norm_tokens(text: Column) -> Column:
 
 
 def repetition_signals(text: Column) -> dict[str, Column]:
+    """Memoized template (see ``quality_signals``)."""
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "repetition_signals", str(text), lambda: _repetition_signals_build(text)
+    )
+
+
+def _repetition_signals_build(text: Column) -> dict[str, Column]:
     """Gopher-style within-document repetition signals (public corpus-
     cleaning recipes; extension beyond the reference surface):
 
