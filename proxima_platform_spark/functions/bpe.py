@@ -167,15 +167,31 @@ def bpe_word_encode_expr(
     _check_monotone(merges)
     if alphabet not in ("char", "byte"):
         raise ValueError(f"unknown alphabet {alphabet!r} (use 'char' or 'byte')")
-    if alphabet == "byte":
-        s = byte_tokens_expr(word)
-    else:
-        # '.' = one full codepoint in both Java regex and RE2 (words from
-        # BPE_PATTERN cannot contain newlines, the one thing '.' skips)
-        s = F.array_join(F.regexp_extract_all(word, F.lit("."), 0), SEP)
-    for a, b in merges:
-        s = _fold_step(s, a, b)
-    return s
+
+    def _build() -> Column:
+        if alphabet == "byte":
+            s = byte_tokens_expr(word)
+        else:
+            # '.' = one full codepoint in both Java regex and RE2 (words
+            # from BPE_PATTERN cannot contain newlines, the one thing '.'
+            # skips)
+            s = F.array_join(F.regexp_extract_all(word, F.lit("."), 0), SEP)
+        for a, b in merges:
+            s = _fold_step(s, a, b)
+        return s
+
+    # memoized template (exprtools, r13): the fold is a pure function of
+    # (input column, merge table, alphabet) and the key captures all
+    # three — a learned table still re-learns per build; only the
+    # mechanical Column assembly from the GIVEN table is skipped
+    # (~20 py4j round-trips per merge otherwise)
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "bpe_word_encode",
+        f"{word}|{tuple(merges)!r}|{alphabet}",
+        _build,
+    )
 
 
 def bpe_encode_words(

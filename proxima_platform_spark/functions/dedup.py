@@ -284,27 +284,42 @@ def _banded_from_tokenized(
     ``num_hashes`` mins at once (one md5 per shingle row; map-side partial
     agg collapses the shuffle to ~1 row per doc per partition) → band keys
     from the aggregated columns."""
+    from proxima_platform_spark.exprtools import static_template
+
     rows_per_band = num_hashes // bands
     sh = tokenized.select(
         "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
     ).select("id", shingle_hash(F.col("shingle")).alias("h"))
-    sig = sh.groupBy("id").agg(
-        *[F.min(affine_hash(F.col("h"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    # the signature aggs and band keys are static templates over fixed
+    # column names — memoized so repeated builds skip the ~200 Column ops
+    # (py4j round-trips) the loops cost (exprtools; r13)
+    min_aggs = static_template(
+        "minhash_sig_aggs",
+        str(num_hashes),
+        lambda: [
+            F.min(affine_hash(F.col("h"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
+    sig = sh.groupBy("id").agg(*min_aggs)
+    band_keys = static_template(
+        "minhash_band_keys",
+        f"{num_hashes}|{bands}",
+        lambda: F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 )
-            )
-            for b in range(bands)
-        ]
+                for b in range(bands)
+            ]
+        ),
     )
     return sig.select("id", F.explode(band_keys).alias("band"))
 
@@ -420,22 +435,34 @@ def oph_signature_df(
         "id",
         F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle"),
     ).select("id", shingle_hash(F.col("shingle")).alias("h"))
-    # all bins in ONE hash aggregation: fixed-width buffer, map-side combine
-    binned = hashed.groupBy("id").agg(
-        *[
+    from proxima_platform_spark.exprtools import static_template
+
+    # all bins in ONE hash aggregation: fixed-width buffer, map-side
+    # combine; agg list and densification are static templates over fixed
+    # names — memoized (the rotation coalesce alone is num_bins² Column
+    # ops of py4j chatter per build otherwise; exprtools, r13)
+    bin_aggs = static_template(
+        "oph_bin_aggs",
+        str(num_bins),
+        lambda: [
             F.min(F.when(F.col("h") % num_bins == j, F.col("h"))).alias(f"b{j}")
             for j in range(num_bins)
-        ]
+        ],
     )
-    dense = [
-        F.coalesce(
-            *[
-                F.col(f"b{(j + t) % num_bins}") + F.lit(t * OPH_DENSIFY_C)
-                for t in range(num_bins)
-            ]
-        ).alias(f"sig_{j}")
-        for j in range(num_bins)
-    ]
+    binned = hashed.groupBy("id").agg(*bin_aggs)
+    dense = static_template(
+        "oph_densify",
+        str(num_bins),
+        lambda: [
+            F.coalesce(
+                *[
+                    F.col(f"b{(j + t) % num_bins}") + F.lit(t * OPH_DENSIFY_C)
+                    for t in range(num_bins)
+                ]
+            ).alias(f"sig_{j}")
+            for j in range(num_bins)
+        ],
+    )
     return binned.select("id", *dense)
 
 
@@ -454,21 +481,27 @@ def oph_band_rows(
     if num_bins % bands:
         raise ValueError("bands must divide num_bins")
     sig = oph_signature_df(docs, id_col, text_col, n=n, num_bins=num_bins)
+    from proxima_platform_spark.exprtools import static_template
+
     rows_per_band = num_bins // bands
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(b),
-                    *[
-                        F.col(f"sig_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
+    band_keys = static_template(
+        "oph_band_keys",
+        f"{num_bins}|{bands}",
+        lambda: F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(b),
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 )
-            )
-            for b in range(bands)
-        ]
+                for b in range(bands)
+            ]
+        ),
     )
     return sig.select("id", F.explode(band_keys).alias("band"))
 

@@ -781,81 +781,116 @@ def kn5_scores_from_counts(
         # sf0.1), so raising would make the operator partial. Per-order
         # arithmetic is EXACTLY the old frames' expression shape — same
         # IEEE doubles.
+        from proxima_platform_spark.exprtools import static_template
+
         cls_union = None
         for k in range(2, N + 1):
             part = tables[k].select(
                 F.lit(k).alias("o"), F.col(cnt_col[k]).alias("cnt")
             )
             cls_union = part if cls_union is None else cls_union.union(part)
-        agg_exprs = [
-            F.count(F.when(F.col("o") == 2, 1)).alias("ntot")
-        ]
-        for k in range(2, N + 1):
-            for j in (1, 2, 3, 4):
-                agg_exprs.append(
-                    F.count(
-                        F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
-                    ).alias(f"n{j}_o{k}")
-                )
-        cls = cls_union.agg(*agg_exprs)
-        dd_cols = [F.col("ntot")]
-        for k in range(2, N + 1):
-            n1, n2, n3, n4 = (F.col(f"n{j}_o{k}") for j in (1, 2, 3, 4))
-            degenerate = (n1 == 0) | (n2 == 0) | (n3 == 0)
-            y = n1.cast("double") / (n1 + F.lit(2) * n2)
-            dd_cols += [
-                F.when(degenerate, F.lit(0.5))
-                .otherwise(F.lit(1.0) - F.lit(2.0) * y * n2 / n1)
-                .alias(f"dd1_o{k}"),
-                F.when(degenerate, F.lit(1.0))
-                .otherwise(F.lit(2.0) - F.lit(3.0) * y * n3 / n2)
-                .alias(f"dd2_o{k}"),
-                F.when(degenerate, F.lit(1.5))
-                .otherwise(F.lit(3.0) - F.lit(4.0) * y * n4 / n3)
-                .alias(f"dd3_o{k}"),
-            ]
-        discs = cls.select(*dd_cols)
+
+        def _build_cls_aggs():
+            aggs = [F.count(F.when(F.col("o") == 2, 1)).alias("ntot")]
+            for k in range(2, N + 1):
+                for j in (1, 2, 3, 4):
+                    aggs.append(
+                        F.count(
+                            F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
+                        ).alias(f"n{j}_o{k}")
+                    )
+            return aggs
+
+        def _build_dd_cols():
+            cols = [F.col("ntot")]
+            for k in range(2, N + 1):
+                n1, n2, n3, n4 = (F.col(f"n{j}_o{k}") for j in (1, 2, 3, 4))
+                degenerate = (n1 == 0) | (n2 == 0) | (n3 == 0)
+                y = n1.cast("double") / (n1 + F.lit(2) * n2)
+                cols += [
+                    F.when(degenerate, F.lit(0.5))
+                    .otherwise(F.lit(1.0) - F.lit(2.0) * y * n2 / n1)
+                    .alias(f"dd1_o{k}"),
+                    F.when(degenerate, F.lit(1.0))
+                    .otherwise(F.lit(2.0) - F.lit(3.0) * y * n3 / n2)
+                    .alias(f"dd2_o{k}"),
+                    F.when(degenerate, F.lit(1.5))
+                    .otherwise(F.lit(3.0) - F.lit(4.0) * y * n4 / n3)
+                    .alias(f"dd3_o{k}"),
+                ]
+            return cols
+
+        # the class-count aggs and discount columns are static templates
+        # over fixed names — memoized so repeated builds skip ~400 Column
+        # ops of py4j chatter (exprtools; r13)
+        cls = cls_union.agg(*static_template("kn5_cls_aggs", str(N), _build_cls_aggs))
+        discs = cls.select(
+            *static_template("kn5_dd_cols", str(N), _build_dd_cols)
+        )
+        ctx_aggs = static_template(
+            "kn5_ctx_aggs_mkn",
+            str(N),
+            lambda: {
+                k: [
+                    F.sum(cnt_col[k]).alias(f"tot{k}"),
+                    F.count(F.when(F.col(cnt_col[k]) == 1, 1)).alias(f"e1_{k}"),
+                    F.count(F.when(F.col(cnt_col[k]) == 2, 1)).alias(f"e2_{k}"),
+                    F.count(F.when(F.col(cnt_col[k]) >= 3, 1)).alias(f"e3_{k}"),
+                ]
+                for k in range(2, N + 1)
+            },
+        )
         ctxs = {
-            k: tables[k].groupBy(*W[N - k: N - 1]).agg(
-                F.sum(cnt_col[k]).alias(f"tot{k}"),
-                F.count(F.when(F.col(cnt_col[k]) == 1, 1)).alias(f"e1_{k}"),
-                F.count(F.when(F.col(cnt_col[k]) == 2, 1)).alias(f"e2_{k}"),
-                F.count(F.when(F.col(cnt_col[k]) >= 3, 1)).alias(f"e3_{k}"),
-            )
+            k: tables[k].groupBy(*W[N - k: N - 1]).agg(*ctx_aggs[k])
             for k in range(2, N + 1)
         }
     else:
+        from proxima_platform_spark.exprtools import static_template
+
+        ctx_aggs = static_template(
+            "kn5_ctx_aggs",
+            str(N),
+            lambda: {
+                k: [
+                    F.sum(cnt_col[k]).alias(f"tot{k}"),
+                    F.count(F.lit(1)).alias(f"n1_{k}"),
+                ]
+                for k in range(2, N + 1)
+            },
+        )
         ctxs = {
-            k: tables[k].groupBy(*W[N - k: N - 1]).agg(
-                F.sum(cnt_col[k]).alias(f"tot{k}"),
-                F.count(F.lit(1)).alias(f"n1_{k}"),
-            )
+            k: tables[k].groupBy(*W[N - k: N - 1]).agg(*ctx_aggs[k])
             for k in range(2, N + 1)
         }
 
-    # probability expression, built bottom-up with the kn3 parenthesization
-    p = F.col("cc1").cast("double") / F.col("ntot")
-    d = F.lit(float(discount))
-    for k in range(2, N + 1):
-        cnt = F.col(cnt_col[k])
-        tot = F.col(f"tot{k}")
-        if modified:
-            dsel = (
-                F.when(cnt == 1, F.col(f"dd1_o{k}"))
-                .when(cnt == 2, F.col(f"dd2_o{k}"))
-                .otherwise(F.col(f"dd3_o{k}"))
-            )
-            lam = (
-                F.col(f"dd1_o{k}") * F.col(f"e1_{k}")
-                + F.col(f"dd2_o{k}") * F.col(f"e2_{k}")
-                + F.col(f"dd3_o{k}") * F.col(f"e3_{k}")
-            ) / tot
-            p = F.greatest(cnt - dsel, F.lit(0.0)) / tot + lam * p
-        else:
-            p = (
-                F.greatest(cnt - d, F.lit(0.0)) / tot
-                + (d * F.col(f"n1_{k}") / tot) * p
-            )
+    def _build_p():
+        # probability expression, built bottom-up with the kn3
+        # parenthesization
+        p = F.col("cc1").cast("double") / F.col("ntot")
+        d = F.lit(float(discount))
+        for k in range(2, N + 1):
+            cnt = F.col(cnt_col[k])
+            tot = F.col(f"tot{k}")
+            if modified:
+                dsel = (
+                    F.when(cnt == 1, F.col(f"dd1_o{k}"))
+                    .when(cnt == 2, F.col(f"dd2_o{k}"))
+                    .otherwise(F.col(f"dd3_o{k}"))
+                )
+                lam = (
+                    F.col(f"dd1_o{k}") * F.col(f"e1_{k}")
+                    + F.col(f"dd2_o{k}") * F.col(f"e2_{k}")
+                    + F.col(f"dd3_o{k}") * F.col(f"e3_{k}")
+                ) / tot
+                p = F.greatest(cnt - dsel, F.lit(0.0)) / tot + lam * p
+            else:
+                p = (
+                    F.greatest(cnt - d, F.lit(0.0)) / tot
+                    + (d * F.col(f"n1_{k}") / tot) * p
+                )
+        return p
+
+    p = static_template("kn5_p", f"{N}|{modified}|{discount!r}", _build_p)
 
     # assemble lp per 5-gram TYPE first (the 9 stats joins run on the
     # bounded type table), then ONE occurrence-level join: at scale the

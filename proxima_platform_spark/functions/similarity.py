@@ -866,51 +866,67 @@ def multiprobe_lsh_top_k(
     ).withColumnRenamed("__b0", "bucket")
 
     qvec = F.col(query_vec_col)
-    # materialize the P projections ONCE: referenced P² times by the
-    # flip-rank expressions below, and projection collapsing would
-    # otherwise re-evaluate the P dim-length folds per reference (the
-    # r07 lesson) — localCheckpoint cuts the lineage
-    qp = queries.select(
-        F.col(query_id_col),
-        qvec.alias("__qvec"),
-        F.array(
+
+    def _build_qside():
+        # the three query-side expressions are STATIC templates — pure
+        # functions of (query column, num_planes, probes); building them
+        # Column-by-Column costs ~7000 py4j round-trips (the P² flip-rank
+        # compares dominate), so the built trees are memoized per
+        # template key (exprtools; the quality-stack precedent)
+        proj_arr = F.array(
             *[
                 _int_plane_projection(qvec, p)
                 for p in range(num_planes)
             ]
-        ).alias("__projs"),
-    ).localCheckpoint(eager=False)
-
-    projs = [F.element_at("__projs", p + 1) for p in range(num_planes)]
-    bucket = None
-    for p in range(num_planes):
-        term = F.when(projs[p] > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
         )
-        bucket = term if bucket is None else bucket + term
-
-    def flip_rank(p: int):
-        # how many planes q sort strictly before p by (|proj|, index) —
-        # pure int64 compares over the materialized projection array
-        r = F.lit(0)
-        for q in range(num_planes):
-            if q == p:
-                continue
-            before = (F.abs(projs[q]) < F.abs(projs[p])) | (
-                (F.abs(projs[q]) == F.abs(projs[p])) & F.lit(q < p)
+        projs = [F.element_at("__projs", p + 1) for p in range(num_planes)]
+        bkt = None
+        for p in range(num_planes):
+            term = F.when(projs[p] > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
             )
-            r = r + F.when(before, 1).otherwise(0)
-        return r
+            bkt = term if bkt is None else bkt + term
 
-    flips = F.array(
-        *[
-            F.when(
-                flip_rank(p) < probes - 1,
-                F.col("__bucket").bitwiseXOR(F.lit(1 << p).cast("long")),
-            )
-            for p in range(num_planes)
-        ]
+        def flip_rank(p: int):
+            # how many planes q sort strictly before p by (|proj|, index)
+            # — pure int64 compares over the materialized projection array
+            r = F.lit(0)
+            for q in range(num_planes):
+                if q == p:
+                    continue
+                before = (F.abs(projs[q]) < F.abs(projs[p])) | (
+                    (F.abs(projs[q]) == F.abs(projs[p])) & F.lit(q < p)
+                )
+                r = r + F.when(before, 1).otherwise(0)
+            return r
+
+        flp = F.array(
+            *[
+                F.when(
+                    flip_rank(p) < probes - 1,
+                    F.col("__bucket").bitwiseXOR(F.lit(1 << p).cast("long")),
+                )
+                for p in range(num_planes)
+            ]
+        )
+        return proj_arr, bkt, flp
+
+    from proxima_platform_spark.exprtools import static_template
+
+    proj_array, bucket, flips = static_template(
+        "multiprobe_qside",
+        f"{query_vec_col}|{num_planes}|{probes}",
+        _build_qside,
     )
+    # materialize the P projections ONCE: referenced P² times by the
+    # flip-rank expressions, and projection collapsing would otherwise
+    # re-evaluate the P dim-length folds per reference (the r07 lesson)
+    # — localCheckpoint cuts the lineage
+    qp = queries.select(
+        F.col(query_id_col),
+        qvec.alias("__qvec"),
+        proj_array.alias("__projs"),
+    ).localCheckpoint(eager=False)
     qb = qp.withColumn("__bucket", bucket).select(
         query_id_col,
         "__qvec",
