@@ -150,6 +150,21 @@ def histogram_quantile(
     """
     if not 0.0 < q < 1.0:
         raise ValueError(f"q must be in (0,1), got {q}")
+    # memoized template (exprtools, r13): the CASE chain is a pure
+    # function of (boundaries, q, hist_col) — ~100 Column ops of py4j
+    # chatter per build otherwise
+    from proxima_platform_spark.exprtools import static_template
+
+    return static_template(
+        "histogram_quantile",
+        f"{tuple(boundaries)!r}|{q!r}|{hist_col}",
+        lambda: _histogram_quantile_build(boundaries, q, hist_col),
+    )
+
+
+def _histogram_quantile_build(
+    boundaries: list[float], q: float, hist_col: str = "hist"
+):
     n_bins = len(boundaries) + 1
     h = [F.element_at(F.col(hist_col), i + 1) for i in range(n_bins)]
     total = h[0]
