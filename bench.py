@@ -231,6 +231,16 @@ def main() -> None:
     ).count()
 
     def run_once(name: str) -> float:
+        # Drop the banded-frame cache BEFORE the clock starts so every
+        # timed run recomputes the LSH signature pipeline from the parquet
+        # inputs (VERDICT r13 item 3: letting the warmup's persisted
+        # frames serve all 5 timed runs was persisted-intermediate reuse
+        # across timed runs, not engine speed). Within one run the cache
+        # still dedups the multi-consumer builds, which is the production
+        # shape.
+        from proxima_platform_spark.functions.dedup import clear_banded_cache
+
+        clear_banded_cache()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0

@@ -60,4 +60,24 @@ def static_template(name: str, input_repr: str, builder: Callable[[], T]) -> T:
         _CACHE[key] = hit
         while len(_CACHE) > _MAX_ENTRIES:
             _CACHE.popitem(last=False)
+    return _defensive_copy(hit)
+
+
+def _defensive_copy(hit):
+    """Shallow-copy mutable containers on the way out so a caller that
+    mutates the returned dict/list (adding a key, appending an agg)
+    cannot poison the process-wide cache for every later query build.
+    Columns themselves are immutable, so copying the container is cheap
+    and preserves the py4j saving. One container level of nesting is
+    copied too (the kn5 dict-of-lists shape)."""
+    if isinstance(hit, dict):
+        return {
+            k: list(v) if isinstance(v, list) else v for k, v in hit.items()
+        }
+    if isinstance(hit, list):
+        return [dict(v) if isinstance(v, dict) else v for v in hit]
+    if isinstance(hit, tuple):
+        return tuple(
+            list(v) if isinstance(v, list) else v for v in hit
+        )
     return hit

@@ -253,7 +253,9 @@ def clear_banded_cache() -> None:
     truncates the visible plan at an InMemoryTableScan, making the
     exchange count depend on which banded queries happened to build
     earlier in the same session — capture-order noise, not plan shape).
-    Not used on query paths; the cache stays warm across a bench loop."""
+    Also called by bench.py before EVERY timed run (r14): the cache must
+    not carry the signature pipeline's cost out of the timed region.
+    Not used on query paths."""
     while _BANDED_CACHE:
         _BANDED_CACHE.pop().unpersist()
 
@@ -268,6 +270,16 @@ def _banded_cache_put(df: DataFrame) -> DataFrame:
     for i, old in enumerate(_BANDED_CACHE):
         if old._jdf.queryExecution().analyzed().sameResult(analyzed):
             _BANDED_CACHE.append(_BANDED_CACHE.pop(i))
+            # an external spark.catalog.clearCache() (the bench's
+            # between-queries hygiene) unpersists entries this list still
+            # holds; returning such an entry un-re-persisted silently
+            # recomputes the signature pipeline per consumer — the exact
+            # pathology the rebuild-dedup exists to prevent (VERDICT r13
+            # item 3 secondary bug). storageLevel consults the live
+            # CacheManager, so a stale entry is re-persisted here.
+            lvl = old.storageLevel
+            if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
+                old.persist()
             return old
     df = df.persist()
     _BANDED_CACHE.append(df)

@@ -480,14 +480,15 @@ def label_propagation(
             labels.select(F.col("node").alias("__m"), "label"), "__m"
         ).select(F.col("__n").alias("node"), "label").unionAll(
             labels.select("node", "label")  # self-vote (damping)
-        ).repartition("node")
-        # the explicit node-only repartition makes hashpartitioning(node)
-        # satisfy BOTH downstream groupings ((node, label) counts and the
-        # per-node argmax), so each round runs ONE vote shuffle instead of
-        # two agg exchanges + an extra pre-argmax sort (r13: 4.0 -> 3.3s
-        # at sf0.1, 6/6 interleaved pairs, labels bit-equal). Shuffle
-        # volume is the same 2|E|+|V| vote stream either way — counts are
-        # never wider than votes — and one stage barrier per round drops.
+        )
+        # NO explicit repartition("node") here: r13 tried it to serve
+        # both downstream groupings with one exchange, but it shuffles
+        # the RAW 2|E|+|V| vote stream WITHOUT map-side combining and
+        # concentrates every hot node's full vote list on one reducer
+        # (skew). The two-agg form shuffles partial (node, label) counts
+        # instead — far fewer bytes whenever duplicate votes exist in a
+        # map partition, which is exactly the hub-heavy case (driver r13:
+        # 2.8 -> 4.9s with the repartition; reverted for r14).
         counts = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("__c")
         )

@@ -543,36 +543,18 @@ def dsir_resample(
 
     Returns (id, n_grams, score) for the k winners.
     """
-    from .dedup import shingles_from_tokens, tokens
-
-    # key the raw corpus's bigrams ONCE and stage the (id, bucket) frame:
-    # the same explode+md5 pipeline feeds BOTH the raw bucket-count half
-    # of the ratio frame and the per-doc scoring join — composing
-    # dsir_log_ratios + dsir_doc_log_weights re-ran it per consumer
-    # (measured 2.15 -> 1.15s at sf0.1, results identical; r13). The
-    # helpers keep their signatures for the streaming maintainer.
-    toks = raw.select(F.col(id_col).alias("id"), tokens(F.col(text)).alias("__t"))
-    grams = toks.select(
-        "id", F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("__g")
-    )
-    keyed = grams.select(
-        "id",
-        F.pmod(
-            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long"),
-            F.lit(buckets),
-        ).alias("b"),
-    ).localCheckpoint(eager=False)
-    cr = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
-    ct = dsir_bucket_counts(target, text=text, buckets=buckets, name="n_tgt")
-    lr = dsir_ratios_from_counts(ct, cr, buckets=buckets, smooth=smooth)
-    per_doc = (
-        keyed.join(F.broadcast(lr), "b")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("lr").alias("__logw"),
-        )
-    )
+    # r13 staged the raw corpus's (id, bucket) grams behind a lazy
+    # localCheckpoint shared by both consumers (ratio counts + scoring
+    # join) to save one corpus pass; the driver's value hash went red
+    # that round (CORRECTNESS_r13: hash_match false) and the cause was
+    # never reproduced locally (exact-text comparison green at all three
+    # SFs), so per VERDICT r13 item 1 the staging is reverted to the
+    # composed-helper form until the divergence is understood. Cost: one
+    # extra corpus bigram pass (~1 s at sf0.1); correctness outranks it.
+    lr = dsir_log_ratios(raw, target, text=text, buckets=buckets, smooth=smooth)
+    per_doc = dsir_doc_log_weights(
+        raw, lr, id_col=id_col, text=text, buckets=buckets
+    ).withColumnRenamed("logw", "__logw")
     u = (sample_key(F.col("id"), salt) + 1).cast("double") / float(BUCKETS + 1)
     gumbel = F.round(-F.log(-F.log(u)), 8).cast("decimal(28,10)")
     return (

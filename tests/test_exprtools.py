@@ -27,10 +27,21 @@ class TestStaticTemplate:
     def test_dict_stacks_memoize_as_a_unit(self, spark):
         a = quality_signals(F.col("text"))
         b = quality_signals(F.col("text"))
-        assert a is b
+        # the CONTAINER is a fresh shallow copy per call (so a caller
+        # mutating the returned dict cannot poison the process-wide
+        # cache — ADVICE r13), but the Column templates inside are the
+        # memoized instances (the py4j saving)
+        assert a is not b
+        assert all(a[k] is b[k] for k in a)
         assert set(a) == {
             "alpha_ratio", "punct_ratio", "stopword_ratio", "mean_word_len",
         }
+
+    def test_mutating_returned_container_does_not_poison_cache(self, spark):
+        a = quality_signals(F.col("text"))
+        a["rogue"] = F.lit(1)
+        b = quality_signals(F.col("text"))
+        assert "rogue" not in b
 
     def test_cache_is_bounded(self, spark):
         before = len(_CACHE)

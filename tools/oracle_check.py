@@ -29,20 +29,29 @@ TABLES = [
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
     """Order-insensitive canonical form: sort columns by name, normalize
-    values (floats rounded repr, bytes→hex, NaN→None), sort rows."""
+    values (decimals as EXACT text, doubles as full-precision repr,
+    bytes→hex, NaN→None), sort rows.
+
+    VERDICT r13 item 7: the old repr(round(float(v), 9)) normalization
+    was strictly looser than the driver's value hash — a 9-dp float64
+    tolerance that structurally cannot catch a last-digit divergence in
+    a decimal column. Decimals now compare as exact normalized text
+    (scale-insensitive: 1.50 == 1.5, but 1.500001 != 1.5) and doubles as
+    shortest-roundtrip repr, so 'oracle-green' here means bit-equal —
+    as tight as the driver."""
     df = df[sorted(df.columns)]
 
     def norm(v):
+        import decimal
+
         if v is None:
             return "\x00NULL"
         if isinstance(v, float):
             if math.isnan(v):
                 return "\x00NULL"
-            return repr(round(v, 9))
-        import decimal
-
+            return repr(v)
         if isinstance(v, decimal.Decimal):
-            return repr(round(float(v), 9))
+            return format(v.normalize(), "f")
         if isinstance(v, bytes):
             return v.hex()
         if hasattr(v, "item"):  # numpy scalar
