@@ -51,7 +51,16 @@ def static_template(name: str, input_repr: str, builder: Callable[[], T]) -> T:
     column (its ``str(col)`` repr — stable for equal unresolved trees).
     The builder runs once per (context, name, input); its result (a
     Column, or a dict of Columns for multi-signal stacks) is returned
-    as-is afterwards.
+    afterwards with mutable containers shallow-copied (see
+    ``_defensive_copy``).
+
+    Only UNRESOLVED inputs (plain ``F.col`` / literal-built expression
+    trees) may be memoized: ``str(col)`` is the key's notion of column
+    identity, and JVM-side metadata / dataset-id tags on a resolved,
+    DataFrame-bound column are invisible to it — two columns that print
+    identically but carry different tags would share one cached
+    template. (DataFrame-bound columns stringify with expr-ids, so in
+    practice they never collide — they just churn the cache.)
     """
     key = (_context_key(), name, input_repr)
     hit = _CACHE.get(key)

@@ -184,12 +184,18 @@ def bpe_word_encode_expr(
     # (input column, merge table, alphabet) and the key captures all
     # three — a learned table still re-learns per build; only the
     # mechanical Column assembly from the GIVEN table is skipped
-    # (~20 py4j round-trips per merge otherwise)
+    # (~20 py4j round-trips per merge otherwise). The merge table is
+    # keyed by md5 digest, not raw repr: real tables run to thousands of
+    # pairs and up to 256 such keys are retained for the process
+    # lifetime (ADVICE r13).
+    import hashlib
+
     from proxima_platform_spark.exprtools import static_template
 
+    merges_key = hashlib.md5(repr(tuple(merges)).encode()).hexdigest()
     return static_template(
         "bpe_word_encode",
-        f"{word}|{tuple(merges)!r}|{alphabet}",
+        f"{word}|{merges_key}|{alphabet}",
         _build,
     )
 

@@ -42,6 +42,15 @@ def dot(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
     unrolled chain in one F.expr call instead of ~5 py4j round-trips per
     dimension (see ``_dot_sql``)."""
     if isinstance(a, str) or isinstance(b, str):
+        # the SQL-text fast path needs BOTH operands as SQL text: a mixed
+        # call would interpolate str(Column) ("Column<'x'>") into the SQL
+        # string and fail with a confusing AnalysisException far from the
+        # call site (ADVICE r13)
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise TypeError(
+                "dot: mixed Column/str operands — pass both as SQL text"
+                " (backtick-quoted names) or both as Columns"
+            )
         if dim is None:
             raise ValueError("SQL-text operands require dim")
         return F.expr(_dot_sql(a, b, dim))
@@ -81,6 +90,11 @@ def cosine_similarity(
     a: Column | str, b: Column | str, *, dim: int | None = None
 ) -> Column:
     if isinstance(a, str) or isinstance(b, str):
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise TypeError(
+                "cosine_similarity: mixed Column/str operands — pass both"
+                " as SQL text (backtick-quoted names) or both as Columns"
+            )
         if dim is None:
             raise ValueError("SQL-text operands require dim")
         denom = f"(SQRT({_dot_sql(a, a, dim)}) * SQRT({_dot_sql(b, b, dim)}))"

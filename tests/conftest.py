@@ -8,6 +8,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
+# -- slow-test tiering (VERDICT r13 item 4 / 'Next round' #3) ----------------
+# The full suite grew to ~37 minutes and the round driver's pytest run has a
+# time budget it stopped fitting (VERIFY_r13: tests_ok false, run truncated
+# at ~70% with zero failures). The heavyweight full-pipeline equality tests
+# are now marked @pytest.mark.slow and SKIPPED by default so the default
+# `pytest tests/` completes inside the budget; `--runslow` (used by
+# tools/verify_all.sh) runs everything.
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (verify_all.sh passes this)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight full-pipeline test, skipped unless --runslow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: run with --runslow (verify_all.sh does)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     session = (

@@ -26,8 +26,8 @@ run_sweep() {
 }
 
 run_tests() {
-  echo "== pytest (full suite) =="
-  python -m pytest tests/ -q
+  echo "== pytest (full suite, slow tier included) =="
+  python -m pytest tests/ -q --runslow
 }
 
 run_plans() {
