@@ -701,12 +701,13 @@ def kneser_ney5_scores(
     Engine portability: exact int64 counts, one quantized ln, fixed IEEE
     parenthesization mirrored in the oracle, margin-audited.
 
-    Scale shape: one 5-gram count agg plus eight bounded type/context
-    aggs — every table keyed by gram/context TYPES (sublinear in corpus
-    size). The nine stats joins assemble ln P₅ per 5-gram TYPE (bounded
-    table × bounded tables; AQE broadcasts); the occurrence stream then
-    crosses exactly ONE join — grams → (type, lp) — and reduces per doc.
-    Zero pairwise products — the deepest instance of the BM25 join shape.
+    Scale shape: one 5-gram count agg, then the whole stats stage runs
+    as TWO window cascades over the type table (r14) — one exchange by
+    the final word for the continuation counts, one by w4 for the
+    context totals — instead of the former eight type/context groupBy
+    exchanges + nine stats joins; the occurrence stream then crosses
+    exactly ONE join — grams → (type, lp) — and reduces per doc. Zero
+    pairwise products — the deepest instance of the BM25 join shape.
     """
     from proxima_platform_spark.functions.dedup import (
         gram_structs_from_tokens,
@@ -746,33 +747,129 @@ def kn5_scores_from_counts(
         raise ValueError(f"discount must be in (0,1), got {discount}")
     N = 5
     W = [f"w{i}" for i in range(1, N + 1)]
-    # order-k count tables: raw at k=N, continuation (type-left-extension
-    # counts over the (k+1)-order type table) below. Each table is
-    # referenced by 3-4 downstream branches (next order, its context agg,
-    # its count-of-counts, the lp join) and Catalyst re-derives the whole
-    # upstream chain per branch — localCheckpoint(eager=False) pins each
-    # once-computed (the DuckDB oracle needed the same idea as
-    # AS MATERIALIZED; here worth ~20% at sf0.1 — the type tables are
-    # cheap relative to the lp join fan-in, unlike DuckDB's full re-inline)
     cnt_col = {N: "c5", 4: "cc4", 3: "cc3", 2: "cc2", 1: "cc1"}
-    tables = {N: c5.localCheckpoint(eager=False)}
-    for k in range(N - 1, 0, -1):
-        keys = W[N - k:]  # the last k gram positions
-        tables[k] = tables[k + 1].groupBy(*keys).agg(
-            F.count(F.lit(1)).alias(cnt_col[k])
-        ).localCheckpoint(eager=False)
-    ntot = tables[2].agg(F.count(F.lit(1)).alias("ntot"))
+
+    from pyspark.sql import Window as Wnd
+
+    from proxima_platform_spark.exprtools import static_template
+
+    # ---- stats stage as two window cascades (r14; guide §2.4) ----------
+    # The former shape derived four suffix TYPE tables (a groupBy exchange
+    # each, each localCheckpoint-pinned) plus four per-context aggregates
+    # (four more exchanges), then assembled lp with NINE type-table joins
+    # — AQE broadcasts at sf0.1, but sort-merge shuffles of the full type
+    # table at 100 TB. Every one of those quantities is a nested-SUFFIX or
+    # nested-CONTEXT aggregate of the single 5-gram type table:
+    #
+    #   cc_k(last k words) = # distinct left-extension types — suffix keys
+    #     (w5) ⊂ (w5,w4) ⊂ (w5,w4,w3) ⊂ (w5,w4,w3,w2)
+    #   tot_k / n1_k / e*_k (per order-k context = the k-1 words before
+    #     the final word) — context keys (w4) ⊂ (w4,w3) ⊂ (w4,w3,w2)
+    #     ⊂ (w4,w3,w2,w1)
+    #
+    # so the whole stats stage runs as TWO window cascades:
+    #   pass A — repartition(w5): every suffix window spec requires the
+    #     SAME sort [w5,w4,w3,w2,w1], and hashpartitioning(w5) satisfies
+    #     every (subset-keyed) clustering, so Catalyst plans ONE exchange
+    #     + ONE sort for all of cc4..cc1 plus one "representative" row
+    #     flag per suffix order (row_number == 1) that lets coarser
+    #     orders count DISTINCT finer suffixes as plain flag-counts.
+    #   pass B — repartition(w4): the same construction over the context
+    #     keys (shared sort [w4,w3,w2,w1]) computes tot5..tot2 and
+    #     n1_*/e*_* by aggregating each order's counts at its
+    #     representative rows only.
+    # 2 exchanges + 2 sorts + 1 pin replace 8 exchanges + 9 joins +
+    # 5 pins. The stat columns keep their former names so the
+    # probability template is unchanged, and every count is exact int64
+    # either way — bit-identical output (equivalence pinned in
+    # tests/test_ranking.py; exact-text oracle green).
+    #
+    # 100 TB caveat: WindowExec buffers each partitionBy GROUP (spilling
+    # past spark.sql.windowExec.buffer.spill.threshold); the coarsest
+    # groups are "all 5-gram types sharing a final word" (pass A) /
+    # "sharing w4" (pass B), so a stop-word group buffers many type rows
+    # where the old groupBy combined map-side. The trade is 6 full
+    # type-table shuffles + 9 join builds for 2 shuffles — shuffles
+    # dominate at scale (guide §2.2).
+    full = (Wnd.unboundedPreceding, Wnd.unboundedFollowing)
+
+    def _build_pass_a():
+        wA4 = Wnd.partitionBy("w5", "w4", "w3", "w2").orderBy("w1")
+        wA3 = Wnd.partitionBy("w5", "w4", "w3").orderBy("w2", "w1")
+        wA2 = Wnd.partitionBy("w5", "w4").orderBy("w3", "w2", "w1")
+        wA1 = Wnd.partitionBy("w5").orderBy("w4", "w3", "w2", "w1")
+        return [
+            ("cc4", F.count(F.lit(1)).over(wA4.rowsBetween(*full))),
+            ("__f4", F.row_number().over(wA4) == 1),
+            (
+                "cc3",
+                F.count(F.when(F.col("__f4"), 1)).over(wA3.rowsBetween(*full)),
+            ),
+            ("__f3", F.row_number().over(wA3) == 1),
+            (
+                "cc2",
+                F.count(F.when(F.col("__f3"), 1)).over(wA2.rowsBetween(*full)),
+            ),
+            ("__f2", F.row_number().over(wA2) == 1),
+            (
+                "cc1",
+                F.count(F.when(F.col("__f2"), 1)).over(wA1.rowsBetween(*full)),
+            ),
+        ]
+
+    a = c5.repartition("w5")
+    for _name, _col in static_template("kn5_pass_a", str(N), _build_pass_a):
+        a = a.withColumn(_name, _col)
+    # pinned ONCE: the flagged frame feeds the per-type lp cascade AND
+    # the 1-row global aggregate (ntot / count-of-counts); without the
+    # pin the 1-row branch re-runs the exchange + sort + window chain.
+    a = a.localCheckpoint(eager=False)
+
+    _ord_flag = {N: None, 4: "__f4", 3: "__f3", 2: "__f2"}
+
+    def _build_pass_b():
+        wB5 = Wnd.partitionBy("w4", "w3", "w2", "w1")
+        wB4 = Wnd.partitionBy("w4", "w3", "w2").orderBy("w1")
+        wB3 = Wnd.partitionBy("w4", "w3").orderBy("w2", "w1")
+        wB2 = Wnd.partitionBy("w4").orderBy("w3", "w2", "w1")
+        spec = {N: wB5, 4: wB4, 3: wB3, 2: wB2}
+        cols = []
+        for k in range(2, N + 1):
+            win = spec[k] if k == N else spec[k].rowsBetween(*full)
+            fk, ck = _ord_flag[k], F.col(cnt_col[k])
+            rep = F.lit(True) if fk is None else F.col(fk)
+            cols.append((f"tot{k}", F.sum(F.when(rep, ck)).over(win)))
+            if modified:
+                for j, cond in (
+                    (1, ck == 1),
+                    (2, ck == 2),
+                    (3, ck >= 3),
+                ):
+                    gate = cond if fk is None else (F.col(fk) & cond)
+                    cols.append(
+                        (f"e{j}_{k}", F.count(F.when(gate, 1)).over(win))
+                    )
+            else:
+                cols.append((f"n1_{k}", F.count(F.when(rep, 1)).over(win)))
+        return cols
+
+    b = a.repartition("w4")
+    for _name, _col in static_template(
+        "kn5_pass_b", f"{N}|{modified}", _build_pass_b
+    ):
+        b = b.withColumn(_name, _col)
+
+    ntot = a.agg(F.count(F.when(F.col("__f2"), 1)).alias("ntot"))
 
     if modified:
-        # Chen-Goodman discounts for ALL orders from ONE 1-row frame: the
-        # four per-order count-of-counts aggs used to be four separate
-        # 1-row frames — four SinglePartition funnels + four broadcast
-        # crossJoins on the lp table (measured ~1.5s of fixed per-job
-        # overhead at sf0.1, and four extra driver-coordinated broadcast
-        # builds at any scale). The order-tagged UNION of the (already
-        # checkpointed) type tables aggregates every class count in one
-        # scan; ntot (= order-2 type count = rows with o=2) rides along,
-        # so the modified lp join crosses ONE bounded broadcast, not five.
+        # Chen-Goodman discounts for ALL orders from ONE 1-row frame
+        # (r13), now aggregated straight off the flagged window frame
+        # (r14): an order-k type is exactly a row where the order-k
+        # representative flag is set, carrying its count in cc_k — so
+        # the count-of-counts scan over the 4-table union is ONE global
+        # agg over `a` (no union, no extra scan of anything). ntot
+        # (= order-2 type count = __f2 flags) rides along, so the
+        # modified lp join crosses ONE bounded broadcast.
         # A count-of-counts class hitting zero makes the estimates
         # undefined at that order; KenLM's --discount_fallback
         # substitutes fixed discounts (0.5 / 1.0 / 1.5) — an order can
@@ -781,24 +878,13 @@ def kn5_scores_from_counts(
         # sf0.1), so raising would make the operator partial. Per-order
         # arithmetic is EXACTLY the old frames' expression shape — same
         # IEEE doubles.
-        from proxima_platform_spark.exprtools import static_template
-
-        cls_union = None
-        for k in range(2, N + 1):
-            part = tables[k].select(
-                F.lit(k).alias("o"), F.col(cnt_col[k]).alias("cnt")
-            )
-            cls_union = part if cls_union is None else cls_union.union(part)
-
         def _build_cls_aggs():
-            aggs = [F.count(F.when(F.col("o") == 2, 1)).alias("ntot")]
+            aggs = [F.count(F.when(F.col("__f2"), 1)).alias("ntot")]
             for k in range(2, N + 1):
+                fk, ck = _ord_flag[k], F.col(cnt_col[k])
                 for j in (1, 2, 3, 4):
-                    aggs.append(
-                        F.count(
-                            F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
-                        ).alias(f"n{j}_o{k}")
-                    )
+                    cond = (ck == j) if fk is None else (F.col(fk) & (ck == j))
+                    aggs.append(F.count(F.when(cond, 1)).alias(f"n{j}_o{k}"))
             return aggs
 
         def _build_dd_cols():
@@ -822,46 +908,12 @@ def kn5_scores_from_counts(
 
         # the class-count aggs and discount columns are static templates
         # over fixed names — memoized so repeated builds skip ~400 Column
-        # ops of py4j chatter (exprtools; r13)
-        cls = cls_union.agg(*static_template("kn5_cls_aggs", str(N), _build_cls_aggs))
+        # ops of py4j chatter (exprtools; r13). Template name versioned
+        # (_w) because the expression shape changed in r14.
+        cls = a.agg(*static_template("kn5_cls_aggs_w", str(N), _build_cls_aggs))
         discs = cls.select(
             *static_template("kn5_dd_cols", str(N), _build_dd_cols)
         )
-        ctx_aggs = static_template(
-            "kn5_ctx_aggs_mkn",
-            str(N),
-            lambda: {
-                k: [
-                    F.sum(cnt_col[k]).alias(f"tot{k}"),
-                    F.count(F.when(F.col(cnt_col[k]) == 1, 1)).alias(f"e1_{k}"),
-                    F.count(F.when(F.col(cnt_col[k]) == 2, 1)).alias(f"e2_{k}"),
-                    F.count(F.when(F.col(cnt_col[k]) >= 3, 1)).alias(f"e3_{k}"),
-                ]
-                for k in range(2, N + 1)
-            },
-        )
-        ctxs = {
-            k: tables[k].groupBy(*W[N - k: N - 1]).agg(*ctx_aggs[k])
-            for k in range(2, N + 1)
-        }
-    else:
-        from proxima_platform_spark.exprtools import static_template
-
-        ctx_aggs = static_template(
-            "kn5_ctx_aggs",
-            str(N),
-            lambda: {
-                k: [
-                    F.sum(cnt_col[k]).alias(f"tot{k}"),
-                    F.count(F.lit(1)).alias(f"n1_{k}"),
-                ]
-                for k in range(2, N + 1)
-            },
-        )
-        ctxs = {
-            k: tables[k].groupBy(*W[N - k: N - 1]).agg(*ctx_aggs[k])
-            for k in range(2, N + 1)
-        }
 
     def _build_p():
         # probability expression, built bottom-up with the kn3
@@ -892,21 +944,16 @@ def kn5_scores_from_counts(
 
     p = static_template("kn5_p", f"{N}|{modified}|{discount!r}", _build_p)
 
-    # assemble lp per 5-gram TYPE first (the 9 stats joins run on the
-    # bounded type table), then ONE occurrence-level join: at scale the
-    # occurrence stream crosses a join exactly once instead of nine times
-    lp_tab = tables[N]
-    for k in range(N, 1, -1):
-        if k < N:
-            lp_tab = lp_tab.join(tables[k], W[N - k:])
-        lp_tab = lp_tab.join(ctxs[k], W[N - k: N - 1])
-    lp_tab = lp_tab.join(tables[1], W[N - 1:])
+    # lp per 5-gram TYPE straight off the windowed stat columns (the
+    # former NINE stats joins are gone — every stat already sits on the
+    # row), then ONE occurrence-level join: at scale the occurrence
+    # stream crosses a join exactly once
     if modified:
         # ntot rides inside the consolidated discount frame
-        lp_tab = lp_tab.crossJoin(F.broadcast(discs))
+        lp_tab = b.crossJoin(F.broadcast(discs))
         out_col, dp = "kn5_mkn_score", 6
     else:
-        lp_tab = lp_tab.crossJoin(F.broadcast(ntot))
+        lp_tab = b.crossJoin(F.broadcast(ntot))
         out_col, dp = "kn5_score", 8
     lp_tab = lp_tab.select(
         *W, F.round(F.log(p), dp).cast("decimal(28,10)").alias("lp")

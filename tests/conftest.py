@@ -33,6 +33,81 @@ def pytest_configure(config):
     )
 
 
+# Node ids measured >= 10 s call time in the r14 full-suite durations run
+# (full-pipeline / property-based equality tests). Centralized here so the
+# tier is one list, not 56 scattered decorators; new heavyweight tests can
+# also use @pytest.mark.slow directly.
+SLOW_TESTS = frozenset({
+    "tests/test_e2e_journey.py::TestStreamEnrichment::test_foreachbatch_enrich_sees_evolving_view",
+    "tests/test_graph.py::TestSimilarityJoinPrefix::test_equals_naive_join_and_boundary_pair",
+    "tests/test_graph.py::TestSimilarityJoinPrefix::test_random_corpus_matches_naive",
+    "tests/test_property.py::test_cms_merge_split_invariant",
+    "tests/test_property.py::test_dedup_paragraphs_matches_model",
+    "tests/test_property.py::test_snapshot_matches_model",
+    "tests/test_property.py::test_vacuum_preserves_snapshot",
+    "tests/test_proxy.py::TestEmbeddingNearDup::test_exact_pairs_above_threshold",
+    "tests/test_proxy.py::TestEmbeddingNearDup::test_lsh_bucketed_subset_of_exact",
+    "tests/test_range_join.py::TestRangeJoinBinned::test_matches_naive_theta_join",
+    "tests/test_retract.py::TestRetractJoinStream::test_event_time_timer_flushes_quiet_key",
+    "tests/test_retract.py::TestRetractJoinStream::test_out_of_order_across_batches_matches_batch_replay",
+    "tests/test_retract.py::TestRetractJoinStream::test_stream_matches_batch_replay",
+    "tests/test_retract_property.py::TestRetractJoinProperty::test_batch_matches_python_model",
+    "tests/test_rpc_server.py::TestListContractProperty::test_matches_model",
+    "tests/test_selection.py::TestExactQuantileBisect::test_wide_range_many_passes",
+    "tests/test_selection.py::TestExactQuantilesBisectMulti::test_band_ends_match_single",
+    "tests/test_similarity.py::TestIvfPq::test_arrow_and_expression_paths_identical",
+    "tests/test_similarity.py::TestIvfPq::test_train_iters_refines_deterministically",
+    "tests/test_streaming.py::TestContinuousAnnIndex::test_foreachbatch_wiring",
+    "tests/test_streaming.py::TestContinuousBandFamily::test_simhash_instance",
+    "tests/test_streaming.py::TestContinuousCcnet::test_compaction_preserves_summary",
+    "tests/test_streaming.py::TestContinuousCcnet::test_replayed_batch_is_noop",
+    "tests/test_streaming.py::TestContinuousCcnet::test_single_ingest_equals_batch_pipeline",
+    "tests/test_streaming.py::TestContinuousCcnet::test_summary_equals_batch_on_union",
+    "tests/test_streaming.py::TestContinuousDsir::test_prequential_scores_and_count_equality",
+    "tests/test_streaming.py::TestContinuousHeavyHitters::test_superset_guarantee_and_exactness_when_wide",
+    "tests/test_streaming.py::TestContinuousKneserNey::test_union_equality_across_batches",
+    "tests/test_streaming.py::TestContinuousNaiveBayes::test_topk_pruned_classify_equals_batch_pruned_union",
+    "tests/test_streaming.py::TestContinuousRollup::test_foreachbatch_wiring",
+    "tests/test_streaming.py::TestContinuousSnapshotAgg::test_maintained_agg_equals_batch_recompute",
+    "tests/test_streaming.py::TestEarlyEmitting::test_update_mode_emits_partials",
+    "tests/test_streaming.py::TestMaintainedCcnetGate::test_live_gate_equals_batch_models_on_union",
+    "tests/test_streaming.py::TestSemanticDedupStream::test_new_vs_accepted_matches_python_model",
+    "tests/test_streaming.py::TestStreamStreamJoin::test_windowed_stream_stream_join",
+    "tests/test_streaming.py::TestStreamingAsofJoin::test_stream_matches_batch_row_for_row",
+    "tests/test_streaming.py::TestStreamingAttribution::test_streaming_credit_equals_batch_window",
+    "tests/test_streaming.py::TestStreamingCcnet::test_per_batch_summary_equals_batch_pipeline",
+    "tests/test_streaming.py::TestStreamingCorpusIngest::test_gate_fingerprint_online_dedup",
+    "tests/test_streaming.py::TestStreamingCuration::test_per_batch_summary_equals_batch_pipeline",
+    "tests/test_streaming.py::TestStreamingEwma::test_streaming_equals_batch_per_row",
+    "tests/test_streaming.py::TestStreamingFunnel::test_emits_changelog_of_batch_funnel",
+    "tests/test_streaming.py::TestStreamingFuzzyDecontaminate::test_union_over_batches_equals_batch",
+    "tests/test_streaming.py::TestStreamingIntegrate::test_integrate_per_key_event_time_order",
+    "tests/test_streaming.py::TestStreamingParagraphDedup::test_online_paragraph_dedup_across_batches",
+    "tests/test_streaming.py::TestStreamingPretrainingPrep::test_per_batch_manifest_matches_batch_oracle",
+    "tests/test_streaming.py::TestStreamingReduceValueState::test_event_time_sorted_state_machine",
+    "tests/test_streaming.py::TestStreamingTwa::test_last_emission_equals_batch",
+    "tests/test_streaming.py::TestStreamingZscore::test_streaming_equals_batch_per_row",
+    "tests/test_streaming.py::TestWatermarkEstimators::test_bounded_out_of_orderness_drops_late",
+    "tests/test_streaming.py::TestWindowedStreamingAgg::test_tumbling_window_append_mode",
+    "tests/test_timeseries_property.py::TestFunnelProperty::test_matches_model",
+    "tests/test_timeseries_property.py::TestKaplanMeierProperty::test_matches_python_model",
+    "tests/test_timeseries_property.py::TestQuantileBisectProperty::test_matches_sorted_rank_selection",
+    "tests/test_wordpiece.py::TestWordpieceEncode::test_too_long_word_is_unk",
+    "tests/test_wordpiece.py::test_random_vocab_matches_reference_model",
+})
+
+
+def _slow_key(nodeid: str) -> str:
+    """file-basename::test form, so matching survives being invoked from a
+    different working directory (pytest nodeids are cwd-relative)."""
+    parts = nodeid.replace("\\", "/").split("::", 1)
+    base = parts[0].rsplit("/", 1)[-1]
+    return base if len(parts) == 1 else f"{base}::{parts[1]}"
+
+
+_SLOW_KEYS = frozenset(_slow_key(n) for n in SLOW_TESTS)
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow"):
         return
@@ -40,7 +115,7 @@ def pytest_collection_modifyitems(config, items):
         reason="slow tier: run with --runslow (verify_all.sh does)"
     )
     for item in items:
-        if "slow" in item.keywords:
+        if "slow" in item.keywords or _slow_key(item.nodeid) in _SLOW_KEYS:
             item.add_marker(skip_slow)
 
 
