@@ -2375,9 +2375,21 @@ def icws_signature_df(
     argmin comparison) is then a fixed IEEE double sequence on identical
     inputs, bit-identical cross-engine by construction.
 
-    Scale shape: one explode to (doc, token, tf) (map-side-combined
-    count), ×num_hashes seed expansion, one min_by aggregation per
-    (doc, seed) — fixed-width buffer, no joins, no pairs.
+    Scale shape (r14): one explode to (doc, token, tf) (map-side-combined
+    count); the five md5 uniforms and the derived r/c/β depend only on
+    (token, seed) — NOT on the document — so they are computed once per
+    DISTINCT token (vocabulary types, sublinear in corpus size) instead
+    of once per (doc, token) occurrence pair (the corpus-proportional
+    frame that outnumbers the vocabulary ~10-50×; 40 md5+ln calls per
+    row at num_hashes=8 made this the suite's hottest per-row stack once
+    the bench stopped serving signatures from the warm cache). The
+    (doc, token, tf) frame then joins the per-(token, seed) parameter
+    frame (AQE broadcasts the vocab side locally; at scale it is an
+    equi-join AQE skew-split handles — stop-word keys are hot) and the
+    per-(doc, seed) argmin aggregates map-side. The per-token doubles
+    are computed by the IDENTICAL expressions on identical inputs, and
+    everything downstream is the same fixed IEEE sequence — bit-equal
+    output (exact-text oracle green, value tests unchanged).
 
     Output: (id, seed, token) — num_hashes rows per doc.
     """
@@ -2388,12 +2400,6 @@ def icws_signature_df(
         )
         .groupBy("id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    seeded = tf.select(
-        "id", "w", "tf",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1))
-        ).alias("seed"),
     )
 
     def u(j: int) -> Column:
@@ -2412,12 +2418,28 @@ def icws_signature_df(
     r = -(qln(u(1)) + qln(u(2)))
     c = -(qln(u(4)) + qln(u(5)))
     beta = u(3)
-    t = F.floor(qln(F.col("tf").cast("double")) / r + beta)
-    ln_a = qln(c) - r * (t.cast("double") - beta + F.lit(1.0))
-    sampled = seeded.select(
-        "id", "seed", "w", ln_a.alias("la")
-    ).groupBy("id", "seed").agg(
-        F.min(F.struct(F.col("la"), F.col("w"))).alias("m")
+    params = (
+        tf.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1))
+            ).alias("seed"),
+        )
+        .select(
+            "w", "seed",
+            r.alias("__r"), beta.alias("__beta"), qln(c).alias("__qc"),
+        )
+    )
+    rj, betaj = F.col("__r"), F.col("__beta")
+    t = F.floor(qln(F.col("tf").cast("double")) / rj + betaj)
+    ln_a = F.col("__qc") - rj * (t.cast("double") - betaj + F.lit(1.0))
+    sampled = (
+        tf.join(params, "w")
+        .select("id", "seed", "w", ln_a.alias("la"))
+        .groupBy("id", "seed")
+        .agg(F.min(F.struct(F.col("la"), F.col("w"))).alias("m"))
     )
     return sampled.select("id", "seed", F.col("m.w").alias("token"))
 
