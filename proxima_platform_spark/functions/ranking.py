@@ -428,20 +428,57 @@ def kneser_ney3_scores(
             gram_structs_from_tokens(F.col("__t"), ["u", "v", "w"])
         ).alias("tg"),
     ).select(id_col, "tg.u", "tg.v", "tg.w")
-    # highest order: raw trigram counts + per-(u,v) context totals/types
+    # highest order: raw trigram counts
     c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
-    # middle order: continuation counts c'(v,w) = distinct u per (v,w)
-    cc2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cc2"))
-    # lowest order: unigram continuation over the middle-order type table
-    nlw = cc2.groupBy("w").agg(F.count(F.lit(1)).alias("nlw"))
-    ntot = cc2.agg(F.count(F.lit(1)).alias("ntot"))
+
+    # ---- stats stage as two window cascades (r14 — the kn5 recipe) ----
+    # Every lower-order statistic is a nested-suffix or nested-context
+    # aggregate of the trigram TYPE table: pass A (repartition(w), one
+    # sort [w,v,u]) computes the middle-order continuation count
+    # cc2(v,w) (= distinct u per (v,w)), its representative flag, the
+    # unigram continuation nlw(w) (= distinct (v,w) per w as a flag
+    # count) and ntot; pass B (repartition(v), one sort [v,u(,w)])
+    # computes both orders' context totals / type-class counts at the
+    # representative rows. 2 exchanges + 1 pin replace 4 groupBy
+    # exchanges + 5 joins; counts are exact int64 either way —
+    # bit-identical output (python-model parity tests + exact oracle).
+    from pyspark.sql import Window as Wnd
+
+    _full = (Wnd.unboundedPreceding, Wnd.unboundedFollowing)
+    wS2 = Wnd.partitionBy("w", "v").orderBy("u")
+    wS1 = Wnd.partitionBy("w").orderBy("v", "u")
+    a = (
+        c3.repartition("w")
+        .withColumn("cc2", F.count(F.lit(1)).over(wS2.rowsBetween(*_full)))
+        .withColumn("__f2", F.row_number().over(wS2) == 1)
+        .withColumn(
+            "nlw",
+            F.count(F.when(F.col("__f2"), 1)).over(wS1.rowsBetween(*_full)),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ntot = a.agg(F.count(F.when(F.col("__f2"), 1)).alias("ntot"))
+
+    wC3 = Wnd.partitionBy("v", "u")
+    wC2 = Wnd.partitionBy("v").orderBy("u", "w")
 
     if not modified:
-        c3ctx = c3.groupBy("u", "v").agg(
-            F.sum("c3").alias("c3c"), F.count(F.lit(1)).alias("n1uv")
-        )
-        cc2ctx = cc2.groupBy("v").agg(
-            F.sum("cc2").alias("cc2c"), F.count(F.lit(1)).alias("n1cv")
+        b = (
+            a.repartition("v")
+            .withColumn("c3c", F.sum("c3").over(wC3))
+            .withColumn("n1uv", F.count(F.lit(1)).over(wC3))
+            .withColumn(
+                "cc2c",
+                F.sum(F.when(F.col("__f2"), F.col("cc2"))).over(
+                    wC2.rowsBetween(*_full)
+                ),
+            )
+            .withColumn(
+                "n1cv",
+                F.count(F.when(F.col("__f2"), 1)).over(
+                    wC2.rowsBetween(*_full)
+                ),
+            )
         )
         d = F.lit(float(discount))
         p2 = (
@@ -453,18 +490,11 @@ def kneser_ney3_scores(
             F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c3c")
             + (d * F.col("n1uv") / F.col("c3c")) * p2
         )
-        # lp per trigram TYPE (stats joins on bounded tables), then ONE
-        # occurrence-level join — the kn5 plan shape, result-identical
-        lp_tab = (
-            c3.join(c3ctx, ["u", "v"])
-            .join(cc2, ["v", "w"])
-            .join(cc2ctx, "v")
-            .join(nlw, "w")
-            .crossJoin(F.broadcast(ntot))
-            .select(
-                "u", "v", "w",
-                F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
-            )
+        # lp per trigram TYPE straight off the windowed stat columns,
+        # then ONE occurrence-level join — the kn5 plan shape
+        lp_tab = b.crossJoin(F.broadcast(ntot)).select(
+            "u", "v", "w",
+            F.round(F.log(p3), 8).cast("decimal(28,10)").alias("lp"),
         )
         scored = tri.join(lp_tab, ["u", "v", "w"]).select(id_col, "lp")
         return scored.groupBy(id_col).agg(
@@ -474,30 +504,26 @@ def kneser_ney3_scores(
         )
 
     # ---- modified KN (Chen-Goodman three-discount estimator) --------
-    # Both orders' discounts from ONE 1-row frame (the kn5 recipe): the
-    # order-tagged union of the two count tables aggregates every
-    # count-of-counts class in one scan, and ntot (= order-2 type count
-    # = rows with o=2) rides along — one broadcast crossJoin on the lp
-    # table instead of three, and one re-derivation of the c3/cc2 chain
-    # instead of three broadcast subqueries each rebuilding it. Exact
-    # int64 classes, then the fixed IEEE double sequence (mirrored
-    # verbatim in the oracle). An order with an empty n1/n2/n3 class
-    # takes KenLM's --discount_fallback defaults (0.5/1.0/1.5) —
-    # degeneracy happens on LARGE corpora too (continuation counts
-    # saturate; the kn5 lesson), so the estimator must be total rather
-    # than raise.
-    cls_union = c3.select(
-        F.lit(3).alias("o"), F.col("c3").alias("cnt")
-    ).union(cc2.select(F.lit(2).alias("o"), F.col("cc2").alias("cnt")))
-    agg_exprs = [F.count(F.when(F.col("o") == 2, 1)).alias("ntot")]
+    # Both orders' discounts from ONE 1-row frame (the kn5 recipe),
+    # aggregated straight off the flagged window frame (r14): an
+    # order-2 type is exactly a row whose __f2 flag is set, carrying
+    # its count in cc2, so the count-of-counts scan needs no union of
+    # the two count tables. Exact int64 classes, then the fixed IEEE
+    # double sequence (mirrored verbatim in the oracle). An order with
+    # an empty n1/n2/n3 class takes KenLM's --discount_fallback
+    # defaults (0.5/1.0/1.5) — degeneracy happens on LARGE corpora too
+    # (continuation counts saturate; the kn5 lesson), so the estimator
+    # must be total rather than raise.
+    agg_exprs = [F.count(F.when(F.col("__f2"), 1)).alias("ntot")]
     for k in (2, 3):
         for j in (1, 2, 3, 4):
-            agg_exprs.append(
-                F.count(
-                    F.when((F.col("o") == k) & (F.col("cnt") == j), 1)
-                ).alias(f"n{j}_o{k}")
+            cond = (
+                (F.col("c3") == j)
+                if k == 3
+                else (F.col("__f2") & (F.col("cc2") == j))
             )
-    cls = cls_union.agg(*agg_exprs)
+            agg_exprs.append(F.count(F.when(cond, 1)).alias(f"n{j}_o{k}"))
+    cls = a.agg(*agg_exprs)
     dd_cols = [F.col("ntot")]
     for k in (2, 3):
         n1, n2, n3, n4 = (F.col(f"n{j}_o{k}") for j in (1, 2, 3, 4))
@@ -515,18 +541,44 @@ def kneser_ney3_scores(
             .alias(f"dd3_o{k}"),
         ]
     discs = cls.select(*dd_cols)
-    # per-context totals + per-count-class extension type counts
-    c3ctx = c3.groupBy("u", "v").agg(
-        F.sum("c3").alias("c3c"),
-        F.count(F.when(F.col("c3") == 1, 1)).alias("e1uv"),
-        F.count(F.when(F.col("c3") == 2, 1)).alias("e2uv"),
-        F.count(F.when(F.col("c3") >= 3, 1)).alias("e3uv"),
-    )
-    cc2ctx = cc2.groupBy("v").agg(
-        F.sum("cc2").alias("cc2c"),
-        F.count(F.when(F.col("cc2") == 1, 1)).alias("e1cv"),
-        F.count(F.when(F.col("cc2") == 2, 1)).alias("e2cv"),
-        F.count(F.when(F.col("cc2") >= 3, 1)).alias("e3cv"),
+    # per-context totals + per-count-class extension type counts, as
+    # pass-B windows (context keys (v,u) ⊃ (v) share repartition(v))
+    b = (
+        a.repartition("v")
+        .withColumn("c3c", F.sum("c3").over(wC3))
+        .withColumn(
+            "e1uv", F.count(F.when(F.col("c3") == 1, 1)).over(wC3)
+        )
+        .withColumn(
+            "e2uv", F.count(F.when(F.col("c3") == 2, 1)).over(wC3)
+        )
+        .withColumn(
+            "e3uv", F.count(F.when(F.col("c3") >= 3, 1)).over(wC3)
+        )
+        .withColumn(
+            "cc2c",
+            F.sum(F.when(F.col("__f2"), F.col("cc2"))).over(
+                wC2.rowsBetween(*_full)
+            ),
+        )
+        .withColumn(
+            "e1cv",
+            F.count(F.when(F.col("__f2") & (F.col("cc2") == 1), 1)).over(
+                wC2.rowsBetween(*_full)
+            ),
+        )
+        .withColumn(
+            "e2cv",
+            F.count(F.when(F.col("__f2") & (F.col("cc2") == 2), 1)).over(
+                wC2.rowsBetween(*_full)
+            ),
+        )
+        .withColumn(
+            "e3cv",
+            F.count(F.when(F.col("__f2") & (F.col("cc2") >= 3), 1)).over(
+                wC2.rowsBetween(*_full)
+            ),
+        )
     )
 
     def _dsel(cnt: str, tag: str):
@@ -555,11 +607,7 @@ def kneser_ney3_scores(
         + lam3 * p2m
     )
     lp_tab = (
-        c3.join(c3ctx, ["u", "v"])
-        .join(cc2, ["v", "w"])
-        .join(cc2ctx, "v")
-        .join(nlw, "w")
-        .crossJoin(F.broadcast(discs))  # ntot + both orders' discounts
+        b.crossJoin(F.broadcast(discs))  # ntot + both orders' discounts
         .select(
             "u", "v", "w",
             # round 6, not 8: with ~50k lp values per corpus the chance
