@@ -212,7 +212,7 @@ def ccnet_pipeline(
 
     Scale shape: dedup is three keyed shuffles; NB is two bounded-model
     joins (model frames bounded by classes×vocab, broadcast); KN5 is
-    nine type-bounded stats joins + ONE occurrence join; the bisection
+    two type-table window cascades + ONE occurrence join; the bisection
     reads ≤256-cell histograms driver-side; the final agg is bounded by
     langs×3. Docs shorter than 5 tokens after dedup carry no 5-gram and
     drop out of the banded summary (same contract as
